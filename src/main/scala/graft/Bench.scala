@@ -1,24 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":"total","value":…,"queries":{…}}.
+  *
+  * Two timed runs per query, min taken — first run pays JIT/codegen warmup,
+  * which a long-running cluster job amortizes away.
+  */
 object Bench {
+  /** Headline set: one per operator family, weighted toward the shapes that
+    * dominate at 100 TB (scan+agg, 3-way join, window, dedup shuffle,
+    * similarity, text scoring, rasterize-style pixel agg). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "j5_join3_revenue", "j2_file_catalog_join",
+    "a1_rasterize_count", "a3_band_stats", "a4_histogram",
+    "w1_ordered_burn_rank", "st1_window_agg", "st2_sessionize",
+    "f3_exists_antijoin", "o1_topk",
+    "t3_quality_score", "t4_fingerprint",
+    "d2_minhash_sig", "d3_lsh_candidates", "d5_jaccard_pairs",
+    "e1_knn_brute", "e2_knn_lsh",
+    "s1_grid_seed", "m1_media_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warm the session: JIT the parquet reader + codegen paths once
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once())
+        name -> t
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,838 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.core.grid.{GridFactory, LatLngGrid, WebMercatorGrid}
+import graft.functions.{Calc, PortableHash}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: every operator of SURVEY.md §2, expressed as a
+  * DataFrame query over the driver's test tables, with a DuckDB oracle.
+  *
+  * Query keys carry the SURVEY §2 operator ids (s1…, f1…, p1…, j1…, a1…,
+  * w1…, o1…, st…, plus the beyond-reference t/d/e/m families). Column names
+  * and row order match the oracle exactly (the driver sorts columns by name
+  * then hashes values). All floating aggregates are rounded identically on
+  * both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Q.j5_join3_revenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
+    "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
+    "f1_subset_filter"    -> (Q.f1_subset_filter(_, _)),
+    "f2_range_filter"     -> (Q.f2_range_filter(_, _)),
+    "f3_exists_antijoin"  -> (Q.f3_exists_antijoin(_, _)),
+    "p1_calc_arith"       -> (Q.p1_calc_arith(_, _)),
+    "p1_calc_multiband"   -> (Q.p1_calc_multiband(_, _)),
+    "p2_cast_fill"        -> (Q.p2_cast_fill(_, _)),
+    "p3_vector_calc"      -> (Q.p3_vector_calc(_, _)),
+    "p6_snap"             -> (Q.p6_snap(_, _)),
+    "j1_spatial_semijoin" -> (Q.j1_spatial_semijoin(_, _)),
+    "j2_file_catalog_join" -> (Q.j2_file_catalog_join(_, _)),
+    "j4_band_align_join"  -> (Q.j4_band_align_join(_, _)),
+    "j5_join3_revenue"    -> (Q.j5_join3_revenue(_, _)),
+    "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
+    "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
+    "a3_band_stats"       -> (Q.a3_band_stats(_, _)),
+    "a4_histogram"        -> (Q.a4_histogram(_, _)),
+    "a5_valid_count"      -> (Q.a5_valid_count(_, _)),
+    "a6_extent_union"     -> (Q.a6_extent_union(_, _)),
+    "a7_manifest_collect" -> (Q.a7_manifest_collect(_, _)),
+    "a8_status_tally"     -> (Q.a8_status_tally(_, _)),
+    "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
+    "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
+    "o1_topk"             -> (Q.o1_topk(_, _)),
+    "o3_set_ops"          -> (Q.o3_set_ops(_, _)),
+    "o4_tile_dedup"       -> (Q.o4_tile_dedup(_, _)),
+    "st1_window_agg"      -> (Q.st1_window_agg(_, _)),
+    "st2_sessionize"      -> (Q.st2_sessionize(_, _)),
+    "t1_token_count"      -> (Q.t1_token_count(_, _)),
+    "t2_lang_id"          -> (Q.t2_lang_id(_, _)),
+    "t3_quality_score"    -> (Q.t3_quality_score(_, _)),
+    "t4_fingerprint"      -> (Q.t4_fingerprint(_, _)),
+    "d1_exact_dedup"      -> (Q.d1_exact_dedup(_, _)),
+    "d2_minhash_sig"      -> (Q.d2_minhash_sig(_, _)),
+    "d3_lsh_candidates"   -> (Q.d3_lsh_candidates(_, _)),
+    "d4_simhash"          -> (Q.d4_simhash(_, _)),
+    "d5_jaccard_pairs"    -> (Q.d5_jaccard_pairs(_, _)),
+    "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
+    "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
+    "m1_media_features"   -> (Q.m1_media_features(_, _)),
+    "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
+
+  def oracleSql: Map[String, String] = Oracles.sql
+
+  // ================================================================= Spark
+  private[graft] object Q {
+    private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+    /** S1: lat/lng grid seed — all 648 tiles of grid 10/40000, distributed
+      * generation (no driver collect). */
+    def s1_grid_seed(s: SparkSession, d: String): DataFrame =
+      LatLngGrid(10, 40000).tilesDF(s).orderBy("tile_idx")
+
+    /** S1 (WebMercator): zoom_12 → 16×16 tiles; bounds rounded to mm. */
+    def s1_wm_grid_seed(s: SparkSession, d: String): DataFrame = {
+      val g = WebMercatorGrid(12)
+      g.tilesDF(s)
+        .select(col("tile_idx"), col("tile_id"),
+          round(col("left"), 4).as("left"), round(col("bottom"), 4).as("bottom"),
+          round(col("right"), 4).as("right"), round(col("top"), 4).as("top"))
+        .orderBy("tile_idx")
+    }
+
+    /** F1: subset filter (tile_id ∈ subset). */
+    def f1_subset_filter(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .filter(col("l_orderkey").isin(1L, 7L, 32L, 100L, 501L, 1234L, 2500L))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+
+    /** F2: source-intersection-style range filter (pushed to parquet). */
+    def f2_range_filter(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01") && col("l_shipdate") < lit("1999-02-01")
+          && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+
+    /** F3/J6: target-exists anti-join — parts with no high-quantity lineitem
+      * (models skipping already-materialized tiles). */
+    def f3_exists_antijoin(s: SparkSession, d: String): DataFrame = {
+      val existing = li(s, d).filter(col("l_quantity") > 49).select(col("l_partkey"))
+      Tables.part(s, d)
+        .join(existing, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }
+
+    /** P1: the calc DSL compiled to Catalyst — `(A + B) * (C + 2)`
+      * (reference test case, tests/tiles/utils/test_array_utils.py:118). */
+    def p1_calc_arith(s: SparkSession, d: String): DataFrame = {
+      val bands = Map("A" -> col("l_quantity"), "B" -> col("l_discount"), "C" -> col("l_tax"))
+      li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(Calc.column("(A + B) * (C + 2)", bands), 4).as("calc_value"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+
+    /** P1 multiband: `np.ma.array([A, B, A+B])` → 3 band columns
+      * (tests/test_raster_src_tile.py:177). */
+    def p1_calc_multiband(s: SparkSession, d: String): DataFrame = {
+      val bands = Map("A" -> col("l_quantity"), "B" -> col("l_extendedprice"))
+      val out = Calc.compile("np.ma.array([A, B, A + B])", bands)
+      li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(out(0), 4).as("band0"), round(out(1), 4).as("band1"), round(out(2), 4).as("band2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+
+    /** P2: masked → nodata fill + cast (`set_datatype`,
+      * array_utils.py:12-41): mask pixels where discount>0.05, fill -1. */
+    def p2_cast_fill(s: SparkSession, d: String): DataFrame = {
+      val masked = when(col("l_discount") > 0.05, lit(null)).otherwise(col("l_quantity"))
+      li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(masked, lit(-1.0)).cast("long").as("filled"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+
+    /** P3: vector calc = SQL CASE expression (vector_src_tile.py:139-143). */
+    def p3_vector_calc(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("CASE WHEN event_type = 'purchase' THEN 3 WHEN event_type = 'click' THEN 2 " +
+            "WHEN event_type = 'view' THEN 1 ELSE 0 END").as("burn_value"))
+        .orderBy("event_id")
+
+    /** P6: snap values to a 0.25 lattice, top-left bias (grid.py:71-97). */
+    def p6_snap(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .select(col("event_id"),
+          (floor(col("value") / 0.25) * 0.25).as("snapped"))
+        .orderBy("event_id")
+
+    /** Synthetic file-catalog footprints: rectangles derived from part —
+      * stands in for the raster source manifest (layers.py:114-128). */
+    private def footprints(s: SparkSession, d: String): DataFrame =
+      Tables.part(s, d).select(
+        concat(lit("file_"), col("p_partkey"), lit(".tif")).as("uri"),
+        ((col("p_partkey") % 36) * 10 - 180).cast("double").as("f_left"),
+        ((col("p_partkey") % 18) * 10 - 90).cast("double").as("f_bottom"),
+        ((col("p_partkey") % 36) * 10 - 165).cast("double").as("f_right"),
+        ((col("p_partkey") % 18) * 10 - 75).cast("double").as("f_top"))
+
+    /** J1/F2: tile ⋉ source-extent spatial semi-join — tiles whose interior
+      * intersects any footprint; file catalog broadcast (SURVEY §4). */
+    def j1_spatial_semijoin(s: SparkSession, d: String): DataFrame = {
+      val tiles = LatLngGrid(10, 40000).tilesDF(s)
+      val fp = broadcast(footprints(s, d))
+      tiles.join(fp,
+          col("left") < col("f_right") && col("f_left") < col("right") &&
+            col("bottom") < col("f_top") && col("f_bottom") < col("top"), "left_semi")
+        .select("tile_id", "left", "bottom", "right", "top")
+        .orderBy("tile_id")
+    }
+
+    /** J2: tile ⋈ source-files inner spatial join → (tile, file) work list. */
+    def j2_file_catalog_join(s: SparkSession, d: String): DataFrame = {
+      val tiles = LatLngGrid(10, 40000).tilesDF(s)
+      val fp = broadcast(footprints(s, d))
+      tiles.join(fp,
+          col("left") < col("f_right") && col("f_left") < col("right") &&
+            col("bottom") < col("f_top") && col("f_bottom") < col("top"))
+        .groupBy("tile_id")
+        .agg(count(lit(1)).as("n_files"))
+        .orderBy("tile_id")
+    }
+
+    /** J4: band alignment zip — two per-band relations full-outer-joined on
+      * the key, absent side = null band (empty padding, K4). */
+    def j4_band_align_join(s: SparkSession, d: String): DataFrame = {
+      val l = li(s, d)
+      val bandA = l.filter(col("l_returnflag") === "R").groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("band_a"))
+      val bandB = l.filter(col("l_returnflag") === "A").groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("band_b"))
+      bandA.join(bandB, Seq("l_orderkey"), "full_outer")
+        .select(col("l_orderkey"),
+          coalesce(col("band_a"), lit(0.0)).as("band_a"),
+          coalesce(col("band_b"), lit(0.0)).as("band_b"))
+        .orderBy("l_orderkey")
+    }
+
+    /** J5 + flagship: 3-way equi-join + agg (customer⋈orders⋈lineitem). */
+    def j5_join3_revenue(s: SparkSession, d: String): DataFrame = {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01"))
+      val l = li(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        // +5e-7 before rounding: the true sum is an exact 4-decimal rational,
+        // but fp accumulation order differs across engines; the epsilon
+        // pushes exact .xx5 boundary sums off the round-half edge the same
+        // way on both sides (non-boundary sums are ≥1e-4 away, unaffected).
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(5e-7), 2)
+          .as("revenue"))
+        .orderBy("o_orderkey")
+    }
+
+    private def pixels(s: SparkSession, d: String): DataFrame =
+      li(s, d).select(
+        (col("l_partkey") % 40).as("px"),
+        (col("l_suppkey") % 10).as("py"),
+        col("l_quantity").as("value"))
+
+    /** A1: rasterize burn-count — pixel = COUNT of covering features. */
+    def a1_rasterize_count(s: SparkSession, d: String): DataFrame =
+      pixels(s, d).groupBy("px", "py").agg(count(lit(1)).as("value"))
+        .orderBy("px", "py")
+
+    /** A2: rasterize burn-value — ordered burn ≡ max(field). */
+    def a2_rasterize_value(s: SparkSession, d: String): DataFrame =
+      pixels(s, d).groupBy("px", "py").agg(max("value").as("value"))
+        .orderBy("px", "py")
+
+    /** A3: per-band statistics (gdalinfo -stats). */
+    def a3_band_stats(s: SparkSession, d: String): DataFrame =
+      li(s, d).groupBy("l_returnflag")
+        .agg(
+          round(min("l_extendedprice"), 4).as("stat_min"),
+          round(max("l_extendedprice"), 4).as("stat_max"),
+          round(avg("l_extendedprice"), 4).as("stat_mean"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("stat_std"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+
+    /** A4: histogram — 10 equal buckets over [900, 105000]. */
+    def a4_histogram(s: SparkSession, d: String): DataFrame = {
+      val lo = 900.0; val hi = 105000.0; val n = 10
+      val w = (hi - lo) / n
+      li(s, d)
+        .select(least(greatest(floor((col("l_extendedprice") - lo) / w), lit(0)), lit(n - 1))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }
+
+    /** A5: valid-pixel count (masked semantics: nullif → count non-null). */
+    def a5_valid_count(s: SparkSession, d: String): DataFrame =
+      li(s, d).groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_discount") =!= 0, 1)).as("n_valid"),
+          count(lit(1)).as("n_total"))
+        .orderBy("l_returnflag")
+
+    /** A6: extent union — axis-aligned union of all footprints (the bbox
+      * form of unary_union; full JTS union covered by GeomUnionAgg tests). */
+    def a6_extent_union(s: SparkSession, d: String): DataFrame =
+      footprints(s, d).agg(
+        min("f_left").as("ext_left"), min("f_bottom").as("ext_bottom"),
+        max("f_right").as("ext_right"), max("f_top").as("ext_top"),
+        count(lit(1)).as("n_files"))
+
+    /** A7: manifest collect — deterministic ordered concatenation of
+      * per-group manifest entries (collect_list + sort). */
+    def a7_manifest_collect(s: SparkSession, d: String): DataFrame =
+      li(s, d).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+        .select(concat(col("l_returnflag"), lit("|"), col("l_linestatus"), lit("|"), col("n")).as("entry"))
+        .agg(array_join(array_sort(collect_list(col("entry"))), ",").as("manifest"))
+
+    /** A8: status tally (pipe.py:137-168 status algebra). */
+    def a8_status_tally(s: SparkSession, d: String): DataFrame =
+      Tables.orders(s, d)
+        .select(when(col("o_orderkey") % 10 === 0, "existing")
+          .when(col("o_orderkey") % 10 === 1, "failed")
+          .when(col("o_orderkey") % 10 === 2, "skipped")
+          .otherwise("processed").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+
+    /** W1: ordered burn as a window — first feature per pixel by value desc
+      * (SURVEY §2.5's row_number form of A2). */
+    def w1_ordered_burn_rank(s: SparkSession, d: String): DataFrame = {
+      val w = Window.partitionBy("px", "py")
+        .orderBy(col("value").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      li(s, d).select(
+          (col("l_partkey") % 40).as("px"), (col("l_suppkey") % 10).as("py"),
+          col("l_quantity").as("value"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("px", "py", "value", "l_orderkey")
+        .orderBy("px", "py")
+    }
+
+    /** W2: running sum per key (frame: unbounded preceding → current). */
+    def w2_running_sum(s: SparkSession, d: String): DataFrame = {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }
+
+    /** O1: deterministic top-k (order + limit with total tiebreak). */
+    def o1_topk(s: SparkSession, d: String): DataFrame =
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+
+    /** O3: set ops — nations having customers ∩ nations having suppliers,
+      * minus nations of low-balance suppliers (INTERSECT/EXCEPT). */
+    def o3_set_ops(s: SparkSession, d: String): DataFrame = {
+      val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      val poor = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations).except(poor).orderBy("nationkey")
+    }
+
+    /** O4: tile-set dedup (dropDuplicates on the derived tile key). */
+    def o4_tile_dedup(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .select((col("user_id") % 10).as("tile_x"), col("event_type"))
+        .dropDuplicates("tile_x", "event_type")
+        .orderBy("tile_x", "event_type")
+
+    /** ST1: event-time window aggregation (batch form of the streaming
+      * surface; same plan shape under readStream + watermark). */
+    def st1_window_agg(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+
+    /** ST2: sessionization — 30-min inactivity gap via lag + running sum
+      * (the batch twin of flatMapGroupsWithState session windows). */
+    def st2_sessionize(s: SparkSession, d: String): DataFrame = {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val newSession = when(
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)) > 1800, 1)
+        .when(lag("ts", 1).over(byUser).isNull, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_id", sum("new_s").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }
+
+    // ---------------------------------------------- text analysis (north star)
+    def t1_token_count(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+
+    def t2_lang_id(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+
+    def t3_quality_score(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+
+    def t4_fingerprint(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+
+    // ---------------------------------------------------- dedup (north star)
+    def d1_exact_dedup(s: SparkSession, d: String): DataFrame =
+      Dedup.exact(Tables.documents(s, d)).orderBy("digest")
+
+    def d2_minhash_sig(s: SparkSession, d: String): DataFrame =
+      Dedup.minhashSignatures(Tables.documents(s, d), k = 4).orderBy("doc_id")
+
+    def d3_lsh_candidates(s: SparkSession, d: String): DataFrame = {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), k = 4)
+      Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2))
+        .orderBy("doc1", "doc2")
+    }
+
+    def d4_simhash(s: SparkSession, d: String): DataFrame =
+      Dedup.simhash(Tables.documents(s, d), bits = 16).orderBy("doc_id")
+
+    def d5_jaccard_pairs(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = t.as("a").join(t.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "inter", "jaccard")
+        .orderBy("doc1", "doc2")
+    }
+
+    // ---------------------------------------- similarity search (north star)
+    def e1_knn_brute(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }
+
+    def e2_knn_lsh(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), dim = 64, bits = 8, k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }
+
+    // ----------------------------------------------- multimodal (north star)
+    def m1_media_features(s: SparkSession, d: String): DataFrame =
+      Multimodal.syntheticFromText(Tables.documents(s, d), "doc_id", "text")
+        .select(col("asset_id"), col("modality"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("asset_id")
+
+    /** TPC-H Q1 shape — the headline scan+agg benchmark. */
+    def q1_pricing_summary(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(5e-7), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            + lit(5e-7), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ================================================================ Oracles
+  private[graft] object Oracles {
+    private val P = PortableHash.prime // 2147483647
+
+    /** DuckDB token pipeline shared by text/dedup oracles. */
+    private val tokExpr =
+      "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+    private def h(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+    private def minhashTerms(k: Int): String =
+      (0 until k).map { i =>
+        val (a, b) = PortableHash.perm(i)
+        s"min((h * $a + $b) % $P) AS mh$i"
+      }.mkString(", ")
+
+    val sql: Map[String, String] = Map(
+      "s1_grid_seed" ->
+        """SELECT CAST(r*36 + c AS BIGINT) AS tile_idx,
+          | (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+          |  || '_' ||
+          |  CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+          | CAST(c*10 - 180 AS DOUBLE) AS "left", CAST(80 - r*10 AS DOUBLE) AS bottom,
+          | CAST(c*10 - 170 AS DOUBLE) AS "right", CAST(90 - r*10 AS DOUBLE) AS top
+          |FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)
+          |ORDER BY tile_idx""".stripMargin,
+
+      "s1_wm_grid_seed" -> {
+        val ext = 20037508.342789244
+        val span = 2 * ext / 16
+        s"""SELECT CAST(r*16 + c AS BIGINT) AS tile_idx,
+           | printf('%03dR_%03dC', r, c) AS tile_id,
+           | round(c * $span - $ext, 4) AS "left", round($ext - (r+1) * $span, 4) AS bottom,
+           | round((c+1) * $span - $ext, 4) AS "right", round($ext - r * $span, 4) AS top
+           |FROM generate_series(0, 15) t1(r) CROSS JOIN generate_series(0, 15) t2(c)
+           |ORDER BY tile_idx""".stripMargin
+      },
+
+      "f1_subset_filter" ->
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+          |WHERE l_orderkey IN (1, 7, 32, 100, 501, 1234, 2500)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "f2_range_filter" ->
+        """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '1999-02-01'
+          |  AND l_quantity > 45
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "f3_exists_antijoin" ->
+        """SELECT p_partkey, p_name FROM part p
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+          |ORDER BY p_partkey""".stripMargin,
+
+      "p1_calc_arith" ->
+        """SELECT l_orderkey, l_linenumber,
+          | round((l_quantity + l_discount) * (l_tax + 2), 4) AS calc_value
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "p1_calc_multiband" ->
+        """SELECT l_orderkey, l_linenumber,
+          | round(l_quantity, 4) AS band0, round(l_extendedprice, 4) AS band1,
+          | round(l_quantity + l_extendedprice, 4) AS band2
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "p2_cast_fill" ->
+        """SELECT l_orderkey, l_linenumber,
+          | CAST(coalesce(CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END, -1.0) AS BIGINT) AS filled
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "p3_vector_calc" ->
+        """SELECT event_id,
+          | CAST(CASE WHEN event_type = 'purchase' THEN 3 WHEN event_type = 'click' THEN 2
+          |      WHEN event_type = 'view' THEN 1 ELSE 0 END AS INT) AS burn_value
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "p6_snap" ->
+        """SELECT event_id, floor(value / 0.25) * 0.25 AS snapped
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "j1_spatial_semijoin" ->
+        """WITH tiles AS (
+          |  SELECT (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+          |    || '_' ||
+          |    CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+          |   CAST(c*10 - 180 AS DOUBLE) AS tl, CAST(80 - r*10 AS DOUBLE) AS tb,
+          |   CAST(c*10 - 170 AS DOUBLE) AS tr, CAST(90 - r*10 AS DOUBLE) AS tt
+          |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)),
+          |fp AS (
+          |  SELECT CAST((p_partkey % 36) * 10 - 180 AS DOUBLE) AS fl, CAST((p_partkey % 18) * 10 - 90 AS DOUBLE) AS fb,
+          |         CAST((p_partkey % 36) * 10 - 165 AS DOUBLE) AS fr, CAST((p_partkey % 18) * 10 - 75 AS DOUBLE) AS ft
+          |  FROM part)
+          |SELECT tile_id, tl AS "left", tb AS bottom, tr AS "right", tt AS top FROM tiles
+          |WHERE EXISTS (SELECT 1 FROM fp WHERE tl < fr AND fl < tr AND tb < ft AND fb < tt)
+          |ORDER BY tile_id""".stripMargin,
+
+      "j2_file_catalog_join" ->
+        """WITH tiles AS (
+          |  SELECT (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+          |    || '_' ||
+          |    CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+          |   CAST(c*10 - 180 AS DOUBLE) AS tl, CAST(80 - r*10 AS DOUBLE) AS tb,
+          |   CAST(c*10 - 170 AS DOUBLE) AS tr, CAST(90 - r*10 AS DOUBLE) AS tt
+          |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)),
+          |fp AS (
+          |  SELECT CAST((p_partkey % 36) * 10 - 180 AS DOUBLE) AS fl, CAST((p_partkey % 18) * 10 - 90 AS DOUBLE) AS fb,
+          |         CAST((p_partkey % 36) * 10 - 165 AS DOUBLE) AS fr, CAST((p_partkey % 18) * 10 - 75 AS DOUBLE) AS ft
+          |  FROM part)
+          |SELECT tile_id, count(*) AS n_files FROM tiles JOIN fp
+          |  ON tl < fr AND fl < tr AND tb < ft AND fb < tt
+          |GROUP BY tile_id ORDER BY tile_id""".stripMargin,
+
+      "j4_band_align_join" ->
+        """WITH a AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS band_a FROM lineitem
+          |           WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+          |     b AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS band_b FROM lineitem
+          |           WHERE l_returnflag = 'A' GROUP BY l_orderkey)
+          |SELECT coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+          |       coalesce(band_a, 0.0) AS band_a, coalesce(band_b, 0.0) AS band_b
+          |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+          |ORDER BY l_orderkey""".stripMargin,
+
+      "j5_join3_revenue" ->
+        """SELECT o_orderkey, o_orderdate,
+          | round(sum(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderdate >= TIMESTAMP '2000-01-01'
+          |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+
+      "a1_rasterize_count" ->
+        """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value
+          |FROM lineitem GROUP BY 1, 2 ORDER BY px, py""".stripMargin,
+
+      "a2_rasterize_value" ->
+        """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS value
+          |FROM lineitem GROUP BY 1, 2 ORDER BY px, py""".stripMargin,
+
+      "a3_band_stats" ->
+        """SELECT l_returnflag,
+          | round(min(l_extendedprice), 4) AS stat_min, round(max(l_extendedprice), 4) AS stat_max,
+          | round(avg(l_extendedprice), 4) AS stat_mean, round(stddev_samp(l_extendedprice), 4) AS stat_std,
+          | count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "a4_histogram" ->
+        """SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 10410.0), 0), 9) AS BIGINT) AS bucket,
+          | count(*) AS n
+          |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      "a5_valid_count" ->
+        """SELECT l_returnflag, count(CASE WHEN l_discount != 0 THEN 1 END) AS n_valid,
+          | count(*) AS n_total
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "a6_extent_union" ->
+        """SELECT min(CAST((p_partkey % 36) * 10 - 180 AS DOUBLE)) AS ext_left,
+          | min(CAST((p_partkey % 18) * 10 - 90 AS DOUBLE)) AS ext_bottom,
+          | max(CAST((p_partkey % 36) * 10 - 165 AS DOUBLE)) AS ext_right,
+          | max(CAST((p_partkey % 18) * 10 - 75 AS DOUBLE)) AS ext_top,
+          | count(*) AS n_files
+          |FROM part""".stripMargin,
+
+      "a7_manifest_collect" ->
+        """WITH e AS (SELECT l_returnflag || '|' || l_linestatus || '|' || count(*) AS entry
+          |           FROM lineitem GROUP BY l_returnflag, l_linestatus)
+          |SELECT string_agg(entry, ',' ORDER BY entry) AS manifest FROM e""".stripMargin,
+
+      "a8_status_tally" ->
+        """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'existing'
+          |            WHEN o_orderkey % 10 = 1 THEN 'failed'
+          |            WHEN o_orderkey % 10 = 2 THEN 'skipped'
+          |            ELSE 'processed' END AS status, count(*) AS n
+          |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+      "w1_ordered_burn_rank" ->
+        """WITH r AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, l_quantity AS value, l_orderkey,
+          |    row_number() OVER (PARTITION BY l_partkey % 40, l_suppkey % 10
+          |                       ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+          |  FROM lineitem)
+          |SELECT px, py, value, l_orderkey FROM r WHERE rn = 1 ORDER BY px, py""".stripMargin,
+
+      "w2_running_sum" ->
+        """SELECT o_custkey, o_orderkey,
+          | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+          |FROM orders WHERE o_custkey < 100
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "o1_topk" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+      "o3_set_ops" ->
+        """(SELECT c_nationkey AS nationkey FROM customer
+          | INTERSECT SELECT s_nationkey FROM supplier)
+          |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+          |ORDER BY nationkey""".stripMargin,
+
+      "o4_tile_dedup" ->
+        """SELECT DISTINCT user_id % 10 AS tile_x, event_type FROM events
+          |ORDER BY tile_x, event_type""".stripMargin,
+
+      "st1_window_agg" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          | round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+      "st2_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+          |         WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+          |         ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (
+          |  SELECT user_id,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM g)
+          |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+          |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "t1_token_count" ->
+        s"""SELECT doc_id, CAST(len($tokExpr) AS INT) AS n_tokens,
+           | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INT) AS n_subwords
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t2_lang_id" -> {
+        // argmax over (score, lang) with ties to the lexicographically LAST
+        // lang — matching Spark's greatest() over (score, lang) structs.
+        val langs = TextOps.stopwords.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (lang, words) =>
+          val pat = words.mkString("\\b(", "|", ")\\b")
+          s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
+        }.mkString(", ")
+        val mx = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pick = langs.reverse.dropRight(1)
+          .map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }
+          .mkString(" ")
+        s"""WITH m AS (SELECT doc_id, $scoreCols FROM documents),
+           |g AS (SELECT *, $mx AS mx FROM m)
+           |SELECT doc_id,
+           | CASE WHEN mx > 0 THEN (CASE $pick ELSE '${langs.head._1}' END) ELSE 'und' END AS lang_pred
+           |FROM g ORDER BY doc_id""".stripMargin
+      },
+
+      "t3_quality_score" -> {
+        val en = TextOps.stopwords("en").mkString("\\b(", "|", ")\\b")
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS n_chars,
+           |    CAST(len($tokExpr) AS DOUBLE) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+           |    CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE) AS n_stop
+           |  FROM documents)
+           |SELECT doc_id, round(
+           |  least(n_tokens / 50.0, 1.0) * 0.4 +
+           |  least(n_punct / greatest(n_tokens / 10.0, 1.0), 1.0) * 0.2 +
+           |  least(n_stop / greatest(n_tokens / 20.0, 1.0), 1.0) * 0.2 +
+           |  (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
+
+      "t4_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |e AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM t)
+           |SELECT doc_id, CAST(sum((${h("toks[i+1]")} * (2*i+1)) % $P) % $P AS BIGINT) AS fp
+           |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "d1_exact_dedup" ->
+        """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+      "d2_minhash_sig" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok)
+           |SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "d3_lsh_candidates" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+           |sigs AS (SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id),
+           |b AS (
+           |  SELECT doc_id, CAST(0 AS INT) AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sigs
+           |  UNION ALL
+           |  SELECT doc_id, CAST(1 AS INT) AS band, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM sigs)
+           |SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
+           |FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+           |ORDER BY doc1, doc2""".stripMargin,
+
+      "d4_simhash" -> {
+        val votes = (0 until 16).map(b =>
+          s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+        val sig = (0 until 16).map(b =>
+          s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+           |v AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+      },
+
+      "d5_jaccard_pairs" ->
+        s"""WITH tok AS (SELECT doc_id, source, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+           |i AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+           |      FROM tok a JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT doc1, doc2, inter,
+           |  round(inter * 1.0 / (s1.s + s2.s - inter), 4) AS jaccard
+           |FROM i JOIN sz s1 ON s1.doc_id = doc1 JOIN sz s2 ON s2.doc_id = doc2
+           |WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.5
+           |ORDER BY doc1, doc2""".stripMargin,
+
+      "e1_knn_brute" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+          |s AS (SELECT query_id, neighbor_id,
+          |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rawcos
+          |  FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+          |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
+          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank
+          |  FROM s)
+          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin,
+
+      "e2_knn_lsh" -> {
+        def planeLit(p: Int): String =
+          (0 until 64).map(dd => Similarity.planeComponent(p, dd).toString).mkString("[", ", ", "]")
+        val bucketOf = (v: String) => (0 until 8).map { p =>
+          s"CASE WHEN list_dot_product($v, ${planeLit(p)}) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |be AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM be WHERE vec_id < 5),
+           |s AS (SELECT query_id, be.vec_id AS neighbor_id,
+           |  list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS rawcos
+           |  FROM q JOIN be USING (bucket) WHERE query_id != be.vec_id),
+           |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
+           |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank
+           |  FROM s)
+           |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      },
+
+      "m1_media_features" ->
+        """SELECT doc_id AS asset_id, 'image' AS modality,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          | CAST(length(text) % 1024 + 1 AS INT) AS width,
+          | CAST(length(text) % 768 + 1 AS INT) AS height
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          | round(sum(l_quantity), 2) AS sum_qty,
+          | round(sum(l_extendedprice), 2) AS sum_base_price,
+          | round(sum(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS sum_disc_price,
+          | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 5e-7, 2) AS sum_charge,
+          | round(avg(l_quantity), 4) AS avg_qty,
+          | round(avg(l_extendedprice), 4) AS avg_price,
+          | round(avg(l_discount), 4) AS avg_disc,
+          | count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
 }

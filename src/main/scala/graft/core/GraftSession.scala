@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings every graft job wants.
+  *
+  * Local testing runs `local[32]` in one JVM; the same settings scale to a
+  * real cluster (AQE re-plans shuffles at runtime, shuffle partitions sized
+  * to cores not the 200 default, broadcast threshold left at default so
+  * small dimension tables broadcast automatically).
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // test tables carry TIMESTAMP(NANOS) columns (events.ts)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local session for tests / bench. */
+  def local(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val s = builder(appName, cores).master(s"local[$cores]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

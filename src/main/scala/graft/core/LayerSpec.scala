@@ -1,0 +1,137 @@
+package graft.core
+
+import graft.core.grid.{Grid, GridFactory}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** RGBA colormap entry (`gfw_pixetl/models/pydantic.py:20-27`). */
+final case class RGBA(red: Int, green: Int, blue: Int, alpha: Int = 255) {
+  require(Seq(red, green, blue, alpha).forall(c => c >= 0 && c <= 255), "RGBA components must be in [0, 255]")
+}
+
+/** Symbology = colormap sink metadata, no compute (`pydantic.py:30-33`). */
+final case class Symbology(`type`: String, colormap: Map[Double, RGBA])
+
+/** The declarative layer spec — the root of every job's logical plan.
+  *
+  * Mirrors `LayerModel` (`gfw_pixetl/models/pydantic.py:35-78`) including its
+  * cross-field validators: version regex, raster↔source_uri implication, and
+  * the multi-band nodata rule (list length == band_count, all values equal).
+  */
+final case class LayerSpec(
+    dataset: String,
+    version: String,
+    sourceType: String,              // "raster" | "vector"
+    pixelMeaning: String,
+    dataType: String,
+    nbits: Option[Int] = None,
+    calc: Option[String] = None,
+    bandCount: Int = 1,
+    unionBands: Boolean = false,
+    noData: Option[Seq[Double]] = None, // normalized to per-band list
+    grid: String,
+    rasterizeMethod: Option[String] = None, // "count" | "value"
+    resampling: String = "nearest",
+    sourceUri: Option[Seq[String]] = None,
+    order: Option[String] = None,       // "asc" | "desc"
+    symbology: Option[Symbology] = None,
+    computeStats: Boolean = false,
+    computeHistogram: Boolean = false,
+    photometric: Option[String] = None) {
+
+  import LayerSpec._
+
+  require(versionRegex.matches(version), s"Invalid version: $version")
+  require(sourceType == "raster" || sourceType == "vector", s"Unknown source_type: $sourceType")
+  if (sourceType == "raster")
+    require(sourceUri.exists(_.nonEmpty), "Raster source types require source_uri")
+  else
+    require(sourceUri.forall(_.isEmpty), "Only raster source type require source_uri")
+  noData.foreach { nd =>
+    if (nd.length > 1) {
+      require(nd.length == bandCount,
+        s"Length of no data list (${nd.mkString(",")}) must match band count ($bandCount).")
+      require(nd.distinct.length == 1, "No data values must be the same for all bands")
+    }
+  }
+  resampling match {
+    case "nearest" | "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "average" |
+         "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
+    case other => throw new IllegalArgumentException(s"Unknown resampling method: $other")
+  }
+
+  lazy val gridDef: Grid = GridFactory(grid)
+  lazy val pixelType: PixelType = PixelType.of(dataType, nbits, noData.flatMap(_.headOption))
+
+  /** Destination prefix scheme, preserved verbatim from
+    * `gfw_pixetl/layers.py:55-81` / `tiles/tile.py:82-97`. */
+  def prefix(srs: String = "epsg-4326", fmt: String = "geotiff"): String =
+    s"$dataset/$version/raster/$srs/${grid.replace("/", "x")}/$pixelMeaning/$fmt"
+}
+
+object LayerSpec {
+  val versionRegex = "^v\\d{1,8}(\\.\\d{1,3}){0,2}?$|^latest$".r
+
+  /** Parse the reference's layer-spec JSON (`gfw_pixetl/pixetl.py:49-51`). */
+  def fromJson(json: String): LayerSpec = {
+    val jv = JsonMethods.parse(json)
+    def str(k: String): Option[String] = (jv \ k) match {
+      case JString(s) => Some(s); case _ => None
+    }
+    def int(k: String): Option[Int] = (jv \ k) match {
+      case JInt(i) => Some(i.toInt); case JLong(l) => Some(l.toInt); case _ => None
+    }
+    def bool(k: String): Option[Boolean] = (jv \ k) match {
+      case JBool(b) => Some(b); case _ => None
+    }
+    def noData: Option[Seq[Double]] = (jv \ "no_data") match {
+      case JInt(i)    => Some(Seq(i.toDouble))
+      case JLong(l)   => Some(Seq(l.toDouble))
+      case JDouble(d) => Some(Seq(d))
+      case JArray(xs) => Some(xs.collect {
+        case JInt(i) => i.toDouble; case JLong(l) => l.toDouble; case JDouble(d) => d
+      })
+      case _ => None
+    }
+    def uris: Option[Seq[String]] = (jv \ "source_uri") match {
+      case JArray(xs) => Some(xs.collect { case JString(s) => s })
+      case JString(s) => Some(Seq(s))
+      case _          => None
+    }
+    def symbology: Option[Symbology] = (jv \ "symbology") match {
+      case JObject(_) =>
+        val t = (jv \ "symbology" \ "type") match { case JString(s) => s; case _ => "discrete" }
+        val cm = (jv \ "symbology" \ "colormap") match {
+          case JObject(fields) => fields.map { case JField(k, v) =>
+            def c(n: String, dflt: Int = 255): Int = (v \ n) match {
+              case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => dflt
+            }
+            k.toDouble -> RGBA(c("red", 0), c("green", 0), c("blue", 0), c("alpha"))
+          }.toMap
+          case _ => Map.empty[Double, RGBA]
+        }
+        Some(Symbology(t, cm))
+      case _ => None
+    }
+    LayerSpec(
+      dataset = str("dataset").getOrElse(throw new IllegalArgumentException("dataset required")),
+      version = str("version").getOrElse(throw new IllegalArgumentException("version required")),
+      sourceType = str("source_type").getOrElse(throw new IllegalArgumentException("source_type required")),
+      pixelMeaning = str("pixel_meaning").getOrElse(throw new IllegalArgumentException("pixel_meaning required")),
+      dataType = str("data_type").getOrElse(throw new IllegalArgumentException("data_type required")),
+      nbits = int("nbits"),
+      calc = str("calc"),
+      bandCount = int("band_count").getOrElse(1),
+      unionBands = bool("union_bands").getOrElse(false),
+      noData = noData,
+      grid = str("grid").getOrElse(throw new IllegalArgumentException("grid required")),
+      rasterizeMethod = str("rasterize_method"),
+      resampling = str("resampling").getOrElse("nearest"),
+      sourceUri = uris,
+      order = str("order"),
+      symbology = symbology,
+      computeStats = bool("compute_stats").getOrElse(false),
+      computeHistogram = bool("compute_histogram").getOrElse(false),
+      photometric = str("photometric"))
+  }
+}

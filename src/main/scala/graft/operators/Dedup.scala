@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Beyond-reference surface (BASELINE.json north star). Every variant is a
+  * pure DataFrame program whose only wide operations are the groupBys /
+  * joins that the algorithm fundamentally requires:
+  *
+  *  - exact:   one hash aggregate on a 32-hex digest (not the raw text, so
+  *             shuffle rows are 32 bytes + ids at 100 TB, not documents).
+  *  - minhash: explode → per-doc signature (k mins, map-side combined) →
+  *             band-bucket join. Candidate pairs only within LSH buckets —
+  *             never the O(n²) cross join.
+  *  - simhash: per-doc 16-bit signature via weighted bit votes; near-dups
+  *             share signatures within Hamming radius (bucket on signature).
+  *  - jaccard: token-set similarity verified on LSH candidates only.
+  */
+object Dedup {
+
+  /** Lowercased word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Exact dedup (keep lowest doc_id per identical text). */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .groupBy("digest")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature: k affine permutations over distinct token
+    * hashes. One explode + one groupBy; the min() aggregates are map-side
+    * combined so the shuffle carries k longs per (partition, doc). */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hash32(col("tok")))
+    val mins = (0 until k).map(i => min(minhashTerm(col("h"), i)).as(s"mh$i"))
+    tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band buckets: rows of (band, bucket_hash, doc_id). Docs sharing a
+    * bucket in ANY band are near-dup candidates. `rowsPerBand` minhash
+    * values concatenate into the bucket key. */
+  def lshBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("bb.band"), col("bb.bucket"), col("doc_id"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (doc1 < doc2, distinct). */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash per doc: for each bit, sum +1/-1 votes of each distinct
+    * token's hash bit; sign → signature bit. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hash32(col("tok")))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until bits).map { b =>
+      when(col(s"v$b") > 0, lit(1L) * (1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact n-gram (word shingle) Jaccard similarity for candidate pairs.
+    * `pairs` has (doc1, doc2); result adds inter/union/jaccard. The join
+    * reuses the exploded-token relation on both sides — shuffles by token
+    * once, never materializes full cross products. */
+  def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 1): DataFrame = {
+    val shingled = docs.select(
+      col("doc_id"),
+      explode(array_distinct(
+        if (n == 1) tokens(col("text"))
+        else {
+          val toks = tokens(col("text"))
+          val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+          transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+        })).as("tok"))
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // intersection via token-keyed join:
+    val t1 = shingled.select(col("doc_id").as("doc1"), col("tok"))
+    val t2 = shingled.select(col("doc_id").as("doc2"), col("tok"))
+    val interCnt = pairs.join(t1, "doc1").join(t2, Seq("doc2", "tok"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(interCnt, Seq("doc1", "doc2"), "left")
+      .na.fill(0, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+  }
+}

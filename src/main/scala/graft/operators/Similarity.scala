@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Beyond-reference surface (BASELINE.json north star).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: the correctness baseline. Queries broadcast
+  *    (small side), corpus streams once; the only wide op is the per-query
+  *    top-k (window rank over a shuffle keyed by query id).
+  *  - random-hyperplane LSH: each vector gets a b-bit bucket from signs of
+  *    dot products with b FIXED pseudo-random hyperplanes (deterministic,
+  *    derived from dimension index — replayable with no RNG state). At
+  *    100 TB the bucket join replaces the O(|Q|·|C|) scan with
+  *    O(candidates-in-bucket); brute force stays as the verifier.
+  *
+  * All vector math is codegen'd higher-order functions (zip_with +
+  * aggregate) — no UDFs, no driver collect.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ via zip_with + aggregate (both codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k neighbors for each query vector.
+    * `queries` must be small (broadcast); ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("qv").cast("array<double>"), col("cv").cast("array<double>")) /
+          (norm(col("qv").cast("array<double>")) * norm(col("cv").cast("array<double>"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component for
+    * (plane p, dimension d) — Knuth multiplicative hash scaled to
+    * [-0.5, 0.5). No RNG: replayable anywhere. */
+  def planeComponent(p: Int, d: Int): Double =
+    (((p * 1000003L + d) * 2654435761L % 1000L).toDouble / 1000.0 + 1.0) % 1.0 - 0.5
+
+  /** b-bit LSH bucket id from sign bits of hyperplane dot products. */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(vec.cast("array<double>"), plane) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates = same bucket, then exact cosine + top-k
+    * within candidates. Recall < 1 by construction; bits trades recall for
+    * candidate-set size. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, bits: Int, k: Int): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, bits))
+    val q = broadcast(queries
+      .withColumn("bucket", lshBucket(col("embedding"), dim, bits))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket")))
+    val scored = q.join(bucketed, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        dot(col("qv").cast("array<double>"), col("embedding").cast("array<double>")) /
+          (norm(col("qv").cast("array<double>")) * norm(col("embedding").cast("array<double>"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (beyond-reference
+  * surface, BASELINE.json north star). All pure Catalyst expressions —
+  * codegen'd, pushdown-friendly, no UDFs.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: word pieces = letter runs + digit runs (the
+    * standard pre-tokenizer shape; extraction not split, so the regex stays
+    * lookaround-free and portable to the oracle dialect). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0)))
+
+  /** Language-ID heuristic: score = stopword hits per language, argmax.
+    * N-gram-free but the same shape as a real char-n-gram scorer: a few
+    * regexp counts + greatest(). Returns 2-letter code or 'und'. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "ist"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val pat = words.mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+  }
+
+  def langId(text: Column): Column = {
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*) // struct comparison: score then lang
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
+    * ratio, mean word length — the classic heuristic-filter shape
+    * (C4/Gopher-style rules). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val nPunct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double")
+    val nStop = stopwordHits(text, stopwords("en")).cast("double")
+    val meanWordLen = nChars / greatest(nTokens, lit(1.0))
+    val lengthOk = least(nTokens / lit(50.0), lit(1.0))                  // prefer ≥50 tokens
+    val punctOk = least(nPunct / greatest(nTokens / lit(10.0), lit(1.0)), lit(1.0))
+    val stopOk = least(nStop / greatest(nTokens / lit(20.0), lit(1.0)), lit(1.0))
+    val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    round((lengthOk * 0.4 + punctOk * 0.2 + stopOk * 0.2 + wordLenOk * 0.2), 4)
+  }
+
+  /** Order-sensitive document fingerprint: positionally-weighted sum of
+    * portable token hashes mod p — a rolling-hash-class fingerprint that
+    * both Spark and the DuckDB oracle can compute exactly.
+    * fp = Σ h(tokᵢ)·(2i+1) mod p. */
+  def fingerprint(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val hashed = transform(toks, t => PortableHash.hash32(t))
+    aggregate(
+      zip_with(hashed, sequence(lit(0), greatest(size(hashed) - 1, lit(0))),
+        (h, i) => h * (i * 2 + 1)),
+      lit(0L), (acc, v) => (acc + v) % lit(PortableHash.prime))
+  }
+}
