@@ -68,20 +68,30 @@ object Raster {
     require(bandValues.nonEmpty && bandValues.length == bandValid.length)
     val names = bandValues.indices.map(i => ('A' + i).toChar.toString)
     // Null out masked pixels so the scalar tree sees numpy-masked semantics.
-    val zipped = bandValues.zip(bandValid).map { case (v, ok) =>
+    val masked = bandValues.zip(bandValid).map { case (v, ok) =>
       zip_with(v, ok, (x, o) => when(o, x))
     }
     // How many output bands does this calc produce? (compile once with dummies)
     val nOut = Calc.compile(calc, names.map(_ -> lit(0)).toMap).length
-    // Elementwise evaluation: positional index over the block's pixel array,
-    // each band var bound to element_at(band_k, i+1). Stays inside
-    // whole-stage codegen (transform + element_at are codegen'd).
-    val idx = sequence(lit(0), size(zipped.head) - 1)
+    // ONE pass over the pixel arrays per output band. The lambda-bound
+    // element variables keep this O(pixels): never index a computed array
+    // with element_at inside a transform — that re-evaluates the whole
+    // array per element (O(pixels²) per block).
     (0 until nOut).map { b =>
-      transform(idx, i => {
-        val bands = names.zip(zipped.map(z => element_at(z, i + 1))).toMap
-        Calc.compile(calc, bands)(b)
-      })
+      masked match {
+        case Seq(a) =>
+          transform(a, x => Calc.compile(calc, Map(names(0) -> x))(b))
+        case Seq(a, bb) =>
+          zip_with(a, bb, (x, y) =>
+            Calc.compile(calc, Map(names(0) -> x, names(1) -> y))(b))
+        case many =>
+          // N>2: zip into array<struct> once, then map elementwise
+          val zipped = arrays_zip(many.zipWithIndex.map { case (m, i) => m.as(s"b$i") }: _*)
+          transform(zipped, s => {
+            val bands = names.zipWithIndex.map { case (nm, i) => nm -> s.getField(s"b$i") }.toMap
+            Calc.compile(calc, bands)(b)
+          })
+      }
     }
   }
 

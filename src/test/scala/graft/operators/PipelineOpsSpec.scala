@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text / multimodal operator semantics on crafted
+  * inputs (the testdata-driven paths are covered by the oracle gate). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"),  // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog", "a"),  // near dup
+    (4L, "completely different text about spark engines", "b"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val r = Dedup.exact(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> n_copies
+    assert(r(1L) == 2)
+    assert(r(3L) == 1 && r(4L) == 1)
+  }
+
+  test("minhash: identical docs → identical signatures; near dups mostly agree") {
+    val sigs = Dedup.minhashSignatures(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree >= 4, s"near-dup should share most minhashes, got $agree/8")
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("LSH candidates surface the dup pairs without a cross join") {
+    val sigs = Dedup.minhashSignatures(docs, k = 8)
+    val pairs = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 8, rowsPerBand = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near dups within small Hamming distance") {
+    val s = Dedup.simhash(docs, bits = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(2L))
+    val ham = java.lang.Long.bitCount(s(1L) ^ s(3L))
+    assert(ham <= 4, s"near dup hamming $ham")
+  }
+
+  test("jaccard: dup=1.0, near-dup high, unrelated absent (same-source pairs)") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc1", "doc2")
+    val j = Dedup.jaccard(docs, pairs).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.7 && j((1L, 3L)) < 1.0)
+  }
+
+  test("cosine top-k: identical vector ranks first with cosine 1.0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.7f, 0.7f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(top.head._1 == 2L && math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top.map(_._1).toSeq == Seq(2L, 4L, 3L))
+  }
+
+  test("LSH bucketing puts identical vectors in the same bucket") {
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.withColumn("bucket", Similarity.lshBucket(col("embedding"), 8, 6))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b(1L) == b(2L))
+  }
+
+  test("text ops on known strings") {
+    val df = Seq((1L, "The cat and the dog, in the house!")).toDF("doc_id", "text")
+    val r = df.select(
+      TextOps.tokenCount(col("text")).as("nt"),
+      TextOps.subwordCount(col("text")).as("ns"),
+      TextOps.langId(col("text")).as("lang")).collect()(0)
+    assert(r.getInt(0) == 8)
+    assert(r.getInt(1) == 8)
+    assert(r.getString(2) == "en")
+  }
+
+  test("fingerprint is order-sensitive (rolling-hash class)") {
+    val df = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("multimodal: deterministic fake decode through mapPartitions batch path") {
+    val media = Multimodal.syntheticFromText(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats(1L).checksum == feats(2L).checksum) // same payload → same checksum
+    assert(feats(1L).checksum != feats(4L).checksum)
+    assert(feats(1L).feature.sum > 0.99 && feats(1L).feature.sum < 1.01) // normalized hist
+    assert(feats(1L).n_bytes == "the quick brown fox jumps over the lazy dog".length)
+  }
+
+  test("multimodal: frame-sample plan from metadata only") {
+    val media = Seq((1L, "video", 2500L)).toDF("asset_id", "modality", "duration_ms")
+      .select(col("asset_id"), col("modality"),
+        struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("duration_ms"), lit(null).cast("int").as("sample_rate")).as("meta"))
+    val frames = Multimodal.sampleFramePlan(media, everyMs = 1000).collect()
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1000L, 2000L))
+  }
+}
