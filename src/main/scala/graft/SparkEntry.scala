@@ -38,6 +38,8 @@ object SparkEntry {
     "j2_file_catalog_join" -> (Q.j2_file_catalog_join(_, _)),
     "j4_band_align_join"  -> (Q.j4_band_align_join(_, _)),
     "j5_join3_revenue"    -> (Q.j5_join3_revenue(_, _)),
+    "r1_resample_avg"     -> (Q.r1_resample_avg(_, _)),
+    "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
     "a3_band_stats"       -> (Q.a3_band_stats(_, _)),
@@ -230,6 +232,28 @@ object SparkEntry {
         (col("l_partkey") % 40).as("px"),
         (col("l_suppkey") % 10).as("py"),
         col("l_quantity").as("value"))
+
+    /** Resampling-as-aggregation (SURVEY §2.9): average kernel = each coarse
+      * pixel averages the k×k fine pixels it covers (GDAL `average`). */
+    def r1_resample_avg(s: SparkSession, d: String): DataFrame =
+      pixels(s, d)
+        .groupBy("px", "py").agg(avg("value").as("v")) // fine raster
+        .groupBy(expr("px div 2").as("cx"), expr("py div 2").as("cy"))
+        .agg(round(avg("v"), 4).as("value"))
+        .orderBy("cx", "cy")
+
+    /** Mode kernel: most frequent fine value per coarse pixel, ties to the
+      * smallest value (deterministic; GDAL scan-order tie is not). */
+    def r2_resample_mode(s: SparkSession, d: String): DataFrame = {
+      val fine = pixels(s, d).groupBy("px", "py").agg(max("value").as("v"))
+      val counted = fine
+        .groupBy(expr("px div 2").as("cx"), expr("py div 2").as("cy"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("cx", "cy").orderBy(col("cnt").desc, col("v").asc)
+      counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cx"), col("cy"), col("v").as("value"))
+        .orderBy("cx", "cy")
+    }
 
     /** A1: rasterize burn-count — pixel = COUNT of covering features. */
     def a1_rasterize_count(s: SparkSession, d: String): DataFrame =
@@ -598,6 +622,24 @@ object SparkEntry {
           |  JOIN lineitem ON o_orderkey = l_orderkey
           |WHERE c_mktsegment = 'BUILDING' AND o_orderdate >= TIMESTAMP '2000-01-01'
           |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+
+      "r1_resample_avg" ->
+        """WITH fine AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, avg(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT px // 2 AS cx, py // 2 AS cy, round(avg(v), 4) AS value
+          |FROM fine GROUP BY 1, 2 ORDER BY cx, cy""".stripMargin,
+
+      "r2_resample_mode" ->
+        """WITH fine AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |counted AS (
+          |  SELECT px // 2 AS cx, py // 2 AS cy, v, count(*) AS cnt
+          |  FROM fine GROUP BY 1, 2, 3),
+          |r AS (SELECT cx, cy, v,
+          |  row_number() OVER (PARTITION BY cx, cy ORDER BY cnt DESC, v ASC) AS rn FROM counted)
+          |SELECT cx, cy, v AS value FROM r WHERE rn = 1 ORDER BY cx, cy""".stripMargin,
 
       "a1_rasterize_count" ->
         """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Resampling kernels (SURVEY §2.9) — re-expression of the reference's
+  * rasterio/GDAL kernel enum (`gfw_pixetl/resampling.py:9-25`, applied via
+  * WarpedVRT at `tiles/raster_src_tile.py:200-208`).
+  *
+  * Key insight: GDAL's non-nearest kernels ARE aggregations — each target
+  * pixel aggregates the k×k source pixels it covers. Here a block downsample
+  * by integer factor k runs as one Catalyst expression over the packed pixel
+  * array: transform over target indices, folding the k×k window. Window
+  * reads index an ATTRIBUTE array with element_at (O(1) per access), so cost
+  * is O(out_pixels · k²) — the optimum — and stays in whole-stage codegen.
+  *
+  * Masked (null) source pixels are excluded from window aggregates like
+  * GDAL's nodata handling; a window with no valid pixel yields null.
+  */
+object Resample {
+
+  val methods: Seq[String] =
+    Seq("nearest", "average", "sum", "min", "max", "mode", "med", "q1", "q3",
+      "bilinear", "cubic", "cubic_spline", "lanczos", "rms")
+
+  /** Downsample one block band by integer factor k. `values` is the packed
+    * row-major (w×h) pixel array with nulls for masked pixels; returns the
+    * (w/k × h/k) packed array. */
+  def downsample(values: Column, width: Int, height: Int, k: Int, method: String): Column = {
+    require(width % k == 0 && height % k == 0, s"block $width x $height not divisible by $k")
+    val ow = width / k
+    val oh = height / k
+    val outIdx = sequence(lit(0), lit(ow * oh - 1))
+
+    def window(i: Column): Seq[Column] = {
+      val oy = (i / ow).cast("int")
+      val ox = (i % ow).cast("int")
+      for (dy <- 0 until k; dx <- 0 until k) yield
+        element_at(values, (oy * k + dy) * width + (ox * k + dx) + 1)
+    }
+
+    def fold(i: Column)(zero: Column, step: (Column, Column) => Column): Column =
+      window(i).foldLeft(zero)(step)
+
+    method match {
+      case "nearest" =>
+        // GDAL nearest picks the top-left source pixel of the window
+        transform(outIdx, i =>
+          element_at(values, ((i / ow).cast("int") * k) * width + (i % ow).cast("int") * k + 1))
+      case "sum" =>
+        transform(outIdx, i => {
+          val s = fold(i)(lit(null).cast("double"), (acc, v) =>
+            when(v.isNull, acc).when(acc.isNull, v).otherwise(acc + v))
+          s
+        })
+      case "average" =>
+        transform(outIdx, i => {
+          val s = fold(i)(lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
+          val n = fold(i)(lit(0), (acc, v) => acc + when(v.isNotNull, 1).otherwise(0))
+          when(n > 0, s / n)
+        })
+      case "min" =>
+        transform(outIdx, i => fold(i)(lit(null).cast("double"), (acc, v) =>
+          when(v.isNull, acc).when(acc.isNull, v).otherwise(least(acc, v))))
+      case "max" =>
+        transform(outIdx, i => fold(i)(lit(null).cast("double"), (acc, v) =>
+          when(v.isNull, acc).when(acc.isNull, v).otherwise(greatest(acc, v))))
+      case "rms" =>
+        transform(outIdx, i => {
+          val s = fold(i)(lit(0.0), (acc, v) => acc + coalesce(v * v, lit(0.0)))
+          val n = fold(i)(lit(0), (acc, v) => acc + when(v.isNotNull, 1).otherwise(0))
+          when(n > 0, sqrt(s / n))
+        })
+      case "mode" =>
+        // most frequent value in the window; ties → smallest value
+        // (deterministic, unlike GDAL's scan-order dependence)
+        transform(outIdx, i => {
+          val vals = array(window(i): _*)
+          val valid = filter(vals, _.isNotNull)
+          val counted = transform(valid, v =>
+            struct(size(filter(valid, x => x === v)).as("n"), (-v).as("negv")))
+          when(size(valid) > 0, -array_max(counted).getField("negv"))
+        })
+      case "med" | "q1" | "q3" =>
+        val q = method match { case "med" => 0.5; case "q1" => 0.25; case _ => 0.75 }
+        transform(outIdx, i => {
+          val valid = array_sort(filter(array(window(i): _*), _.isNotNull))
+          val n = size(valid)
+          // nearest-rank quantile over the sorted window
+          when(n > 0, element_at(valid,
+            greatest(lit(1), ceil(n * q).cast("int"))))
+        })
+      case "bilinear" | "cubic" | "cubic_spline" | "lanczos" =>
+        // interpolating kernels degrade to average on integer decimation
+        // (GDAL's behavior at exact factor-of-k shrink is a box filter);
+        // fractional-warp variants live with the raster reader (SURVEY §7.4.2)
+        downsample(values, width, height, k, "average")
+      case other => throw new IllegalArgumentException(s"Unknown resampling method: $other")
+    }
+  }
+}

@@ -1,0 +1,188 @@
+package graft.plans
+
+import graft.core.LayerSpec
+import graft.functions.{GeoFunctions, GeomUnionAgg}
+import graft.operators.Raster
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end raster layer job — the Spark re-expression of the pixetl
+  * CLI lifecycle (SURVEY §3.1). All of the reference's process boundaries
+  * (parallelpipe stages, per-window forks, GDAL subprocesses) collapse into
+  * ONE lazy DataFrame program:
+  *
+  *   tiles seed (S1) → subset filter (F1) → source-intersect semi-join (F2/J1,
+  *   catalog broadcast) → existing anti-join (F3/J6) → file assignment (J2) →
+  *   block expansion → block read (S5, pluggable reader) → mosaic coalesce
+  *   (J3) → band zip (J4) → calc (P1) → cast/fill (P2) → empty-block filter
+  *   (F5) → sinks: block store (K1 stand-in), per-tile stats (A3), manifests
+  *   (A6/A7/K3), status tally (A8).
+  *
+  * Scale design: everything partitions by tile_id from the seed on; the only
+  * shuffles are (a) the block groupBy for mosaic overlap — keyed
+  * (tile, band, block), map-side combined — and (b) the final per-tile
+  * metadata aggregation, whose input is already 5-number partials per block.
+  * The catalog side of every join is broadcast.
+  */
+object LayerJob {
+
+  /** A block reader turns (tile_id, band, block_row, block_col, width,
+    * height, uri, priority) work rows into pixel rows (+values, +valid).
+    * Production: a GeoTIFF decoder; tests/bench: Raster.synthesizeBand. */
+  type BlockReader = DataFrame => DataFrame
+
+  final case class Result(
+      blocks: DataFrame,     // output pixel blocks (post calc/fill)
+      tileStats: DataFrame,  // per (tile_id, band) A3 stats
+      manifest: DataFrame,   // per-tile footprint + metadata (tiles.geojson rows)
+      extent: DataFrame,     // 1-row geometric union (extent.geojson)
+      status: DataFrame)     // status tally (A8)
+
+  def run(spark: SparkSession, spec: LayerSpec, catalog: DataFrame,
+          reader: BlockReader, subset: Option[Seq[String]] = None,
+          existing: Option[DataFrame] = None, overwrite: Boolean = false): Result = {
+    val grid = spec.gridDef
+
+    // --- plan: tiles after F1/F2/F3 -------------------------------------
+    val seed = grid.tilesDF(spark)
+    val subsetted = subset.fold(seed)(ids => seed.filter(col("tile_id").isin(ids: _*)))
+
+    // F2/J1: keep tiles whose interior intersects any source footprint.
+    // Catalog is control-plane small → broadcast; predicate is the
+    // interiors-intersect test of raster_src_tile.py:155-161.
+    val tileEnv = GeoFunctions.st_makeEnvelope(col("left"), col("bottom"), col("right"), col("top"))
+    val withSource = subsetted
+      .join(broadcast(catalog.select(col("footprint").as("src_fp"))),
+        GeoFunctions.st_intersectsInterior(tileEnv, col("src_fp")), "left_semi")
+
+    // F3/J6: skip already-materialized tiles unless overwrite
+    val (pending, existingTiles) = existing match {
+      case Some(ex) if !overwrite =>
+        (withSource.join(broadcast(ex), Seq("tile_id"), "left_anti"),
+         withSource.join(broadcast(ex), Seq("tile_id"), "left_semi"))
+      case _ => (withSource, spark.emptyDataFrame)
+    }
+
+    // J2: file assignment — which files feed which tile, per band.
+    // Priority = manifest order (layers.py:196-228): later files override
+    // earlier ones in the J3 mosaic, made deterministic by (band, uri) rank.
+    val prioritized = catalog.select(col("uri"), col("band"), col("footprint"))
+      .withColumn("priority", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("band", "uri")))
+    val work = pending.join(broadcast(prioritized),
+      GeoFunctions.st_intersectsInterior(tileEnv, col("footprint")))
+
+    // --- blocks: expand, read, mosaic, zip ------------------------------
+    val blockWork = Raster.tilesToBlocks(
+      work.select("tile_id", "left", "bottom", "right", "top", "uri", "band", "priority")
+        .dropDuplicates("tile_id", "uri", "band"), grid)
+    val readBlocks = reader(blockWork)
+
+    // J3: mosaic overlap — per pixel, first valid value in priority order
+    // (VRT order semantics of utils/gdal.py:56-95). Files overlapping one
+    // block are few; fold their arrays in priority order.
+    val mosaicked = readBlocks
+      .groupBy("tile_id", "band", "block_row", "block_col", "width", "height")
+      .agg(sort_array(collect_list(struct(col("priority"), col("values"), col("valid"))))
+        .as("layers"))
+      .withColumn("values", col("layers")(0)("values")) // seed fold with top layer
+      .withColumn("valid", col("layers")(0)("valid"))
+      .withColumn("values", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
+        col("values"), (acc, l) => zip_with(acc, l("values"), (a, v) => coalesce(a, v))))
+      .withColumn("valid", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
+        col("valid"), (acc, l) => zip_with(acc, l("valid"), (a, v) => a || v)))
+      .drop("layers")
+
+    // J4: band alignment zip — full outer join across bands on the block
+    // key; a band with no coverage contributes null pixels (K4 padding).
+    val bandCount = spec.sourceUri.map(_.length).getOrElse(1)
+    val key = Seq("tile_id", "block_row", "block_col", "width", "height")
+    val perBand = (1 to bandCount).map { b =>
+      mosaicked.filter(col("band") === b)
+        .select(key.map(col) :+ col("values").as(s"v$b") :+ col("valid").as(s"k$b"): _*)
+    }
+    val zipped = perBand.reduce((l, r) => l.join(r, key, "full_outer"))
+
+    // P1: calc over band arrays (defaults to identity on band A)
+    val calcExpr = spec.calc.getOrElse("A")
+    val bandVals = (1 to bandCount).map(b => col(s"v$b"))
+    val bandOks  = (1 to bandCount).map(b => col(s"k$b"))
+    val outBands = Raster.blockCalc(calcExpr, bandVals, bandOks)
+    require(outBands.length == spec.bandCount,
+      s"calc produced ${outBands.length} bands, spec declares ${spec.bandCount} (array_utils.py:74-80)")
+
+    // P2: cast + nodata fill per output band
+    val pt = spec.pixelType
+    val outCols = outBands.zipWithIndex.map { case (b, i) =>
+      Raster.castFill(b, pt.noData, pt.sparkType.simpleString).as(s"band_${i + 1}")
+    }
+    val computed = zipped.select(key.map(col) ++ outCols: _*)
+
+    // F5/F6: drop empty blocks (null-only arrays)
+    val nonEmpty = pt.noData match {
+      case Some(_) => computed // filled blocks always have data
+      case None => computed.filter(
+        (1 to spec.bandCount).map(i =>
+          size(filter(col(s"band_$i"), _.isNotNull)) > 0).reduce(_ || _))
+    }
+
+    // --- aggregations ----------------------------------------------------
+    // A3 per (tile, band): one array pass per block, tiny shuffle of partials
+    val statsIn = (1 to spec.bandCount).map { i =>
+      computed.select(col("tile_id"), lit(i).as("band"),
+        Raster.blockPartialStats(
+          col(s"band_$i").cast("array<double>"),
+          transform(col(s"band_$i"), v =>
+            pt.noData.map(nd => v.isNotNull && v =!= nd).getOrElse(v.isNotNull))).as("partial"))
+    }.reduce(_ unionByName _)
+    val tileStats = Raster.combineStats(statsIn, Seq("tile_id", "band"))
+
+    // manifest rows: tile footprint + dst uri + band metadata (K3 shape)
+    val processedTiles = nonEmpty.select("tile_id").distinct()
+    val manifest = pending
+      .join(processedTiles, Seq("tile_id"), "left_semi")
+      .select(col("tile_id"), col("left"), col("bottom"), col("right"), col("top"),
+        concat(lit(spec.prefix() + "/"), col("tile_id"), lit(".tif")).as("uri"),
+        GeoFunctions.st_asGeoJson(tileEnv).as("geometry"))
+
+    // A6: geometric union of processed footprints → extent.geojson
+    val extent = manifest
+      .select(GeoFunctions.st_makeEnvelope(col("left"), col("bottom"), col("right"), col("top")).as("g"))
+      .agg(GeomUnionAgg.column(col("g")).as("extent_wkb"))
+      .select(GeoFunctions.st_asGeoJson(col("extent_wkb")).as("geometry"))
+
+    // A8: status algebra (pipe.py:137-168)
+    val status = {
+      val processed = processedTiles.withColumn("status", lit("processed"))
+      val skipped = pending.select("tile_id")
+        .join(processedTiles, Seq("tile_id"), "left_anti")
+        .withColumn("status", lit("skipped (has no data)"))
+      val existed =
+        if (existingTiles.columns.contains("tile_id"))
+          existingTiles.select("tile_id").withColumn("status", lit("existing"))
+        else spark.emptyDataFrame.withColumn("tile_id", lit("")).withColumn("status", lit(""))
+            .limit(0)
+      processed.unionByName(skipped).unionByName(existed)
+        .groupBy("status").agg(count(lit(1)).as("n"))
+    }
+
+    Result(nonEmpty, tileStats, manifest, extent, status)
+  }
+
+  /** Manifest sink (K3): render tiles.geojson + extent.geojson strings.
+    * Aggregated rows are tiny (one per tile) — rendered on the driver like
+    * the reference (`utils/upload_geometries.py:31-59`). */
+  def renderTilesGeojson(manifest: DataFrame): String = {
+    val feats = manifest.orderBy("tile_id").collect().map { r =>
+      s"""{"type":"Feature","geometry":${r.getAs[String]("geometry")},""" +
+        s""""properties":{"name":"${r.getAs[String]("uri")}"}}"""
+    }
+    s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
+  }
+
+  def renderExtentGeojson(extent: DataFrame): String = {
+    val rows = extent.collect()
+    val geom = if (rows.isEmpty || rows(0).isNullAt(0)) "null" else rows(0).getString(0)
+    s"""{"type":"FeatureCollection","features":[{"type":"Feature","geometry":$geom,"properties":{}}]}"""
+  }
+}

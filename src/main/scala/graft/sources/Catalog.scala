@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.functions.GeoFunctions
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+
+/** Source-catalog scans (operators S2/S3/S8).
+  *
+  * The file catalog is the control-plane relation every raster job plans
+  * against: one row per (uri, band) with a footprint geometry and profile.
+  * It is small (hundreds–thousands of rows) and always broadcast into the
+  * tile joins (J1/J2).
+  */
+object Catalog {
+
+  private val gf = new GeometryFactory()
+
+  /** S2: tiles.geojson manifest scan (`gfw_pixetl/layers.py:114-128`).
+    * Each feature = (footprint polygon, file uri in properties.name). */
+  def fromTilesGeojson(spark: SparkSession, path: String, band: Int = 1): DataFrame = {
+    val polyToWkb = udf((rings: Seq[Seq[Seq[Double]]]) => {
+      val shell = rings.head.map(p => new Coordinate(p(0), p(1))).toArray
+      val holes = rings.tail.map(r =>
+        gf.createLinearRing(r.map(p => new Coordinate(p(0), p(1))).toArray)).toArray
+      GeoFunctions.write(gf.createPolygon(gf.createLinearRing(shell), holes))
+    })
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(
+        col("f.properties.name").as("uri"),
+        lit(band).as("band"),
+        polyToWkb(col("f.geometry.coordinates")).as("footprint"))
+  }
+
+  /** S3: object-store/folder listing scan (`layers.py:131-161`): all .tif
+    * keys under a prefix, via the Hadoop FS glob (works for s3a://, gs://,
+    * file:// alike). Footprints are harvested later by the metadata job. */
+  def listFolder(spark: SparkSession, prefix: String, suffix: String = ".tif"): DataFrame = {
+    import spark.implicits._
+    val path = new Path(if (prefix.endsWith("/")) s"$prefix*" else s"$prefix/*")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)).getOrElse(Array.empty)
+    statuses.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+      .map(s => (s.getPath.toString, s.getLen))
+      .toSeq.toDF("uri", "size")
+  }
+
+  /** S8: existence probe (`sources.py:254-263`) — used by the F3 anti-join
+    * to skip already-materialized tiles. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Listing of existing outputs under a destination prefix as a DataFrame
+    * of tile ids — the right side of the F3/J6 anti-join. */
+  def existingTiles(spark: SparkSession, destPrefix: String): DataFrame = {
+    import spark.implicits._
+    val path = new Path(s"$destPrefix/*")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)).getOrElse(Array.empty)
+    statuses.map(_.getPath.getName)
+      .collect { case n if n.contains(".") => n.substring(0, n.lastIndexOf('.')) }
+      .toSeq.toDF("tile_id")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Resampling kernels over packed block arrays — ports the kernel selection
+  * of tests/test_resampling.py with exact window math. */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4×4 block, row-major; null marks a masked pixel
+  private val vals: Seq[Option[Double]] = Seq(
+    Some(1.0), Some(2.0), Some(3.0), Some(4.0),
+    Some(5.0), Some(6.0), Some(7.0), Some(8.0),
+    Some(1.0), Some(1.0), None,      Some(2.0),
+    Some(1.0), Some(3.0), Some(2.0), Some(2.0))
+  private lazy val df = Seq(Tuple1(vals)).toDF("values")
+
+  private def run(method: String): Seq[Option[Double]] =
+    df.select(Resample.downsample(col("values"), 4, 4, 2, method).as("out"))
+      .collect()(0).getSeq[Any](0).map(Option(_).map(_.toString.toDouble))
+
+  test("nearest picks the top-left pixel of each window") {
+    assert(run("nearest") == Seq(Some(1.0), Some(3.0), Some(1.0), None))
+  }
+
+  test("average ignores masked pixels; empty window → null") {
+    // windows: [1,2,5,6]=3.5, [3,4,7,8]=5.5, [1,1,1,3]=1.5, [null,2,2,2]=2.0
+    assert(run("average") == Seq(Some(3.5), Some(5.5), Some(1.5), Some(2.0)))
+  }
+
+  test("sum / min / max window aggregates with nodata exclusion") {
+    assert(run("sum") == Seq(Some(14.0), Some(22.0), Some(6.0), Some(6.0)))
+    assert(run("min") == Seq(Some(1.0), Some(3.0), Some(1.0), Some(2.0)))
+    assert(run("max") == Seq(Some(6.0), Some(8.0), Some(3.0), Some(2.0)))
+  }
+
+  test("mode: most frequent, ties to smallest (deterministic)") {
+    // window 3: [1,1,1,3] → 1; window 4: [null,2,2,2] → 2; window 1: all unique → smallest 1
+    val m = run("mode")
+    assert(m(2) == Some(1.0) && m(3) == Some(2.0) && m(0) == Some(1.0))
+  }
+
+  test("median and quartiles use nearest-rank over the sorted window") {
+    val med = run("med")
+    assert(med(0) == Some(2.0)) // sorted [1,2,5,6] rank ceil(4*.5)=2 → 2
+    val q3 = run("q3")
+    assert(q3(0) == Some(5.0)) // rank ceil(4*.75)=3 → 5
+  }
+
+  test("interpolating kernels fall back to box average on integer decimation") {
+    assert(run("bilinear") == run("average"))
+  }
+
+  test("all-masked input stays masked") {
+    val allNull = Seq(Tuple1(Seq.fill[Option[Double]](16)(None))).toDF("values")
+    val out = allNull.select(Resample.downsample(col("values"), 4, 4, 2, "average").as("o"))
+      .select(size(filter(col("o"), _.isNotNull))).collect()(0).getInt(0)
+    assert(out == 0)
+  }
+
+  test("unknown method rejected") {
+    intercept[IllegalArgumentException](
+      df.select(Resample.downsample(col("values"), 4, 4, 2, "fancy")))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.LayerSpec
+import graft.functions.GeoFunctions
+import graft.operators.Raster
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end layer job: the status algebra + filters + stats + manifests of
+  * the reference pipe tests (tests/test_pipe.py, tests/test_raster_pipe.py),
+  * driven fully inside Spark with a synthetic block reader. */
+class LayerJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = LayerSpec(
+    dataset = "d", version = "v1", sourceType = "raster", pixelMeaning = "x",
+    dataType = "uint16", calc = Some("A * 2"), grid = "90/1008",
+    sourceUri = Some(Seq("s3://b/tiles.geojson")), noData = Some(Seq(0.0)))
+
+  // two footprints: western hemisphere file + an overlapping equatorial file
+  private def catalog: DataFrame = Seq(
+    ("s3://b/west.tif", 1, GeoFunctions.write(GeoFunctions.envelope(-180, -90, -30, 90))),
+    ("s3://b/equator.tif", 1, GeoFunctions.write(GeoFunctions.envelope(-60, -45, 60, 45))))
+    .toDF("uri", "band", "footprint")
+
+  /** Reader: deterministic pixels everywhere, all valid. */
+  private val reader: LayerJob.BlockReader = blocks =>
+    Raster.synthesizeBand(blocks.drop("band"), band = 1)
+
+  private lazy val result =
+    LayerJob.run(spark, spec, catalog, reader)
+
+  test("F2 prunes tiles outside the source extent") {
+    // grid 90/1008 has 8 tiles; eastern-north/south pair (90..180) has no coverage
+    val tiles = result.manifest.select("tile_id").as[String].collect().toSet
+    assert(tiles.size == 6)
+    assert(!tiles.exists(t => t.endsWith("090E")))
+  }
+
+  test("output blocks carry calc + fill semantics") {
+    val row = result.blocks.limit(1).select(element_at(col("band_1"), 1)).collect()(0)
+    assert(!row.isNullAt(0)) // filled uint16 (int compute type)
+  }
+
+  test("A3 stats exist per processed tile and are sane") {
+    val st = result.tileStats.collect()
+    assert(st.length == 6) // one band per tile
+    st.foreach { r =>
+      assert(r.getAs[Double]("stat_max") <= 2 * 255)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("manifest + extent render as FeatureCollections (K3)") {
+    val tiles = LayerJob.renderTilesGeojson(result.manifest)
+    assert(tiles.startsWith("""{"type":"FeatureCollection""""))
+    assert(tiles.contains("d/v1/raster/epsg-4326/90x1008/x/geotiff/"))
+    val extent = LayerJob.renderExtentGeojson(result.extent)
+    assert(extent.contains("\"type\":\"Polygon\"") || extent.contains("\"type\":\"MultiPolygon\""))
+  }
+
+  test("status algebra: processed counts (pipe.py:137-168)") {
+    val tally = result.status.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tally("processed") == 6)
+    assert(!tally.contains("existing"))
+  }
+
+  test("F3: existing tiles skipped unless overwrite (test_pipe.py:50-107)") {
+    val existing = Seq("90N_180W").toDF("tile_id")
+    val r2 = LayerJob.run(spark, spec, catalog, reader, existing = Some(existing))
+    val tally2 = r2.status.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tally2("processed") == 5 && tally2("existing") == 1)
+    val r3 = LayerJob.run(spark, spec, catalog, reader, existing = Some(existing),
+      overwrite = true)
+    val tally3 = r3.status.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tally3("processed") == 6)
+  }
+
+  test("F1: subset restricts the seed (pipe.py:77-88)") {
+    val r = LayerJob.run(spark, spec, catalog, reader, subset = Some(Seq("90N_180W")))
+    assert(r.manifest.count() == 1)
+  }
+
+  test("J3 mosaic: higher-priority file wins where files overlap") {
+    // reader that encodes the uri priority into the pixel value
+    val priorityReader: LayerJob.BlockReader = blocks =>
+      blocks.withColumn("values",
+          transform(sequence(lit(0), col("width") * col("height") - 1),
+            _ => col("priority").cast("double")))
+        .withColumn("valid",
+          transform(sequence(lit(0), col("width") * col("height") - 1), _ => lit(true)))
+    val r = LayerJob.run(spark, spec.copy(calc = Some("A"), noData = None),
+      catalog, priorityReader)
+    // tile 45N_060W overlaps both files → mosaic picks priority 1 (first file)
+    val v = r.blocks.filter(col("tile_id") === "90N_090W")
+      .select(element_at(col("band_1"), 1)).limit(1).collect()(0)
+    assert(v.getInt(0) == 1)
+  }
+}
