@@ -796,11 +796,12 @@ object SparkEntry {
            |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
            |sigs AS (SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id),
            |b AS (
-           |  SELECT doc_id, CAST(0 AS INT) AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sigs
+           |  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
            |  UNION ALL
-           |  SELECT doc_id, CAST(1 AS INT) AS band, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM sigs)
+           |  SELECT doc_id, 1, mh2, mh3 FROM sigs)
            |SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
-           |FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+           |FROM b a JOIN b b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
+           |  AND a.doc_id < b2.doc_id
            |ORDER BY doc1, doc2""".stripMargin,
 
       "d4_simhash" -> {

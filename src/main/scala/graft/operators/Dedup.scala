@@ -44,13 +44,16 @@ object Dedup {
     tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band buckets: rows of (band, bucket_hash, doc_id). Docs sharing a
-    * bucket in ANY band are near-dup candidates. `rowsPerBand` minhash
-    * values concatenate into the bucket key. */
+  /** LSH band buckets: rows of (band, bucket, doc_id). Docs sharing a
+    * bucket in ANY band are near-dup candidates. The bucket key is the raw
+    * struct of the band's `rowsPerBand` minhash values — native longs hash
+    * and compare far cheaper through the bucket join than a digest string,
+    * and at 100 TB that join's probe side is the whole corpus. */
   def lshBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = (0 until k / rowsPerBand).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("bucket"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .zipWithIndex.map { case (i, j) => col(s"mh$i").as(s"v$j") }
+      struct(lit(b).as("band"), struct(cols: _*).as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("bb.band"), col("bb.bucket"), col("doc_id"))
