@@ -119,12 +119,16 @@ object LayerJob {
     val computed = zipped.select(key.map(col) ++ outCols: _*)
 
     // F5/F6: drop empty blocks (null-only arrays)
-    val nonEmpty = pt.noData match {
+    val nonEmptyBare = pt.noData match {
       case Some(_) => computed // filled blocks always have data
       case None => computed.filter(
         (1 to spec.bandCount).map(i =>
           size(filter(col(s"band_$i"), _.isNotNull)) > 0).reduce(_ || _))
     }
+    // re-attach tile georeferencing for the sink (tiny broadcast join —
+    // the bounds were shed before the mosaic shuffle to keep rows narrow)
+    val nonEmpty = nonEmptyBare.join(
+      broadcast(pending.select("tile_id", "left", "bottom", "right", "top")), "tile_id")
 
     // --- aggregations ----------------------------------------------------
     // A3 per (tile, band): one array pass per block, tiny shuffle of partials

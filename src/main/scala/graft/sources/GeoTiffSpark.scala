@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.core.LayerSpec
+import graft.core.grid.Grid
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark integration of the GeoTIFF codec.
+  *
+  * Sink (K1/K2): one task per tile — `groupByKey(tile_id)` streams that
+  * tile's blocks through an incremental writer, so memory per task is one
+  * block regardless of tile size (the 10-Gpx case of SURVEY §7.4.6). The
+  * single-writer-per-tile shape is exactly the reference's per-tile GeoTIFF
+  * assembly, minus the process pool.
+  *
+  * Source (S4/S5): driver-side metadata harvest for the catalog (small,
+  * like parquet footer reads) + a distributed block reader for LayerJob.
+  */
+object GeoTiffSpark {
+
+  /** Write one GeoTIFF per tile under `outDir` (`<tile_id>.tif`), returning
+    * (tile_id, path, n_blocks) rows. `blocks` must carry tile_id, left/top,
+    * block_row, block_col, width, height and band_1..band_N arrays. */
+  def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val grid = spec.gridDef
+    val pt = spec.pixelType
+    val bandCount = spec.bandCount
+    val noData = pt.noData
+    val dataType = pt.name
+    val epsg = if (grid.crs == "EPSG:3857") 3857 else 4326
+    val (xres, yres, cols, block) = (grid.xres, grid.yres, grid.cols, grid.blockSize)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    val cols0 = Seq("tile_id", "left", "top", "block_row", "block_col") ++
+      (1 to bandCount).map(i => s"band_$i")
+    blocks.select(cols0.map(col): _*)
+      .groupByKey((r: Row) => r.getString(0))
+      .mapGroups { (tileId: String, rows: Iterator[Row]) =>
+        var writer: GeoTiff.Writer = null
+        var left = 0.0; var top = 0.0
+        var n = 0
+        val path = s"$outDir/$tileId.tif"
+        val written = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+        rows.foreach { r =>
+          if (writer == null) {
+            left = r.getDouble(1); top = r.getDouble(2)
+            val profile = GeoTiff.Profile(
+              width = cols, height = cols, bands = bandCount, dataType = dataType,
+              tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
+              originX = left, originY = top, xres = xres, yres = yres)
+            writer = new GeoTiff.Writer(path, profile)
+          }
+          val br = r.getInt(3); val bc = r.getInt(4)
+          for (b <- 1 to bandCount) {
+            val arr = r.getSeq[Any](5 + b - 1)
+            val px = new Array[Double](arr.length)
+            var i = 0
+            arr.foreach { v =>
+              px(i) = v match {
+                case null => noData.getOrElse(0.0)
+                case x: java.lang.Number => x.doubleValue()
+              }
+              i += 1
+            }
+            writer.writeTile(b, br, bc, px)
+            written += ((b, br, bc))
+          }
+          n += 1
+        }
+        // K4-style padding: blocks never emitted (empty) become nodata tiles
+        if (writer != null) {
+          val nPerSide = cols / block
+          val empty = Array.fill(block * block)(noData.getOrElse(0.0))
+          for (b <- 1 to bandCount; br <- 0 until nPerSide; bc <- 0 until nPerSide)
+            if (!written.contains((b, br, bc))) writer.writeTile(b, br, bc, empty)
+          writer.close()
+        }
+        (tileId, path, n)
+      }
+      .toDF("tile_id", "path", "n_blocks")
+  }
+
+  /** S4: harvest (uri, band, footprint, profile) catalog rows from files —
+    * the plan-time metadata job of `layers.py:196-228`. */
+  def harvestCatalog(spark: SparkSession, uris: Seq[String]): DataFrame = {
+    import graft.functions.GeoFunctions
+    import spark.implicits._
+    spark.sparkContext.parallelize(uris, math.max(1, uris.length / 16))
+      .flatMap { uri =>
+        val t = GeoTiff.open(uri)
+        val (l, b, r, tp) = t.bounds
+        (1 to t.profile.bands).map { band =>
+          (uri, band, GeoFunctions.write(GeoFunctions.envelope(l, b, r, tp)),
+            t.profile.dataType, t.profile.noData, t.profile.epsg)
+        }
+      }
+      .toDF("uri", "band", "footprint", "data_type", "no_data", "epsg")
+  }
+
+  /** S5: distributed block reader for LayerJob — reads each work row's
+    * (uri, band, block) window. Local/posix paths in tests; any
+    * Hadoop-visible store in production via a FS shim. */
+  val reader: graft.plans.LayerJob.BlockReader = blockWork => {
+    val spark = blockWork.sparkSession
+    import spark.implicits._
+    val cols0 = Seq("tile_id", "band", "block_row", "block_col", "width", "height",
+      "uri", "priority")
+    blockWork.select(cols0.map(col): _*)
+      .as[(String, Int, Int, Int, Int, Int, String, Int)]
+      .mapPartitions { rows =>
+        // one open Tiff per uri per partition (metadata cached)
+        val open = scala.collection.mutable.Map.empty[String, GeoTiff.Tiff]
+        rows.map { case (tileId, band, br, bc, w, h, uri, priority) =>
+          val t = open.getOrElseUpdate(uri, GeoTiff.open(uri))
+          val px = t.readTile(band, br, bc)
+          val nd = t.profile.noData
+          val valid = px.map(v => nd.forall(_ != v))
+          (tileId, band, br, bc, w, h, uri, priority, px, valid)
+        }
+      }
+      .toDF("tile_id", "band", "block_row", "block_col", "width", "height",
+        "uri", "priority", "values", "valid")
+  }
+}

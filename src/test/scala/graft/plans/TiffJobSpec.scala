@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.LayerSpec
+import graft.sources.{GeoTiff, GeoTiffSpark}
+import java.nio.file.{Files, Paths}
+
+/** Full-loop integration: write tiled GeoTIFF sources, harvest the catalog
+  * from their metadata (S4), run the layer job reading real blocks (S5),
+  * sink per-tile GeoTIFFs (K1), and verify pixels end-to-end — the Spark
+  * twin of the reference's e2e transform tests. */
+class TiffJobSpec extends SparkSpec {
+
+  private val spec = LayerSpec(
+    dataset = "d", version = "v1", sourceType = "raster", pixelMeaning = "x",
+    dataType = "uint16", calc = Some("A * 2"), grid = "90/1008",
+    sourceUri = Some(Seq("file:///src")), noData = Some(Seq(0.0)))
+
+  private val grid = spec.gridDef
+  private def dir(n: String): String = {
+    val d = Paths.get(s"target/tmp/tiffjob/$n")
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  /** One source file per grid tile, aligned to the output grid; pixel value
+    * = (tileIdx*7 + band) for easy assertions, nodata 0 on a stripe. */
+  private def writeSource(tileIdx: Long): String = {
+    val id = grid.tileId(tileIdx)
+    val b = grid.tileBounds(id)
+    val path = s"${dir("src")}/$id.tif"
+    val profile = GeoTiff.Profile(
+      width = grid.cols, height = grid.rows, bands = 1, dataType = "uint16",
+      tileWidth = grid.blockSize, tileHeight = grid.blockSize,
+      noData = Some(0.0), epsg = 4326,
+      originX = b.left, originY = b.top, xres = grid.xres, yres = grid.yres)
+    val w = new GeoTiff.Writer(path, profile)
+    val n = grid.cols / grid.blockSize
+    val value = (tileIdx * 7 + 1).toDouble
+    for (tr <- 0 until n; tc <- 0 until n) {
+      val px = Array.tabulate(grid.blockSize * grid.blockSize)(i =>
+        if (i % 97 == 0) 0.0 else value) // nodata stripe
+      w.writeTile(1, tr, tc, px)
+    }
+    w.close()
+    path
+  }
+
+  test("source → catalog → job → tiff sink → read-back equals calc(input)") {
+    val srcs = Seq(writeSource(0), writeSource(1)) // tiles 90N_180W, 90N_090W
+    val catalog = GeoTiffSpark.harvestCatalog(spark, srcs)
+      .selectExpr("uri", "band", "footprint")
+    assert(catalog.count() == 2)
+
+    val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader)
+    val outDir = dir("out")
+    val written = GeoTiffSpark.writeTiles(result.blocks, spec, outDir).collect()
+    assert(written.length == 2)
+
+    // read back tile 0: valid pixels must be input*2, nodata stripe refilled 0
+    val t = GeoTiff.open(s"$outDir/${grid.tileId(0)}.tif")
+    assert(t.profile.dataType == "uint16" && t.profile.noData.contains(0.0))
+    val px = t.readTile(1, 0, 0)
+    val expect = 2.0 * (0 * 7 + 1)
+    assert(px.count(_ == expect) == px.length - px.count(_ == 0.0))
+    assert(px.exists(_ == 0.0)) // the masked stripe stayed nodata
+    // geo registration carried through
+    assert(t.profile.originX == grid.tileBounds(grid.tileId(0)).left)
+    assert(t.profile.xres == grid.xres)
+  }
+
+  test("harvested catalog carries footprints usable by the spatial joins") {
+    val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
+    val cat = GeoTiffSpark.harvestCatalog(spark, srcs).collect()(0)
+    val fp = graft.functions.GeoFunctions.read(cat.getAs[Array[Byte]]("footprint"))
+    assert(fp.getEnvelopeInternal.getMinX == -180.0)
+    assert(fp.getEnvelopeInternal.getMaxY == 90.0)
+  }
+}

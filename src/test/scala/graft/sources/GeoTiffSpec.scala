@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** GeoTIFF codec: byte-level structure + round trips per pixel type —
+  * the profile assertions of tests/test_raster_src_tile.py:36-79 (blocksize,
+  * compression, CRS, dtype, nodata, interleave) against our own reader. */
+class GeoTiffSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = Paths.get("target/tmp/tiff")
+    Files.createDirectories(d)
+    d.resolve(name).toString
+  }
+
+  private def profile(dt: String, nd: Option[Double] = Some(0.0)) = GeoTiff.Profile(
+    width = 32, height = 32, bands = 1, dataType = dt,
+    tileWidth = 16, tileHeight = 16, noData = nd, epsg = 4326,
+    originX = 10.0, originY = 20.0, xres = 0.25, yres = 0.25)
+
+  private def roundTrip(dt: String, values: Array[Double]): Array[Double] = {
+    val path = tmp(s"rt_$dt.tif")
+    val w = new GeoTiff.Writer(path, profile(dt))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, values)
+    w.close()
+    GeoTiff.open(path).readTile(1, 0, 0)
+  }
+
+  test("uint8/uint16/uint32 round-trip incl. values above signed range") {
+    val v8 = Array.tabulate(256)(i => (i % 256).toDouble)
+    assert(roundTrip("uint8", v8).sameElements(v8))
+    val v16 = Array.tabulate(256)(i => (i * 257).toDouble) // up to 65535
+    assert(roundTrip("uint16", v16).sameElements(v16))
+    val v32 = Array.tabulate(256)(i => 4294967295.0 - i)   // near 2^32
+    assert(roundTrip("uint32", v32).sameElements(v32))
+  }
+
+  test("int8/int16/int32/float32/float64 round-trip with negatives") {
+    val s = Array.tabulate(256)(i => (i - 128).toDouble)
+    assert(roundTrip("int8", s).sameElements(s))
+    assert(roundTrip("int16", s.map(_ * 100)).sameElements(s.map(_ * 100)))
+    assert(roundTrip("int32", s.map(_ * 100000)).sameElements(s.map(_ * 100000)))
+    val f = Array.tabulate(256)(i => i * 0.5f.toDouble)
+    assert(roundTrip("float32", f).sameElements(f))
+    val d = Array.tabulate(256)(i => i * math.Pi)
+    assert(roundTrip("float64", d).sameElements(d))
+  }
+
+  test("profile survives the IFD: dtype, nodata, grid origin, resolution, tiling, compression") {
+    val path = tmp("meta.tif")
+    val w = new GeoTiff.Writer(path, profile("uint16", Some(42.0)))
+    val px = Array.fill(256)(7.0)
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, px)
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.dataType == "uint16")
+    assert(t.profile.noData.contains(42.0))
+    assert(t.profile.epsg == 4326)
+    assert(t.profile.tileWidth == 16 && t.profile.tileHeight == 16)
+    assert(t.profile.originX == 10.0 && t.profile.originY == 20.0)
+    assert(t.profile.xres == 0.25)
+    assert(t.profile.deflate)
+    assert(t.bounds == ((10.0, 12.0, 18.0, 20.0)))
+  }
+
+  test("multi-band planar layout reads back per band (INTERLEAVE=BAND)") {
+    val path = tmp("mb.tif")
+    val p = profile("uint8").copy(bands = 3)
+    val w = new GeoTiff.Writer(path, p)
+    for (b <- 1 to 3; tr <- 0 to 1; tc <- 0 to 1)
+      w.writeTile(b, tr, tc, Array.fill(256)(b * 10.0))
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.bands == 3)
+    for (b <- 1 to 3)
+      assert(t.readTile(b, 1, 1).forall(_ == b * 10.0))
+  }
+
+  test("deflate actually compresses constant tiles") {
+    val path = tmp("z.tif")
+    val w = new GeoTiff.Writer(path, profile("float64", None))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, Array.fill(256)(1.5))
+    w.close()
+    // raw would be 4 tiles * 256 px * 8 B = 8 KiB; deflate shrinks far below
+    assert(Files.size(Paths.get(path)) < 2048)
+    assert(GeoTiff.open(path).readTile(1, 0, 0).forall(_ == 1.5))
+  }
+
+  test("TIFF magic and classic header") {
+    val path = tmp("magic.tif")
+    val w = new GeoTiff.Writer(path, profile("uint8"))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, Array.fill(256)(1.0))
+    w.close()
+    val head = Files.readAllBytes(Paths.get(path)).take(4)
+    assert(head(0) == 'I' && head(1) == 'I' && head(2) == 42 && head(3) == 0)
+  }
+}
