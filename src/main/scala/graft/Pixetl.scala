@@ -1,0 +1,122 @@
+package graft
+
+import graft.core.{GraftSession, LayerSpec}
+import graft.plans.{LayerJob, VectorJob}
+import graft.sources.{Catalog, GeoTiffSpark}
+import java.nio.file.{Files, Paths}
+
+/** CLI parity with the reference's `pixetl` entry point
+  * (`gfw_pixetl/pixetl.py:24-133`):
+  *
+  *   pixetl --dest <dir> [--overwrite] [--subset id …] '<layer json>'
+  *
+  * Parses + validates the layer spec, plans against the source catalog,
+  * executes the tile pipeline, writes per-tile GeoTIFFs and the
+  * tiles.geojson / extent.geojson manifests, prints the status tally, and
+  * exits 0 on success / 1 on failure — the reference's exit-code contract
+  * (`pixetl.py:73-88`; 137 was its OOM-subprocess code, which has no Spark
+  * equivalent because executors retry tasks instead of dying).
+  */
+object Pixetl {
+
+  def main(args: Array[String]): Unit = {
+    var dest = "out"
+    var overwrite = false
+    var subset = Vector.empty[String]
+    var json: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--dest" | "-d"     => dest = args(i + 1); i += 2
+        case "--overwrite"       => overwrite = true; i += 1
+        case "--subset"          => subset :+= args(i + 1); i += 2
+        case other if other.startsWith("@") => // spec from file
+          json = Some(Files.readString(Paths.get(other.drop(1)))); i += 1
+        case other               => json = Some(other); i += 1
+      }
+    }
+    val spec = LayerSpec.fromJson(json.getOrElse {
+      System.err.println("usage: pixetl [--dest DIR] [--overwrite] [--subset TILE]… '<layer json>'")
+      sys.exit(2)
+    })
+
+    val spark = GraftSession.local(s"pixetl ${spec.dataset}/${spec.version}")
+    try {
+      val outDir = s"$dest/${spec.prefix()}"
+      Files.createDirectories(Paths.get(outDir))
+      val sub = if (subset.nonEmpty) Some(subset.toSeq) else None
+
+      val (blocks, status) = spec.sourceType match {
+        case "raster" =>
+          // plan-time catalog: manifest uris ending in .geojson are S2
+          // manifests; anything else is harvested from file metadata (S4)
+          val uris = spec.sourceUri.get
+          val catalog =
+            if (uris.forall(_.endsWith(".geojson")))
+              uris.map(u => Catalog.fromTilesGeojson(spark, u)).reduce(_ unionByName _)
+            else
+              GeoTiffSpark.harvestCatalog(spark,
+                uris.flatMap(u => Catalog.listFolder(spark, u)
+                  .collect().map(_.getString(0))))
+                .select("uri", "band", "footprint")
+          val existing = Catalog.existingTiles(spark, outDir)
+          val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader,
+            subset = sub, existing = Some(existing), overwrite = overwrite)
+          GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
+          Files.writeString(Paths.get(s"$outDir/tiles.geojson"),
+            LayerJob.renderTilesGeojson(result.manifest))
+          Files.writeString(Paths.get(s"$outDir/extent.geojson"),
+            LayerJob.renderExtentGeojson(result.extent))
+          (result.blocks, result.status)
+        case "vector" =>
+          // vector features arrive as a parquet snapshot with a WKB geom —
+          // the JDBC/PostGIS scan of the reference stays external (SURVEY §7.5)
+          val features = spark.read.parquet(sys.env.getOrElse("GRAFT_FEATURES",
+            s"$dest/features.parquet"))
+          val result = VectorJob.run(spark, spec, features, subset = sub)
+          GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
+          (result.blocks, result.status)
+      }
+
+      status.collect().foreach(r => println(s"${r.getString(0)}: ${r.getLong(1)}"))
+      sys.exit(0)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"pixetl failed: ${e.getMessage}")
+        sys.exit(1)
+    } finally spark.stop()
+  }
+}
+
+/** CLI parity with `pixetl_prep` (`gfw_pixetl/pixetl_prep.py:18-100`): build
+  * tiles.geojson + extent.geojson manifests from raw file uris — the
+  * one-stage metadata job of SURVEY §3.2. */
+object PixetlPrep {
+  def main(args: Array[String]): Unit = {
+    val (flags, uris) = args.partition(_.startsWith("--"))
+    val dest = flags.collectFirst { case f if f.startsWith("--dest=") => f.drop(7) }
+      .getOrElse("out")
+    require(uris.nonEmpty, "usage: pixetl_prep [--dest=DIR] <uri.tif>…")
+    val spark = GraftSession.local("pixetl_prep")
+    try {
+      import graft.functions.{GeoFunctions, GeomUnionAgg}
+      import org.apache.spark.sql.functions._
+      val cat = GeoTiffSpark.harvestCatalog(spark, uris.toSeq)
+      val tiles = cat.select(col("uri"),
+        GeoFunctions.st_asGeoJson(col("footprint")).as("geometry"))
+        .orderBy("uri").collect()
+        .map(r => s"""{"type":"Feature","geometry":${r.getString(1)},""" +
+          s""""properties":{"name":"${r.getString(0)}"}}""")
+      val extent = cat.agg(GeomUnionAgg.column(col("footprint")).as("u"))
+        .select(GeoFunctions.st_asGeoJson(col("u"))).collect()(0).getString(0)
+      Files.createDirectories(Paths.get(dest))
+      Files.writeString(Paths.get(s"$dest/tiles.geojson"),
+        s"""{"type":"FeatureCollection","features":[${tiles.mkString(",")}]}""")
+      Files.writeString(Paths.get(s"$dest/extent.geojson"),
+        s"""{"type":"FeatureCollection","features":[{"type":"Feature","geometry":$extent,"properties":{}}]}""")
+      sys.exit(0)
+    } catch {
+      case e: Throwable => System.err.println(s"pixetl_prep failed: ${e.getMessage}"); sys.exit(1)
+    } finally spark.stop()
+  }
+}

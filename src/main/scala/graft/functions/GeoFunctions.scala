@@ -48,27 +48,33 @@ object GeoFunctions {
   /** Interiors-intersect predicate `intersects ∧ ¬touches` — the tile/source
     * test of `tiles/raster_src_tile.py:155-161`. */
   val st_intersectsInterior: (Column, Column) => Column = {
-    val f = udf((a: Array[Byte], b: Array[Byte]) => {
-      val (ga, gb) = (read(a), read(b)); ga.intersects(gb) && !ga.touches(gb)
-    })
+    val f = udf((a: Array[Byte], b: Array[Byte]) =>
+      a != null && b != null && {
+        val (ga, gb) = (read(a), read(b)); ga.intersects(gb) && !ga.touches(gb)
+      })
     (a, b) => f(a, b)
   }
 
   val st_intersects: (Column, Column) => Column = {
-    val f = udf((a: Array[Byte], b: Array[Byte]) => read(a).intersects(read(b)))
+    val f = udf((a: Array[Byte], b: Array[Byte]) =>
+      a != null && b != null && read(a).intersects(read(b)))
     (a, b) => f(a, b)
   }
 
   val st_touches: (Column, Column) => Column = {
-    val f = udf((a: Array[Byte], b: Array[Byte]) => read(a).touches(read(b)))
+    val f = udf((a: Array[Byte], b: Array[Byte]) =>
+      a != null && b != null && read(a).touches(read(b)))
     (a, b) => f(a, b)
   }
 
   /** ST_Intersection (P4 clip), nulling out empty results. */
   val st_intersection: (Column, Column) => Column = {
     val f = udf((a: Array[Byte], b: Array[Byte]) => {
-      val g = read(a).intersection(read(b))
-      if (g.isEmpty) null else write(g)
+      if (a == null || b == null) null
+      else {
+        val g = read(a).intersection(read(b))
+        if (g.isEmpty) null else write(g)
+      }
     })
     (a, b) => f(a, b)
   }
@@ -86,7 +92,7 @@ object GeoFunctions {
   }
 
   val st_area: Column => Column = {
-    val f = udf((a: Array[Byte]) => read(a).getArea)
+    val f = udf((a: Array[Byte]) => if (a == null) 0.0 else read(a).getArea)
     a => f(a)
   }
 
@@ -96,14 +102,14 @@ object GeoFunctions {
   }
 
   val st_asWkt: Column => Column = {
-    val f = udf((a: Array[Byte]) => writeWkt(read(a)))
+    val f = udf((a: Array[Byte]) => if (a == null) null else writeWkt(read(a)))
     a => f(a)
   }
 
   /** Footprint → GeoJSON geometry fragment for the manifest sinks (K3),
     * matching the FeatureCollection shape of `utils/geometry.py:14-38`. */
   val st_asGeoJson: Column => Column = {
-    val f = udf((a: Array[Byte]) => toGeoJson(read(a)))
+    val f = udf((a: Array[Byte]) => if (a == null) null else toGeoJson(read(a)))
     a => f(a)
   }
 

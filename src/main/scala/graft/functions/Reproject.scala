@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.core.grid.Bounds
+
+/** CRS reprojection of bounds/points (operator P5) for the two CRSs the
+  * grids use — EPSG:4326 ↔ EPSG:3857 — as closed-form math
+  * (`gfw_pixetl/sources.py:137-168`, `utils/utils.py:164-184`): no proj
+  * database needed, and out-of-range latitudes clamp to the WebMercator
+  * area of use like the reference's inf/NaN clamp (`type_casting.py:28-33`).
+  */
+object Reproject {
+
+  val earthRadius: Double = 6378137.0
+  val webMercatorMax: Double = 20037508.342789244
+  /** WebMercator's latitude of validity (wm_grid.py:113-117). */
+  val maxLat: Double = 85.05112878
+
+  def toWebMercator(lng: Double, lat: Double): (Double, Double) = {
+    val clampedLat = math.max(-maxLat, math.min(maxLat, lat))
+    val clampedLng = math.max(-180.0, math.min(180.0, lng))
+    val x = clampedLng * webMercatorMax / 180.0
+    val y = earthRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(clampedLat) / 2))
+    (x, math.max(-webMercatorMax, math.min(webMercatorMax, y)))
+  }
+
+  def toWgs84(x: Double, y: Double): (Double, Double) = {
+    val lng = x / webMercatorMax * 180.0
+    val lat = math.toDegrees(2 * math.atan(math.exp(y / earthRadius)) - math.Pi / 2)
+    (lng, lat)
+  }
+
+  /** Transform bounds between the two CRSs, axis-separate like the
+    * reference's exotic-projection path (`utils/utils.py:164-184`). */
+  def bounds(b: Bounds, fromCrs: String, toCrs: String): Bounds =
+    (normalize(fromCrs), normalize(toCrs)) match {
+      case (f, t) if f == t => b
+      case ("EPSG:4326", "EPSG:3857") =>
+        val (l, bo) = toWebMercator(b.left, b.bottom)
+        val (r, t) = toWebMercator(b.right, b.top)
+        Bounds(l, bo, r, t)
+      case ("EPSG:3857", "EPSG:4326") =>
+        val (l, bo) = toWgs84(b.left, b.bottom)
+        val (r, t) = toWgs84(b.right, b.top)
+        Bounds(l, bo, r, t)
+      case (f, t) => throw new IllegalArgumentException(s"Unsupported CRS pair $f → $t")
+    }
+
+  private def normalize(crs: String): String = crs.trim.toUpperCase match {
+    case "EPSG:4326" | "WGS84" => "EPSG:4326"
+    case "EPSG:3857" | "WEBMERCATOR" | "EPSG:900913" => "EPSG:3857"
+    case other => other
+  }
+}
