@@ -66,6 +66,8 @@ object SparkEntry {
     "d5_jaccard_pairs"    -> (Q.d5_jaccard_pairs(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
+    "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
+    "x1_approx_distinct"  -> (Q.x1_approx_distinct(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
 
@@ -467,6 +469,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    /** Embedding-cosine near-dup pairs (the embedding flavor of dedup):
+      * exact pairwise verify over a bounded candidate set, scored by the
+      * native single-pass CosineSim expression. */
+    def e3_embedding_dup(s: SparkSession, d: String): DataFrame = {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .withColumn("cosine",
+          graft.functions.VectorExpressions.vec_cosine(
+            col("v1").cast("array<double>"), col("v2").cast("array<double>")))
+        .filter(col("cosine") >= 0.3)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id1", "id2")
+    }
+
+    /** Approx distinct (HLL) — no cross-engine oracle exists for sketch
+      * internals, so the driver records the rows-only check; the exact
+      * distinct lives in the same result for eyeballing drift. */
+    def x1_approx_distinct(s: SparkSession, d: String): DataFrame =
+      li(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+
     // ----------------------------------------------- multimodal (north star)
     def m1_media_features(s: SparkSession, d: String): DataFrame =
       Multimodal.syntheticFromText(Tables.documents(s, d), "doc_id", "text")
@@ -857,6 +885,14 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
       },
+
+      "e3_embedding_dup" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+          |s AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS rawcos
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT id1, id2, round(rawcos, 4) AS cosine FROM s WHERE rawcos >= 0.3
+          |ORDER BY id1, id2""".stripMargin,
 
       "m1_media_features" ->
         """SELECT doc_id AS asset_id, 'image' AS modality,

@@ -38,8 +38,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        dot(col("qv").cast("array<double>"), col("cv").cast("array<double>")) /
-          (norm(col("qv").cast("array<double>")) * norm(col("cv").cast("array<double>"))))
+        graft.functions.VectorExpressions.vec_cosine(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -72,8 +71,7 @@ object Similarity {
     val scored = q.join(bucketed, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine",
-        dot(col("qv").cast("array<double>"), col("embedding").cast("array<double>")) /
-          (norm(col("qv").cast("array<double>")) * norm(col("embedding").cast("array<double>"))))
+        graft.functions.VectorExpressions.vec_cosine(col("qv"), col("embedding")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored
