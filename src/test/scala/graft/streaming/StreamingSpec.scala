@@ -40,4 +40,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
+
+  test("StreamJob session windows bound state and count events per session") {
+    val batch = Tables.events(spark, sf())
+    val dir = new java.io.File("target/tmp/stream_events2").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val q = StreamJob.eventSessions(
+        spark.readStream.schema(batch.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("st_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st_sessions")
+    assert(got.agg(sum("n_events")).collect()(0).getLong(0) <= batch.count())
+    assert(got.count() > 0)
+  }
+
+  test("StreamJob incremental foreachBatch drives a batch transform") {
+    val batch = Tables.events(spark, sf())
+    val dir = new java.io.File("target/tmp/stream_events3").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamJob.incrementalBlocks(spark, dir, batch.schema) { (df, _) =>
+      seen.addAndGet(df.count())
+    }
+    q.awaitTermination(60000)
+    assert(seen.get() == batch.count())
+  }
 }
