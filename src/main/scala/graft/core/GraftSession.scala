@@ -23,10 +23,14 @@ object GraftSession {
       // test tables carry TIMESTAMP(NANOS) columns (events.ts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Local session for tests / bench. */
+  /** Local session for tests / bench, with the graft SQL surface loaded. */
   def local(appName: String = "graft", cores: String = "32"): SparkSession = {
-    val s = builder(appName, cores).master(s"local[$cores]").getOrCreate()
+    val s = builder(appName, cores)
+      .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GeoFunctions.register(s)
     s
   }
 }
