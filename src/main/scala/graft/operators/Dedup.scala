@@ -59,9 +59,17 @@ object Dedup {
       .select(col("bb.band"), col("bb.bucket"), col("doc_id"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (doc1 < doc2, distinct). */
+  /** Candidate near-dup pairs from LSH buckets (doc1 < doc2, distinct).
+    *
+    * The probe side is repartitioned first: a broadcast bucket join emits
+    * its (possibly huge) pair output with the STREAM side's partitioning,
+    * and the bucket relation is tiny — without the spread, the downstream
+    * distinct of millions of pairs runs in a couple of tasks. Spreading the
+    * 10k-row probe side costs nothing and restores full parallelism. */
   def lshCandidates(buckets: DataFrame): DataFrame = {
-    val a = buckets.as("a"); val b = buckets.as("b")
+    val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
+    val a = buckets.repartition(parts, col("doc_id")).as("a")
+    val b = buckets.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
