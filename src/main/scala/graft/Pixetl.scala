@@ -51,14 +51,20 @@ object Pixetl {
           // plan-time catalog: manifest uris ending in .geojson are S2
           // manifests; anything else is harvested from file metadata (S4)
           val uris = spec.sourceUri.get
+          // each source_uri contributes the next global band (A, B, C…) —
+          // the reference's band concatenation (layers.py:171-237)
           val catalog =
             if (uris.forall(_.endsWith(".geojson")))
-              uris.map(u => Catalog.fromTilesGeojson(spark, u)).reduce(_ unionByName _)
+              uris.zipWithIndex
+                .map { case (u, i) => Catalog.fromTilesGeojson(spark, u, band = i + 1) }
+                .reduce(_ unionByName _)
             else
-              GeoTiffSpark.harvestCatalog(spark,
-                uris.flatMap(u => Catalog.listFolder(spark, u)
-                  .collect().map(_.getString(0))))
-                .select("uri", "band", "footprint")
+              uris.zipWithIndex.map { case (u, i) =>
+                GeoTiffSpark.harvestCatalog(spark,
+                    Catalog.listFolder(spark, u).collect().map(_.getString(0)).toSeq)
+                  .withColumn("band", org.apache.spark.sql.functions.lit(i + 1))
+                  .select("uri", "band", "file_band", "footprint")
+              }.reduce(_ unionByName _)
           val existing = Catalog.existingTiles(spark, outDir)
           val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader,
             subset = sub, existing = Some(existing), overwrite = overwrite)

@@ -42,6 +42,10 @@ object LayerJob {
           reader: BlockReader, subset: Option[Seq[String]] = None,
           existing: Option[DataFrame] = None, overwrite: Boolean = false): Result = {
     val grid = spec.gridDef
+    // J4 alignment: `band` is the GLOBAL band position (A, B, C…);
+    // `file_band` the index inside the source file (layers.py:171-237)
+    val cat = if (catalog.columns.contains("file_band")) catalog
+      else catalog.withColumn("file_band", col("band"))
 
     // --- plan: tiles after F1/F2/F3 -------------------------------------
     val seed = grid.tilesDF(spark)
@@ -52,7 +56,7 @@ object LayerJob {
     // interiors-intersect test of raster_src_tile.py:155-161.
     val tileEnv = GeoFunctions.st_makeEnvelope(col("left"), col("bottom"), col("right"), col("top"))
     val withSource = subsetted
-      .join(broadcast(catalog.select(col("footprint").as("src_fp"))),
+      .join(broadcast(cat.select(col("footprint").as("src_fp"))),
         GeoFunctions.st_intersectsInterior(tileEnv, col("src_fp")), "left_semi")
 
     // F3/J6: skip already-materialized tiles unless overwrite
@@ -66,7 +70,7 @@ object LayerJob {
     // J2: file assignment — which files feed which tile, per band.
     // Priority = manifest order (layers.py:196-228): later files override
     // earlier ones in the J3 mosaic, made deterministic by (band, uri) rank.
-    val prioritized = catalog.select(col("uri"), col("band"), col("footprint"))
+    val prioritized = cat.select(col("uri"), col("band"), col("file_band"), col("footprint"))
       .withColumn("priority", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("band", "uri")))
     val work = pending.join(broadcast(prioritized),
@@ -74,7 +78,8 @@ object LayerJob {
 
     // --- blocks: expand, read, mosaic, zip ------------------------------
     val blockWork = Raster.tilesToBlocks(
-      work.select("tile_id", "left", "bottom", "right", "top", "uri", "band", "priority")
+      work.select("tile_id", "left", "bottom", "right", "top", "uri", "band",
+          "file_band", "priority")
         .dropDuplicates("tile_id", "uri", "band"), grid)
     val readBlocks = reader(blockWork)
 

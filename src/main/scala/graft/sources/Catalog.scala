@@ -30,7 +30,8 @@ object Catalog {
       .select(explode(col("features")).as("f"))
       .select(
         col("f.properties.name").as("uri"),
-        lit(band).as("band"),
+        lit(band).as("band"),           // global band position (J4 alignment)
+        lit(1).as("file_band"),         // band index INSIDE the file
         polyToWkb(col("f.geometry.coordinates")).as("footprint"))
   }
 

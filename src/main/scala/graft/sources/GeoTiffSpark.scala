@@ -92,11 +92,11 @@ object GeoTiffSpark {
         val t = GeoTiff.open(uri)
         val (l, b, r, tp) = t.bounds
         (1 to t.profile.bands).map { band =>
-          (uri, band, GeoFunctions.write(GeoFunctions.envelope(l, b, r, tp)),
+          (uri, band, band, GeoFunctions.write(GeoFunctions.envelope(l, b, r, tp)),
             t.profile.dataType, t.profile.noData, t.profile.epsg)
         }
       }
-      .toDF("uri", "band", "footprint", "data_type", "no_data", "epsg")
+      .toDF("uri", "band", "file_band", "footprint", "data_type", "no_data", "epsg")
   }
 
   /** S5: distributed block reader for LayerJob — reads each work row's
@@ -105,16 +105,16 @@ object GeoTiffSpark {
   val reader: graft.plans.LayerJob.BlockReader = blockWork => {
     val spark = blockWork.sparkSession
     import spark.implicits._
-    val cols0 = Seq("tile_id", "band", "block_row", "block_col", "width", "height",
-      "uri", "priority")
+    val cols0 = Seq("tile_id", "band", "file_band", "block_row", "block_col",
+      "width", "height", "uri", "priority")
     blockWork.select(cols0.map(col): _*)
-      .as[(String, Int, Int, Int, Int, Int, String, Int)]
+      .as[(String, Int, Int, Int, Int, Int, Int, String, Int)]
       .mapPartitions { rows =>
         // one open Tiff per uri per partition (metadata cached)
         val open = scala.collection.mutable.Map.empty[String, GeoTiff.Tiff]
-        rows.map { case (tileId, band, br, bc, w, h, uri, priority) =>
+        rows.map { case (tileId, band, fileBand, br, bc, w, h, uri, priority) =>
           val t = open.getOrElseUpdate(uri, GeoTiff.open(uri))
-          val px = t.readTile(band, br, bc)
+          val px = t.readTile(fileBand, br, bc)
           val nd = t.profile.noData
           val valid = px.map(v => nd.forall(_ != v))
           (tileId, band, br, bc, w, h, uri, priority, px, valid)

@@ -27,10 +27,11 @@ object WarpReader {
       val spark = blockWork.sparkSession
       import spark.implicits._
       blockWork
-        .select(col("tile_id"), col("band"), col("block_row"), col("block_col"),
+        .select(col("tile_id"), col("band"), col("file_band"),
+          col("block_row"), col("block_col"),
           col("width"), col("height"), col("uri"), col("priority"),
           col("left"), col("top"))
-        .as[(String, Int, Int, Int, Int, Int, String, Int, Double, Double)]
+        .as[(String, Int, Int, Int, Int, Int, Int, String, Int, Double, Double)]
         .mapPartitions { rows =>
           val open = scala.collection.mutable.Map.empty[String, GeoTiff.Tiff]
           // LRU of decoded source tiles: (uri, band, tr, tc) → pixels
@@ -40,7 +41,7 @@ object WarpReader {
                 e: java.util.Map.Entry[(String, Int, Int, Int), Array[Double]]): Boolean =
               size() > 48
           }
-          rows.map { case (tileId, band, br, bc, w, h, uri, priority, tileLeft, tileTop) =>
+          rows.map { case (tileId, band, fileBand, br, bc, w, h, uri, priority, tileLeft, tileTop) =>
             val t = open.getOrElseUpdate(uri, GeoTiff.open(uri))
             val p = t.profile
             val nd = p.noData
@@ -60,10 +61,10 @@ object WarpReader {
                 val idx = j * w + i
                 if (sx >= 0 && sy >= 0 && sx < p.width && sy < p.height) {
                   val tr = sy / p.tileHeight; val tc = sx / p.tileWidth
-                  val key = (uri, band, tr, tc)
+                  val key = (uri, fileBand, tr, tc)
                   var tile = cache.get(key)
                   if (tile == null) {
-                    tile = t.readTile(band, tr, tc)
+                    tile = t.readTile(fileBand, tr, tc)
                     cache.put(key, tile)
                   }
                   val v = tile((sy % p.tileHeight) * p.tileWidth + (sx % p.tileWidth))

@@ -69,6 +69,43 @@ class TiffJobSpec extends SparkSpec {
     assert(t.profile.xres == grid.xres)
   }
 
+  test("multi-source band alignment: calc A + B across two source uris") {
+    // two single-band files over the SAME tile; global bands 1 and 2
+    import org.apache.spark.sql.functions._
+    val srcA = s"${dir("src")}/${grid.tileId(0)}.tif"   // value 1 (written above)
+    val srcB = s"${dir("srcB")}/${grid.tileId(0)}.tif"
+    locally { // second source: constant 100, same grid/tile
+      val b = grid.tileBounds(grid.tileId(0))
+      val profile = GeoTiff.Profile(
+        width = grid.cols, height = grid.rows, bands = 1, dataType = "uint16",
+        tileWidth = grid.blockSize, tileHeight = grid.blockSize,
+        noData = Some(0.0), epsg = 4326,
+        originX = b.left, originY = b.top, xres = grid.xres, yres = grid.yres)
+      val w = new GeoTiff.Writer(srcB, profile)
+      val n = grid.cols / grid.blockSize
+      for (tr <- 0 until n; tc <- 0 until n)
+        w.writeTile(1, tr, tc, Array.fill(grid.blockSize * grid.blockSize)(100.0))
+      w.close()
+    }
+    val cat =
+      GeoTiffSpark.harvestCatalog(spark, Seq(srcA))
+        .withColumn("band", lit(1)).select("uri", "band", "file_band", "footprint")
+        .unionByName(GeoTiffSpark.harvestCatalog(spark, Seq(srcB))
+          .withColumn("band", lit(2)).select("uri", "band", "file_band", "footprint"))
+    val multiSpec = spec.copy(calc = Some("A + B"),
+      sourceUri = Some(Seq("file:///a", "file:///b")))
+    val result = LayerJob.run(spark, multiSpec, cat, GeoTiffSpark.reader,
+      subset = Some(Seq(grid.tileId(0))))
+    // input A = 1 everywhere except nodata stripe; B = 100 → A+B = 101
+    val vals = result.blocks
+      .select(explode(col("band_1")).as("v")).groupBy("v").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(vals.contains(101), s"got value histogram $vals")
+    // masked A pixels (stripe) propagate null → filled with nodata 0
+    assert(vals.contains(0))
+    assert(vals.keySet == Set(0, 101))
+  }
+
   test("harvested catalog carries footprints usable by the spatial joins") {
     val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
     val cat = GeoTiffSpark.harvestCatalog(spark, srcs).collect()(0)
