@@ -70,7 +70,8 @@ object Pixetl {
             subset = sub, existing = Some(existing), overwrite = overwrite)
           GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
           Files.writeString(Paths.get(s"$outDir/tiles.geojson"),
-            LayerJob.renderTilesGeojson(result.manifest))
+            LayerJob.renderTilesGeojson(result.manifest,
+              if (spec.computeStats) Some(result.tileStats) else None))
           Files.writeString(Paths.get(s"$outDir/extent.geojson"),
             LayerJob.renderExtentGeojson(result.extent))
           (result.blocks, result.status)

@@ -180,11 +180,30 @@ object LayerJob {
 
   /** Manifest sink (K3): render tiles.geojson + extent.geojson strings.
     * Aggregated rows are tiny (one per tile) — rendered on the driver like
-    * the reference (`utils/upload_geometries.py:31-59`). */
-  def renderTilesGeojson(manifest: DataFrame): String = {
+    * the reference (`utils/upload_geometries.py:31-59`). When `tileStats`
+    * is given, each feature carries the per-band stats of the reference's
+    * `Metadata.bands` shape (`models/pydantic.py:81-114`), NaN-sanitized
+    * like `utils/geometry.py:51-59`. */
+  def renderTilesGeojson(manifest: DataFrame, tileStats: Option[DataFrame] = None): String = {
+    val statsByTile: Map[String, Seq[String]] = tileStats match {
+      case None => Map.empty
+      case Some(st) => st.orderBy("tile_id", "band").collect().toSeq.groupBy(
+          _.getAs[String]("tile_id")).view.mapValues(_.map { r =>
+          def num(name: String): String = {
+            val v = r.getAs[Double](name)
+            if (v.isNaN || v.isInfinite) "null" else v.toString
+          }
+          s"""{"band":${r.getAs[Int]("band")},"min":${num("stat_min")},""" +
+            s""""max":${num("stat_max")},"mean":${num("stat_mean")},""" +
+            s""""std_dev":${num("stat_std")},"count":${r.getAs[Long]("n")}}"""
+        }).toMap
+    }
     val feats = manifest.orderBy("tile_id").collect().map { r =>
+      val tileId = r.getAs[String]("tile_id")
+      val bands = statsByTile.get(tileId)
+        .map(bs => s""","bands":[${bs.mkString(",")}]""").getOrElse("")
       s"""{"type":"Feature","geometry":${r.getAs[String]("geometry")},""" +
-        s""""properties":{"name":"${r.getAs[String]("uri")}"}}"""
+        s""""properties":{"name":"${r.getAs[String]("uri")}"$bands}}"""
     }
     s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
   }

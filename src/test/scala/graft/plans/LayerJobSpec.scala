@@ -60,6 +60,12 @@ class LayerJobSpec extends SparkSpec {
     assert(extent.contains("\"type\":\"Polygon\"") || extent.contains("\"type\":\"MultiPolygon\""))
   }
 
+  test("manifest with stats carries per-band properties (Metadata.bands shape)") {
+    val js = LayerJob.renderTilesGeojson(result.manifest, Some(result.tileStats))
+    assert(js.contains("\"bands\":[{\"band\":1,"))
+    assert(js.contains("\"std_dev\":"))
+  }
+
   test("status algebra: processed counts (pipe.py:137-168)") {
     val tally = result.status.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tally("processed") == 6)

@@ -106,6 +106,31 @@ class TiffJobSpec extends SparkSpec {
     assert(vals.keySet == Set(0, 101))
   }
 
+  test("multiband output: np.ma.array([A, B, A+B]) writes a 3-band tiff (RGB case)") {
+    import org.apache.spark.sql.functions._
+    val srcA = s"${dir("src")}/${grid.tileId(0)}.tif"
+    val srcB = s"${dir("srcB")}/${grid.tileId(0)}.tif"
+    val cat =
+      GeoTiffSpark.harvestCatalog(spark, Seq(srcA))
+        .withColumn("band", lit(1)).select("uri", "band", "file_band", "footprint")
+        .unionByName(GeoTiffSpark.harvestCatalog(spark, Seq(srcB))
+          .withColumn("band", lit(2)).select("uri", "band", "file_band", "footprint"))
+    val mbSpec = spec.copy(calc = Some("np.ma.array([A, B, A + B])"), bandCount = 3,
+      sourceUri = Some(Seq("file:///a", "file:///b")), photometric = Some("RGB"))
+    val result = LayerJob.run(spark, mbSpec, cat, GeoTiffSpark.reader,
+      subset = Some(Seq(grid.tileId(0))))
+    val outDir = dir("outMb")
+    GeoTiffSpark.writeTiles(result.blocks, mbSpec, outDir).collect()
+    val t = GeoTiff.open(s"$outDir/${grid.tileId(0)}.tif")
+    assert(t.profile.bands == 3)
+    val b1 = t.readTile(1, 1, 1); val b2 = t.readTile(2, 1, 1); val b3 = t.readTile(3, 1, 1)
+    // band3 == band1 + band2 wherever band1 is valid
+    b1.indices.filter(i => b1(i) != 0.0).take(100).foreach { i =>
+      assert(b3(i) == b1(i) + b2(i))
+    }
+    assert(result.tileStats.count() == 3) // stats per output band
+  }
+
   test("harvested catalog carries footprints usable by the spatial joins") {
     val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
     val cat = GeoTiffSpark.harvestCatalog(spark, srcs).collect()(0)
