@@ -69,6 +69,17 @@ object Pixetl {
           val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader,
             subset = sub, existing = Some(existing), overwrite = overwrite)
           GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
+          // dual destination profiles (tiles/tile.py:54-97): the
+          // `gdal-geotiff` variant differs only in creation options the
+          // codec normalizes away, so it materializes as a copy
+          val gdalDir = s"$dest/${spec.prefix(fmt = "gdal-geotiff")}"
+          Files.createDirectories(Paths.get(gdalDir))
+          Catalog.existingTiles(spark, outDir).collect().map(_.getString(0)).foreach { id =>
+            val src = Paths.get(s"$outDir/$id.tif")
+            if (Files.exists(src))
+              Files.copy(src, Paths.get(s"$gdalDir/$id.tif"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
           Files.writeString(Paths.get(s"$outDir/tiles.geojson"),
             LayerJob.renderTilesGeojson(result.manifest,
               if (spec.computeStats) Some(result.tileStats) else None))

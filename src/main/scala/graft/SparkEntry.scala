@@ -68,6 +68,9 @@ object SparkEntry {
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
     "x1_approx_distinct"  -> (Q.x1_approx_distinct(_, _)),
+    "x2_salted_rasterize" -> (Q.x2_salted_rasterize(_, _)),
+    "x3_rollup"           -> (Q.x3_rollup(_, _)),
+    "x4_correlated_sub"   -> (Q.x4_correlated_sub(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
 
@@ -495,6 +498,29 @@ object SparkEntry {
           countDistinct("l_partkey").as("exact_parts"))
         .orderBy("l_returnflag")
 
+    /** Salted two-phase rasterize-count: must equal the plain A1 aggregate
+      * (the skew-mitigation path, verified against the unsalted oracle). */
+    def x2_salted_rasterize(s: SparkSession, d: String): DataFrame =
+      graft.operators.Skew.saltedCount(pixels(s, d), Seq("px", "py"), saltBuckets = 16)
+        .orderBy("px", "py")
+
+    /** ROLLUP aggregation (grouping-sets family). */
+    def x3_rollup(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+    /** Correlated-subquery shape: parts priced above their brand average. */
+    def x4_correlated_sub(s: SparkSession, d: String): DataFrame = {
+      val p = Tables.part(s, d)
+      val brandAvg = p.groupBy("p_brand").agg(avg("p_retailprice").as("brand_avg"))
+      p.join(brandAvg, "p_brand")
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"), round(col("p_retailprice"), 2).as("price"))
+        .orderBy("p_partkey")
+    }
+
     // ----------------------------------------------- multimodal (north star)
     def m1_media_features(s: SparkSession, d: String): DataFrame =
       Multimodal.syntheticFromText(Tables.documents(s, d), "doc_id", "text")
@@ -885,6 +911,20 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
       },
+
+      "x2_salted_rasterize" ->
+        """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value
+          |FROM lineitem GROUP BY 1, 2 ORDER BY px, py""".stripMargin,
+
+      "x3_rollup" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "x4_correlated_sub" ->
+        """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
+          |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part b WHERE b.p_brand = p.p_brand)
+          |ORDER BY p_partkey""".stripMargin,
 
       "e3_embedding_dup" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
