@@ -149,17 +149,28 @@ object Raster {
   }
 
   /** Per-block bucket counts for the histogram (A4 map-side combine;
-    * `gdalinfo -hist` semantics: n equal buckets over [lo, hi]). */
+    * `gdalinfo -hist` semantics: n equal buckets over [lo, hi]).
+    *
+    * One UDF call per BLOCK with an imperative O(pixels) fill — a
+    * functional fold rebuilding the bucket array per pixel would be
+    * O(pixels × buckets), 256× slower at 256 buckets. This is not a
+    * per-pixel UDF: it amortizes over the whole packed array. */
   def blockHistogram(values: Column, valid: Column, lo: Double, hi: Double, n: Int): Column = {
-    val vals = zip_with(values, valid, (v, ok) => when(ok, v))
-    val width = (hi - lo) / n
-    aggregate(
-      vals,
-      array_repeat(lit(0L), n),
-      (acc, v) => {
-        val b = least(greatest(floor((v - lit(lo)) / lit(width)).cast("int"), lit(0)), lit(n - 1))
-        when(v.isNull, acc).otherwise(
-          transform(acc, (c, i) => when(i === b, c + 1L).otherwise(c)))
-      })
+    val hist = udf((vals: Seq[java.lang.Double], oks: Seq[Boolean]) => {
+      val out = new Array[Long](n)
+      val width = (hi - lo) / n
+      // iterate, never index: the Seq Spark hands a UDF can be list-backed,
+      // where apply(i) is O(i) and an indexed loop goes quadratic
+      val vi = vals.iterator; val oi = oks.iterator
+      while (vi.hasNext && oi.hasNext) {
+        val v = vi.next(); val ok = oi.next()
+        if (v != null && ok) {
+          val b = math.min(n - 1, math.max(0, ((v - lo) / width).toInt))
+          out(b) += 1
+        }
+      }
+      out
+    })
+    hist(values, valid)
   }
 }

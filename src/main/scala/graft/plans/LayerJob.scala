@@ -36,7 +36,8 @@ object LayerJob {
       tileStats: DataFrame,  // per (tile_id, band) A3 stats
       manifest: DataFrame,   // per-tile footprint + metadata (tiles.geojson rows)
       extent: DataFrame,     // 1-row geometric union (extent.geojson)
-      status: DataFrame)     // status tally (A8)
+      status: DataFrame,     // status tally (A8)
+      tileHistogram: Option[DataFrame] = None) // per (tile_id, band) A4 buckets
 
   def run(spark: SparkSession, spec: LayerSpec, catalog: DataFrame,
           reader: BlockReader, subset: Option[Seq[String]] = None,
@@ -160,6 +161,32 @@ object LayerJob {
       .agg(GeomUnionAgg.column(col("g")).as("extent_wkb"))
       .select(GeoFunctions.st_asGeoJson(col("extent_wkb")).as("geometry"))
 
+    // A4 per (tile, band) when requested: per-block bucket partials summed
+    // elementwise — the gdalinfo -hist shape {count, min, max, buckets[]}
+    // (models/pydantic.py:81-85) over the pixel type's storage range.
+    val tileHist =
+      if (!spec.computeHistogram) None
+      else {
+        val (lo, hi) = pt.range
+        val nb = 256
+        val histIn = (1 to spec.bandCount).map { i =>
+          computed.select(col("tile_id"), lit(i).as("band"),
+            posexplode(Raster.blockHistogram(
+              col(s"band_$i").cast("array<double>"),
+              transform(col(s"band_$i"), v =>
+                pt.noData.map(nd => v.isNotNull && v =!= nd).getOrElse(v.isNotNull)),
+              lo, math.min(hi, 65536.0), nb)))
+        }.reduce(_ unionByName _)
+        Some(histIn
+          .groupBy("tile_id", "band", "pos").agg(sum("col").as("n"))
+          .groupBy("tile_id", "band")
+          .agg(map_from_arrays(collect_list("pos"), collect_list("n")).as("m"))
+          .select(col("tile_id"), col("band"),
+            transform(sequence(lit(0), lit(nb - 1)),
+              i => coalesce(element_at(col("m"), i), lit(0L))).as("buckets"))
+          .drop("m"))
+      }
+
     // A8: status algebra (pipe.py:137-168)
     val status = {
       val processed = processedTiles.withColumn("status", lit("processed"))
@@ -175,7 +202,7 @@ object LayerJob {
         .groupBy("status").agg(count(lit(1)).as("n"))
     }
 
-    Result(nonEmpty, tileStats, manifest, extent, status)
+    Result(nonEmpty, tileStats, manifest, extent, status, tileHist)
   }
 
   /** Manifest sink (K3): render tiles.geojson + extent.geojson strings.

@@ -66,6 +66,21 @@ class LayerJobSpec extends SparkSpec {
     assert(js.contains("\"std_dev\":"))
   }
 
+  test("A4 per-tile histogram: bucket mass equals valid pixel count") {
+    val r = LayerJob.run(spark, spec.copy(computeHistogram = true), catalog, reader)
+    val hist = r.tileHistogram.get
+    val h = hist.collect()
+    assert(h.length == 6)
+    val statByTile = r.tileStats.collect()
+      .map(x => x.getAs[String]("tile_id") -> x.getAs[Long]("n")).toMap
+    h.foreach { row =>
+      val total = row.getSeq[Long](2).sum
+      assert(total == statByTile(row.getString(0)),
+        s"tile ${row.getString(0)}: hist mass $total != n ${statByTile(row.getString(0))}")
+      assert(row.getSeq[Long](2).length == 256)
+    }
+  }
+
   test("status algebra: processed counts (pipe.py:137-168)") {
     val tally = result.status.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tally("processed") == 6)
