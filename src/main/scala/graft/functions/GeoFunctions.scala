@@ -96,6 +96,29 @@ object GeoFunctions {
     a => f(a)
   }
 
+  /** ST_Transform between the two grid CRSs (P5 applied to geometries):
+    * per-coordinate closed-form reprojection via [[Reproject]]. */
+  val st_transform: (Column, Column, Column) => Column = {
+    val f = udf((a: Array[Byte], from: String, to: String) => {
+      if (a == null) null
+      else {
+        val g = read(a).copy()
+        g.apply(new CoordinateFilter {
+          override def filter(c: Coordinate): Unit = {
+            val (x, y) =
+              if (Reproject.normalizedPair(from, to) == ("EPSG:4326", "EPSG:3857"))
+                Reproject.toWebMercator(c.x, c.y)
+              else Reproject.toWgs84(c.x, c.y)
+            c.setX(x); c.setY(y)
+          }
+        })
+        g.geometryChanged()
+        write(g)
+      }
+    })
+    (a, from, to) => f(a, from, to)
+  }
+
   val st_geomFromWkt: Column => Column = {
     val f = udf((s: String) => write(readWkt(s)))
     s => f(s)

@@ -45,6 +45,10 @@ object Reproject {
       case (f, t) => throw new IllegalArgumentException(s"Unsupported CRS pair $f → $t")
     }
 
+  /** Normalized (from, to) pair for dispatching transforms. */
+  def normalizedPair(from: String, to: String): (String, String) =
+    (normalize(from), normalize(to))
+
   private def normalize(crs: String): String = crs.trim.toUpperCase match {
     case "EPSG:4326" | "WGS84" => "EPSG:4326"
     case "EPSG:3857" | "WEBMERCATOR" | "EPSG:900913" => "EPSG:3857"

@@ -32,12 +32,19 @@ object VectorJob {
   def run(spark: SparkSession, spec: LayerSpec, features: DataFrame,
           burnField: String = "value", subset: Option[Seq[String]] = None): Result = {
     val grid = spec.gridDef
-    require(grid.crs == "EPSG:4326", "vector path currently burns lat/lng grids")
+
+    // features arrive in EPSG:4326; WebMercator grids reproject geometries
+    // into grid coordinates first (P5 on the data path, ST_Transform)
+    val projected =
+      if (grid.crs == "EPSG:3857")
+        features.withColumn("geom",
+          GeoFunctions.st_transform(col("geom"), lit("EPSG:4326"), lit("EPSG:3857")))
+      else features
 
     // P3: burn value via SQL calc (CASE WHEN …), default = raw field
     val valued = spec.calc match {
-      case Some(c) => features.withColumn("value", expr(c).cast("long"))
-      case None    => features.withColumn("value", col(burnField).cast("long"))
+      case Some(c) => projected.withColumn("value", expr(c).cast("long"))
+      case None    => projected.withColumn("value", col(burnField).cast("long"))
     }
 
     // F4/J5: features ⋈ tiles on envelope intersection; tiles broadcast
@@ -53,7 +60,10 @@ object VectorJob {
       .filter(col("clipped").isNotNull)
 
     // G1: pixel cover on the grid lattice (global pixel indices)
-    val originX = -180.0; val originY = 90.0
+    val (originX, originY) = grid match {
+      case wm: graft.core.grid.WebMercatorGrid => (-wm.extent, wm.extent)
+      case _ => (-180.0, 90.0)
+    }
     val pixels = Rasterize.explodeToPixels(
       clipped.select(col("tile_id"), col("clipped").as("geom"), col("value")),
       originX, originY, grid.xres, grid.yres)
@@ -93,8 +103,8 @@ object VectorJob {
     // attach tile ids + bounds from the grid lattice
     val withTile = packed.join(
       broadcast(tiles.select(col("tile_id"), col("left"), col("bottom"), col("right"), col("top"),
-        floor((col("left") + 180.0) / (pxPerTile * grid.xres)).cast("int").as("tile_col_g"),
-        floor((lit(90.0) - col("top")) / (pxPerTile * grid.yres)).cast("int").as("tile_row_g"))),
+        floor((col("left") - originX) / (pxPerTile * grid.xres)).cast("int").as("tile_col_g"),
+        floor((lit(originY) - col("top")) / (pxPerTile * grid.yres)).cast("int").as("tile_row_g"))),
       Seq("tile_row_g", "tile_col_g"))
       .select("tile_id", "left", "bottom", "right", "top",
         "block_row", "block_col", "band_1")

@@ -15,6 +15,18 @@ class BucketingSpec extends SparkSpec {
     val o = Tables.orders(spark, sf())
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog is fresh per JVM; clear any stale table dirs
+    // left by previous runs or the DROP can't see them
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val dir = new java.io.File(s"target/tmp/warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -50,6 +50,18 @@ class VectorJobSpec extends SparkSpec {
     assert(tiles == Set("90N_180W", "00N_180W", "90N_090W", "00N_090W"))
   }
 
+  test("WebMercator grid: features reproject and burn on the 3857 lattice") {
+    val wmSpec = spec.copy(grid = "zoom_4") // single 4096-px world tile
+    val g = GeoFunctions.write(GeoFunctions.envelope(10, 10, 30, 30))
+    val r = VectorJob.run(spark, wmSpec, Seq((g, 1L)).toDF("geom", "value"))
+    val tiles = r.blocks.select("tile_id").distinct().as[String].collect().toSet
+    assert(tiles == Set("000R_000C"))
+    val burnt = r.blocks.select(explode(col("band_1")).as("v"))
+      .filter(col("v") === 1).count()
+    // ~20°x20° at zoom-4 resolution ≈ 228x244 px burned
+    assert(burnt > 150L * 150 && burnt < 300L * 300, s"burnt=$burnt")
+  }
+
   test("status tally counts processed tiles") {
     val g = GeoFunctions.write(GeoFunctions.envelope(-170, 10, -150, 30))
     val r = VectorJob.run(spark, spec, Seq((g, 1L)).toDF("geom", "value"))
