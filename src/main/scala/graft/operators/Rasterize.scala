@@ -58,14 +58,42 @@ object Rasterize {
     out.result()
   }
 
+  /** Lazy scanline iterator over the pixels a geometry covers — NEVER
+    * materializes the full cover (a continent-sized feature at a fine zoom
+    * covers 10⁸+ pixels; an eager Seq OOMs the task, found the hard way). */
+  def pixelCoverIterator(wkb: Array[Byte], originX: Double, originY: Double,
+                         xres: Double, yres: Double): Iterator[(Int, Int)] = {
+    val g = GeoFunctions.read(wkb)
+    val env = g.getEnvelopeInternal
+    val pf = g.getFactory
+    val px0 = math.floor((env.getMinX - originX) / xres).toInt
+    val px1 = math.ceil((env.getMaxX - originX) / xres).toInt
+    val py0 = math.floor((originY - env.getMaxY) / yres).toInt
+    val py1 = math.ceil((originY - env.getMinY) / yres).toInt
+    val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+    for {
+      py <- Iterator.range(py0, py1)
+      cy = originY - (py + 0.5) * yres
+      px <- Iterator.range(px0, px1)
+      cx = originX + (px + 0.5) * xres
+      if prepared.covers(pf.createPoint(new org.locationtech.jts.geom.Coordinate(cx, cy)))
+    } yield (px, py)
+  }
+
   /** features(geom: binary WKB, value: long) → pixels(px, py, value).
-    * One generator row per covered pixel. */
+    * One generator row per covered pixel, streamed via a typed flatMap so
+    * task memory stays constant regardless of feature size. */
   def explodeToPixels(features: DataFrame, originX: Double, originY: Double,
                       xres: Double, yres: Double): DataFrame = {
-    val cover = udf((wkb: Array[Byte]) => pixelCover(wkb, originX, originY, xres, yres))
-    features
-      .withColumn("pxy", explode(cover(col("geom"))))
-      .select(col("pxy._1").as("px"), col("pxy._2").as("py"), col("value"))
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.select(col("geom"), col("value").cast("long").as("value"))
+      .as[(Array[Byte], Long)]
+      .flatMap { case (wkb, value) =>
+        pixelCoverIterator(wkb, originX, originY, xres, yres)
+          .map { case (px, py) => (px, py, value) }
+      }
+      .toDF("px", "py", "value")
   }
 
   /** Burn mode `count` (A1): pixel = number of covering features. */
