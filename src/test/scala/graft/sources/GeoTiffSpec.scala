@@ -87,6 +87,19 @@ class GeoTiffSpec extends SparkSpec {
     assert(GeoTiff.open(path).readTile(1, 0, 0).forall(_ == 1.5))
   }
 
+  test("out-of-range values clamp at the sink (GDAL semantics, not Java wrap)") {
+    val vals = Array.fill(256)(0.0)
+    vals(0) = 300.0   // > uint8 max → 255, not 44
+    vals(1) = -5.0    // < uint8 min → 0, not 251
+    vals(2) = 254.6   // rounds to nearest → 255
+    val path = tmp("clamp.tif")
+    val w = new GeoTiff.Writer(path, profile("uint8", None))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, vals)
+    w.close()
+    val back = GeoTiff.open(path).readTile(1, 0, 0)
+    assert(back(0) == 255.0 && back(1) == 0.0 && back(2) == 255.0)
+  }
+
   test("TIFF magic and classic header") {
     val path = tmp("magic.tif")
     val w = new GeoTiff.Writer(path, profile("uint8"))
