@@ -213,13 +213,40 @@ object GeoTiff {
   }
 
   // ------------------------------------------------------------------- read
+  /** Seekable read abstraction: POSIX files locally, any Hadoop FileSystem
+    * (s3a://, gs://, hdfs://) in production — same ranged-read access
+    * pattern either way (the reference's VSI curl reads, SURVEY §4). */
+  sealed trait RangeReader extends java.io.Closeable {
+    def seek(pos: Long): Unit
+    def readFully(buf: Array[Byte]): Unit
+  }
+
+  private final class LocalRangeReader(path: String) extends RangeReader {
+    private val raf = new RandomAccessFile(path, "r")
+    override def seek(pos: Long): Unit = raf.seek(pos)
+    override def readFully(buf: Array[Byte]): Unit = raf.readFully(buf)
+    override def close(): Unit = raf.close()
+  }
+
+  private[sources] final class HadoopRangeReader(path: String) extends RangeReader {
+    private val hp = new org.apache.hadoop.fs.Path(path)
+    private val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    override def seek(pos: Long): Unit = in.seek(pos)
+    override def readFully(buf: Array[Byte]): Unit = in.readFully(buf, 0, buf.length)
+    override def close(): Unit = in.close()
+  }
+
+  private[sources] def rangeReader(path: String): RangeReader =
+    if (path.startsWith("file:") || !path.contains("://")) new LocalRangeReader(localPath(path))
+    else new HadoopRangeReader(path)
+
   final case class Tiff(profile: Profile, tileOffsets: Array[Long], tileCounts: Array[Long],
                         path: String) {
     /** S5: read one tile's pixels as doubles (masked handling upstream). */
     def readTile(band: Int, tileRow: Int, tileCol: Int): Array[Double] = {
       val p = profile
       val idx = (band - 1) * p.tilesPerBand + tileRow * p.tilesAcross + tileCol
-      val raf = new RandomAccessFile(path, "r")
+      val raf = rangeReader(path)
       try {
         raf.seek(tileOffsets(idx))
         val payload = new Array[Byte](tileCounts(idx).toInt)
@@ -258,8 +285,8 @@ object GeoTiff {
   /** S4: metadata scan — open the file, parse the IFD into a Profile
     * (`utils/utils.py:99-120`). */
   def open(rawPath: String): Tiff = {
-    val path = localPath(rawPath)
-    val raf = new RandomAccessFile(path, "r")
+    val path = rawPath
+    val raf = rangeReader(path)
     try {
       val head = new Array[Byte](8); raf.readFully(head)
       require(head(0) == 'I' && head(1) == 'I' && head(2) == 42, s"not a little-endian TIFF: $path")
@@ -341,11 +368,11 @@ object GeoTiff {
   private def localPath(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
-  private def readShortLE(raf: RandomAccessFile): Int = {
+  private def readShortLE(raf: RangeReader): Int = {
     val b = new Array[Byte](2); raf.readFully(b)
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
   }
-  private def readIntLE(raf: RandomAccessFile): Int = {
+  private def readIntLE(raf: RangeReader): Int = {
     val b = new Array[Byte](4); raf.readFully(b)
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
   }

@@ -100,6 +100,21 @@ class GeoTiffSpec extends SparkSpec {
     assert(back(0) == 255.0 && back(1) == 0.0 && back(2) == 255.0)
   }
 
+  test("Hadoop FS range reader serves the same bytes as the local reader") {
+    val path = tmp("hfs.tif")
+    val w = new GeoTiff.Writer(path, profile("uint16", Some(0.0)))
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      w.writeTile(1, tr, tc, Array.tabulate(256)(_.toDouble))
+    w.close()
+    // read the header through the Hadoop adapter directly (LocalFileSystem)
+    val hr = new GeoTiff.HadoopRangeReader(new java.io.File(path).getAbsolutePath)
+    val head = new Array[Byte](4)
+    hr.readFully(head); hr.close()
+    assert(head(0) == 'I' && head(1) == 'I' && head(2) == 42)
+    // and the whole tiff through the normal (local) path
+    assert(GeoTiff.open(path).readTile(1, 1, 1)(10) == 10.0)
+  }
+
   test("TIFF magic and classic header") {
     val path = tmp("magic.tif")
     val w = new GeoTiff.Writer(path, profile("uint8"))
