@@ -71,6 +71,7 @@ object SparkEntry {
     "x2_salted_rasterize" -> (Q.x2_salted_rasterize(_, _)),
     "x3_rollup"           -> (Q.x3_rollup(_, _)),
     "x4_correlated_sub"   -> (Q.x4_correlated_sub(_, _)),
+    "x5_asof_join"        -> (Q.x5_asof_join(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
 
@@ -521,6 +522,23 @@ object SparkEntry {
         .orderBy("p_partkey")
     }
 
+    /** As-of join: each event enriched with the latest order (by date) of
+      * the same customer — the union-scan implementation, oracle-checked
+      * against DuckDB's native ASOF JOIN. Right side pre-deduped per
+      * (key, time) so tie-breaking is unambiguous in both engines. */
+    def x5_asof_join(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id")
+      val ord = Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.operators.AsOfJoin.asof(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_orderdate"))
+        .select("event_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    }
+
     // ----------------------------------------------- multimodal (north star)
     def m1_media_features(s: SparkSession, d: String): DataFrame =
       Multimodal.syntheticFromText(Tables.documents(s, d), "doc_id", "text")
@@ -925,6 +943,13 @@ object SparkEntry {
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
           |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part b WHERE b.p_brand = p.p_brand)
           |ORDER BY p_partkey""".stripMargin,
+
+      "x5_asof_join" ->
+        """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          |           FROM orders GROUP BY o_custkey, o_orderdate)
+          |SELECT event_id, o.o_orderkey, o.o_orderdate FROM events e
+          |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+          |ORDER BY event_id""".stripMargin,
 
       "e3_embedding_dup" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),

@@ -75,6 +75,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b(1L) == b(2L))
   }
 
+  test("as-of join picks the latest right row at-or-before each left time") {
+    val trades = Seq((1L, 10L, 100L), (2L, 25L, 100L), (3L, 5L, 100L))
+      .toDF("trade_id", "t", "k")
+    val quotes = Seq((9L, 100L, 1.0), (10L, 100L, 2.0), (20L, 100L, 3.0), (25L, 100L, 4.0))
+      .toDF("qt", "k", "price")
+    val joined = AsOfJoin.asof(trades, quotes, "k", "k", "t", "qt",
+      Seq("price", "qt")).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(joined(1L) == ((Some(2.0), Some(10L))))  // t=10 → quote at 10 (<=)
+    assert(joined(2L) == ((Some(4.0), Some(25L))))  // exact match wins
+    assert(joined(3L) == ((None, None)))            // before any quote → null
+  }
+
   test("text ops on known strings") {
     val df = Seq((1L, "The cat and the dog, in the house!")).toDF("doc_id", "text")
     val r = df.select(
