@@ -16,7 +16,7 @@ object Bench {
     "q1_pricing_summary", "j5_join3_revenue", "j2_file_catalog_join",
     "a1_rasterize_count", "a3_band_stats", "a4_histogram",
     "w1_ordered_burn_rank", "st1_window_agg", "st2_sessionize",
-    "f3_exists_antijoin", "o1_topk",
+    "f3_exists_antijoin", "o1_topk", "x5_asof_join",
     "t3_quality_score", "t4_fingerprint",
     "d2_minhash_sig", "d3_lsh_candidates", "d5_jaccard_pairs",
     "e1_knn_brute", "e2_knn_lsh",
