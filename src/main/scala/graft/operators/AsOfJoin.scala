@@ -40,8 +40,10 @@ object AsOfJoin {
           left.select(leftCols.map(col): _*).schema.fields)).as("__l"),
       struct(rightCols.map(col): _*).as("__r"))
     // right rows sort before left rows at the same timestamp (side 0 < 1),
-    // so an exactly-equal rightTime is visible to the left row (<= semantics)
-    val w = Window.partitionBy("__key").orderBy(col("__time"), col("__side"))
+    // so an exactly-equal rightTime is visible to the left row (<= semantics);
+    // __r in the ordering makes duplicate (key, time) right rows resolve
+    // deterministically to the largest right struct
+    val w = Window.partitionBy("__key").orderBy(col("__time"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

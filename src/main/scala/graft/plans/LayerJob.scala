@@ -69,11 +69,21 @@ object LayerJob {
     }
 
     // J2: file assignment — which files feed which tile, per band.
-    // Priority = manifest order (layers.py:196-228): later files override
-    // earlier ones in the J3 mosaic, made deterministic by (band, uri) rank.
-    val prioritized = cat.select(col("uri"), col("band"), col("file_band"), col("footprint"))
-      .withColumn("priority", row_number().over(
+    // Priority = manifest order (layers.py:196-228) under gdalbuildvrt
+    // overlay semantics (utils/gdal.py:56-95): LATER-listed files override
+    // earlier ones, so the last file per band gets rank 1 and wins the J3
+    // fold. Catalogs may carry an explicit `manifest_idx` (tiles.geojson
+    // feature order); otherwise (band, uri) order stands in for it.
+    val ordered =
+      if (cat.columns.contains("manifest_idx")) cat
+      else cat.withColumn("manifest_idx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("band", "uri")))
+    val prioritized = ordered
+      .select(col("uri"), col("band"), col("file_band"), col("footprint"), col("manifest_idx"))
+      .withColumn("priority", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")
+          .orderBy(col("manifest_idx").desc)))
+      .drop("manifest_idx")
     val work = pending.join(broadcast(prioritized),
       GeoFunctions.st_intersectsInterior(tileEnv, col("footprint")))
 
@@ -84,10 +94,15 @@ object LayerJob {
         .dropDuplicates("tile_id", "uri", "band"), grid)
     val readBlocks = reader(blockWork)
 
-    // J3: mosaic overlap — per pixel, first valid value in priority order
-    // (VRT order semantics of utils/gdal.py:56-95). Files overlapping one
-    // block are few; fold their arrays in priority order.
-    val mosaicked = readBlocks
+    // J3: mosaic overlap — per pixel, the first layer in priority order
+    // whose VALID bit is set wins (VRT order semantics of
+    // utils/gdal.py:56-95). Readers emit non-null value arrays with nodata
+    // signaled only in `valid`, so invalid pixels are nulled out BEFORE the
+    // fold — a nodata hole in the top file falls through to lower files
+    // instead of leaking its sentinel as real data.
+    val masked = readBlocks.withColumn("values",
+      zip_with(col("values"), col("valid"), (v, ok) => when(ok, v)))
+    val mosaicked = masked
       .groupBy("tile_id", "band", "block_row", "block_col", "width", "height")
       .agg(sort_array(collect_list(struct(col("priority"), col("values"), col("valid"))))
         .as("layers"))

@@ -27,12 +27,15 @@ object Catalog {
       GeoFunctions.write(gf.createPolygon(gf.createLinearRing(shell), holes))
     })
     spark.read.option("multiLine", "true").json(path)
-      .select(explode(col("features")).as("f"))
+      .select(posexplode(col("features")).as(Seq("manifest_idx", "f")))
       .select(
         col("f.properties.name").as("uri"),
         lit(band).as("band"),           // global band position (J4 alignment)
         lit(1).as("file_band"),         // band index INSIDE the file
-        polyToWkb(col("f.geometry.coordinates")).as("footprint"))
+        polyToWkb(col("f.geometry.coordinates")).as("footprint"),
+        // feature order = gdalbuildvrt listing order; later entries override
+        // earlier ones in the J3 mosaic (utils/gdal.py:56-95)
+        col("manifest_idx"))
   }
 
   /** S3: object-store/folder listing scan (`layers.py:131-161`): all .tif

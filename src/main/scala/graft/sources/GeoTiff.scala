@@ -65,7 +65,12 @@ object GeoTiff {
       val idx = (band - 1) * profile.tilesPerBand + tileRow * profile.tilesAcross + tileCol
       val raw = encode(pixels)
       val payload = if (profile.deflate) deflate(raw) else raw
-      offsets(idx) = raf.getFilePointer
+      val at = raf.getFilePointer
+      // classic TIFF stores offsets as 32-bit: fail loudly instead of
+      // silently wrapping into a corrupt file (BigTIFF is out of scope)
+      require(at + payload.length <= 0xFFFFFFFFL,
+        s"$path exceeds the classic TIFF 4GB limit at tile ($band,$tileRow,$tileCol)")
+      offsets(idx) = at
       counts(idx) = payload.length
       raf.write(payload)
     }
@@ -95,6 +100,8 @@ object GeoTiff {
       require(offsets.forall(_ > 0), "not all tiles were written")
       val ifdOffset = raf.getFilePointer
       val ifd = buildIfd(ifdOffset)
+      require(ifdOffset + ifd.length <= 0xFFFFFFFFL,
+        s"$path exceeds the classic TIFF 4GB limit (IFD at $ifdOffset)")
       raf.write(ifd)
       raf.seek(4)
       raf.write(leInt(ifdOffset.toInt))
@@ -343,6 +350,11 @@ object GeoTiff {
         case (32, 3) => "float32"; case (64, 3) => "float64"
         case other => throw new IllegalArgumentException(s"unsupported sample $other")
       }
+      // only NONE (1) and DEFLATE (8) decode here — anything else (LZW,
+      // PackBits, JPEG…) must fail fast instead of yielding garbage pixels
+      val compression = scalar(259, 1)
+      require(compression == 1 || compression == 8,
+        s"unsupported TIFF compression $compression in $path (only none=1, deflate=8)")
       val scale = doubles(33550)
       val tiepoint = doubles(33922)
       val geoKeys = array(34735)
@@ -359,7 +371,7 @@ object GeoTiff {
         originY = if (tiepoint.length >= 6) tiepoint(4) else 0,
         xres = if (scale.nonEmpty) scale(0) else 1,
         yres = if (scale.length > 1) scale(1) else 1,
-        deflate = scalar(259, 1) == 8)
+        deflate = compression == 8)
       Tiff(profile, array(324), array(325), path)
     } finally raf.close()
   }
