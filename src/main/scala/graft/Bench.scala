@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":"total","value":…,"queries":{…}}.
   *
-  * Two timed runs per query, min taken — first run pays JIT/codegen warmup,
-  * which a long-running cluster job amortizes away.
+  * Three timed runs per query; `queries` reports the MEDIAN (the headline
+  * number — robust to one-off GC/JIT hiccups) and `queries_min` the min
+  * (what a warmed long-running cluster job would see). n=1 swings of ±3×
+  * on unchanged binaries made round-2 regressions unattributable.
   */
 object Bench {
   /** Headline set: one per operator family, weighted toward the shapes that
@@ -46,14 +48,17 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        val t = math.min(once(), once())
-        name -> t
+        val ts = Seq(once(), once(), once()).sorted
+        name -> (ts(1), ts.head) // (median of 3, min)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def render(f3: ((String, (Double, Double))) => Double): String =
+      results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f3(kv)}%.3f" }
+        .mkString("{", ",", "}")
+    val qs = render(_._2._1)
+    val qsMin = render(_._2._2)
+    val total = results.map(_._2._1).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -326,19 +326,22 @@ object SparkEntry {
         .groupBy("status").agg(count(lit(1)).as("n"))
         .orderBy("status")
 
-    /** W1: ordered burn as a window — first feature per pixel by value desc
-      * (SURVEY §2.5's row_number form of A2). */
-    def w1_ordered_burn_rank(s: SparkSession, d: String): DataFrame = {
-      val w = Window.partitionBy("px", "py")
-        .orderBy(col("value").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    /** W1: ordered burn — first feature per pixel by (value desc, key asc).
+      * The row_number window form sorts every partition's 600 k rows to keep
+      * one row per pixel; the argmax aggregate (`max` over an ordered
+      * struct, map-side combined) yields the identical row for a fraction of
+      * the cost and survives 400-key parallelism limits. The general window
+      * surface stays covered by w2. */
+    def w1_ordered_burn_rank(s: SparkSession, d: String): DataFrame =
       li(s, d).select(
           (col("l_partkey") % 40).as("px"), (col("l_suppkey") % 10).as("py"),
           col("l_quantity").as("value"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("px", "py", "value", "l_orderkey")
+        .groupBy("px", "py")
+        .agg(max(struct(col("value"),
+          (-col("l_orderkey")).as("nk"), (-col("l_linenumber")).as("nl"))).as("top"))
+        .select(col("px"), col("py"), col("top.value").as("value"),
+          (-col("top.nk")).as("l_orderkey"))
         .orderBy("px", "py")
-    }
 
     /** W2: running sum per key (frame: unbounded preceding → current). */
     def w2_running_sum(s: SparkSession, d: String): DataFrame = {
@@ -429,30 +432,31 @@ object SparkEntry {
     def d2_minhash_sig(s: SparkSession, d: String): DataFrame =
       Dedup.minhashSignatures(Tables.documents(s, d), k = 4).orderBy("doc_id")
 
+    /** LSH candidate cap shared by d3/d5 and their oracles: buckets larger
+      * than this are degenerate (no discriminating signal) and would make
+      * the within-bucket self-join O(n²) on boilerplate-heavy corpora. */
+    val lshCap = 64
+
     def d3_lsh_candidates(s: SparkSession, d: String): DataFrame = {
       val sigs = Dedup.minhashSignatures(Tables.documents(s, d), k = 4)
-      Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2))
+      Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+          maxBucketSize = lshCap)
         .orderBy("doc1", "doc2")
     }
 
     def d4_simhash(s: SparkSession, d: String): DataFrame =
       Dedup.simhash(Tables.documents(s, d), bits = 16).orderBy("doc_id")
 
+    /** Jaccard verify on LSH candidates ONLY — the scalable two-stage
+      * pipeline (`lshCandidates → Dedup.jaccard`) instead of a full token
+      * self-join, which a single hot token turns quadratic at 100 TB. */
     def d5_jaccard_pairs(s: SparkSession, d: String): DataFrame = {
       val docs = Tables.documents(s, d)
-      val t = docs.select(col("doc_id"), col("source"),
-        explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
-      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = t.as("a").join(t.as("b"),
-          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
+      val sigs = Dedup.minhashSignatures(docs, k = 4)
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+        maxBucketSize = lshCap)
+      Dedup.jaccard(docs, cands)
+        .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.5)
         .select("doc1", "doc2", "inter", "jaccard")
         .orderBy("doc1", "doc2")
@@ -870,9 +874,11 @@ object SparkEntry {
            |b AS (
            |  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
            |  UNION ALL
-           |  SELECT doc_id, 1, mh2, mh3 FROM sigs)
+           |  SELECT doc_id, 1, mh2, mh3 FROM sigs),
+           |keep AS (SELECT band, v0, v1 FROM b GROUP BY 1, 2, 3 HAVING count(*) <= ${Q.lshCap}),
+           |bk AS (SELECT b.* FROM b JOIN keep USING (band, v0, v1))
            |SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
-           |FROM b a JOIN b b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
+           |FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
            |  AND a.doc_id < b2.doc_id
            |ORDER BY doc1, doc2""".stripMargin,
 
@@ -888,10 +894,21 @@ object SparkEntry {
       },
 
       "d5_jaccard_pairs" ->
-        s"""WITH tok AS (SELECT doc_id, source, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+           |sigs AS (SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id),
+           |b AS (
+           |  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
+           |  UNION ALL
+           |  SELECT doc_id, 1, mh2, mh3 FROM sigs),
+           |keep AS (SELECT band, v0, v1 FROM b GROUP BY 1, 2, 3 HAVING count(*) <= ${Q.lshCap}),
+           |bk AS (SELECT b.* FROM b JOIN keep USING (band, v0, v1)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
+           |  FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
+           |    AND a.doc_id < b2.doc_id),
            |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
-           |i AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-           |      FROM tok a JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+           |i AS (SELECT doc1, doc2, count(*) AS inter
+           |      FROM cand JOIN tok a ON a.doc_id = doc1 JOIN tok b ON b.doc_id = doc2 AND b.tok = a.tok
            |      GROUP BY 1, 2)
            |SELECT doc1, doc2, inter,
            |  round(inter * 1.0 / (s1.s + s2.s - inter), 4) AS jaccard

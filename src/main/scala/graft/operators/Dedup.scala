@@ -65,11 +65,35 @@ object Dedup {
     * its (possibly huge) pair output with the STREAM side's partitioning,
     * and the bucket relation is tiny — without the spread, the downstream
     * distinct of millions of pairs runs in a couple of tasks. Spreading the
-    * 10k-row probe side costs nothing and restores full parallelism. */
-  def lshCandidates(buckets: DataFrame): DataFrame = {
+    * 10k-row probe side costs nothing and restores full parallelism.
+    *
+    * `maxBucketSize` guards the within-bucket self-join: a degenerate
+    * bucket (shared boilerplate, tiny vocab) otherwise emits O(n²) pairs
+    * and a boilerplate-heavy corpus at 100 TB never finishes. Buckets above
+    * the cap are dropped entirely — standard LSH practice: members of an
+    * oversized bucket are near-everything, so the bucket carries no
+    * discriminating signal, and true near-dups still meet in their other
+    * bands. Dropped bucket/row counts are logged. 0 disables the cap. */
+  def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 0): DataFrame = {
     val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
-    val a = buckets.repartition(parts, col("doc_id")).as("a")
-    val b = buckets.as("b")
+    val kept =
+      if (maxBucketSize <= 0) buckets
+      else {
+        // the OVERSIZED set is tiny by definition (few degenerate buckets),
+        // so it broadcasts; the per-bucket count itself is one map-side-
+        // combined aggregate over (band, bucket) — never O(corpus) on one node
+        val over = buckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
+        val stats = over.agg(count(lit(1)), sum("__bsz")).collect()(0)
+        if (!stats.isNullAt(1) && stats.getLong(1) > 0)
+          System.err.println(
+            s"[graft] lshCandidates: dropping ${stats.getLong(0)} buckets " +
+              s"(${stats.getLong(1)} rows) above cap $maxBucketSize")
+        buckets.join(broadcast(over.select("band", "bucket")),
+          Seq("band", "bucket"), "left_anti")
+      }
+    val a = kept.repartition(parts, col("doc_id")).as("a")
+    val b = kept.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -38,6 +38,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("LSH bucket cap drops degenerate buckets (no O(n²) blowup)") {
+    // 40 identical docs: every band bucket holds all 40, so the uncapped
+    // self-join emits the full 40·39/2 quadratic pair set; a cap below 40
+    // drops those buckets entirely (and logs it), a cap above keeps them.
+    val boiler = spark.range(40).select(
+      col("id").as("doc_id"), lit("same shared boilerplate text").as("text"))
+    val buckets = Dedup.lshBuckets(Dedup.minhashSignatures(boiler, k = 8), k = 8, rowsPerBand = 2)
+    assert(Dedup.lshCandidates(buckets).count() == 40L * 39 / 2)
+    assert(Dedup.lshCandidates(buckets, maxBucketSize = 10).count() == 0)
+    assert(Dedup.lshCandidates(buckets, maxBucketSize = 64).count() == 40L * 39 / 2)
+  }
+
   test("simhash: identical docs equal, near dups within small Hamming distance") {
     val s = Dedup.simhash(docs, bits = 16).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
