@@ -53,20 +53,34 @@ object Pixetl {
           val uris = spec.sourceUri.get
           // each source_uri contributes the next global band (A, B, C…) —
           // the reference's band concatenation (layers.py:171-237)
-          val catalog =
+          val (catalog0, srcEpsg) =
             if (uris.forall(_.endsWith(".geojson")))
-              uris.zipWithIndex
+              (uris.zipWithIndex
                 .map { case (u, i) => Catalog.fromTilesGeojson(spark, u, band = i + 1) }
-                .reduce(_ unionByName _)
-            else
-              uris.zipWithIndex.map { case (u, i) =>
+                .reduce(_ unionByName _),
+                4326) // tiles.geojson footprints are always 4326 (pixetl_prep.py:60-76)
+            else {
+              val harvested = uris.zipWithIndex.map { case (u, i) =>
                 GeoTiffSpark.harvestCatalog(spark,
                     Catalog.listFolder(spark, u).collect().map(_.getString(0)).toSeq)
                   .withColumn("band", org.apache.spark.sql.functions.lit(i + 1))
-                  .select("uri", "band", "file_band", "footprint")
               }.reduce(_ unionByName _)
+              val epsgs = harvested.select("epsg").distinct().collect().map(_.getInt(0)).toSeq
+              require(epsgs.size == 1, s"sources span multiple CRSs: $epsgs")
+              (harvested.select("uri", "band", "file_band", "footprint"), epsgs.head)
+            }
+          // cross-CRS job (e.g. 4326 sources → zoom_N grid): plan in the
+          // grid CRS and gather through the warp reader — the WarpedVRT
+          // role of tiles/raster_src_tile.py:188-210
+          val grid = spec.gridDef
+          val gridEpsg = if (grid.crs == "EPSG:3857") 3857 else 4326
+          val (catalog, reader) =
+            if (srcEpsg == gridEpsg) (catalog0, GeoTiffSpark.reader)
+            else (Catalog.reprojectFootprints(catalog0, s"EPSG:$srcEpsg", grid.crs),
+              graft.sources.WarpReader.reader(grid.xres, grid.yres, grid.blockSize,
+                grid.crs, s"EPSG:$srcEpsg"))
           val existing = Catalog.existingTiles(spark, outDir)
-          val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader,
+          val result = LayerJob.run(spark, spec, catalog, reader,
             subset = sub, existing = Some(existing), overwrite = overwrite)
           GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
           // dual destination profiles (tiles/tile.py:54-97): the

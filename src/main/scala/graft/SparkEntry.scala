@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.core.grid.{GridFactory, LatLngGrid, WebMercatorGrid}
-import graft.functions.{Calc, PortableHash}
+import graft.functions.{Calc, PortableHash, Reproject}
 import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -39,6 +39,7 @@ object SparkEntry {
     "j4_band_align_join"  -> (Q.j4_band_align_join(_, _)),
     "j5_join3_revenue"    -> (Q.j5_join3_revenue(_, _)),
     "r1_resample_avg"     -> (Q.r1_resample_avg(_, _)),
+    "r3_warp_3857"        -> (Q.r3_warp_3857(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -259,6 +260,33 @@ object SparkEntry {
       counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("cx"), col("cy"), col("v").as("value"))
         .orderBy("cx", "cy")
+    }
+
+    /** R3: cross-CRS warp gather — WarpReader's per-pixel math in
+      * declarative form so DuckDB can oracle it. Each pixel of a 128×128
+      * WebMercator world raster inverse-projects its center to 4326
+      * (closed-form, `Reproject.invMercator*`) and floor-indexes a 10°
+      * source lattice built from `part`; cells with no source data
+      * nodata-fill with -1 (the K4 pad). This is rasterio WarpedVRT
+      * nearest-kernel semantics (`tiles/raster_src_tile.py:188-210`). */
+    def r3_warp_3857(s: SparkSession, d: String): DataFrame = {
+      val ext = Reproject.webMercatorMax
+      val n = 128
+      val res = 2 * ext / n
+      val cells = Tables.part(s, d)
+        .groupBy((col("p_partkey") % 36).as("cx"), (col("p_partkey") % 18).as("cy"))
+        .agg(count(lit(1)).as("n_parts"), round(max("p_retailprice"), 2).as("max_price"))
+      s.range(n.toLong * n)
+        .select((col("id") % n).as("i"), expr(s"id DIV $n").as("j"))
+        .withColumn("lng", Reproject.invMercatorLng(lit(-ext) + (col("i") + 0.5) * res))
+        .withColumn("lat", Reproject.invMercatorLat(lit(ext) - (col("j") + 0.5) * res))
+        .withColumn("cx", floor((col("lng") + 180.0) / 10.0))
+        .withColumn("cy", floor((lit(90.0) - col("lat")) / 10.0))
+        .join(broadcast(cells), Seq("cx", "cy"), "left")
+        .select(col("i"), col("j"),
+          coalesce(col("n_parts"), lit(-1L)).as("n_parts"),
+          coalesce(col("max_price"), lit(-1.0)).as("max_price"))
+        .orderBy("i", "j")
     }
 
     /** A1: rasterize burn-count — pixel = COUNT of covering features. */
@@ -716,6 +744,18 @@ object SparkEntry {
           |r AS (SELECT cx, cy, v,
           |  row_number() OVER (PARTITION BY cx, cy ORDER BY cnt DESC, v ASC) AS rn FROM counted)
           |SELECT cx, cy, v AS value FROM r WHERE rn = 1 ORDER BY cx, cy""".stripMargin,
+
+      "r3_warp_3857" ->
+        """WITH px AS (SELECT v % 128 AS i, v // 128 AS j FROM generate_series(0, 16383) t(v)),
+          |ll AS (SELECT i, j,
+          |  (-20037508.342789244 + (i + 0.5) * (2 * 20037508.342789244 / 128)) / 20037508.342789244 * 180.0 AS lng,
+          |  degrees(2 * atan(exp((20037508.342789244 - (j + 0.5) * (2 * 20037508.342789244 / 128)) / 6378137.0)) - pi() / 2) AS lat
+          |  FROM px),
+          |cells AS (SELECT p_partkey % 36 AS cx, p_partkey % 18 AS cy, count(*) AS n_parts,
+          |  round(max(p_retailprice), 2) AS max_price FROM part GROUP BY 1, 2)
+          |SELECT i, j, coalesce(n_parts, -1) AS n_parts, coalesce(max_price, -1.0) AS max_price
+          |FROM ll LEFT JOIN cells ON cells.cx = floor((lng + 180.0) / 10.0) AND cells.cy = floor((90.0 - lat) / 10.0)
+          |ORDER BY i, j""".stripMargin,
 
       "a1_rasterize_count" ->
         """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value

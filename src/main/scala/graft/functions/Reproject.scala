@@ -49,6 +49,28 @@ object Reproject {
   def normalizedPair(from: String, to: String): (String, String) =
     (normalize(from), normalize(to))
 
+  /** Point transform for the warp gather (the per-target-pixel inverse
+    * projection of rasterio's WarpedVRT, `tiles/raster_src_tile.py:188-210`).
+    * Identity when CRSs agree; closed-form between the two grid CRSs. */
+  def pointTransform(from: String, to: String): (Double, Double) => (Double, Double) =
+    normalizedPair(from, to) match {
+      case (f, t) if f == t            => (x, y) => (x, y)
+      case ("EPSG:3857", "EPSG:4326")  => toWgs84
+      case ("EPSG:4326", "EPSG:3857")  => toWebMercator
+      case (f, t) => throw new IllegalArgumentException(s"Unsupported CRS pair $f → $t")
+    }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Column forms of the inverse WebMercator transform — the same math the
+    * warp gather runs per pixel, kept as Catalyst expressions so oracle
+    * queries (and any DataFrame-level warp) stay whole-stage-codegen'd. */
+  def invMercatorLng(x: Column): Column = x / webMercatorMax * 180.0
+
+  def invMercatorLat(y: Column): Column =
+    degrees(atan(exp(y / earthRadius)) * 2 - math.Pi / 2)
+
   private def normalize(crs: String): String = crs.trim.toUpperCase match {
     case "EPSG:4326" | "WGS84" => "EPSG:4326"
     case "EPSG:3857" | "WEBMERCATOR" | "EPSG:900913" => "EPSG:3857"

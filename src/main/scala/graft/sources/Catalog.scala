@@ -51,6 +51,24 @@ object Catalog {
       .toSeq.toDF("uri", "size")
   }
 
+  /** Reproject axis-aligned catalog footprints into the grid CRS — the
+    * reference's `reproject_bounds` (`sources.py:137-168`), applied at plan
+    * time so cross-CRS jobs (4326 sources → `zoom_N` grid) join tiles and
+    * sources in ONE CRS. Envelope-in, envelope-out: the footprint of a
+    * warped source is the projected bbox, which is exact for the
+    * axis-separable 4326↔3857 pair. */
+  def reprojectFootprints(cat: DataFrame, fromCrs: String, toCrs: String): DataFrame = {
+    import graft.core.grid.Bounds
+    import graft.functions.Reproject
+    val rep = udf { (wkb: Array[Byte]) =>
+      val env = GeoFunctions.read(wkb).getEnvelopeInternal
+      val b = Reproject.bounds(
+        Bounds(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY), fromCrs, toCrs)
+      GeoFunctions.write(GeoFunctions.envelope(b.left, b.bottom, b.right, b.top))
+    }
+    cat.withColumn("footprint", rep(col("footprint")))
+  }
+
   /** S8: existence probe (`sources.py:254-263`) — used by the F3 anti-join
     * to skip already-materialized tiles. */
   def exists(spark: SparkSession, path: String): Boolean = {

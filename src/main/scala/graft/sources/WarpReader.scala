@@ -6,24 +6,35 @@ import org.apache.spark.sql.functions._
 /** Warping block reader (the WarpedVRT role of the reference,
   * `gfw_pixetl/tiles/raster_src_tile.py:188-210`): reads target-grid blocks
   * from source files whose grid does NOT match the output grid — different
-  * origin and/or resolution, same CRS. Nearest-neighbor gather per target
-  * pixel center (GDAL's default kernel); aggregate kernels compose with
-  * `operators/Resample` when the ratio is an integer.
+  * origin, resolution, and/or CRS. Nearest-neighbor gather per target pixel:
+  * the pixel center is projected from the target CRS into the source CRS
+  * (closed-form 4326↔3857, `functions/Reproject`), then floor-indexed into
+  * the source grid — exactly rasterio's WarpedVRT nearest path. Aggregate
+  * kernels compose with `operators/Resample` when the ratio is an integer.
   *
   * Out-of-source-range target pixels become nodata — the reference's
   * empty-pad edge case (`tiles/utils/window_utils.py:119-127`).
   *
   * Scale: each task holds a small LRU of decoded source tiles, so a run of
   * adjacent target blocks re-reads nothing; source fetches are ranged
-  * (tile-granular), matching the reference's windowed VSI reads.
+  * (tile-granular), matching the reference's windowed VSI reads. The
+  * per-pixel trig of a cross-CRS gather is nanoseconds against the I/O it
+  * amortizes; no shuffle is introduced — the reader stays a mapPartitions.
   */
 object WarpReader {
 
-  /** A `LayerJob.BlockReader` gathering from arbitrary same-CRS sources.
-    * Requires blockWork to carry the tile bounds (left/top) so target
-    * blocks are geolocated. */
+  /** Same-CRS warp (origin/resolution change only). */
   def reader(targetXres: Double, targetYres: Double, blockSize: Int): LayerJob.BlockReader =
+    reader(targetXres, targetYres, blockSize, "EPSG:4326", "EPSG:4326")
+
+  /** A `LayerJob.BlockReader` gathering from sources in `sourceCrs` onto a
+    * target grid in `targetCrs` (e.g. a 4326 source feeding a `zoom_N`
+    * WebMercator grid). Requires blockWork to carry the tile bounds
+    * (left/top) so target blocks are geolocated. */
+  def reader(targetXres: Double, targetYres: Double, blockSize: Int,
+             targetCrs: String, sourceCrs: String): LayerJob.BlockReader =
     blockWork => {
+      val toSrc = graft.functions.Reproject.pointTransform(targetCrs, sourceCrs)
       val spark = blockWork.sparkSession
       import spark.implicits._
       blockWork
@@ -52,11 +63,13 @@ object WarpReader {
             val bTop = tileTop - br * blockSize * targetYres
             var j = 0
             while (j < h) {
-              val cy = bTop - (j + 0.5) * targetYres
-              val sy = math.floor((p.originY - cy) / p.yres).toInt
+              val ty = bTop - (j + 0.5) * targetYres
               var i = 0
               while (i < w) {
-                val cx = bLeft + (i + 0.5) * targetXres
+                val tx = bLeft + (i + 0.5) * targetXres
+                // project the target pixel center into the source CRS
+                val (cx, cy) = toSrc(tx, ty)
+                val sy = math.floor((p.originY - cy) / p.yres).toInt
                 val sx = math.floor((cx - p.originX) / p.xres).toInt
                 val idx = j * w + i
                 if (sx >= 0 && sy >= 0 && sx < p.width && sy < p.height) {

@@ -66,6 +66,60 @@ class WarpReaderSpec extends SparkSpec {
     assert(east.length == 1 && east(0).getInt(0) == 0)
   }
 
+  test("cross-CRS warp: 4326 world source materializes a zoom_1 WebMercator tile e2e") {
+    import graft.functions.Reproject
+    // 4326 source covering the world: 512×256 px, value = gx + gy + 1
+    val path = s"${dir()}/world4326.tif"
+    val srcXres = 360.0 / 512; val srcYres = 180.0 / 256
+    val p = GeoTiff.Profile(width = 512, height = 256, bands = 1, dataType = "uint16",
+      tileWidth = 256, tileHeight = 256, noData = Some(0.0), epsg = 4326,
+      originX = -180.0, originY = 90.0, xres = srcXres, yres = srcYres)
+    val w = new GeoTiff.Writer(path, p)
+    for (tc <- 0 until 2) {
+      val px = Array.tabulate(256 * 256) { i =>
+        val gx = tc * 256 + (i % 256); val gy = i / 256
+        (gx + gy + 1).toDouble
+      }
+      w.writeTile(1, 0, tc, px)
+    }
+    w.close()
+
+    val wmSpec = LayerSpec(dataset = "w", version = "v1", sourceType = "raster",
+      pixelMeaning = "x", dataType = "uint16", grid = "zoom_1",
+      sourceUri = Some(Seq(path)), noData = Some(Seq(0.0)))
+    val wmGrid = wmSpec.gridDef
+    // plan in ONE CRS: source footprints reprojected into the grid CRS
+    // (the reference's reproject_bounds, sources.py:137-168)
+    val catalog = Catalog.reprojectFootprints(
+      GeoTiffSpark.harvestCatalog(spark, Seq(path)).selectExpr("uri", "band", "footprint"),
+      "EPSG:4326", "EPSG:3857")
+    val reader = WarpReader.reader(wmGrid.xres, wmGrid.yres, wmGrid.blockSize,
+      "EPSG:3857", "EPSG:4326")
+    val result = LayerJob.run(spark, wmSpec, catalog, reader)
+    val out = s"${dir()}/wm_out"
+    GeoTiffSpark.writeTiles(result.blocks, wmSpec, out).collect()
+
+    val t = GeoTiff.open(s"$out/000R_000C.tif")
+    assert(t.profile.epsg == 3857)
+    assert(t.profile.width == 512)
+
+    // the written pixels must equal the closed-form nearest gather
+    val ext = Reproject.webMercatorMax
+    def expected(i: Int, j: Int): Double = {
+      val (lng, lat) = Reproject.toWgs84(-ext + (i + 0.5) * wmGrid.xres,
+        ext - (j + 0.5) * wmGrid.yres)
+      val gx = math.floor((lng + 180.0) / srcXres).toInt
+      val gy = math.floor((90.0 - lat) / srcYres).toInt
+      (gx + gy + 1).toDouble
+    }
+    val b00 = t.readTile(1, 0, 0)
+    for ((i, j) <- Seq((0, 0), (10, 3), (128, 40), (255, 255)))
+      assert(b00(j * 256 + i) == expected(i, j), s"pixel ($i,$j)")
+    val b11 = t.readTile(1, 1, 1)
+    for ((i, j) <- Seq((0, 0), (100, 200)))
+      assert(b11(j * 256 + i) == expected(256 + i, 256 + j), s"pixel in block(1,1) ($i,$j)")
+  }
+
   test("per-partition tile cache keeps re-decoding bounded (same values twice)") {
     val src = s"${dir()}/fine.tif"
     val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(src))
