@@ -85,14 +85,31 @@ object Pixetl {
           GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
           // dual destination profiles (tiles/tile.py:54-97): the
           // `gdal-geotiff` variant differs only in creation options the
-          // codec normalizes away, so it materializes as a copy
+          // codec normalizes away, so it materializes as a copy —
+          // DISTRIBUTED (Hadoop-FS per task): a driver-side loop would
+          // serialize the whole second profile at 100k tiles
           val gdalDir = s"$dest/${spec.prefix(fmt = "gdal-geotiff")}"
-          Files.createDirectories(Paths.get(gdalDir))
-          Catalog.existingTiles(spark, outDir).collect().map(_.getString(0)).foreach { id =>
-            val src = Paths.get(s"$outDir/$id.tif")
-            if (Files.exists(src))
-              Files.copy(src, Paths.get(s"$gdalDir/$id.tif"),
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          def abs(p: String) =
+            if (p.contains("://")) p else Paths.get(p).toAbsolutePath.toString
+          if (gdalDir.contains("://")) {
+            val p = new org.apache.hadoop.fs.Path(gdalDir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+          } else Files.createDirectories(Paths.get(gdalDir))
+          val (srcRoot, dstRoot) = (abs(outDir), abs(gdalDir))
+          locally {
+            import spark.implicits._
+            Catalog.existingTiles(spark, outDir).as[String].mapPartitions { ids =>
+              val conf = new org.apache.hadoop.conf.Configuration()
+              ids.map { id =>
+                val src = new org.apache.hadoop.fs.Path(s"$srcRoot/$id.tif")
+                val dst = new org.apache.hadoop.fs.Path(s"$dstRoot/$id.tif")
+                val sfs = src.getFileSystem(conf)
+                if (sfs.exists(src))
+                  org.apache.hadoop.fs.FileUtil.copy(sfs, src, dst.getFileSystem(conf),
+                    dst, false, true, conf)
+                id
+              }
+            }.count()
           }
           Files.writeString(Paths.get(s"$outDir/tiles.geojson"),
             LayerJob.renderTilesGeojson(result.manifest,

@@ -79,6 +79,19 @@ object GeoFunctions {
     (a, b) => f(a, b)
   }
 
+  /** Polygonal intersection with the GeometryCollection cleanup of
+    * `utils/utils.py:187-208`: a shared edge plus an overlap elsewhere
+    * yields a collection with line artifacts — drop the non-polygonal
+    * pieces and union the rest. Empty when the inputs don't overlap. */
+  def intersectionPolygonal(a: Geometry, b: Geometry): Geometry = {
+    val g = a.intersection(b)
+    if (g.getGeometryType == "GeometryCollection") {
+      val polys = (0 until g.getNumGeometries).map(g.getGeometryN)
+        .filter(_.isInstanceOf[Polygonal])
+      if (polys.isEmpty) gf.createPolygon() else GeomUnionAgg.unionAll(polys)
+    } else g
+  }
+
   /** ST_CollectionExtract(geom, 3): keep polygonal parts only
     * (`tiles/vector_src_tile.py:44-65`). */
   val st_collectionExtractPolygon: Column => Column = {

@@ -52,13 +52,30 @@ object LayerJob {
     val seed = grid.tilesDF(spark)
     val subsetted = subset.fold(seed)(ids => seed.filter(col("tile_id").isin(ids: _*)))
 
-    // F2/J1: keep tiles whose interior intersects any source footprint.
-    // Catalog is control-plane small → broadcast; predicate is the
-    // interiors-intersect test of raster_src_tile.py:155-161.
+    // F2/J1: keep tiles whose interior intersects the LAYER geometry —
+    // the union (union_bands=true) or polygonal INTERSECTION (the
+    // reference default) of the per-band footprint unions
+    // (layers.py:239-258, utils/utils.py:187-225). Single-band layers and
+    // union semantics shortcut to the any-footprint broadcast semi-join
+    // (identical result, no plan-time aggregation job); the predicate is
+    // the interiors-intersect test of raster_src_tile.py:155-161.
     val tileEnv = GeoFunctions.st_makeEnvelope(col("left"), col("bottom"), col("right"), col("top"))
-    val withSource = subsetted
-      .join(broadcast(cat.select(col("footprint").as("src_fp"))),
-        GeoFunctions.st_intersectsInterior(tileEnv, col("src_fp")), "left_semi")
+    val inBandCount = spec.sourceUri.map(_.length).getOrElse(1)
+    val withSource =
+      if (spec.unionBands || inBandCount == 1)
+        subsetted.join(broadcast(cat.select(col("footprint").as("src_fp"))),
+          GeoFunctions.st_intersectsInterior(tileEnv, col("src_fp")), "left_semi")
+      else {
+        // per-band unions aggregate distributed (partial-combined); the
+        // band intersection folds on the driver over ≤bandCount geometries
+        val bandGeoms = cat.groupBy("band")
+          .agg(GeomUnionAgg.column(col("footprint")).as("g"))
+          .collect().map(r => GeoFunctions.read(r.getAs[Array[Byte]]("g")))
+        val layerGeom = bandGeoms.reduce(GeoFunctions.intersectionPolygonal)
+        require(!layerGeom.isEmpty, "Input bands do not overlap") // layers.py:255-257
+        subsetted.filter(
+          GeoFunctions.st_intersectsInterior(tileEnv, lit(GeoFunctions.write(layerGeom))))
+      }
 
     // F3/J6: skip already-materialized tiles unless overwrite
     val (pending, existingTiles) = existing match {

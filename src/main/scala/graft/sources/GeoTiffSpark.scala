@@ -20,7 +20,13 @@ object GeoTiffSpark {
 
   /** Write one GeoTIFF per tile under `outDir` (`<tile_id>.tif`), returning
     * (tile_id, path, n_blocks) rows. `blocks` must carry tile_id, left/top,
-    * block_row, block_col, width, height and band_1..band_N arrays. */
+    * block_row, block_col, width, height and band_1..band_N arrays.
+    *
+    * K2 upload: a scheme-qualified `outDir` (s3a://, file://, …) routes
+    * each tile through a local temp file then a Hadoop-FS
+    * `copyFromLocalFile` INSIDE the same task — the reference's
+    * write-local-then-upload step (`tiles/tile.py:143-172`) without a
+    * driver round-trip. Plain paths keep the direct POSIX writer. */
   def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
@@ -31,7 +37,11 @@ object GeoTiffSpark {
     val dataType = pt.name
     val epsg = if (grid.crs == "EPSG:3857") 3857 else 4326
     val (xres, yres, cols, block) = (grid.xres, grid.yres, grid.cols, grid.blockSize)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val viaFs = outDir.contains("://")
+    if (viaFs) {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    } else java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
     val cols0 = Seq("tile_id", "left", "top", "block_row", "block_col") ++
       (1 to bandCount).map(i => s"band_$i")
@@ -42,6 +52,9 @@ object GeoTiffSpark {
         var left = 0.0; var top = 0.0
         var n = 0
         val path = s"$outDir/$tileId.tif"
+        val localPath =
+          if (viaFs) java.nio.file.Files.createTempFile(s"graft_$tileId", ".tif").toString
+          else path
         val written = scala.collection.mutable.Set.empty[(Int, Int, Int)]
         rows.foreach { r =>
           if (writer == null) {
@@ -50,7 +63,7 @@ object GeoTiffSpark {
               width = cols, height = cols, bands = bandCount, dataType = dataType,
               tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
               originX = left, originY = top, xres = xres, yres = yres)
-            writer = new GeoTiff.Writer(path, profile)
+            writer = new GeoTiff.Writer(localPath, profile)
           }
           val br = r.getInt(3); val bc = r.getInt(4)
           for (b <- 1 to bandCount) {
@@ -76,7 +89,13 @@ object GeoTiffSpark {
           for (b <- 1 to bandCount; br <- 0 until nPerSide; bc <- 0 until nPerSide)
             if (!written.contains((b, br, bc))) writer.writeTile(b, br, bc, empty)
           writer.close()
-        }
+          if (viaFs) {
+            val dst = new org.apache.hadoop.fs.Path(path)
+            dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              .copyFromLocalFile(true /* delete temp */,
+                true /* overwrite */, new org.apache.hadoop.fs.Path(localPath), dst)
+          }
+        } else if (viaFs) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(localPath))
         (tileId, path, n)
       }
       .toDF("tile_id", "path", "n_blocks")

@@ -103,6 +103,29 @@ class LayerJobSpec extends SparkSpec {
     assert(r.manifest.count() == 1)
   }
 
+  test("union_bands: default intersects per-band footprints, true unions them") {
+    // band 1 covers -180..0, band 2 covers -90..90 → intersection is -90..0
+    // (2 tiles), union is -180..90 (6 tiles) on the 90° grid
+    val spec2 = spec.copy(calc = Some("A + B"),
+      sourceUri = Some(Seq("s3://b/a.tif", "s3://b/b.tif")))
+    val cat2 = Seq(
+      ("s3://b/a.tif", 1, GeoFunctions.write(GeoFunctions.envelope(-180, -90, 0, 90))),
+      ("s3://b/b.tif", 2, GeoFunctions.write(GeoFunctions.envelope(-90, -90, 90, 90))))
+      .toDF("uri", "band", "footprint")
+    val constReader: LayerJob.BlockReader = blocks =>
+      blocks
+        .withColumn("values",
+          transform(sequence(lit(0), col("width") * col("height") - 1), _ => lit(1.0)))
+        .withColumn("valid",
+          transform(sequence(lit(0), col("width") * col("height") - 1), _ => lit(true)))
+    val inter = LayerJob.run(spark, spec2, cat2, constReader)
+      .manifest.select("tile_id").as[String].collect().toSet
+    assert(inter == Set("90N_090W", "00N_090W"), s"intersection got $inter")
+    val uni = LayerJob.run(spark, spec2.copy(unionBands = true), cat2, constReader)
+      .manifest.select("tile_id").as[String].collect().toSet
+    assert(uni.size == 6 && inter.subsetOf(uni), s"union got $uni")
+  }
+
   test("J3 mosaic: higher-priority file wins where files overlap") {
     // reader that encodes the uri priority into the pixel value
     val priorityReader: LayerJob.BlockReader = blocks =>

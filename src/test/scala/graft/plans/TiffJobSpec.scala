@@ -69,6 +69,21 @@ class TiffJobSpec extends SparkSpec {
     assert(t.profile.xres == grid.xres)
   }
 
+  test("K2 upload: scheme-qualified outDir routes via temp file + Hadoop FS copy") {
+    val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
+    val catalog = GeoTiffSpark.harvestCatalog(spark, srcs)
+      .selectExpr("uri", "band", "footprint")
+    val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader)
+    val outLocal = dir("outFs")
+    val outUri = s"file://${Paths.get(outLocal).toAbsolutePath}"
+    val written = GeoTiffSpark.writeTiles(result.blocks, spec, outUri).collect()
+    assert(written.length == 1 && written(0).getString(1).startsWith("file://"))
+    // the object arrived at the destination scheme and decodes identically
+    val t = GeoTiff.open(s"$outLocal/${grid.tileId(0)}.tif")
+    val px = t.readTile(1, 0, 0)
+    assert(px.exists(_ == 2.0) && px.exists(_ == 0.0))
+  }
+
   test("multi-source band alignment: calc A + B across two source uris") {
     // two single-band files over the SAME tile; global bands 1 and 2
     import org.apache.spark.sql.functions._
