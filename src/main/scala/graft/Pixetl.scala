@@ -118,10 +118,21 @@ object Pixetl {
             LayerJob.renderExtentGeojson(result.extent))
           (result.blocks, result.status)
         case "vector" =>
-          // vector features arrive as a parquet snapshot with a WKB geom —
-          // the JDBC/PostGIS scan of the reference stays external (SURVEY §7.5)
-          val features = spark.read.parquet(sys.env.getOrElse("GRAFT_FEATURES",
-            s"$dest/features.parquet"))
+          // S7: features from a live PostGIS via ONE partitioned JDBC scan
+          // with the envelope predicate pushed into the database
+          // (schema = dataset, table = version, sources.py:32-36), or from
+          // a parquet snapshot when no database is configured. The burn
+          // calc stays engine-side (P3 in VectorJob) either way.
+          val features = sys.env.get("GRAFT_JDBC_URL") match {
+            case Some(url) =>
+              graft.sources.VectorSource.readJdbc(spark, url,
+                schema = spec.dataset, table = spec.version,
+                field = "value", calc = None,
+                bounds = graft.core.grid.Bounds(-180, -90, 180, 90),
+                order = spec.order)
+            case None => spark.read.parquet(sys.env.getOrElse("GRAFT_FEATURES",
+              s"$dest/features.parquet"))
+          }
           val result = VectorJob.run(spark, spec, features, subset = sub)
           GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
           (result.blocks, result.status)

@@ -2,11 +2,13 @@ package graft.functions
 
 import graft.core.grid.Bounds
 
-/** CRS reprojection of bounds/points (operator P5) for the two CRSs the
-  * grids use — EPSG:4326 ↔ EPSG:3857 — as closed-form math
+/** CRS reprojection of bounds/points (operator P5) as closed-form math
   * (`gfw_pixetl/sources.py:137-168`, `utils/utils.py:164-184`): no proj
-  * database needed, and out-of-range latitudes clamp to the WebMercator
-  * area of use like the reference's inf/NaN clamp (`type_casting.py:28-33`).
+  * database needed. The grid CRSs (EPSG:4326 ↔ EPSG:3857) are first-class;
+  * arbitrary source CRSs dispatch through the [[Projection]] registry
+  * (WGS84 UTM zones via ellipsoidal Transverse Mercator), pivoting through
+  * 4326. Out-of-range latitudes clamp to each projection's area of use
+  * like the reference's inf/NaN clamp (`type_casting.py:28-33`).
   */
 object Reproject {
 
@@ -29,8 +31,9 @@ object Reproject {
     (lng, lat)
   }
 
-  /** Transform bounds between the two CRSs, axis-separate like the
-    * reference's exotic-projection path (`utils/utils.py:164-184`). */
+  /** Transform bounds between CRSs, axis-separate like the reference's
+    * exotic-projection path (`utils/utils.py:164-184`). Known pairs go
+    * closed-form; anything else pivots through 4326 via the registry. */
   def bounds(b: Bounds, fromCrs: String, toCrs: String): Bounds =
     (normalize(fromCrs), normalize(toCrs)) match {
       case (f, t) if f == t => b
@@ -42,7 +45,11 @@ object Reproject {
         val (l, bo) = toWgs84(b.left, b.bottom)
         val (r, t) = toWgs84(b.right, b.top)
         Bounds(l, bo, r, t)
-      case (f, t) => throw new IllegalArgumentException(s"Unsupported CRS pair $f → $t")
+      case (f, t) =>
+        val tf = pointTransform(f, t)
+        val (l, bo) = tf(b.left, b.bottom)
+        val (r, tp) = tf(b.right, b.top)
+        Bounds(l, bo, r, tp)
     }
 
   /** Normalized (from, to) pair for dispatching transforms. */
@@ -51,13 +58,21 @@ object Reproject {
 
   /** Point transform for the warp gather (the per-target-pixel inverse
     * projection of rasterio's WarpedVRT, `tiles/raster_src_tile.py:188-210`).
-    * Identity when CRSs agree; closed-form between the two grid CRSs. */
+    * Identity when CRSs agree; closed-form between the two grid CRSs;
+    * anything the registry knows (UTM zones) pivots through 4326. */
   def pointTransform(from: String, to: String): (Double, Double) => (Double, Double) =
     normalizedPair(from, to) match {
       case (f, t) if f == t            => (x, y) => (x, y)
       case ("EPSG:3857", "EPSG:4326")  => toWgs84
       case ("EPSG:4326", "EPSG:3857")  => toWebMercator
-      case (f, t) => throw new IllegalArgumentException(s"Unsupported CRS pair $f → $t")
+      case (f, t) =>
+        (Projection.forCrs(f), Projection.forCrs(t)) match {
+          case (Some(pf), Some(pt)) => (x, y) => {
+            val (lng, lat) = pf.inverse(x, y)
+            pt.forward(lng, lat)
+          }
+          case _ => throw new IllegalArgumentException(s"Unsupported CRS pair $f → $t")
+        }
     }
 
   import org.apache.spark.sql.Column

@@ -27,21 +27,69 @@ object GeoTiff {
       epsg: Int,                   // 4326 | 3857
       originX: Double, originY: Double,
       xres: Double, yres: Double,
-      deflate: Boolean = true) {
-    val (bitsPerSample: Int, sampleFormat: Int) = dataType match {
+      deflate: Boolean = true,
+      nbits: Option[Int] = None) { // sub-byte NBITS (data_type.py:112-149)
+    val (containerBits: Int, sampleFormat: Int) = dataType match {
       case "uint8" | "boolean" => (8, 1)
-      case "int8"    => (8, 2)
+      case "int8"    => (8, 2)   // SIGNEDBYTE: SampleFormat=INT at 8 bits
       case "uint16"  => (16, 1)
       case "int16"   => (16, 2)
       case "uint32"  => (32, 1)
       case "int32"   => (32, 2)
-      case "float32" | "float16" => (32, 3)
+      case "float16" => (16, 3)  // IEEE half, stored at true 16-bit width
+      case "float32" => (32, 3)
       case "float64" => (64, 3)
       case other => throw new IllegalArgumentException(s"Unsupported data type $other")
     }
+    /** BitsPerSample as stored: an NBITS of 1–7 bit-packs unsigned samples
+      * (boolean → 1-bit rows, the reference's NBITS creation option);
+      * 9–15 / 17–31 keep the container width like GDAL's non-packing
+      * codecs do. */
+    val bitsPerSample: Int =
+      nbits.filter(b => b >= 1 && b < 8 && sampleFormat == 1).getOrElse(containerBits)
+    /** TIFF packs sub-byte rows MSB-first, each row padded to a byte. */
+    def bytesPerRow: Int = (tileWidth * bitsPerSample + 7) / 8
+    def tileByteSize: Int =
+      if (bitsPerSample >= 8) tileWidth * tileHeight * (bitsPerSample / 8)
+      else bytesPerRow * tileHeight
     def tilesAcross: Int = (width + tileWidth - 1) / tileWidth
     def tilesDown: Int   = (height + tileHeight - 1) / tileHeight
     def tilesPerBand: Int = tilesAcross * tilesDown
+  }
+
+  // IEEE 754 half-precision conversions (Java 17 lacks Float.floatToFloat16)
+  private[sources] def floatToHalf(fval: Float): Short = {
+    val fbits = java.lang.Float.floatToIntBits(fval)
+    val sign = (fbits >>> 16) & 0x8000
+    // round-to-nearest-EVEN like a C float→half cast: bias by half an ulp
+    // minus one, plus the LSB of the retained mantissa
+    val v = (fbits & 0x7fffffff) + 0xfff + ((fbits >>> 13) & 1)
+    if (v >= 0x47800000) {
+      if ((fbits & 0x7fffffff) >= 0x47800000) {
+        if ((fbits & 0x7fffffff) < 0x7f800000) (sign | 0x7c00).toShort // overflow → ±inf
+        else (sign | 0x7c00 | ((fbits & 0x007fffff) >>> 13) | 1).toShort // NaN (mantissa kept non-zero)
+      } else (sign | 0x7bff).toShort // rounded up to max half
+    }
+    else if (v >= 0x38800000) (sign | ((v - 0x38000000) >>> 13)).toShort // normal
+    else if (v < 0x33000000) sign.toShort // underflow → ±0
+    else { // subnormal half
+      val e = (fbits & 0x7fffffff) >>> 23
+      (sign | ((((fbits & 0x7fffff) | 0x800000) + (0x800000 >>> (e - 102))) >>> (126 - e))).toShort
+    }
+  }
+
+  private[sources] def halfToFloat(half: Int): Float = {
+    val mant = half & 0x03ff
+    val exp = half & 0x7c00
+    if (exp == 0x7c00) // inf/NaN
+      java.lang.Float.intBitsToFloat(((half & 0x8000) << 16) | 0x7f800000 | (mant << 13))
+    else if (exp != 0)
+      java.lang.Float.intBitsToFloat(((half & 0x8000) << 16) | ((exp + 0x1c000 | mant) << 13))
+    else if (mant != 0) { // subnormal
+      var e = 0x1c400; var m = mant
+      while ((m & 0x400) == 0) { m <<= 1; e -= 0x400 }
+      java.lang.Float.intBitsToFloat(((half & 0x8000) << 16) | ((e | (m & 0x3ff)) << 13))
+    } else java.lang.Float.intBitsToFloat((half & 0x8000) << 16) // ±0
   }
 
   // ------------------------------------------------------------------ write
@@ -76,17 +124,42 @@ object GeoTiff {
     }
 
     private def encode(px: Array[Double]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(px.length * profile.bitsPerSample / 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
       // out-of-range values CLAMP to the storage range (GDAL semantics);
       // Java's narrowing casts would silently wrap instead
       def cl(v: Double, lo: Long, hi: Long): Long =
         math.max(lo, math.min(hi, math.rint(v).toLong))
-      (profile.bitsPerSample, profile.sampleFormat) match {
+      val bits = profile.bitsPerSample
+      if (bits < 8) { // sub-byte NBITS: MSB-first packing, byte-padded rows
+        val tw = profile.tileWidth; val bpr = profile.bytesPerRow
+        val out = new Array[Byte](profile.tileByteSize)
+        val maxV = (1L << bits) - 1
+        var r = 0
+        while (r < profile.tileHeight) {
+          var c = 0
+          while (c < tw) {
+            val v = cl(px(r * tw + c), 0, maxV)
+            var remaining = bits; var bit = c * bits
+            while (remaining > 0) { // a 3/5/6/7-bit sample can span two bytes
+              val free = 8 - (bit % 8)
+              val take = math.min(free, remaining)
+              val chunk = (v >>> (remaining - take)) & ((1 << take) - 1)
+              val i = r * bpr + bit / 8
+              out(i) = (out(i) | (chunk << (free - take))).toByte
+              bit += take; remaining -= take
+            }
+            c += 1
+          }
+          r += 1
+        }
+        return out
+      }
+      val bb = ByteBuffer.allocate(profile.tileByteSize).order(ByteOrder.LITTLE_ENDIAN)
+      (bits, profile.sampleFormat) match {
         case (8, 1)  => px.foreach(v => bb.put(cl(v, 0, 255).toByte))
         case (8, 2)  => px.foreach(v => bb.put(cl(v, -128, 127).toByte))
         case (16, 1) => px.foreach(v => bb.putShort(cl(v, 0, 65535).toShort))
         case (16, 2) => px.foreach(v => bb.putShort(cl(v, -32768, 32767).toShort))
+        case (16, 3) => px.foreach(v => bb.putShort(floatToHalf(v.toFloat)))
         case (32, 1) => px.foreach(v => bb.putInt(cl(v, 0, 4294967295L).toInt))
         case (32, 2) => px.foreach(v => bb.putInt(cl(v, Int.MinValue, Int.MaxValue).toInt))
         case (32, 3) => px.foreach(v => bb.putFloat(v.toFloat))
@@ -259,21 +332,44 @@ object GeoTiff {
         val payload = new Array[Byte](tileCounts(idx).toInt)
         raf.readFully(payload)
         val nPx = p.tileWidth * p.tileHeight
-        val raw = if (p.deflate) inflate(payload, nPx * p.bitsPerSample / 8) else payload
+        val raw = if (p.deflate) inflate(payload, p.tileByteSize) else payload
         decode(raw, nPx)
       } finally raf.close()
     }
 
     private def decode(raw: Array[Byte], nPx: Int): Array[Double] = {
-      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-      val out = new Array[Double](nPx)
       val p = profile
+      val out = new Array[Double](nPx)
+      val bits = p.bitsPerSample
+      if (bits < 8) { // sub-byte NBITS: MSB-first, byte-padded rows
+        val tw = p.tileWidth; val bpr = p.bytesPerRow
+        var r = 0
+        while (r < p.tileHeight) {
+          var c = 0
+          while (c < tw) {
+            var v = 0L; var remaining = bits; var bit = c * bits
+            while (remaining > 0) {
+              val free = 8 - (bit % 8)
+              val take = math.min(free, remaining)
+              val chunk = (raw(r * bpr + bit / 8) >>> (free - take)) & ((1 << take) - 1)
+              v = (v << take) | chunk
+              bit += take; remaining -= take
+            }
+            out(r * tw + c) = v.toDouble
+            c += 1
+          }
+          r += 1
+        }
+        return out
+      }
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
       var i = 0
-      (p.bitsPerSample, p.sampleFormat) match {
+      (bits, p.sampleFormat) match {
         case (8, 1)  => while (i < nPx) { out(i) = bb.get() & 0xff; i += 1 }
         case (8, 2)  => while (i < nPx) { out(i) = bb.get().toDouble; i += 1 }
         case (16, 1) => while (i < nPx) { out(i) = bb.getShort() & 0xffff; i += 1 }
         case (16, 2) => while (i < nPx) { out(i) = bb.getShort().toDouble; i += 1 }
+        case (16, 3) => while (i < nPx) { out(i) = halfToFloat(bb.getShort() & 0xffff).toDouble; i += 1 }
         case (32, 1) => while (i < nPx) { out(i) = bb.getInt() & 0xffffffffL; i += 1 }
         case (32, 2) => while (i < nPx) { out(i) = bb.getInt().toDouble; i += 1 }
         case (32, 3) => while (i < nPx) { out(i) = bb.getFloat().toDouble; i += 1 }
@@ -344,8 +440,10 @@ object GeoTiff {
       val bits = array(258).headOption.getOrElse(8L).toInt
       val fmt = array(339).headOption.getOrElse(1L).toInt
       val dataType = (bits, fmt) match {
+        case (b, 1) if b < 8 => "uint8" // sub-byte NBITS container
         case (8, 1) => "uint8";   case (8, 2) => "int8"
         case (16, 1) => "uint16"; case (16, 2) => "int16"
+        case (16, 3) => "float16"
         case (32, 1) => "uint32"; case (32, 2) => "int32"
         case (32, 3) => "float32"; case (64, 3) => "float64"
         case other => throw new IllegalArgumentException(s"unsupported sample $other")
@@ -371,7 +469,8 @@ object GeoTiff {
         originY = if (tiepoint.length >= 6) tiepoint(4) else 0,
         xres = if (scale.nonEmpty) scale(0) else 1,
         yres = if (scale.length > 1) scale(1) else 1,
-        deflate = compression == 8)
+        deflate = compression == 8,
+        nbits = if (bits < 8) Some(bits) else None)
       Tiff(profile, array(324), array(325), path)
     } finally raf.close()
   }

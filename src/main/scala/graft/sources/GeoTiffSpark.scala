@@ -37,6 +37,13 @@ object GeoTiffSpark {
     val dataType = pt.name
     val epsg = if (grid.crs == "EPSG:3857") 3857 else 4326
     val (xres, yres, cols, block) = (grid.xres, grid.yres, grid.cols, grid.blockSize)
+    // NBITS reaches the writer (sub-byte widths bit-pack, data_type.py:112-149);
+    // the one creation option the pure-JVM codec normalizes is CCITTFAX4 →
+    // DEFLATE for boolean, stated loudly rather than silently
+    val ptNbits = pt.nbits
+    if (pt.compression == "CCITTFAX4")
+      System.err.println("[graft] CCITTFAX4 is not implemented by the JVM codec; " +
+        "boolean tiles are written 1-bit DEFLATE instead")
     val viaFs = outDir.contains("://")
     if (viaFs) {
       val p = new org.apache.hadoop.fs.Path(outDir)
@@ -62,7 +69,8 @@ object GeoTiffSpark {
             val profile = GeoTiff.Profile(
               width = cols, height = cols, bands = bandCount, dataType = dataType,
               tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
-              originX = left, originY = top, xres = xres, yres = yres)
+              originX = left, originY = top, xres = xres, yres = yres,
+              nbits = ptNbits)
             writer = new GeoTiff.Writer(localPath, profile)
           }
           val br = r.getInt(3); val bc = r.getInt(4)

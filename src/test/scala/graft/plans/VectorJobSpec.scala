@@ -96,7 +96,11 @@ class ReprojectSpec extends SparkSpec {
   test("same-CRS transform is identity; unsupported pair rejected") {
     val b = Bounds(0, 0, 1, 1)
     assert(Reproject.bounds(b, "EPSG:4326", "WGS84") == b)
+    // UTM is in the projection registry now (ProjectionSpec); a CRS the
+    // registry doesn't ship still fails loudly
+    val utm = Reproject.bounds(Bounds(14, 40, 16, 41), "EPSG:4326", "EPSG:32633")
+    assert(utm.left > 350000 && utm.right < 650000 && utm.bottom > 4300000)
     intercept[IllegalArgumentException](
-      Reproject.bounds(b, "EPSG:4326", "EPSG:32633"))
+      Reproject.bounds(b, "EPSG:4326", "EPSG:2154"))
   }
 }

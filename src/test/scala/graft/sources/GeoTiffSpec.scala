@@ -47,6 +47,60 @@ class GeoTiffSpec extends SparkSpec {
     assert(roundTrip("float64", d).sameElements(d))
   }
 
+  test("float16 stores true 16-bit halves and round-trips half-exact values") {
+    // halves represent these exactly: small ints, halves, subnormal-free range
+    val v = Array.tabulate(256)(i => (i - 128) * 0.5)
+    val path = tmp("rt_f16.tif")
+    val w = new GeoTiff.Writer(path, profile("float16"))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, v)
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.dataType == "float16" && t.profile.bitsPerSample == 16)
+    assert(t.readTile(1, 0, 0).sameElements(v))
+    // non-representable values round to the nearest half (2049 → 2048)
+    assert(roundTrip16(path, 2049.0) == 2048.0)
+  }
+
+  private def roundTrip16(path: String, v: Double): Double = {
+    val w = new GeoTiff.Writer(path, profile("float16"))
+    val vals = Array.fill(256)(v)
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, vals)
+    w.close()
+    GeoTiff.open(path).readTile(1, 0, 0)(0)
+  }
+
+  test("NBITS sub-byte packing: 1-bit boolean and 4-bit uint8 round-trip") {
+    for (bits <- Seq(1, 2, 4, 3, 5, 7)) {
+      val maxV = (1 << bits) - 1
+      val v = Array.tabulate(256)(i => (i % (maxV + 1)).toDouble)
+      val path = tmp(s"rt_nbits$bits.tif")
+      val p = profile("uint8").copy(nbits = Some(bits))
+      assert(p.bitsPerSample == bits)
+      val w = new GeoTiff.Writer(path, p)
+      for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, v)
+      w.close()
+      val t = GeoTiff.open(path)
+      assert(t.profile.bitsPerSample == bits, s"nbits=$bits")
+      assert(t.profile.nbits.contains(bits))
+      assert(t.readTile(1, 0, 0).sameElements(v), s"nbits=$bits payload")
+      // sub-byte payloads are genuinely smaller than 8-bit ones
+      assert(t.profile.tileByteSize == (16 * bits + 7) / 8 * 16)
+    }
+    // out-of-range values clamp to the nbits ceiling, not the byte ceiling
+    val path = tmp("rt_nbits_clamp.tif")
+    val w = new GeoTiff.Writer(path, profile("uint8").copy(nbits = Some(1)))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, Array.fill(256)(200.0))
+    w.close()
+    assert(GeoTiff.open(path).readTile(1, 0, 0).forall(_ == 1.0))
+  }
+
+  test("boolean pixel type reaches the sink as 1-bit (PixelType → writeTiles wiring)") {
+    val pt = graft.core.PixelType.of("boolean", noData = Some(0.0))
+    assert(pt.nbits.contains(1) && pt.compression == "CCITTFAX4")
+    val p = profile("uint8").copy(nbits = pt.nbits)
+    assert(p.bitsPerSample == 1)
+  }
+
   test("profile survives the IFD: dtype, nodata, grid origin, resolution, tiling, compression") {
     val path = tmp("meta.tif")
     val w = new GeoTiff.Writer(path, profile("uint16", Some(42.0)))
