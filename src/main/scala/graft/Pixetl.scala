@@ -111,9 +111,14 @@ object Pixetl {
               }
             }.count()
           }
-          Files.writeString(Paths.get(s"$outDir/tiles.geojson"),
-            LayerJob.renderTilesGeojson(result.manifest,
-              if (spec.computeStats) Some(result.tileStats) else None))
+          // streamed manifest write (zoom-22-safe) + optional PAM sidecars
+          LayerJob.writeTilesGeojson(result.manifest, s"$outDir/tiles.geojson",
+            if (spec.computeStats) Some(result.tileStats) else None)
+          if (spec.computeStats) {
+            val g = spec.gridDef
+            GeoTiffSpark.writeStatsSidecars(result.tileStats, outDir,
+              g.cols.toLong * g.rows).count()
+          }
           Files.writeString(Paths.get(s"$outDir/extent.geojson"),
             LayerJob.renderExtentGeojson(result.extent))
           (result.blocks, result.status)

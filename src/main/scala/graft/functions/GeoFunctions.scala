@@ -32,6 +32,41 @@ object GeoFunctions {
 
   def read(wkb: Array[Byte]): Geometry  = wkbReader.get.read(wkb)
   def write(g: Geometry): Array[Byte]   = wkbWriter.get.write(g)
+
+  // The join-condition predicates (J1/J2) evaluate tiles × catalog rows, so
+  // the same WKB bytes recur thousands of times per task. Per-thread LRUs
+  // of parsed and PREPARED geometries (JTS indexed predicates) avoid both
+  // the per-row WKB deserialization and the repeated topology walks.
+  private final class BytesKey(val b: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(b)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(b, k.b)
+      case _ => false
+    }
+  }
+  private def lru[V](cap: Int) = new java.util.LinkedHashMap[BytesKey, V](cap, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[BytesKey, V]): Boolean = size() > cap
+  }
+  private val readCache = ThreadLocal.withInitial(() => lru[Geometry](512))
+  private val prepCache = ThreadLocal.withInitial(
+    () => lru[org.locationtech.jts.geom.prep.PreparedGeometry](256))
+
+  private def cachedRead(wkb: Array[Byte]): Geometry = {
+    val k = new BytesKey(wkb)
+    var g = readCache.get.get(k)
+    if (g == null) { g = read(wkb); readCache.get.put(k, g) }
+    g
+  }
+
+  private def prepared(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val k = new BytesKey(wkb)
+    var p = prepCache.get.get(k)
+    if (p == null) {
+      p = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(read(wkb))
+      prepCache.get.put(k, p)
+    }
+    p
+  }
   def readWkt(wkt: String): Geometry    = wktReader.get.read(wkt)
   def writeWkt(g: Geometry): String     = wktWriter.get.write(g)
 
@@ -46,18 +81,20 @@ object GeoFunctions {
   }
 
   /** Interiors-intersect predicate `intersects ∧ ¬touches` — the tile/source
-    * test of `tiles/raster_src_tile.py:155-161`. */
+    * test of `tiles/raster_src_tile.py:155-161`, on cached prepared
+    * geometries (this sits inside the J1/J2 join condition). */
   val st_intersectsInterior: (Column, Column) => Column = {
     val f = udf((a: Array[Byte], b: Array[Byte]) =>
       a != null && b != null && {
-        val (ga, gb) = (read(a), read(b)); ga.intersects(gb) && !ga.touches(gb)
+        val pa = prepared(a); val gb = cachedRead(b)
+        pa.intersects(gb) && !pa.getGeometry.touches(gb)
       })
     (a, b) => f(a, b)
   }
 
   val st_intersects: (Column, Column) => Column = {
     val f = udf((a: Array[Byte], b: Array[Byte]) =>
-      a != null && b != null && read(a).intersects(read(b)))
+      a != null && b != null && prepared(a).intersects(cachedRead(b)))
     (a, b) => f(a, b)
   }
 

@@ -267,6 +267,53 @@ object LayerJob {
     s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
   }
 
+  /** Streamed K3 sink: the same tiles.geojson as [[renderTilesGeojson]],
+    * but features are rendered as a DataFrame column and streamed to the
+    * file via `toLocalIterator` — one partition of driver memory instead
+    * of one giant string, so a zoom-22 manifest (268 M tiles) writes
+    * without materializing. Scheme-qualified paths go through Hadoop FS. */
+  def writeTilesGeojson(manifest: DataFrame, path: String,
+                        tileStats: Option[DataFrame] = None): Unit = {
+    def num(c: Column): Column =
+      when(c.isNull || isnan(c) || c === Double.PositiveInfinity ||
+        c === Double.NegativeInfinity, lit("null")).otherwise(c.cast("string"))
+    val withBands = tileStats match {
+      case None => manifest.withColumn("bands_json", lit(null).cast("string"))
+      case Some(st) =>
+        val entry = concat(lit("{\"band\":"), col("band").cast("string"),
+          lit(",\"min\":"), num(col("stat_min")), lit(",\"max\":"), num(col("stat_max")),
+          lit(",\"mean\":"), num(col("stat_mean")), lit(",\"std_dev\":"), num(col("stat_std")),
+          lit(",\"count\":"), col("n").cast("string"), lit("}"))
+        val frags = st.groupBy("tile_id").agg(
+          array_join(transform(
+            sort_array(collect_list(struct(col("band"), entry.as("e")))), s => s("e")), ",")
+            .as("bands_json"))
+        manifest.join(frags, Seq("tile_id"), "left")
+    }
+    val feats = withBands.orderBy("tile_id").select(concat(
+      lit("{\"type\":\"Feature\",\"geometry\":"), col("geometry"),
+      lit(",\"properties\":{\"name\":\""), col("uri"), lit("\""),
+      coalesce(concat(lit(",\"bands\":["), col("bands_json"), lit("]")), lit("")),
+      lit("}}")).as("feat"))
+    val hp = new org.apache.hadoop.fs.Path(
+      if (path.contains("://")) path
+      else java.nio.file.Paths.get(path).toAbsolutePath.toString)
+    val fs = hp.getFileSystem(feats.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(hp, true), "UTF-8"), 1 << 20)
+    try {
+      out.write("{\"type\":\"FeatureCollection\",\"features\":[")
+      var first = true
+      val it = feats.toLocalIterator()
+      while (it.hasNext) {
+        if (!first) out.write(",")
+        out.write(it.next().getString(0))
+        first = false
+      }
+      out.write("]}")
+    } finally out.close()
+  }
+
   def renderExtentGeojson(extent: DataFrame): String = {
     val rows = extent.collect()
     val geom = if (rows.isEmpty || rows(0).isNullAt(0)) "null" else rows(0).getString(0)

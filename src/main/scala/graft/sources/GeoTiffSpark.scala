@@ -109,6 +109,45 @@ object GeoTiffSpark {
       .toDF("tile_id", "path", "n_blocks")
   }
 
+  /** K1 stats sidecar: one `<tile_id>.tif.aux.xml` per tile next to the
+    * GeoTIFF — the GDAL PAM file `gdalinfo -stats` creates and the
+    * reference uploads (`tiles/tile.py:25,143-172`). Distributed: one task
+    * renders+writes each tile's XML through the Hadoop FS (scheme-aware).
+    * `tileStats` is LayerJob's per-(tile_id, band) A3 output. */
+  def writeStatsSidecars(tileStats: DataFrame, outDir: String, totalPixels: Long): DataFrame = {
+    val spark = tileStats.sparkSession
+    import spark.implicits._
+    val root = if (outDir.contains("://")) outDir
+      else java.nio.file.Paths.get(outDir).toAbsolutePath.toString
+    tileStats
+      .select(col("tile_id"), col("band"), col("stat_min"), col("stat_max"),
+        col("stat_mean"), col("stat_std"), col("n"))
+      .as[(String, Int, Double, Double, Double, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tileId, rows) =>
+        val bands = rows.toSeq.sortBy(_._2).map { case (_, b, mn, mx, mean, std, n) =>
+          def num(v: Double) = if (v.isNaN || v.isInfinite) "0" else v.toString
+          val pct = if (totalPixels <= 0) 100.0 else 100.0 * n / totalPixels
+          s"""  <PAMRasterBand band="$b">
+             |    <Metadata>
+             |      <MDI key="STATISTICS_MINIMUM">${num(mn)}</MDI>
+             |      <MDI key="STATISTICS_MAXIMUM">${num(mx)}</MDI>
+             |      <MDI key="STATISTICS_MEAN">${num(mean)}</MDI>
+             |      <MDI key="STATISTICS_STDDEV">${num(std)}</MDI>
+             |      <MDI key="STATISTICS_VALID_PERCENT">$pct</MDI>
+             |    </Metadata>
+             |  </PAMRasterBand>""".stripMargin
+        }
+        val xml = s"<PAMDataset>\n${bands.mkString("\n")}\n</PAMDataset>\n"
+        val path = new org.apache.hadoop.fs.Path(s"$root/$tileId.tif.aux.xml")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        try out.write(xml.getBytes("UTF-8")) finally out.close()
+        (tileId, path.toString)
+      }
+      .toDF("tile_id", "sidecar")
+  }
+
   /** S4: harvest (uri, band, footprint, profile) catalog rows from files —
     * the plan-time metadata job of `layers.py:196-228`. */
   def harvestCatalog(spark: SparkSession, uris: Seq[String]): DataFrame = {

@@ -66,6 +66,28 @@ class LayerJobSpec extends SparkSpec {
     assert(js.contains("\"std_dev\":"))
   }
 
+  test("streamed tiles.geojson equals the driver-rendered string (with stats)") {
+    val path = "target/tmp/layerjob_tiles.geojson"
+    LayerJob.writeTilesGeojson(result.manifest, path, Some(result.tileStats))
+    val streamed = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    assert(streamed == LayerJob.renderTilesGeojson(result.manifest, Some(result.tileStats)))
+  }
+
+  test("PAM stats sidecars: one aux.xml per tile with per-band statistics") {
+    val dir = java.nio.file.Paths.get("target/tmp/layerjob_aux")
+    java.nio.file.Files.createDirectories(dir)
+    val written = graft.sources.GeoTiffSpark
+      .writeStatsSidecars(result.tileStats, dir.toString, totalPixels = 1008L * 1008)
+      .collect()
+    assert(written.length == 6)
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(written(0).getString(0) + ".tif.aux.xml")), "UTF-8")
+    assert(xml.startsWith("<PAMDataset>"))
+    assert(xml.contains("<PAMRasterBand band=\"1\">"))
+    assert(xml.contains("STATISTICS_MINIMUM") && xml.contains("STATISTICS_VALID_PERCENT"))
+  }
+
   test("A4 per-tile histogram: bucket mass equals valid pixel count") {
     val r = LayerJob.run(spark, spec.copy(computeHistogram = true), catalog, reader)
     val hist = r.tileHistogram.get
