@@ -22,7 +22,7 @@ object Bench {
     "t3_quality_score", "t4_fingerprint",
     "d2_minhash_sig", "d3_lsh_candidates", "d5_jaccard_pairs",
     "e1_knn_brute", "e2_knn_lsh",
-    "s1_grid_seed", "m1_media_features")
+    "s1_grid_seed", "m1_media_features", "r3_warp_3857")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -74,11 +74,20 @@ object Pixetl {
           // role of tiles/raster_src_tile.py:188-210
           val grid = spec.gridDef
           val gridEpsg = if (grid.crs == "EPSG:3857") 3857 else 4326
+          // interpolating kernels run in the warp gather; aggregate kernels
+          // (average/mode/…) compose via operators/Resample downstream
+          val kernel = spec.resampling match {
+            case r @ ("nearest" | "bilinear" | "cubic") => r
+            case r @ ("cubic_spline" | "lanczos") =>
+              System.err.println(s"[graft] $r kernel not implemented; using cubic")
+              "cubic"
+            case _ => "nearest"
+          }
           val (catalog, reader) =
             if (srcEpsg == gridEpsg) (catalog0, GeoTiffSpark.reader)
             else (Catalog.reprojectFootprints(catalog0, s"EPSG:$srcEpsg", grid.crs),
               graft.sources.WarpReader.reader(grid.xres, grid.yres, grid.blockSize,
-                grid.crs, s"EPSG:$srcEpsg"))
+                grid.crs, s"EPSG:$srcEpsg", kernel))
           val existing = Catalog.existingTiles(spark, outDir)
           val result = LayerJob.run(spark, spec, catalog, reader,
             subset = sub, existing = Some(existing), overwrite = overwrite)

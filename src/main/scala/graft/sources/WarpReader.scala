@@ -27,14 +27,34 @@ object WarpReader {
   def reader(targetXres: Double, targetYres: Double, blockSize: Int): LayerJob.BlockReader =
     reader(targetXres, targetYres, blockSize, "EPSG:4326", "EPSG:4326")
 
+  /** GDAL cubic-convolution kernel weight (a = -0.5, the `cubic` default). */
+  private def cubicW(tIn: Double): Double = {
+    val a = -0.5
+    val t = math.abs(tIn)
+    if (t <= 1) (a + 2) * t * t * t - (a + 3) * t * t + 1
+    else if (t < 2) a * t * t * t - 5 * a * t * t + 8 * a * t - 4 * a
+    else 0.0
+  }
+
   /** A `LayerJob.BlockReader` gathering from sources in `sourceCrs` onto a
     * target grid in `targetCrs` (e.g. a 4326 source feeding a `zoom_N`
     * WebMercator grid). Requires blockWork to carry the tile bounds
-    * (left/top) so target blocks are geolocated. */
+    * (left/top) so target blocks are geolocated.
+    *
+    * `resampling`: `nearest` (default), `bilinear` (2×2 taps), or `cubic`
+    * (4×4 cubic convolution, a=-0.5) — the interpolating kernels of the
+    * reference's `resampling` layer field (`layers.py`, GDAL semantics).
+    * Invalid/nodata taps drop out and the remaining weights renormalize
+    * (GDAL's masked resampling); a pixel with no valid tap is nodata.
+    * Aggregate kernels (average/mode/…) compose with `operators/Resample`
+    * when the ratio is an integer. */
   def reader(targetXres: Double, targetYres: Double, blockSize: Int,
-             targetCrs: String, sourceCrs: String): LayerJob.BlockReader =
+             targetCrs: String, sourceCrs: String,
+             resampling: String = "nearest"): LayerJob.BlockReader =
     blockWork => {
       val toSrc = graft.functions.Reproject.pointTransform(targetCrs, sourceCrs)
+      require(Seq("nearest", "bilinear", "cubic").contains(resampling),
+        s"WarpReader supports nearest/bilinear/cubic, got $resampling")
       val spark = blockWork.sparkSession
       import spark.implicits._
       blockWork
@@ -58,6 +78,64 @@ object WarpReader {
             val nd = p.noData
             val out = new Array[Double](w * h)
             val valid = new Array[Boolean](w * h)
+            // source pixel fetch through the tile LRU; NaN = out of range
+            // or nodata (so kernel taps drop out uniformly)
+            def sample(sx: Int, sy: Int): Double =
+              if (sx < 0 || sy < 0 || sx >= p.width || sy >= p.height) Double.NaN
+              else {
+                val tr = sy / p.tileHeight; val tc = sx / p.tileWidth
+                val key = (uri, fileBand, tr, tc)
+                var tile = cache.get(key)
+                if (tile == null) {
+                  tile = t.readTile(fileBand, tr, tc)
+                  cache.put(key, tile)
+                }
+                val v = tile((sy % p.tileHeight) * p.tileWidth + (sx % p.tileWidth))
+                if (nd.exists(_ == v)) Double.NaN else v
+              }
+            // kernel over continuous source coords (pixel-center registered):
+            // taps at radius 0 (nearest), 1 (bilinear), 2 (cubic)
+            def interpolate(gx: Double, gy: Double): Double = resampling match {
+              case "nearest" =>
+                sample(math.floor(gx + 0.5).toInt, math.floor(gy + 0.5).toInt)
+              case "bilinear" =>
+                val x0 = math.floor(gx).toInt; val y0 = math.floor(gy).toInt
+                val fx = gx - x0; val fy = gy - y0
+                var acc = 0.0; var wsum = 0.0
+                var dy = 0
+                while (dy <= 1) {
+                  var dx = 0
+                  while (dx <= 1) {
+                    val v = sample(x0 + dx, y0 + dy)
+                    if (!v.isNaN) {
+                      val wt = (if (dx == 0) 1 - fx else fx) * (if (dy == 0) 1 - fy else fy)
+                      acc += wt * v; wsum += wt
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                if (wsum > 0) acc / wsum else Double.NaN
+              case "cubic" =>
+                val x0 = math.floor(gx).toInt; val y0 = math.floor(gy).toInt
+                val fx = gx - x0; val fy = gy - y0
+                var acc = 0.0; var wsum = 0.0
+                var dy = -1
+                while (dy <= 2) {
+                  val wy = cubicW(dy - fy)
+                  var dx = -1
+                  while (dx <= 2) {
+                    val v = sample(x0 + dx, y0 + dy)
+                    if (!v.isNaN) {
+                      val wt = cubicW(dx - fx) * wy
+                      acc += wt * v; wsum += wt
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                if (math.abs(wsum) > 1e-12) acc / wsum else Double.NaN
+            }
             // geo origin of this target block
             val bLeft = tileLeft + bc * blockSize * targetXres
             val bTop = tileTop - br * blockSize * targetYres
@@ -67,25 +145,19 @@ object WarpReader {
               var i = 0
               while (i < w) {
                 val tx = bLeft + (i + 0.5) * targetXres
-                // project the target pixel center into the source CRS
+                // project the target pixel center into the source CRS, then
+                // to continuous source pixel coords (centers at k + 0.5)
                 val (cx, cy) = toSrc(tx, ty)
-                val sy = math.floor((p.originY - cy) / p.yres).toInt
-                val sx = math.floor((cx - p.originX) / p.xres).toInt
+                val gx = (cx - p.originX) / p.xres - 0.5
+                val gy = (p.originY - cy) / p.yres - 0.5
                 val idx = j * w + i
-                if (sx >= 0 && sy >= 0 && sx < p.width && sy < p.height) {
-                  val tr = sy / p.tileHeight; val tc = sx / p.tileWidth
-                  val key = (uri, fileBand, tr, tc)
-                  var tile = cache.get(key)
-                  if (tile == null) {
-                    tile = t.readTile(fileBand, tr, tc)
-                    cache.put(key, tile)
-                  }
-                  val v = tile((sy % p.tileHeight) * p.tileWidth + (sx % p.tileWidth))
-                  out(idx) = v
-                  valid(idx) = nd.forall(_ != v)
-                } else {
+                val v = interpolate(gx, gy)
+                if (v.isNaN) {
                   out(idx) = nd.getOrElse(0.0)
                   valid(idx) = false
+                } else {
+                  out(idx) = v
+                  valid(idx) = true
                 }
                 i += 1
               }

@@ -66,6 +66,31 @@ class WarpReaderSpec extends SparkSpec {
     assert(east.length == 1 && east(0).getInt(0) == 0)
   }
 
+  test("bilinear and cubic kernels reproduce a linear ramp exactly (interior)") {
+    val src = writeFineSource() // value = source column + 1, a linear ramp in x
+    val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(src))
+      .selectExpr("uri", "band", "footprint")
+    val fSpec = spec.copy(dataType = "float32")
+    def row0(kernel: String): Seq[Float] = {
+      val reader = WarpReader.reader(grid.xres, grid.yres, grid.blockSize,
+        "EPSG:4326", "EPSG:4326", kernel)
+      LayerJob.run(spark, fSpec, catalog, reader).blocks
+        .filter(col("tile_id") === "90N_180W" &&
+          col("block_row") === 0 && col("block_col") === 0)
+        .select(col("band_1")).collect()(0).getSeq[Float](0)
+    }
+    // target pixel i sits at continuous source column 2i+0.5 → linear value
+    // 2i+1.5; both interpolating kernels have linear precision
+    val bl = row0("bilinear")
+    for (i <- Seq(1, 10, 100)) assert(math.abs(bl(i) - (2 * i + 1.5)) < 1e-4,
+      s"bilinear($i) = ${bl(i)}")
+    val cu = row0("cubic")
+    for (i <- Seq(2, 10, 100)) assert(math.abs(cu(i) - (2 * i + 1.5)) < 1e-3,
+      s"cubic($i) = ${cu(i)}")
+    // and they genuinely differ from the nearest gather (2i+2)
+    assert(math.abs(bl(10) - 22.0) > 0.4)
+  }
+
   test("cross-CRS warp: 4326 world source materializes a zoom_1 WebMercator tile e2e") {
     import graft.functions.Reproject
     // 4326 source covering the world: 512×256 px, value = gx + gy + 1
