@@ -113,9 +113,10 @@ object Pixetl {
                 val src = new org.apache.hadoop.fs.Path(s"$srcRoot/$id.tif")
                 val dst = new org.apache.hadoop.fs.Path(s"$dstRoot/$id.tif")
                 val sfs = src.getFileSystem(conf)
+                val dfs = dst.getFileSystem(conf)
+                dfs.setWriteChecksum(false)
                 if (sfs.exists(src))
-                  org.apache.hadoop.fs.FileUtil.copy(sfs, src, dst.getFileSystem(conf),
-                    dst, false, true, conf)
+                  org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, true, conf)
                 id
               }
             }.count()

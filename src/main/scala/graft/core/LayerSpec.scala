@@ -64,9 +64,14 @@ final case class LayerSpec(
   lazy val pixelType: PixelType = PixelType.of(dataType, nbits, noData.flatMap(_.headOption))
 
   /** Destination prefix scheme, preserved verbatim from
-    * `gfw_pixetl/layers.py:55-81` / `tiles/tile.py:82-97`. */
-  def prefix(srs: String = "epsg-4326", fmt: String = "geotiff"): String =
-    s"$dataset/$version/raster/$srs/${grid.replace("/", "x")}/$pixelMeaning/$fmt"
+    * `gfw_pixetl/layers.py:55-81` / `tiles/tile.py:82-97`; the srs segment
+    * derives from the GRID's CRS (`layers.py:71-72`), so zoom grids land
+    * under epsg-3857. */
+  def prefix(srs: String = null, fmt: String = "geotiff"): String = {
+    val s = Option(srs).getOrElse(
+      if (gridDef.crs == "EPSG:3857") "epsg-3857" else "epsg-4326")
+    s"$dataset/$version/raster/$s/${grid.replace("/", "x")}/$pixelMeaning/$fmt"
+  }
 }
 
 object LayerSpec {

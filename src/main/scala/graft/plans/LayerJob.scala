@@ -299,6 +299,7 @@ object LayerJob {
       if (path.contains("://")) path
       else java.nio.file.Paths.get(path).toAbsolutePath.toString)
     val fs = hp.getFileSystem(feats.sparkSession.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false) // no .crc droppings next to manifests
     val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(fs.create(hp, true), "UTF-8"), 1 << 20)
     try {

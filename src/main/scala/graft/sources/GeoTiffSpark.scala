@@ -99,9 +99,10 @@ object GeoTiffSpark {
           writer.close()
           if (viaFs) {
             val dst = new org.apache.hadoop.fs.Path(path)
-            dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
-              .copyFromLocalFile(true /* delete temp */,
-                true /* overwrite */, new org.apache.hadoop.fs.Path(localPath), dst)
+            val dfs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            dfs.setWriteChecksum(false)
+            dfs.copyFromLocalFile(true /* delete temp */,
+              true /* overwrite */, new org.apache.hadoop.fs.Path(localPath), dst)
           }
         } else if (viaFs) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(localPath))
         (tileId, path, n)
@@ -141,6 +142,7 @@ object GeoTiffSpark {
         val xml = s"<PAMDataset>\n${bands.mkString("\n")}\n</PAMDataset>\n"
         val path = new org.apache.hadoop.fs.Path(s"$root/$tileId.tif.aux.xml")
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.setWriteChecksum(false)
         val out = fs.create(path, true)
         try out.write(xml.getBytes("UTF-8")) finally out.close()
         (tileId, path.toString)
