@@ -77,7 +77,7 @@ object Pixetl {
           // interpolating kernels run in the warp gather; aggregate kernels
           // (average/mode/…) compose via operators/Resample downstream
           val kernel = spec.resampling match {
-            case r @ ("nearest" | "bilinear" | "cubic") => r
+            case r @ ("nearest" | "bilinear" | "cubic" | "average") => r
             case r @ ("cubic_spline" | "lanczos") =>
               System.err.println(s"[graft] $r kernel not implemented; using cubic")
               "cubic"

@@ -41,20 +41,21 @@ object WarpReader {
     * WebMercator grid). Requires blockWork to carry the tile bounds
     * (left/top) so target blocks are geolocated.
     *
-    * `resampling`: `nearest` (default), `bilinear` (2×2 taps), or `cubic`
-    * (4×4 cubic convolution, a=-0.5) — the interpolating kernels of the
-    * reference's `resampling` layer field (`layers.py`, GDAL semantics).
-    * Invalid/nodata taps drop out and the remaining weights renormalize
-    * (GDAL's masked resampling); a pixel with no valid tap is nodata.
-    * Aggregate kernels (average/mode/…) compose with `operators/Resample`
-    * when the ratio is an integer. */
+    * `resampling`: `nearest` (default), `bilinear` (2×2 taps), `cubic`
+    * (4×4 cubic convolution, a=-0.5), or `average` (box kernel over every
+    * source pixel whose center falls inside the target pixel's footprint —
+    * GDAL `average`, valid at ANY ratio incl. non-integer). Invalid/nodata
+    * taps drop out and the remaining weights renormalize (GDAL's masked
+    * resampling); a pixel with no valid tap is nodata. Integer-factor
+    * decimation with the other aggregate kernels (mode/med/…) composes
+    * with `operators/Resample`. */
   def reader(targetXres: Double, targetYres: Double, blockSize: Int,
              targetCrs: String, sourceCrs: String,
              resampling: String = "nearest"): LayerJob.BlockReader =
     blockWork => {
       val toSrc = graft.functions.Reproject.pointTransform(targetCrs, sourceCrs)
-      require(Seq("nearest", "bilinear", "cubic").contains(resampling),
-        s"WarpReader supports nearest/bilinear/cubic, got $resampling")
+      require(Seq("nearest", "bilinear", "cubic", "average").contains(resampling),
+        s"WarpReader supports nearest/bilinear/cubic/average, got $resampling")
       val spark = blockWork.sparkSession
       import spark.implicits._
       blockWork
@@ -136,6 +137,28 @@ object WarpReader {
                 }
                 if (math.abs(wsum) > 1e-12) acc / wsum else Double.NaN
             }
+            // box average: mean of source pixels whose centers land inside
+            // the projected target-pixel footprint; falls back to the
+            // nearest center when the footprint covers none (upsampling)
+            def boxAverage(x0: Double, x1: Double, y0: Double, y1: Double,
+                           cgx: Double, cgy: Double): Double = {
+              var sx0 = math.ceil(x0).toInt; var sx1 = math.floor(x1).toInt
+              var sy0 = math.ceil(y0).toInt; var sy1 = math.floor(y1).toInt
+              if (sx0 > sx1) { sx0 = math.round(cgx).toInt; sx1 = sx0 }
+              if (sy0 > sy1) { sy0 = math.round(cgy).toInt; sy1 = sy0 }
+              var acc = 0.0; var n = 0
+              var sy = sy0
+              while (sy <= sy1) {
+                var sx = sx0
+                while (sx <= sx1) {
+                  val v = sample(sx, sy)
+                  if (!v.isNaN) { acc += v; n += 1 }
+                  sx += 1
+                }
+                sy += 1
+              }
+              if (n > 0) acc / n else Double.NaN
+            }
             // geo origin of this target block
             val bLeft = tileLeft + bc * blockSize * targetXres
             val bTop = tileTop - br * blockSize * targetYres
@@ -151,7 +174,19 @@ object WarpReader {
                 val gx = (cx - p.originX) / p.xres - 0.5
                 val gy = (p.originY - cy) / p.yres - 0.5
                 val idx = j * w + i
-                val v = interpolate(gx, gy)
+                val v =
+                  if (resampling == "average") {
+                    // footprint corners project separately (4326↔3857 is
+                    // axis-separable, so the projected box stays a box)
+                    val (ax, ay) = toSrc(tx - targetXres / 2, ty + targetYres / 2)
+                    val (bx, by) = toSrc(tx + targetXres / 2, ty - targetYres / 2)
+                    boxAverage(
+                      (math.min(ax, bx) - p.originX) / p.xres - 0.5,
+                      (math.max(ax, bx) - p.originX) / p.xres - 0.5,
+                      (p.originY - math.max(ay, by)) / p.yres - 0.5,
+                      (p.originY - math.min(ay, by)) / p.yres - 0.5,
+                      gx, gy)
+                  } else interpolate(gx, gy)
                 if (v.isNaN) {
                   out(idx) = nd.getOrElse(0.0)
                   valid(idx) = false

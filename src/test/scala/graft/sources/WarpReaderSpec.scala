@@ -89,6 +89,12 @@ class WarpReaderSpec extends SparkSpec {
       s"cubic($i) = ${cu(i)}")
     // and they genuinely differ from the nearest gather (2i+2)
     assert(math.abs(bl(10) - 22.0) > 0.4)
+    // box average over the 2x2 source pixels under each target pixel:
+    // rows are constant, columns are a ramp → mean = 2i + 1.5 (any ratio,
+    // not just integer — the GDAL `average` kernel in the warp)
+    val av = row0("average")
+    for (i <- Seq(0, 10, 100)) assert(math.abs(av(i) - (2 * i + 1.5)) < 1e-4,
+      s"average($i) = ${av(i)}")
   }
 
   test("cross-CRS warp: 4326 world source materializes a zoom_1 WebMercator tile e2e") {
