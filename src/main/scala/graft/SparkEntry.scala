@@ -68,6 +68,8 @@ object SparkEntry {
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
+    "e4_embedding_quantize" -> (Q.e4_embedding_quantize(_, _)),
+    "t5_chunk_windows"    -> (Q.t5_chunk_windows(_, _)),
     "x1_approx_distinct"  -> (Q.x1_approx_distinct(_, _)),
     "x2_salted_rasterize" -> (Q.x2_salted_rasterize(_, _)),
     "x3_rollup"           -> (Q.x3_rollup(_, _)),
@@ -521,6 +523,33 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id1", "id2")
     }
+
+    /** Symmetric int8 quantization of embeddings (storage path of a 100 TB
+      * vector corpus): scale = max|x|, q = ⌊127x/scale + 0.5⌋. Summarized
+      * per vector (sum/min/max of the quantized codes) so the oracle diff
+      * stays compact while still pinning every element. */
+    def e4_embedding_quantize(s: SparkSession, d: String): DataFrame =
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", Similarity.absMax(col("v")))
+        .withColumn("q", Similarity.quantizeInt8(col("v"), col("scale")))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+        .orderBy("vec_id")
+
+    /** Overlapping token-window chunking (context packing): windows of 32
+      * tokens every 24 — the explode-shaped op a pretraining pipeline runs
+      * over every document. */
+    def t5_chunk_windows(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkTexts(col("toks"), window = 32, stride = 24)))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          col("col").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
 
     /** Approx distinct (HLL) — no cross-engine oracle exists for sketch
       * internals, so the driver records the rows-only check; the exact
@@ -1015,6 +1044,26 @@ object SparkEntry {
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |SELECT id1, id2, round(rawcos, 4) AS cosine FROM s WHERE rawcos >= 0.3
           |ORDER BY id1, id2""".stripMargin,
+
+      "e4_embedding_quantize" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+          |q AS (SELECT vec_id, scale,
+          |  list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+          |    ELSE CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) END) AS ql FROM m)
+          |SELECT vec_id, round(scale, 6) AS scale,
+          |  CAST(list_sum(ql) AS BIGINT) AS q_sum,
+          |  CAST(list_min(ql) AS BIGINT) AS q_min,
+          |  CAST(list_max(ql) AS BIGINT) AS q_max
+          |FROM q ORDER BY vec_id""".stripMargin,
+
+      "t5_chunk_windows" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents),
+          |s AS (SELECT doc_id, unnest(range(0, greatest(len(toks), 1), 24)) AS st, toks FROM t)
+          |SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+          |  array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "m1_media_features" ->
         """SELECT doc_id AS asset_id, 'image' AS modality,

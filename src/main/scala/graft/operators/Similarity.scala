@@ -60,6 +60,22 @@ object Similarity {
       when(dot(vec.cast("array<double>"), plane) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Per-vector max |xᵢ| — the symmetric-quantization scale. */
+  def absMax(vec: Column): Column =
+    array_max(transform(vec.cast("array<double>"), x => abs(x)))
+
+  /** Symmetric int8 quantization of an embedding column — the storage-path
+    * op of a 100 TB vector corpus (4× smaller than float32, dot products
+    * stay rank-preserving within a vector's scale). qᵢ = ⌊127·xᵢ/scale +
+    * 0.5⌋ (explicit half-up floor so the oracle's rounding mode can't
+    * diverge); zero vectors quantize to zeros. `scale` must be a
+    * pre-projected ATTRIBUTE (from [[absMax]]) — passing the aggregate
+    * expression itself would let Catalyst inline it per element (the
+    * CollapseProject O(n²) trap). Pure higher-order functions, no UDF. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec.cast("array<double>"), x =>
+      when(scale === 0, lit(0L)).otherwise(floor(x * 127.0 / scale + 0.5).cast("long")))
+
   /** LSH-bucketed ANN: candidates = same bucket, then exact cosine + top-k
     * within candidates. Recall < 1 by construction; bits trades recall for
     * candidate-set size. */

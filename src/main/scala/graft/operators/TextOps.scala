@@ -58,6 +58,16 @@ object TextOps {
     round((lengthOk * 0.4 + punctOk * 0.2 + stopOk * 0.2 + wordLenOk * 0.2), 4)
   }
 
+  /** Overlapping token-window chunks — context-window packing for training
+    * pipelines: starts at 0, stride, 2·stride…; each chunk is up to
+    * `window` tokens rejoined. `toks` must be an ATTRIBUTE (select the
+    * token array into a column first) so Catalyst doesn't re-split the
+    * text once per chunk. Pure higher-order functions, codegen'd. */
+  def chunkTexts(toks: Column, window: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      st => concat_ws(" ", slice(toks, st + 1, lit(window))))
+
   /** Order-sensitive document fingerprint: positionally-weighted sum of
     * portable token hashes mod p — a rolling-hash-class fingerprint that
     * both Spark and the DuckDB oracle can compute exactly.

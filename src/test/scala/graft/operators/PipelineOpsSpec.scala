@@ -87,6 +87,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b(1L) == b(2L))
   }
 
+  test("int8 quantization: scale-invariant codes, zero vector → zeros") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(5.0f, -10.0f, 2.5f)),  // same direction, 10x scale
+      (3L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", Similarity.absMax(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("scale")))
+    val r = vecs.collect().map(x => x.getAs[Long]("vec_id") ->
+      (x.getAs[Double]("scale"), x.getSeq[Long](3))).toMap
+    assert(r(1L)._2 == Seq(64L, -127L, 32L))
+    assert(r(1L)._2 == r(2L)._2) // codes are scale-invariant
+    assert(r(3L)._2 == Seq(0L, 0L, 0L) && r(3L)._1 == 0.0)
+  }
+
+  test("chunk windows: 32-token windows every 24, short docs → one chunk") {
+    val doc = Seq((1L, (1 to 80).map(i => s"w$i").mkString(" ")), (2L, "tiny doc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), filter(split(col("text"), "\\s+"), t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), posexplode(TextOps.chunkTexts(col("toks"), 32, 24)))
+    val chunks = doc.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(chunks((1L, 0)).startsWith("w1 w2") && chunks((1L, 0)).endsWith(" w32"))
+    assert(chunks((1L, 1)).startsWith("w25") && chunks((1L, 1)).endsWith(" w56"))
+    assert(chunks((1L, 3)).startsWith("w73") && chunks((1L, 3)).endsWith(" w80"))
+    assert(!chunks.contains((1L, 4)))  // 80 tokens → starts 0,24,48,72
+    assert(chunks((2L, 0)) == "tiny doc" && !chunks.contains((2L, 1)))
+  }
+
   test("as-of join picks the latest right row at-or-before each left time") {
     val trades = Seq((1L, 10L, 100L), (2L, 25L, 100L), (3L, 5L, 100L))
       .toDF("trade_id", "t", "k")
