@@ -69,6 +69,7 @@ object SparkEntry {
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
     "e4_embedding_quantize" -> (Q.e4_embedding_quantize(_, _)),
+    "e5_knn_ivf"          -> (Q.e5_knn_ivf(_, _)),
     "t5_chunk_windows"    -> (Q.t5_chunk_windows(_, _)),
     "x1_approx_distinct"  -> (Q.x1_approx_distinct(_, _)),
     "x2_salted_rasterize" -> (Q.x2_salted_rasterize(_, _)),
@@ -522,6 +523,19 @@ object SparkEntry {
         .filter(col("cosine") >= 0.3)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id1", "id2")
+    }
+
+    /** IVF ANN (the coarse-quantizer scale path next to e2's LSH): k-means
+      * inverted lists, nprobe-of-k probe search, exact cosine inside the
+      * probed lists. Iterative float k-means has no cross-engine oracle
+      * (accumulation-order sensitive), so like x1 this records the
+      * rows-only check; IVFSpec pins recall vs brute force. */
+    def e5_knn_ivf(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents, nprobe = 2, k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
     }
 
     /** Symmetric int8 quantization of embeddings (storage path of a 100 TB

@@ -60,6 +60,84 @@ object Similarity {
       when(dot(vec.cast("array<double>"), plane) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Deterministic mini k-means for IVF coarse quantization: initial
+    * centroids are the k corpus vectors with the smallest portable hash of
+    * their id (pseudo-random spread, no RNG state), then `iters` Lloyd
+    * rounds. Assignment is a broadcast argmin over k centroid literals
+    * (array_min over (dist², cid) structs — ties to the lower cid, fully
+    * deterministic); the update is a posexplode → per-(cluster, dim) avg —
+    * one narrow shuffle per round, map-side combined. k and iters are
+    * control-plane small; the corpus streams, never collects. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    import graft.functions.PortableHash
+    val v = col("embedding").cast("array<double>")
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("h", PortableHash.hash32(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(v.as("v"))
+        .withColumn("cid", nearestCentroid(col("v"), centroids))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      // empty clusters keep their previous centroid (standard practice)
+      val byId = updated.toMap
+      centroids = centroids.map { case (cid, c) => (cid, byId.getOrElse(cid, c)) }
+    }
+    centroids
+  }
+
+  /** Argmin over centroid literals: struct comparison picks the smallest
+    * (dist², cid) — deterministic ties. */
+  def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vec, cl, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, d) => a + d).as("d"),
+        lit(cid).as("cid"))
+    }: _*))("cid")
+
+  /** IVF ANN: corpus vectors are inverted-listed by nearest centroid; each
+    * query probes its `nprobe` nearest lists and scores exact cosine only
+    * within them — the classic recall/cost dial. At 100 TB the cluster id
+    * is a partition key: probe joins touch nprobe/k of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              centroids: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val listed = corpus.withColumn("cid", nearestCentroid(v, centroids))
+    // nprobe nearest centroids per query: sorted (dist², cid) structs
+    val probes = array(centroids.map { case (cid, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(aggregate(zip_with(v, cl, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, d) => a + d).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val q = broadcast(queries
+      .withColumn("probe", explode(transform(
+        slice(sort_array(probes), 1, nprobe), s => s("cid"))))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("probe").as("cid")))
+    val scored = q.join(listed, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.vec_cosine(
+          col("qv").cast("array<double>"), v))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Per-vector max |xᵢ| — the symmetric-quantization scale. */
   def absMax(vec: Column): Column =
     array_max(transform(vec.cast("array<double>"), x => abs(x)))

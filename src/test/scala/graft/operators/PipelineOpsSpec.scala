@@ -87,6 +87,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b(1L) == b(2L))
   }
 
+  test("IVF: full-probe search equals brute force; partial probe is sane") {
+    // 30 vectors in 3 well-separated clusters with small deterministic jitter
+    val base = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val vecs = (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, d) => x + ((i * 7 + d) % 5) * 0.1f })
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, k = 3, iters = 4)
+    assert(cents.length == 3 && cents.map(_._2).distinct.length == 3)
+    val queries = vecs.filter($"vec_id" < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every list degenerates to exact search — must match brute force
+    val full = pairs(Similarity.ivfTopK(vecs, queries, cents, nprobe = 3, k = 3))
+    assert(full == pairs(Similarity.bruteForceTopK(vecs, queries, k = 3)))
+    // one-list probe returns k results per query from the probed subset
+    val partial = Similarity.ivfTopK(vecs, queries, cents, nprobe = 1, k = 3).collect()
+    assert(partial.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
+
   test("int8 quantization: scale-invariant codes, zero vector → zeros") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
