@@ -28,7 +28,21 @@ object GeoTiff {
       originX: Double, originY: Double,
       xres: Double, yres: Double,
       deflate: Boolean = true,
-      nbits: Option[Int] = None) { // sub-byte NBITS (data_type.py:112-149)
+      nbits: Option[Int] = None,  // sub-byte NBITS (data_type.py:112-149)
+      photometric: Option[String] = None) { // PHOTOMETRIC creation option (tile.py:68-71)
+    /** TIFF PhotometricInterpretation code (tag 262). */
+    val photometricCode: Int = photometric.map(_.toUpperCase) match {
+      case None | Some("MINISBLACK") => 1
+      case Some("MINISWHITE") => 0
+      case Some("RGB")    => 2
+      case Some("PALETTE") => 3
+      case Some("CMYK")   => 5
+      case Some("YCBCR")  => 6
+      case Some("CIELAB") => 8
+      case Some("ICCLAB") => 9
+      case Some("ITULAB") => 10
+      case Some(other) => throw new IllegalArgumentException(s"Unknown photometric $other")
+    }
     val (containerBits: Int, sampleFormat: Int) = dataType match {
       case "uint8" | "boolean" => (8, 1)
       case "int8"    => (8, 2)   // SIGNEDBYTE: SampleFormat=INT at 8 bits
@@ -217,7 +231,7 @@ object GeoTiff {
       val bits = Array.fill(p.bands)(leShort(p.bitsPerSample)).flatten
       addBig(258, TShort, p.bands, bits)
       add(259, TShort, 1, shortVal(if (p.deflate) 8 else 1))
-      add(262, TShort, 1, shortVal(1)) // BlackIsZero
+      add(262, TShort, 1, shortVal(p.photometricCode))
       add(277, TShort, 1, shortVal(p.bands))
       add(284, TShort, 1, shortVal(2)) // planar = separate (INTERLEAVE=BAND)
       add(322, TLong, 1, longVal(p.tileWidth))
@@ -470,7 +484,12 @@ object GeoTiff {
         xres = if (scale.nonEmpty) scale(0) else 1,
         yres = if (scale.length > 1) scale(1) else 1,
         deflate = compression == 8,
-        nbits = if (bits < 8) Some(bits) else None)
+        nbits = if (bits < 8) Some(bits) else None,
+        photometric = scalar(262, 1) match {
+          case 0 => Some("MINISWHITE"); case 2 => Some("RGB"); case 3 => Some("PALETTE")
+          case 5 => Some("CMYK"); case 6 => Some("YCBCR"); case 8 => Some("CIELAB")
+          case 9 => Some("ICCLAB"); case 10 => Some("ITULAB"); case _ => None
+        })
       Tiff(profile, array(324), array(325), path)
     } finally raf.close()
   }

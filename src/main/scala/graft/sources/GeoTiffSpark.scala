@@ -41,6 +41,7 @@ object GeoTiffSpark {
     // the one creation option the pure-JVM codec normalizes is CCITTFAX4 →
     // DEFLATE for boolean, stated loudly rather than silently
     val ptNbits = pt.nbits
+    val photometric = spec.photometric
     if (pt.compression == "CCITTFAX4")
       System.err.println("[graft] CCITTFAX4 is not implemented by the JVM codec; " +
         "boolean tiles are written 1-bit DEFLATE instead")
@@ -70,7 +71,7 @@ object GeoTiffSpark {
               width = cols, height = cols, bands = bandCount, dataType = dataType,
               tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
               originX = left, originY = top, xres = xres, yres = yres,
-              nbits = ptNbits)
+              nbits = ptNbits, photometric = photometric)
             writer = new GeoTiff.Writer(localPath, profile)
           }
           val br = r.getInt(3); val bc = r.getInt(4)

@@ -138,6 +138,7 @@ class TiffJobSpec extends SparkSpec {
     GeoTiffSpark.writeTiles(result.blocks, mbSpec, outDir).collect()
     val t = GeoTiff.open(s"$outDir/${grid.tileId(0)}.tif")
     assert(t.profile.bands == 3)
+    assert(t.profile.photometric.contains("RGB")) // PHOTOMETRIC creation option (tile.py:68-71)
     val b1 = t.readTile(1, 1, 1); val b2 = t.readTile(2, 1, 1); val b3 = t.readTile(3, 1, 1)
     // band3 == band1 + band2 wherever band1 is valid
     b1.indices.filter(i => b1(i) != 0.0).take(100).foreach { i =>
