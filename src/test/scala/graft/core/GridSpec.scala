@@ -29,6 +29,32 @@ class GridSpec extends SparkSpec {
     assert(g.pointTileId(9.9, -0.1) == "00N_000E")
   }
 
+  test("reference test vectors verbatim (tests/test_grids.py:10-127)") {
+    // block sizing across the registry
+    assert(LatLngGrid(3, 33600).blockSize == 480)
+    assert(LatLngGrid(8, 32000).blockSize == 400)
+    assert(LatLngGrid(90, 27008).blockSize == 128)
+    assert(LatLngGrid(90, 9984).blockSize == 416)
+    // 10° grid point → tile id
+    val g10 = LatLngGrid(10, 40000)
+    assert(g10.pointTileId(0, 0) == "00N_000E")
+    assert(g10.pointTileId(1, 1) == "10N_000E")
+    assert(g10.pointTileId(-1, -1) == "00N_010W")
+    assert(g10.pointTileId(90, 90) == "90N_090E")
+    // 8° grid: edges do NOT intersect the equator/central meridian (offsets)
+    val g8 = LatLngGrid(8, 32000)
+    assert(g8.pointTileId(0, 0) == "04N_004W")
+    assert(g8.pointTileId(1, 1) == "04N_004W")
+    assert(g8.pointTileId(-1, -1) == "04N_004W")
+    assert(g8.pointTileId(-5, 5) == "12N_012W")
+    assert(g8.pointTileId(5, -5) == "04S_004E")
+    // WM tile counts: zoom_1 → 1, zoom_10 → 16, zoom_14 → 4096
+    assert(WebMercatorGrid(1).numTiles == 1)
+    assert(WebMercatorGrid(10).numTiles == 16)
+    assert(WebMercatorGrid(14).numTiles == 4096)
+    intercept[IllegalArgumentException](GridFactory("zoom_30"))
+  }
+
   test("tileBounds round-trips tile ids") {
     val g = LatLngGrid(10, 40000)
     for (i <- Seq(0L, 35L, 36L, 323L, 647L)) {
