@@ -1,6 +1,10 @@
 package graft
 
+import graft.core.LayerSpec
+import graft.operators.Raster
+import graft.plans.LayerJob
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":"total","value":…,"queries":{…}}.
@@ -40,6 +44,31 @@ object Bench {
     // warm the session: JIT the parquet reader + codegen paths once
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // Pipeline throughput: the full LayerJob (seed → spatial join → block
+    // read → mosaic → calc → cast/fill → stats) over 2 tiles of the
+    // 90/9984 grid with the synthetic reader — ~199 Mpx end to end, the
+    // shape the reference's 648-tile envelope is quoted against. Counts
+    // blocks AND folds stats so every stage executes.
+    def layerPipeline(): Double = {
+      val spec = LayerSpec(dataset = "bench", version = "v1", sourceType = "raster",
+        pixelMeaning = "x", dataType = "uint16", calc = Some("A * 2 + 1"),
+        grid = "90/9984", sourceUri = Some(Seq("mem")), noData = Some(Seq(0.0)))
+      val catalog = {
+        import spark.implicits._
+        Seq(("mem://bench.tif", 1,
+          graft.functions.GeoFunctions.write(
+            graft.functions.GeoFunctions.envelope(-180, -90, 0, 90))))
+          .toDF("uri", "band", "footprint")
+      }
+      val reader: LayerJob.BlockReader = b => Raster.synthesizeBand(b.drop("band"), band = 1)
+      val t0 = System.nanoTime()
+      val r = LayerJob.run(spark, spec, catalog, reader,
+        subset = Some(Seq("90N_180W", "90N_090W")))
+      r.blocks.count()
+      r.tileStats.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
@@ -51,6 +80,9 @@ object Bench {
         val ts = Seq(once(), once(), once()).sorted
         name -> (ts(1), ts.head) // (median of 3, min)
       }
+    } :+ {
+      val ts = Seq(layerPipeline(), layerPipeline(), layerPipeline()).sorted
+      "layer_pipeline_199mpx" -> (ts(1), ts.head)
     }
     def render(f3: ((String, (Double, Double))) => Double): String =
       results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f3(kv)}%.3f" }
