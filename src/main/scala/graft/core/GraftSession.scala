@@ -18,6 +18,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true") // explicit: skewed shuffle joins split at runtime
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // test tables carry TIMESTAMP(NANOS) columns (events.ts)

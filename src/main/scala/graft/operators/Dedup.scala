@@ -73,7 +73,9 @@ object Dedup {
     * the cap are dropped entirely — standard LSH practice: members of an
     * oversized bucket are near-everything, so the bucket carries no
     * discriminating signal, and true near-dups still meet in their other
-    * bands. Dropped bucket/row counts are logged. 0 disables the cap. */
+    * bands. Dropped bucket/row counts are logged — note the logging runs
+    * the bucket-count aggregate EAGERLY at plan construction (one small
+    * extra job); pass 0 to disable the cap and stay fully lazy. */
   def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 0): DataFrame = {
     val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
     val kept =
