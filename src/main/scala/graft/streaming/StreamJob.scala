@@ -29,6 +29,17 @@ object StreamJob {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact dedup (incremental twin of Dedup.exact): arriving
+    * documents are digest-keyed and first-writer-wins within the watermark
+    * horizon — `dropDuplicates` keeps per-key state bounded by the
+    * watermark, the standard shape for dedup-on-ingest at 100 TB (state
+    * holds digests, 32 bytes/doc, not documents). */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("digest")
+
   /** Incremental tile ingestion: stream new block parquet under `path`
     * through a per-batch function — the foreachBatch pattern for driving
     * LayerJob-style transforms incrementally (new manifest entries become

@@ -55,6 +55,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("StreamJob streaming dedup keeps one row per digest (d1's stream twin)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, "same text", java.sql.Timestamp.valueOf("2026-01-01 10:05:00")),
+      (3L, "other text", java.sql.Timestamp.valueOf("2026-01-01 10:10:00")))
+      .toDF("doc_id", "text", "ts")
+    val dir = new java.io.File("target/tmp/stream_docs").getAbsolutePath
+    docs.write.mode("overwrite").parquet(dir)
+    val q = StreamJob.streamingDedup(
+        spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("st_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("st_dedup").select("text").as[String].collect().sorted
+    assert(kept.toSeq == Seq("other text", "same text"))
+  }
+
   test("StreamJob incremental foreachBatch drives a batch transform") {
     val batch = Tables.events(spark, sf())
     val dir = new java.io.File("target/tmp/stream_events3").getAbsolutePath
