@@ -71,6 +71,7 @@ object LayerJob {
         val bandGeoms = cat.groupBy("band")
           .agg(GeomUnionAgg.column(col("footprint")).as("g"))
           .collect().map(r => GeoFunctions.read(r.getAs[Array[Byte]]("g")))
+        require(bandGeoms.nonEmpty, "Input bands do not overlap") // empty catalog
         val layerGeom = bandGeoms.reduce(GeoFunctions.intersectionPolygonal)
         require(!layerGeom.isEmpty, "Input bands do not overlap") // layers.py:255-257
         subsetted.filter(

@@ -148,6 +148,29 @@ class LayerJobSpec extends SparkSpec {
     assert(uni.size == 6 && inter.subsetOf(uni), s"union got $uni")
   }
 
+  test("non-overlapping bands fail with the reference's error (layers.py:255-257)") {
+    val spec2 = spec.copy(calc = Some("A + B"),
+      sourceUri = Some(Seq("s3://b/a.tif", "s3://b/b.tif")))
+    val disjoint = Seq(
+      ("s3://b/a.tif", 1, GeoFunctions.write(GeoFunctions.envelope(-180, -90, -90, 90))),
+      ("s3://b/b.tif", 2, GeoFunctions.write(GeoFunctions.envelope(0, -90, 90, 90))))
+      .toDF("uri", "band", "footprint")
+    val constReader: LayerJob.BlockReader = blocks =>
+      blocks
+        .withColumn("values",
+          transform(sequence(lit(0), col("width") * col("height") - 1), _ => lit(1.0)))
+        .withColumn("valid",
+          transform(sequence(lit(0), col("width") * col("height") - 1), _ => lit(true)))
+    val e = intercept[IllegalArgumentException](
+      LayerJob.run(spark, spec2, disjoint, constReader))
+    assert(e.getMessage.contains("Input bands do not overlap"))
+    // an EMPTY multi-band catalog fails the same way, not with empty.reduce
+    val empty = disjoint.limit(0)
+    val e2 = intercept[IllegalArgumentException](
+      LayerJob.run(spark, spec2, empty, constReader))
+    assert(e2.getMessage.contains("Input bands do not overlap"))
+  }
+
   test("J3 mosaic: higher-priority file wins where files overlap") {
     // reader that encodes the uri priority into the pixel value
     val priorityReader: LayerJob.BlockReader = blocks =>
