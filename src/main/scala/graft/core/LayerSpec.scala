@@ -54,6 +54,7 @@ final case class LayerSpec(
       require(nd.distinct.length == 1, "No data values must be the same for all bands")
     }
   }
+  order.foreach(o => require(o == "asc" || o == "desc", s"Unknown order: $o"))
   resampling match {
     case "nearest" | "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "average" |
          "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
@@ -93,6 +94,9 @@ object LayerSpec {
       case JInt(i)    => Some(Seq(i.toDouble))
       case JLong(l)   => Some(Seq(l.toDouble))
       case JDouble(d) => Some(Seq(d))
+      // float layers may declare a NaN sentinel as the string "nan"
+      // (test_models.py:39-47)
+      case JString(s) if s.equalsIgnoreCase("nan") => Some(Seq(Double.NaN))
       case JArray(xs) => Some(xs.collect {
         case JInt(i) => i.toDouble; case JLong(l) => l.toDouble; case JDouble(d) => d
       })

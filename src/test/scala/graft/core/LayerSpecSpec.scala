@@ -37,6 +37,23 @@ class LayerSpecSpec extends AnyFunSuite {
       LayerSpec.fromJson(minimalRaster.replace("\"v4\"", "\"4.0\"")))
   }
 
+  test("NaN nodata string and order validation (test_models.py:33-47)") {
+    val s = LayerSpec.fromJson(minimalRaster
+      .replace("\"data_type\": \"uint16\"", "\"data_type\": \"float32\"")
+      .replace("\"source_type\": \"raster\"", "\"source_type\": \"raster\", \"no_data\": \"nan\""))
+    assert(s.noData.exists(_.head.isNaN))
+    // NaN nodata on an int type is rejected (type-directed validation)
+    intercept[IllegalArgumentException](LayerSpec.fromJson(minimalRaster
+      .replace("\"source_type\": \"raster\"",
+        "\"source_type\": \"raster\", \"no_data\": \"nan\"")).pixelType)
+    // order must be asc/desc
+    intercept[IllegalArgumentException](LayerSpec.fromJson(minimalRaster
+      .replace("\"source_type\": \"raster\"",
+        "\"source_type\": \"raster\", \"order\": \"sideways\"")))
+    LayerSpec.fromJson(minimalRaster.replace("\"source_type\": \"raster\"",
+      "\"source_type\": \"raster\", \"order\": \"desc\""))
+  }
+
   test("raster requires source_uri; vector forbids it (pydantic.py:63-69)") {
     intercept[IllegalArgumentException](LayerSpec.fromJson(
       """{"dataset": "d", "version": "v4", "pixel_meaning": "x",
