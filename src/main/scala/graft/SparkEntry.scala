@@ -40,6 +40,7 @@ object SparkEntry {
     "j5_join3_revenue"    -> (Q.j5_join3_revenue(_, _)),
     "r1_resample_avg"     -> (Q.r1_resample_avg(_, _)),
     "r3_warp_3857"        -> (Q.r3_warp_3857(_, _)),
+    "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -262,6 +263,21 @@ object SparkEntry {
       val w = Window.partitionBy("cx", "cy").orderBy(col("cnt").desc, col("v").asc)
       counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("cx"), col("cy"), col("v").as("value"))
+        .orderBy("cx", "cy")
+    }
+
+    /** R4: median (nearest-rank) resample kernel — the quantile semantics
+      * of `Resample.downsample("med")` (`ceil(n·q)` over the sorted valid
+      * window) in row form so DuckDB can oracle it exactly (approximate
+      * percentiles would not hash-match). */
+    def r4_resample_med(s: SparkSession, d: String): DataFrame = {
+      val fine = pixels(s, d).groupBy("px", "py").agg(max("value").as("v"))
+      fine
+        .groupBy(expr("px div 2").as("cx"), expr("py div 2").as("cy"))
+        .agg(sort_array(collect_list("v")).as("vs"))
+        .select(col("cx"), col("cy"),
+          element_at(col("vs"),
+            greatest(lit(1), ceil(size(col("vs")) * 0.5).cast("int"))).as("med"))
         .orderBy("cx", "cy")
     }
 
@@ -787,6 +803,15 @@ object SparkEntry {
           |r AS (SELECT cx, cy, v,
           |  row_number() OVER (PARTITION BY cx, cy ORDER BY cnt DESC, v ASC) AS rn FROM counted)
           |SELECT cx, cy, v AS value FROM r WHERE rn = 1 ORDER BY cx, cy""".stripMargin,
+
+      "r4_resample_med" ->
+        """WITH fine AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |g AS (SELECT px // 2 AS cx, py // 2 AS cy, list_sort(list(v)) AS vs
+          |      FROM fine GROUP BY 1, 2)
+          |SELECT cx, cy, vs[greatest(1, CAST(ceil(len(vs) * 0.5) AS INT))] AS med
+          |FROM g ORDER BY cx, cy""".stripMargin,
 
       "r3_warp_3857" ->
         """WITH px AS (SELECT v % 128 AS i, v // 128 AS j FROM generate_series(0, 16383) t(v)),
