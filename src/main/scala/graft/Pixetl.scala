@@ -150,6 +150,9 @@ object Pixetl {
           }
           val result = VectorJob.run(spark, spec, features, subset = sub)
           GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
+          LayerJob.writeTilesGeojson(result.manifest, s"$outDir/tiles.geojson")
+          Files.writeString(Paths.get(s"$outDir/extent.geojson"),
+            LayerJob.renderExtentGeojson(result.extent))
           (result.blocks, result.status)
       }
 

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object VectorJob {
 
-  final case class Result(blocks: DataFrame, status: DataFrame)
+  final case class Result(blocks: DataFrame, status: DataFrame,
+                          manifest: DataFrame, extent: DataFrame)
 
   /** `features` must carry `geom` (WKB binary); `burnField` names the value
     * column for A2 (ignored for count). */
@@ -114,6 +115,20 @@ object VectorJob {
       .withColumn("status", lit("processed"))
       .groupBy("status").agg(count(lit(1)).as("n"))
 
-    Result(withTile, status)
+    // K3: the base pipe uploads geojson manifests for vector layers too
+    // (pipes/pipe.py:163-167) — same shape as LayerJob's
+    val outEnv = GeoFunctions.st_makeEnvelope(
+      col("left"), col("bottom"), col("right"), col("top"))
+    val manifest = withTile
+      .select("tile_id", "left", "bottom", "right", "top").distinct()
+      .select(col("tile_id"), col("left"), col("bottom"), col("right"), col("top"),
+        concat(lit(spec.prefix() + "/"), col("tile_id"), lit(".tif")).as("uri"),
+        GeoFunctions.st_asGeoJson(outEnv).as("geometry"))
+    val extent = manifest
+      .select(outEnv.as("g"))
+      .agg(graft.functions.GeomUnionAgg.column(col("g")).as("wkb"))
+      .select(GeoFunctions.st_asGeoJson(col("wkb")).as("geometry"))
+
+    Result(withTile, status, manifest, extent)
   }
 }

@@ -31,6 +31,16 @@ class VectorJobSpec extends SparkSpec {
     assert(burnt > 200L * 200 && burnt < 250L * 250, s"burnt=$burnt")
   }
 
+  test("vector job emits K3 manifests (pipes/pipe.py:163-167)") {
+    val g = GeoFunctions.write(GeoFunctions.envelope(-170, 10, -150, 30))
+    val r = VectorJob.run(spark, spec, Seq((g, 7L)).toDF("geom", "value"))
+    val m = r.manifest.collect()
+    assert(m.length == 1 && m(0).getAs[String]("tile_id") == "90N_180W")
+    assert(m(0).getAs[String]("uri").endsWith("/90N_180W.tif"))
+    assert(m(0).getAs[String]("geometry").contains("\"type\":\"Polygon\""))
+    assert(LayerJob.renderExtentGeojson(r.extent).contains("Polygon"))
+  }
+
   test("burn-count mode adds overlapping features") {
     val a = GeoFunctions.write(GeoFunctions.envelope(-170, 10, -160, 20))
     val b = GeoFunctions.write(GeoFunctions.envelope(-165, 10, -155, 20))
