@@ -220,12 +220,16 @@ object LayerJob {
           .drop("m"))
       }
 
-    // A8: status algebra (pipe.py:137-168)
+    // A8: status algebra (pipe.py:137-168; skip reasons raster_pipe.py:62-81)
     val status = {
       val processed = processedTiles.withColumn("status", lit("processed"))
+      val notIntersecting = subsetted.select("tile_id")
+        .join(withSource.select("tile_id"), Seq("tile_id"), "left_anti")
+        .withColumn("status", lit("skipped (does not intersect)"))
       val skipped = pending.select("tile_id")
         .join(processedTiles, Seq("tile_id"), "left_anti")
         .withColumn("status", lit("skipped (has no data)"))
+        .unionByName(notIntersecting)
       val existed =
         if (existingTiles.columns.contains("tile_id"))
           existingTiles.select("tile_id").withColumn("status", lit("existing"))

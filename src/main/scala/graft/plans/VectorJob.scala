@@ -111,8 +111,12 @@ object VectorJob {
         "block_row", "block_col", "band_1")
       .withColumn("width", lit(block)).withColumn("height", lit(block))
 
-    val status = withTile.select("tile_id").distinct()
+    val processedTiles = withTile.select("tile_id").distinct()
+    val status = processedTiles
       .withColumn("status", lit("processed"))
+      .unionByName(tiles.select("tile_id")
+        .join(processedTiles, Seq("tile_id"), "left_anti")
+        .withColumn("status", lit("skipped (does not intersect)"))) // vector_pipe.py:62
       .groupBy("status").agg(count(lit(1)).as("n"))
 
     // K3: the base pipe uploads geojson manifests for vector layers too

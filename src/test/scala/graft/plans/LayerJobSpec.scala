@@ -106,6 +106,8 @@ class LayerJobSpec extends SparkSpec {
   test("status algebra: processed counts (pipe.py:137-168)") {
     val tally = result.status.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tally("processed") == 6)
+    // the eastern pair has no source coverage (raster_pipe.py:62-68)
+    assert(tally("skipped (does not intersect)") == 2)
     assert(!tally.contains("existing"))
   }
 

@@ -76,7 +76,7 @@ class VectorJobSpec extends SparkSpec {
     val g = GeoFunctions.write(GeoFunctions.envelope(-170, 10, -150, 30))
     val r = VectorJob.run(spark, spec, Seq((g, 1L)).toDF("geom", "value"))
     assert(r.status.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-      == Map("processed" -> 1L))
+      == Map("processed" -> 1L, "skipped (does not intersect)" -> 7L))
   }
 }
 
