@@ -55,6 +55,15 @@ class GridSpec extends SparkSpec {
     intercept[IllegalArgumentException](GridFactory("zoom_30"))
   }
 
+  test("zoom-22 seed is 268M tiles and plans without driver materialization") {
+    val g = WebMercatorGrid(22)
+    assert(g.numTiles == 268435456L)
+    // the seed is spark.range + column math: limiting stays lazy — no
+    // 268M-row collect anywhere (the scale premise of SURVEY §2/S1)
+    assert(g.tilesDF(spark).limit(3).count() == 3)
+    assert(g.tileId(g.numTiles - 1) == "16383R_16383C")
+  }
+
   test("tileBounds round-trips tile ids") {
     val g = LatLngGrid(10, 40000)
     for (i <- Seq(0L, 35L, 36L, 323L, 647L)) {
