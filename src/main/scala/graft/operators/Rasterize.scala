@@ -60,16 +60,20 @@ object Rasterize {
 
   /** Lazy scanline iterator over the pixels a geometry covers — NEVER
     * materializes the full cover (a continent-sized feature at a fine zoom
-    * covers 10⁸+ pixels; an eager Seq OOMs the task, found the hard way). */
+    * covers 10⁸+ pixels; an eager Seq OOMs the task, found the hard way).
+    * `rowLo`/`rowHi` optionally restrict to a band of pixel rows (the
+    * parallel-banding path of [[explodeToPixels]]). */
   def pixelCoverIterator(wkb: Array[Byte], originX: Double, originY: Double,
-                         xres: Double, yres: Double): Iterator[(Int, Int)] = {
+                         xres: Double, yres: Double,
+                         rowLo: Int = Int.MinValue,
+                         rowHi: Int = Int.MaxValue): Iterator[(Int, Int)] = {
     val g = GeoFunctions.read(wkb)
     val env = g.getEnvelopeInternal
     val pf = g.getFactory
     val px0 = math.floor((env.getMinX - originX) / xres).toInt
     val px1 = math.ceil((env.getMaxX - originX) / xres).toInt
-    val py0 = math.floor((originY - env.getMaxY) / yres).toInt
-    val py1 = math.ceil((originY - env.getMinY) / yres).toInt
+    val py0 = math.max(math.floor((originY - env.getMaxY) / yres).toInt, rowLo)
+    val py1 = math.min(math.ceil((originY - env.getMinY) / yres).toInt, rowHi)
     val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
     for {
       py <- Iterator.range(py0, py1)
@@ -82,15 +86,31 @@ object Rasterize {
 
   /** features(geom: binary WKB, value: long) → pixels(px, py, value).
     * One generator row per covered pixel, streamed via a typed flatMap so
-    * task memory stays constant regardless of feature size. */
+    * task memory stays constant regardless of feature size.
+    *
+    * Skew: a single feature's scanline is serial, so one tile-spanning
+    * polygon at a fine grid would rasterize 10⁹ pixels in ONE task. Each
+    * feature is first split into `rowBand`-row bands (cheap — envelope
+    * math only), the bands round-robin across the cluster, and each task
+    * scans only its band — the standard salt-the-generator shape. The
+    * extra shuffle moves (wkb × nBands) geometry rows, which is noise next
+    * to the pixel volume the burn must touch anyway. */
   def explodeToPixels(features: DataFrame, originX: Double, originY: Double,
-                      xres: Double, yres: Double): DataFrame = {
+                      xres: Double, yres: Double, rowBand: Int = 2048): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     features.select(col("geom"), col("value").cast("long").as("value"))
       .as[(Array[Byte], Long)]
       .flatMap { case (wkb, value) =>
-        pixelCoverIterator(wkb, originX, originY, xres, yres)
+        val env = GeoFunctions.read(wkb).getEnvelopeInternal
+        val py0 = math.floor((originY - env.getMaxY) / yres).toInt
+        val py1 = math.ceil((originY - env.getMinY) / yres).toInt
+        Iterator.range(py0, math.max(py1, py0 + 1), rowBand)
+          .map(b => (wkb, value, b, math.min(b + rowBand, py1)))
+      }
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .flatMap { case (wkb, value, b0, b1) =>
+        pixelCoverIterator(wkb, originX, originY, xres, yres, rowLo = b0, rowHi = b1)
           .map { case (px, py) => (px, py, value) }
       }
       .toDF("px", "py", "value")

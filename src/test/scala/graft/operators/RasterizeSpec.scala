@@ -53,4 +53,17 @@ class RasterizeSpec extends SparkSpec {
     val cover = Rasterize.pixelCover(GeoFunctions.write(g), 0, 90, 1, 1)
     assert(cover.size == 100 - 16)
   }
+
+  test("row-banded explode burns identically to one scanline (skew split)") {
+    import spark.implicits._
+    val g = GeoFunctions.write(GeoFunctions.envelope(-170, 10, -150, 30))
+    val f = Seq((g, 1L)).toDF("geom", "value")
+    def burn(band: Int) =
+      Rasterize.explodeToPixels(f, -180, 90, 0.25, 0.25, rowBand = band)
+        .orderBy("px", "py").collect().toSeq
+    // 80 pixel rows → 12 bands of 7 vs one band; same pixel set either way
+    val banded = burn(7)
+    assert(banded == burn(1 << 20))
+    assert(banded.size == 80 * 80)
+  }
 }
