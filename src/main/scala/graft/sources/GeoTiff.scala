@@ -80,7 +80,7 @@ object GeoTiff {
     val v = (fbits & 0x7fffffff) + 0xfff + ((fbits >>> 13) & 1)
     if (v >= 0x47800000) {
       if ((fbits & 0x7fffffff) >= 0x47800000) {
-        if ((fbits & 0x7fffffff) < 0x7f800000) (sign | 0x7c00).toShort // overflow → ±inf
+        if ((fbits & 0x7fffffff) <= 0x7f800000) (sign | 0x7c00).toShort // overflow / ±inf
         else (sign | 0x7c00 | ((fbits & 0x007fffff) >>> 13) | 1).toShort // NaN (mantissa kept non-zero)
       } else (sign | 0x7bff).toShort // rounded up to max half
     }

@@ -69,6 +69,18 @@ class GeoTiffSpec extends SparkSpec {
     GeoTiff.open(path).readTile(1, 0, 0)(0)
   }
 
+  test("all 65536 half bit patterns round-trip half→float→half") {
+    var h = 0
+    while (h < 65536) {
+      val f = GeoTiff.halfToFloat(h)
+      val h2 = GeoTiff.floatToHalf(f) & 0xffff
+      if (java.lang.Float.isNaN(f))
+        assert((h2 & 0x7c00) == 0x7c00 && (h2 & 0x3ff) != 0, s"NaN h=$h → $h2")
+      else assert(h2 == h, f"h=0x$h%04x f=$f h2=0x$h2%04x")
+      h += 1
+    }
+  }
+
   test("NBITS sub-byte packing: 1-bit boolean and 4-bit uint8 round-trip") {
     for (bits <- Seq(1, 2, 4, 3, 5, 7)) {
       val maxV = (1 << bits) - 1
