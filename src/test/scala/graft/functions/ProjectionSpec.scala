@@ -30,6 +30,19 @@ class ProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("UTM round-trip sweep: whole zone band at half-degree steps") {
+    val p = Projection.forEpsg(32631).get
+    var worst = 0.0
+    for (dl <- BigDecimal(-3.0) to 3.0 by 0.5; lat <- BigDecimal(-80.0) to 84.0 by 0.5) {
+      val (lng0, lat0) = (3.0 + dl.toDouble, lat.toDouble)
+      val (x, y) = p.forward(lng0, lat0)
+      val (lng1, lat1) = p.inverse(x, y)
+      worst = math.max(worst,
+        math.max(math.abs(lng1 - lng0), math.abs(lat1 - lat0)))
+    }
+    assert(worst < 1e-7, s"worst round-trip error $worst deg") // < 1 cm
+  }
+
   test("UTM southern hemisphere carries the 10,000 km false northing") {
     val p = Projection.forEpsg(32733).get // zone 33S (15°E)
     val (_, y) = p.forward(15.0, -0.0001)
