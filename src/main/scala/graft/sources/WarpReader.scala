@@ -135,7 +135,11 @@ object WarpReader {
                   }
                   dy += 1
                 }
-                if (math.abs(wsum) > 1e-12) acc / wsum else Double.NaN
+                // cubic has negative lobes: a heavily-masked window can sum
+                // its VALID weights to ~0 or negative, where renormalizing
+                // would explode/flip sign — degrade to nearest instead
+                if (wsum > 1e-12) acc / wsum
+                else sample(math.floor(gx + 0.5).toInt, math.floor(gy + 0.5).toInt)
             }
             // box average: mean of source pixels whose centers land inside
             // the projected target-pixel footprint; falls back to the

@@ -31,14 +31,16 @@ object StreamJob {
 
   /** Streaming exact dedup (incremental twin of Dedup.exact): arriving
     * documents are digest-keyed and first-writer-wins within the watermark
-    * horizon — `dropDuplicates` keeps per-key state bounded by the
-    * watermark, the standard shape for dedup-on-ingest at 100 TB (state
-    * holds digests, 32 bytes/doc, not documents). */
+    * horizon. `dropDuplicatesWithinWatermark` is the variant whose state
+    * actually EVICTS at the watermark (plain dropDuplicates on a non-time
+    * key grows state forever — the classic streaming-dedup footgun); state
+    * holds digests, 32 bytes/doc, not documents — the right shape for
+    * dedup-on-ingest at 100 TB. */
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("digest", md5(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("digest")
+      .dropDuplicatesWithinWatermark("digest")
 
   /** Incremental tile ingestion: stream new block parquet under `path`
     * through a per-batch function — the foreachBatch pattern for driving
