@@ -120,26 +120,23 @@ object Dedup {
   }
 
   /** Exact n-gram (word shingle) Jaccard similarity for candidate pairs.
-    * `pairs` has (doc1, doc2); result adds inter/union/jaccard. The token
-    * relation is PRUNED to candidate docs first (semi-join on the distinct
-    * pair members) — at 100 TB candidates are a sliver of the corpus, so
-    * this cuts the token shuffles by the candidate ratio — then the join
-    * reuses the pruned relation on both sides; full cross products never
-    * materialize. */
+    * `pairs` has (doc1, doc2); result adds inter/union/jaccard. The join
+    * reuses the exploded-token relation on both sides — shuffles by token
+    * once, never materializes full cross products. (A candidate-doc
+    * semi-join prune was tried and MEASURED slower here: each consumer of
+    * the pruned relation re-executes the LSH pipeline, and Spark's
+    * recompute semantics eat the win — callers with genuinely sparse
+    * candidate sets should pre-filter `docs` themselves, once.) */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 1): DataFrame = {
-    val candDocs = pairs.select(col("doc1").as("doc_id"))
-      .union(pairs.select(col("doc2").as("doc_id"))).distinct()
-    val shingled = docs
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(
-        col("doc_id"),
-        explode(array_distinct(
-          if (n == 1) tokens(col("text"))
-          else {
-            val toks = tokens(col("text"))
-            val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-            transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-          })).as("tok"))
+    val shingled = docs.select(
+      col("doc_id"),
+      explode(array_distinct(
+        if (n == 1) tokens(col("text"))
+        else {
+          val toks = tokens(col("text"))
+          val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+          transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+        })).as("tok"))
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // intersection via token-keyed join:
     val t1 = shingled.select(col("doc_id").as("doc1"), col("tok"))
