@@ -500,8 +500,11 @@ object SparkEntry {
     def d5_jaccard_pairs(s: SparkSession, d: String): DataFrame = {
       val docs = Tables.documents(s, d)
       val sigs = Dedup.minhashSignatures(docs, k = 4)
+      // jaccard consumes the pair relation twice (intersection counts +
+      // the outer re-attach); persisting the tiny candidate set keeps the
+      // whole minhash→bucket→self-join pipeline from running twice
       val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
-        maxBucketSize = lshCap)
+        maxBucketSize = lshCap).persist()
       Dedup.jaccard(docs, cands)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.5)

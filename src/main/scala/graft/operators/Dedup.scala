@@ -128,16 +128,17 @@ object Dedup {
     * recompute semantics eat the win — callers with genuinely sparse
     * candidate sets should pre-filter `docs` themselves, once.) */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 1): DataFrame = {
-    val shingled = docs.select(
-      col("doc_id"),
-      explode(array_distinct(
-        if (n == 1) tokens(col("text"))
-        else {
-          val toks = tokens(col("text"))
-          val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-          transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-        })).as("tok"))
-    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shingles = array_distinct(
+      if (n == 1) tokens(col("text"))
+      else {
+        val toks = tokens(col("text"))
+        val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+        transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      })
+    val shingled = docs.select(col("doc_id"), explode(shingles).as("tok"))
+    // set size per doc is a narrow map over the doc row — NOT an
+    // explode + groupBy re-shuffle of the whole token relation
+    val sizes = docs.select(col("doc_id"), size(shingles).as("sz"))
     // intersection via token-keyed join:
     val t1 = shingled.select(col("doc_id").as("doc1"), col("tok"))
     val t2 = shingled.select(col("doc_id").as("doc2"), col("tok"))
