@@ -77,10 +77,8 @@ object Pixetl {
           // interpolating kernels run in the warp gather; aggregate kernels
           // (average/mode/…) compose via operators/Resample downstream
           val kernel = spec.resampling match {
-            case r @ ("nearest" | "bilinear" | "cubic" | "average") => r
-            case r @ ("cubic_spline" | "lanczos") =>
-              System.err.println(s"[graft] $r kernel not implemented; using cubic")
-              "cubic"
+            case r @ ("nearest" | "bilinear" | "cubic" | "cubic_spline" |
+                      "lanczos" | "average") => r
             case _ => "nearest"
           }
           val (catalog, reader) =

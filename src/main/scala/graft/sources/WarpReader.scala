@@ -36,26 +36,60 @@ object WarpReader {
     else 0.0
   }
 
+  /** Cubic B-spline weight (GDAL `cubicspline`, radius 2). Non-negative,
+    * smoothing rather than interpolating — like GDAL, no prefilter is
+    * applied, so grid-aligned output is the smoothed (1/6, 4/6, 1/6) blend,
+    * not the original sample. Linear fields still reproduce exactly. */
+  private def bsplineW(tIn: Double): Double = {
+    val t = math.abs(tIn)
+    if (t <= 1) (4.0 + t * t * (3.0 * t - 6.0)) / 6.0
+    else if (t < 2) { val u = 2.0 - t; u * u * u / 6.0 }
+    else 0.0
+  }
+
+  /** Lanczos windowed-sinc weight (GDAL `lanczos`, 3 lobes, radius 3). */
+  private def lanczosW(tIn: Double): Double = {
+    val t = math.abs(tIn)
+    if (t < 1e-12) 1.0
+    else if (t < 3.0) {
+      val pt = math.Pi * t
+      3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+    } else 0.0
+  }
+
+  /** Tap radius per interpolating kernel (taps run 1-r .. r). */
+  private val kernelRadius: Map[String, Int] =
+    Map("bilinear" -> 1, "cubic" -> 2, "cubic_spline" -> 2, "lanczos" -> 3)
+
+  private def kernelWeight(kernel: String): Double => Double = kernel match {
+    case "bilinear"     => t => { val a = math.abs(t); if (a < 1) 1 - a else 0.0 }
+    case "cubic"        => cubicW
+    case "cubic_spline" => bsplineW
+    case "lanczos"      => lanczosW
+  }
+
   /** A `LayerJob.BlockReader` gathering from sources in `sourceCrs` onto a
     * target grid in `targetCrs` (e.g. a 4326 source feeding a `zoom_N`
     * WebMercator grid). Requires blockWork to carry the tile bounds
     * (left/top) so target blocks are geolocated.
     *
     * `resampling`: `nearest` (default), `bilinear` (2×2 taps), `cubic`
-    * (4×4 cubic convolution, a=-0.5), or `average` (box kernel over every
-    * source pixel whose center falls inside the target pixel's footprint —
-    * GDAL `average`, valid at ANY ratio incl. non-integer). Invalid/nodata
-    * taps drop out and the remaining weights renormalize (GDAL's masked
-    * resampling); a pixel with no valid tap is nodata. Integer-factor
-    * decimation with the other aggregate kernels (mode/med/…) composes
-    * with `operators/Resample`. */
+    * (4×4 cubic convolution, a=-0.5), `cubic_spline` (4×4 cubic B-spline,
+    * smoothing), `lanczos` (6×6 3-lobe windowed sinc), or `average` (box
+    * kernel over every source pixel whose center falls inside the target
+    * pixel's footprint — GDAL `average`, valid at ANY ratio incl.
+    * non-integer). Invalid/nodata taps drop out and the remaining weights
+    * renormalize (GDAL's masked resampling); a pixel with no valid tap is
+    * nodata. Integer-factor decimation with the other aggregate kernels
+    * (mode/med/…) composes with `operators/Resample`. */
   def reader(targetXres: Double, targetYres: Double, blockSize: Int,
              targetCrs: String, sourceCrs: String,
              resampling: String = "nearest"): LayerJob.BlockReader =
     blockWork => {
       val toSrc = graft.functions.Reproject.pointTransform(targetCrs, sourceCrs)
-      require(Seq("nearest", "bilinear", "cubic", "average").contains(resampling),
-        s"WarpReader supports nearest/bilinear/cubic/average, got $resampling")
+      require(resampling == "nearest" || resampling == "average" ||
+          kernelRadius.contains(resampling),
+        s"WarpReader supports nearest/bilinear/cubic/cubic_spline/lanczos/average, got $resampling")
       val spark = blockWork.sparkSession
       import spark.implicits._
       blockWork
@@ -95,52 +129,40 @@ object WarpReader {
                 if (nd.exists(_ == v)) Double.NaN else v
               }
             // kernel over continuous source coords (pixel-center registered):
-            // taps at radius 0 (nearest), 1 (bilinear), 2 (cubic)
-            def interpolate(gx: Double, gy: Double): Double = resampling match {
-              case "nearest" =>
+            // separable taps at radius 1 (bilinear), 2 (cubic/cubic_spline),
+            // 3 (lanczos). Masked taps drop out and the remaining weights
+            // renormalize; cubic/lanczos have negative lobes, so a heavily
+            // masked window can sum its VALID weights to ~0 or negative,
+            // where renormalizing would explode/flip sign — degrade to the
+            // nearest sample instead (itself NaN if the window is all-masked).
+            val kRadius = kernelRadius.getOrElse(resampling, 0)
+            val kWeight = if (kRadius > 0) kernelWeight(resampling) else null
+            def interpolate(gx: Double, gy: Double): Double =
+              if (resampling == "nearest")
                 sample(math.floor(gx + 0.5).toInt, math.floor(gy + 0.5).toInt)
-              case "bilinear" =>
+              else {
                 val x0 = math.floor(gx).toInt; val y0 = math.floor(gy).toInt
                 val fx = gx - x0; val fy = gy - y0
                 var acc = 0.0; var wsum = 0.0
-                var dy = 0
-                while (dy <= 1) {
-                  var dx = 0
-                  while (dx <= 1) {
-                    val v = sample(x0 + dx, y0 + dy)
-                    if (!v.isNaN) {
-                      val wt = (if (dx == 0) 1 - fx else fx) * (if (dy == 0) 1 - fy else fy)
-                      acc += wt * v; wsum += wt
+                var dy = 1 - kRadius
+                while (dy <= kRadius) {
+                  val wy = kWeight(dy - fy)
+                  if (wy != 0.0) {
+                    var dx = 1 - kRadius
+                    while (dx <= kRadius) {
+                      val v = sample(x0 + dx, y0 + dy)
+                      if (!v.isNaN) {
+                        val wt = kWeight(dx - fx) * wy
+                        acc += wt * v; wsum += wt
+                      }
+                      dx += 1
                     }
-                    dx += 1
                   }
                   dy += 1
                 }
-                if (wsum > 0) acc / wsum else Double.NaN
-              case "cubic" =>
-                val x0 = math.floor(gx).toInt; val y0 = math.floor(gy).toInt
-                val fx = gx - x0; val fy = gy - y0
-                var acc = 0.0; var wsum = 0.0
-                var dy = -1
-                while (dy <= 2) {
-                  val wy = cubicW(dy - fy)
-                  var dx = -1
-                  while (dx <= 2) {
-                    val v = sample(x0 + dx, y0 + dy)
-                    if (!v.isNaN) {
-                      val wt = cubicW(dx - fx) * wy
-                      acc += wt * v; wsum += wt
-                    }
-                    dx += 1
-                  }
-                  dy += 1
-                }
-                // cubic has negative lobes: a heavily-masked window can sum
-                // its VALID weights to ~0 or negative, where renormalizing
-                // would explode/flip sign — degrade to nearest instead
                 if (wsum > 1e-12) acc / wsum
                 else sample(math.floor(gx + 0.5).toInt, math.floor(gy + 0.5).toInt)
-            }
+              }
             // box average: mean of source pixels whose centers land inside
             // the projected target-pixel footprint; falls back to the
             // nearest center when the footprint covers none (upsampling)

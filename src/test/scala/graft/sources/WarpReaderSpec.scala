@@ -95,6 +95,57 @@ class WarpReaderSpec extends SparkSpec {
     val av = row0("average")
     for (i <- Seq(0, 10, 100)) assert(math.abs(av(i) - (2 * i + 1.5)) < 1e-4,
       s"average($i) = ${av(i)}")
+    // cubic_spline (B-spline) and lanczos also have linear precision once
+    // the dropped-tap weights renormalize
+    val bs = row0("cubic_spline")
+    for (i <- Seq(2, 10, 100)) assert(math.abs(bs(i) - (2 * i + 1.5)) < 1e-3,
+      s"cubic_spline($i) = ${bs(i)}")
+    val lz = row0("lanczos")
+    for (i <- Seq(3, 10, 100)) assert(math.abs(lz(i) - (2 * i + 1.5)) < 1e-3,
+      s"lanczos($i) = ${lz(i)}")
+  }
+
+  test("grid-aligned gather: lanczos interpolates exactly, cubic_spline smooths") {
+    // source on the SAME lattice as the target grid, value non-linear in x:
+    // f(gx) = (gx % 5) + 1 — locally linear except at the wrap columns
+    val path = s"${dir()}/aligned.tif"
+    val p = GeoTiff.Profile(
+      width = 1008, height = 1008, bands = 1, dataType = "float32",
+      tileWidth = 336, tileHeight = 336, noData = Some(-1.0), epsg = 4326,
+      originX = -180.0, originY = 90.0, xres = 90.0 / 1008, yres = 90.0 / 1008)
+    val w = new GeoTiff.Writer(path, p)
+    for (tr <- 0 until 3; tc <- 0 until 3) {
+      val px = Array.tabulate(336 * 336) { i =>
+        ((tc * 336 + i % 336) % 5 + 1).toDouble
+      }
+      w.writeTile(1, tr, tc, px)
+    }
+    w.close()
+    val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(path))
+      .selectExpr("uri", "band", "footprint")
+    val fSpec = spec.copy(dataType = "float32", noData = Some(Seq(-1.0)))
+    def row0(kernel: String): Seq[Float] = {
+      val reader = WarpReader.reader(grid.xres, grid.yres, grid.blockSize,
+        "EPSG:4326", "EPSG:4326", kernel)
+      LayerJob.run(spark, fSpec, catalog, reader).blocks
+        .filter(col("tile_id") === "90N_180W" &&
+          col("block_row") === 0 && col("block_col") === 0)
+        .select(col("band_1")).collect()(0).getSeq[Float](0)
+    }
+    def f(i: Int): Double = i % 5 + 1
+    // lanczos: weight 1 at the center tap, 0 at every integer offset —
+    // exact sample recovery even at the non-linear wrap columns
+    val lz = row0("lanczos")
+    for (i <- Seq(4, 9, 14, 17)) assert(math.abs(lz(i) - f(i)) < 1e-3,
+      s"lanczos($i) = ${lz(i)}")
+    // cubic_spline: GDAL applies no prefilter, so the aligned output is the
+    // (1/6, 4/6, 1/6) horizontal blend — differs from f at wrap columns
+    val bs = row0("cubic_spline")
+    for (i <- Seq(4, 9, 14)) {
+      val blend = (f(i - 1) + 4 * f(i) + f(i + 1)) / 6.0
+      assert(math.abs(bs(i) - blend) < 1e-3, s"cubic_spline($i) = ${bs(i)} want $blend")
+      assert(math.abs(blend - f(i)) > 0.5) // the wrap makes smoothing visible
+    }
   }
 
   test("cross-CRS warp: 4326 world source materializes a zoom_1 WebMercator tile e2e") {
