@@ -66,6 +66,7 @@ object SparkEntry {
     "d3_lsh_candidates"   -> (Q.d3_lsh_candidates(_, _)),
     "d4_simhash"          -> (Q.d4_simhash(_, _)),
     "d5_jaccard_pairs"    -> (Q.d5_jaccard_pairs(_, _)),
+    "d6_dedup_groups"     -> (Q.d6_dedup_groups(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -510,6 +511,16 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.5)
         .select("doc1", "doc2", "inter", "jaccard")
         .orderBy("doc1", "doc2")
+    }
+
+    /** Dedup grouping: LSH candidate pairs clustered into connected
+      * components — the keep-one-per-group step of a production dedup
+      * pipeline. group_id = the group's min doc_id (the canonical keeper). */
+    def d6_dedup_groups(s: SparkSession, d: String): DataFrame = {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), k = 4)
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+        maxBucketSize = lshCap).persist()
+      Dedup.components(cands).orderBy("doc_id")
     }
 
     // ---------------------------------------- similarity search (north star)
@@ -992,6 +1003,31 @@ object SparkEntry {
            |FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
            |  AND a.doc_id < b2.doc_id
            |ORDER BY doc1, doc2""".stripMargin,
+
+      // transitive closure via recursive CTE, then min over the reach set —
+      // tractable at oracle scale (closure is O(n · component size))
+      "d6_dedup_groups" ->
+        s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+           |sigs AS (SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id),
+           |b AS (
+           |  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
+           |  UNION ALL
+           |  SELECT doc_id, 1, mh2, mh3 FROM sigs),
+           |keep AS (SELECT band, v0, v1 FROM b GROUP BY 1, 2, 3 HAVING count(*) <= ${Q.lshCap}),
+           |bk AS (SELECT b.* FROM b JOIN keep USING (band, v0, v1)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
+           |  FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
+           |    AND a.doc_id < b2.doc_id),
+           |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+           |          UNION SELECT doc2, doc1 FROM pairs),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           |SELECT src AS doc_id, least(src, min(dst)) AS group_id
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
       "d4_simhash" -> {
         val votes = (0 until 16).map(b =>

@@ -103,6 +103,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a duplicate-pair relation — the grouping
+    * step a real dedup pipeline needs after LSH: candidate pairs cluster
+    * into groups, every member labeled with the group's minimum doc_id (the
+    * canonical keeper; `keep = doc_id == group_id`).
+    *
+    * Iterative min-label propagation with a pointer-jumping shortcut
+    * (label := label-of-label each round), so pathological chains converge
+    * in O(log n) rounds, and the clique-ish clusters LSH actually emits in
+    * one or two. Each round is one shuffle join plus a map-side-combined
+    * min aggregate over (vertex, label) id pairs — never documents — so a
+    * round's shuffle is O(|E|) longs at 100 TB. Rounds are separated by
+    * `localCheckpoint` to truncate lineage (iterative plans otherwise grow
+    * exponentially); on a cluster with unreliable executors, swap for a
+    * reliable `checkpoint` dir. Fails loudly if `maxIters` rounds don't
+    * converge rather than returning a silently-partial labeling. Output:
+    * (doc_id, group_id), vertices of `pairs` only — left-join the corpus
+    * to label singletons as their own group.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (not persist) between rounds: an iterative loop's
+    // logical plan otherwise doubles per round and Catalyst planning blows
+    // up long before the data does
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      // propagate the best label across one hop
+      val prop = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("label").as("plabel"))
+      val stepped = labels.join(prop, Seq("doc_id"))
+        .select(col("doc_id"), least(col("label"), col("plabel")).as("label"))
+        .localCheckpoint()
+      // shortcut: adopt the label's own label — every label is a vertex id,
+      // so the self-join always resolves, and labels only ever shrink
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"components did not converge in $maxIters rounds")
+    labels.select(col("doc_id"), col("label").as("group_id"))
+  }
+
   /** 16-bit SimHash per doc: for each bit, sum +1/-1 votes of each distinct
     * token's hash bit; sign → signature bit. */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {

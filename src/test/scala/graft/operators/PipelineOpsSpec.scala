@@ -50,6 +50,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.lshCandidates(buckets, maxBucketSize = 64).count() == 40L * 39 / 2)
   }
 
+  test("components: chains collapse via pointer jumping; cliques and isolates label to min id") {
+    // a 50-vertex path (worst case for plain propagation — needs the
+    // O(log n) shortcut to converge inside the default round budget),
+    // a 3-clique, and one extra pair
+    val path = (0L until 49L).map(i => (i, i + 1))
+    val pairs = (path ++ Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L)))
+      .toDF("doc1", "doc2")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L until 50L) assert(got(i) == 0L, s"path vertex $i → ${got(i)}")
+    for (i <- Seq(100L, 101L, 102L)) assert(got(i) == 100L)
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 55) // only vertices that appear in pairs
+  }
+
   test("simhash: identical docs equal, near dups within small Hamming distance") {
     val s = Dedup.simhash(docs, bits = 16).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
