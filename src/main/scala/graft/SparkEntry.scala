@@ -61,6 +61,8 @@ object SparkEntry {
     "t2_lang_id"          -> (Q.t2_lang_id(_, _)),
     "t3_quality_score"    -> (Q.t3_quality_score(_, _)),
     "t4_fingerprint"      -> (Q.t4_fingerprint(_, _)),
+    "t6_hash_split"       -> (Q.t6_hash_split(_, _)),
+    "t7_tfidf"            -> (Q.t7_tfidf(_, _)),
     "d1_exact_dedup"      -> (Q.d1_exact_dedup(_, _)),
     "d2_minhash_sig"      -> (Q.d2_minhash_sig(_, _)),
     "d3_lsh_candidates"   -> (Q.d3_lsh_candidates(_, _)),
@@ -472,6 +474,20 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+
+    /** Deterministic train/val/test split (stable across engines and
+      * appends — no RNG, no partition-order dependence). */
+    def t6_hash_split(s: SparkSession, d: String): DataFrame =
+      TextOps.hashSplit(Tables.documents(s, d))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+
+    /** TF-IDF term weights (epsilon-guarded rounding for the cross-engine
+      * float compare, as in q1/j5). */
+    def t7_tfidf(s: SparkSession, d: String): DataFrame =
+      TextOps.tfidf(Tables.documents(s, d))
+        .withColumn("tfidf", round(col("tfidf") + lit(5e-7), 4))
+        .orderBy("doc_id", "tok")
 
     // ---------------------------------------------------- dedup (north star)
     def d1_exact_dedup(s: SparkSession, d: String): DataFrame =
@@ -979,6 +995,25 @@ object SparkEntry {
            |e AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM t)
            |SELECT doc_id, CAST(sum((${h("toks[i+1]")} * (2*i+1)) % $P) % $P AS BIGINT) AS fp
            |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t6_hash_split" ->
+        s"""WITH b AS (SELECT doc_id,
+           |  CAST(${h("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket FROM documents)
+           |SELECT doc_id, bucket,
+           |  CASE WHEN bucket < 90 THEN 'train'
+           |       WHEN bucket < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      "t7_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($tokExpr) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+           |SELECT t.doc_id, t.tok, t.tf, d.df,
+           |  round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1) + 5e-7, 4) AS tfidf
+           |FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+           |ORDER BY doc_id, tok""".stripMargin,
 
       "d1_exact_dedup" ->
         """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

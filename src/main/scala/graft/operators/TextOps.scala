@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.PortableHash
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (beyond-reference
@@ -67,6 +67,40 @@ object TextOps {
     transform(
       sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
       st => concat_ws(" ", slice(toks, st + 1, lit(window))))
+
+  /** Deterministic train/val/test split: bucket = portable id-hash mod 100,
+    * split by percentile cuts. Replayable across runs AND engines (no RNG,
+    * no partition-order dependence, unlike `randomSplit`), and appending
+    * data never reassigns existing docs — the property training pipelines
+    * need for stable eval sets. A narrow per-row map: no shuffle at 100 TB.
+    */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+                trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    docs
+      .withColumn("bucket",
+        (PortableHash.hash32(col(idCol).cast("string")) % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** TF-IDF term weights per document: tf = in-doc term count, smoothed
+    * idf = ln((N+1)/(df+1)) + 1. Both aggregates are map-side combined;
+    * the 1-row corpus count broadcasts; only (doc, term, count) triples —
+    * never documents — cross the wire. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+      .select("doc_id", "tok", "tf", "df", "tfidf")
+  }
 
   /** Order-sensitive document fingerprint: positionally-weighted sum of
     * portable token hashes mod p — a rolling-hash-class fingerprint that

@@ -175,6 +175,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getString(2) == "en")
   }
 
+  test("hash split: deterministic, boundary-correct, append-stable") {
+    val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = TextOps.hashSplit(ids).select("doc_id", "bucket", "split").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val b = TextOps.hashSplit(ids).select("doc_id", "bucket", "split").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(a == b) // no RNG, no partition-order dependence
+    a.values.foreach { case (bk, sp) =>
+      assert(bk >= 0 && bk < 100)
+      assert(sp == (if (bk < 90) "train" else if (bk < 95) "val" else "test"))
+    }
+    assert(a.values.map(_._2).toSet.size == 3, "200 ids should hit all splits")
+    // appending rows never reassigns existing docs
+    val grown = TextOps.hashSplit(
+        (0L until 400L).map(i => (i, s"t$i")).toDF("doc_id", "text"))
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert((0L until 200L).forall(i => grown(i) == a(i)))
+  }
+
+  test("tfidf matches hand computation on a two-doc corpus") {
+    val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // N=2; df(a)=2 → idf = ln(3/3)+1 = 1; df(b)=df(c)=1 → idf = ln(3/2)+1
+    assert(got((1L, "a")) == ((2L, 2L, 2.0)))
+    val idf1 = math.log(1.5) + 1
+    assert(math.abs(got((1L, "b"))._3 - idf1) < 1e-12)
+    assert(math.abs(got((2L, "c"))._3 - idf1) < 1e-12)
+    assert(got((2L, "a"))._3 == 1.0)
+    assert(got.size == 4)
+  }
+
   test("fingerprint is order-sensitive (rolling-hash class)") {
     val df = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
     val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
