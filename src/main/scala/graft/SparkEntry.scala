@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
     "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
+    "z1_zorder"           -> (Q.z1_zorder(_, _)),
     "f1_subset_filter"    -> (Q.f1_subset_filter(_, _)),
     "f2_range_filter"     -> (Q.f2_range_filter(_, _)),
     "f3_exists_antijoin"  -> (Q.f3_exists_antijoin(_, _)),
@@ -105,6 +106,17 @@ object SparkEntry {
     }
 
     /** F1: subset filter (tile_id ∈ subset). */
+    /** Z-order (Morton) tile ordering — the spatial-locality sort/partition
+      * key for sink writes and co-located spatial work at scale. */
+    def z1_zorder(s: SparkSession, d: String): DataFrame = {
+      val tiles = LatLngGrid(10, 40000).tilesDF(s)
+      val r = (col("tile_idx") / 36).cast("long")
+      val c = (col("tile_idx") % 36).cast("long")
+      tiles.select(col("tile_id"), col("tile_idx"),
+          graft.functions.ZOrder.morton(c, r).as("zorder"))
+        .orderBy("zorder", "tile_id")
+    }
+
     def f1_subset_filter(s: SparkSession, d: String): DataFrame =
       li(s, d)
         .filter(col("l_orderkey").isin(1L, 7L, 32L, 100L, 501L, 1234L, 2500L))
@@ -712,6 +724,19 @@ object SparkEntry {
           | CAST(c*10 - 170 AS DOUBLE) AS "right", CAST(90 - r*10 AS DOUBLE) AS top
           |FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)
           |ORDER BY tile_idx""".stripMargin,
+
+      "z1_zorder" -> {
+        import graft.functions.ZOrder
+        s"""WITH t AS (
+           |  SELECT CAST(r*36 + c AS BIGINT) AS tile_idx,
+           |    (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+           |     || '_' ||
+           |     CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+           |    r, c
+           |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c))
+           |SELECT tile_id, tile_idx, ${ZOrder.mortonSql("c", "r")} AS zorder
+           |FROM t ORDER BY zorder, tile_id""".stripMargin
+      },
 
       "s1_wm_grid_seed" -> {
         val ext = 20037508.342789244
