@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming surface (SURVEY §2.8): incremental ingestion of new
   * manifest entries / event batches through the SAME transforms the batch
@@ -41,6 +41,51 @@ object StreamJob {
       .withColumn("digest", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
+
+  case class DocEvent(doc_id: Long, source: String, n_tokens: Int, ts: java.sql.Timestamp)
+  case class SourceState(nDocs: Long, nTokens: Long, lastTs: Long)
+  case class SourceSummary(source: String, n_docs: Long, n_tokens: Long,
+                           last_seen: java.sql.Timestamp)
+
+  /** Custom-state accumulator via `flatMapGroupsWithState` — the shape the
+    * built-in windows can't express: an UNBOUNDED per-key running total
+    * (docs + tokens per corpus source) that emits exactly one summary row
+    * when the key goes idle, then frees its state.
+    *
+    * State per key is three longs — nothing buffers the documents — and
+    * eviction is event-time-driven (`EventTimeTimeout` at last_seen +
+    * idleGap, checked against the watermark), so state size tracks ACTIVE
+    * sources only, not corpus size: the bounded-state requirement for a
+    * 100 TB ingest stream. Append output mode: downstream sinks see each
+    * source exactly once, on close. */
+  def sourceAccumulator(docs: Dataset[DocEvent], watermark: String = "1 hour",
+                        idleGapMs: Long = 30 * 60 * 1000L): Dataset[SourceSummary] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (source: String, it: Iterator[DocEvent], state: GroupState[SourceState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SourceSummary(source, s.nDocs, s.nTokens,
+              new java.sql.Timestamp(s.lastTs)))
+          } else {
+            val s0 = state.getOption.getOrElse(SourceState(0L, 0L, Long.MinValue))
+            val s = it.foldLeft(s0) { (acc, e) =>
+              SourceState(acc.nDocs + 1, acc.nTokens + e.n_tokens,
+                math.max(acc.lastTs, e.ts.getTime))
+            }
+            state.update(s)
+            // re-arm the idle clock; must stay ahead of the watermark, so a
+            // straggler key re-opened by late-but-in-watermark data simply
+            // extends its window
+            state.setTimeoutTimestamp(math.max(s.lastTs + idleGapMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          })
+  }
 
   /** Incremental tile ingestion: stream new block parquet under `path`
     * through a per-batch function — the foreachBatch pattern for driving

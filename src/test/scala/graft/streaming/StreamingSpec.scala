@@ -73,6 +73,50 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq("other text", "same text"))
   }
 
+  test("flatMapGroupsWithState accumulator: one summary per source on idle, state evicted") {
+    import spark.implicits._
+    import StreamJob.{DocEvent, SourceSummary}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // four single-file micro-batches with increasing mod-times so the
+    // watermark advances between batches and fires the idle timeouts of
+    // a and b (last seen 10:05/10:00 + 30 min gap << final wm 13:30)
+    val batches = Seq(
+      Seq(DocEvent(1L, "a", 10, t("2026-01-01 10:00:00")),
+          DocEvent(2L, "b", 20, t("2026-01-01 10:00:00"))),
+      Seq(DocEvent(3L, "a", 5, t("2026-01-01 10:05:00"))),
+      Seq(DocEvent(4L, "c", 7, t("2026-01-01 14:00:00"))),
+      Seq(DocEvent(5L, "c", 9, t("2026-01-01 14:30:00"))))
+    val dir = new java.io.File("target/tmp/stream_state")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    batches.zipWithIndex.foreach { case (evts, i) =>
+      val stage = new java.io.File(dir, s".stage$i")
+      evts.toDS().coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"batch$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    }
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[DocEvent]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+      .as[DocEvent]
+    val q = StreamJob.sourceAccumulator(stream)
+      .writeStream.outputMode("append").format("memory").queryName("st_acc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st_acc").as[SourceSummary].collect()
+      .map(s => s.source -> s).toMap
+    // a and b went idle inside the stream → exactly one summary each;
+    // c was still live at end-of-stream → no summary
+    assert(got.keySet == Set("a", "b"), s"got ${got.keySet}")
+    assert(got("a").n_docs == 2 && got("a").n_tokens == 15)
+    assert(got("a").last_seen == t("2026-01-01 10:05:00"))
+    assert(got("b").n_docs == 1 && got("b").n_tokens == 20)
+  }
+
   test("StreamJob incremental foreachBatch drives a batch transform") {
     val batch = Tables.events(spark, sf())
     val dir = new java.io.File("target/tmp/stream_events3").getAbsolutePath
