@@ -546,6 +546,8 @@ object SparkEntry {
       * pipeline. group_id = the group's min doc_id (the canonical keeper). */
     def d6_dedup_groups(s: SparkSession, d: String): DataFrame = {
       val sigs = Dedup.minhashSignatures(Tables.documents(s, d), k = 4)
+      // persist: the symmetric-edge union inside components reads the pair
+      // relation twice — don't run the LSH pipeline twice for it
       val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
         maxBucketSize = lshCap).persist()
       Dedup.components(cands).orderBy("doc_id")

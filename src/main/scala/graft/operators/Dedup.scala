@@ -131,9 +131,15 @@ object Dedup {
     var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("doc_id"), least(col("src"), col("nbr")).as("label"))
       .localCheckpoint()
+    // convergence check: labels only ever shrink, so Σlabel is strictly
+    // decreasing until the fixpoint — one cheap scan of the checkpointed
+    // labels per round instead of a join; decimal sum cannot overflow
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       // propagate the best label across one hop
       val prop = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("label").as("plabel"))
@@ -147,12 +153,13 @@ object Dedup {
           Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    require(changed == 0, s"components did not converge in $maxIters rounds")
+    require(converged, s"components did not converge in $maxIters rounds")
     labels.select(col("doc_id"), col("label").as("group_id"))
   }
 
