@@ -42,9 +42,39 @@ object Pixetl {
 
     val spark = GraftSession.local(s"pixetl ${spec.dataset}/${spec.version}")
     try {
+      run(spark, spec, dest, overwrite,
+        if (subset.nonEmpty) Some(subset.toSeq) else None)
+        .foreach { case (s, n) => println(s"$s: $n") }
+      sys.exit(0)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"pixetl failed: ${e.getMessage}")
+        sys.exit(1)
+    } finally spark.stop()
+  }
+
+  /** Resolve `pixetl://dataset/attr/grid/tiles.geojson` source uris (emitted
+    * by [[SubmitJob]] for resampled `depends_on` grids) to the upstream
+    * job's manifest under the same dest prefix — the reference's data-lake
+    * naming convention. */
+  private[graft] def resolvePixetlUris(spec: LayerSpec, dest: String): LayerSpec = {
+    val Re = "pixetl://([^/]+)/([^/]+)/([^/]+/[^/]+)/tiles\\.geojson".r
+    spec.copy(sourceUri = spec.sourceUri.map(_.map {
+      case Re(ds, attr, grid) =>
+        s"$dest/${spec.copy(dataset = ds, pixelMeaning = attr, grid = grid).prefix()}/tiles.geojson"
+      case u => u
+    }))
+  }
+
+  /** In-process job entry (SubmitJob's executor): the same pipeline as the
+    * CLI on the CALLER's SparkSession — independent layer jobs interleave
+    * their stages on one cluster instead of paying a session each. Throws
+    * on failure; returns the status tally. */
+  def run(spark: org.apache.spark.sql.SparkSession, spec0: LayerSpec, dest: String,
+          overwrite: Boolean, sub: Option[Seq[String]]): Seq[(String, Long)] = {
+      val spec = resolvePixetlUris(spec0, dest)
       val outDir = s"$dest/${spec.prefix()}"
       Files.createDirectories(Paths.get(outDir))
-      val sub = if (subset.nonEmpty) Some(subset.toSeq) else None
 
       val (blocks, status) = spec.sourceType match {
         case "raster" =>
@@ -81,8 +111,24 @@ object Pixetl {
                       "lanczos" | "average") => r
             case _ => "nearest"
           }
+          // same CRS is NOT enough for the aligned block reader: a resample
+          // job (90/27008 fed from 10/40000 output — the catalog's
+          // depends_on chains) matches CRS but not lattice. Probe one
+          // source profile at plan time (the reference opens every source
+          // for its profile, sources.py:179-210; one metadata read is
+          // cheaper) and use the warp gather unless resolution matches.
+          val aligned = srcEpsg == gridEpsg && {
+            import spark.implicits._
+            val u = catalog0.select("uri").as[String].first()
+            val p = graft.sources.GeoTiff.open(u).profile
+            math.abs(p.xres - grid.xres) <= 1e-9 * grid.xres &&
+              math.abs(p.yres - grid.yres) <= 1e-9 * grid.yres
+          }
           val (catalog, reader) =
-            if (srcEpsg == gridEpsg) (catalog0, GeoTiffSpark.reader)
+            if (aligned) (catalog0, GeoTiffSpark.reader)
+            else if (srcEpsg == gridEpsg)
+              (catalog0, graft.sources.WarpReader.reader(grid.xres, grid.yres,
+                grid.blockSize, grid.crs, grid.crs, kernel))
             else (Catalog.reprojectFootprints(catalog0, s"EPSG:$srcEpsg", grid.crs),
               graft.sources.WarpReader.reader(grid.xres, grid.yres, grid.blockSize,
                 grid.crs, s"EPSG:$srcEpsg", kernel))
@@ -154,13 +200,8 @@ object Pixetl {
           (result.blocks, result.status)
       }
 
-      status.collect().foreach(r => println(s"${r.getString(0)}: ${r.getLong(1)}"))
-      sys.exit(0)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"pixetl failed: ${e.getMessage}")
-        sys.exit(1)
-    } finally spark.stop()
+      val _ = blocks // per-branch writes already materialized above
+      status.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 }
 

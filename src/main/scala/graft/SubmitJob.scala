@@ -145,4 +145,17 @@ object SubmitJob {
     val (r, d) = defineJobs(catalogJson)
     run(r, d, parallelism)(exec)
   }
+
+  /** Executor running each job in-process through [[Pixetl.run]] on ONE
+    * shared SparkSession — the Spark-native replacement for the reference's
+    * per-job AWS Batch containers: independent layers interleave their
+    * stages on the same cluster, dependents read upstream manifests via the
+    * pixetl:// convention. */
+  def pixetlExecutor(spark: org.apache.spark.sql.SparkSession, dest: String,
+                     overwrite: Boolean = true): JobDef => Unit =
+    j => {
+      Pixetl.run(spark, graft.core.LayerSpec.fromJson(j.specJson), dest,
+        overwrite, None)
+      ()
+    }
 }

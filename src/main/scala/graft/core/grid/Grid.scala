@@ -223,6 +223,13 @@ object GridFactory {
     "90/1008"  -> LatLngGrid(90, 1008)) ++
     (0 to 22).map(z => s"zoom_$z" -> WebMercatorGrid(z)).toMap
 
-  def apply(name: String): Grid =
-    grids.getOrElse(name, throw new IllegalArgumentException(s"Unknown grid name: $name"))
+  private val customLatLng = "^(\\d+)/(\\d+)$".r
+
+  /** Registered grids resolve to the reference's exact fixtures; any other
+    * `width/cols` name constructs a custom LatLngGrid (validated by its own
+    * invariants) — the registry is a catalog, not a capability limit. */
+  def apply(name: String): Grid = grids.getOrElse(name, name match {
+    case customLatLng(w, c) => LatLngGrid(w.toInt, c.toInt)
+    case _ => throw new IllegalArgumentException(s"Unknown grid name: $name")
+  })
 }

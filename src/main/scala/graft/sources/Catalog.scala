@@ -26,10 +26,23 @@ object Catalog {
         gf.createLinearRing(r.map(p => new Coordinate(p(0), p(1))).toArray)).toArray
       GeoFunctions.write(gf.createPolygon(gf.createLinearRing(shell), holes))
     })
+    // manifest `name`s are dest-relative (prefix/tile.tif — the K3 sink
+    // contract); resolve them against where THIS manifest lives so a
+    // downstream job (a depends_on resample) can read the published tiles
+    // from any dest root or scheme
+    val manifestDir = path.substring(0, path.lastIndexOf('/').max(0))
+    val resolveUri = udf((name: String) =>
+      if (name.contains("://") || name.startsWith("/") || manifestDir.isEmpty) name
+      else {
+        val slash = name.lastIndexOf('/')
+        val (nameDir, base) = (name.substring(0, slash.max(0)), name.substring(slash + 1))
+        if (nameDir.nonEmpty && manifestDir.endsWith(nameDir)) s"$manifestDir/$base"
+        else s"$manifestDir/$name"
+      })
     spark.read.option("multiLine", "true").json(path)
       .select(posexplode(col("features")).as(Seq("manifest_idx", "f")))
       .select(
-        col("f.properties.name").as("uri"),
+        resolveUri(col("f.properties.name")).as("uri"),
         lit(band).as("band"),           // global band position (J4 alignment)
         lit(1).as("file_band"),         // band index INSIDE the file
         polyToWkb(col("f.geometry.coordinates")).as("footprint"),
