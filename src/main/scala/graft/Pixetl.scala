@@ -104,11 +104,12 @@ object Pixetl {
           // role of tiles/raster_src_tile.py:188-210
           val grid = spec.gridDef
           val gridEpsg = if (grid.crs == "EPSG:3857") 3857 else 4326
-          // interpolating kernels run in the warp gather; aggregate kernels
-          // (average/mode/…) compose via operators/Resample downstream
+          // every spec kernel runs in the warp gather: interpolating ones
+          // as separable taps, aggregates as footprint-box folds
           val kernel = spec.resampling match {
             case r @ ("nearest" | "bilinear" | "cubic" | "cubic_spline" |
-                      "lanczos" | "average") => r
+                      "lanczos" | "average" | "sum" | "min" | "max" |
+                      "mode" | "med" | "q1" | "q3" | "rms") => r
             case _ => "nearest"
           }
           // same CRS is NOT enough for the aligned block reader: a resample

@@ -61,6 +61,10 @@ object WarpReader {
   private val kernelRadius: Map[String, Int] =
     Map("bilinear" -> 1, "cubic" -> 2, "cubic_spline" -> 2, "lanczos" -> 3)
 
+  /** Footprint-box aggregate kernels (valid at any ratio). */
+  private val boxKernels: Set[String] =
+    Set("average", "sum", "min", "max", "mode", "med", "q1", "q3", "rms")
+
   private def kernelWeight(kernel: String): Double => Double = kernel match {
     case "bilinear"     => t => { val a = math.abs(t); if (a < 1) 1 - a else 0.0 }
     case "cubic"        => cubicW
@@ -73,23 +77,27 @@ object WarpReader {
     * WebMercator grid). Requires blockWork to carry the tile bounds
     * (left/top) so target blocks are geolocated.
     *
-    * `resampling`: `nearest` (default), `bilinear` (2×2 taps), `cubic`
-    * (4×4 cubic convolution, a=-0.5), `cubic_spline` (4×4 cubic B-spline,
-    * smoothing), `lanczos` (6×6 3-lobe windowed sinc), or `average` (box
-    * kernel over every source pixel whose center falls inside the target
-    * pixel's footprint — GDAL `average`, valid at ANY ratio incl.
-    * non-integer). Invalid/nodata taps drop out and the remaining weights
-    * renormalize (GDAL's masked resampling); a pixel with no valid tap is
-    * nodata. Integer-factor decimation with the other aggregate kernels
-    * (mode/med/…) composes with `operators/Resample`. */
+    * `resampling`: `nearest` (default); interpolating `bilinear` (2×2
+    * taps), `cubic` (4×4 cubic convolution, a=-0.5), `cubic_spline` (4×4
+    * cubic B-spline, smoothing), `lanczos` (6×6 3-lobe windowed sinc); or
+    * box aggregates `average`/`sum`/`min`/`max`/`mode`/`med`/`q1`/`q3`/
+    * `rms` over every source pixel whose center falls inside the target
+    * pixel's footprint — the GDAL warp aggregates, valid at ANY ratio
+    * incl. non-integer. Invalid/nodata taps drop out and the remaining
+    * weights renormalize (GDAL's masked resampling); a pixel with no
+    * valid tap is nodata. `operators/Resample` remains the cheaper
+    * one-Catalyst-expression path for already-aligned integer-factor
+    * decimation. */
   def reader(targetXres: Double, targetYres: Double, blockSize: Int,
              targetCrs: String, sourceCrs: String,
              resampling: String = "nearest"): LayerJob.BlockReader =
     blockWork => {
       val toSrc = graft.functions.Reproject.pointTransform(targetCrs, sourceCrs)
-      require(resampling == "nearest" || resampling == "average" ||
+      require(resampling == "nearest" || boxKernels.contains(resampling) ||
           kernelRadius.contains(resampling),
-        s"WarpReader supports nearest/bilinear/cubic/cubic_spline/lanczos/average, got $resampling")
+        s"WarpReader supports nearest, interpolating (bilinear/cubic/" +
+          s"cubic_spline/lanczos) and box (average/sum/min/max/mode/med/" +
+          s"q1/q3/rms) kernels, got $resampling")
       val spark = blockWork.sparkSession
       import spark.implicits._
       blockWork
@@ -163,27 +171,72 @@ object WarpReader {
                 if (wsum > 1e-12) acc / wsum
                 else sample(math.floor(gx + 0.5).toInt, math.floor(gy + 0.5).toInt)
               }
-            // box average: mean of source pixels whose centers land inside
-            // the projected target-pixel footprint; falls back to the
-            // nearest center when the footprint covers none (upsampling)
-            def boxAverage(x0: Double, x1: Double, y0: Double, y1: Double,
-                           cgx: Double, cgy: Double): Double = {
+            // box kernels: aggregate the source pixels whose centers land
+            // inside the projected target-pixel footprint (GDAL average/
+            // sum/min/max/mode/med/q1/q3/rms — valid at ANY ratio incl.
+            // non-integer); falls back to the nearest center when the
+            // footprint covers none (upsampling)
+            var scratch = new Array[Double](64)
+            def boxAgg(x0: Double, x1: Double, y0: Double, y1: Double,
+                       cgx: Double, cgy: Double): Double = {
               var sx0 = math.ceil(x0).toInt; var sx1 = math.floor(x1).toInt
               var sy0 = math.ceil(y0).toInt; var sy1 = math.floor(y1).toInt
               if (sx0 > sx1) { sx0 = math.round(cgx).toInt; sx1 = sx0 }
               if (sy0 > sy1) { sy0 = math.round(cgy).toInt; sy1 = sy0 }
-              var acc = 0.0; var n = 0
+              val cap = (sx1 - sx0 + 1) * (sy1 - sy0 + 1)
+              if (cap > scratch.length) scratch = new Array[Double](cap)
+              var n = 0
               var sy = sy0
               while (sy <= sy1) {
                 var sx = sx0
                 while (sx <= sx1) {
                   val v = sample(sx, sy)
-                  if (!v.isNaN) { acc += v; n += 1 }
+                  if (!v.isNaN) { scratch(n) = v; n += 1 }
                   sx += 1
                 }
                 sy += 1
               }
-              if (n > 0) acc / n else Double.NaN
+              if (n == 0) return Double.NaN
+              resampling match {
+                case "average" =>
+                  var s = 0.0; var i = 0
+                  while (i < n) { s += scratch(i); i += 1 }
+                  s / n
+                case "sum" =>
+                  var s = 0.0; var i = 0
+                  while (i < n) { s += scratch(i); i += 1 }
+                  s
+                case "rms" =>
+                  var s = 0.0; var i = 0
+                  while (i < n) { s += scratch(i) * scratch(i); i += 1 }
+                  math.sqrt(s / n)
+                case "min" =>
+                  var m = scratch(0); var i = 1
+                  while (i < n) { if (scratch(i) < m) m = scratch(i); i += 1 }
+                  m
+                case "max" =>
+                  var m = scratch(0); var i = 1
+                  while (i < n) { if (scratch(i) > m) m = scratch(i); i += 1 }
+                  m
+                case "mode" =>
+                  // most frequent; ties → smallest value (deterministic,
+                  // matching operators/Resample)
+                  java.util.Arrays.sort(scratch, 0, n)
+                  var best = scratch(0); var bestRun = 1
+                  var run = 1; var i = 1
+                  while (i < n) {
+                    run = if (scratch(i) == scratch(i - 1)) run + 1 else 1
+                    if (run > bestRun) { bestRun = run; best = scratch(i) }
+                    i += 1
+                  }
+                  best
+                case "med" | "q1" | "q3" =>
+                  val q = resampling match {
+                    case "med" => 0.5; case "q1" => 0.25; case _ => 0.75
+                  }
+                  java.util.Arrays.sort(scratch, 0, n)
+                  scratch(math.max(1, math.ceil(n * q).toInt) - 1)
+              }
             }
             // geo origin of this target block
             val bLeft = tileLeft + bc * blockSize * targetXres
@@ -201,12 +254,12 @@ object WarpReader {
                 val gy = (p.originY - cy) / p.yres - 0.5
                 val idx = j * w + i
                 val v =
-                  if (resampling == "average") {
+                  if (boxKernels.contains(resampling)) {
                     // footprint corners project separately (4326↔3857 is
                     // axis-separable, so the projected box stays a box)
                     val (ax, ay) = toSrc(tx - targetXres / 2, ty + targetYres / 2)
                     val (bx, by) = toSrc(tx + targetXres / 2, ty - targetYres / 2)
-                    boxAverage(
+                    boxAgg(
                       (math.min(ax, bx) - p.originX) / p.xres - 0.5,
                       (math.max(ax, bx) - p.originX) / p.xres - 0.5,
                       (p.originY - math.max(ay, by)) / p.yres - 0.5,

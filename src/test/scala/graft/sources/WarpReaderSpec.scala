@@ -95,6 +95,20 @@ class WarpReaderSpec extends SparkSpec {
     val av = row0("average")
     for (i <- Seq(0, 10, 100)) assert(math.abs(av(i) - (2 * i + 1.5)) < 1e-4,
       s"average($i) = ${av(i)}")
+    // box aggregates over the same 2×2 footprint: values {2i+1, 2i+2} each
+    // twice (rows constant, columns ramp)
+    val mx = row0("max")
+    for (i <- Seq(0, 10, 100)) assert(mx(i) == 2 * i + 2, s"max($i) = ${mx(i)}")
+    val mn = row0("min")
+    for (i <- Seq(0, 10, 100)) assert(mn(i) == 2 * i + 1, s"min($i) = ${mn(i)}")
+    val sm = row0("sum")
+    for (i <- Seq(0, 10, 100)) assert(sm(i) == 8 * i + 6, s"sum($i) = ${sm(i)}")
+    // mode tie (two values, two hits each) → smallest; med nearest-rank
+    // (ceil(0.5·4)=2nd of the sorted window) → also the smaller value
+    val mo = row0("mode")
+    for (i <- Seq(0, 10, 100)) assert(mo(i) == 2 * i + 1, s"mode($i) = ${mo(i)}")
+    val me = row0("med")
+    for (i <- Seq(0, 10, 100)) assert(me(i) == 2 * i + 1, s"med($i) = ${me(i)}")
     // cubic_spline (B-spline) and lanczos also have linear precision once
     // the dropped-tap weights renormalize
     val bs = row0("cubic_spline")
