@@ -81,6 +81,7 @@ object SparkEntry {
     "x3_rollup"           -> (Q.x3_rollup(_, _)),
     "x4_correlated_sub"   -> (Q.x4_correlated_sub(_, _)),
     "x5_asof_join"        -> (Q.x5_asof_join(_, _)),
+    "x6_percentile"       -> (Q.x6_percentile(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
 
@@ -647,6 +648,20 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+    /** Exact distributed percentiles (sort-based aggregate; the shape of
+      * the reference's per-band statistics taken to quantiles). Linear
+      * interpolation matches DuckDB's quantile_cont; epsilon-guarded
+      * rounding as in q1/j5. */
+    def x6_percentile(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)") + lit(5e-7), 4).as("p25"),
+          round(expr("percentile(value, 0.5)") + lit(5e-7), 4).as("p50"),
+          round(expr("percentile(value, 0.75)") + lit(5e-7), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+
     /** Correlated-subquery shape: parts priced above their brand average. */
     def x4_correlated_sub(s: SparkSession, d: String): DataFrame = {
       val p = Tables.part(s, d)
@@ -1164,6 +1179,14 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "x6_percentile" ->
+        """SELECT event_type,
+          |  round(quantile_cont(value, 0.25) + 5e-7, 4) AS p25,
+          |  round(quantile_cont(value, 0.5) + 5e-7, 4) AS p50,
+          |  round(quantile_cont(value, 0.75) + 5e-7, 4) AS p75,
+          |  count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p

@@ -134,8 +134,10 @@ object Dedup {
     // convergence check: labels only ever shrink, so Σlabel is strictly
     // decreasing until the fixpoint — one cheap scan of the checkpointed
     // labels per round instead of a join; decimal sum cannot overflow
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty pair relation
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -63,6 +63,9 @@ class PipelineOpsSpec extends SparkSpec {
     for (i <- Seq(100L, 101L, 102L)) assert(got(i) == 100L)
     assert(got(200L) == 200L && got(201L) == 200L)
     assert(got.size == 55) // only vertices that appear in pairs
+    // degenerate: no candidate pairs at all → empty labeling, no NPE
+    val empty = Dedup.components(pairs.limit(0))
+    assert(empty.count() == 0)
   }
 
   test("simhash: identical docs equal, near dups within small Hamming distance") {
