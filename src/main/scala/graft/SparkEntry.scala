@@ -64,6 +64,7 @@ object SparkEntry {
     "t4_fingerprint"      -> (Q.t4_fingerprint(_, _)),
     "t6_hash_split"       -> (Q.t6_hash_split(_, _)),
     "t7_tfidf"            -> (Q.t7_tfidf(_, _)),
+    "c1_curation_pipeline" -> (Q.c1_curation_pipeline(_, _)),
     "d1_exact_dedup"      -> (Q.d1_exact_dedup(_, _)),
     "d2_minhash_sig"      -> (Q.d2_minhash_sig(_, _)),
     "d3_lsh_candidates"   -> (Q.d3_lsh_candidates(_, _)),
@@ -501,6 +502,21 @@ object SparkEntry {
       TextOps.tfidf(Tables.documents(s, d))
         .withColumn("tfidf", round(col("tfidf") + lit(5e-7), 4))
         .orderBy("doc_id", "tok")
+
+    /** Composed curation pipeline — the end-to-end shape a training-data
+      * user actually runs: quality-score → exact-dedup keepers →
+      * deterministic split → train shard. One lazy plan: the scoring map
+      * fuses with the scan, dedup is the only shuffle, split is free. */
+    def c1_curation_pipeline(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      TextOps.hashSplit(scored.join(keepers, "doc_id"))
+        .filter(col("quality") >= 0.5 && col("split") === "train")
+        .select("doc_id", "quality", "bucket")
+        .orderBy("doc_id")
+    }
 
     // ---------------------------------------------------- dedup (north star)
     def d1_exact_dedup(s: SparkSession, d: String): DataFrame =
@@ -1013,6 +1029,30 @@ object SparkEntry {
            |SELECT doc_id,
            | CASE WHEN mx > 0 THEN (CASE $pick ELSE '${langs.head._1}' END) ELSE 'und' END AS lang_pred
            |FROM g ORDER BY doc_id""".stripMargin
+      },
+
+      "c1_curation_pipeline" -> {
+        val en = TextOps.stopwords("en").mkString("\\b(", "|", ")\\b")
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS n_chars,
+           |    CAST(len($tokExpr) AS DOUBLE) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+           |    CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE) AS n_stop
+           |  FROM documents),
+           |q AS (SELECT doc_id, round(
+           |  least(n_tokens / 50.0, 1.0) * 0.4 +
+           |  least(n_punct / greatest(n_tokens / 10.0, 1.0), 1.0) * 0.2 +
+           |  least(n_stop / greatest(n_tokens / 20.0, 1.0), 1.0) * 0.2 +
+           |  (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+           |FROM m),
+           |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |b AS (SELECT doc_id,
+           |  CAST(${h("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket FROM documents)
+           |SELECT q.doc_id, q.quality, b.bucket
+           |FROM q JOIN k USING (doc_id) JOIN b USING (doc_id)
+           |WHERE q.quality >= 0.5 AND b.bucket < 90
+           |ORDER BY doc_id""".stripMargin
       },
 
       "t3_quality_score" -> {
