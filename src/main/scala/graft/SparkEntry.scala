@@ -64,6 +64,7 @@ object SparkEntry {
     "t4_fingerprint"      -> (Q.t4_fingerprint(_, _)),
     "t6_hash_split"       -> (Q.t6_hash_split(_, _)),
     "t7_tfidf"            -> (Q.t7_tfidf(_, _)),
+    "t8_top_terms"        -> (Q.t8_top_terms(_, _)),
     "c1_curation_pipeline" -> (Q.c1_curation_pipeline(_, _)),
     "d1_exact_dedup"      -> (Q.d1_exact_dedup(_, _)),
     "d2_minhash_sig"      -> (Q.d2_minhash_sig(_, _)),
@@ -502,6 +503,24 @@ object SparkEntry {
       TextOps.tfidf(Tables.documents(s, d))
         .withColumn("tfidf", round(col("tfidf") + lit(5e-7), 4))
         .orderBy("doc_id", "tok")
+
+    /** Per-group heavy hitters: top-3 tokens per language by corpus
+      * frequency (vocab inspection / stopword mining). Two map-side-combined
+      * aggregates shrink the relation to (lang, token, count) before the
+      * per-group rank — the window sorts vocabulary rows, never token
+      * occurrences. Deterministic ties: count desc, then token asc. */
+    def t8_top_terms(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      tok
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))))
+        .filter(col("rank") <= 3)
+        .select("lang", "rank", "tok", "n")
+        .orderBy("lang", "rank")
+    }
 
     /** Composed curation pipeline — the end-to-end shape a training-data
       * user actually runs: quality-score → exact-dedup keepers →
@@ -1030,6 +1049,14 @@ object SparkEntry {
            | CASE WHEN mx > 0 THEN (CASE $pick ELSE '${langs.head._1}' END) ELSE 'und' END AS lang_pred
            |FROM g ORDER BY doc_id""".stripMargin
       },
+
+      "t8_top_terms" ->
+        s"""WITH tok AS (SELECT lang, unnest($tokExpr) AS tok FROM documents),
+           |tf AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+           |r AS (SELECT lang, tok, n,
+           |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank FROM tf)
+           |SELECT lang, rank, tok, n FROM r WHERE rank <= 3
+           |ORDER BY lang, rank""".stripMargin,
 
       "c1_curation_pipeline" -> {
         val en = TextOps.stopwords("en").mkString("\\b(", "|", ")\\b")
