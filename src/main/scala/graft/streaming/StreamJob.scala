@@ -42,6 +42,21 @@ object StreamJob {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming twin of the batch curation pipeline (`c1`): arriving docs
+    * are quality-scored (stateless, fuses with the source scan), exact-
+    * deduped within the watermark horizon (32-byte digest state, evicted
+    * at the watermark), and routed to their deterministic split — corpus
+    * curation at ingest time, same operators as the batch path. */
+  def streamingCuration(docs: DataFrame, watermark: String = "1 hour",
+                        minQuality: Double = 0.5): DataFrame =
+    graft.operators.TextOps.hashSplit(
+      docs
+        .withColumn("quality", graft.operators.TextOps.qualityScore(col("text")))
+        .filter(col("quality") >= minQuality)
+        .withColumn("digest", md5(col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("digest"))
+
   case class DocEvent(doc_id: Long, source: String, n_tokens: Int, ts: java.sql.Timestamp)
   case class SourceState(nDocs: Long, nTokens: Long, lastTs: Long)
   case class SourceSummary(source: String, n_docs: Long, n_tokens: Long,

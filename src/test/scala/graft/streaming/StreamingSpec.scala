@@ -73,6 +73,32 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq("other text", "same text"))
   }
 
+  test("streaming curation: quality filter + dedup + deterministic split at ingest") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over the lazy dog. " * 6).trim
+    val docs = Seq(
+      (1L, good, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, good, java.sql.Timestamp.valueOf("2026-01-01 10:05:00")), // dup of 1
+      (3L, "too short", java.sql.Timestamp.valueOf("2026-01-01 10:10:00")), // low quality
+      (4L, good + " extra tail words here", java.sql.Timestamp.valueOf("2026-01-01 10:15:00")))
+      .toDF("doc_id", "text", "ts")
+    val dir = new java.io.File("target/tmp/stream_curation").getAbsolutePath
+    docs.write.mode("overwrite").parquet(dir)
+    val q = StreamJob.streamingCuration(
+        spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("st_curation")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st_curation")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet.intersect(Set(1L, 2L)).size == 1) // one of the dup pair survives
+    assert(got.contains(4L) && !got.contains(3L))
+    // split matches the batch operator's deterministic assignment
+    val batchSplit = graft.operators.TextOps.hashSplit(docs)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, sp) => assert(sp == batchSplit(id)) }
+  }
+
   test("flatMapGroupsWithState accumulator: one summary per source on idle, state evicted") {
     import spark.implicits._
     import StreamJob.{DocEvent, SourceSummary}
