@@ -73,6 +73,10 @@ object SparkEntry {
     "d5_jaccard_pairs"    -> (Q.d5_jaccard_pairs(_, _)),
     "d6_dedup_groups"     -> (Q.d6_dedup_groups(_, _)),
     "d7_simhash_pairs"    -> (Q.d7_simhash_pairs(_, _)),
+    "d8_span_dedup"       -> (Q.d8_span_dedup(_, _)),
+    "d9_contamination"    -> (Q.d9_contamination(_, _)),
+    "t9_rep_signals"      -> (Q.t9_rep_signals(_, _)),
+    "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -600,6 +604,33 @@ object SparkEntry {
         maxBucketSize = lshCap).persist()
       Dedup.components(cands).orderBy("doc_id")
     }
+
+    /** Span-level (paragraph-analog) duplicate stats: 16-token spans,
+      * corpus-wide distinct-doc counts, per-doc boilerplate fraction. */
+    def d8_span_dedup(s: SparkSession, d: String): DataFrame =
+      Dedup.spanDupStats(Tables.documents(s, d), window = 16).orderBy("doc_id")
+
+    /** Benchmark decontamination: distinct 5-gram overlap of every corpus
+      * doc against the `src0` slice standing in for an eval suite. */
+    def d9_contamination(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), n = 5)
+        .orderBy("doc_id")
+    }
+
+    /** Gopher-style repetition quality signals. */
+    def t9_rep_signals(s: SparkSession, d: String): DataFrame =
+      TextOps.repetitionSignals(Tables.documents(s, d)).orderBy("doc_id")
+
+    /** Deterministic per-language stratified sample (data-mix rebalance):
+      * keep 50% of en, 30% of es/fr/de, 10% of anything else. */
+    def t10_stratified_sample(s: SparkSession, d: String): DataFrame =
+      TextOps.stratifiedSample(Tables.documents(s, d),
+          Map("en" -> 50, "es" -> 30, "fr" -> 30, "de" -> 30), defaultPct = 10)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
 
     // ---------------------------------------- similarity search (north star)
     def e1_knn_brute(s: SparkSession, d: String): DataFrame = {
@@ -1235,6 +1266,63 @@ object SparkEntry {
            |FROM i JOIN sz s1 ON s1.doc_id = doc1 JOIN sz s2 ON s2.doc_id = doc2
            |WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.5
            |ORDER BY doc1, doc2""".stripMargin,
+
+      // span chunking mirrors chunkTexts(window=16, stride=16): starts
+      // 0,16,… (range excludes its stop like sequence(0, len-1, 16) for
+      // len ≥ 1), spans are inclusive 1-based list slices rejoined
+      "d8_span_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |sp AS (SELECT doc_id,
+           |    array_to_string(toks[CAST(st + 1 AS INT):CAST(st + 16 AS INT)], ' ') AS span
+           |  FROM t, unnest(range(0, greatest(len(toks), 1), 16)) AS u(st)
+           |  WHERE len(toks) > 0),
+           |hs AS (SELECT doc_id, ${h("span")} AS h FROM sp),
+           |freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM hs GROUP BY 1)
+           |SELECT hs.doc_id, count(*) AS n_spans,
+           |  CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           |  round(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+           |FROM hs JOIN freq f USING (h)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      "d9_contamination" ->
+        s"""WITH t AS (SELECT doc_id, source, $tokExpr AS toks FROM documents),
+           |g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(toks) - 4, 0) + 1),
+           |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')))) AS gram
+           |  FROM t WHERE len(toks) >= 5),
+           |hg AS (SELECT doc_id, source, ${h("gram")} AS g FROM g),
+           |bench AS (SELECT DISTINCT g FROM hg WHERE source = 'src0')
+           |SELECT hg.doc_id, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS contamination
+           |FROM hg LEFT JOIN bench b ON hg.g = b.g
+           |WHERE hg.source <> 'src0'
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      "t9_rep_signals" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |ts AS (SELECT doc_id, len(toks) AS n_tokens,
+           |    round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4) AS uniq_token_ratio
+           |  FROM t),
+           |bg AS (SELECT doc_id, ${h("bgs")} AS h FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS bgs
+           |    FROM t WHERE len(toks) >= 2)),
+           |pb AS (SELECT doc_id, h, count(*) AS n FROM bg GROUP BY 1, 2),
+           |st AS (SELECT doc_id, sum(n) AS nb, count(*) AS nd, max(n) AS tn FROM pb GROUP BY 1)
+           |SELECT ts.doc_id, ts.n_tokens, ts.uniq_token_ratio,
+           |  round((st.nb - st.nd) * 1.0 / st.nb, 4) AS dup_bigram_frac,
+           |  round(st.tn * 1.0 / st.nb, 4) AS top_bigram_frac
+           |FROM ts LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "t10_stratified_sample" ->
+        s"""WITH b AS (SELECT doc_id, lang,
+           |  CAST(${h("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket
+           |  FROM documents)
+           |SELECT doc_id, lang, bucket FROM b
+           |WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30
+           |  WHEN 'fr' THEN 30 WHEN 'de' THEN 30 ELSE 10 END)
+           |ORDER BY doc_id""".stripMargin,
 
       "e1_knn_brute" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -210,6 +210,71 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Span-level duplicate statistics — the paragraph-dedup analog
+    * (RefinedWeb/CCNet strip duplicated *lines* across a corpus; for
+    * line-less text the unit is a NON-overlapping `window`-token span).
+    * Each doc is chunked, each span hashed, and a corpus-wide aggregate
+    * counts how many distinct documents contain each span; per doc we
+    * report the fraction of its spans that also appear in some other
+    * document — the boilerplate share a curation pipeline would strip or
+    * filter on.
+    *
+    * Scale shape: the shuffle carries (doc_id, span-hash) longs, never
+    * text; the frequency aggregate is map-side combined; the join back is
+    * a long-keyed equi-join that AQE can skew-split. No O(n²) anywhere —
+    * cost is linear in corpus tokens. Docs with no tokens are excluded
+    * (no spans to speak of). */
+  def spanDupStats(docs: DataFrame, window: Int = 16): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val spans = toks
+      .select(col("doc_id"),
+        explode(TextOps.chunkTexts(col("toks"), window, window)).as("span"))
+      .select(col("doc_id"), hash32(col("span")).as("h"))
+    val freq = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    spans.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
+
+  /** Benchmark-contamination check: the share of each corpus document's
+    * distinct word `n`-grams that appear anywhere in a benchmark/eval set
+    * (the GPT-3/PaLM decontamination methodology, at a demo-sized n).
+    *
+    * The benchmark side reduces to a DISTINCT set of n-gram hashes and is
+    * broadcast — eval suites are control-plane small next to a 100 TB
+    * corpus — so the corpus side never shuffles for the membership probe:
+    * explode → hash → broadcast left-join → per-doc re-aggregate (map-side
+    * combined). Docs with fewer than `n` tokens have no n-grams and are
+    * excluded. */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val t = df.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= n)
+      // idx iterates a computed sequence but only ever SLICES the `toks`
+      // attribute — the per-element recompute trap needs indexing into a
+      // computed array, which this avoids
+      t.select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("g"))
+        .select(col("doc_id"), hash32(col("g")).as("g"))
+    }
+    val benchSet = grams(bench).select("g").distinct()
+    grams(docs)
+      .join(broadcast(benchSet.withColumn("__hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0)).cast("long")).as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_grams"), 4))
+  }
+
   /** Exact n-gram (word shingle) Jaccard similarity for candidate pairs.
     * `pairs` has (doc1, doc2); result adds inter/union/jaccard. The join
     * reuses the exploded-token relation on both sides — shuffles by token

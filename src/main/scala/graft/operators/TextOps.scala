@@ -86,6 +86,62 @@ object TextOps {
           .otherwise("test"))
   }
 
+  /** Gopher-style repetition signals per document — the quality rules that
+    * catch degenerate/spammy text that length and punctuation ratios miss:
+    *
+    *  - `uniq_token_ratio`:  |distinct tokens| / |tokens|
+    *  - `dup_bigram_frac`:   fraction of bigram occurrences beyond each
+    *                         bigram's first (Rae et al. 2021 §A1.1)
+    *  - `top_bigram_frac`:   share of the single most frequent bigram
+    *
+    * Token-level stats are pure array expressions fused into the scan (no
+    * shuffle); bigram stats hash each bigram to a long and aggregate
+    * (doc, hash) — both aggregates map-side combined, shuffle rows are two
+    * longs + a count. Docs with < 2 tokens get null bigram fractions. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val tokStats = toks.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      round(size(array_distinct(col("toks"))).cast("double") /
+        greatest(size(col("toks")), lit(1)), 4).as("uniq_token_ratio"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bg"))
+      .select(col("doc_id"), PortableHash.hash32(col("bg")).as("h"))
+    val perBigram = bigrams.groupBy("doc_id", "h").agg(count(lit(1)).as("n"))
+    val bgStats = perBigram.groupBy("doc_id")
+      .agg(sum("n").as("nb"), count(lit(1)).as("nd"), max("n").as("tn"))
+      .select(col("doc_id"),
+        round((col("nb") - col("nd")).cast("double") / col("nb"), 4)
+          .as("dup_bigram_frac"),
+        round(col("tn").cast("double") / col("nb"), 4).as("top_bigram_frac"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+  }
+
+  /** Deterministic stratified sampling: per-group keep percentages via a
+    * salted portable id hash — the language/domain rebalancing step of a
+    * data-mix pipeline. No RNG: replayable across engines and runs, and
+    * appending data never resamples existing rows (`sample()` can't
+    * promise either). A narrow map + filter fused into the scan; zero
+    * shuffle at 100 TB. `rates` maps group value → keep percent [0,100];
+    * groups not listed keep `defaultPct`. The salt decorrelates the sample
+    * from [[hashSplit]]'s buckets (same id-hash family, different key). */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       groupCol: String = "lang", idCol: String = "doc_id",
+                       defaultPct: Int = 0, salt: String = "strat"): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "keep percentages must be in [0, 100]")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("bucket",
+        (PortableHash.hash32(concat(lit(salt + ":"), col(idCol).cast("string")))
+          % 100).cast("int"))
+      .filter(col("bucket") < rate)
+  }
+
   /** TF-IDF term weights per document: tf = in-doc term count, smoothed
     * idf = ln((N+1)/(df+1)) + 1. Both aggregates are map-side combined;
     * the 1-row corpus count broadcasts; only (doc, term, count) triples —

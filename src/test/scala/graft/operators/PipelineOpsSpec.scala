@@ -248,6 +248,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats(1L).n_bytes == "the quick brown fox jumps over the lazy dog".length)
   }
 
+  test("span dedup: spans shared across docs are flagged, unique docs are clean") {
+    val d = Seq(
+      (1L, "a b c d e f g h"), // window=4 → spans "a b c d" | "e f g h"
+      (2L, "a b c d x y z w"), // shares "a b c d" with doc 1
+      (3L, "p q r s t u v ww")).toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(d, window = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 0.5)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(3L) == ((2L, 0L, 0.0)))
+    // a span repeated only WITHIN one doc is not cross-doc boilerplate
+    val self = Seq((9L, "a b a b")).toDF("doc_id", "text")
+    assert(Dedup.spanDupStats(self, window = 2).collect()(0).getLong(2) == 0L)
+  }
+
+  test("contamination: distinct n-gram overlap against a broadcast benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"), // 4 distinct 5-grams, 1 hit
+      (2L, "totally unrelated words appear here now then"),
+      (3L, "too short")).toDF("doc_id", "text") // < n tokens → no grams, no row
+    val r = Dedup.contamination(corpus, bench, n = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4L, 1L, 0.25)))
+    assert(r(2L)._2 == 0L && r(2L)._3 == 0.0)
+    assert(!r.contains(3L))
+  }
+
+  test("repetition signals: duplicate-bigram and top-bigram fractions") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),   // 1 distinct token; bigram "spam spam" ×3
+      (2L, "all words here differ"), // 3 distinct bigrams
+      (3L, "one")).toDF("doc_id", "text") // no bigrams → null fractions
+    val r = TextOps.repetitionSignals(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) == 4 && r(1L).getDouble(2) == 0.25)
+    assert(r(1L).getDouble(3) == 0.6667 && r(1L).getDouble(4) == 1.0)
+    assert(r(2L).getDouble(3) == 0.0 && r(2L).getDouble(4) == 0.3333)
+    assert(r(3L).isNullAt(3) && r(3L).isNullAt(4))
+  }
+
+  test("stratified sample: deterministic per-group keep rates, no RNG") {
+    val base = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("xx").as("lang"))
+    val kept = TextOps.stratifiedSample(base, Map("en" -> 50), defaultPct = 10)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") > 150 && counts("en") < 350) // ≈250 of 500 at 50%
+    assert(counts("xx") > 10 && counts("xx") < 120)  // ≈50 of 500 at 10%
+    // buckets honor the rate cut exactly
+    assert(kept.filter(col("lang") === "en" && col("bucket") >= 50).count() == 0)
+    assert(kept.filter(col("lang") === "xx" && col("bucket") >= 10).count() == 0)
+    // deterministic: identical id set on re-run
+    val again = TextOps.stratifiedSample(base, Map("en" -> 50), defaultPct = 10)
+    assert(again.select("doc_id").except(kept.select("doc_id")).count() == 0)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
   test("multimodal: frame-sample plan from metadata only") {
     val media = Seq((1L, "video", 2500L)).toDF("asset_id", "modality", "duration_ms")
       .select(col("asset_id"), col("modality"),
