@@ -114,16 +114,23 @@ object Pixetl {
           }
           // same CRS is NOT enough for the aligned block reader: a resample
           // job (90/27008 fed from 10/40000 output — the catalog's
-          // depends_on chains) matches CRS but not lattice. Probe one
-          // source profile at plan time (the reference opens every source
-          // for its profile, sources.py:179-210; one metadata read is
-          // cheaper) and use the warp gather unless resolution matches.
+          // depends_on chains) matches CRS but not lattice. Probe EVERY
+          // distinct source's profile at plan time (the reference opens
+          // every source, sources.py:179-210 — these are metadata-only
+          // reads, distributed here): a mixed-resolution source set must
+          // not take the aligned shortcut just because one sampled source
+          // happens to match the grid.
           val aligned = srcEpsg == gridEpsg && {
             import spark.implicits._
-            val u = catalog0.select("uri").as[String].first()
-            val p = graft.sources.GeoTiff.open(u).profile
-            math.abs(p.xres - grid.xres) <= 1e-9 * grid.xres &&
-              math.abs(p.yres - grid.yres) <= 1e-9 * grid.yres
+            val distinctUris = catalog0.select("uri").distinct().as[String].collect()
+            require(distinctUris.nonEmpty,
+              s"no sources found for ${spec.dataset}/${spec.version}: " +
+                s"catalog resolved from ${uris.mkString(", ")} is empty")
+            val resolutions = GeoTiffSpark.harvestResolutions(spark, distinctUris.toSeq)
+            resolutions.forall { case (xres, yres) =>
+              math.abs(xres - grid.xres) <= 1e-9 * grid.xres &&
+                math.abs(yres - grid.yres) <= 1e-9 * grid.yres
+            }
           }
           val (catalog, reader) =
             if (aligned) (catalog0, GeoTiffSpark.reader)

@@ -111,10 +111,24 @@ object SubmitJob {
       last
     }
     def runWave(jobs: Seq[JobDef]): Unit = {
-      val futures = jobs.map(j => pool.submit(new Runnable {
-        def run(): Unit = results.put(j.layer, attempt(j))
+      val futures = jobs.map(j => j -> pool.submit(new java.util.concurrent.Callable[Try[Unit]] {
+        def call(): Try[Unit] = attempt(j)
       }))
-      futures.foreach(_.get())
+      // bounded join — the reference's Batch attempt timeout: one hung job
+      // must not stall its wave and every dependent forever. Cancel
+      // interrupts the worker thread; a Spark action responds to interrupt.
+      futures.foreach { case (j, f) =>
+        val outcome =
+          try f.get(j.timeoutSec, TimeUnit.SECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              f.cancel(true)
+              Failure(new java.util.concurrent.TimeoutException(
+                s"job ${j.layer} exceeded timeout ${j.timeoutSec}s"))
+            case e: java.util.concurrent.ExecutionException => Failure(e.getCause)
+          }
+        results.put(j.layer, outcome)
+      }
     }
 
     try {

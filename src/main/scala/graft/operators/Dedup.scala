@@ -118,10 +118,20 @@ object Dedup {
     require(maxHamming <= bands - 1,
       s"pigeonhole completeness needs maxHamming <= bands-1 = ${bands - 1}")
     val w = bits / bands
+    require(w < 64, s"band width $w must be < 64 (use more bands)")
+    // zero-fill shift + Long mask: arithmetic shiftright sign-extends, so a
+    // signature with the sign bit set (the 64-bit production config) would
+    // put identical band bits in different buckets; and `1 << w` in Int
+    // arithmetic wraps at w >= 32 (w=32 -> modulus 1 -> one giant bucket).
+    // Masking AFTER the unsigned shift also makes any sign-extension from
+    // the long cast of a 32-bit signature irrelevant.
+    def bandKey(b: Int): Column =
+      shiftrightunsigned(col("simhash").cast("long"), b * w)
+        .bitwiseAND(lit((1L << w) - 1))
     val bucketed = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          struct((shiftright(col("simhash"), b * w) % (1 << w)).as("v0")).as("bucket"))): _*)).as("bb"))
+          struct(bandKey(b).as("v0")).as("bucket"))): _*)).as("bb"))
       .select(col("bb.band"), col("bb.bucket"), col("doc_id"))
     val pairs = lshCandidates(bucketed, maxBucketSize)
     pairs

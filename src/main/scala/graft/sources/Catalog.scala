@@ -36,7 +36,11 @@ object Catalog {
       else {
         val slash = name.lastIndexOf('/')
         val (nameDir, base) = (name.substring(0, slash.max(0)), name.substring(slash + 1))
-        if (nameDir.nonEmpty && manifestDir.endsWith(nameDir)) s"$manifestDir/$base"
+        // segment-boundary match only: a manifest dir '…/xdata' must NOT
+        // swallow a name dir 'data' via a raw suffix match
+        if (nameDir.nonEmpty &&
+            (manifestDir == nameDir || manifestDir.endsWith("/" + nameDir)))
+          s"$manifestDir/$base"
         else s"$manifestDir/$name"
       })
     spark.read.option("multiLine", "true").json(path)

@@ -168,6 +168,22 @@ object GeoTiffSpark {
       .toDF("uri", "band", "file_band", "footprint", "data_type", "no_data", "epsg")
   }
 
+  /** Distinct (xres, yres) lattices across sources — metadata-only reads,
+    * distributed like [[harvestCatalog]]. Used by the plan-time aligned-
+    * reader probe: the aligned shortcut is only safe when EVERY source sits
+    * on the grid lattice, so the probe must see all profiles, not a sample
+    * (the reference opens every source, sources.py:179-210). */
+  def harvestResolutions(spark: SparkSession, uris: Seq[String]): Seq[(Double, Double)] = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(uris, math.max(1, uris.length / 16))
+      .map { uri =>
+        val p = GeoTiff.open(uri).profile
+        (p.xres, p.yres)
+      }
+      .distinct()
+      .collect().toSeq
+  }
+
   /** S5: distributed block reader for LayerJob — reads each work row's
     * (uri, band, block) window. Local/posix paths in tests; any
     * Hadoop-visible store in production via a FS shim. */

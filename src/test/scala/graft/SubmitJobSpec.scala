@@ -96,6 +96,27 @@ class SubmitJobSpec extends AnyFunSuite {
     assert(results("carbon/Mg/90/1008").isFailure)
   }
 
+  test("hung job times out, fails its dependents, and does not stall the wave") {
+    val hung = SubmitJob.JobDef("a/b/10/40000", "a-b", "{}", "10/40000",
+      dependsOn = None, vcpus = 8, memoryMb = 63000, attempts = 1, timeoutSec = 1)
+    val ok = SubmitJob.JobDef("c/d/10/40000", "c-d", "{}", "10/40000",
+      dependsOn = None, vcpus = 8, memoryMb = 63000)
+    val dep = SubmitJob.JobDef("a/b/90/27008", "a-b-90", "{}", "90/27008",
+      dependsOn = Some("a/b/10/40000"), vcpus = 8, memoryMb = 63000)
+    val depRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val results = SubmitJob.run(Seq(hung, ok), Seq(dep), parallelism = 2) { j =>
+      j.layer match {
+        case "a/b/10/40000"  => Thread.sleep(30000) // hang well past timeoutSec
+        case "a/b/90/27008"  => depRan.set(true)
+        case _               => ()
+      }
+    }
+    assert(results("a/b/10/40000").isFailure)
+    assert(results("a/b/10/40000").failed.get.isInstanceOf[java.util.concurrent.TimeoutException])
+    assert(results("c/d/10/40000").isSuccess) // the wave completed
+    assert(results("a/b/90/27008").isFailure && !depRan.get()) // dependent fenced
+  }
+
   test("unresolvable dependency fails loudly instead of spinning") {
     val orphan = SubmitJob.JobDef("x/y/90/1008", "x-y", "{}", "90/1008",
       dependsOn = Some("never/exists/10/40000"), vcpus = 8, memoryMb = 63000)

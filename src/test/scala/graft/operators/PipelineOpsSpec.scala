@@ -197,6 +197,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains((2L, 3L)) && got((2L, 3L)) == 3) // 0x111⊕0x11F = 0xE
   }
 
+  test("simhash pairs: 64-bit signatures with the sign bit set bucket correctly") {
+    // the production config (64-bit sigs, 16-bit bands): docs 1 and 2 differ
+    // ONLY in bit 63, so bands 0-2 are bit-identical (value 0xABCD ≠ 0).
+    // An arithmetic shiftright sign-extends doc 2's shifted values, and a
+    // signed % maps them to negative residues — identical band bits then
+    // land in different buckets and the pair is silently missed. The
+    // unsigned shift + Long mask must find it.
+    val sigs = Seq(
+      (1L, 0x0000ABCDABCDABCDL),
+      (2L, 0x8000ABCDABCDABCDL), // Hamming 1 from doc 1 (bit 63)
+      (3L, 0x7FFF543254325432L)) // far from both
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashCandidates(sigs, bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 1))
+    // band width 64 (bands=1) cannot be expressed in a Long mask: loud guard,
+    // not a wrapped `1 << 64` modulus that dumps the corpus in one bucket
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(sigs, bits = 64, bands = 1, maxHamming = 0)
+    }
+  }
+
   test("hash split: deterministic, boundary-correct, append-stable") {
     val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = TextOps.hashSplit(ids).select("doc_id", "bucket", "split").collect()

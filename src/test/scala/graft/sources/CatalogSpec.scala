@@ -36,6 +36,31 @@ class CatalogSpec extends SparkSpec {
     assert(g.getEnvelopeInternal.getMinX == 10.0)
   }
 
+  test("S2: manifest-relative names resolve on path-segment boundaries only") {
+    val feature =
+      """{"type": "FeatureCollection", "features": [
+        | {"type": "Feature",
+        |  "geometry": {"type": "Polygon",
+        |    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]},
+        |  "properties": {"name": "data/t.tif"}}]}""".stripMargin
+    // manifest dir ends in '.../xdata' — a raw suffix match would swallow
+    // the 'data' segment and point at .../xdata/t.tif, which doesn't exist
+    val odd = Paths.get("target/tmp/catalog/xdata")
+    Files.createDirectories(odd)
+    Files.writeString(odd.resolve("tiles.geojson"), feature)
+    val u1 = Catalog.fromTilesGeojson(spark, odd.resolve("tiles.geojson").toString)
+      .select("uri").collect()(0).getString(0)
+    assert(u1.endsWith("xdata/data/t.tif"), u1)
+    // manifest dir ending in the full '/data' segment IS the dedup case:
+    // prefix-qualified names in a manifest living in that prefix
+    val seg = Paths.get("target/tmp/catalog/out/data")
+    Files.createDirectories(seg)
+    Files.writeString(seg.resolve("tiles.geojson"), feature)
+    val u2 = Catalog.fromTilesGeojson(spark, seg.resolve("tiles.geojson").toString)
+      .select("uri").collect()(0).getString(0)
+    assert(u2.endsWith("out/data/t.tif") && !u2.endsWith("data/data/t.tif"), u2)
+  }
+
   test("S3: folder listing scan filters by suffix") {
     val dir = Paths.get("target/tmp/catalog/files")
     Files.createDirectories(dir)
