@@ -77,6 +77,10 @@ object SparkEntry {
     "d9_contamination"    -> (Q.d9_contamination(_, _)),
     "t9_rep_signals"      -> (Q.t9_rep_signals(_, _)),
     "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
+    "t11_pii_scrub"       -> (Q.t11_pii_scrub(_, _)),
+    "t12_domain_stats"    -> (Q.t12_domain_stats(_, _)),
+    "t13_pack_sequences"  -> (Q.t13_pack_sequences(_, _)),
+    "d10_incremental_dedup" -> (Q.d10_incremental_dedup(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -631,6 +635,48 @@ object SparkEntry {
           Map("en" -> 50, "es" -> 30, "fr" -> 30, "de" -> 30), defaultPct = 10)
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")
+
+    /** PII detect + scrub. The synthetic corpus carries no PII, so each doc
+      * is deterministically seeded with one email, one IPv4, and one
+      * phone-shaped number first (both engines build the same string); the
+      * hash compares counts AND the md5 of the redacted text, proving the
+      * replacement itself is identical without shipping full documents
+      * through the gate. */
+    def t11_pii_scrub(s: SparkSession, d: String): DataFrame = {
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com via 10."),
+          pmod(col("doc_id"), lit(200)), lit(".0.1 ext 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      TextOps.piiSignals(seeded)
+        .withColumn("redacted_md5", md5(TextOps.scrubPii(col("text"))))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_md5")
+        .orderBy("doc_id")
+    }
+
+    /** C4-style per-domain quality/dedup profile (source stands in for the
+      * registrable domain the real pipeline extracts from the url). */
+    def t12_domain_stats(s: SparkSession, d: String): DataFrame =
+      TextOps.domainStats(Tables.documents(s, d)).orderBy("domain")
+
+    /** Concat-then-chunk packing of each source shard into 512-token
+      * training sequences. */
+    def t13_pack_sequences(s: SparkSession, d: String): DataFrame =
+      TextOps.packSequences(Tables.documents(s, d), seqLen = 512)
+        .orderBy("doc_id")
+
+    /** Incremental dedup probe: the `src0` slice plays the new ingest
+      * batch, everything else the already-curated corpus; candidates are
+      * batch-vs-corpus bucket collisions only — neither side self-joins. */
+    def d10_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("source") =!= "src0")
+      val batch = docs.filter(col("source") === "src0")
+      def buckets(df: DataFrame) =
+        Dedup.lshBuckets(Dedup.minhashSignatures(df, k = 4), k = 4, rowsPerBand = 2)
+      Dedup.lshCandidatesCross(buckets(batch), buckets(corpus), maxBucketSize = lshCap)
+        .orderBy("probe_id", "corpus_id")
+    }
 
     // ---------------------------------------- similarity search (north star)
     def e1_knn_brute(s: SparkSession, d: String): DataFrame = {
@@ -1323,6 +1369,79 @@ object SparkEntry {
            |WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30
            |  WHEN 'fr' THEN 30 WHEN 'de' THEN 30 ELSE 10 END)
            |ORDER BY doc_id""".stripMargin,
+
+      "t11_pii_scrub" -> {
+        import TextOps.{emailRe, ipRe, phoneRe}
+        s"""WITH seeded AS (SELECT doc_id,
+           |    text || ' contact u' || doc_id || '@example.com via 10.' ||
+           |    (doc_id % 200) || '.0.1 ext 555-' ||
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$ipRe')) AS INT) AS n_ips,
+           |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS INT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$emailRe', '[EMAIL]', 'g'), '$ipRe', '[IP]', 'g'),
+           |    '$phoneRe', '[PHONE]', 'g')) AS redacted_md5
+           |FROM seeded ORDER BY doc_id""".stripMargin
+      },
+
+      "t12_domain_stats" -> {
+        val en = TextOps.stopwords("en").mkString("\\b(", "|", ")\\b")
+        s"""WITH m AS (
+           |  SELECT source AS domain, md5(text) AS digest,
+           |    CAST(length(text) AS DOUBLE) AS n_chars,
+           |    CAST(len($tokExpr) AS DOUBLE) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+           |    CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE) AS n_stop
+           |  FROM documents),
+           |q AS (SELECT domain, digest,
+           |  CAST(round(
+           |    least(n_tokens / 50.0, 1.0) * 0.4 +
+           |    least(n_punct / greatest(n_tokens / 10.0, 1.0), 1.0) * 0.2 +
+           |    least(n_stop / greatest(n_tokens / 20.0, 1.0), 1.0) * 0.2 +
+           |    (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2,
+           |    4) AS DECIMAL(18,4)) AS q,
+           |  CAST(n_tokens AS BIGINT) AS nt FROM m),
+           |c AS (SELECT digest, count(*) AS nc FROM q GROUP BY 1)
+           |SELECT domain, count(*) AS n_docs,
+           |  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS mean_quality,
+           |  round(CAST(sum(nt) AS DOUBLE) / count(*), 2) AS mean_tokens,
+           |  round(sum(CASE WHEN nc > 1 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS dup_frac
+           |FROM q JOIN c USING (digest)
+           |GROUP BY domain ORDER BY domain""".stripMargin
+      },
+
+      "t13_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id, source AS shard,
+           |    CAST(len($tokExpr) AS INT) AS n_tokens FROM documents),
+           |o AS (SELECT doc_id, shard, n_tokens,
+           |    CAST(coalesce(sum(n_tokens + 1) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           |  FROM t)
+           |SELECT doc_id, shard, n_tokens, tok_offset,
+           |  CAST(floor(tok_offset / 512.0) AS BIGINT) AS first_seq,
+           |  CAST(floor((tok_offset + n_tokens) / 512.0) AS BIGINT) AS last_seq,
+           |  CAST(floor((tok_offset + n_tokens) / 512.0) AS BIGINT)
+           |    - CAST(floor(tok_offset / 512.0) AS BIGINT) + 1 AS n_seqs
+           |FROM o ORDER BY doc_id""".stripMargin,
+
+      "d10_incremental_dedup" ->
+        s"""WITH tok AS (SELECT doc_id, source, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, source, ${h("tok")} AS h FROM tok),
+           |sigs AS (SELECT doc_id, source, ${minhashTerms(4)} FROM hashed GROUP BY doc_id, source),
+           |b AS (
+           |  SELECT doc_id, source, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
+           |  UNION ALL
+           |  SELECT doc_id, source, 1, mh2, mh3 FROM sigs),
+           |cb AS (SELECT * FROM b WHERE source <> 'src0'),
+           |pb AS (SELECT * FROM b WHERE source = 'src0'),
+           |keep AS (SELECT band, v0, v1 FROM cb GROUP BY 1, 2, 3 HAVING count(*) <= ${Q.lshCap}),
+           |ck AS (SELECT cb.* FROM cb JOIN keep USING (band, v0, v1))
+           |SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+           |FROM pb p JOIN ck c ON p.band = c.band AND p.v0 = c.v0 AND p.v1 = c.v1
+           |ORDER BY probe_id, corpus_id""".stripMargin,
 
       "e1_knn_brute" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -103,6 +103,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (batch-vs-corpus) LSH candidates — the ingest path of a
+    * production dedup pipeline: every new batch is probed against the
+    * already-curated corpus WITHOUT re-joining the corpus against itself.
+    * `probe` and `corpus` are bucket relations from [[lshBuckets]]; output
+    * is distinct (probe_id, corpus_id) pairs whose docs share a bucket in
+    * any band.
+    *
+    * Scale shape: the corpus side is bucketed once (in practice its bucket
+    * relation is precomputed and stored with the corpus); the batch side is
+    * small relative to 100 TB, so AQE broadcasts it and the corpus never
+    * shuffles for the probe. No self-join exists on either side — cost is
+    * linear in corpus buckets + output pairs. The `maxBucketSize` cap
+    * drops degenerate corpus buckets exactly like [[lshCandidates]]
+    * (members of an oversized bucket are near-everything; a batch doc
+    * landing there would pair with the whole bucket). */
+  def lshCandidatesCross(probe: DataFrame, corpus: DataFrame,
+                         maxBucketSize: Int = 0): DataFrame = {
+    val kept =
+      if (maxBucketSize <= 0) corpus
+      else {
+        val over = corpus.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
+        val stats = over.agg(count(lit(1)), sum("__bsz")).collect()(0)
+        if (!stats.isNullAt(1) && stats.getLong(1) > 0)
+          System.err.println(
+            s"[graft] lshCandidatesCross: dropping ${stats.getLong(0)} corpus " +
+              s"buckets (${stats.getLong(1)} rows) above cap $maxBucketSize")
+        corpus.join(broadcast(over.select("band", "bucket")),
+          Seq("band", "bucket"), "left_anti")
+      }
+    probe.select(col("band"), col("bucket"), col("doc_id").as("probe_id"))
+      .join(kept.select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select("probe_id", "corpus_id")
+      .distinct()
+  }
+
   /** SimHash near-dup candidate pairs via a Hamming-ball band join: split
     * the `bits`-bit signature into `bands` equal bands; by pigeonhole, two
     * signatures within Hamming distance `bands - 1` share at least one

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.PortableHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines (beyond-reference
   * surface, BASELINE.json north star). All pure Catalyst expressions —
@@ -156,6 +157,86 @@ object TextOps {
       .withColumn("tfidf",
         col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
       .select("doc_id", "tok", "tf", "df", "tfidf")
+  }
+
+  /** PII patterns shared with the oracle dialect — RE2-safe (no
+    * lookaround, no backreferences), so the same strings run under Java
+    * regex and DuckDB. Heuristic-detector shape, not a compliance tool. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Per-doc PII hit counts (emails, IPv4s, phone-shaped numbers) — the
+    * detect side of a scrubbing pipeline. Pure regexp expressions fused
+    * into the scan: no shuffle, no UDF. */
+  def piiSignals(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(col(textCol), lit(ipRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))))
+
+  /** Redact PII in place: emails → [EMAIL], IPv4s → [IP], phone-shaped
+    * numbers → [PHONE]. Email runs first so its local-part digits can't be
+    * half-eaten by the narrower patterns. A narrow per-row map at 100 TB. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
+  /** Concat-then-chunk sequence packing — the GPT-style training-data
+    * layout: within each shard, documents are laid end to end in doc_id
+    * order (one separator token after each doc) and the stream is cut into
+    * fixed `seqLen`-token training sequences. Emits each doc's position:
+    * its shard-stream offset, the first/last sequence index it lands in,
+    * and how many sequences it spans.
+    *
+    * The window sum runs per shard, so parallelism scales with shard
+    * count, not corpus size — the shard column (a source/file/split key)
+    * is what bounds any single sort at 100 TB. Deterministic: no RNG,
+    * replayable, append-stable within a shard. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+                    shardCol: String = "source"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col(shardCol).as("shard"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens") + 1).over(w), lit(0L)))
+      .withColumn("first_seq", floor(col("tok_offset") / seqLen))
+      // the doc occupies [tok_offset, tok_offset + n_tokens] inclusive of
+      // its trailing separator token
+      .withColumn("last_seq", floor((col("tok_offset") + col("n_tokens")) / seqLen))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  /** Per-domain corpus aggregate — the C4-style domain-level quality/dedup
+    * profile used to build domain allow/block lists: doc count, mean
+    * quality, mean token count, and the share of docs whose exact text
+    * appears more than once corpus-wide.
+    *
+    * Cross-engine note: the means sum exact values (quality as
+    * decimal(18,4), tokens as longs) and divide ONCE in double — float
+    * accumulation order never varies the result, unlike avg() over
+    * doubles. Both aggregates are map-side combined; the digest join keys
+    * 32-byte hashes, never documents. */
+  def domainStats(docs: DataFrame, domainCol: String = "source"): DataFrame = {
+    val scored = docs.select(col(domainCol).as("domain"),
+      qualityScore(col("text")).cast("decimal(18,4)").as("q"),
+      tokenCount(col("text")).cast("long").as("nt"),
+      md5(col("text")).as("digest"))
+    val copies = scored.groupBy("digest").agg(count(lit(1)).as("nc"))
+    scored.join(copies, "digest")
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 4).as("mean_quality"),
+        round(sum(col("nt")).cast("double") / count(lit(1)), 2).as("mean_tokens"),
+        round(sum(when(col("nc") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("dup_frac"))
   }
 
   /** Order-sensitive document fingerprint: positionally-weighted sum of

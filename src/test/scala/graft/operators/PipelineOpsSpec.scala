@@ -219,6 +219,76 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii: counts and scrub find emails, ips, phone shapes; clean text untouched") {
+    val rows = Seq(
+      (1L, "reach me at bob.smith+x@mail-host.co.uk or 192.168.001.7 ext 555-0199"),
+      (2L, "no pii here, just 3.14 and version 2.0 and a dash-word"))
+      .toDF("doc_id", "text")
+    val got = TextOps.piiSignals(rows)
+      .withColumn("red", TextOps.scrubPii(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4 == "reach me at [EMAIL] or [IP] ext [PHONE]")
+    assert(got(2L) == ((0, 0, 0, "no pii here, just 3.14 and version 2.0 and a dash-word")))
+  }
+
+  test("sequence packing: per-shard offsets, spanning docs, separator accounting") {
+    // shard a: docs of 3, 5, 2 tokens; seqLen 8.
+    //   doc 1 occupies [0,3] (3 toks + sep), doc 2 [4,9] → spans seqs 0-1,
+    //   doc 3 [10,12] → seq 1. shard b packs independently from offset 0.
+    val rows = Seq(
+      (1L, "a", "t t t"), (2L, "a", "t t t t t"), (3L, "a", "t t"),
+      (7L, "b", "x x x x x x x x x x"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text"))
+    val got = TextOps.packSequences(rows, seqLen = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap // doc -> (tok_offset, first_seq, last_seq, n_seqs)
+    assert(got(1L) == ((0L, 0L, 0L, 1L)))
+    assert(got(2L) == ((4L, 0L, 1L, 2L)))   // straddles the seq-8 boundary
+    assert(got(3L) == ((10L, 1L, 1L, 1L)))
+    assert(got(7L) == ((0L, 0L, 1L, 2L)))   // shard b restarts at 0
+  }
+
+  test("domain stats: per-domain means and exact-dup share") {
+    val rows = Seq(
+      (1L, "d1", "same text here"), (2L, "d1", "same text here"),
+      (3L, "d1", "unique text one"), (4L, "d2", "unique text two"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.domainStats(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("d1")._1 == 3 && got("d2")._1 == 1)
+    assert(got("d1")._2 == 3.0)             // mean tokens
+    assert(math.abs(got("d1")._3 - 2.0 / 3) < 1e-3) // 2 of 3 docs are exact dups
+    assert(got("d2")._3 == 0.0)
+  }
+
+  test("incremental dedup: batch probes corpus buckets, no self-pairs, cap applies") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"), // corpus-internal dup
+      (12L, "completely different text about spark engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // dup of corpus
+      (21L, "brand new content never seen before anywhere"))
+      .toDF("doc_id", "text")
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBuckets(Dedup.minhashSignatures(df, k = 8), k = 8, rowsPerBand = 2)
+    val pairs = Dedup.lshCandidatesCross(buckets(batch), buckets(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((20L, 10L)) && pairs.contains((20L, 11L)))
+    // pairs are strictly batch-vs-corpus: no (10,11) corpus pair, no batch ids
+    // in the corpus column
+    assert(pairs.forall { case (p, c) => p >= 20L && c < 20L })
+    // a cap of 1 drops every bucket of the identical corpus pair (10, 11) —
+    // no batch doc can pair with them anymore
+    val capped = Dedup.lshCandidatesCross(buckets(batch), buckets(corpus),
+      maxBucketSize = 1).collect().map(_.getLong(1)).toSet
+    assert(!capped.contains(10L) && !capped.contains(11L))
+  }
+
   test("hash split: deterministic, boundary-correct, append-stable") {
     val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = TextOps.hashSplit(ids).select("doc_id", "bucket", "split").collect()
