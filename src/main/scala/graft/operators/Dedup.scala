@@ -34,14 +34,30 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-doc MinHash signature: k affine permutations over distinct token
-    * hashes. One explode + one groupBy; the min() aggregates are map-side
-    * combined so the shuffle carries k longs per (partition, doc). */
+    * hashes, computed as ONE per-row array fold — a narrow map with ZERO
+    * shuffle. The equivalent explode + groupBy shuffles a (doc_id, token)
+    * row per corpus token, which at 100 TB is the single largest exchange
+    * of the whole dedup pipeline; this form keeps signature building fused
+    * into the scan and leaves the (inherent) shuffling to the band join.
+    *
+    * The fold carries all k running mins in one array accumulator, so the
+    * token hash materializes once per token (not once per permutation).
+    * The struct-of-mins is selected as an attribute before the per-field
+    * projection: `aggregate` is non-cheap, so CollapseProject keeps the
+    * barrier instead of inlining the fold k times. Docs with no tokens
+    * have no signature (same contract as the explode form, whose groupBy
+    * never saw them). */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", hash32(col("tok")))
-    val mins = (0 until k).map(i => min(minhashTerm(col("h"), i)).as(s"mh$i"))
-    tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val hashed = transform(array_distinct(tokens(col("text"))), t => hash32(t))
+    val mins = aggregate(hashed, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc,
+        array((0 until k).map(i => minhashTerm(h, i)): _*),
+        (a, m) => least(a, m)))
+    docs
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), mins.as("__mins"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("__mins"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH band buckets: rows of (band, bucket, doc_id). Docs sharing a
@@ -241,19 +257,26 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("group_id"))
   }
 
-  /** 16-bit SimHash per doc: for each bit, sum +1/-1 votes of each distinct
-    * token's hash bit; sign → signature bit. */
+  /** SimHash per doc: for each bit, sum +1/-1 votes of each distinct
+    * token's hash bit; sign → signature bit. Like [[minhashSignatures]],
+    * a single per-row array fold — zero shuffle; the fold counts set bits
+    * per position (votes > 0 ⟺ 2·ones > n), and the count array crosses a
+    * projection barrier before the per-bit select so the fold runs once,
+    * not `bits` times. */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", hash32(col("tok")))
-    val votes = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
-    }
+    val hashed = transform(array_distinct(tokens(col("text"))), t => hash32(t))
+    val ones = aggregate(hashed, array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc,
+        array((0 until bits).map(b => shiftright(h, b) % 2): _*),
+        (a, o) => a + o))
     val sig = (0 until bits).map { b =>
-      when(col(s"v$b") > 0, lit(1L) * (1L << b)).otherwise(0L)
+      when(element_at(col("__ones"), b + 1) * 2 > col("__n"), lit(1L << b))
+        .otherwise(0L)
     }.reduce(_ + _)
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    docs
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), ones.as("__ones"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("__n"))
       .select(col("doc_id"), sig.as("simhash"))
   }
 
