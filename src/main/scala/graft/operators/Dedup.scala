@@ -47,16 +47,17 @@ object Dedup {
     * barrier instead of inlining the fold k times. Docs with no tokens
     * have no signature (same contract as the explode form, whose groupBy
     * never saw them). */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int, keep: Seq[String] = Nil): DataFrame = {
     val hashed = transform(array_distinct(tokens(col("text"))), t => hash32(t))
     val mins = aggregate(hashed, array_repeat(lit(Long.MaxValue), k),
       (acc, h) => zip_with(acc,
         array((0 until k).map(i => minhashTerm(h, i)): _*),
         (a, m) => least(a, m)))
+    val carried = ("doc_id" +: keep).map(col)
     docs
       .filter(size(tokens(col("text"))) > 0)
-      .select(col("doc_id"), mins.as("__mins"))
-      .select(col("doc_id") +:
+      .select(carried :+ mins.as("__mins"): _*)
+      .select(carried ++
         (0 until k).map(i => element_at(col("__mins"), i + 1).as(s"mh$i")): _*)
   }
 
@@ -65,14 +66,16 @@ object Dedup {
     * struct of the band's `rowsPerBand` minhash values — native longs hash
     * and compare far cheaper through the bucket join than a digest string,
     * and at 100 TB that join's probe side is the whole corpus. */
-  def lshBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+  def lshBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int,
+                 keep: Seq[String] = Nil): DataFrame = {
     val bands = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .zipWithIndex.map { case (i, j) => col(s"mh$i").as(s"v$j") }
       struct(lit(b).as("band"), struct(cols: _*).as("bucket"))
     }
-    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("bb.band"), col("bb.bucket"), col("doc_id"))
+    val carried = ("doc_id" +: keep).map(col)
+    sigs.select(carried :+ explode(array(bands: _*)).as("bb"): _*)
+      .select(col("bb.band") +: col("bb.bucket") +: carried: _*)
   }
 
   /** Candidate near-dup pairs from LSH buckets (doc1 < doc2, distinct).

@@ -57,6 +57,31 @@ object StreamJob {
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("digest"))
 
+  /** Streaming NEAR-dup probe (incremental twin of d10): arriving docs are
+    * minhash-signed and band-bucketed, then stream-static joined against
+    * the curated corpus's bucket relation — near-dup detection at ingest
+    * time, not just exact digests.
+    *
+    * This is only possible because [[graft.operators.Dedup.minhashSignatures]]
+    * is a NARROW per-row fold: no stateful aggregation enters the stream,
+    * so the whole probe is stateless (signature map → bucket explode →
+    * stream-static join) and needs no watermark state beyond the join's
+    * broadcast of corpus buckets. Emits each arriving doc with the set of
+    * corpus docs it collides with (empty array = novel). At 100 TB the
+    * corpus bucket relation is the precomputed store the batch d10 path
+    * also probes. */
+  def streamingDedupProbe(docs: DataFrame, corpusBuckets: DataFrame,
+                          k: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    import graft.operators.Dedup
+    val sigs = Dedup.minhashSignatures(docs, k)
+    Dedup.lshBuckets(sigs, k, rowsPerBand)
+      .join(corpusBuckets.select(col("band"), col("bucket"),
+        col("doc_id").as("corpus_id")), Seq("band", "bucket"), "left")
+      .groupBy("doc_id")
+      .agg(sort_array(array_distinct(
+        filter(collect_list(col("corpus_id")), c => c.isNotNull))).as("dup_of"))
+  }
+
   case class DocEvent(doc_id: Long, source: String, n_tokens: Int, ts: java.sql.Timestamp)
   case class SourceState(nDocs: Long, nTokens: Long, lastTs: Long)
   case class SourceSummary(source: String, n_docs: Long, n_tokens: Long,
