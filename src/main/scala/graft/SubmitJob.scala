@@ -101,11 +101,27 @@ object SubmitJob {
     val results = new ConcurrentHashMap[String, Try[Unit]]()
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
 
+    // a timed-out job is cancelled via thread interrupt; Spark typically
+    // wraps the InterruptedException in a SparkException, so a plain
+    // NonFatal retry would re-run the abandoned job and occupy the pool
+    // slot for up to another full run — check both the thread flag and the
+    // failure's cause chain, and stop retrying once interrupted
+    def interrupted(t: Try[Unit]): Boolean = t match {
+      case Failure(e) =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(16)
+          .exists(c => c.isInstanceOf[InterruptedException] ||
+            c.isInstanceOf[java.nio.channels.ClosedByInterruptException])
+      case _ => false
+    }
     def attempt(job: JobDef): Try[Unit] = {
       var last: Try[Unit] = Failure(new IllegalStateException("not run"))
       var i = 0
-      while (i < job.attempts && last.isFailure) {
+      while (i < job.attempts && last.isFailure && !Thread.currentThread().isInterrupted) {
         last = Try(exec(job))
+        if (interrupted(last)) {
+          Thread.currentThread().interrupt() // restore the cleared flag
+          i = job.attempts
+        }
         i += 1
       }
       last

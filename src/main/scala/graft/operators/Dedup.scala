@@ -48,14 +48,19 @@ object Dedup {
     * have no signature (same contract as the explode form, whose groupBy
     * never saw them). */
   def minhashSignatures(docs: DataFrame, k: Int, keep: Seq[String] = Nil): DataFrame = {
-    val hashed = transform(array_distinct(tokens(col("text"))), t => hash32(t))
+    val carried = ("doc_id" +: keep).map(col)
+    // bind the distinct-token array to an attribute ONCE; the filter and the
+    // fold both read `__toks`, so the regex split is not re-planned into
+    // every consumer (the split is the most expensive scalar here)
+    val toks = docs
+      .select(carried :+ array_distinct(tokens(col("text"))).as("__toks"): _*)
+      .filter(size(col("__toks")) > 0)
+    val hashed = transform(col("__toks"), t => hash32(t))
     val mins = aggregate(hashed, array_repeat(lit(Long.MaxValue), k),
       (acc, h) => zip_with(acc,
         array((0 until k).map(i => minhashTerm(h, i)): _*),
         (a, m) => least(a, m)))
-    val carried = ("doc_id" +: keep).map(col)
-    docs
-      .filter(size(tokens(col("text"))) > 0)
+    toks
       .select(carried :+ mins.as("__mins"): _*)
       .select(carried ++
         (0 until k).map(i => element_at(col("__mins"), i + 1).as(s"mh$i")): _*)
@@ -95,24 +100,35 @@ object Dedup {
     * bands. Dropped bucket/row counts are logged — note the logging runs
     * the bucket-count aggregate EAGERLY at plan construction (one small
     * extra job); pass 0 to disable the cap and stay fully lazy. */
+  /** Shared degenerate-bucket guard: drop (band, bucket) groups larger than
+    * `maxBucketSize` from a bucket relation. The oversized set is tiny by
+    * definition (few degenerate buckets) and the per-bucket count is one
+    * map-side-combined aggregate — never O(corpus) on one node. The
+    * aggregate runs ONCE: its rows are collected (they drive the log line
+    * AND become a local relation for the anti-join), so the corpus bucket
+    * scan is not repeated for the join. */
+  private def dropOversized(buckets: DataFrame, maxBucketSize: Int,
+                            tag: String): DataFrame = {
+    val over = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
+    val rows = over.collect()
+    if (rows.isEmpty) buckets
+    else {
+      System.err.println(
+        s"[graft] $tag: dropping ${rows.length} buckets " +
+          s"(${rows.map(_.getLong(2)).sum} rows) above cap $maxBucketSize")
+      val local = buckets.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), over.schema)
+      buckets.join(broadcast(local.select("band", "bucket")),
+        Seq("band", "bucket"), "left_anti")
+    }
+  }
+
   def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 0): DataFrame = {
     val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
     val kept =
       if (maxBucketSize <= 0) buckets
-      else {
-        // the OVERSIZED set is tiny by definition (few degenerate buckets),
-        // so it broadcasts; the per-bucket count itself is one map-side-
-        // combined aggregate over (band, bucket) — never O(corpus) on one node
-        val over = buckets.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
-        val stats = over.agg(count(lit(1)), sum("__bsz")).collect()(0)
-        if (!stats.isNullAt(1) && stats.getLong(1) > 0)
-          System.err.println(
-            s"[graft] lshCandidates: dropping ${stats.getLong(0)} buckets " +
-              s"(${stats.getLong(1)} rows) above cap $maxBucketSize")
-        buckets.join(broadcast(over.select("band", "bucket")),
-          Seq("band", "bucket"), "left_anti")
-      }
+      else dropOversized(buckets, maxBucketSize, "lshCandidates")
     val a = kept.repartition(parts, col("doc_id")).as("a")
     val b = kept.as("b")
     a.join(b,
@@ -141,17 +157,7 @@ object Dedup {
                          maxBucketSize: Int = 0): DataFrame = {
     val kept =
       if (maxBucketSize <= 0) corpus
-      else {
-        val over = corpus.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
-        val stats = over.agg(count(lit(1)), sum("__bsz")).collect()(0)
-        if (!stats.isNullAt(1) && stats.getLong(1) > 0)
-          System.err.println(
-            s"[graft] lshCandidatesCross: dropping ${stats.getLong(0)} corpus " +
-              s"buckets (${stats.getLong(1)} rows) above cap $maxBucketSize")
-        corpus.join(broadcast(over.select("band", "bucket")),
-          Seq("band", "bucket"), "left_anti")
-      }
+      else dropOversized(corpus, maxBucketSize, "lshCandidatesCross")
     probe.select(col("band"), col("bucket"), col("doc_id").as("probe_id"))
       .join(kept.select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
         Seq("band", "bucket"))
@@ -267,7 +273,13 @@ object Dedup {
     * projection barrier before the per-bit select so the fold runs once,
     * not `bits` times. */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val hashed = transform(array_distinct(tokens(col("text"))), t => hash32(t))
+    // same single-binding discipline as minhashSignatures: the distinct-token
+    // array becomes an attribute, and the filter, the fold, and __n all read
+    // it — the regex split plans once instead of three times per row
+    val toks = docs
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val hashed = transform(col("__toks"), t => hash32(t))
     val ones = aggregate(hashed, array_repeat(lit(0L), bits),
       (acc, h) => zip_with(acc,
         array((0 until bits).map(b => shiftright(h, b) % 2): _*),
@@ -276,10 +288,9 @@ object Dedup {
       when(element_at(col("__ones"), b + 1) * 2 > col("__n"), lit(1L << b))
         .otherwise(0L)
     }.reduce(_ + _)
-    docs
-      .filter(size(tokens(col("text"))) > 0)
+    toks
       .select(col("doc_id"), ones.as("__ones"),
-        size(array_distinct(tokens(col("text")))).cast("long").as("__n"))
+        size(col("__toks")).cast("long").as("__n"))
       .select(col("doc_id"), sig.as("simhash"))
   }
 

@@ -63,13 +63,18 @@ object StreamJob {
     * time, not just exact digests.
     *
     * This is only possible because [[graft.operators.Dedup.minhashSignatures]]
-    * is a NARROW per-row fold: no stateful aggregation enters the stream,
-    * so the whole probe is stateless (signature map → bucket explode →
-    * stream-static join) and needs no watermark state beyond the join's
-    * broadcast of corpus buckets. Emits each arriving doc with the set of
-    * corpus docs it collides with (empty array = novel). At 100 TB the
-    * corpus bucket relation is the precomputed store the batch d10 path
-    * also probes. */
+    * is a NARROW per-row fold: no stateful aggregation enters the stream —
+    * the whole probe is signature map → bucket explode → stream-static left
+    * join, which Spark runs STATELESS (no watermark, no state store; the
+    * static side is just a batch relation re-read per micro-batch). Emits
+    * one row per (doc, band) collision: `corpus_id` is the colliding corpus
+    * doc, or NULL when that band's bucket is novel. A doc whose every row
+    * has a NULL `corpus_id` is novel; a doc may repeat a `corpus_id` across
+    * bands — the SINK aggregates (a batch groupBy over the micro-batch
+    * output), because re-grouping here would turn the stream into a
+    * stateful aggregation with unbounded per-doc state at ingest scale.
+    * At 100 TB the corpus bucket relation is the precomputed store the
+    * batch d10 path also probes. */
   def streamingDedupProbe(docs: DataFrame, corpusBuckets: DataFrame,
                           k: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     import graft.operators.Dedup
@@ -77,9 +82,7 @@ object StreamJob {
     Dedup.lshBuckets(sigs, k, rowsPerBand)
       .join(corpusBuckets.select(col("band"), col("bucket"),
         col("doc_id").as("corpus_id")), Seq("band", "bucket"), "left")
-      .groupBy("doc_id")
-      .agg(sort_array(array_distinct(
-        filter(collect_list(col("corpus_id")), c => c.isNotNull))).as("dup_of"))
+      .select(col("doc_id"), col("corpus_id"))
   }
 
   case class DocEvent(doc_id: Long, source: String, n_tokens: Int, ts: java.sql.Timestamp)

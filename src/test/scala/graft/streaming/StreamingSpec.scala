@@ -99,6 +99,36 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (id, sp) => assert(sp == batchSplit(id)) }
   }
 
+  test("streaming dedup probe is stateless and flags near-dups vs a static corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((100L, a), (101L, "completely different corpus words here now"))
+      .toDF("doc_id", "text")
+    val corpusBuckets = Dedup.lshBuckets(
+      Dedup.minhashSignatures(corpus, k = 4), k = 4, rowsPerBand = 2)
+    val arriving = Seq(
+      (1L, a),                                          // exact twin of 100
+      (2L, "nothing shares these novel stream tokens")) // novel
+      .toDF("doc_id", "text")
+    val dir = new java.io.File("target/tmp/stream_probe").getAbsolutePath
+    arriving.write.mode("overwrite").parquet(dir)
+    // append mode with NO watermark only works because the probe is
+    // genuinely stateless — a stray aggregation here would fail to start
+    val q = StreamJob.streamingDedupProbe(
+        spark.readStream.schema(arriving.schema).parquet(dir), corpusBuckets)
+      .writeStream.outputMode("append").format("memory").queryName("st_probe")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("st_probe").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // doc 1 collides with corpus doc 100 in every band; doc 2 only emits
+    // novel (null) rows — the sink-side aggregate sees it as new
+    assert(rows.filter(_._1 == 1L).forall(_._2.contains(100L)))
+    assert(rows.count(_._1 == 1L) == 2) // k=4, rowsPerBand=2 → 2 bands
+    assert(rows.filter(_._1 == 2L).forall(_._2.isEmpty))
+  }
+
   test("flatMapGroupsWithState accumulator: one summary per source on idle, state evicted") {
     import spark.implicits._
     import StreamJob.{DocEvent, SourceSummary}
