@@ -126,9 +126,16 @@ object Dedup {
 
   def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 0): DataFrame = {
     val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
+    // the bucket relation is consumed up to three times below (cap count +
+    // both self-join sides), and each scan would otherwise re-run the whole
+    // minhash signature pipeline. Persist it: rows are (band, bucket-longs,
+    // doc_id) — tens of bytes/doc, MEMORY_AND_DISK spills rather than OOMs
+    // at corpus scale, and production pipelines materialize the bucket
+    // store anyway (the d10 incremental path probes exactly this relation).
+    val bucketsP = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept =
-      if (maxBucketSize <= 0) buckets
-      else dropOversized(buckets, maxBucketSize, "lshCandidates")
+      if (maxBucketSize <= 0) bucketsP
+      else dropOversized(bucketsP, maxBucketSize, "lshCandidates")
     val a = kept.repartition(parts, col("doc_id")).as("a")
     val b = kept.as("b")
     a.join(b,
@@ -155,9 +162,12 @@ object Dedup {
     * landing there would pair with the whole bucket). */
   def lshCandidatesCross(probe: DataFrame, corpus: DataFrame,
                          maxBucketSize: Int = 0): DataFrame = {
+    // same persistence rationale as lshCandidates: the corpus buckets feed
+    // both the cap aggregate and the probe join
+    val corpusP = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept =
-      if (maxBucketSize <= 0) corpus
-      else dropOversized(corpus, maxBucketSize, "lshCandidatesCross")
+      if (maxBucketSize <= 0) corpusP
+      else dropOversized(corpusP, maxBucketSize, "lshCandidatesCross")
     probe.select(col("band"), col("bucket"), col("doc_id").as("probe_id"))
       .join(kept.select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
         Seq("band", "bucket"))
@@ -232,34 +242,38 @@ object Dedup {
     var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("doc_id"), least(col("src"), col("nbr")).as("label"))
       .localCheckpoint()
-    // convergence check: labels only ever shrink, so Σlabel is strictly
-    // decreasing until the fixpoint — one cheap scan of the checkpointed
-    // labels per round instead of a join; decimal sum cannot overflow
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty pair relation
-    }
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // propagate the best label across one hop
+      // propagate the best label across one hop, carrying a per-row
+      // "did propagation improve this vertex" flag
       val prop = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("label").as("plabel"))
       val stepped = labels.join(prop, Seq("doc_id"))
-        .select(col("doc_id"), least(col("label"), col("plabel")).as("label"))
+        .select(col("doc_id"), least(col("label"), col("plabel")).as("label"),
+          (col("plabel") < col("label")).as("__chg"))
         .localCheckpoint()
-      // shortcut: adopt the label's own label — every label is a vertex id,
-      // so the self-join always resolves, and labels only ever shrink
-      val next = stepped
-        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
+      // Convergence test: edges are SYMMETRIZED, so "no vertex improved"
+      // means every neighbor's label >= the vertex's own — applied to both
+      // directions of each edge that forces label equality across every
+      // edge, i.e. the global fixpoint (each component constant at its min
+      // id, since the min vertex's label can never drop below itself).
+      // One narrow limit-1 scan of the just-checkpointed rows — no second
+      // aggregate pass, no sum bookkeeping, and the shortcut join below is
+      // skipped entirely on the final round.
+      converged = stepped.filter(col("__chg")).isEmpty
+      if (!converged) {
+        // shortcut: adopt the label's own label (pointer jumping) — every
+        // label is a vertex id, so the self-join always resolves, and
+        // labels only ever shrink; this is what makes pathological chains
+        // converge in O(log n) rounds instead of O(diameter)
+        val s = stepped.drop("__chg")
+        labels = s
+          .join(s.select(col("doc_id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
+          .localCheckpoint()
+      } else labels = stepped
       iter += 1
     }
     require(converged, s"components did not converge in $maxIters rounds")
