@@ -25,8 +25,8 @@ object Bench {
     "f3_exists_antijoin", "o1_topk", "x5_asof_join",
     "t3_quality_score", "t4_fingerprint",
     "d2_minhash_sig", "d3_lsh_candidates", "d5_jaccard_pairs",
-    "d6_dedup_groups", "t7_tfidf", "c1_curation_pipeline",
-    "e1_knn_brute", "e2_knn_lsh",
+    "d6_dedup_groups", "t7_tfidf", "c1_curation_pipeline", "c2_quality_gate",
+    "e1_knn_brute", "e2_knn_lsh", "e6_semantic_dedup",
     "s1_grid_seed", "m1_media_features", "r3_warp_3857")
 
   def main(args: Array[String]): Unit = {

@@ -66,6 +66,9 @@ object SparkEntry {
     "t7_tfidf"            -> (Q.t7_tfidf(_, _)),
     "t8_top_terms"        -> (Q.t8_top_terms(_, _)),
     "c1_curation_pipeline" -> (Q.c1_curation_pipeline(_, _)),
+    "c2_quality_gate"     -> (Q.c2_quality_gate(_, _)),
+    "t14_token_budget"    -> (Q.t14_token_budget(_, _)),
+    "e6_semantic_dedup"   -> (Q.e6_semantic_dedup(_, _)),
     "d1_exact_dedup"      -> (Q.d1_exact_dedup(_, _)),
     "d2_minhash_sig"      -> (Q.d2_minhash_sig(_, _)),
     "d3_lsh_candidates"   -> (Q.d3_lsh_candidates(_, _)),
@@ -678,6 +681,19 @@ object SparkEntry {
         .orderBy("probe_id", "corpus_id")
     }
 
+    /** Quality-based corpus pruning: keep the top-30% quality documents per
+      * language. The keep count is the exact rational max(1, 3n/10) — no
+      * float threshold to flip between engines — and ties break on doc_id. */
+    def c2_quality_gate(s: SparkSession, d: String): DataFrame =
+      TextOps.qualityGate(Tables.documents(s, d), keepNum = 3, keepDen = 10)
+        .orderBy("doc_id")
+
+    /** Per-source token-budget downsampling: greedy keep in portable-hash
+      * order until each source reaches its 800-token allocation. */
+    def t14_token_budget(s: SparkSession, d: String): DataFrame =
+      TextOps.tokenBudgetSample(Tables.documents(s, d), budget = 800L)
+        .orderBy("doc_id")
+
     // ---------------------------------------- similarity search (north star)
     def e1_knn_brute(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.embeddings(s, d)
@@ -722,6 +738,13 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
     }
+
+    /** SemDeDup over the embedding corpus: deterministic LSH sign-bucket
+      * clusters, every vector labeled with the lowest-id cosine-τ duplicate
+      * in its bucket (null = kept representative). */
+    def e6_semantic_dedup(s: SparkSession, d: String): DataFrame =
+      Similarity.semanticDup(Tables.embeddings(s, d), dim = 64, bits = 6, tau = 0.3)
+        .orderBy("vec_id")
 
     /** Symmetric int8 quantization of embeddings (storage path of a 100 TB
       * vector corpus): scale = max|x|, q = ⌊127x/scale + 0.5⌋. Summarized
@@ -1188,6 +1211,40 @@ object SparkEntry {
            |FROM m ORDER BY doc_id""".stripMargin
       },
 
+      "c2_quality_gate" -> {
+        val en = TextOps.stopwords("en").mkString("\\b(", "|", ")\\b")
+        s"""WITH m AS (
+           |  SELECT doc_id, lang,
+           |    CAST(length(text) AS DOUBLE) AS n_chars,
+           |    CAST(len($tokExpr) AS DOUBLE) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+           |    CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE) AS n_stop
+           |  FROM documents),
+           |q AS (SELECT doc_id, lang, round(
+           |  least(n_tokens / 50.0, 1.0) * 0.4 +
+           |  least(n_punct / greatest(n_tokens / 10.0, 1.0), 1.0) * 0.2 +
+           |  least(n_stop / greatest(n_tokens / 20.0, 1.0), 1.0) * 0.2 +
+           |  (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+           | FROM m),
+           |r AS (SELECT doc_id, lang, quality,
+           |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rk,
+           |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+           |SELECT doc_id, lang, quality FROM r
+           |WHERE rk <= greatest(1, (n * 3) // 10) ORDER BY doc_id""".stripMargin
+      },
+
+      "t14_token_budget" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |  CAST(len($tokExpr) AS BIGINT) AS n_tokens,
+           |  ${h("CAST(doc_id AS VARCHAR)")} AS hh
+           | FROM documents),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           | FROM t)
+           |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
       "t4_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
            |e AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM t)
@@ -1510,6 +1567,23 @@ object SparkEntry {
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |SELECT id1, id2, round(rawcos, 4) AS cosine FROM s WHERE rawcos >= 0.3
           |ORDER BY id1, id2""".stripMargin,
+
+      "e6_semantic_dedup" -> {
+        def planeLit(p: Int): String =
+          (0 until 64).map(dd => Similarity.planeComponent(p, dd).toString).mkString("[", ", ", "]")
+        val bucketOf = (v: String) => (0 until 6).map { p =>
+          s"CASE WHEN list_dot_product($v, ${planeLit(p)}) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |be AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e),
+           |d AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+           |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.v, b.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+           |  GROUP BY b.vec_id)
+           |SELECT be.vec_id, be.bucket, d.dup_of
+           |FROM be LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
+      },
 
       "e4_embedding_quantize" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

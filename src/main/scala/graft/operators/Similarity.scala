@@ -138,6 +138,37 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** SemDeDup-style semantic dedup over embeddings: vectors are grouped by
+    * a deterministic LSH sign bucket (the cheap, replayable stand-in for
+    * the k-means cluster assignment of the SemDeDup recipe — swap in
+    * [[nearestCentroid]] ids at production scale, where the cluster count
+    * tracks corpus size so the within-cluster pairwise stays bounded), and
+    * a vector is marked a duplicate of the SMALLEST-id vector in its bucket
+    * whose cosine similarity reaches `tau`. Output: every corpus vector
+    * with (bucket, dup_of); `dup_of IS NULL` = kept representative.
+    *
+    * Scale shape: the self-join shuffles both sides by the bucket key once;
+    * pairwise cost is Σ bucketᵢ² — `bits` dials bucket granularity, and a
+    * degenerate bucket should be capped exactly like
+    * [[graft.operators.Dedup.lshCandidates]]. Never all-pairs. */
+  def semanticDup(corpus: DataFrame, dim: Int, bits: Int, tau: Double): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, bits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.vec_cosine(
+          col("v1").cast("array<double>"), col("v2").cast("array<double>")))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("id2").as("vec_id")).agg(min("id1").as("dup_of"))
+    bucketed.select("vec_id", "bucket")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("dup_of"))
+  }
+
   /** Per-vector max |xᵢ| — the symmetric-quantization scale. */
   def absMax(vec: Column): Column =
     array_max(transform(vec.cast("array<double>"), x => abs(x)))

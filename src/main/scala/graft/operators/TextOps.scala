@@ -147,6 +147,62 @@ object TextOps {
     * idf = ln((N+1)/(df+1)) + 1. Both aggregates are map-side combined;
     * the 1-row corpus count broadcasts; only (doc, term, count) triples —
     * never documents — cross the wire. */
+  /** Per-language quality gate — keep the top `keepNum/keepDen` fraction of
+    * documents by [[qualityScore]] within each `groupCol` value (quality-
+    * based corpus pruning, the CCNet/FineWeb "keep the best slice per
+    * language" step). The keep count is the exact integer
+    * `max(1, n*keepNum/keepDen)` — a rational, not a float threshold, so
+    * the boundary can never flip between engines — and ties inside a
+    * quality value break on doc_id, so the kept set is fully deterministic
+    * and append-stable given a stable corpus.
+    *
+    * Scale shape: the per-group doc counts are one map-side-combined
+    * aggregate broadcast back (control-plane small — one row per language);
+    * the rank is one window sort keyed by the group. At 100 TB the sort is
+    * the inherent cost of an exact top-fraction; when approximate is
+    * acceptable, swap the rank for an `approx_percentile` threshold
+    * broadcast and keep the same filter shape. */
+  def qualityGate(docs: DataFrame, keepNum: Int = 3, keepDen: Int = 10,
+                  groupCol: String = "lang"): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum, "keep fraction must be in (0, 1]")
+    val scored = docs.select(col("doc_id"), col(groupCol),
+      qualityScore(col("text")).as("quality"))
+    val counts = scored.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(groupCol).orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .join(broadcast(counts), groupCol)
+      .withColumn("__rk", row_number().over(w))
+      // (n*keepNum)/keepDen in doubles is floor-exact: the quotient only
+      // lands on an integer when keepDen divides n*keepNum, and then the
+      // IEEE division is exact — so this equals integer division
+      .filter(col("__rk") <= greatest(lit(1), floor(col("__n") * keepNum / keepDen)))
+      .select(col("doc_id"), col(groupCol), col("quality"))
+  }
+
+  /** Greedy per-group token-budget sampling: walk each group's documents in
+    * portable-hash order (a deterministic shuffle — no RNG state, so the
+    * sample replays identically anywhere) and keep documents while the
+    * running token total stays within `budget` — the "downsample each
+    * source to its token allocation" step of training-data mixing.
+    *
+    * Scale shape: one window cumsum per group (shuffle by `groupCol`, sort
+    * by hash). A single 100 TB mega-source serializes its own sort — shard
+    * such a source into salted sub-groups with proportional sub-budgets
+    * (the [[graft.operators.Skew]] pattern) and the semantics compose. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long,
+                        groupCol: String = "source"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(groupCol),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      PortableHash.hash32(col("doc_id").cast("string")).as("__h"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col(groupCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   def tfidf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -397,6 +397,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("quality gate keeps the exact top fraction per group, ties on doc_id") {
+    val good = ("the quick brown fox jumps over the lazy dog. " * 6).trim
+    val d = (1L to 10L).map(i => (i, if (i <= 4) good else "bad", "en"))
+      .toDF("doc_id", "text", "lang")
+    // 10 docs, keep 3/10 → exactly 3; docs 1-4 tie at top quality → 1,2,3
+    val kept = TextOps.qualityGate(d, keepNum = 3, keepDen = 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+    // a group smaller than the fraction still keeps its best single doc
+    val tiny = Seq((1L, good, "fr"), (2L, "bad", "fr")).toDF("doc_id", "text", "lang")
+    assert(TextOps.qualityGate(tiny, 1, 10).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("token-budget sample: hash-order prefix per group, budget never exceeded") {
+    val d = (1L to 20L).map(i => (i, ("tok " * 10).trim, if (i <= 10) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.tokenBudgetSample(d, budget = 35L)
+    val got = r.collect()
+    // every kept row's running total respects the budget; 10 tokens/doc → 3 kept per group
+    assert(got.forall(_.getLong(3) <= 35L))
+    assert(got.count(_.getString(1) == "a") == 3 && got.count(_.getString(1) == "b") == 3)
+    // deterministic replay: identical kept set
+    assert(r.except(TextOps.tokenBudgetSample(d, budget = 35L)).isEmpty)
+    // the kept set is the PREFIX of the hash ordering, not an arbitrary subset
+    val orderA = d.filter(col("source") === "a")
+      .select(col("doc_id"), graft.functions.PortableHash.hash32(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id").select("doc_id").as[Long].collect().take(3).toSet
+    assert(got.filter(_.getString(1) == "a").map(_.getLong(0)).toSet == orderA)
+  }
+
+  test("semantic dup: identical embeddings collapse to lowest id, distinct ones survive") {
+    val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val v2 = v1.map(x => x * 2.0f)                       // cosine 1 with v1
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f) // far from v1
+    val e = Seq((10L, v1.toSeq), (20L, v2.toSeq), (30L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDup(e, dim = 8, bits = 4, tau = 0.9).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    assert(r(10L).isEmpty)            // representative
+    assert(r(20L).contains(10L))      // parallel vector → dup of the lowest id
+    assert(r(30L).isEmpty)            // dissimilar → kept
+  }
+
   test("multimodal: frame-sample plan from metadata only") {
     val media = Seq((1L, "video", 2500L)).toDF("asset_id", "modality", "duration_ms")
       .select(col("asset_id"), col("modality"),
