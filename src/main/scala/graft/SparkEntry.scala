@@ -493,8 +493,8 @@ object SparkEntry {
         .orderBy("doc_id")
 
     def t3_quality_score(s: SparkSession, d: String): DataFrame =
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      TextOps.withQuality(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")
 
     def t4_fingerprint(s: SparkSession, d: String): DataFrame =
@@ -540,8 +540,7 @@ object SparkEntry {
       * fuses with the scan, dedup is the only shuffle, split is free. */
     def c1_curation_pipeline(s: SparkSession, d: String): DataFrame = {
       val docs = Tables.documents(s, d)
-      val scored = docs.select(col("doc_id"), col("text"),
-        TextOps.qualityScore(col("text")).as("quality"))
+      val scored = TextOps.withQuality(docs).select(col("doc_id"), col("text"), col("quality"))
       val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
       TextOps.hashSplit(scored.join(keepers, "doc_id"))
         .filter(col("quality") >= 0.5 && col("split") === "train")

@@ -46,17 +46,42 @@ object TextOps {
   /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
     * ratio, mean word length — the classic heuristic-filter shape
     * (C4/Gopher-style rules). */
-  def qualityScore(text: Column): Column = {
-    val nChars = length(text).cast("double")
-    val nTokens = tokenCount(text).cast("double")
-    val nPunct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double")
-    val nStop = stopwordHits(text, stopwords("en")).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityFromCounts(
+      length(text).cast("double"),
+      tokenCount(text).cast("double"),
+      size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double"),
+      stopwordHits(text, stopwords("en")).cast("double"))
+
+  private def qualityFromCounts(nChars: Column, nTokens: Column,
+                                nPunct: Column, nStop: Column): Column = {
     val meanWordLen = nChars / greatest(nTokens, lit(1.0))
     val lengthOk = least(nTokens / lit(50.0), lit(1.0))                  // prefer ≥50 tokens
     val punctOk = least(nPunct / greatest(nTokens / lit(10.0), lit(1.0)), lit(1.0))
     val stopOk = least(nStop / greatest(nTokens / lit(20.0), lit(1.0)), lit(1.0))
     val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 10, lit(1.0)).otherwise(lit(0.5))
     round((lengthOk * 0.4 + punctOk * 0.2 + stopOk * 0.2 + wordLenOk * 0.2), 4)
+  }
+
+  /** `docs` plus a `quality` column, with the shared counts bound as
+    * ATTRIBUTES first: [[qualityScore]] as a single Column references the
+    * token split five times, and higher-order functions are excluded from
+    * codegen subexpression elimination, so the regex split would run five
+    * times per row — the dominant scalar cost of a quality pass at corpus
+    * scale. The two-projection form computes each count once (the non-cheap
+    * multi-referenced aliases keep the CollapseProject barrier) and codegen
+    * pipelines the attribute values within the stage. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumns(Map(
+        "__nchars" -> length(t).cast("double"),
+        "__ntok" -> tokenCount(t).cast("double"),
+        "__npunct" -> size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0))).cast("double"),
+        "__nstop" -> stopwordHits(t, stopwords("en")).cast("double")))
+      .withColumn("quality", qualityFromCounts(
+        col("__nchars"), col("__ntok"), col("__npunct"), col("__nstop")))
+      .drop("__nchars", "__ntok", "__npunct", "__nstop")
   }
 
   /** Overlapping token-window chunks — context-window packing for training
@@ -165,8 +190,7 @@ object TextOps {
   def qualityGate(docs: DataFrame, keepNum: Int = 3, keepDen: Int = 10,
                   groupCol: String = "lang"): DataFrame = {
     require(keepNum > 0 && keepDen >= keepNum, "keep fraction must be in (0, 1]")
-    val scored = docs.select(col("doc_id"), col(groupCol),
-      qualityScore(col("text")).as("quality"))
+    val scored = withQuality(docs).select(col("doc_id"), col(groupCol), col("quality"))
     val counts = scored.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(groupCol).orderBy(col("quality").desc, col("doc_id").asc)
     scored
@@ -280,8 +304,8 @@ object TextOps {
     * doubles. Both aggregates are map-side combined; the digest join keys
     * 32-byte hashes, never documents. */
   def domainStats(docs: DataFrame, domainCol: String = "source"): DataFrame = {
-    val scored = docs.select(col(domainCol).as("domain"),
-      qualityScore(col("text")).cast("decimal(18,4)").as("q"),
+    val scored = withQuality(docs).select(col(domainCol).as("domain"),
+      col("quality").cast("decimal(18,4)").as("q"),
       tokenCount(col("text")).cast("long").as("nt"),
       md5(col("text")).as("digest"))
     val copies = scored.groupBy("digest").agg(count(lit(1)).as("nc"))

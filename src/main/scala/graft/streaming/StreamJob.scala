@@ -50,8 +50,7 @@ object StreamJob {
   def streamingCuration(docs: DataFrame, watermark: String = "1 hour",
                         minQuality: Double = 0.5): DataFrame =
     graft.operators.TextOps.hashSplit(
-      docs
-        .withColumn("quality", graft.operators.TextOps.qualityScore(col("text")))
+      graft.operators.TextOps.withQuality(docs)
         .filter(col("quality") >= minQuality)
         .withColumn("digest", md5(col("text")))
         .withWatermark("ts", watermark)
