@@ -84,6 +84,7 @@ object SparkEntry {
     "t12_domain_stats"    -> (Q.t12_domain_stats(_, _)),
     "t13_pack_sequences"  -> (Q.t13_pack_sequences(_, _)),
     "d10_incremental_dedup" -> (Q.d10_incremental_dedup(_, _)),
+    "d11_substring_dup"   -> (Q.d11_substring_dup(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -615,6 +616,13 @@ object SparkEntry {
       * corpus-wide distinct-doc counts, per-doc boilerplate fraction. */
     def d8_span_dedup(s: SparkSession, d: String): DataFrame =
       Dedup.spanDupStats(Tables.documents(s, d), window = 16).orderBy("doc_id")
+
+    /** Exact duplicated-substring coverage: overlapping 8-token rolling-hash
+      * windows, corpus-wide repeat filter, per-doc interval union — docs
+      * with at least one duplicated passage and the token fraction it
+      * covers. */
+    def d11_substring_dup(s: SparkSession, d: String): DataFrame =
+      Dedup.substringDupCoverage(Tables.documents(s, d), window = 8).orderBy("doc_id")
 
     /** Benchmark decontamination: distinct 5-gram overlap of every corpus
       * doc against the `src0` slice standing in for an eval suite. */
@@ -1372,6 +1380,23 @@ object SparkEntry {
       // span chunking mirrors chunkTexts(window=16, stride=16): starts
       // 0,16,… (range excludes its stop like sequence(0, len-1, 16) for
       // len ≥ 1), spans are inclusive 1-based list slices rejoined
+      "d11_substring_dup" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) >= 8),
+           |w AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+           |    ${h("array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")} AS h
+           |  FROM tt, unnest(range(1, CAST(n - 6 AS INT))) AS u(i)),
+           |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+           |d AS (SELECT doc_id, n, i FROM w JOIN dup USING (h)),
+           |c AS (SELECT doc_id, n, i,
+           |  max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM d),
+           |s AS (SELECT doc_id, n,
+           |  greatest(0, (i + 7) - greatest(coalesce(pme, i - 1), i - 1)) AS cov FROM c)
+           |SELECT doc_id, n AS n_tokens, CAST(sum(cov) AS BIGINT) AS dup_tokens,
+           |  round(sum(cov) * 1.0 / n, 4) AS dup_frac
+           |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
       "d8_span_dedup" ->
         s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
            |sp AS (SELECT doc_id,

@@ -340,6 +340,52 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Exact duplicated-substring coverage — the token-granular form of the
+    * exact-substring dedup signal (suffix-array method of "Deduplicating
+    * Training Data Makes Language Models Better"): every OVERLAPPING
+    * `window`-token span is rolling-hashed; a span whose hash repeats
+    * corpus-wide (any second occurrence, same doc or not) is duplicated;
+    * per doc, overlapping duplicated spans are UNIONED (gaps-and-islands
+    * over span starts) and the output reports how many of the doc's tokens
+    * sit inside some duplicated substring. Unlike [[spanDupStats]]'s
+    * non-overlapping chunks, this detects duplicated passages at ANY
+    * offset — the signal a substring-level scrubber would cut on.
+    *
+    * Scale shape: the explode emits one (doc_id, start, hash) long-triple
+    * per corpus token — linear, the same order as the token relation every
+    * other dedup op shuffles; the repeat filter is one map-side-combined
+    * count; the interval union is a per-doc window over dup spans only
+    * (integer arithmetic, exact in any engine). Docs with fewer than
+    * `window` tokens have no spans and are excluded. */
+  def substringDupCoverage(docs: DataFrame, window: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= window)
+    // starts iterate a computed sequence but only ever SLICE the `toks`
+    // attribute (the per-element recompute trap needs indexing into a
+    // computed array, which this avoids — same shape as `contamination`)
+    val wins = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (window - 1)),
+          i => hash32(concat_ws(" ", slice(col("toks"), i, lit(window)))))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+    val dups = wins.join(dupH.select("h"), "h")
+    // interval union: each dup span covers [i, i+window-1]; its NEW tokens
+    // are those past both the previous running max end and its own start
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dups
+      .withColumn("__pme", max(col("i") + (window - 1)).over(w))
+      .withColumn("__cov", greatest(lit(0L),
+        (col("i") + (window - 1)) - greatest(coalesce(col("__pme"), col("i") - 1), col("i") - 1)))
+      .groupBy("doc_id", "n")
+      .agg(sum("__cov").as("dup_tokens"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n"), 4).as("dup_frac"))
+  }
+
   /** Benchmark-contamination check: the share of each corpus document's
     * distinct word `n`-grams that appear anywhere in a benchmark/eval set
     * (the GPT-3/PaLM decontamination methodology, at a demo-sized n).

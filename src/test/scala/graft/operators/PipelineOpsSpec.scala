@@ -397,6 +397,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("substring dup coverage: overlapping windows union into passage intervals") {
+    // docs 1 and 2 share the 10-token passage w1..w10 at different offsets;
+    // doc 3 shares nothing. window=8 → passage yields 3 dup windows per doc
+    // whose union covers exactly the 10 passage tokens.
+    val passage = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$passage alpha beta gamma delta epsilon"),
+      (2L, s"pre1 pre2 pre3 $passage tail1 tail2"),
+      (3L, "nothing here repeats anywhere in the corpus at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDupCoverage(d, window = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((15L, 10L, 0.6667)))
+    assert(r(2L) == ((15L, 10L, 0.6667)))
+    assert(!r.contains(3L)) // no duplicated span → not reported
+    // a doc REPEATING its own passage is self-duplicated
+    val selfDup = Seq((9L, s"$passage filler1 filler2 $passage")).toDF("doc_id", "text")
+    val s = Dedup.substringDupCoverage(selfDup, window = 8).collect()(0)
+    assert(s.getLong(2) == 20L) // both passage occurrences covered
+  }
+
   test("quality gate keeps the exact top fraction per group, ties on doc_id") {
     val good = ("the quick brown fox jumps over the lazy dog. " * 6).trim
     val d = (1L to 10L).map(i => (i, if (i <= 4) good else "bad", "en"))
