@@ -68,6 +68,7 @@ object SparkEntry {
     "c1_curation_pipeline" -> (Q.c1_curation_pipeline(_, _)),
     "c2_quality_gate"     -> (Q.c2_quality_gate(_, _)),
     "t14_token_budget"    -> (Q.t14_token_budget(_, _)),
+    "t15_unigram_surprisal" -> (Q.t15_unigram_surprisal(_, _)),
     "e6_semantic_dedup"   -> (Q.e6_semantic_dedup(_, _)),
     "d1_exact_dedup"      -> (Q.d1_exact_dedup(_, _)),
     "d2_minhash_sig"      -> (Q.d2_minhash_sig(_, _)),
@@ -701,6 +702,11 @@ object SparkEntry {
       TextOps.tokenBudgetSample(Tables.documents(s, d), budget = 800L)
         .orderBy("doc_id")
 
+    /** Corpus-unigram surprisal score (CCNet-style LM quality proxy);
+      * per-token micro-nat quantization keeps the aggregate exact. */
+    def t15_unigram_surprisal(s: SparkSession, d: String): DataFrame =
+      TextOps.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
+
     // ---------------------------------------- similarity search (north star)
     def e1_knn_brute(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.embeddings(s, d)
@@ -1239,6 +1245,17 @@ object SparkEntry {
            |SELECT doc_id, lang, quality FROM r
            |WHERE rk <= greatest(1, (n * 3) // 10) ORDER BY doc_id""".stripMargin
       },
+
+      "t15_unigram_surprisal" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($tokExpr) AS tok FROM documents),
+           |freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(tf) AS total FROM freq),
+           |m AS (SELECT doc_id,
+           |    CAST(floor(-ln(tf * 1.0 / total) * 1e6 + 0.5) AS BIGINT) AS micro
+           |  FROM tok JOIN freq USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  round(sum(micro) * 1.0 / count(*) / 1e6, 4) AS surprisal
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "t14_token_budget" ->
         s"""WITH t AS (SELECT doc_id, source,

@@ -227,6 +227,34 @@ object TextOps {
       .select(col("doc_id"), col(groupCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Unigram-surprisal score — the LM-scoring step of a CCNet-style
+    * pipeline with the corpus's OWN unigram distribution standing in for
+    * the external language model: surprisal(doc) = mean over tokens of
+    * −ln p(tok), p = corpus frequency / corpus token count. Low = common/
+    * templated text, high = rare-token-heavy; curation keeps the middle
+    * band. Each token's surprisal is quantized to integer micro-nats
+    * (half-up at 1e-6) BEFORE the per-doc sum, so the aggregate is exact
+    * integer arithmetic — float accumulation order can never vary the
+    * result, in this engine or any oracle.
+    *
+    * Scale shape: one explode over corpus tokens (the relation every dedup
+    * op already shuffles), a map-side-combined frequency aggregate, a
+    * 1-row broadcast total, and a token-keyed equi-join back (the
+    * frequency table is vocabulary-sized — broadcastable in practice). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("__tf"))
+    val total = freq.agg(sum(col("__tf")).as("__total"))
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__micro",
+        floor(-log(col("__tf").cast("double") / col("__total")) * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__micro").as("__sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__sum").cast("double") / col("n_tokens") / 1e6, 4).as("surprisal"))
+  }
+
   def tfidf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -418,6 +418,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.getLong(2) == 20L) // both passage occurrences covered
   }
 
+  test("unigram surprisal: common tokens score low, rare tokens high, exact mean") {
+    val d = Seq(
+      (1L, "common common common common"), // p=4/8 → -ln(.5) ≈ 0.6931
+      (2L, "rare1 rare2 rare3 rare4"))     // each p=1/8 → ln 8 ≈ 2.0794
+      .toDF("doc_id", "text")
+    val r = TextOps.unigramSurprisal(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((4L, 0.6931)))
+    assert(r(2L) == ((4L, 2.0794)))
+    assert(r(1L)._2 < r(2L)._2) // templated text is less surprising
+  }
+
   test("quality gate keeps the exact top fraction per group, ties on doc_id") {
     val good = ("the quick brown fox jumps over the lazy dog. " * 6).trim
     val d = (1L to 10L).map(i => (i, if (i <= 4) good else "bad", "en"))
