@@ -86,6 +86,7 @@ object SparkEntry {
     "t13_pack_sequences"  -> (Q.t13_pack_sequences(_, _)),
     "d10_incremental_dedup" -> (Q.d10_incremental_dedup(_, _)),
     "d11_substring_dup"   -> (Q.d11_substring_dup(_, _)),
+    "d12_near_dedup"      -> (Q.d12_near_dedup(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "x4_correlated_sub"   -> (Q.x4_correlated_sub(_, _)),
     "x5_asof_join"        -> (Q.x5_asof_join(_, _)),
     "x6_percentile"       -> (Q.x6_percentile(_, _)),
+    "x7_interval_join"    -> (Q.x7_interval_join(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
 
@@ -618,6 +620,12 @@ object SparkEntry {
     def d8_span_dedup(s: SparkSession, d: String): DataFrame =
       Dedup.spanDupStats(Tables.documents(s, d), window = 16).orderBy("doc_id")
 
+    /** End-to-end near-dedup keep/drop decision over the whole corpus:
+      * LSH candidates → Jaccard ≥ 0.5 verify → components → keepers. */
+    def d12_near_dedup(s: SparkSession, d: String): DataFrame =
+      Dedup.nearDedupKeepers(Tables.documents(s, d), k = 4, rowsPerBand = 2,
+        minJaccard = 0.5, maxBucketSize = lshCap).orderBy("doc_id")
+
     /** Exact duplicated-substring coverage: overlapping 8-token rolling-hash
       * windows, corpus-wide repeat filter, per-doc interval union — docs
       * with at least one duplicated passage and the token fraction it
@@ -821,6 +829,24 @@ object SparkEntry {
           round(expr("percentile(value, 0.75)") + lit(5e-7), 4).as("p75"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+
+    /** Interval-containment join via bucketization (RangeJoin): follow-on
+      * clicks within one hour of each view, per user — the equi-join-on-bin
+      * form of what a raw BETWEEN predicate would plan as an O(n²) nested
+      * loop. */
+    def x7_interval_join(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.operators.RangeJoin
+        .intervalJoin(views, clicks, Seq("user_id"),
+          "w_start", "w_end", "click_ts", binWidthSec = 3600)
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }
 
     /** Correlated-subquery shape: parts priced above their brand average. */
     def x4_correlated_sub(s: SparkSession, d: String): DataFrame = {
@@ -1397,6 +1423,38 @@ object SparkEntry {
       // span chunking mirrors chunkTexts(window=16, stride=16): starts
       // 0,16,… (range excludes its stop like sequence(0, len-1, 16) for
       // len ≥ 1), spans are inclusive 1-based list slices rejoined
+      "d12_near_dedup" ->
+        s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+           |sigs AS (SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id),
+           |b AS (
+           |  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
+           |  UNION ALL
+           |  SELECT doc_id, 1, mh2, mh3 FROM sigs),
+           |keep AS (SELECT band, v0, v1 FROM b GROUP BY 1, 2, 3 HAVING count(*) <= ${Q.lshCap}),
+           |bk AS (SELECT b.* FROM b JOIN keep USING (band, v0, v1)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
+           |  FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
+           |    AND a.doc_id < b2.doc_id),
+           |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+           |i AS (SELECT doc1, doc2, count(*) AS inter
+           |      FROM cand JOIN tok a ON a.doc_id = doc1 JOIN tok b ON b.doc_id = doc2 AND b.tok = a.tok
+           |      GROUP BY 1, 2),
+           |ver AS (SELECT doc1, doc2 FROM i
+           |  JOIN sz s1 ON s1.doc_id = doc1 JOIN sz s2 ON s2.doc_id = doc2
+           |  WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.5),
+           |edges AS (SELECT doc1 AS src, doc2 AS dst FROM ver
+           |          UNION SELECT doc2, doc1 FROM ver),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+           |         FROM reach GROUP BY src)
+           |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+           |  CAST(d.doc_id = coalesce(c.group_id, d.doc_id) AS INT) AS keep
+           |FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
       "d11_substring_dup" ->
         s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
            |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) >= 8),
@@ -1588,6 +1646,14 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.75) + 5e-7, 4) AS p75,
           |  count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "x7_interval_join" ->
+        """SELECT a.event_id, count(*) AS n_clicks
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id AND b.event_type = 'click'
+          | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+          |WHERE a.event_type = 'view'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p

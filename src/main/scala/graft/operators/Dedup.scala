@@ -280,6 +280,35 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("group_id"))
   }
 
+  /** End-to-end near-dedup decision — the one-call API a curation pipeline
+    * actually runs: MinHash signatures → banded LSH candidates (degenerate
+    * buckets capped) → exact Jaccard verify at `minJaccard` → connected
+    * components → EVERY corpus document labeled with its duplicate-group id
+    * and the keep decision (lowest doc_id per group survives; singletons
+    * are their own group and kept). Output: (doc_id, group_id, keep 0/1).
+    *
+    * Composes the scalable pieces unchanged, so the plan inherits their
+    * shapes: zero-shuffle signature folds, native-long bucket join with the
+    * O(n²) cap, candidates-only Jaccard, lineage-truncated label
+    * propagation. The two multi-consumer relations (candidates, verified
+    * pairs) are persisted — each feeds two downstream scans. */
+  def nearDedupKeepers(docs: DataFrame, k: Int = 4, rowsPerBand: Int = 2,
+                       minJaccard: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    val sigs = minhashSignatures(docs, k)
+    val cands = lshCandidates(lshBuckets(sigs, k, rowsPerBand), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = jaccard(docs, cands)
+      .filter(round(col("jaccard"), 4) >= minJaccard)
+      .select("doc1", "doc2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = components(verified)
+    docs.select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .withColumn("keep", (col("doc_id") === col("group_id")).cast("int"))
+  }
+
   /** SimHash per doc: for each bit, sum +1/-1 votes of each distinct
     * token's hash bit; sign → signature bit. Like [[minhashSignatures]],
     * a single per-row array fold — zero shuffle; the fold counts set bits

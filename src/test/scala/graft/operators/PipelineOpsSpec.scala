@@ -397,6 +397,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("near-dedup keepers: end-to-end keep/drop over exact, near, and unique docs") {
+    val r = Dedup.nearDedupKeepers(docs, k = 8, rowsPerBand = 2, minJaccard = 0.5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(r(1L) == ((1L, 1)))  // group representative
+    assert(r(2L) == ((1L, 0)))  // exact dup → dropped
+    assert(r(3L)._2 == (if (r(3L)._1 == 3L) 1 else 0)) // near dup may fold into group 1
+    assert(r(4L) == ((4L, 1)))  // unique → own group, kept
+    assert(r.size == 4)         // every corpus doc gets a decision
+  }
+
+  test("interval join: bucketized containment equals the naive inequality join") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      (1L, 7L, t("2026-01-01 10:00:00"), t("2026-01-01 11:00:00")),
+      (2L, 7L, t("2026-01-01 10:30:00"), t("2026-01-01 10:45:00")), // spans no bin edge
+      (3L, 8L, t("2026-01-01 10:00:00"), t("2026-01-01 11:00:00"))) // other key
+      .toDF("iv_id", "user_id", "w_start", "w_end")
+    val pts = Seq(
+      (7L, t("2026-01-01 10:40:00")), // in 1 and 2
+      (7L, t("2026-01-01 10:59:59")), // in 1 only (bin boundary area)
+      (7L, t("2026-01-01 11:00:00")), // end-exclusive → in none
+      (8L, t("2026-01-01 10:10:00"))) // key 8 → interval 3 only
+      .toDF("user_id", "ts")
+    val got = RangeJoin.intervalJoin(iv, pts, Seq("user_id"),
+        "w_start", "w_end", "ts", binWidthSec = 1800)
+      .groupBy("iv_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // each qualifying pair meets in exactly one bin — no dup rows pre-agg
+    val raw = RangeJoin.intervalJoin(iv, pts, Seq("user_id"),
+      "w_start", "w_end", "ts", binWidthSec = 60)
+    assert(raw.count() == raw.dropDuplicates("iv_id", "ts").count())
+  }
+
   test("substring dup coverage: overlapping windows union into passage intervals") {
     // docs 1 and 2 share the 10-token passage w1..w10 at different offsets;
     // doc 3 shares nothing. window=8 → passage yields 3 dup windows per doc
