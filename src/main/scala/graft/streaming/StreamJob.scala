@@ -84,6 +84,28 @@ object StreamJob {
       .select(col("doc_id"), col("corpus_id"))
   }
 
+  /** Stream-stream interval join (the streaming twin of
+    * [[graft.operators.RangeJoin.intervalJoin]], x7's batch shape): left
+    * events matched to right events on `keys` within `[l.ts, l.ts + gap)`.
+    * This is Structured Streaming's canonical time-range join — BOTH sides
+    * carry watermarks, and the range condition bounds each side's state:
+    * a buffered left row can stop matching once the right watermark passes
+    * its `ts + gap`, a buffered right row once the left watermark passes
+    * its `ts`, so state is O(events per gap window), not O(stream). The
+    * batch and stream forms return the same matches; at 100 TB/day the
+    * state-bounding condition is what makes the streaming form runnable
+    * at all. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         gap: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    l.join(r, keyCond &&
+      col("r.ts") >= col("l.ts") &&
+      col("r.ts") < col("l.ts") + expr(s"INTERVAL $gap"))
+  }
+
   case class DocEvent(doc_id: Long, source: String, n_tokens: Int, ts: java.sql.Timestamp)
   case class SourceState(nDocs: Long, nTokens: Long, lastTs: Long)
   case class SourceSummary(source: String, n_docs: Long, n_tokens: Long,

@@ -99,6 +99,37 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (id, sp) => assert(sp == batchSplit(id)) }
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import graft.operators.RangeJoin
+    val batch = Tables.events(spark, sf())
+    val views = batch.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val clicks = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val vDir = new java.io.File("target/tmp/stream_iv_views").getAbsolutePath
+    val cDir = new java.io.File("target/tmp/stream_iv_clicks").getAbsolutePath
+    views.write.mode("overwrite").parquet(vDir)
+    clicks.write.mode("overwrite").parquet(cDir)
+    val q = StreamJob.streamIntervalJoin(
+        spark.readStream.schema(views.schema).parquet(vDir),
+        spark.readStream.schema(clicks.schema).parquet(cDir),
+        keys = Seq("user_id"))
+      .select(col("l.view_id"), col("r.click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("st_ivjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st_ivjoin")
+    // batch oracle: the bucketized interval join over the same windows
+    val expected = RangeJoin.intervalJoin(
+        views.select(col("view_id"), col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end")),
+        clicks.select(col("user_id"), col("click_id"), col("ts").as("click_ts")),
+        Seq("user_id"), "w_start", "w_end", "click_ts", binWidthSec = 3600)
+      .select("view_id", "click_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup probe is stateless and flags near-dups vs a static corpus") {
     import spark.implicits._
     import graft.operators.Dedup
