@@ -397,6 +397,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("components converges on a long path graph (pointer jumping, multi-round)") {
+    // 0-1-2-…-199 as a single chain: min-label propagation alone needs 199
+    // rounds; pointer jumping must close it within maxIters=20 (O(log n)),
+    // and the propagation-based convergence check must not exit early
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val r = Dedup.components(chain, maxIters = 20).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 200)
+    assert(r.values.forall(_ == 0L), s"non-zero labels: ${r.filter(_._2 != 0L).take(5)}")
+    // two disjoint cliques stay separate
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val g = Dedup.components(two).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // empty pair relation converges immediately to an empty labeling
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("doc1", "doc2")).count() == 0)
+  }
+
   test("near-dedup keepers: end-to-end keep/drop over exact, near, and unique docs") {
     val r = Dedup.nearDedupKeepers(docs, k = 8, rowsPerBand = 2, minJaccard = 0.5)
       .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
