@@ -83,23 +83,6 @@ object Dedup {
       .select(col("bb.band") +: col("bb.bucket") +: carried: _*)
   }
 
-  /** Candidate near-dup pairs from LSH buckets (doc1 < doc2, distinct).
-    *
-    * The probe side is repartitioned first: a broadcast bucket join emits
-    * its (possibly huge) pair output with the STREAM side's partitioning,
-    * and the bucket relation is tiny — without the spread, the downstream
-    * distinct of millions of pairs runs in a couple of tasks. Spreading the
-    * 10k-row probe side costs nothing and restores full parallelism.
-    *
-    * `maxBucketSize` guards the within-bucket self-join: a degenerate
-    * bucket (shared boilerplate, tiny vocab) otherwise emits O(n²) pairs
-    * and a boilerplate-heavy corpus at 100 TB never finishes. Buckets above
-    * the cap are dropped entirely — standard LSH practice: members of an
-    * oversized bucket are near-everything, so the bucket carries no
-    * discriminating signal, and true near-dups still meet in their other
-    * bands. Dropped bucket/row counts are logged — note the logging runs
-    * the bucket-count aggregate EAGERLY at plan construction (one small
-    * extra job); pass 0 to disable the cap and stay fully lazy. */
   /** Shared degenerate-bucket guard: drop (band, bucket) groups larger than
     * `maxBucketSize` from a bucket relation. The oversized set is tiny by
     * definition (few degenerate buckets) and the per-bucket count is one
@@ -124,6 +107,23 @@ object Dedup {
     }
   }
 
+  /** Candidate near-dup pairs from LSH buckets (doc1 < doc2, distinct).
+    *
+    * The probe side is repartitioned first: a broadcast bucket join emits
+    * its (possibly huge) pair output with the STREAM side's partitioning,
+    * and the bucket relation is tiny — without the spread, the downstream
+    * distinct of millions of pairs runs in a couple of tasks. Spreading the
+    * 10k-row probe side costs nothing and restores full parallelism.
+    *
+    * `maxBucketSize` guards the within-bucket self-join: a degenerate
+    * bucket (shared boilerplate, tiny vocab) otherwise emits O(n²) pairs
+    * and a boilerplate-heavy corpus at 100 TB never finishes. Buckets above
+    * the cap are dropped entirely — standard LSH practice: members of an
+    * oversized bucket are near-everything, so the bucket carries no
+    * discriminating signal, and true near-dups still meet in their other
+    * bands. Dropped bucket/row counts are logged — note the logging runs
+    * the bucket-count aggregate EAGERLY at plan construction (one small
+    * extra job); pass 0 to disable the cap and stay fully lazy. */
   def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 0): DataFrame = {
     val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
     // the bucket relation is consumed up to three times below (cap count +
