@@ -31,6 +31,19 @@ object BucketedStore {
                     buckets: Int, sortCols: Seq[String] = Nil,
                     mode: SaveMode = SaveMode.Overwrite): String = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(!table.contains("."), "use a simple (default-database) table name")
+    if (mode == SaveMode.Overwrite) {
+      // an in-memory catalog orphans the table LOCATION when the session
+      // dies: the metastore forgets the table but the directory survives,
+      // and the next saveAsTable fails with LOCATION_ALREADY_EXISTS.
+      // Overwrite means overwrite — drop the entry and clear the orphan.
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
