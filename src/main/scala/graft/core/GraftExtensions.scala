@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs(0), exprs(1))))
+    // pure range joins ("point in interval", no equi key) rewrite to the
+    // bucketized equi-join instead of a nested loop — SURVEY §2's custom
+    // Rule tier; see graft.plans.RangeJoinBinning
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
   }
 }
