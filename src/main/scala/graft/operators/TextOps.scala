@@ -243,7 +243,11 @@ object TextOps {
     * frequency table is vocabulary-sized — broadcastable in practice). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    // the frequency table feeds the total AND the join probe; without the
+    // persist the second consumer re-runs the whole corpus explode+aggregate.
+    // It is vocabulary-sized — the cheap thing to pin at 100 TB.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = freq.agg(sum(col("__tf")).as("__total"))
     tok.join(freq, "tok")
       .crossJoin(broadcast(total))
@@ -257,7 +261,10 @@ object TextOps {
 
   def tfidf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    // tf feeds both the weight projection and the df aggregate; persist so
+    // the corpus explode+combine runs once (PLANS.md flagged the re-derive)
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
     tf.join(dfreq, "tok")
