@@ -42,6 +42,7 @@ object SparkEntry {
     "r1_resample_avg"     -> (Q.r1_resample_avg(_, _)),
     "r3_warp_3857"        -> (Q.r3_warp_3857(_, _)),
     "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
+    "r5_pyramid"          -> (Q.r5_pyramid(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -314,6 +315,15 @@ object SparkEntry {
             greatest(lit(1), ceil(size(col("vs")) * 0.5).cast("int"))).as("med"))
         .orderBy("cx", "cy")
     }
+
+    /** §2.9 overview pyramid: 3 factor-2 SUM reductions of the count
+      * raster, each level built from the previous (partial reaggregation —
+      * the gdaladdo pattern at O(N) total work). */
+    def r5_pyramid(s: SparkSession, d: String): DataFrame =
+      graft.operators.Resample.pyramidSum(
+          pixels(s, d).groupBy("px", "py").agg(count(lit(1)).as("value")),
+          levels = 3)
+        .orderBy("level", "px", "py")
 
     /** R3: cross-CRS warp gather — WarpReader's per-pixel math in
       * declarative form so DuckDB can oracle it. Each pixel of a 128×128
@@ -1061,6 +1071,15 @@ object SparkEntry {
           |r AS (SELECT cx, cy, v,
           |  row_number() OVER (PARTITION BY cx, cy ORDER BY cnt DESC, v ASC) AS rn FROM counted)
           |SELECT cx, cy, v AS value FROM r WHERE rn = 1 ORDER BY cx, cy""".stripMargin,
+
+      "r5_pyramid" ->
+        """WITH b AS (SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value
+          |           FROM lineitem GROUP BY 1, 2)
+          |SELECT 0 AS level, px, py, value FROM b
+          |UNION ALL SELECT 1, px // 2, py // 2, CAST(sum(value) AS BIGINT) FROM b GROUP BY 2, 3
+          |UNION ALL SELECT 2, px // 4, py // 4, CAST(sum(value) AS BIGINT) FROM b GROUP BY 2, 3
+          |UNION ALL SELECT 3, px // 8, py // 8, CAST(sum(value) AS BIGINT) FROM b GROUP BY 2, 3
+          |ORDER BY level, px, py""".stripMargin,
 
       "r4_resample_med" ->
         """WITH fine AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Resampling kernels (SURVEY §2.9) — re-expression of the reference's
@@ -22,6 +22,30 @@ object Resample {
   val methods: Seq[String] =
     Seq("nearest", "average", "sum", "min", "max", "mode", "med", "q1", "q3",
       "bilinear", "cubic", "cubic_spline", "lanczos", "rms")
+
+  /** Overview pyramid over a (px, py, value) pixel relation: `levels`
+    * factor-2 SUM reductions, each level computed from the PREVIOUS level —
+    * the overview-build pattern (GDAL's gdaladdo, tile-server pyramids):
+    * total work is O(N · Σ 4⁻ᵏ) < 4N/3, not O(N · levels) from raw. Output
+    * is the union of all levels tagged with `level` (0 = the input).
+    * Each level persists because it feeds BOTH the output union and the
+    * next reduction — without the pin the union's branches would re-derive
+    * every level from the base. SUM is the exactly-reaggregable kernel
+    * (avg needs sum+count partials; min/max work verbatim). Pixel coords
+    * must be non-negative (grid coords are by construction): `div`
+    * truncates toward zero, so negative coords would split cells
+    * differently than a floor division. */
+  def pyramidSum(base: DataFrame, levels: Int): DataFrame = {
+    require(levels >= 0, "levels must be >= 0")
+    val lvls = Iterator.iterate(base.select(col("px"), col("py"), col("value"))) { prev =>
+      prev.groupBy(expr("px div 2").as("px"), expr("py div 2").as("py"))
+        .agg(sum("value").as("value"))
+    }.take(levels + 1).zipWithIndex.map { case (df, i) =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(lit(i).as("level"), col("px"), col("py"), col("value"))
+    }.toSeq
+    lvls.reduce(_.unionAll(_))
+  }
 
   /** Downsample one block band by integer factor k. `values` is the packed
     * row-major (w×h) pixel array with nulls for masked pixels; returns the

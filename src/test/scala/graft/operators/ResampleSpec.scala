@@ -63,4 +63,15 @@ class ResampleSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       df.select(Resample.downsample(col("values"), 4, 4, 2, "fancy")))
   }
+
+  test("pyramid: factor-2 sum levels reaggregate exactly") {
+    // 4×2 grid of ones → level 1: 2×1 cells of 4 → level 2: one cell of 8
+    val base = spark.range(8).select((col("id") % 4).as("px"),
+      (col("id") / 4).cast("long").as("py"), lit(1L).as("value"))
+    val r = Resample.pyramidSum(base, levels = 2).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(r.count(_._1 == 0) == 8)
+    assert(r.filter(_._1 == 1) == Set((1, 0L, 0L, 4L), (1, 1L, 0L, 4L)))
+    assert(r.filter(_._1 == 2) == Set((2, 0L, 0L, 8L)))
+  }
 }
