@@ -148,15 +148,35 @@ object Similarity {
     * with (bucket, dup_of); `dup_of IS NULL` = kept representative.
     *
     * Scale shape: the self-join shuffles both sides by the bucket key once;
-    * pairwise cost is Σ bucketᵢ² — `bits` dials bucket granularity, and a
-    * degenerate bucket should be capped exactly like
-    * [[graft.operators.Dedup.lshCandidates]]. Never all-pairs. */
-  def semanticDup(corpus: DataFrame, dim: Int, bits: Int, tau: Double): DataFrame = {
+    * pairwise cost is Σ bucketᵢ² — `bits` dials bucket granularity, and
+    * `maxBucketSize > 0` drops degenerate buckets exactly like
+    * [[graft.operators.Dedup.lshCandidates]] (their members would pair
+    * with near-everything and carry no discriminating signal; dropped
+    * vectors surface as kept representatives). Never all-pairs. */
+  def semanticDup(corpus: DataFrame, dim: Int, bits: Int, tau: Double,
+                  maxBucketSize: Int = 0): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), dim, bits).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    val paired =
+      if (maxBucketSize <= 0) bucketed
+      else {
+        val over = bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
+        val rows = over.collect()
+        if (rows.isEmpty) bucketed
+        else {
+          System.err.println(
+            s"[graft] semanticDup: dropping ${rows.length} buckets " +
+              s"(${rows.map(_.getLong(1)).sum} rows) above cap $maxBucketSize")
+          bucketed.join(broadcast(
+              bucketed.sparkSession.createDataFrame(
+                java.util.Arrays.asList(rows: _*), over.schema).select("bucket")),
+            Seq("bucket"), "left_anti")
+        }
+      }
+    val a = paired.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = paired.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
     val dups = a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .withColumn("cosine",

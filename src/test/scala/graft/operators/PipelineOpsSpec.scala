@@ -522,6 +522,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(10L).isEmpty)            // representative
     assert(r(20L).contains(10L))      // parallel vector → dup of the lowest id
     assert(r(30L).isEmpty)            // dissimilar → kept
+    // a degenerate bucket above the cap is dropped: its members are all kept
+    val capped = Similarity.semanticDup(e, dim = 8, bits = 4, tau = 0.9,
+        maxBucketSize = 1).collect()
+    assert(capped.forall(_.isNullAt(2)), "capped buckets must not pair")
+    assert(capped.length == 3)
   }
 
   test("multimodal: frame-sample plan from metadata only") {

@@ -53,6 +53,23 @@ class RangeJoinBinningSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("plain SQL BETWEEN-shaped joins rewrite too") {
+    intervals.createOrReplaceTempView("iv")
+    points.createOrReplaceTempView("pt")
+    spark.experimental.extraOptimizations = Seq(RangeJoinBinning)
+    try {
+      val joined = spark.sql(
+        "SELECT iv_id, p_id FROM iv JOIN pt ON pt.ts BETWEEN iv.w_start AND iv.w_end")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoopJoin"), plan)
+      assert(plan.contains("Generate"), plan)
+      spark.experimental.extraOptimizations = Nil
+      val naive = spark.sql(
+        "SELECT iv_id, p_id FROM iv JOIN pt ON pt.ts BETWEEN iv.w_start AND iv.w_end")
+      assert(joined.count() == naive.count() && joined.count() > 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("joins with an existing equi key are left alone") {
     spark.experimental.extraOptimizations = Seq(RangeJoinBinning)
     try {
