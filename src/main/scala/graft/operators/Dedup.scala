@@ -464,7 +464,10 @@ object Dedup {
         val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
         transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
       })
+    // both sides of the intersection join read this relation; persist so
+    // the corpus shingle explode runs once, not once per side
     val shingled = docs.select(col("doc_id"), explode(shingles).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // set size per doc is a narrow map over the doc row — NOT an
     // explode + groupBy re-shuffle of the whole token relation
     val sizes = docs.select(col("doc_id"), size(shingles).as("sz"))
