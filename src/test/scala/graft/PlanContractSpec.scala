@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan contracts — the claims PLANS.md documents, enforced so they
+  * cannot silently rot: filters reach the parquet scan, catalog joins
+  * broadcast, partial aggregates combine map-side, nothing degenerates to a
+  * cartesian product, and multi-consumer persists actually reuse cache. */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q1: predicate pushdown + map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("f2: range filter reaches the scan") {
+    val p = plan("f2_range_filter")
+    assert(p.contains("GreaterThan"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+  }
+
+  test("j2: catalog spatial join builds the broadcast side") {
+    assert(plan("j2_file_catalog_join").contains("Broadcast"))
+  }
+
+  test("c2: per-language counts broadcast back, no shuffle of the corpus for them") {
+    assert(plan("c2_quality_gate").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup pipeline never degenerates to a cartesian product") {
+    Seq("d3_lsh_candidates", "d5_jaccard_pairs", "d12_near_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("x7: the bucketized interval join is an equi-join, not a nested loop") {
+    assert(!plan("x7_interval_join").contains("NestedLoopJoin"))
+  }
+
+  test("r5: pyramid levels reuse the persisted previous level") {
+    assert(plan("r5_pyramid").contains("InMemoryTableScan"))
+  }
+}
