@@ -43,6 +43,7 @@ object SparkEntry {
     "r3_warp_3857"        -> (Q.r3_warp_3857(_, _)),
     "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
     "r5_pyramid"          -> (Q.r5_pyramid(_, _)),
+    "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -88,6 +89,9 @@ object SparkEntry {
     "d10_incremental_dedup" -> (Q.d10_incremental_dedup(_, _)),
     "d11_substring_dup"   -> (Q.d11_substring_dup(_, _)),
     "d12_near_dedup"      -> (Q.d12_near_dedup(_, _)),
+    "d13_edit_distance"   -> (Q.d13_edit_distance(_, _)),
+    "d14_minhash_est"     -> (Q.d14_minhash_est(_, _)),
+    "t16_posting_lists"   -> (Q.t16_posting_lists(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -325,6 +329,36 @@ object SparkEntry {
           levels = 3)
         .orderBy("level", "px", "py")
 
+    /** Focal 3×3 mean via the halo-exchange block operator: the 40×10 grid
+      * is packed into 8×5 blocks on a 5×2 lattice, so every interior kernel
+      * window crosses at least one block seam — the oracle (a plain
+      * neighbor self-join in DuckDB) proves the exchange is seamless. */
+    def r6_focal_mean(s: SparkSession, d: String): DataFrame = {
+      val bw = 8; val bh = 5
+      val grid = pixels(s, d).groupBy("px", "py").agg(max("value").as("v"))
+      // pack cells into row-major block arrays; absent cells stay invalid
+      val blocks = grid
+        .groupBy((col("px") / bw).cast("int").as("block_x"),
+          (col("py") / bh).cast("int").as("block_y"))
+        .agg(map_from_entries(collect_list(struct(
+          ((col("py") % bh) * bw + col("px") % bw).cast("int"), col("v")))).as("m"))
+        .select(col("block_x"), col("block_y"),
+          lit(bw).as("width"), lit(bh).as("height"),
+          transform(sequence(lit(0), lit(bw * bh - 1)),
+            i => element_at(col("m"), i.cast("int"))).as("values"),
+          transform(sequence(lit(0), lit(bw * bh - 1)),
+            i => element_at(col("m"), i.cast("int")).isNotNull).as("valid"))
+      graft.operators.Focal.focalMean(blocks, radius = 1)
+        .select(col("block_x"), col("block_y"),
+          posexplode(arrays_zip(col("values"), col("valid"))))
+        .filter(col("col.valid"))
+        .select(
+          (col("block_x") * bw + col("pos") % bw).cast("long").as("px"),
+          (col("block_y") * bh + floor(col("pos") / bw)).cast("long").as("py"),
+          round(col("col.values") + lit(5e-7), 4).as("focal"))
+        .orderBy("px", "py")
+    }
+
     /** R3: cross-CRS warp gather — WarpReader's per-pixel math in
       * declarative form so DuckDB can oracle it. Each pixel of a 128×128
       * WebMercator world raster inverse-projects its center to 4326
@@ -548,6 +582,13 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }
 
+    /** Inverted index: token → document frequency + numeric-ordered
+      * posting list (df ≥ 5 prunes the hapax tail — at 100 TB most of the
+      * vocabulary — right at the aggregate). */
+    def t16_posting_lists(s: SparkSession, d: String): DataFrame =
+      TextOps.invertedIndex(Tables.documents(s, d), minDf = 5)
+        .orderBy("tok")
+
     /** Composed curation pipeline — the end-to-end shape a training-data
       * user actually runs: quality-score → exact-dedup keepers →
       * deterministic split → train shard. One lazy plan: the scoring map
@@ -599,6 +640,33 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.5)
         .select("doc1", "doc2", "inter", "jaccard")
+        .orderBy("doc1", "doc2")
+    }
+
+    /** Character-level near-dup verify over the LSH candidates: the
+      * levenshtein builtin on 80-char prefixes. The candidate relation is
+      * what bounds the O(L²)-per-pair scalar — it never runs all-pairs. */
+    def d13_edit_distance(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, k = 4)
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+        maxBucketSize = lshCap)
+      Dedup.editVerify(docs, cands, prefixLen = 80)
+        .select(col("doc1"), col("doc2"), col("edit_dist").cast("long").as("edit_dist"))
+        .orderBy("doc1", "doc2")
+    }
+
+    /** Sketch-side Jaccard ESTIMATE on the candidates — the cheap decision
+      * layer that picks which pairs earn d5's exact verify. Fraction of
+      * equal minhash components: integer-exact across engines. The
+      * signature relation feeds both the buckets and the estimate, so it
+      * is persisted across the two consumers. */
+    def d14_minhash_est(s: SparkSession, d: String): DataFrame = {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), k = 4).persist()
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+        maxBucketSize = lshCap)
+      Dedup.minhashEstimate(sigs, cands, k = 4)
+        .withColumn("jaccard_est", round(col("jaccard_est"), 4))
         .orderBy("doc1", "doc2")
     }
 
@@ -927,6 +995,24 @@ object SparkEntry {
         s"min((h * $a + $b) % $P) AS mh$i"
       }.mkString(", ")
 
+    /** Shared CTE chain documents → minhash `sigs` → capped LSH buckets →
+      * candidate pairs `cand` (doc1 < doc2) — the DuckDB twin of
+      * `minhashSignatures → lshBuckets → lshCandidates` at k=4 / 2 bands,
+      * used by every oracle that consumes the candidate relation. */
+    private val candCtes: String =
+      s"""tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+         |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+         |sigs AS (SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id),
+         |b AS (
+         |  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1, mh2, mh3 FROM sigs),
+         |keep AS (SELECT band, v0, v1 FROM b GROUP BY 1, 2, 3 HAVING count(*) <= ${Q.lshCap}),
+         |bk AS (SELECT b.* FROM b JOIN keep USING (band, v0, v1)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
+         |  FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
+         |    AND a.doc_id < b2.doc_id)""".stripMargin
+
     val sql: Map[String, String] = Map(
       "s1_grid_seed" ->
         """SELECT CAST(r*36 + c AS BIGINT) AS tile_idx,
@@ -1080,6 +1166,15 @@ object SparkEntry {
           |UNION ALL SELECT 2, px // 4, py // 4, CAST(sum(value) AS BIGINT) FROM b GROUP BY 2, 3
           |UNION ALL SELECT 3, px // 8, py // 8, CAST(sum(value) AS BIGINT) FROM b GROUP BY 2, 3
           |ORDER BY level, px, py""".stripMargin,
+
+      "r6_focal_mean" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT a.px, a.py, round(avg(b.v) + 5e-7, 4) AS focal
+          |FROM grid a JOIN grid b
+          |  ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+          |GROUP BY a.px, a.py ORDER BY a.px, a.py""".stripMargin,
 
       "r4_resample_med" ->
         """WITH fine AS (
@@ -1415,6 +1510,35 @@ object SparkEntry {
            |v AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id)
            |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
       },
+
+      "d13_edit_distance" ->
+        s"""WITH $candCtes
+           |SELECT doc1, doc2,
+           |  CAST(levenshtein(substr(a.text, 1, 80), substr(b2.text, 1, 80)) AS BIGINT) AS edit_dist
+           |FROM cand JOIN documents a ON a.doc_id = doc1
+           |          JOIN documents b2 ON b2.doc_id = doc2
+           |ORDER BY doc1, doc2""".stripMargin,
+
+      "d14_minhash_est" ->
+        s"""WITH $candCtes
+           |SELECT doc1, doc2,
+           |  ((CASE WHEN s1.mh0 = s2.mh0 THEN 1 ELSE 0 END) +
+           |   (CASE WHEN s1.mh1 = s2.mh1 THEN 1 ELSE 0 END) +
+           |   (CASE WHEN s1.mh2 = s2.mh2 THEN 1 ELSE 0 END) +
+           |   (CASE WHEN s1.mh3 = s2.mh3 THEN 1 ELSE 0 END)) AS eq_k,
+           |  round(((CASE WHEN s1.mh0 = s2.mh0 THEN 1 ELSE 0 END) +
+           |   (CASE WHEN s1.mh1 = s2.mh1 THEN 1 ELSE 0 END) +
+           |   (CASE WHEN s1.mh2 = s2.mh2 THEN 1 ELSE 0 END) +
+           |   (CASE WHEN s1.mh3 = s2.mh3 THEN 1 ELSE 0 END)) / 4.0, 4) AS jaccard_est
+           |FROM cand JOIN sigs s1 ON s1.doc_id = doc1
+           |          JOIN sigs s2 ON s2.doc_id = doc2
+           |ORDER BY doc1, doc2""".stripMargin,
+
+      "t16_posting_lists" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents)
+           |SELECT tok, count(*) AS df,
+           |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+           |FROM tok GROUP BY tok HAVING count(*) >= 5 ORDER BY tok""".stripMargin,
 
       "d5_jaccard_pairs" ->
         s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),

@@ -484,4 +484,45 @@ object Dedup {
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
+
+  /** Edit-distance verification of candidate pairs — the character-level
+    * near-dup check (catches reorder-free edits token-level Jaccard
+    * under-weights). Levenshtein is O(len²) per pair, so it only ever runs
+    * on the LSH candidate relation, never all-pairs, and on a bounded
+    * `prefixLen`-char prefix: at 100 TB the cost is |candidates|·L², not
+    * |corpus|²·len². The codegen'd `levenshtein` builtin does the work;
+    * the candidate relation (pairs surviving the bucket cap) broadcasts to
+    * the corpus scan, so the corpus is never shuffled for the verify. */
+  def editVerify(docs: DataFrame, pairs: DataFrame, prefixLen: Int = 80): DataFrame = {
+    val prefixed = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("__p"))
+    // both joins stream the corpus and broadcast the (small) pair relation —
+    // first bare, then carrying doc1's prefix
+    val half = prefixed
+      .join(broadcast(pairs), col("doc_id") === col("doc1"))
+      .withColumnRenamed("__p", "__p1").drop("doc_id")
+    prefixed
+      .join(broadcast(half), col("doc_id") === col("doc2"))
+      .withColumn("edit_dist", levenshtein(col("__p1"), col("__p")))
+      .select(pairs.columns.map(col) :+ col("edit_dist"): _*)
+  }
+
+  /** MinHash Jaccard ESTIMATE per candidate pair: the fraction of equal
+    * signature components — the sketch-side similarity that decides which
+    * pairs earn the exact verify. Pure integer arithmetic over the already
+    * computed signatures (zero extra passes over text); emitted as an
+    * exact rational (`eq_k` of `k`) plus the rounded estimate. */
+  def minhashEstimate(sigs: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val sigCols = (0 until k).map(i => s"mh$i")
+    def side(as: String) = sigs.select(
+      col("doc_id").as(as) +: sigCols.map(c => col(c).as(s"${c}_$as")): _*)
+    // the signature relation is corpus-sized — stream it through two joins
+    // against the broadcast pair relation, never the other way around
+    val half = side("doc1").join(broadcast(pairs), "doc1")
+    side("doc2")
+      .join(broadcast(half), "doc2")
+      .withColumn("eq_k", sigCols.map(c =>
+        when(col(s"${c}_doc1") === col(s"${c}_doc2"), 1).otherwise(0)).reduce(_ + _))
+      .withColumn("jaccard_est", col("eq_k").cast("double") / k)
+      .select("doc1", "doc2", "eq_k", "jaccard_est")
+  }
 }

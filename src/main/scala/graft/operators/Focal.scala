@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Focal (neighborhood) raster statistics over the block plane — the one
+  * raster primitive whose distribution is genuinely non-trivial: a 3×3
+  * focal mean needs pixels OWNED BY NEIGHBORING BLOCKS, so blocks cannot be
+  * processed independently the way every per-pixel op (P1/P2) can.
+  *
+  * The reference has no focal ops (gfw_pixetl is strictly per-pixel +
+  * warp, `tiles/utils/transform.py:15-68`), but any raster engine claiming
+  * its surface grows one immediately (slope/hillshade/smoothing are all
+  * focal). This is the beyond-parity raster analog of the LLM-pipeline
+  * operators.
+  *
+  * Spark-first design — HALO EXCHANGE, not replication:
+  *
+  *   1. Every block emits its full payload to itself, plus eight edge
+  *      STRIPS of thickness `radius` addressed to its lattice neighbors.
+  *      Shuffle volume is `1 + (2r(w+h)+4r²)/(w·h)` × the raster — at
+  *      512-px blocks and r=1 that is 1.008×, against 9× for whole-block
+  *      replication.
+  *   2. One `groupBy` over the destination block key gathers a block's
+  *      center + up to 8 halos. Each strip cell is pre-addressed to its
+  *      index in the receiver's padded `(w+2r)×(h+2r)` window, so assembly
+  *      is `map_from_entries` + one `transform` — and the convolution
+  *      unrolls the (2r+1)² window offsets into a plan-time expression
+  *      tree over the padded arrays. No UDF anywhere: the whole operator
+  *      stays inside whole-stage codegen.
+  *
+  * Lattice edges have no emitting neighbor, so their halo cells stay
+  * absent and the kernel renormalizes over the pixels that exist — the
+  * standard GIS focal-statistics convention (a cell's output is valid iff
+  * its window contains ≥1 valid pixel, nodata centers included).
+  *
+  * Input schema (a uniform block lattice; one band per call):
+  *   (block_x, block_y, width: int, height: int, values: array<double>,
+  *    valid: array<boolean>)   — row-major, y growing downward.
+  * All blocks must share width/height (the gather key enforces it).
+  */
+object Focal {
+
+  /** Supported kernels: statistics over the valid pixels of the (2r+1)²
+    * window centered on each cell. */
+  val kernels: Set[String] = Set("mean", "sum", "min", "max", "count")
+
+  def focalMean(blocks: DataFrame, radius: Int = 1): DataFrame =
+    focal(blocks, "mean", radius)
+
+  /** The halo-exchange focal operator. Returns the same lattice with
+    * `values`/`valid` replaced by the kernel output. */
+  def focal(blocks: DataFrame, kernel: String, radius: Int = 1): DataFrame = {
+    require(kernels.contains(kernel), s"unknown focal kernel: $kernel")
+    require(radius >= 1, "radius must be >= 1")
+    val r = radius
+    val w = col("width"); val h = col("height")
+    val pw = w + 2 * r // padded width (needed by both scatter and gather)
+
+    // --- 1. scatter: center payload + 8 halo strips -----------------------
+    // A fragment's offset (dx, dy) ∈ {-1,0,1}² is receiver-relative: the
+    // receiver at (X, Y) sees the fragment of neighbor (X+dx, Y+dy) beside
+    // the matching edge of its padded window. The emitter at (bx, by)
+    // therefore addresses the fragment for offset (dx, dy) to block
+    // (bx - dx, by - dy), shipping only the strip adjacent to that
+    // receiver, with every cell already rebased to its PADDED-WINDOW index.
+    def stripCols(dx: Int): (Column, Column, Column) = dx match {
+      //        (first col, last col, padded-x of first col)
+      case -1 => (w - r, w - 1, lit(0))       // receiver right of me → my right cols
+      case 1  => (lit(0), lit(r - 1), pw - r) // receiver left of me  → my left cols
+      case _  => (lit(0), w - 1, lit(r))
+    }
+    def stripRows(dy: Int): (Column, Column, Column) = dy match {
+      case -1 => (h - r, h - 1, lit(0))            // receiver below → my bottom rows
+      case 1  => (lit(0), lit(r - 1), h + lit(r))  // receiver above → my top rows
+      case _  => (lit(0), h - 1, lit(r))
+    }
+    val offsets = for { dy <- -1 to 1; dx <- -1 to 1 } yield (dx, dy)
+    val fragments = offsets.map { case (dx, dy) =>
+      val (c0, c1, ox) = stripCols(dx)
+      val (r0, r1, oy) = stripRows(dy)
+      // element_at over a materialized input array is O(1) per cell (the
+      // O(pixels²) trap is indexing arrays COMPUTED inside the lambda).
+      val entries = flatten(transform(sequence(r0, r1), row =>
+        transform(sequence(c0, c1), c => struct(
+          ((oy + row - r0) * pw + ox + c - c0).cast("int").as("at"),
+          element_at(col("values"), (row * w + c + 1).cast("int")).as("v"),
+          element_at(col("valid"), (row * w + c + 1).cast("int")).as("ok")))))
+      struct(
+        (col("block_x") - dx).as("to_x"), (col("block_y") - dy).as("to_y"),
+        lit(dx == 0 && dy == 0).as("center"), entries.as("entries"))
+    }
+    val scattered = blocks
+      .select(col("width"), col("height"), explode(array(fragments: _*)).as("f"))
+      .select(col("f.to_x").as("block_x"), col("f.to_y").as("block_y"),
+        col("width"), col("height"), col("f.center").as("center"),
+        col("f.entries").as("entries"))
+
+    // --- 2. gather: assemble the padded window ----------------------------
+    // Fragments tile the padded window disjointly (interior cells come only
+    // from the center fragment, each halo cell only from the one neighbor
+    // that owns it), so map_from_entries never sees a duplicate key. Blocks
+    // off the lattice edge receive halos but no center fragment — dropped.
+    val gathered = scattered
+      .groupBy("block_x", "block_y", "width", "height")
+      .agg(max(col("center")).as("has_center"),
+        flatten(collect_list(col("entries"))).as("entries"))
+      .filter(col("has_center"))
+      .withColumn("cells", map_from_entries(transform(col("entries"),
+        e => struct(e("at"), struct(e("v").as("v"), e("ok").as("ok"))))))
+      // Bind the padded planes as their OWN attributes before convolving:
+      // element_at over an attribute array is O(1); over a computed alias
+      // the whole array would re-evaluate per lookup.
+      .withColumn("pv", transform(sequence(lit(0), pw * (h + 2 * r) - 1),
+        i => element_at(col("cells"), i.cast("int"))("v")))
+      .withColumn("pok", transform(sequence(lit(0), pw * (h + 2 * r) - 1),
+        i => coalesce(element_at(col("cells"), i.cast("int"))("ok"), lit(false))))
+
+    // --- 3. convolve: plan-time-unrolled (2r+1)² window -------------------
+    // One transform over the w·h centers; the window offsets are literals,
+    // so each center evaluates a fixed expression tree over the two padded
+    // attribute arrays — all inside whole-stage codegen.
+    // Center i sits at padded (i%w + r, i÷w + r); window cell (wx, wy) ∈
+    // [0, 2r]² is offset (wx−r, wy−r) from it, so its padded index is
+    // (i÷w + wy)·pw + i%w + wx — the r's cancel.
+    val win = for { wy <- 0 to 2 * r; wx <- 0 to 2 * r } yield (wx, wy)
+    val convolved = gathered.withColumn("out",
+      transform(sequence(lit(0), w * h - 1), i => {
+        val cells = win.map { case (wx, wy) =>
+          val at = ((i % w + wx) + (floor(i / w) + wy) * pw + 1).cast("int")
+          val v = element_at(col("pv"), at)
+          val ok = element_at(col("pok"), at) && v.isNotNull
+          (when(ok, v), when(ok, 1).otherwise(0))
+        }
+        val n = cells.map(_._2).reduce(_ + _)
+        val value = kernel match {
+          case "mean"  => cells.map(c => coalesce(c._1, lit(0.0))).reduce(_ + _) / n
+          case "sum"   => cells.map(c => coalesce(c._1, lit(0.0))).reduce(_ + _)
+          case "min"   => least(cells.map(_._1): _*)
+          case "max"   => greatest(cells.map(_._1): _*)
+          case "count" => n.cast("double")
+        }
+        struct(when(n > 0, value).as("v"), (n > 0).as("ok"))
+      }))
+
+    convolved.select(col("block_x"), col("block_y"), col("width"), col("height"),
+      transform(col("out"), o => o("v")).as("values"),
+      transform(col("out"), o => o("ok")).as("valid"))
+  }
+}

@@ -366,4 +366,24 @@ object TextOps {
         (h, i) => h * (i * 2 + 1)),
       lit(0L), (acc, v) => (acc + v) % lit(PortableHash.prime))
   }
+
+  /** Inverted index: token → document frequency + the sorted posting list
+    * (retrieval-side complement of tfidf; also the exact-match layer of a
+    * decontamination service). One explode + one hash aggregate — the same
+    * shuffle tfidf already pays, nothing quadratic. Postings are rendered
+    * as a comma-joined string in NUMERIC doc order so the row is directly
+    * hash-comparable across engines; `minDf` prunes the hapax tail, which
+    * at 100 TB is most of the vocabulary (drop it before it shuffles:
+    * the filter runs on the aggregate OUTPUT, partials combine map-side).
+    * A production variant would cap posting length for stop-words; the cap
+    * belongs to the caller (compose with a HAVING-style filter on df). */
+  def invertedIndex(docs: DataFrame, minDf: Int = 1): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf)
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Focal halo-exchange vs a brute-force oracle over the assembled grid. */
+class FocalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bw = 4; private val bh = 3
+  private val nx = 3; private val ny = 2 // 3×2 block lattice → 12×6 raster
+
+  /** Deterministic grid: value = f(gx, gy); every 5th cell invalid. */
+  private def value(gx: Int, gy: Int): Double = ((gx * 31 + gy * 17) % 23).toDouble
+  private def isValid(gx: Int, gy: Int): Boolean = (gx + gy * 12) % 5 != 0
+
+  private def blocks(): DataFrame = {
+    val rows = for { by <- 0 until ny; bx <- 0 until nx } yield {
+      val cells = for { y <- 0 until bh; x <- 0 until bw } yield {
+        val gx = bx * bw + x; val gy = by * bh + y
+        (if (isValid(gx, gy)) value(gx, gy) else -999.0, isValid(gx, gy))
+      }
+      (bx, by, bw, bh, cells.map(c => java.lang.Double.valueOf(c._1)), cells.map(_._2))
+    }
+    rows.toDF("block_x", "block_y", "width", "height", "values", "valid")
+  }
+
+  /** Brute-force focal over the 12×6 grid (window clipped at raster edge). */
+  private def oracle(kernel: String, r: Int): Map[(Int, Int), Option[Double]] = {
+    val W = nx * bw; val H = ny * bh
+    (for { gy <- 0 until H; gx <- 0 until W } yield {
+      val neigh = for {
+        wy <- math.max(0, gy - r) to math.min(H - 1, gy + r)
+        wx <- math.max(0, gx - r) to math.min(W - 1, gx + r)
+        if isValid(wx, wy)
+      } yield value(wx, wy)
+      val v =
+        if (neigh.isEmpty) None
+        else Some(kernel match {
+          case "mean"  => neigh.sum / neigh.size
+          case "sum"   => neigh.sum
+          case "min"   => neigh.min
+          case "max"   => neigh.max
+          case "count" => neigh.size.toDouble
+        })
+      (gx, gy) -> v
+    }).toMap
+  }
+
+  private def collectFocal(df: DataFrame): Map[(Int, Int), Option[Double]] =
+    df.select($"block_x", $"block_y", posexplode($"values"))
+      .join(df.select($"block_x", $"block_y", posexplode($"valid").as(Seq("pos", "ok"))),
+        Seq("block_x", "block_y", "pos"))
+      .collect()
+      .map { row =>
+        val bx = row.getInt(0); val by = row.getInt(1); val pos = row.getInt(2)
+        val gx = bx * bw + pos % bw; val gy = by * bh + pos / bw
+        val v = if (row.getBoolean(4)) Some(row.getDouble(3)) else None
+        (gx, gy) -> v
+      }.toMap
+
+  for (kernel <- Seq("mean", "sum", "min", "max", "count")) {
+    test(s"focal $kernel matches the brute-force oracle across block seams") {
+      val got = collectFocal(Focal.focal(blocks(), kernel, radius = 1))
+      val want = oracle(kernel, 1)
+      assert(got.size == nx * bw * ny * bh)
+      for ((k, exp) <- want) {
+        (got(k), exp) match {
+          case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"cell $k")
+          case (None, None)       =>
+          case other              => fail(s"cell $k: $other")
+        }
+      }
+    }
+  }
+
+  test("radius-2 window reaches across two block columns") {
+    val got = collectFocal(Focal.focal(blocks(), "count", radius = 2))
+    val want = oracle("count", 2)
+    for ((k, exp) <- want) assert(got(k) == exp, s"cell $k")
+  }
+
+  test("output lattice matches input lattice (off-edge halos dropped)") {
+    val out = Focal.focalMean(blocks())
+    assert(out.count() == nx.toLong * ny)
+    assert(out.select("block_x", "block_y").as[(Int, Int)].collect().toSet ==
+      (for { bx <- 0 until nx; by <- 0 until ny } yield (bx, by)).toSet)
+  }
+
+  test("all-invalid neighborhood yields an invalid cell") {
+    // single 1-cell-valid block lattice: a lone block whose only valid cell
+    // is (0,0) → cells beyond the radius from it have no valid neighbor
+    val one = Seq((0, 0, 4, 4,
+      Seq.tabulate(16)(i => java.lang.Double.valueOf(i.toDouble)),
+      Seq.tabulate(16)(_ == 0)))
+      .toDF("block_x", "block_y", "width", "height", "values", "valid")
+    val got = collectFocal(Focal.focalMean(one, radius = 1))
+    assert(got((0, 0)) == Some(0.0)) // its own value, renormalized
+    assert(got((3, 3)).isEmpty)      // far corner: no valid pixel in window
+    assert(got((1, 1)) == Some(0.0)) // diagonal still inside the window
+  }
+
+  test("unknown kernel rejected") {
+    intercept[IllegalArgumentException](Focal.focal(blocks(), "median"))
+  }
+}

@@ -537,4 +537,31 @@ class PipelineOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFramePlan(media, everyMs = 1000).collect()
     assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1000L, 2000L))
   }
+
+  test("edit verify: levenshtein over candidate pairs only, corpus not self-joined") {
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("doc1", "doc2")
+    val r = Dedup.editVerify(docs, pairs, prefixLen = 80).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(r((1L, 3L)) == 3) // jumps → leaps: one 1-char and one 2-char edit run
+    assert(r((1L, 4L)) > 20) // unrelated texts are far apart
+    assert(r.size == 2)      // exactly the candidate relation, nothing more
+  }
+
+  test("minhash estimate: identical docs 1.0, near dups fractional, exact rational") {
+    val sigs = Dedup.minhashSignatures(docs, k = 8)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc1", "doc2")
+    val r = Dedup.minhashEstimate(sigs, pairs, k = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getInt(2), x.getDouble(3))).toMap
+    assert(r((1L, 2L)) == ((8, 1.0)))
+    val (eq13, est13) = r((1L, 3L))
+    assert(eq13 < 8 && est13 == eq13 / 8.0)
+  }
+
+  test("inverted index: numeric-ordered postings, df filter at the aggregate") {
+    val idx = TextOps.invertedIndex(docs, minDf = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(idx("the") == ((3L, "1,2,3")))   // distinct per doc: df=3 not 6
+    assert(idx("jumps") == ((2L, "1,2")))
+    assert(!idx.contains("spark"))          // df=1 pruned
+  }
 }
