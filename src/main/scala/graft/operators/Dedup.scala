@@ -252,28 +252,31 @@ object Dedup {
       val stepped = labels.join(prop, Seq("doc_id"))
         .select(col("doc_id"), least(col("label"), col("plabel")).as("label"),
           (col("plabel") < col("label")).as("__chg"))
+      // Shortcut fused into the SAME materialization: adopt the label's own
+      // label (pointer jumping) — every label is a vertex id, so the
+      // self-join always resolves, and labels only ever shrink; this is
+      // what makes pathological chains converge in O(log n) rounds instead
+      // of O(diameter). Fusing means the propagation plan evaluates twice
+      // inside one job (both sides of the self-join) but the round runs ONE
+      // action instead of two — at bench scale rounds are job-overhead
+      // bound, and at 100 TB the recompute is two scans of the same
+      // shuffle output, not a second shuffle. On the converged round the
+      // jump is an identity map, which costs one no-op join but saves the
+      // separate convergence materialization every earlier round.
+      val jumped = stepped
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"),
+          col("__chg"))
         .localCheckpoint()
       // Convergence test: edges are SYMMETRIZED, so "no vertex improved"
       // means every neighbor's label >= the vertex's own — applied to both
       // directions of each edge that forces label equality across every
       // edge, i.e. the global fixpoint (each component constant at its min
       // id, since the min vertex's label can never drop below itself).
-      // One narrow limit-1 scan of the just-checkpointed rows — no second
-      // aggregate pass, no sum bookkeeping, and the shortcut join below is
-      // skipped entirely on the final round.
-      converged = stepped.filter(col("__chg")).isEmpty
-      if (!converged) {
-        // shortcut: adopt the label's own label (pointer jumping) — every
-        // label is a vertex id, so the self-join always resolves, and
-        // labels only ever shrink; this is what makes pathological chains
-        // converge in O(log n) rounds instead of O(diameter)
-        val s = stepped.drop("__chg")
-        labels = s
-          .join(s.select(col("doc_id").as("label"), col("label").as("ll")),
-            Seq("label"), "left")
-          .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
-          .localCheckpoint()
-      } else labels = stepped
+      // One narrow limit-1 scan of the just-checkpointed rows.
+      converged = jumped.filter(col("__chg")).isEmpty
+      labels = jumped.drop("__chg")
       iter += 1
     }
     require(converged, s"components did not converge in $maxIters rounds")
