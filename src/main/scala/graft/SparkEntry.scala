@@ -92,6 +92,7 @@ object SparkEntry {
     "d13_edit_distance"   -> (Q.d13_edit_distance(_, _)),
     "d14_minhash_est"     -> (Q.d14_minhash_est(_, _)),
     "t16_posting_lists"   -> (Q.t16_posting_lists(_, _)),
+    "t17_bigram_surprisal" -> (Q.t17_bigram_surprisal(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
     "e2_knn_lsh"          -> (Q.e2_knn_lsh(_, _)),
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
@@ -581,6 +582,11 @@ object SparkEntry {
         .select("lang", "rank", "tok", "n")
         .orderBy("lang", "rank")
     }
+
+    /** Bigram-LM surprisal (order-aware perplexity filter; t15's unigram
+      * model is order-blind). Docs need ≥ 2 tokens to have any bigram. */
+    def t17_bigram_surprisal(s: SparkSession, d: String): DataFrame =
+      TextOps.bigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
 
     /** Inverted index: token → document frequency + numeric-ordered
       * posting list (df ≥ 5 prunes the hapax tail — at 100 TB most of the
@@ -1539,6 +1545,21 @@ object SparkEntry {
            |SELECT tok, count(*) AS df,
            |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
            |FROM tok GROUP BY tok HAVING count(*) >= 5 ORDER BY tok""".stripMargin,
+
+      "t17_bigram_surprisal" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |bi AS (SELECT doc_id, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
+           |       FROM t WHERE len(toks) >= 2),
+           |bfreq AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+           |pfx AS (SELECT w1, sum(bc) AS pc FROM bfreq GROUP BY 1),
+           |voc AS (SELECT count(DISTINCT tok) AS v
+           |        FROM (SELECT unnest(toks) AS tok FROM t)),
+           |m AS (SELECT doc_id,
+           |    CAST(floor(-ln((bc + 1.0) / (pc + v)) * 1e6 + 0.5) AS BIGINT) AS micro
+           |  FROM bi JOIN bfreq USING (w1, w2) JOIN pfx USING (w1) CROSS JOIN voc)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(sum(micro) * 1.0 / count(*) / 1e6, 4) AS surprisal
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "d5_jaccard_pairs" ->
         s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),

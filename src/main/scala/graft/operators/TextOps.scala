@@ -367,6 +367,49 @@ object TextOps {
       lit(0L), (acc, v) => (acc + v) % lit(PortableHash.prime))
   }
 
+  /** Bigram-LM surprisal — the CCNet-class perplexity filter: score each
+    * document by the mean negative log-likelihood of its token bigrams
+    * under a corpus-trained bigram model with add-one smoothing,
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V). High scores flag word salad
+    * and boilerplate the unigram model ([[unigramSurprisal]]) cannot see
+    * (it is ORDER-BLIND; this is the cheapest order-aware LM proxy).
+    *
+    * Same exactness discipline as t15: each bigram's −ln p is quantized to
+    * integer micro-nats BEFORE the per-doc mean, so the aggregate is exact
+    * integer arithmetic and hash-comparable across engines. Shuffle
+    * currency: the bigram relation (doc_id + two tokens/row) for the count
+    * and probe joins — the same exchange class tfidf pays. The model
+    * tables (bigram counts, prefix counts) are vocabulary-sized: bfreq is
+    * persisted because the prefix aggregate AND the probe join both read
+    * it; prefix counts derive from bfreq, never a second corpus pass. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bi = toks.select(col("doc_id"), explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bfreq = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pfx = bfreq.groupBy("w1").agg(sum("__bc").as("__pc"))
+    val vocab = docs
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .agg(countDistinct("tok").as("__v"))
+    bi
+      .join(bfreq, Seq("w1", "w2"))
+      .join(pfx, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__micro",
+        floor(-log((col("__bc") + lit(1.0)) / (col("__pc") + col("__v"))) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__micro").as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__sum").cast("double") / col("n_bigrams") / 1e6, 4).as("surprisal"))
+  }
+
   /** Inverted index: token → document frequency + the sorted posting list
     * (retrieval-side complement of tfidf; also the exact-match layer of a
     * decontamination service). One explode + one hash aggregate — the same

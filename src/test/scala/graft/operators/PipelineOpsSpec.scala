@@ -557,6 +557,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(eq13 < 8 && est13 == eq13 / 8.0)
   }
 
+  test("bigram surprisal: repeated word order scores lower than shuffled order") {
+    // corpus: 'a b' appears 3×, 'b a' once → P(b|a) high, P(a|b) low
+    val c = Seq((1L, "a b a b a b"), (2L, "b a"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val r = TextOps.bigramSurprisal(c).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 == 5) // 6 tokens → 5 bigrams
+    assert(r(3L)._1 == 1)
+    // the lone reversed bigram is more surprising than the common one
+    assert(r(2L)._2 > r(3L)._2)
+    // single-token docs have no bigrams and are absent
+    val single = TextOps.bigramSurprisal(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(single.isEmpty)
+  }
+
   test("inverted index: numeric-ordered postings, df filter at the aggregate") {
     val idx = TextOps.invertedIndex(docs, minDf = 2).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
