@@ -44,6 +44,7 @@ object SparkEntry {
     "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
     "r5_pyramid"          -> (Q.r5_pyramid(_, _)),
     "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
+    "r7_convolve"         -> (Q.r7_convolve(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -334,30 +335,45 @@ object SparkEntry {
       * is packed into 8×5 blocks on a 5×2 lattice, so every interior kernel
       * window crosses at least one block seam — the oracle (a plain
       * neighbor self-join in DuckDB) proves the exchange is seamless. */
-    def r6_focal_mean(s: SparkSession, d: String): DataFrame = {
-      val bw = 8; val bh = 5
-      val grid = pixels(s, d).groupBy("px", "py").agg(max("value").as("v"))
-      // pack cells into row-major block arrays; absent cells stay invalid
-      val blocks = grid
-        .groupBy((col("px") / bw).cast("int").as("block_x"),
-          (col("py") / bh).cast("int").as("block_y"))
+    /** r6/r7 shared packing: rasterize to the 40×10 grid, then pack cells
+      * into 8×5 row-major block arrays on a 5×2 lattice (absent cells stay
+      * invalid), so every interior kernel window crosses a block seam. */
+    private val (fbw, fbh) = (8, 5)
+    private def focalBlocks(s: SparkSession, d: String): DataFrame =
+      pixels(s, d).groupBy("px", "py").agg(max("value").as("v"))
+        .groupBy((col("px") / fbw).cast("int").as("block_x"),
+          (col("py") / fbh).cast("int").as("block_y"))
         .agg(map_from_entries(collect_list(struct(
-          ((col("py") % bh) * bw + col("px") % bw).cast("int"), col("v")))).as("m"))
+          ((col("py") % fbh) * fbw + col("px") % fbw).cast("int"), col("v")))).as("m"))
         .select(col("block_x"), col("block_y"),
-          lit(bw).as("width"), lit(bh).as("height"),
-          transform(sequence(lit(0), lit(bw * bh - 1)),
+          lit(fbw).as("width"), lit(fbh).as("height"),
+          transform(sequence(lit(0), lit(fbw * fbh - 1)),
             i => element_at(col("m"), i.cast("int"))).as("values"),
-          transform(sequence(lit(0), lit(bw * bh - 1)),
+          transform(sequence(lit(0), lit(fbw * fbh - 1)),
             i => element_at(col("m"), i.cast("int")).isNotNull).as("valid"))
-      graft.operators.Focal.focalMean(blocks, radius = 1)
-        .select(col("block_x"), col("block_y"),
+
+    /** Explode a focal result lattice back to (px, py, rounded value). */
+    private def focalCells(out: DataFrame, as: String): DataFrame =
+      out.select(col("block_x"), col("block_y"),
           posexplode(arrays_zip(col("values"), col("valid"))))
         .filter(col("col.valid"))
         .select(
-          (col("block_x") * bw + col("pos") % bw).cast("long").as("px"),
-          (col("block_y") * bh + floor(col("pos") / bw)).cast("long").as("py"),
-          round(col("col.values") + lit(5e-7), 4).as("focal"))
+          (col("block_x") * fbw + col("pos") % fbw).cast("long").as("px"),
+          (col("block_y") * fbh + floor(col("pos") / fbw)).cast("long").as("py"),
+          round(col("col.values") + lit(5e-7), 4).as(as))
         .orderBy("px", "py")
+
+    def r6_focal_mean(s: SparkSession, d: String): DataFrame =
+      focalCells(graft.operators.Focal.focalMean(focalBlocks(s, d), radius = 1),
+        "focal")
+
+    /** Weighted 3×3 binomial blur through the same halo exchange — weights
+      * are dyadic rationals and values integer-valued, so both engines'
+      * sums are EXACT and the renormalized quotient is bit-identical. */
+    def r7_convolve(s: SparkSession, d: String): DataFrame = {
+      val blur = Seq(Seq(1.0, 2.0, 1.0), Seq(2.0, 4.0, 2.0), Seq(1.0, 2.0, 1.0))
+        .map(_.map(_ / 16))
+      focalCells(graft.operators.Focal.convolve(focalBlocks(s, d), blur), "blur")
     }
 
     /** R3: cross-CRS warp gather — WarpReader's per-pixel math in
@@ -1181,6 +1197,18 @@ object SparkEntry {
           |FROM grid a JOIN grid b
           |  ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
           |GROUP BY a.px, a.py ORDER BY a.px, a.py""".stripMargin,
+
+      "r7_convolve" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |j AS (
+          |  SELECT a.px, a.py,
+          |    (2 - abs(b.px - a.px)) * (2 - abs(b.py - a.py)) / 16.0 AS w, b.v
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1)
+          |SELECT px, py, round(sum(w * v) / sum(w) + 5e-7, 4) AS blur
+          |FROM j GROUP BY px, py ORDER BY px, py""".stripMargin,
 
       "r4_resample_med" ->
         """WITH fine AS (

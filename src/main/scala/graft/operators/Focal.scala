@@ -52,6 +52,57 @@ object Focal {
     * `values`/`valid` replaced by the kernel output. */
   def focal(blocks: DataFrame, kernel: String, radius: Int = 1): DataFrame = {
     require(kernels.contains(kernel), s"unknown focal kernel: $kernel")
+    convolveWith(blocks, radius) { cells =>
+      val n = cells.map(_._2).reduce(_ + _)
+      val value = kernel match {
+        case "mean"  => cells.map(c => coalesce(c._1, lit(0.0))).reduce(_ + _) / n
+        case "sum"   => cells.map(c => coalesce(c._1, lit(0.0))).reduce(_ + _)
+        case "min"   => least(cells.map(_._1): _*)
+        case "max"   => greatest(cells.map(_._1): _*)
+        case "count" => n.cast("double")
+      }
+      (value, n)
+    }
+  }
+
+  /** Weighted-kernel convolution over the same halo exchange — blur /
+    * sharpen / gradient filters. `weights` is the (2r+1)×(2r+1) kernel,
+    * row-major, top-left first (radius inferred from its size).
+    *
+    * `renormalize = true` (smoothing kernels): a cell's output divides by
+    * the weight mass of its VALID window cells, the GIS convention that
+    * keeps blur kernels unbiased at nodata holes and raster edges.
+    * `renormalize = false` (derivative kernels like Sobel, whose weights
+    * sum to 0): invalid cells contribute 0 and the raw weighted sum is
+    * returned — renormalizing a zero-sum kernel would be meaningless. */
+  def convolve(blocks: DataFrame, weights: Seq[Seq[Double]],
+               renormalize: Boolean = true): DataFrame = {
+    val side = weights.length
+    require(side % 2 == 1 && side >= 3 && weights.forall(_.length == side),
+      s"kernel must be square with odd side >= 3, got ${weights.map(_.length)}")
+    convolveWith(blocks, side / 2) { cells =>
+      val num = cells.map { case (v, _, wx, wy) =>
+        val wt = weights(wy)(wx)
+        if (wt == 0.0) lit(0.0) else coalesce(v * wt, lit(0.0))
+      }.reduce(_ + _)
+      val n = cells.map(_._2).reduce(_ + _)
+      if (!renormalize) (num, n)
+      else {
+        val mass = cells.map { case (v, _, wx, wy) =>
+          val wt = weights(wy)(wx)
+          if (wt == 0.0) lit(0.0) else when(v.isNotNull, lit(wt)).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        (when(mass =!= 0.0, num / mass), n)
+      }
+    }
+  }
+
+  /** Shared scatter → gather → unrolled-window skeleton. `mk` receives one
+    * ((maybe-valid value, valid-as-int, wx, wy)) per window cell and
+    * returns (value, validity count n); output cells are valid iff n > 0
+    * and the value is not null. */
+  private def convolveWith(blocks: DataFrame, radius: Int)(
+      mk: Seq[(Column, Column, Int, Int)] => (Column, Column)): DataFrame = {
     require(radius >= 1, "radius must be >= 1")
     val r = radius
     val w = col("width"); val h = col("height")
@@ -130,17 +181,11 @@ object Focal {
           val at = ((i % w + wx) + (floor(i / w) + wy) * pw + 1).cast("int")
           val v = element_at(col("pv"), at)
           val ok = element_at(col("pok"), at) && v.isNotNull
-          (when(ok, v), when(ok, 1).otherwise(0))
+          (when(ok, v), when(ok, 1).otherwise(0), wx, wy)
         }
-        val n = cells.map(_._2).reduce(_ + _)
-        val value = kernel match {
-          case "mean"  => cells.map(c => coalesce(c._1, lit(0.0))).reduce(_ + _) / n
-          case "sum"   => cells.map(c => coalesce(c._1, lit(0.0))).reduce(_ + _)
-          case "min"   => least(cells.map(_._1): _*)
-          case "max"   => greatest(cells.map(_._1): _*)
-          case "count" => n.cast("double")
-        }
-        struct(when(n > 0, value).as("v"), (n > 0).as("ok"))
+        val (value, n) = mk(cells)
+        struct(when(n > 0, value).as("v"),
+          (n > 0 && value.isNotNull).as("ok"))
       }))
 
     convolved.select(col("block_x"), col("block_y"), col("width"), col("height"),

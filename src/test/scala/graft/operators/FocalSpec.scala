@@ -104,4 +104,57 @@ class FocalSpec extends SparkSpec {
   test("unknown kernel rejected") {
     intercept[IllegalArgumentException](Focal.focal(blocks(), "median"))
   }
+
+  /** Brute-force weighted convolution over the assembled grid. */
+  private def convOracle(weights: Seq[Seq[Double]], renorm: Boolean): Map[(Int, Int), Option[Double]] = {
+    val r = weights.length / 2
+    val W = nx * bw; val H = ny * bh
+    (for { gy <- 0 until H; gx <- 0 until W } yield {
+      var num = 0.0; var mass = 0.0; var n = 0
+      for (wy <- 0 to 2 * r; wx <- 0 to 2 * r) {
+        val sx = gx + wx - r; val sy = gy + wy - r
+        if (sx >= 0 && sx < W && sy >= 0 && sy < H && isValid(sx, sy)) {
+          n += 1
+          num += weights(wy)(wx) * value(sx, sy)
+          mass += weights(wy)(wx)
+        }
+      }
+      val v =
+        if (n == 0) None
+        else if (!renorm) Some(num)
+        else if (mass == 0.0) None
+        else Some(num / mass)
+      (gx, gy) -> v
+    }).toMap
+  }
+
+  test("binomial blur kernel matches brute force with nodata renormalization") {
+    val blur = Seq(Seq(1.0, 2.0, 1.0), Seq(2.0, 4.0, 2.0), Seq(1.0, 2.0, 1.0))
+      .map(_.map(_ / 16))
+    val got = collectFocal(Focal.convolve(blocks(), blur))
+    val want = convOracle(blur, renorm = true)
+    for ((k, exp) <- want) (got(k), exp) match {
+      case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"cell $k")
+      case (None, None)       =>
+      case other              => fail(s"cell $k: $other")
+    }
+  }
+
+  test("zero-sum gradient kernel (Sobel-x, unnormalized) matches brute force") {
+    val sobel = Seq(Seq(-1.0, 0.0, 1.0), Seq(-2.0, 0.0, 2.0), Seq(-1.0, 0.0, 1.0))
+    val got = collectFocal(Focal.convolve(blocks(), sobel, renormalize = false))
+    val want = convOracle(sobel, renorm = false)
+    for ((k, exp) <- want) (got(k), exp) match {
+      case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"cell $k")
+      case (None, None)       =>
+      case other              => fail(s"cell $k: $other")
+    }
+  }
+
+  test("non-square or even kernels rejected") {
+    intercept[IllegalArgumentException](
+      Focal.convolve(blocks(), Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))))
+    intercept[IllegalArgumentException](
+      Focal.convolve(blocks(), Seq(Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0), Seq(1.0, 1.0, 1.0))))
+  }
 }
