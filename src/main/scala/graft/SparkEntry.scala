@@ -45,6 +45,7 @@ object SparkEntry {
     "r5_pyramid"          -> (Q.r5_pyramid(_, _)),
     "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
     "r7_convolve"         -> (Q.r7_convolve(_, _)),
+    "r8_slope"            -> (Q.r8_slope(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -375,6 +376,13 @@ object SparkEntry {
         .map(_.map(_ / 16))
       focalCells(graft.operators.Focal.convolve(focalBlocks(s, d), blur), "blur")
     }
+
+    /** Horn slope over the packed grid (cellSize 1): both gradients are
+      * exact dyadic sums; atan/sqrt agree across engines within the
+      * epsilon-guarded 4-decimal round. Full-window cells only (n = 9). */
+    def r8_slope(s: SparkSession, d: String): DataFrame =
+      focalCells(graft.operators.Focal.slope(focalBlocks(s, d), cellSize = 1.0),
+        "slope")
 
     /** R3: cross-CRS warp gather — WarpReader's per-pixel math in
       * declarative form so DuckDB can oracle it. Each pixel of a 128×128
@@ -1209,6 +1217,21 @@ object SparkEntry {
           |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1)
           |SELECT px, py, round(sum(w * v) / sum(w) + 5e-7, 4) AS blur
           |FROM j GROUP BY px, py ORDER BY px, py""".stripMargin,
+
+      "r8_slope" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |g AS (
+          |  SELECT a.px, a.py, count(*) AS n,
+          |    sum((b.px - a.px) * (2 - abs(b.py - a.py)) * b.v) AS sx,
+          |    sum((b.py - a.py) * (2 - abs(b.px - a.px)) * b.v) AS sy
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+          |  GROUP BY a.px, a.py)
+          |SELECT px, py,
+          |  round(degrees(atan(sqrt(power(sx / 8.0, 2) + power(sy / 8.0, 2)))) + 5e-7, 4) AS slope
+          |FROM g WHERE n = 9 ORDER BY px, py""".stripMargin,
 
       "r4_resample_med" ->
         """WITH fine AS (

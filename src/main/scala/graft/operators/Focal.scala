@@ -97,6 +97,28 @@ object Focal {
     }
   }
 
+  /** Horn (1981) slope — the terrain op every raster engine grows next.
+    * dz/dx and dz/dy are the two Sobel-weighted gradients over the same
+    * halo-exchanged 3×3 window, computed in ONE pass from the same cell
+    * expressions (no second exchange, no lattice self-join);
+    * slope = atan(√((dz/dx)² + (dz/dy)²)) in degrees. GDAL-default edge
+    * semantics: a cell needs its FULL window (n = 9) or it is nodata —
+    * a one-sided gradient at a raster edge is a lie, not a value. */
+  def slope(blocks: DataFrame, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    convolveWith(blocks, 1) { cells =>
+      val n = cells.map(_._2).reduce(_ + _)
+      // weight(dx, dy): gx = dx·(2−|dy|), gy = dy·(2−|dx|) with dx = wx−1
+      def grad(w: (Int, Int) => Int) = cells.map { case (v, _, wx, wy) =>
+        val k = w(wx - 1, wy - 1)
+        if (k == 0) lit(0.0) else coalesce(v * k, lit(0.0))
+      }.reduce(_ + _) / (8 * cellSize)
+      val gx = grad((dx, dy) => dx * (2 - math.abs(dy)))
+      val gy = grad((dx, dy) => dy * (2 - math.abs(dx)))
+      (when(n === 9, atan(sqrt(pow(gx, 2) + pow(gy, 2))) * (180.0 / math.Pi)), n)
+    }
+  }
+
   /** Shared scatter → gather → unrolled-window skeleton. `mk` receives one
     * ((maybe-valid value, valid-as-int, wx, wy)) per window cell and
     * returns (value, validity count n); output cells are valid iff n > 0

@@ -43,4 +43,24 @@ class PlanContractSpec extends SparkSpec {
   test("r5: pyramid levels reuse the persisted previous level") {
     assert(plan("r5_pyramid").contains("InMemoryTableScan"))
   }
+
+  test("r6/r7: focal halo exchange is UDF-free and join-free") {
+    Seq("r6_focal_mean", "r7_convolve", "r8_slope").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q must stay in codegen: ${p.take(1500)}")
+      // scatter→gather is ONE aggregation exchange — never a self-join of
+      // the block lattice
+      assert(!p.contains("Join"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("d13/d14: candidate verifies broadcast the pair relation, never shuffle the corpus") {
+    Seq("d13_edit_distance", "d14_minhash_est").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus side must not sort-merge: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+    }
+  }
 }

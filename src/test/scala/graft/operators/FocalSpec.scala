@@ -151,6 +151,26 @@ class FocalSpec extends SparkSpec {
     }
   }
 
+  test("horn slope: constant grid is flat, uniform ramp has the analytic angle, edges nodata") {
+    // 12×6 ramp z = 3x: dz/dx = 3 → slope = atan(3) everywhere interior
+    val ramp = (for { by <- 0 until ny; bx <- 0 until nx } yield {
+      val cells = for { y <- 0 until bh; x <- 0 until bw }
+        yield java.lang.Double.valueOf(3.0 * (bx * bw + x))
+      (bx, by, bw, bh, cells, Seq.fill(bw * bh)(true))
+    }).toDF("block_x", "block_y", "width", "height", "values", "valid")
+    val got = collectFocal(Focal.slope(ramp, cellSize = 1.0))
+    val want = math.atan(3.0) * 180 / math.Pi
+    for (gy <- 1 until ny * bh - 1; gx <- 1 until nx * bw - 1)
+      assert(math.abs(got((gx, gy)).get - want) < 1e-9, s"cell ($gx,$gy)")
+    // raster edge cells lack the full window → nodata
+    assert(got((0, 0)).isEmpty && got((nx * bw - 1, ny * bh - 1)).isEmpty)
+    // flat grid → slope 0
+    val flat = ramp.withColumn("values",
+      transform(col("values"), _ => lit(7.0)))
+    val g2 = collectFocal(Focal.slope(flat, cellSize = 1.0))
+    assert(g2((2, 2)) == Some(0.0))
+  }
+
   test("non-square or even kernels rejected") {
     intercept[IllegalArgumentException](
       Focal.convolve(blocks(), Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))))
