@@ -46,6 +46,7 @@ object SparkEntry {
     "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
     "r7_convolve"         -> (Q.r7_convolve(_, _)),
     "r8_slope"            -> (Q.r8_slope(_, _)),
+    "g1_distance_join"    -> (Q.g1_distance_join(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -375,6 +376,22 @@ object SparkEntry {
       val blur = Seq(Seq(1.0, 2.0, 1.0), Seq(2.0, 4.0, 2.0), Seq(1.0, 2.0, 1.0))
         .map(_.map(_ / 16))
       focalCells(graft.operators.Focal.convolve(focalBlocks(s, d), blur), "blur")
+    }
+
+    /** Distance join (ST_DWithin-class) via the 2-D cell binning: small
+      * parts paired with large parts within distance 2 on a synthetic
+      * 97×89 plane — an equi-join on the cell key, never the O(n²)
+      * nested loop the raw predicate would plan. Integral coordinates ⇒
+      * the squared-distance verify is exact in both engines. */
+    def g1_distance_join(s: SparkSession, d: String): DataFrame = {
+      val pts = Tables.part(s, d).select(col("p_partkey").as("id"),
+        (col("p_partkey") % 97).cast("double").as("x"),
+        ((col("p_partkey") * 31) % 89).cast("double").as("y"),
+        col("p_size"))
+      graft.operators.DistanceJoin.join(
+          pts.filter(col("p_size") < 10), pts.filter(col("p_size") >= 45), d = 2.0)
+        .withColumn("dist", round(col("dist") + lit(5e-7), 4))
+        .orderBy("lid", "rid")
     }
 
     /** Horn slope over the packed grid (cellSize 1): both gradients are
@@ -1232,6 +1249,18 @@ object SparkEntry {
           |SELECT px, py,
           |  round(degrees(atan(sqrt(power(sx / 8.0, 2) + power(sy / 8.0, 2)))) + 5e-7, 4) AS slope
           |FROM g WHERE n = 9 ORDER BY px, py""".stripMargin,
+
+      "g1_distance_join" ->
+        """WITH pts AS (
+          |  SELECT p_partkey AS id, CAST(p_partkey % 97 AS DOUBLE) AS x,
+          |    CAST((p_partkey * 31) % 89 AS DOUBLE) AS y, p_size
+          |  FROM part)
+          |SELECT l.id AS lid, r.id AS rid,
+          |  round(sqrt(power(l.x - r.x, 2) + power(l.y - r.y, 2)) + 5e-7, 4) AS dist
+          |FROM pts l JOIN pts r
+          |  ON power(l.x - r.x, 2) + power(l.y - r.y, 2) <= 4.0
+          |WHERE l.p_size < 10 AND r.p_size >= 45
+          |ORDER BY lid, rid""".stripMargin,
 
       "r4_resample_med" ->
         """WITH fine AS (

@@ -55,6 +55,12 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("g1: the distance join is a cell-keyed equi-join, not a nested loop") {
+    val p = plan("g1_distance_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("d13/d14: candidate verifies broadcast the pair relation, never shuffle the corpus") {
     Seq("d13_edit_distance", "d14_minhash_est").foreach { q =>
       val p = plan(q)

@@ -572,6 +572,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(single.isEmpty)
   }
 
+  test("distance join: cell binning equals the naive cross join, pairs emitted once") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 5.0, 5.0), (3L, 9.9, 0.1))
+      .toDF("id", "x", "y")
+    val r = Seq((10L, 0.5, 0.5), (11L, 5.0, 6.9), (12L, 20.0, 20.0),
+      (13L, 10.0, 0.0)).toDF("id", "x", "y")
+    val got = DistanceJoin.join(l, r, d = 2.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val want = (for {
+      a <- Seq((1L, 0.0, 0.0), (2L, 5.0, 5.0), (3L, 9.9, 0.1))
+      b <- Seq((10L, 0.5, 0.5), (11L, 5.0, 6.9), (12L, 20.0, 20.0), (13L, 10.0, 0.0))
+      d = math.sqrt(math.pow(a._2 - b._2, 2) + math.pow(a._3 - b._3, 2))
+      if d <= 2.0
+    } yield (a._1, b._1) -> d).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12)
+    // cross-cell pair (3,13): points in different cells, still found once
+    assert(got.contains((3L, 13L)))
+  }
+
   test("inverted index: numeric-ordered postings, df filter at the aggregate") {
     val idx = TextOps.invertedIndex(docs, minDf = 2).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
