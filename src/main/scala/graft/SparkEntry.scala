@@ -47,6 +47,7 @@ object SparkEntry {
     "r7_convolve"         -> (Q.r7_convolve(_, _)),
     "r8_slope"            -> (Q.r8_slope(_, _)),
     "g1_distance_join"    -> (Q.g1_distance_join(_, _)),
+    "g2_dbscan"           -> (Q.g2_dbscan(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -392,6 +393,17 @@ object SparkEntry {
           pts.filter(col("p_size") < 10), pts.filter(col("p_size") >= 45), d = 2.0)
         .withColumn("dist", round(col("dist") + lit(5e-7), 4))
         .orderBy("lid", "rid")
+    }
+
+    /** DBSCAN over the synthetic plane — DistanceJoin (cell-binned
+      * eps-neighbors) → core count ≥ 6 → components over core-core edges →
+      * deterministic border attach (min core cluster id). 142 clusters,
+      * all three roles populated at sf0.01. */
+    def g2_dbscan(s: SparkSession, d: String): DataFrame = {
+      val pts = Tables.part(s, d).select(col("p_partkey").as("id"),
+        (col("p_partkey") % 97).cast("double").as("x"),
+        ((col("p_partkey") * 31) % 89).cast("double").as("y"))
+      graft.operators.Cluster.dbscan(pts, eps = 2.5, minPts = 6).orderBy("id")
     }
 
     /** Horn slope over the packed grid (cellSize 1): both gradients are
@@ -1261,6 +1273,32 @@ object SparkEntry {
           |  ON power(l.x - r.x, 2) + power(l.y - r.y, 2) <= 4.0
           |WHERE l.p_size < 10 AND r.p_size >= 45
           |ORDER BY lid, rid""".stripMargin,
+
+      "g2_dbscan" ->
+        """WITH RECURSIVE pts AS (
+          |  SELECT p_partkey AS id, CAST(p_partkey % 97 AS DOUBLE) AS x,
+          |    CAST((p_partkey * 31) % 89 AS DOUBLE) AS y FROM part),
+          |nb AS (SELECT a.id AS lid, b.id AS rid FROM pts a JOIN pts b
+          |       ON power(a.x - b.x, 2) + power(a.y - b.y, 2) <= 6.25),
+          |cnt AS (SELECT lid, count(*) AS n FROM nb GROUP BY 1),
+          |core AS (SELECT lid AS id FROM cnt WHERE n >= 6),
+          |ce AS (SELECT nb.lid AS src, nb.rid AS dst FROM nb
+          |       JOIN core c1 ON c1.id = nb.lid JOIN core c2 ON c2.id = nb.rid
+          |       WHERE nb.lid <> nb.rid),
+          |reach AS (SELECT src, dst FROM ce
+          |          UNION SELECT r.src, e.dst FROM reach r JOIN ce e ON r.dst = e.src),
+          |lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+          |corelab AS (SELECT c.id, coalesce(l.cluster, c.id) AS cluster
+          |            FROM core c LEFT JOIN lab l USING (id)),
+          |borderlab AS (SELECT nb.lid AS id, min(cl.cluster) AS cluster
+          |  FROM nb JOIN corelab cl ON cl.id = nb.rid
+          |  LEFT JOIN core co ON co.id = nb.lid WHERE co.id IS NULL GROUP BY nb.lid)
+          |SELECT p.id, coalesce(cl.cluster, bl.cluster) AS cluster,
+          |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+          |       WHEN bl.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+          |FROM pts p LEFT JOIN corelab cl ON cl.id = p.id
+          |           LEFT JOIN borderlab bl ON bl.id = p.id
+          |ORDER BY p.id""".stripMargin,
 
       "r4_resample_med" ->
         """WITH fine AS (

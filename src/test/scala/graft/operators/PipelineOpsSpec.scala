@@ -591,6 +591,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains((3L, 13L)))
   }
 
+  test("dbscan: two dense blobs cluster separately, bridge point is border, outlier is noise") {
+    // blob A: 4 points within eps of each other around (0,0); blob B around (10,10);
+    // point 100 is within eps of one core of A but has too few neighbors itself;
+    // point 200 is far from everything
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.5, 0.0), (3L, 0.0, 0.5), (4L, 0.5, 0.5),
+      (11L, 10.0, 10.0), (12L, 10.5, 10.0), (13L, 10.0, 10.5), (14L, 10.5, 10.5),
+      (100L, 1.4, 0.5), // eps-reaches 2/4 only → border of A
+      (200L, 50.0, 50.0))
+      .toDF("id", "x", "y")
+    val r = Cluster.dbscan(pts, eps = 1.0, minPts = 4).collect()
+      .map(x => x.getLong(0) -> (Option(x.get(1)).map(_.asInstanceOf[Long]), x.getString(2)))
+      .toMap
+    for (i <- Seq(1L, 2L, 3L, 4L)) assert(r(i) == ((Some(1L), "core")), s"pt $i: ${r(i)}")
+    for (i <- Seq(11L, 12L, 13L, 14L)) assert(r(i) == ((Some(11L), "core")), s"pt $i: ${r(i)}")
+    assert(r(100L) == ((Some(1L), "border")))
+    assert(r(200L) == ((None, "noise")))
+  }
+
   test("inverted index: numeric-ordered postings, df filter at the aggregate") {
     val idx = TextOps.invertedIndex(docs, minDf = 2).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
