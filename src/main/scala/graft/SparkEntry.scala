@@ -48,6 +48,7 @@ object SparkEntry {
     "r8_slope"            -> (Q.r8_slope(_, _)),
     "g1_distance_join"    -> (Q.g1_distance_join(_, _)),
     "g2_dbscan"           -> (Q.g2_dbscan(_, _)),
+    "g3_triangle_count"   -> (Q.g3_triangle_count(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "x5_asof_join"        -> (Q.x5_asof_join(_, _)),
     "x6_percentile"       -> (Q.x6_percentile(_, _)),
     "x7_interval_join"    -> (Q.x7_interval_join(_, _)),
+    "x8_pivot"            -> (Q.x8_pivot(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
 
@@ -404,6 +406,20 @@ object SparkEntry {
         (col("p_partkey") % 97).cast("double").as("x"),
         ((col("p_partkey") * 31) % 89).cast("double").as("y"))
       graft.operators.Cluster.dbscan(pts, eps = 2.5, minPts = 6).orderBy("id")
+    }
+
+    /** Per-vertex triangle counts over the eps-proximity graph (the local
+      * density signal that separates clustered near-dup groups from chains
+      * of borderline pairs). Edges from the cell-binned distance join;
+      * every triangle enumerates once via the a<b<c total order. */
+    def g3_triangle_count(s: SparkSession, d: String): DataFrame = {
+      val pts = Tables.part(s, d).select(col("p_partkey").as("id"),
+        (col("p_partkey") % 97).cast("double").as("x"),
+        ((col("p_partkey") * 31) % 89).cast("double").as("y"))
+      val edges = graft.operators.DistanceJoin.join(pts, pts, d = 2.5)
+        .filter(col("lid") < col("rid"))
+        .select(col("lid").as("doc1"), col("rid").as("doc2"))
+      graft.operators.Graph.triangles(edges).orderBy("id")
     }
 
     /** Horn slope over the packed grid (cellSize 1): both gradients are
@@ -995,6 +1011,17 @@ object SparkEntry {
         .orderBy("p_partkey")
     }
 
+    /** Pivot: per-user-cohort event-type counts as columns — the wide
+      * reporting shape. Explicit pivot values keep the plan a single
+      * aggregate pass (no distinct-values pre-query). */
+    def x8_pivot(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("cohort")
+
     /** As-of join: each event enriched with the latest order (by date) of
       * the same customer — the union-scan implementation, oracle-checked
       * against DuckDB's native ASOF JOIN. Right side pre-deduped per
@@ -1299,6 +1326,18 @@ object SparkEntry {
           |FROM pts p LEFT JOIN corelab cl ON cl.id = p.id
           |           LEFT JOIN borderlab bl ON bl.id = p.id
           |ORDER BY p.id""".stripMargin,
+
+      "g3_triangle_count" ->
+        """WITH pts AS (
+          |  SELECT p_partkey AS id, CAST(p_partkey % 97 AS DOUBLE) AS x,
+          |    CAST((p_partkey * 31) % 89 AS DOUBLE) AS y FROM part),
+          |e AS (SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+          |      ON power(a.x - b.x, 2) + power(a.y - b.y, 2) <= 6.25 AND a.id < b.id),
+          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+          |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |v AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+          |SELECT id, count(*) AS n_triangles FROM v GROUP BY id ORDER BY id""".stripMargin,
 
       "r4_resample_med" ->
         """WITH fine AS (
@@ -1936,6 +1975,15 @@ object SparkEntry {
           | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
           |WHERE a.event_type = 'view'
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "x8_pivot" ->
+        """SELECT user_id % 10 AS cohort,
+          |  count(*) FILTER (event_type = 'click') AS click,
+          |  count(*) FILTER (event_type = 'error') AS error,
+          |  count(*) FILTER (event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (event_type = 'signup') AS signup,
+          |  count(*) FILTER (event_type = 'view') AS view
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p

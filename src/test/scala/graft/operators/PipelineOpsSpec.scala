@@ -610,6 +610,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(200L) == ((None, "noise")))
   }
 
+  test("triangles: each triangle counts once per vertex, chains have none") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + a chain 5-6-7 (0 triangles);
+    // reversed/duplicate edges must not double-count
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 1L), // duplicates, reversed
+      (5L, 6L), (6L, 7L)).toDF("doc1", "doc2")
+    val r = Graph.triangles(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("inverted index: numeric-ordered postings, df filter at the aggregate") {
     val idx = TextOps.invertedIndex(docs, minDf = 2).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
