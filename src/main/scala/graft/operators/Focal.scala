@@ -148,46 +148,65 @@ object Focal {
       case 1  => (lit(0), lit(r - 1), h + lit(r))  // receiver above → my top rows
       case _  => (lit(0), h - 1, lit(r))
     }
-    val offsets = for { dy <- -1 to 1; dx <- -1 to 1 } yield (dx, dy)
-    val fragments = offsets.map { case (dx, dy) =>
-      val (c0, c1, ox) = stripCols(dx)
-      val (r0, r1, oy) = stripRows(dy)
-      // element_at over a materialized input array is O(1) per cell (the
-      // O(pixels²) trap is indexing arrays COMPUTED inside the lambda).
-      val entries = flatten(transform(sequence(r0, r1), row =>
-        transform(sequence(c0, c1), c => struct(
-          ((oy + row - r0) * pw + ox + c - c0).cast("int").as("at"),
-          element_at(col("values"), (row * w + c + 1).cast("int")).as("v"),
-          element_at(col("valid"), (row * w + c + 1).cast("int")).as("ok")))))
-      struct(
-        (col("block_x") - dx).as("to_x"), (col("block_y") - dy).as("to_y"),
-        lit(dx == 0 && dy == 0).as("center"), entries.as("entries"))
-    }
+    // The CENTER fragment ships its raw value/valid arrays untouched — its
+    // placement in the padded window is fixed, so per-cell addressing would
+    // only triple its shuffle bytes (an (at, v, ok) struct per cell), and
+    // the center is ~99% of the exchanged volume at 512-px blocks. Only
+    // the 8 strips (O(perimeter)) carry addressed entries.
+    val offsets = for { dy <- -1 to 1; dx <- -1 to 1 if (dx, dy) != ((0, 0)) } yield (dx, dy)
+    val noCells = array().cast("array<struct<at:int,v:double,ok:boolean>>")
+    val fragments = struct(
+      col("block_x").as("to_x"), col("block_y").as("to_y"),
+      col("values").as("cv"), col("valid").as("cok"), noCells.as("entries")) +:
+      offsets.map { case (dx, dy) =>
+        val (c0, c1, ox) = stripCols(dx)
+        val (r0, r1, oy) = stripRows(dy)
+        // element_at over a materialized input array is O(1) per cell (the
+        // O(pixels²) trap is indexing arrays COMPUTED inside the lambda).
+        val entries = flatten(transform(sequence(r0, r1), row =>
+          transform(sequence(c0, c1), c => struct(
+            ((oy + row - r0) * pw + ox + c - c0).cast("int").as("at"),
+            element_at(col("values"), (row * w + c + 1).cast("int")).as("v"),
+            element_at(col("valid"), (row * w + c + 1).cast("int")).as("ok")))))
+        struct(
+          (col("block_x") - dx).as("to_x"), (col("block_y") - dy).as("to_y"),
+          lit(null).cast("array<double>").as("cv"),
+          lit(null).cast("array<boolean>").as("cok"), entries.as("entries"))
+      }
     val scattered = blocks
       .select(col("width"), col("height"), explode(array(fragments: _*)).as("f"))
       .select(col("f.to_x").as("block_x"), col("f.to_y").as("block_y"),
-        col("width"), col("height"), col("f.center").as("center"),
+        col("width"), col("height"), col("f.cv").as("cv"), col("f.cok").as("cok"),
         col("f.entries").as("entries"))
 
     // --- 2. gather: assemble the padded window ----------------------------
-    // Fragments tile the padded window disjointly (interior cells come only
-    // from the center fragment, each halo cell only from the one neighbor
-    // that owns it), so map_from_entries never sees a duplicate key. Blocks
-    // off the lattice edge receive halos but no center fragment — dropped.
+    // Strip entries tile the padded ring disjointly (each halo cell comes
+    // from the one neighbor that owns it), so map_from_entries never sees a
+    // duplicate key; interior cells read straight from the center arrays.
+    // Blocks off the lattice edge receive halos but no center — dropped.
+    val isInterior = (i: Column) =>
+      i % pw >= r && i % pw < w + r && i / pw >= r && i / pw < h + r
+    val centerIdx = (i: Column) => // padded index → row-major center index
+      ((i / pw).cast("int") - r) * w + (i % pw) - r + 1 // 1-based element_at
     val gathered = scattered
       .groupBy("block_x", "block_y", "width", "height")
-      .agg(max(col("center")).as("has_center"),
+      .agg(first(col("cv"), ignoreNulls = true).as("cv"),
+        first(col("cok"), ignoreNulls = true).as("cok"),
         flatten(collect_list(col("entries"))).as("entries"))
-      .filter(col("has_center"))
+      .filter(col("cv").isNotNull)
       .withColumn("cells", map_from_entries(transform(col("entries"),
         e => struct(e("at"), struct(e("v").as("v"), e("ok").as("ok"))))))
       // Bind the padded planes as their OWN attributes before convolving:
       // element_at over an attribute array is O(1); over a computed alias
       // the whole array would re-evaluate per lookup.
       .withColumn("pv", transform(sequence(lit(0), pw * (h + 2 * r) - 1),
-        i => element_at(col("cells"), i.cast("int"))("v")))
+        i => when(isInterior(i), element_at(col("cv"), centerIdx(i).cast("int")))
+          .otherwise(element_at(col("cells"), i.cast("int"))("v"))))
       .withColumn("pok", transform(sequence(lit(0), pw * (h + 2 * r) - 1),
-        i => coalesce(element_at(col("cells"), i.cast("int"))("ok"), lit(false))))
+        i => coalesce(
+          when(isInterior(i), element_at(col("cok"), centerIdx(i).cast("int")))
+            .otherwise(element_at(col("cells"), i.cast("int"))("ok")),
+          lit(false))))
 
     // --- 3. convolve: plan-time-unrolled (2r+1)² window -------------------
     // One transform over the w·h centers; the window offsets are literals,
