@@ -41,6 +41,8 @@ sealed trait Grid {
   def numTiles: Long
   def xres: Double
   def yres: Double
+  /** world tile-lattice columns — `tile_idx` is row-major over this */
+  def tileCols: Int
   /** tile id for a linear index in [0, numTiles) — row-major */
   def tileId(index: Long): String
   def tileBounds(tileId: String): Bounds
@@ -82,6 +84,7 @@ final case class LatLngGrid(width: Int, override val cols: Int) extends Grid {
   val nLngTiles: Int = (360 - 2 * lngOffset) / width
   val nLatTiles: Int = (180 - 2 * latOffset) / height
   override val numTiles: Long = nLngTiles.toLong * nLatTiles
+  override def tileCols: Int = nLngTiles
 
   private def fmtId(top: Int, left: Int): String = {
     val lat = if (top >= 0) f"${top}%02dN" else f"${-top}%02dS"
@@ -165,6 +168,7 @@ final case class WebMercatorGrid(zoom: Int) extends Grid {
   override def name = s"zoom_$zoom"
   override def crs  = "EPSG:3857"
   override val numTiles: Long = tilesPerSide.toLong * tilesPerSide
+  override def tileCols: Int = tilesPerSide
   override val cols: Int = ((math.pow(2, zoom) * 256) / tilesPerSide).toInt
   override val blockSize: Int = 256
   override val xres: Double = 2 * extent / (256 * math.pow(2, zoom))

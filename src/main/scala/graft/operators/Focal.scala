@@ -119,6 +119,39 @@ object Focal {
     }
   }
 
+  /** Bridge from the LayerJob block plane (tile_id-keyed, tile-local
+    * block_row/block_col) onto the global focal lattice: a focal op on a
+    * materialized layer is `fromTileBlocks → focal/convolve/slope →
+    * toTileBlocks`, and the kernel flows seamlessly across TILE boundaries
+    * too — tiles are just groups of lattice blocks. The grid-seed join is
+    * control-plane (broadcast); one band per call. */
+  def fromTileBlocks(blocks: DataFrame, grid: graft.core.grid.Grid): DataFrame = {
+    val bpt = grid.cols / grid.blockSize
+    val seed = grid.tilesDF(blocks.sparkSession).select("tile_idx", "tile_id")
+    // blocks that came straight off a grid seed may still carry tile_idx
+    blocks.drop("tile_idx").join(broadcast(seed), "tile_id")
+      .withColumn("block_x",
+        (col("tile_idx") % grid.tileCols) * bpt + col("block_col"))
+      .withColumn("block_y",
+        (col("tile_idx") / grid.tileCols).cast("long") * bpt + col("block_row"))
+      .drop("tile_idx", "tile_id", "block_row", "block_col")
+  }
+
+  /** Inverse bridge: re-key a focal lattice back to (tile_id, block_row,
+    * block_col) for the GeoTIFF sink. */
+  def toTileBlocks(lattice: DataFrame, grid: graft.core.grid.Grid): DataFrame = {
+    val bpt = grid.cols / grid.blockSize
+    val seed = grid.tilesDF(lattice.sparkSession).select("tile_idx", "tile_id")
+    lattice
+      .withColumn("block_col", (col("block_x") % bpt).cast("int"))
+      .withColumn("block_row", (col("block_y") % bpt).cast("int"))
+      .withColumn("tile_idx",
+        (col("block_y") / bpt).cast("long") * grid.tileCols +
+          (col("block_x") / bpt).cast("long"))
+      .join(broadcast(seed), "tile_idx")
+      .drop("tile_idx", "block_x", "block_y")
+  }
+
   /** Shared scatter → gather → unrolled-window skeleton. `mk` receives one
     * ((maybe-valid value, valid-as-int, wx, wy)) per window cell and
     * returns (value, validity count n); output cells are valid iff n > 0

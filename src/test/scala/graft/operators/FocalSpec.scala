@@ -171,6 +171,68 @@ class FocalSpec extends SparkSpec {
     assert(g2((2, 2)) == Some(0.0))
   }
 
+  test("tile-block bridge: focal mean flows across TILE seams and round-trips tile keys") {
+    import graft.core.grid.LatLngGrid
+    val grid = LatLngGrid(90, 144) // 4×2 world tiles, 1 block per tile
+    val two = grid.tilesDF(spark).filter(col("tile_idx") < 2) // horizontally adjacent
+    val blocks = Raster.synthesizeBand(Raster.tilesToBlocks(two, grid), band = 1,
+      nodataEvery = 7)
+    val lattice = Focal.fromTileBlocks(blocks, grid)
+
+    // brute-force oracle over the collected 288×144 global raster
+    val in = lattice.select($"block_x", $"block_y", $"values", $"valid").collect()
+      .flatMap { r =>
+        val bx = r.getLong(0); val by = r.getLong(1)
+        val vs = r.getSeq[Double](2); val ok = r.getSeq[Boolean](3)
+        vs.indices.map { i =>
+          (bx * 144 + i % 144, by * 144 + i / 144) -> (vs(i), ok(i))
+        }
+      }.toMap
+    def expect(gx: Long, gy: Long): Option[Double] = {
+      val n = for {
+        dy <- -1 to 1; dx <- -1 to 1
+        c <- in.get((gx + dx, gy + dy)) if c._2
+      } yield c._1
+      if (n.isEmpty) None else Some(n.sum / n.size)
+    }
+
+    val out = Focal.focalMean(lattice, radius = 1)
+    val got = out.select($"block_x", $"block_y", $"values", $"valid").collect()
+      .flatMap { r =>
+        val bx = r.getLong(0); val by = r.getLong(1)
+        val vs = r.getSeq[java.lang.Double](2); val ok = r.getSeq[Boolean](3)
+        vs.indices.map { i =>
+          (bx * 144 + i % 144, by * 144 + i / 144) ->
+            (if (ok(i)) Some(vs(i).doubleValue) else None)
+        }
+      }.toMap
+    assert(got.size == 2 * 144 * 144)
+    // the seam column between the two tiles must average across both
+    val seam = (143L, 50L); val overSeam = (144L, 50L)
+    for (k <- Seq(seam, overSeam, (0L, 0L), (287L, 143L))) {
+      (got(k), expect(k._1, k._2)) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"cell $k")
+        case (None, None)       =>
+        case other              => fail(s"cell $k: $other")
+      }
+    }
+    // spot-check 500 deterministic cells across the full raster
+    for (s <- 0 until 500) {
+      val k = ((s * 7919L) % 288, (s * 104729L) % 144)
+      (got(k), expect(k._1, k._2)) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"cell $k")
+        case (None, None)       =>
+        case other              => fail(s"cell $k: $other")
+      }
+    }
+
+    // round-trip: back to tile keys for the sink
+    val back = Focal.toTileBlocks(out, grid)
+    val keys = back.select("tile_id", "block_row", "block_col")
+      .as[(String, Int, Int)].collect().toSet
+    assert(keys == Set(("90N_180W", 0, 0), ("90N_090W", 0, 0)))
+  }
+
   test("non-square or even kernels rejected") {
     intercept[IllegalArgumentException](
       Focal.convolve(blocks(), Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))))
