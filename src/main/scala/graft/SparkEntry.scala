@@ -112,6 +112,7 @@ object SparkEntry {
     "x6_percentile"       -> (Q.x6_percentile(_, _)),
     "x7_interval_join"    -> (Q.x7_interval_join(_, _)),
     "x8_pivot"            -> (Q.x8_pivot(_, _)),
+    "x9_gap_fill"         -> (Q.x9_gap_fill(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
 
@@ -1009,6 +1010,23 @@ object SparkEntry {
         .filter(col("p_retailprice") > col("brand_avg"))
         .select(col("p_partkey"), col("p_brand"), round(col("p_retailprice"), 2).as("price"))
         .orderBy("p_partkey")
+    }
+
+    /** Time-bucket gap fill (resample): per-user hourly event counts with
+      * ZERO rows for silent hours — the time-series twin of K4's padding
+      * semantics. The hour spine generates per key from its own min/max
+      * (`sequence` + `explode`, no driver loop, no global calendar), so a
+      * key's row count is bounded by its own activity span. */
+    def x9_gap_fill(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val counts = ev.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+      val spine = ev.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      spine.join(counts, Seq("user_id", "h"), "left")
+        .na.fill(0, Seq("n"))
+        .orderBy("user_id", "h")
     }
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
@@ -1984,6 +2002,16 @@ object SparkEntry {
           |  count(*) FILTER (event_type = 'signup') AS signup,
           |  count(*) FILTER (event_type = 'view') AS view
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "x9_gap_fill" ->
+        """WITH ev AS (
+          |  SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id < 50),
+          |c AS (SELECT user_id, h, count(*) AS n FROM ev GROUP BY 1, 2),
+          |s AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+          |spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM s)
+          |SELECT spine.user_id, spine.h, coalesce(c.n, 0) AS n
+          |FROM spine LEFT JOIN c USING (user_id, h)
+          |ORDER BY 1, 2""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
