@@ -46,6 +46,7 @@ object SparkEntry {
     "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
     "r7_convolve"         -> (Q.r7_convolve(_, _)),
     "r8_slope"            -> (Q.r8_slope(_, _)),
+    "r9_hillshade"        -> (Q.r9_hillshade(_, _)),
     "g1_distance_join"    -> (Q.g1_distance_join(_, _)),
     "g2_dbscan"           -> (Q.g2_dbscan(_, _)),
     "g3_triangle_count"   -> (Q.g3_triangle_count(_, _)),
@@ -429,6 +430,13 @@ object SparkEntry {
     def r8_slope(s: SparkSession, d: String): DataFrame =
       focalCells(graft.operators.Focal.slope(focalBlocks(s, d), cellSize = 1.0),
         "slope")
+
+    /** Hillshade with the default NW sun. The sun's trig folds to the same
+      * Scala-computed literals on both sides (see the oracle), so only
+      * sqrt + division run cross-engine. */
+    def r9_hillshade(s: SparkSession, d: String): DataFrame =
+      focalCells(graft.operators.Focal.hillshade(focalBlocks(s, d), cellSize = 1.0),
+        "shade")
 
     /** R3: cross-CRS warp gather — WarpReader's per-pixel math in
       * declarative form so DuckDB can oracle it. Each pixel of a 128×128
@@ -1306,6 +1314,27 @@ object SparkEntry {
           |SELECT px, py,
           |  round(degrees(atan(sqrt(power(sx / 8.0, 2) + power(sy / 8.0, 2)))) + 5e-7, 4) AS slope
           |FROM g WHERE n = 9 ORDER BY px, py""".stripMargin,
+
+      "r9_hillshade" -> {
+        // the same plan-time sun constants the Spark side folds in
+        val az = math.toRadians(315.0); val alt = math.toRadians(45.0)
+        val (sa, ca) = (math.sin(alt), math.cos(alt))
+        val (sz, cz) = (math.sin(az), math.cos(az))
+        s"""WITH grid AS (
+           |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+           |  FROM lineitem GROUP BY 1, 2),
+           |g AS (
+           |  SELECT a.px, a.py, count(*) AS n,
+           |    sum((b.px - a.px) * (2 - abs(b.py - a.py)) * b.v) / 8.0 AS gx,
+           |    sum((b.py - a.py) * (2 - abs(b.px - a.px)) * b.v) / 8.0 AS gy
+           |  FROM grid a JOIN grid b
+           |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+           |  GROUP BY a.px, a.py)
+           |SELECT px, py,
+           |  round(greatest(0.0, ($sa + (gy * $cz - gx * $sz) * $ca)
+           |    / sqrt(gx*gx + gy*gy + 1)) * 255.0 + 5e-7, 4) AS shade
+           |FROM g WHERE n = 9 ORDER BY px, py""".stripMargin
+      },
 
       "g1_distance_join" ->
         """WITH pts AS (

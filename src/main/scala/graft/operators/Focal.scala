@@ -107,16 +107,56 @@ object Focal {
   def slope(blocks: DataFrame, cellSize: Double): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     convolveWith(blocks, 1) { cells =>
-      val n = cells.map(_._2).reduce(_ + _)
-      // weight(dx, dy): gx = dx·(2−|dy|), gy = dy·(2−|dx|) with dx = wx−1
-      def grad(w: (Int, Int) => Int) = cells.map { case (v, _, wx, wy) =>
-        val k = w(wx - 1, wy - 1)
-        if (k == 0) lit(0.0) else coalesce(v * k, lit(0.0))
-      }.reduce(_ + _) / (8 * cellSize)
-      val gx = grad((dx, dy) => dx * (2 - math.abs(dy)))
-      val gy = grad((dx, dy) => dy * (2 - math.abs(dx)))
+      val (gx, gy, n) = gradients(cells, cellSize)
       (when(n === 9, atan(sqrt(pow(gx, 2) + pow(gy, 2))) * (180.0 / math.Pi)), n)
     }
+  }
+
+  /** Aspect: compass bearing of the DOWNSLOPE direction in degrees from
+    * north, clockwise, [0, 360). Coordinates are (x east, row-index y
+    * south), so downslope = −∇z has east component −gx and north component
+    * +gy, giving bearing atan2(−gx, gy). Flat cells (zero gradient) and
+    * incomplete windows are nodata. */
+  def aspect(blocks: DataFrame, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    convolveWith(blocks, 1) { cells =>
+      val (gx, gy, n) = gradients(cells, cellSize)
+      val bearing = pmod(atan2(-gx, gy) * (180.0 / math.Pi), lit(360.0))
+      (when(n === 9 && (gx =!= 0.0 || gy =!= 0.0), bearing), n)
+    }
+  }
+
+  /** Hillshade: illumination of the surface by a sun at (azimuthDeg from
+    * north clockwise, altitudeDeg above horizon), in [0, 255].
+    * cang = n̂·ŝ with surface normal (−gx, −gy, 1)/√(1+|g|²) and the sun's
+    * trig folded to PLAN-TIME Scala constants (the oracle inlines the same
+    * literals, so only sqrt and division run cross-engine):
+    * shade = 255·max(0, (sin α + (gy·cos φ − gx·sin φ)·cos α) / √(1+|g|²)).
+    * Full-window cells only, like [[slope]]. */
+  def hillshade(blocks: DataFrame, cellSize: Double,
+                azimuthDeg: Double = 315, altitudeDeg: Double = 45): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val az = math.toRadians(azimuthDeg); val alt = math.toRadians(altitudeDeg)
+    convolveWith(blocks, 1) { cells =>
+      val (gx, gy, n) = gradients(cells, cellSize)
+      val cang = (lit(math.sin(alt)) + (gy * math.cos(az) - gx * math.sin(az)) * math.cos(alt)) /
+        sqrt(gx * gx + gy * gy + 1)
+      (when(n === 9, greatest(lit(0.0), cang) * 255.0), n)
+    }
+  }
+
+  /** Horn gradients (dz/dx, dz/dy) and the window validity count, shared by
+    * the terrain kernels. weight(dx, dy): gx = dx·(2−|dy|),
+    * gy = dy·(2−|dx|), both over 8·cellSize. */
+  private def gradients(cells: Seq[(Column, Column, Int, Int)],
+                        cellSize: Double): (Column, Column, Column) = {
+    val n = cells.map(_._2).reduce(_ + _)
+    def grad(w: (Int, Int) => Int) = cells.map { case (v, _, wx, wy) =>
+      val k = w(wx - 1, wy - 1)
+      if (k == 0) lit(0.0) else coalesce(v * k, lit(0.0))
+    }.reduce(_ + _) / (8 * cellSize)
+    (grad((dx, dy) => dx * (2 - math.abs(dy))),
+      grad((dx, dy) => dy * (2 - math.abs(dx))), n)
   }
 
   /** Bridge from the LayerJob block plane (tile_id-keyed, tile-local

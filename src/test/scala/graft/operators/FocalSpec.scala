@@ -233,6 +233,37 @@ class FocalSpec extends SparkSpec {
     assert(keys == Set(("90N_180W", 0, 0), ("90N_090W", 0, 0)))
   }
 
+  test("aspect: downslope bearing from north; flat cells are nodata") {
+    def ramp(f: (Int, Int) => Double) = (for { by <- 0 until ny; bx <- 0 until nx } yield {
+      val cells = for { y <- 0 until bh; x <- 0 until bw }
+        yield java.lang.Double.valueOf(f(bx * bw + x, by * bh + y))
+      (bx, by, bw, bh, cells, Seq.fill(bw * bh)(true))
+    }).toDF("block_x", "block_y", "width", "height", "values", "valid")
+    // z = x rises eastward → downslope west (270°); z = y rises southward → downslope north (0°)
+    val east = collectFocal(Focal.aspect(ramp((x, _) => x.toDouble), 1.0))
+    assert(math.abs(east((3, 3)).get - 270.0) < 1e-9)
+    val south = collectFocal(Focal.aspect(ramp((_, y) => y.toDouble), 1.0))
+    assert(math.abs(south((3, 3)).get - 0.0) < 1e-9)
+    val flat = collectFocal(Focal.aspect(ramp((_, _) => 5.0), 1.0))
+    assert(flat((3, 3)).isEmpty) // zero gradient → nodata
+    assert(east((0, 0)).isEmpty) // incomplete window → nodata
+  }
+
+  test("hillshade: sun-facing gentle slope brighter than flat, away-facing darker") {
+    def ramp(f: (Int, Int) => Double) = (for { by <- 0 until ny; bx <- 0 until nx } yield {
+      val cells = for { y <- 0 until bh; x <- 0 until bw }
+        yield java.lang.Double.valueOf(f(bx * bw + x, by * bh + y))
+      (bx, by, bw, bh, cells, Seq.fill(bw * bh)(true))
+    }).toDF("block_x", "block_y", "width", "height", "values", "valid")
+    val flat = collectFocal(Focal.hillshade(ramp((_, _) => 5.0), 1.0))((3, 3)).get
+    assert(math.abs(flat - 255.0 * math.sin(math.toRadians(45))) < 1e-9)
+    // z = 0.5x: downslope west (270°), sun NW (315°) → cos 45° > 0 → brighter
+    val toSun = collectFocal(Focal.hillshade(ramp((x, _) => 0.5 * x), 1.0))((3, 3)).get
+    // z = −0.5x: downslope east (90°), 225° off the sun → darker
+    val offSun = collectFocal(Focal.hillshade(ramp((x, _) => -0.5 * x), 1.0))((3, 3)).get
+    assert(toSun > flat && offSun < flat, s"$offSun < $flat < $toSun expected")
+  }
+
   test("non-square or even kernels rejected") {
     intercept[IllegalArgumentException](
       Focal.convolve(blocks(), Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))))
