@@ -59,6 +59,7 @@ object SparkEntry {
     "a6_extent_union"     -> (Q.a6_extent_union(_, _)),
     "a7_manifest_collect" -> (Q.a7_manifest_collect(_, _)),
     "a8_status_tally"     -> (Q.a8_status_tally(_, _)),
+    "a9_zonal_stats"      -> (Q.a9_zonal_stats(_, _)),
     "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
     "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
     "o1_topk"             -> (Q.o1_topk(_, _)),
@@ -519,6 +520,23 @@ object SparkEntry {
       li(s, d).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
         .select(concat(col("l_returnflag"), lit("|"), col("l_linestatus"), lit("|"), col("n")).as("entry"))
         .agg(array_join(array_sort(collect_list(col("entry"))), ",").as("manifest"))
+
+    /** A9 (beyond-parity): zonal statistics — per-ZONE stats of a value
+      * raster, zones themselves a raster (the classic zonal-stats GIS op).
+      * One equi-join on the pixel key (both rasters share the grid
+      * partitioning, so at scale this is co-located) + one hash aggregate. */
+    def a9_zonal_stats(s: SparkSession, d: String): DataFrame = {
+      val values = pixels(s, d).groupBy("px", "py").agg(count(lit(1)).as("v"))
+      // floor, not a bare cast: DuckDB's double→BIGINT cast ROUNDS where
+      // Spark's truncates — floor on both sides removes the divergence
+      val zones = pixels(s, d).groupBy("px", "py")
+        .agg(floor(max("value") / 10).cast("long").as("zone"))
+      values.join(zones, Seq("px", "py"))
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_cells"), min("v").as("z_min"), max("v").as("z_max"),
+          round(avg("v"), 4).as("z_mean"), sum("v").as("z_sum"))
+        .orderBy("zone")
+    }
 
     /** A8: status tally (pipe.py:137-168 status algebra). */
     def a8_status_tally(s: SparkSession, d: String): DataFrame =
@@ -1444,6 +1462,17 @@ object SparkEntry {
         """WITH e AS (SELECT l_returnflag || '|' || l_linestatus || '|' || count(*) AS entry
           |           FROM lineitem GROUP BY l_returnflag, l_linestatus)
           |SELECT string_agg(entry, ',' ORDER BY entry) AS manifest FROM e""".stripMargin,
+
+      "a9_zonal_stats" ->
+        """WITH v AS (SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS v
+          |           FROM lineitem GROUP BY 1, 2),
+          |z AS (SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py,
+          |        CAST(floor(max(l_quantity) / 10) AS BIGINT) AS zone
+          |      FROM lineitem GROUP BY 1, 2)
+          |SELECT zone, count(*) AS n_cells, min(v.v) AS z_min, max(v.v) AS z_max,
+          |  round(avg(v.v), 4) AS z_mean, sum(v.v) AS z_sum
+          |FROM v JOIN z USING (px, py)
+          |GROUP BY zone ORDER BY zone""".stripMargin,
 
       "a8_status_tally" ->
         """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'existing'
