@@ -105,6 +105,7 @@ object SparkEntry {
     "e3_embedding_dup"    -> (Q.e3_embedding_dup(_, _)),
     "e4_embedding_quantize" -> (Q.e4_embedding_quantize(_, _)),
     "e5_knn_ivf"          -> (Q.e5_knn_ivf(_, _)),
+    "e7_ivf_fixed"        -> (Q.e7_ivf_fixed(_, _)),
     "t5_chunk_windows"    -> (Q.t5_chunk_windows(_, _)),
     "x1_approx_distinct"  -> (Q.x1_approx_distinct(_, _)),
     "x2_salted_rasterize" -> (Q.x2_salted_rasterize(_, _)),
@@ -935,6 +936,24 @@ object SparkEntry {
     def e5_knn_ivf(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.embeddings(s, d)
       val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents, nprobe = 2, k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }
+
+    /** IVF with FIXED data-derived centroids (the 8 vectors at vec_id ∈
+      * 37ℤ) — the same inverted-list probe machinery as e5, but fully
+      * oracle-checkable: centroid choice, euclidean list assignment (ties
+      * to the lower cid), nprobe ranking, and the in-list cosine top-k all
+      * replay exactly in DuckDB. e5 keeps the k-means variant (rows-only:
+      * float Lloyd rounds have no cross-engine oracle). */
+    def e7_ivf_fixed(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => ((r.getLong(0) / 37).toInt, r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents, nprobe = 2, k = 5)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
@@ -1995,6 +2014,31 @@ object SparkEntry {
            |SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
            |FROM pb p JOIN ck c ON p.band = c.band AND p.v0 = c.v0 AND p.v1 = c.v1
            |ORDER BY probe_id, corpus_id""".stripMargin,
+
+      "e7_ivf_fixed" ->
+        """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |cent AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM emb
+          |         WHERE vec_id % 37 = 0 AND vec_id < 260),
+          |dist AS (SELECT e.vec_id, e.v, cent.cid,
+          |    list_sum(list_transform(list_zip(e.v, cent.c),
+          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+          |  FROM emb e CROSS JOIN cent),
+          |assigned AS (SELECT vec_id, v, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist)
+          |  WHERE rn = 1),
+          |probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM dist WHERE vec_id < 5)
+          |  WHERE rn <= 2),
+          |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+          |    list_dot_product(p.qv, a.v) /
+          |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS rawcos
+          |  FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id != p.query_id),
+          |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS INT) AS rank
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin,
 
       "e1_knn_brute" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
