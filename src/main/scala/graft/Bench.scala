@@ -19,7 +19,7 @@ object Bench {
     * dominate at 100 TB (scan+agg, 3-way join, window, dedup shuffle,
     * similarity, text scoring, rasterize-style pixel agg). */
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "j5_join3_revenue", "j2_file_catalog_join",
+    "q1_pricing_summary", "q5_local_supplier", "j5_join3_revenue", "j2_file_catalog_join",
     "a1_rasterize_count", "a3_band_stats", "a4_histogram",
     "w1_ordered_burn_rank", "st1_window_agg", "st2_sessionize",
     "f3_exists_antijoin", "o1_topk", "x5_asof_join",

@@ -117,7 +117,8 @@ object SparkEntry {
     "x8_pivot"            -> (Q.x8_pivot(_, _)),
     "x9_gap_fill"         -> (Q.x9_gap_fill(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
-    "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)))
+    "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
+    "q5_local_supplier"   -> (Q.q5_local_supplier(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1109,6 +1110,24 @@ object SparkEntry {
           length(col("payload")).cast("long").as("n_bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("asset_id")
+
+    /** TPC-H Q5 shape — the 6-table join with the local-supplier
+      * correlation (supplier and customer share a nation). Region/nation
+      * broadcast; the orders⋈lineitem⋈supplier chain shuffles on its keys;
+      * Catalyst owns the join order. */
+    def q5_local_supplier(s: SparkSession, d: String): DataFrame =
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(5e-7), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
 
     /** TPC-H Q1 shape — the headline scan+agg benchmark. */
     def q1_pricing_summary(s: SparkSession, d: String): DataFrame =
@@ -2178,6 +2197,17 @@ object SparkEntry {
           | CAST(length(text) % 1024 + 1 AS INT) AS width,
           | CAST(length(text) % 768 + 1 AS INT) AS height
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue
+          |FROM region, nation, customer, orders, lineitem, supplier
+          |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+          |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+          |  AND l_orderkey = o_orderkey
+          |  AND s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
