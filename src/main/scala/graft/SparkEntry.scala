@@ -89,6 +89,7 @@ object SparkEntry {
     "d8_span_dedup"       -> (Q.d8_span_dedup(_, _)),
     "d9_contamination"    -> (Q.d9_contamination(_, _)),
     "t9_rep_signals"      -> (Q.t9_rep_signals(_, _)),
+    "t18_dedup_report"    -> (Q.t18_dedup_report(_, _)),
     "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
     "t11_pii_scrub"       -> (Q.t11_pii_scrub(_, _)),
     "t12_domain_stats"    -> (Q.t12_domain_stats(_, _)),
@@ -824,6 +825,18 @@ object SparkEntry {
           docs.filter(col("source") === "src0"), n = 5)
         .orderBy("doc_id")
     }
+
+    /** Per-source duplication report — the corpus-health summary a curation
+      * run publishes: doc counts, distinct-text counts (distinct on the
+      * 32-byte digest, never the text), and the dup rate. */
+    def t18_dedup_report(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("digest"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("digest").as("n_unique"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
+        .orderBy("source")
 
     /** Gopher-style repetition quality signals. */
     def t9_rep_signals(s: SparkSession, d: String): DataFrame =
@@ -1831,6 +1844,11 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams,
            |  round(sum(micro) * 1.0 / count(*) / 1e6, 4) AS surprisal
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t18_dedup_report" ->
+        """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+          |  round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_rate
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "d5_jaccard_pairs" ->
         s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
