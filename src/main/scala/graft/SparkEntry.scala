@@ -90,6 +90,7 @@ object SparkEntry {
     "d9_contamination"    -> (Q.d9_contamination(_, _)),
     "t9_rep_signals"      -> (Q.t9_rep_signals(_, _)),
     "t18_dedup_report"    -> (Q.t18_dedup_report(_, _)),
+    "t19_bpe_pairs"       -> (Q.t19_bpe_pairs(_, _)),
     "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
     "t11_pii_scrub"       -> (Q.t11_pii_scrub(_, _)),
     "t12_domain_stats"    -> (Q.t12_domain_stats(_, _)),
@@ -824,6 +825,26 @@ object SparkEntry {
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"), n = 5)
         .orderBy("doc_id")
+    }
+
+    /** BPE merge-candidate counting — the first round of tokenizer
+      * training: corpus-wide counts of adjacent character pairs within
+      * words, top-15 by frequency (ties by pair). One explode chain into
+      * a map-side-combined count; each additional BPE round is the same
+      * query over re-segmented words. */
+    def t19_bpe_pairs(s: SparkSession, d: String): DataFrame = {
+      val words = Tables.documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+      val pairs = words.select(explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("pair"))))
+        .filter(col("rank") <= 15)
+        .select("rank", "pair", "n")
+        .orderBy("rank")
     }
 
     /** Per-source duplication report — the corpus-health summary a curation
@@ -1849,6 +1870,16 @@ object SparkEntry {
         """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
           |  round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_rate
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "t19_bpe_pairs" ->
+        s"""WITH words AS (SELECT unnest($tokExpr) AS word FROM documents),
+           |idx AS (SELECT word, unnest(generate_series(1, len(word) - 1)) AS i
+           |        FROM words WHERE len(word) >= 2),
+           |pairs AS (SELECT substr(word, CAST(i AS INT), 2) AS pair FROM idx),
+           |c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+           |r AS (SELECT pair, n,
+           |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank FROM c)
+           |SELECT rank, pair, n FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
       "d5_jaccard_pairs" ->
         s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
