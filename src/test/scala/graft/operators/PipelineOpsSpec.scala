@@ -591,6 +591,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains((3L, 13L)))
   }
 
+  test("distance join: negative coordinates bin on the floor lattice, not truncation") {
+    // all three close pairs straddle cell boundaries at negative
+    // coordinates — truncation-based binning (cast instead of floor) maps
+    // -0.1 and 0.1 to the SAME cell 0 and breaks neighbor enumeration
+    val l = Seq((1L, -0.1, 0.0), (2L, -2.9, -3.1)).toDF("id", "x", "y")
+    val r = Seq((10L, 0.1, 0.0), (11L, -3.1, -2.9), (12L, -0.9, -0.9))
+      .toDF("id", "x", "y")
+    val got = DistanceJoin.join(l, r, d = 1.5).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L), (1L, 12L)))
+  }
+
   test("dbscan: two dense blobs cluster separately, bridge point is border, outlier is noise") {
     // blob A: 4 points within eps of each other around (0,0); blob B around (10,10);
     // point 100 is within eps of one core of A but has too few neighbors itself;
