@@ -62,6 +62,7 @@ object SparkEntry {
     "a9_zonal_stats"      -> (Q.a9_zonal_stats(_, _)),
     "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
     "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
+    "w3_lag_delta"        -> (Q.w3_lag_delta(_, _)),
     "o1_topk"             -> (Q.o1_topk(_, _)),
     "o3_set_ops"          -> (Q.o3_set_ops(_, _)),
     "o4_tile_dedup"       -> (Q.o4_tile_dedup(_, _)),
@@ -578,6 +579,18 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           round(sum("o_totalprice").over(w), 2).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
+    }
+
+    /** W3: offset window functions — per-user deltas between consecutive
+      * events (lag) and the session's first value (first_value). */
+    def w3_lag_delta(s: SparkSession, d: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .filter(col("user_id") < 100 && col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - coalesce(lag("value", 1).over(w), lit(0.0)), 4).as("delta"),
+          round(first("value").over(w), 4).as("first_v"))
+        .orderBy("user_id", "event_id")
     }
 
     /** O1: deterministic top-k (order + limit with total tiebreak). */
@@ -1567,6 +1580,14 @@ object SparkEntry {
           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
           |FROM orders WHERE o_custkey < 100
           |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "w3_lag_delta" ->
+        """SELECT user_id, event_id,
+          |  round(value - coalesce(lag(value, 1) OVER w, 0.0), 4) AS delta,
+          |  round(first_value(value) OVER w, 4) AS first_v
+          |FROM events WHERE user_id < 100 AND event_type = 'purchase'
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, event_id""".stripMargin,
 
       "o1_topk" ->
         """SELECT o_orderkey, o_totalprice FROM orders
