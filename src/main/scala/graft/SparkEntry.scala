@@ -753,8 +753,9 @@ object SparkEntry {
       // jaccard consumes the pair relation twice (intersection counts +
       // the outer re-attach); persisting the tiny candidate set keeps the
       // whole minhash→bucket→self-join pipeline from running twice
-      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
-        maxBucketSize = lshCap).persist()
+      val cands = graft.core.Caching.shared(
+        Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+          maxBucketSize = lshCap))
       Dedup.jaccard(docs, cands)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.5)
@@ -781,7 +782,8 @@ object SparkEntry {
       * signature relation feeds both the buckets and the estimate, so it
       * is persisted across the two consumers. */
     def d14_minhash_est(s: SparkSession, d: String): DataFrame = {
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), k = 4).persist()
+      val sigs = graft.core.Caching.shared(
+        Dedup.minhashSignatures(Tables.documents(s, d), k = 4))
       val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
         maxBucketSize = lshCap)
       Dedup.minhashEstimate(sigs, cands, k = 4)
@@ -795,7 +797,8 @@ object SparkEntry {
       * discriminate — the 4-bit-band variant measured 36× more candidate
       * pairs on the shared-vocab corpus. */
     def d7_simhash_pairs(s: SparkSession, d: String): DataFrame = {
-      val sigs = Dedup.simhash(Tables.documents(s, d), bits = 16).persist()
+      val sigs = graft.core.Caching.shared(
+        Dedup.simhash(Tables.documents(s, d), bits = 16))
       Dedup.simhashCandidates(sigs, bits = 16, bands = 2, maxHamming = 1)
         .orderBy("doc1", "doc2")
     }
@@ -807,8 +810,9 @@ object SparkEntry {
       val sigs = Dedup.minhashSignatures(Tables.documents(s, d), k = 4)
       // persist: the symmetric-edge union inside components reads the pair
       // relation twice — don't run the LSH pipeline twice for it
-      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
-        maxBucketSize = lshCap).persist()
+      val cands = graft.core.Caching.shared(
+        Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+          maxBucketSize = lshCap))
       Dedup.components(cands).orderBy("doc_id")
     }
 
@@ -1555,7 +1559,7 @@ object SparkEntry {
           |        CAST(floor(max(l_quantity) / 10) AS BIGINT) AS zone
           |      FROM lineitem GROUP BY 1, 2)
           |SELECT zone, count(*) AS n_cells, min(v.v) AS z_min, max(v.v) AS z_max,
-          |  round(avg(v.v), 4) AS z_mean, sum(v.v) AS z_sum
+          |  round(avg(v.v), 4) AS z_mean, CAST(sum(v.v) AS BIGINT) AS z_sum
           |FROM v JOIN z USING (px, py)
           |GROUP BY zone ORDER BY zone""".stripMargin,
 
@@ -1735,8 +1739,8 @@ object SparkEntry {
            |  ${h("CAST(doc_id AS VARCHAR)")} AS hh
            | FROM documents),
            |c AS (SELECT doc_id, source, n_tokens,
-           |  sum(n_tokens) OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC
-           |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
            | FROM t)
            |SELECT doc_id, source, n_tokens, cum_tokens FROM c
            |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,

@@ -18,11 +18,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is the VERIFICATION sink only — the driver's DuckDB
+      // compare wants one parquet file per query. Production writes go
+      // through the partitioned writers / BucketedStore.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // per-query cache scope: operators pin multi-consumer intermediates
+        // via Caching.shared; the write above is the consuming action, so
+        // release here keeps the block manager flat across the 98 queries.
+        graft.core.Caching.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

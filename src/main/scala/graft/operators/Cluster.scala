@@ -33,13 +33,13 @@ object Cluster {
   def dbscan(pts: DataFrame, eps: Double, minPts: Int,
              idCol: String = "id", xCol: String = "x", yCol: String = "y"): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
-    val nbrs = DistanceJoin.join(pts, pts, eps, idCol, xCol, yCol)
-      .select("lid", "rid")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val core = nbrs.groupBy("lid").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minPts)
-      .select(col("lid").as("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbrs = graft.core.Caching.shared(
+      DistanceJoin.join(pts, pts, eps, idCol, xCol, yCol)
+        .select("lid", "rid"))
+    val core = graft.core.Caching.shared(
+      nbrs.groupBy("lid").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minPts)
+        .select(col("lid").as("id")))
     val coreEdges = nbrs
       .join(core.select(col("id").as("lid")), "lid")
       .join(core.select(col("id").as("rid")), "rid")
@@ -47,10 +47,9 @@ object Cluster {
       .select(col("lid").as("doc1"), col("rid").as("doc2"))
     val groups = Dedup.components(coreEdges) // (doc_id, group_id)
     // cores with no core neighbor are their own singleton cluster
-    val coreLabels = core
+    val coreLabels = graft.core.Caching.shared(core
       .join(groups.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("group_id"), col("id")).as("__cluster"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("__cluster")))
     val borderLabels = nbrs
       .join(coreLabels.select(col("id").as("rid"), col("__cluster")), "rid")
       .join(core.select(col("id").as("lid")), Seq("lid"), "left_anti")

@@ -132,7 +132,7 @@ object Dedup {
     // doc_id) — tens of bytes/doc, MEMORY_AND_DISK spills rather than OOMs
     // at corpus scale, and production pipelines materialize the bucket
     // store anyway (the d10 incremental path probes exactly this relation).
-    val bucketsP = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketsP = graft.core.Caching.shared(buckets)
     val kept =
       if (maxBucketSize <= 0) bucketsP
       else dropOversized(bucketsP, maxBucketSize, "lshCandidates")
@@ -164,7 +164,7 @@ object Dedup {
                          maxBucketSize: Int = 0): DataFrame = {
     // same persistence rationale as lshCandidates: the corpus buckets feed
     // both the cap aggregate and the probe join
-    val corpusP = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusP = graft.core.Caching.shared(corpus)
     val kept =
       if (maxBucketSize <= 0) corpusP
       else dropOversized(corpusP, maxBucketSize, "lshCandidatesCross")
@@ -298,12 +298,11 @@ object Dedup {
   def nearDedupKeepers(docs: DataFrame, k: Int = 4, rowsPerBand: Int = 2,
                        minJaccard: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
     val sigs = minhashSignatures(docs, k)
-    val cands = lshCandidates(lshBuckets(sigs, k, rowsPerBand), maxBucketSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = jaccard(docs, cands)
+    val cands = graft.core.Caching.shared(
+      lshCandidates(lshBuckets(sigs, k, rowsPerBand), maxBucketSize))
+    val verified = graft.core.Caching.shared(jaccard(docs, cands)
       .filter(round(col("jaccard"), 4) >= minJaccard)
-      .select("doc1", "doc2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("doc1", "doc2"))
     val groups = components(verified)
     docs.select(col("doc_id"))
       .join(groups, Seq("doc_id"), "left")
@@ -469,8 +468,8 @@ object Dedup {
       })
     // both sides of the intersection join read this relation; persist so
     // the corpus shingle explode runs once, not once per side
-    val shingled = docs.select(col("doc_id"), explode(shingles).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingled = graft.core.Caching.shared(
+      docs.select(col("doc_id"), explode(shingles).as("tok")))
     // set size per doc is a narrow map over the doc row — NOT an
     // explode + groupBy re-shuffle of the whole token relation
     val sizes = docs.select(col("doc_id"), size(shingles).as("sz"))

@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * Input schema (a uniform block lattice; one band per call):
   *   (block_x, block_y, width: int, height: int, values: array<double>,
   *    valid: array<boolean>)   — row-major, y growing downward.
-  * All blocks must share width/height (the gather key enforces it).
+  * All blocks must share width/height — a runtime guard in the gather
+  * raises on any lattice cell where mixed sizes meet.
   */
 object Focal {
 
@@ -169,11 +170,14 @@ object Focal {
     val bpt = grid.cols / grid.blockSize
     val seed = grid.tilesDF(blocks.sparkSession).select("tile_idx", "tile_id")
     // blocks that came straight off a grid seed may still carry tile_idx
+    // `div` (SQL integer division), not `/` + cast: the index math is
+    // logically integral, and FP division would round instead of truncate
+    // once indices exceed 2^53.
     blocks.drop("tile_idx").join(broadcast(seed), "tile_id")
       .withColumn("block_x",
         (col("tile_idx") % grid.tileCols) * bpt + col("block_col"))
       .withColumn("block_y",
-        (col("tile_idx") / grid.tileCols).cast("long") * bpt + col("block_row"))
+        expr(s"CAST(tile_idx div ${grid.tileCols} AS BIGINT)") * bpt + col("block_row"))
       .drop("tile_idx", "tile_id", "block_row", "block_col")
   }
 
@@ -186,8 +190,8 @@ object Focal {
       .withColumn("block_col", (col("block_x") % bpt).cast("int"))
       .withColumn("block_row", (col("block_y") % bpt).cast("int"))
       .withColumn("tile_idx",
-        (col("block_y") / bpt).cast("long") * grid.tileCols +
-          (col("block_x") / bpt).cast("long"))
+        expr(s"CAST(block_y div $bpt AS BIGINT)") * grid.tileCols +
+          expr(s"CAST(block_x div $bpt AS BIGINT)"))
       .join(broadcast(seed), "tile_idx")
       .drop("tile_idx", "block_x", "block_y")
   }
@@ -261,11 +265,28 @@ object Focal {
       i % pw >= r && i % pw < w + r && i / pw >= r && i / pw < h + r
     val centerIdx = (i: Column) => // padded index → row-major center index
       ((i / pw).cast("int") - r) * w + (i % pw) - r + 1 // 1-based element_at
+    // Key on block coords ONLY and validate width/height agreement inside
+    // the group: a mixed-size lattice previously split a cell's fragments
+    // across separate (w, h) groups and mis-assembled halos silently — now
+    // any group whose fragments disagree on block size raises. The guard is
+    // woven into the `width` value itself so the optimizer cannot prune it.
     val gathered = scattered
-      .groupBy("block_x", "block_y", "width", "height")
-      .agg(first(col("cv"), ignoreNulls = true).as("cv"),
+      .groupBy("block_x", "block_y")
+      .agg(min(col("width")).as("__minw"), max(col("width")).as("width"),
+        min(col("height")).as("__minh"), max(col("height")).as("height"),
+        first(col("cv"), ignoreNulls = true).as("cv"),
         first(col("cok"), ignoreNulls = true).as("cok"),
         flatten(collect_list(col("entries"))).as("entries"))
+      .withColumn("width",
+        when(col("__minw") === col("width") && col("__minh") === col("height"),
+          col("width"))
+          .otherwise(raise_error(format_string(
+            "graft focal: non-uniform block sizes meet at lattice cell (%s, %s): " +
+              "width %s..%s, height %s..%s — focal ops require one block size",
+            col("block_x"), col("block_y"), col("__minw"), col("width"),
+            col("__minh"), col("height"))))
+          .cast("int"))
+      .drop("__minw", "__minh")
       .filter(col("cv").isNotNull)
       .withColumn("cells", map_from_entries(transform(col("entries"),
         e => struct(e("at"), struct(e("v").as("v"), e("ok").as("ok"))))))

@@ -23,12 +23,11 @@ object Graph {
     * the contract. Input: (doc1, doc2) pairs, any orientation/dupes.
     * Output: (id, n_triangles) for vertices in at least one triangle. */
   def triangles(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(
+    val e = graft.core.Caching.shared(pairs.select(
         least(col("doc1"), col("doc2")).as("a"),
         greatest(col("doc1"), col("doc2")).as("b"))
       .filter(col("a") < col("b")) // drop self-loops
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val wedges = e.select(col("a").as("x"), col("b").as("y"))
       .join(e.select(col("a").as("y"), col("b").as("z")), "y")
     val tris = wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))

@@ -41,7 +41,7 @@ object Resample {
       prev.groupBy(expr("px div 2").as("px"), expr("py div 2").as("py"))
         .agg(sum("value").as("value"))
     }.take(levels + 1).zipWithIndex.map { case (df, i) =>
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Caching.shared(df)
         .select(lit(i).as("level"), col("px"), col("py"), col("value"))
     }.toSeq
     lvls.reduce(_.unionAll(_))

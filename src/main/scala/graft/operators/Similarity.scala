@@ -155,9 +155,9 @@ object Similarity {
     * vectors surface as kept representatives). Never all-pairs. */
   def semanticDup(corpus: DataFrame, dim: Int, bits: Int, tau: Double,
                   maxBucketSize: Int = 0): DataFrame = {
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, bits).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = graft.core.Caching.shared(
+      corpus.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), dim, bits).as("bucket")))
     val paired =
       if (maxBucketSize <= 0) bucketed
       else {

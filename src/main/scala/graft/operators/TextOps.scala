@@ -246,8 +246,8 @@ object TextOps {
     // the frequency table feeds the total AND the join probe; without the
     // persist the second consumer re-runs the whole corpus explode+aggregate.
     // It is vocabulary-sized — the cheap thing to pin at 100 TB.
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = graft.core.Caching.shared(
+      tok.groupBy("tok").agg(count(lit(1)).as("__tf")))
     val total = freq.agg(sum(col("__tf")).as("__total"))
     tok.join(freq, "tok")
       .crossJoin(broadcast(total))
@@ -263,8 +263,8 @@ object TextOps {
     val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     // tf feeds both the weight projection and the df aggregate; persist so
     // the corpus explode+combine runs once (PLANS.md flagged the re-derive)
-    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.core.Caching.shared(
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
     tf.join(dfreq, "tok")
@@ -391,8 +391,8 @@ object TextOps {
         slice(col("__toks"), lit(2), size(col("__toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bfreq = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bfreq = graft.core.Caching.shared(
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc")))
     val pfx = bfreq.groupBy("w1").agg(sum("__bc").as("__pc"))
     val vocab = docs
       .select(explode(Dedup.tokens(col("text"))).as("tok"))

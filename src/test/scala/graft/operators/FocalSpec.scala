@@ -270,4 +270,18 @@ class FocalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Focal.convolve(blocks(), Seq(Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0), Seq(1.0, 1.0, 1.0))))
   }
+
+  test("mixed block sizes fail loudly instead of mis-assembling halos") {
+    // two horizontally adjacent blocks with different widths: their halo
+    // strips meet in one gather group, where the runtime guard must raise
+    val mixed = Seq(
+      (0L, 0L, 4, 3, Seq.fill(12)(java.lang.Double.valueOf(1.0)), Seq.fill(12)(true)),
+      (1L, 0L, 8, 3, Seq.fill(24)(java.lang.Double.valueOf(2.0)), Seq.fill(24)(true))
+    ).toDF("block_x", "block_y", "width", "height", "values", "valid")
+    val e = intercept[Exception](Focal.focalMean(mixed, radius = 1).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-uniform block sizes")),
+      s"expected the uniform-size guard to fire, got: $e")
+  }
 }
