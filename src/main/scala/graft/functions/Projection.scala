@@ -28,13 +28,20 @@ trait Projection {
 
 object Projection {
 
-  /** Resolve a normalized CRS string ("EPSG:n"). */
-  def forCrs(crs: String): Option[Projection] =
-    crs.stripPrefix("EPSG:").toIntOption.flatMap(forEpsg)
+  /** Resolve a normalized CRS string: "EPSG:n", plus the non-EPSG
+    * authorities real rasters arrive in (MODIS sinusoidal has no EPSG
+    * code — it circulates as SR-ORG:6974 / "MODIS"). */
+  def forCrs(crs: String): Option[Projection] = crs.trim.toUpperCase match {
+    case "SR-ORG:6974" | "MODIS" | "SINUSOIDAL" => Some(Sinusoidal.Modis)
+    case "ESRI:54008" => Some(Sinusoidal.World)
+    case c => c.stripPrefix("EPSG:").toIntOption.flatMap(forEpsg)
+  }
 
   def forEpsg(epsg: Int): Option[Projection] = epsg match {
     case 4326 => Some(Wgs84)
     case 3857 => Some(WebMercator)
+    case 5070 => Some(AlbersEqualArea.conus)
+    case 3577 => Some(AlbersEqualArea.australia)
     case z if z >= 32601 && z <= 32660 => Some(TransverseMercator.utm(z - 32600, north = true))
     case z if z >= 32701 && z <= 32760 => Some(TransverseMercator.utm(z - 32700, north = false))
     case _ => None
@@ -133,5 +140,135 @@ object Projection {
       TransverseMercator(lon0, 0.9996, 500000.0, if (north) 0.0 else 10000000.0,
         if (north) Bounds(lon0 - 3, 0, lon0 + 3, 84) else Bounds(lon0 - 3, -80, lon0 + 3, 0))
     }
+  }
+
+  /** Ellipsoidal Albers Equal-Area Conic (Snyder PP 1395 §14,
+    * eqs. 14-1…14-21 forward, 14-19…14-21 + 3-16 inverse) — the family
+    * continental-mosaic rasters arrive in (NAD83 CONUS, GDA94 Australia).
+    * Equal-area is the load-bearing property: zonal sums over reprojected
+    * pixels stay area-true. `invF` selects the ellipsoid (GRS80 for both
+    * registered instances; NAD83/GDA94 ≈ WGS84 at sub-meter, the standard
+    * working assumption without a datum-shift grid). */
+  final case class AlbersEqualArea(a: Double, invF: Double,
+                                   lat0Deg: Double, lon0Deg: Double,
+                                   sp1Deg: Double, sp2Deg: Double,
+                                   falseEasting: Double, falseNorthing: Double,
+                                   areaOfUse: Bounds) extends Projection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    private val lon0 = math.toRadians(lon0Deg)
+
+    /** Snyder eq. 3-12: q(φ), the equal-area auxiliary. */
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s)
+        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    /** Snyder eq. 14-15: m(φ) = cos φ / √(1 − e² sin² φ). */
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+
+    private val m1 = m(math.toRadians(sp1Deg))
+    private val m2 = m(math.toRadians(sp2Deg))
+    private val q1 = q(math.toRadians(sp1Deg))
+    private val q2 = q(math.toRadians(sp2Deg))
+    private val n =
+      if (math.abs(sp1Deg - sp2Deg) < 1e-12) math.sin(math.toRadians(sp1Deg))
+      else (m1 * m1 - m2 * m2) / (q2 - q1) // eq. 14-14
+    private val bigC = m1 * m1 + n * q1 // eq. 14-13
+    private val rho0 = a * math.sqrt(bigC - n * q(math.toRadians(lat0Deg))) / n
+    private val qPole = q(math.Pi / 2)
+
+    private def rho(qv: Double): Double =
+      a * math.sqrt(math.max(0.0, bigC - n * qv)) / n // eq. 14-12
+
+    def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-90.0, math.min(90.0, latDeg)) // inf/NaN clamp
+      val phi = math.toRadians(lat)
+      var dLam = math.toRadians(lngDeg) - lon0
+      while (dLam > math.Pi) dLam -= 2 * math.Pi
+      while (dLam < -math.Pi) dLam += 2 * math.Pi
+      val theta = n * dLam // eq. 14-4
+      val r = rho(q(phi))
+      (falseEasting + r * math.sin(theta),
+        falseNorthing + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseEasting
+      val yp = rho0 - (y - falseNorthing)
+      // for n < 0 (southern-parallel cones) ρ and the sector flip sign
+      val sign = if (n >= 0) 1.0 else -1.0
+      val r = sign * math.hypot(xp, yp)
+      val theta = math.atan2(sign * xp, sign * yp)
+      val qv = (bigC - r * r * n * n / (a * a)) / n // eq. 14-19
+      val lam = lon0 + theta / n // eq. 14-9
+      if (math.abs(math.abs(qv) - math.abs(qPole)) < 1e-12)
+        return (math.toDegrees(lam), math.signum(qv) * 90.0)
+      // eq. 3-16: iterate φ from the equal-area auxiliary
+      var phi = math.asin(math.max(-1.0, math.min(1.0, qv / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val c = math.cos(phi)
+        val e2s = 1 - e2 * s * s
+        val delta = (e2s * e2s / (2 * c)) * (qv / (1 - e2) - s / e2s
+          + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += delta
+        if (math.abs(delta) < 1e-14) i = 15 else i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  object AlbersEqualArea {
+    private val grs80InvF = 298.257222101
+    /** EPSG:5070 — NAD83 / Conus Albers: φ0 23, λ0 −96, parallels 29.5 and
+      * 45.5, FE/FN 0, GRS80. */
+    def conus: AlbersEqualArea =
+      AlbersEqualArea(6378137.0, grs80InvF, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0,
+        Bounds(-125.0, 24.0, -66.0, 50.0))
+    /** EPSG:3577 — GDA94 / Australian Albers: φ0 0, λ0 132, parallels −18
+      * and −36, FE/FN 0, GRS80. */
+    def australia: AlbersEqualArea =
+      AlbersEqualArea(6378137.0, grs80InvF, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0,
+        Bounds(112.0, -44.0, 154.0, -9.0))
+  }
+
+  /** Spherical sinusoidal (Snyder PP 1395 §30, eqs. 30-1/30-2): the MODIS
+    * land-product grid. x = R·Δλ·cos φ, y = R·φ; equal-area, pole lines
+    * collapse to points. `r` is the sphere radius — 6 371 007.181 m for the
+    * MODIS authalic sphere (its 10° tile is the published
+    * 1 111 950.5196666666 m). */
+  final case class Sinusoidal(r: Double, lon0Deg: Double,
+                              areaOfUse: Bounds) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+
+    def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-90.0, math.min(90.0, latDeg)) // inf/NaN clamp
+      val phi = math.toRadians(lat)
+      var dLam = math.toRadians(lngDeg) - lon0
+      while (dLam > math.Pi) dLam -= 2 * math.Pi
+      while (dLam < -math.Pi) dLam += 2 * math.Pi
+      (r * dLam * math.cos(phi), r * phi)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = math.max(-math.Pi / 2, math.min(math.Pi / 2, y / r))
+      val c = math.cos(phi)
+      // at the pole every x collapses to the point: λ is indeterminate — λ0
+      val lam = if (c < 1e-12) lon0 else lon0 + x / (r * c)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  object Sinusoidal {
+    /** MODIS sinusoidal (SR-ORG:6974): authalic sphere R = 6 371 007.181 m. */
+    def Modis: Sinusoidal = Sinusoidal(6371007.181, 0.0, Bounds(-180, -90, 180, 90))
+    /** ESRI:54008 World Sinusoidal (WGS84 semi-major as sphere). */
+    def World: Sinusoidal = Sinusoidal(6378137.0, 0.0, Bounds(-180, -90, 180, 90))
   }
 }

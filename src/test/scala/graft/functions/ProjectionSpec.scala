@@ -70,4 +70,134 @@ class ProjectionSpec extends AnyFunSuite {
       Reproject.pointTransform("EPSG:2154", "EPSG:4326") // Lambert-93 not shipped
     }
   }
+
+  // ---- Albers equal-area (EPSG:5070 CONUS, EPSG:3577 Australia) ----------
+
+  /** Planar shoelace area of the projected boundary of a lat/lng cell,
+    * densified to `steps` points per edge. */
+  private def projectedCellArea(p: Projection, lng0: Double, lat0: Double,
+                                lng1: Double, lat1: Double, steps: Int = 64): Double = {
+    val pts = Seq.newBuilder[(Double, Double)]
+    for (i <- 0 until steps) pts += p.forward(lng0 + (lng1 - lng0) * i / steps, lat0)
+    for (i <- 0 until steps) pts += p.forward(lng1, lat0 + (lat1 - lat0) * i / steps)
+    for (i <- 0 until steps) pts += p.forward(lng1 - (lng1 - lng0) * i / steps, lat1)
+    for (i <- 0 until steps) pts += p.forward(lng0, lat1 - (lat1 - lat0) * i / steps)
+    val b = pts.result()
+    math.abs(b.indices.map { i =>
+      val (x0, y0) = b(i); val (x1, y1) = b((i + 1) % b.size)
+      x0 * y1 - x1 * y0
+    }.sum / 2)
+  }
+
+  /** Ellipsoidal lat/lng cell area via the equal-area auxiliary q (Snyder
+    * eq. 3-12): A = a²·Δλ·(q(φ₂) − q(φ₁))/2 — computed here independently
+    * of the Projection internals. */
+  private def ellipsoidCellArea(lng0: Double, lat0: Double,
+                                lng1: Double, lat1: Double): Double = {
+    val a = 6378137.0; val f = 1.0 / 298.257222101
+    val e2 = f * (2 - f); val e = math.sqrt(e2)
+    def q(latDeg: Double): Double = {
+      val s = math.sin(math.toRadians(latDeg))
+      (1 - e2) * (s / (1 - e2 * s * s)
+        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    a * a * math.toRadians(lng1 - lng0) * (q(lat1) - q(lat0)) / 2
+  }
+
+  test("Albers CONUS: projection origin maps to (0, 0)") {
+    val p = Projection.forEpsg(5070).get
+    val (x, y) = p.forward(-96.0, 23.0)
+    assert(math.abs(x) < 1e-6 && math.abs(y) < 1e-6, s"origin → ($x, $y)")
+  }
+
+  test("Albers CONUS: scale is true along both standard parallels only") {
+    val p = Projection.forEpsg(5070).get
+    val a = 6378137.0; val f = 1.0 / 298.257222101; val e2 = f * (2 - f)
+    // k along a parallel by numerical differentiation of forward vs the
+    // ellipsoidal parallel radius N·cos φ — no Projection internals used
+    def kParallel(lat: Double): Double = {
+      val d = 1e-6
+      val (x0, y0) = p.forward(-100.0, lat)
+      val (x1, y1) = p.forward(-100.0 + d, lat)
+      val s = math.sin(math.toRadians(lat))
+      val parallelRadius = (a / math.sqrt(1 - e2 * s * s)) * math.cos(math.toRadians(lat))
+      math.hypot(x1 - x0, y1 - y0) / (parallelRadius * math.toRadians(d))
+    }
+    assert(math.abs(kParallel(29.5) - 1.0) < 1e-7, s"k(29.5)=${kParallel(29.5)}")
+    assert(math.abs(kParallel(45.5) - 1.0) < 1e-7, s"k(45.5)=${kParallel(45.5)}")
+    assert(kParallel(37.0) < 1.0 - 1e-4, "between the parallels the cone dips below scale")
+    assert(kParallel(25.0) > 1.0 + 1e-4 && kParallel(49.0) > 1.0 + 1e-4,
+      "outside the parallels scale exceeds 1")
+  }
+
+  test("Albers CONUS: equal-area invariant on 1° cells") {
+    val p = Projection.forEpsg(5070).get
+    for ((lng, lat) <- Seq((-120.0, 35.0), (-96.0, 29.0), (-75.0, 44.0))) {
+      val proj = projectedCellArea(p, lng, lat, lng + 1, lat + 1)
+      val ell = ellipsoidCellArea(lng, lat, lng + 1, lat + 1)
+      assert(math.abs(proj / ell - 1) < 1e-6,
+        s"cell at ($lng,$lat): projected $proj vs ellipsoid $ell")
+    }
+  }
+
+  test("Albers round-trips over both areas of use") {
+    val conus = Projection.forEpsg(5070).get
+    var worst = 0.0
+    for (lng <- BigDecimal(-124.0) to -67.0 by 1.5; lat <- BigDecimal(25.0) to 49.0 by 1.0) {
+      val (x, y) = conus.forward(lng.toDouble, lat.toDouble)
+      val (l2, p2) = conus.inverse(x, y)
+      worst = math.max(worst, math.max(math.abs(l2 - lng.toDouble), math.abs(p2 - lat.toDouble)))
+    }
+    assert(worst < 1e-9, s"CONUS worst round-trip $worst deg")
+    // southern-parallel cone (n < 0): the inverse sign handling
+    val aus = Projection.forEpsg(3577).get
+    for ((lng, lat) <- Seq((132.0, -25.0), (115.0, -33.0), (150.0, -12.0), (145.0, -42.0))) {
+      val (x, y) = aus.forward(lng, lat)
+      val (l2, p2) = aus.inverse(x, y)
+      assert(math.abs(l2 - lng) < 1e-9 && math.abs(p2 - lat) < 1e-9,
+        s"3577 round trip ($lng,$lat) → ($l2,$p2)")
+    }
+    // orientation: east of λ0 → x > 0, south of φ0 → y < 0
+    val (xe, _) = aus.forward(140.0, -25.0)
+    val (x0, ys) = aus.forward(132.0, -25.0)
+    assert(xe > 0 && math.abs(x0) < 1e-6 && ys < 0)
+  }
+
+  // ---- Sinusoidal (MODIS grid) -------------------------------------------
+
+  test("MODIS sinusoidal reproduces the published grid constants") {
+    val p = Projection.forCrs("SR-ORG:6974").get
+    // the canonical 10° MODIS tile is 1 111 950.5196666666 m
+    val (tile, _) = p.forward(10.0, 0.0)
+    assert(math.abs(tile - 1111950.5196666666) < 1e-3, s"tile width $tile")
+    // v-tile boundary at 40°N: y = 10 007 554.677 − 5 · tile = 4 447 802.0787
+    val (_, y40) = p.forward(0.0, 40.0)
+    assert(math.abs(y40 - 4447802.0787) < 1e-3, s"y(40°) = $y40")
+    // global west edge: x(−180°, 0°) = −20 015 109.354
+    val (xw, _) = p.forward(-180.0, 0.0)
+    assert(math.abs(xw - -20015109.354) < 1e-2, s"x(-180,0) = $xw")
+  }
+
+  test("sinusoidal is equal-area and round-trips") {
+    val p = Projection.forCrs("MODIS").get
+    val r = 6371007.181
+    for ((lng, lat) <- Seq((10.0, 0.0), (-70.0, 45.0), (140.0, -30.0), (0.0, 75.0))) {
+      val proj = projectedCellArea(p, lng, lat, lng + 1, lat + 1)
+      val sphere = r * r * math.toRadians(1.0) *
+        (math.sin(math.toRadians(lat + 1)) - math.sin(math.toRadians(lat)))
+      assert(math.abs(proj / sphere - 1) < 1e-6, s"cell ($lng,$lat): $proj vs $sphere")
+      val (x, y) = p.forward(lng, lat)
+      val (l2, p2) = p.inverse(x, y)
+      assert(math.abs(l2 - lng) < 1e-9 && math.abs(p2 - lat) < 1e-9)
+    }
+  }
+
+  test("CRS string resolution covers the non-EPSG authorities") {
+    assert(Projection.forCrs("EPSG:5070").isDefined)
+    assert(Projection.forCrs("EPSG:3577").isDefined)
+    assert(Projection.forCrs("ESRI:54008").isDefined)
+    assert(Projection.forCrs("modis").isDefined)
+    assert(Projection.forCrs("sr-org:6974").isDefined)
+    assert(Projection.forCrs("EPSG:99999").isEmpty)
+  }
 }

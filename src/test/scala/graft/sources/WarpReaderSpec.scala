@@ -216,6 +216,57 @@ class WarpReaderSpec extends SparkSpec {
       assert(b11(j * 256 + i) == expected(256 + i, 256 + j), s"pixel in block(1,1) ($i,$j)")
   }
 
+  test("cross-CRS warp: Albers (EPSG:5070) source gathers onto a 4326 grid") {
+    import graft.functions.Projection
+    // CONUS-chunk source in Albers meters: 512×512 px at 4 km, value = col+1
+    val path = s"${dir()}/albers5070.tif"
+    val (ox, oy, res) = (-1500000.0, 2800000.0, 4000.0)
+    val p = GeoTiff.Profile(width = 512, height = 512, bands = 1, dataType = "uint16",
+      tileWidth = 256, tileHeight = 256, noData = Some(0.0), epsg = 5070,
+      originX = ox, originY = oy, xres = res, yres = res)
+    val w = new GeoTiff.Writer(path, p)
+    for (tr <- 0 until 2; tc <- 0 until 2) {
+      val px = Array.tabulate(256 * 256) { i =>
+        val sx = tc * 256 + (i % 256)
+        (sx + 1).toDouble
+      }
+      w.writeTile(1, tr, tc, px)
+    }
+    w.close()
+
+    // plan in the grid CRS: Albers footprint → 4326 (reproject_bounds role)
+    val catalog = Catalog.reprojectFootprints(
+      GeoTiffSpark.harvestCatalog(spark, Seq(path)).selectExpr("uri", "band", "footprint"),
+      "EPSG:5070", "EPSG:4326")
+    val reader = WarpReader.reader(grid.xres, grid.yres, grid.blockSize,
+      "EPSG:4326", "EPSG:5070")
+    val result = LayerJob.run(spark, spec, catalog, reader,
+      subset = Some(Seq("90N_180W")))
+    val blocks = result.blocks.cache()
+
+    val albers = Projection.forEpsg(5070).get
+    def expected(i: Int, j: Int): Double = { // target pixel → nearest source px
+      val lng = -180.0 + (i + 0.5) * grid.xres
+      val lat = 90.0 - (j + 0.5) * grid.yres
+      val (x, y) = albers.forward(lng, lat)
+      val sx = math.floor((x - ox) / res).toInt
+      val sy = math.floor((oy - y) / res).toInt
+      if (sx < 0 || sy < 0 || sx >= 512 || sy >= 512) 0.0 else (sx + 1).toDouble
+    }
+    // pixels inside coverage (around lng −105, lat 40) and a nodata one
+    val probes = Seq((780, 540), (800, 560), (840, 500), (10, 10))
+    assert(probes.map { case (i, j) => expected(i, j) }.count(_ > 0) >= 3,
+      "probe selection must hit the source coverage")
+    for ((gi, gj) <- probes) {
+      val (bc, br) = (gi / grid.blockSize, gj / grid.blockSize)
+      val arr = blocks.filter(col("block_row") === br && col("block_col") === bc)
+        .select(col("band_1")).collect()(0).getSeq[Int](0)
+      val got = arr((gj % grid.blockSize) * grid.blockSize + (gi % grid.blockSize))
+      assert(got.toDouble == expected(gi, gj), s"pixel ($gi,$gj): $got")
+    }
+    blocks.unpersist()
+  }
+
   test("per-partition tile cache keeps re-decoding bounded (same values twice)") {
     val src = s"${dir()}/fine.tif"
     val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(src))
