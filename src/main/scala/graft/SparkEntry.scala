@@ -120,6 +120,7 @@ object SparkEntry {
     "x8_pivot"            -> (Q.x8_pivot(_, _)),
     "x9_gap_fill"         -> (Q.x9_gap_fill(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
+    "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
     "q5_local_supplier"   -> (Q.q5_local_supplier(_, _)))
 
@@ -1160,6 +1161,16 @@ object SparkEntry {
         .select(col("asset_id"), col("modality"),
           length(col("payload")).cast("long").as("n_bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("asset_id")
+
+    /** REAL image decode: deterministic synthetic PNGs (pixel value is a
+      * closed-form function of id/x/y) encoded AND decoded through
+      * javax.imageio, with integer-exact pixel aggregates the oracle
+      * recomputes from the generating formula — no codec on the DuckDB
+      * side, so any decode drift breaks the hash. */
+    def m2_image_decode(s: SparkSession, d: String): DataFrame =
+      Multimodal.imagePixelFeatures(
+        Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"))
         .orderBy("asset_id")
 
     /** TPC-H Q5 shape — the 6-table join with the local-supplier
@@ -2271,6 +2282,20 @@ object SparkEntry {
           | CAST(length(text) % 1024 + 1 AS INT) AS width,
           | CAST(length(text) % 768 + 1 AS INT) AS height
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // the decode-free fixture: pixel (x, y) of asset i is
+      // (7i + 3x + 5y) mod 256 by construction, so the oracle aggregates
+      // the FORMULA while Spark aggregates the decoded PNG raster
+      "m2_image_decode" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 5 + 4 AS INT) AS width,
+          |             CAST(doc_id % 3 + 4 AS INT) AS height FROM documents),
+          |xs AS (SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM d),
+          |px AS (SELECT doc_id, width, height, x, unnest(range(0, height)) AS y FROM xs)
+          |SELECT doc_id AS asset_id, width, height,
+          |  CAST(width AS BIGINT) * height AS n_px,
+          |  CAST(sum((7 * doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_v,
+          |  CAST(sum(((7 * doc_id + 3 * x + 5 * y) % 256) * (x + width * y)) AS BIGINT) AS wsum_v
+          |FROM px GROUP BY doc_id, width, height ORDER BY asset_id""".stripMargin,
 
       "q5_local_supplier" ->
         """SELECT n_name,

@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata (beyond-reference surface, BASELINE.json north star).
   *
-  * The Spark-side contract is real and tested — schema, batching,
-  * partitioning, feature extraction shape — while the codec itself is a
-  * clearly-marked deterministic STUB (`fakeDecode`): the container has no
-  * image/audio libraries, and a production deployment swaps `fakeDecode`
-  * for a JNI/javacpp decoder inside the same `mapPartitions` without
-  * touching any plan shape.
+  * The image path is a REAL codec: `decodeImage` runs `javax.imageio`
+  * (PNG/BMP/GIF ship with the JDK — no external dependency) inside the
+  * same `mapPartitions` batch shape, and `extractFeatures` computes its
+  * features from the decoded pixel raster. Payloads ImageIO cannot decode
+  * (audio, video, opaque blobs) fall back to `byteFeatures`, the
+  * deterministic raw-byte featurizer — a production deployment swaps that
+  * fallback for a JNI/javacpp media decoder without touching any plan
+  * shape.
   */
 object Multimodal {
 
@@ -31,12 +33,57 @@ object Multimodal {
 
   final case class MediaFeatures(
       asset_id: Long, modality: String, n_bytes: Long,
-      checksum: Long, feature: Array[Double])
+      checksum: Long, feature: Array[Double],
+      width: Option[Int], height: Option[Int])
 
-  /** STUB decode: deterministic features from raw bytes (length, rolling
-    * checksum, 8 coarse byte-histogram buckets). Replace with a real codec
-    * in production — signature and batch shape stay identical. */
-  def fakeDecode(payload: Array[Byte]): (Long, Array[Double]) = {
+  /** Decoded-image geometry + integer-exact pixel features. `checksum` is
+    * the 31-ary rolling hash over row-major 8-bit luminance; `sumV` /
+    * `wsumV` are the plain and position-weighted gray sums (order-sensitive
+    * via the weight, yet expressible in plain SQL — the oracle recomputes
+    * them from the generating formula without decoding anything). */
+  final case class ImageFeatures(width: Int, height: Int, checksum: Long,
+                                 sumV: Long, wsumV: Long, hist: Array[Double])
+
+  /** REAL image decode via `javax.imageio` (PNG/BMP/GIF — in the JDK).
+    * None when the payload is not a decodable image; luminance is the
+    * ITU-R BT.601 integer approximation ((299 R + 587 G + 114 B) / 1000)
+    * for color rasters, the sample itself for grayscale. */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+    if (payload == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    val gray = img.getColorModel.getNumComponents == 1
+    val hist = Array.fill(8)(0.0)
+    var checksum = 0L; var sumV = 0L; var wsumV = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (gray) img.getRaster.getSample(x, y, 0) & 0xff
+          else {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+        checksum = (checksum * 31 + v) & 0x7fffffffffffffL
+        sumV += v
+        wsumV += v.toLong * (x + w.toLong * y)
+        hist(v >> 5) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImageFeatures(w, h, checksum, sumV, wsumV, hist.map(_ / (w.toLong * h))))
+  }
+
+  /** Raw-byte fallback featurizer for payloads without a JDK codec (audio,
+    * video, opaque blobs): length, rolling checksum, 8 coarse byte-histogram
+    * buckets. Deterministic; swap for a JNI/javacpp decoder in production. */
+  def byteFeatures(payload: Array[Byte]): (Long, Array[Double]) = {
     if (payload == null) return (0L, Array.fill(8)(0.0))
     var checksum = 0L
     val hist = Array.fill(8)(0.0)
@@ -52,7 +99,8 @@ object Multimodal {
 
   /** Batched per-partition feature extraction — the Scala equivalent of the
     * `mapInPandas` batch UDF: one decoder instantiation per partition, rows
-    * streamed through it. */
+    * streamed through it. Image payloads decode for real (`decodeImage`);
+    * everything else takes the `byteFeatures` fallback with null geometry. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -60,13 +108,70 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (codec contexts are
-        // expensive; never per-row)
+        // expensive; never per-row) — ImageIO is stateless, so nothing to pin
         rows.map { case (id, modality, payload) =>
-          val (checksum, feature) = fakeDecode(payload)
-          MediaFeatures(id, modality,
-            if (payload == null) 0L else payload.length.toLong, checksum, feature)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          decodeImage(payload) match {
+            case Some(f) =>
+              MediaFeatures(id, modality, nBytes, f.checksum, f.hist,
+                Some(f.width), Some(f.height))
+            case None =>
+              val (checksum, feature) = byteFeatures(payload)
+              MediaFeatures(id, modality, nBytes, checksum, feature, None, None)
+          }
         }
       }
+  }
+
+  /** Encode one row-major 8-bit grayscale raster as PNG bytes (the
+    * deterministic synthetic-image writer for specs and oracle queries —
+    * PNG is lossless, so decode returns exactly these samples). */
+  def encodeGrayPng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must be width*height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic PNG corpus keyed by an id column: asset i is a
+    * ((i%5)+4) × ((i%3)+4) grayscale image with pixel (x, y) =
+    * (7·i + 3·x + 5·y) mod 256 — a formula an oracle can aggregate in SQL
+    * without any image codec. */
+  def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 5 + 4).toInt; val h = (id % 3 + 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          ((7 * id + 3 * (i % w) + 5 * (i / w)) % 256).toByte
+        }
+        (id, "image", "image/png", encodeGrayPng(w, h, px))
+      }
+    }.toDF("asset_id", "modality", "mime", "payload")
+      .withColumn("meta", struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")))
+      .select("asset_id", "modality", "mime", "meta", "payload")
+  }
+
+  /** Decoded-pixel feature table over a media relation: geometry + the
+    * integer-exact pixel aggregates of [[ImageFeatures]] — the
+    * oracle-checkable face of the real decode path. */
+  def imagePixelFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeImage(payload).map(f =>
+            (id, f.width, f.height, f.width.toLong * f.height, f.sumV, f.wsumV))
+        }
+      }.toDF("asset_id", "width", "height", "n_px", "sum_v", "wsum_v")
   }
 
   /** Deterministic frame sampling plan for video assets: every `everyMs`

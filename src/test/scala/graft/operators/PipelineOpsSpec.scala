@@ -330,7 +330,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(1L) != fps(2L))
   }
 
-  test("multimodal: deterministic fake decode through mapPartitions batch path") {
+  test("multimodal: non-image payloads take the byte-feature fallback") {
     val media = Multimodal.syntheticFromText(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
       .map(f => f.asset_id -> f).toMap
@@ -338,6 +338,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats(1L).checksum != feats(4L).checksum)
     assert(feats(1L).feature.sum > 0.99 && feats(1L).feature.sum < 1.01) // normalized hist
     assert(feats(1L).n_bytes == "the quick brown fox jumps over the lazy dog".length)
+    assert(feats(1L).width.isEmpty && feats(1L).height.isEmpty) // not a decodable image
+  }
+
+  test("multimodal: PNG payloads decode for real through javax.imageio") {
+    // 3×2 gray raster with known samples; PNG is lossless so the decoded
+    // features must be exact
+    val px = Array[Byte](10, 20, 30, 40, 50, 60)
+    val png = Multimodal.encodeGrayPng(3, 2, px)
+    val f = Multimodal.decodeImage(png).get
+    assert(f.width == 3 && f.height == 2)
+    assert(f.sumV == 210)
+    // position-weighted: Σ v·(x + w·y) with row-major index as the weight
+    assert(f.wsumV == px.zipWithIndex.map { case (v, i) => (v & 0xff).toLong * i }.sum)
+    var expectChecksum = 0L
+    px.foreach(v => expectChecksum = (expectChecksum * 31 + (v & 0xff)) & 0x7fffffffffffffL)
+    assert(f.checksum == expectChecksum)
+    // garbage bytes are not an image
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+
+    // and through the batched Dataset path: geometry populated, synthetic
+    // formula reproduced end to end (encode → decode → aggregate)
+    val media = Multimodal.syntheticPngs(docs, "doc_id")
+    val feats = Multimodal.imagePixelFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 4L)) {
+      val w = (id % 5 + 4).toInt; val h = (id % 3 + 4).toInt
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (7 * id + 3 * x + 5 * y) % 256).sum
+      val row = feats(id)
+      assert(row.getInt(1) == w && row.getInt(2) == h)
+      assert(row.getLong(4) == expSum, s"asset $id sum_v")
+    }
+    val ext = Multimodal.extractFeatures(media).collect().map(f => f.asset_id -> f).toMap
+    assert(ext(1L).width.contains(5) && ext(1L).height.contains(5))
   }
 
   test("span dedup: spans shared across docs are flagged, unique docs are clean") {
