@@ -29,7 +29,8 @@ object GeoTiff {
       xres: Double, yres: Double,
       deflate: Boolean = true,
       nbits: Option[Int] = None,  // sub-byte NBITS (data_type.py:112-149)
-      photometric: Option[String] = None) { // PHOTOMETRIC creation option (tile.py:68-71)
+      photometric: Option[String] = None, // PHOTOMETRIC creation option (tile.py:68-71)
+      ccitt: Boolean = false) { // CCITTFAX4 for bilevel (data_type.py:122-124)
     /** TIFF PhotometricInterpretation code (tag 262). */
     val photometricCode: Int = photometric.map(_.toUpperCase) match {
       case None | Some("MINISBLACK") => 1
@@ -61,6 +62,8 @@ object GeoTiff {
       * codecs do. */
     val bitsPerSample: Int =
       nbits.filter(b => b >= 1 && b < 8 && sampleFormat == 1).getOrElse(containerBits)
+    require(!ccitt || bitsPerSample == 1,
+      s"CCITTFAX4 requires a bilevel profile (NBITS=1), got $bitsPerSample bits")
     /** TIFF packs sub-byte rows MSB-first, each row padded to a byte. */
     def bytesPerRow: Int = (tileWidth * bitsPerSample + 7) / 8
     def tileByteSize: Int =
@@ -126,7 +129,11 @@ object GeoTiff {
         s"tile must be padded to ${profile.tileWidth}x${profile.tileHeight}")
       val idx = (band - 1) * profile.tilesPerBand + tileRow * profile.tilesAcross + tileCol
       val raw = encode(pixels)
-      val payload = if (profile.deflate) deflate(raw) else raw
+      val payload =
+        if (profile.ccitt)
+          CcittG4.encode(raw, profile.tileWidth, profile.tileHeight, profile.bytesPerRow)
+        else if (profile.deflate) deflate(raw)
+        else raw
       val at = raf.getFilePointer
       // classic TIFF stores offsets as 32-bit: fail loudly instead of
       // silently wrapping into a corrupt file (BigTIFF is out of scope)
@@ -230,10 +237,11 @@ object GeoTiff {
       add(257, TLong, 1, longVal(p.height))
       val bits = Array.fill(p.bands)(leShort(p.bitsPerSample)).flatten
       addBig(258, TShort, p.bands, bits)
-      add(259, TShort, 1, shortVal(if (p.deflate) 8 else 1))
+      add(259, TShort, 1, shortVal(if (p.ccitt) 4 else if (p.deflate) 8 else 1))
       add(262, TShort, 1, shortVal(p.photometricCode))
       add(277, TShort, 1, shortVal(p.bands))
       add(284, TShort, 1, shortVal(2)) // planar = separate (INTERLEAVE=BAND)
+      if (p.ccitt) add(293, TLong, 1, longVal(0)) // T6Options: no extensions
       add(322, TLong, 1, longVal(p.tileWidth))
       add(323, TLong, 1, longVal(p.tileHeight))
       addBig(324, TLong, nTiles, offsets.flatMap(o => leInt(o.toInt)))
@@ -346,7 +354,10 @@ object GeoTiff {
         val payload = new Array[Byte](tileCounts(idx).toInt)
         raf.readFully(payload)
         val nPx = p.tileWidth * p.tileHeight
-        val raw = if (p.deflate) inflate(payload, p.tileByteSize) else payload
+        val raw =
+          if (p.ccitt) CcittG4.decode(payload, p.tileWidth, p.tileHeight, p.bytesPerRow)
+          else if (p.deflate) inflate(payload, p.tileByteSize)
+          else payload
         decode(raw, nPx)
       } finally raf.close()
     }
@@ -462,11 +473,14 @@ object GeoTiff {
         case (32, 3) => "float32"; case (64, 3) => "float64"
         case other => throw new IllegalArgumentException(s"unsupported sample $other")
       }
-      // only NONE (1) and DEFLATE (8) decode here — anything else (LZW,
-      // PackBits, JPEG…) must fail fast instead of yielding garbage pixels
+      // only NONE (1), CCITT G4 (4, bilevel), and DEFLATE (8) decode here —
+      // anything else (LZW, PackBits, JPEG…) must fail fast instead of
+      // yielding garbage pixels
       val compression = scalar(259, 1)
-      require(compression == 1 || compression == 8,
-        s"unsupported TIFF compression $compression in $path (only none=1, deflate=8)")
+      require(compression == 1 || compression == 8 ||
+          (compression == 4 && bits == 1),
+        s"unsupported TIFF compression $compression in $path " +
+          "(only none=1, ccitt-g4=4 bilevel, deflate=8)")
       val scale = doubles(33550)
       val tiepoint = doubles(33922)
       val geoKeys = array(34735)
@@ -484,6 +498,7 @@ object GeoTiff {
         xres = if (scale.nonEmpty) scale(0) else 1,
         yres = if (scale.length > 1) scale(1) else 1,
         deflate = compression == 8,
+        ccitt = compression == 4,
         nbits = if (bits < 8) Some(bits) else None,
         photometric = scalar(262, 1) match {
           case 0 => Some("MINISWHITE"); case 2 => Some("RGB"); case 3 => Some("PALETTE")

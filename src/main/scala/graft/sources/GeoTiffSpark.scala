@@ -38,13 +38,11 @@ object GeoTiffSpark {
     val epsg = if (grid.crs == "EPSG:3857") 3857 else 4326
     val (xres, yres, cols, block) = (grid.xres, grid.yres, grid.cols, grid.blockSize)
     // NBITS reaches the writer (sub-byte widths bit-pack, data_type.py:112-149);
-    // the one creation option the pure-JVM codec normalizes is CCITTFAX4 →
-    // DEFLATE for boolean, stated loudly rather than silently
+    // CCITTFAX4 routes boolean tiles through the pure-JVM Group-4 codec
+    // (data_type.py:122-124) — the full byte-parity lowering, no fallback
     val ptNbits = pt.nbits
     val photometric = spec.photometric
-    if (pt.compression == "CCITTFAX4")
-      System.err.println("[graft] CCITTFAX4 is not implemented by the JVM codec; " +
-        "boolean tiles are written 1-bit DEFLATE instead")
+    val ccitt = pt.compression == "CCITTFAX4"
     val viaFs = outDir.contains("://")
     if (viaFs) {
       val p = new org.apache.hadoop.fs.Path(outDir)
@@ -71,7 +69,7 @@ object GeoTiffSpark {
               width = cols, height = cols, bands = bandCount, dataType = dataType,
               tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
               originX = left, originY = top, xres = xres, yres = yres,
-              nbits = ptNbits, photometric = photometric)
+              nbits = ptNbits, photometric = photometric, ccitt = ccitt)
             writer = new GeoTiff.Writer(localPath, profile)
           }
           val br = r.getInt(3); val bc = r.getInt(4)

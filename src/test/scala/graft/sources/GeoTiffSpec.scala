@@ -113,6 +113,41 @@ class GeoTiffSpec extends SparkSpec {
     assert(p.bitsPerSample == 1)
   }
 
+  test("CCITT Group 4 round-trips bilevel tiles and tags compression=4") {
+    // patterned bilevel content: runs, isolated pixels, full/empty rows —
+    // the shapes that exercise pass / vertical / horizontal G4 modes
+    val patterns = Seq(
+      Array.tabulate(256)(i => ((i / 16 + i % 16) % 2).toDouble),       // checker
+      Array.tabulate(256)(i => (if ((i % 16) < 8) 1 else 0).toDouble),  // half rows
+      Array.tabulate(256)(i => (if (i % 37 == 0) 1 else 0).toDouble),   // sparse dots
+      Array.fill(256)(1.0),                                             // all black
+      Array.fill(256)(0.0),                                             // all white
+      Array.tabulate(256)(i => (if ((i * 2654435761L & 16) != 0) 1 else 0).toDouble))
+    for ((v, k) <- patterns.zipWithIndex) {
+      val path = tmp(s"rt_ccitt$k.tif")
+      val p = profile("boolean").copy(nbits = Some(1), ccitt = true,
+        photometric = Some("MINISWHITE"))
+      val w = new GeoTiff.Writer(path, p)
+      for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, v)
+      w.close()
+      val t = GeoTiff.open(path)
+      assert(t.profile.ccitt && !t.profile.deflate, s"pattern $k compression tag")
+      assert(t.profile.bitsPerSample == 1)
+      assert(t.readTile(1, 0, 0).sameElements(v), s"pattern $k payload")
+      assert(t.readTile(1, 1, 1).sameElements(v), s"pattern $k tile(1,1)")
+    }
+    // wider-than-64 runs exercise makeup codes (tile width 16 → per-row
+    // runs stay short; test the run coder directly at width 2560+)
+    val wideW = 2700; val bpr = (wideW + 7) / 8
+    val packed = new Array[Byte](bpr * 2)
+    for (p0 <- 70 until 2700) // row 0: white 0..69, black 70..2699
+      packed(p0 >> 3) = (packed(p0 >> 3) | (1 << (7 - (p0 & 7)))).toByte
+    val enc = CcittG4.encode(packed, wideW, 2, bpr)
+    assert(CcittG4.decode(enc, wideW, 2, bpr).sameElements(packed))
+    // CCITT on a non-bilevel profile is rejected loudly
+    intercept[IllegalArgumentException](profile("uint16").copy(ccitt = true).bitsPerSample)
+  }
+
   test("profile survives the IFD: dtype, nodata, grid origin, resolution, tiling, compression") {
     val path = tmp("meta.tif")
     val w = new GeoTiff.Writer(path, profile("uint16", Some(42.0)))
