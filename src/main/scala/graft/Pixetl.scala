@@ -221,27 +221,50 @@ object PixetlPrep {
     val (flags, uris) = args.partition(_.startsWith("--"))
     val dest = flags.collectFirst { case f if f.startsWith("--dest=") => f.drop(7) }
       .getOrElse("out")
-    require(uris.nonEmpty, "usage: pixetl_prep [--dest=DIR] <uri.tif>…")
+    val mergeExisting = flags.contains("--merge_existing")
+    require(uris.nonEmpty,
+      "usage: pixetl_prep [--dest=DIR] [--merge_existing] <uri.tif>…")
     val spark = GraftSession.local("pixetl_prep")
     try {
-      import graft.functions.{GeoFunctions, GeomUnionAgg}
-      import org.apache.spark.sql.functions._
-      val cat = GeoTiffSpark.harvestCatalog(spark, uris.toSeq)
-      val tiles = cat.select(col("uri"),
-        GeoFunctions.st_asGeoJson(col("footprint")).as("geometry"))
-        .orderBy("uri").collect()
-        .map(r => s"""{"type":"Feature","geometry":${r.getString(1)},""" +
-          s""""properties":{"name":"${r.getString(0)}"}}""")
-      val extent = cat.agg(GeomUnionAgg.column(col("footprint")).as("u"))
-        .select(GeoFunctions.st_asGeoJson(col("u"))).collect()(0).getString(0)
-      Files.createDirectories(Paths.get(dest))
-      Files.writeString(Paths.get(s"$dest/tiles.geojson"),
-        s"""{"type":"FeatureCollection","features":[${tiles.mkString(",")}]}""")
-      Files.writeString(Paths.get(s"$dest/extent.geojson"),
-        s"""{"type":"FeatureCollection","features":[{"type":"Feature","geometry":$extent,"properties":{}}]}""")
+      run(spark, dest, uris.toSeq, mergeExisting)
       sys.exit(0)
     } catch {
       case e: Throwable => System.err.println(s"pixetl_prep failed: ${e.getMessage}"); sys.exit(1)
     } finally spark.stop()
+  }
+
+  /** Build tiles.geojson + extent.geojson at `dest` from the harvested
+    * uris. With `mergeExisting`, features already listed in
+    * `dest/tiles.geojson` are CARRIED OVER into the new manifests —
+    * the reference's `--merge_existing` (`pixetl_prep.py:39-53`, merged
+    * as processed + existing in `utils/upload_geometries.py:41-44`);
+    * a uri present in both keeps its freshly harvested footprint. */
+  def run(spark: org.apache.spark.sql.SparkSession, dest: String,
+          uris: Seq[String], mergeExisting: Boolean = false): Unit = {
+    import graft.functions.{GeoFunctions, GeomUnionAgg}
+    import org.apache.spark.sql.functions._
+    val cat = GeoTiffSpark.harvestCatalog(spark, uris)
+      .select(col("uri"), col("footprint"))
+    val existingManifest = s"$dest/tiles.geojson"
+    val all =
+      if (mergeExisting && graft.sources.Catalog.exists(spark, existingManifest)) {
+        val existing = graft.sources.Catalog
+          .fromTilesGeojson(spark, existingManifest)
+          .select(col("uri"), col("footprint"))
+          .join(cat.select("uri"), Seq("uri"), "left_anti")
+        cat.unionByName(existing)
+      } else cat
+    val tiles = all.select(col("uri"),
+      GeoFunctions.st_asGeoJson(col("footprint")).as("geometry"))
+      .orderBy("uri").collect()
+      .map(r => s"""{"type":"Feature","geometry":${r.getString(1)},""" +
+        s""""properties":{"name":"${r.getString(0)}"}}""")
+    val extent = all.agg(GeomUnionAgg.column(col("footprint")).as("u"))
+      .select(GeoFunctions.st_asGeoJson(col("u"))).collect()(0).getString(0)
+    Files.createDirectories(Paths.get(dest))
+    Files.writeString(Paths.get(s"$dest/tiles.geojson"),
+      s"""{"type":"FeatureCollection","features":[${tiles.mkString(",")}]}""")
+    Files.writeString(Paths.get(s"$dest/extent.geojson"),
+      s"""{"type":"FeatureCollection","features":[{"type":"Feature","geometry":$extent,"properties":{}}]}""")
   }
 }

@@ -10,6 +10,49 @@ import org.apache.commons.io.FileUtils
   * in-process Spark jobs on one session. */
 class SubmitJobE2ESpec extends SparkSpec {
 
+  test("pixetl_prep --merge_existing supersets the old and new manifests") {
+    val work = new java.io.File("target/tmp/preprep")
+    FileUtils.deleteQuietly(work)
+    work.mkdirs()
+    val dest = new java.io.File(work, "dest").getAbsolutePath
+    def writeTif(name: String, originX: Double): String = {
+      val path = new java.io.File(work, name).getAbsolutePath
+      val p = GeoTiff.Profile(width = 16, height = 16, bands = 1,
+        dataType = "uint16", tileWidth = 16, tileHeight = 16,
+        noData = Some(0.0), epsg = 4326,
+        originX = originX, originY = 10.0, xres = 0.5, yres = 0.5)
+      val w = new GeoTiff.Writer(path, p)
+      w.writeTile(1, 0, 0, Array.fill(256)(3.0))
+      w.close()
+      path
+    }
+    val first = writeTif("first.tif", originX = -10.0) // extent [-10,-2]
+    val second = writeTif("second.tif", originX = 20.0) // extent [20,28]
+
+    PixetlPrep.run(spark, dest, Seq(first))
+    val manifest1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/tiles.geojson"))
+    assert(manifest1.contains("first.tif") && !manifest1.contains("second.tif"))
+
+    // merge: the new manifest must superset BOTH inputs
+    PixetlPrep.run(spark, dest, Seq(second), mergeExisting = true)
+    val merged = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/tiles.geojson"))
+    assert(merged.contains("first.tif") && merged.contains("second.tif"),
+      s"merged manifest must keep the existing feature: $merged")
+    // extent union spans both rasters
+    val extent = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/extent.geojson"))
+    assert(extent.contains("-10") && extent.contains("28"), extent)
+
+    // without the flag, a re-run OVERWRITES (reference default:
+    // ignore_existing_tiles) — first.tif drops out
+    PixetlPrep.run(spark, dest, Seq(second))
+    val fresh = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/tiles.geojson"))
+    assert(!fresh.contains("first.tif") && fresh.contains("second.tif"))
+  }
+
   test("depends_on chain: base job publishes, dependent resamples its manifest") {
     val work = new java.io.File("target/tmp/submitjob")
     FileUtils.deleteQuietly(work)
