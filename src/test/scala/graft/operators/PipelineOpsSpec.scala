@@ -125,6 +125,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(partial.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
 
+  test("k-means converges to the fixed-centroid assignment on a separable corpus") {
+    // e5 stays rows-only in the correctness ledger (float centroids drift
+    // across engines); this pins the CONVERGENCE instead: on well-separated
+    // clusters, learned centroids must induce the exact same partition as
+    // the ground-truth cluster means (the e7 fixed-centroid machinery).
+    val base = Seq(Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0), Array(0.0, 0.0, 10.0))
+    val rows = (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, d) => (x + ((i * 7 + d) % 5) * 0.1).toFloat })
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val learned = Similarity.kmeansCentroids(vecs, k = 3, iters = 5)
+    // ground-truth means per true cluster, cast to the fixed-centroid shape
+    val truth = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((_, members), cid) =>
+        val dim = members.head._2.length
+        (cid, (0 until dim).map(d => members.map(_._2(d).toDouble).sum / members.size))
+    }
+    def assign(cents: Seq[(Int, Seq[Double])]): Map[Long, Int] =
+      vecs.select(col("vec_id"),
+          Similarity.nearestCentroid(col("embedding").cast("array<double>"), cents).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val la = assign(learned)
+    val ta = assign(truth)
+    // same PARTITION (cluster ids may permute): group the vec_ids and compare
+    def partition(a: Map[Long, Int]): Set[Set[Long]] =
+      a.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    assert(partition(la) == partition(ta),
+      s"learned partition ${partition(la)} != ground truth ${partition(ta)}")
+    // and the learned centroids ARE the cluster means (converged, not just
+    // compatible): every learned centroid coincides with one truth mean
+    for ((_, c) <- learned)
+      assert(truth.exists { case (_, t) =>
+        t.zip(c).map { case (a, b) => math.abs(a - b) }.max < 1e-9
+      }, s"centroid $c not at a cluster mean")
+  }
+
   test("int8 quantization: scale-invariant codes, zero vector → zeros") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
