@@ -12,7 +12,16 @@ import org.apache.spark.sql.functions._
   */
 class CachingSpec extends SparkSpec {
 
-  private def assertReleasesClean(label: String)(body: => Long): Unit = {
+  /** The emptiness assertions below are about the operators under test, not
+    * about every suite that shared this JVM's session before this one ran —
+    * earlier suites may legitimately leave application-owned caches behind.
+    * Start each test from a clean cache manager so the claim stays sharp. */
+  private def withCleanCache(body: => Unit): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    body
+  }
+
+  private def assertReleasesClean(label: String)(body: => Long): Unit = withCleanCache {
     val n = Caching.scoped(spark) {
       val rows = body
       assert(rows >= 0)
@@ -89,6 +98,7 @@ class CachingSpec extends SparkSpec {
   }
 
   test("release is surgical: application-owned caches survive") {
+    withCleanCache {
     val mine = docs.persist()
     try {
       mine.count()
@@ -101,11 +111,14 @@ class CachingSpec extends SparkSpec {
       assert(mine.storageLevel.useMemory,
         "the application-owned cache entry must survive release")
     } finally mine.unpersist()
+    }
   }
 
   test("release tolerates repeated and empty invocations") {
-    Caching.release(spark)
-    Caching.release(spark)
-    assert(spark.sharedState.cacheManager.isEmpty)
+    withCleanCache {
+      Caching.release(spark)
+      Caching.release(spark)
+      assert(spark.sharedState.cacheManager.isEmpty)
+    }
   }
 }
