@@ -119,6 +119,9 @@ object SparkEntry {
     "x7_interval_join"    -> (Q.x7_interval_join(_, _)),
     "x8_pivot"            -> (Q.x8_pivot(_, _)),
     "x9_gap_fill"         -> (Q.x9_gap_fill(_, _)),
+    "x10_funnel"          -> (Q.x10_funnel(_, _)),
+    "x11_retention"       -> (Q.x11_retention(_, _)),
+    "x12_cube"            -> (Q.x12_cube(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
@@ -1126,6 +1129,54 @@ object SparkEntry {
         .na.fill(0, Seq("n"))
         .orderBy("user_id", "h")
     }
+
+    /** Funnel: view → click → purchase with a 24 h per-step conversion
+      * window; first-touch anchors, strictly-increasing timestamps. All
+      * shuffles keyed on user_id (see [[graft.operators.Funnel]]). */
+    def x10_funnel(s: SparkSession, d: String): DataFrame =
+      graft.operators.Funnel.counts(Tables.events(s, d),
+          stages = Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        .orderBy("stage_idx")
+
+    /** Cohort retention: cohort = calendar day of each user's first event;
+      * n_users = distinct users of that cohort active again `day_offset`
+      * days later. Two aggregates and one user-keyed join — the cohort
+      * relation is user-cardinality, never event-cardinality; the day is
+      * projected once so the distinct is over (user, cohort, offset)
+      * triples. Cohort serializes as VARCHAR so the driver hash never
+      * rides on engine DATE encodings. */
+    def x11_retention(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.join(cohorts, "user_id")
+        .select(col("user_id"), col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort").cast("string").as("cohort"),
+          col("day_offset").cast("int").as("day_offset"), col("n_users"))
+        .orderBy("cohort", "day_offset")
+    }
+
+    /** CUBE: all 2^2 grouping combinations over (returnflag, linestatus)
+      * in ONE aggregate pass (Catalyst expands the grouping sets map-side;
+      * no union of four scans). Rollup-null cells surface as 'ALL' so the
+      * oracle never compares engine NULL orderings; the grouping id
+      * disambiguates a genuine 'ALL' value from a rolled-up one.
+      * l_quantity values are integral doubles, so the BIGINT-cast sum is
+      * exact in any accumulation order. */
+    def x12_cube(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls")
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
       * reporting shape. Explicit pivot values keep the plan a single
@@ -2218,6 +2269,45 @@ object SparkEntry {
           |SELECT spine.user_id, spine.h, coalesce(c.n, 0) AS n
           |FROM spine LEFT JOIN c USING (user_id, h)
           |ORDER BY 1, 2""".stripMargin,
+
+      "x10_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+          |       WHERE e.event_type = 'click' GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |       JOIN s2 ON e.user_id = s2.user_id
+          |        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 86400 SECOND
+          |       WHERE e.event_type = 'purchase' GROUP BY 1)
+          |SELECT stage_idx, stage, n_entities FROM (
+          |  SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+          |         CAST(count(*) AS BIGINT) AS n_entities FROM s1
+          |  UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2
+          |  UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+          |ORDER BY stage_idx""".stripMargin,
+
+      "x11_retention" ->
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          |c AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+          |act AS (SELECT DISTINCT ev.user_id, c.cohort,
+          |               datediff('day', c.cohort, ev.day) AS day_offset
+          |        FROM ev JOIN c ON ev.user_id = c.user_id)
+          |SELECT CAST(cohort AS VARCHAR) AS cohort,
+          |       CAST(day_offset AS INT) AS day_offset,
+          |       CAST(count(*) AS BIGINT) AS n_users
+          |FROM act GROUP BY cohort, day_offset
+          |ORDER BY cohort, day_offset""".stripMargin,
+
+      "x12_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS ls,
+          |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY gid, rf, ls""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
