@@ -92,6 +92,8 @@ object SparkEntry {
     "t9_rep_signals"      -> (Q.t9_rep_signals(_, _)),
     "t18_dedup_report"    -> (Q.t18_dedup_report(_, _)),
     "t19_bpe_pairs"       -> (Q.t19_bpe_pairs(_, _)),
+    "t20_bm25"            -> (Q.t20_bm25(_, _)),
+    "e8_rrf"              -> (Q.e8_rrf(_, _)),
     "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
     "t11_pii_scrub"       -> (Q.t11_pii_scrub(_, _)),
     "t12_domain_stats"    -> (Q.t12_domain_stats(_, _)),
@@ -868,6 +870,43 @@ object SparkEntry {
         .orderBy("rank")
     }
 
+    /** BM25 retrieval: the whole corpus ranked against a fixed 3-term
+      * query, top 20. Ranking key = the integer micro-unit score (ties by
+      * doc_id), so rank is replayable bit-for-bit; top-k goes through
+      * orderBy+limit (distributed TakeOrdered — no single-partition sort
+      * of the scored corpus), then the 20 survivors get rank numbers. */
+    def t20_bm25(s: SparkSession, d: String): DataFrame = {
+      val scored = TextOps.bm25(Tables.documents(s, d),
+        Seq("spark", "vector", "merge"))
+      scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("n_terms").cast("long").as("n_terms"),
+          col("bm25"), col("rank"))
+        .orderBy("rank")
+    }
+
+    /** Hybrid retrieval via reciprocal-rank fusion: dense ranker = brute
+      * cosine top-50 around query vector 0, lexical ranker = BM25 top-50
+      * for the fixed term query (doc ids and vec ids share the id space).
+      * Fusion is exact integer nano-unit arithmetic (see
+      * [[Similarity.rrfFuse]]); output = fused top 20 with consensus
+      * count. */
+    def e8_rrf(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      val lexical = TextOps.bm25(Tables.documents(s, d), Seq("spark", "vector", "merge"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(dense, lexical))
+        .filter(col("rank") <= 20)
+        .select(col("id"), col("rrf_nano"), col("n_lists"), col("rank"))
+        .orderBy("rank")
+    }
+
     /** Per-source duplication report — the corpus-health summary a curation
       * run publishes: doc counts, distinct-text counts (distinct on the
       * 32-byte digest, never the text), and the dup rate. */
@@ -1275,6 +1314,25 @@ object SparkEntry {
         val (a, b) = PortableHash.perm(i)
         s"min((h * $a + $b) % $P) AS mh$i"
       }.mkString(", ")
+
+    /** Shared BM25 CTE chain — the DuckDB twin of `TextOps.bm25` for the
+      * fixed query ('spark','vector','merge'): identical float evaluation
+      * order, per-term micro quantization before the per-doc sum. Feeds
+      * t20 and the lexical leg of e8. */
+    private val bm25Ctes: String =
+      s"""tok AS (SELECT doc_id, unnest($tokExpr) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |bm AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    sum(CAST(floor(ln(1.0 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5))
+         |        * t.tf * (1.2 + 1.0)
+         |        / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / s.avgdl))
+         |        * 1e6 + 0.5) AS BIGINT)) AS score_micro
+         |  FROM tf t JOIN dfq d2 USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+         |  WHERE t.tok IN ('spark', 'vector', 'merge')
+         |  GROUP BY 1)""".stripMargin
 
     /** Shared CTE chain documents → minhash `sigs` → capped LSH buckets →
       * candidate pairs `cand` (doc1 < doc2) — the DuckDB twin of
@@ -1931,6 +1989,31 @@ object SparkEntry {
            |FROM cand JOIN sigs s1 ON s1.doc_id = doc1
            |          JOIN sigs s2 ON s2.doc_id = doc2
            |ORDER BY doc1, doc2""".stripMargin,
+
+      "t20_bm25" ->
+        s"""WITH $bm25Ctes,
+           |ranked AS (SELECT doc_id, n_terms, round(score_micro / 1e6, 4) AS bm25,
+           |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           |  FROM bm)
+           |SELECT doc_id, n_terms, bm25, rank FROM ranked
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      "e8_rrf" ->
+        s"""WITH $bm25Ctes,
+           |dq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+           |dc AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id != 0),
+           |dsc AS (SELECT vec_id AS id,
+           |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rawcos
+           |  FROM dq CROSS JOIN dc),
+           |dr AS (SELECT id, row_number() OVER (ORDER BY rawcos DESC, id) AS rank FROM dsc),
+           |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank FROM bm),
+           |u AS (SELECT id, 1000000000 // (60 + rank) AS c FROM dr WHERE rank <= 50
+           |      UNION ALL SELECT id, 1000000000 // (60 + rank) FROM lr WHERE rank <= 50),
+           |f AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_nano, CAST(count(*) AS BIGINT) AS n_lists
+           |      FROM u GROUP BY 1),
+           |fr AS (SELECT id, rrf_nano, n_lists,
+           |    CAST(row_number() OVER (ORDER BY rrf_nano DESC, id) AS INT) AS rank FROM f)
+           |SELECT id, rrf_nano, n_lists, rank FROM fr WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
       "t16_posting_lists" ->
         s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents)

@@ -224,4 +224,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion of any number of rankers over a shared id
+    * space — the standard way to combine a lexical retriever (BM25) with a
+    * dense one (cosine ANN) without calibrating their score scales:
+    * RRF(d) = Σ_lists 1/(k0 + rank_list(d)), k0 = 60 (Cormack et al.'s
+    * constant).
+    *
+    * Each term is quantized to integer NANO-units via floor division
+    * (10⁹ div (k0 + rank)) before the sum, so fusion is exact integer
+    * arithmetic replayable by any engine — no float accumulation, and the
+    * fused ordering is total (ties broken by id). `n_lists` reports how
+    * many rankers surfaced the id (a useful quality signal: consensus vs
+    * single-retriever hits).
+    *
+    * Scale shape: a union of the (already tiny, top-k-sized) rank lists
+    * and ONE hash aggregate on the id — no join grows with corpus size;
+    * fusing r rankers of depth k touches r·k rows regardless of the corpus
+    * behind them. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val nano = rankings.map(_.select(col("id"),
+      expr(s"CAST(1000000000 div ($k0 + rank) AS BIGINT)").as("__c")))
+    val fused = nano.reduce(_.unionAll(_))
+      .groupBy("id")
+      .agg(sum("__c").as("rrf_nano"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_nano").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w))
+  }
 }

@@ -274,6 +274,52 @@ object TextOps {
       .select("doc_id", "tok", "tf", "df", "tfidf")
   }
 
+  /** Okapi BM25 relevance of every document to a fixed bag-of-words query —
+    * the retrieval scorer of a data-selection pipeline (rank a 100 TB corpus
+    * against a target distribution / seed set, keep the head). k1 = 1.2,
+    * b = 0.75 (the standard constants);
+    * idf(t) = ln(1 + (N − df + ½)/(df + ½)) is the non-negative variant.
+    *
+    * Exactness discipline (same as [[unigramSurprisal]]): every per-term
+    * partial score quantizes to integer micro-units BEFORE the per-doc sum,
+    * so the aggregate is order-independent integer arithmetic — the only
+    * float ops are per-row scalar expressions both engines evaluate
+    * identically. `score_micro` is the ranking key (ties by doc id);
+    * `bm25` is its 4-decimal display form.
+    *
+    * Scale shape: the corpus explodes once into the (doc, term, tf)
+    * relation every other text op already shuffles; df and the (N, avgdl)
+    * pair are vocabulary- and 1-row-sized broadcasts; the query-term filter
+    * prunes the scored relation to |q| rows per doc BEFORE any join. No
+    * per-query corpus pass: `queryTerms` is a plan-time literal set, so
+    * scoring k queries batches into one scan with a query-id column. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    // tf feeds doc lengths, document frequencies, AND the scored relation —
+    // pin it once (vocabulary × doc sized, the cheap thing at 100 TB)
+    val tf = graft.core.Caching.shared(
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.filter(col("tok").isin(queryTerms: _*))
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__term",
+        col("__idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("__micro", floor(col("__term") * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("__micro").as("score_micro"))
+      .select(col("doc_id"), col("n_terms"), col("score_micro"),
+        round(col("score_micro").cast("double") / 1e6, 4).as("bm25"))
+  }
+
   /** PII patterns shared with the oracle dialect — RE2-safe (no
     * lookaround, no backreferences), so the same strings run under Java
     * regex and DuckDB. Heuristic-detector shape, not a compliance tool. */

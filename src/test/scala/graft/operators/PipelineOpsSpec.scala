@@ -360,6 +360,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("bm25 matches hand computation and ranks rarer terms higher") {
+    val corpus = Seq(
+      (1L, "a a b"),   // tf(a)=2, dl=3
+      (2L, "a c"),     // tf(a)=1, tf(c)=1, dl=2
+      (3L, "b b b")    // no query terms
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25(corpus, Seq("a", "c")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no query term
+    // N=3, avgdl=8/3; df(a)=2 → idf=ln(1+1.5/2.5); df(c)=1 → idf=ln(1+2.5/1.5)
+    def term(tf: Double, df: Double, dl: Double): Long = {
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      val t = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3.0)))
+      math.floor(t * 1e6 + 0.5).toLong
+    }
+    def disp(micro: Long): Double =
+      BigDecimal(micro / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, term(2, 2, 3), disp(term(2, 2, 3)))))
+    val d2 = term(1, 2, 2) + term(1, 1, 2)
+    assert(got(2L)._1 == 2L && got(2L)._2 == d2)
+    // the rare term c dominates: doc 2 outranks doc 1
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("rrfFuse: integer nano fusion, consensus count, total order") {
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val r2 = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val fused = Similarity.rrfFuse(Seq(r1, r2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    def c(rank: Int): Long = 1000000000L / (60 + rank)
+    assert(fused(10L) == ((c(1) + c(2), 2L, 1)))  // 1/61+1/62 beats 1/61+1/62? see below
+    assert(fused(20L) == ((c(2) + c(1), 2L, 2)))  // same mass, id tiebreak
+    assert(fused(30L) == ((c(3), 1L, 3)))
+    assert(fused(40L) == ((c(3), 1L, 4)))
+  }
+
   test("fingerprint is order-sensitive (rolling-hash class)") {
     val df = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
     val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
