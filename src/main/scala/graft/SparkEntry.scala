@@ -50,6 +50,7 @@ object SparkEntry {
     "g1_distance_join"    -> (Q.g1_distance_join(_, _)),
     "g2_dbscan"           -> (Q.g2_dbscan(_, _)),
     "g3_triangle_count"   -> (Q.g3_triangle_count(_, _)),
+    "g4_pagerank"         -> (Q.g4_pagerank(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -434,6 +435,23 @@ object SparkEntry {
         .filter(col("lid") < col("rid"))
         .select(col("lid").as("doc1"), col("rid").as("doc2"))
       graft.operators.Graph.triangles(edges).orderBy("id")
+    }
+
+    /** PageRank over a deterministic citation graph (each doc links to two
+      * hash-derived targets, so both engines build the identical edge set
+      * from the corpus alone). Five exact integer-micro iterations — see
+      * [[graft.operators.Graph.pagerank]]; the oracle replays them as five
+      * unrolled CTEs. */
+    def g4_pagerank(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
+      graft.operators.Graph.pagerank(edges, iters = 5)
+        .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+        .orderBy("doc_id")
     }
 
     /** Horn slope over the packed grid (cellSize 1): both gradients are
@@ -1612,6 +1630,29 @@ object SparkEntry {
           |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
           |v AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
           |SELECT id, count(*) AS n_triangles FROM v GROUP BY id ORDER BY id""".stripMargin,
+
+      "g4_pagerank" -> {
+        // five unrolled iterations of the exact integer-micro recurrence —
+        // teleport 10^6/8 = 125000, contribution (rank*7) // (8*outdeg)
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (SELECT n2.id, CAST(125000 + coalesce(m.mass, 0) AS BIGINT) AS rank
+             |  FROM nodes n2 LEFT JOIN (
+             |    SELECT adj.dst AS id, sum(r${k - 1}.rank * 7 // (8 * adj.outdeg)) AS mass
+             |    FROM adj JOIN r${k - 1} ON adj.src = r${k - 1}.id GROUP BY 1) m
+             |  ON n2.id = m.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM documents, nn
+           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn)),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |adj AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+           |$iters
+           |SELECT id AS doc_id, rank AS rank_micro FROM r5 ORDER BY doc_id""".stripMargin
+      },
 
       "r4_resample_med" ->
         """WITH fine AS (

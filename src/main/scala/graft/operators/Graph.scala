@@ -34,4 +34,53 @@ object Graph {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-iteration PageRank in EXACT integer arithmetic — the authority
+    * score a curation pipeline runs over link/citation/duplicate graphs to
+    * weight sources. Ranks live in micro-units (10⁶ = rank 1.0); damping
+    * is a rational dampNum/dampDen (default 7/8 — dyadic, so the teleport
+    * term (10⁶·(dampDen−dampNum)) div dampDen is exact); each vertex's
+    * per-edge contribution is (rank·dampNum) div (dampDen·outdeg), integer
+    * floor division any engine replays bit-for-bit. No float accumulates
+    * anywhere, so shuffle order can never perturb a rank — the property
+    * that makes the result oracle-checkable (g4) where classic
+    * double-precision PageRank is not.
+    *
+    * Dangling vertices (no out-edges) keep only the teleport term and leak
+    * the rest of their mass, as in the textbook formulation without
+    * dangling redistribution — callers who need mass conservation add
+    * self-loops first. Floor-division remainders also leak (≤ outdeg − 1
+    * micro-units per vertex per round): total mass drifts down by parts
+    * per million, which cancels in ranking use.
+    *
+    * Scale shape: one shuffle per iteration (contribution aggregate keyed
+    * on dst) plus the vertex-keyed join back; the adjacency relation with
+    * its outdeg column is pinned once and re-read every round;
+    * localCheckpoint between rounds keeps the logical plan flat (the
+    * [[graft.operators.Dedup.components]] discipline). High-degree hubs
+    * are ordinary aggregate skew — map-side combine absorbs them. */
+  def pagerank(edges: DataFrame, iters: Int = 5,
+               dampNum: Long = 7, dampDen: Long = 8): DataFrame = {
+    require(iters >= 1, "pagerank needs at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0, 1)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = graft.core.Caching.shared(e.join(deg, "src"))
+    val nodes = graft.core.Caching.shared(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val teleport = 1000000L * (dampDen - dampNum) / dampDen
+    var r = nodes.select(col("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val mass = adj.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr(s"rank * $dampNum div ($dampDen * outdeg)").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__mass"))
+      r = nodes.join(mass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("__mass"), lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
 }

@@ -360,6 +360,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("pagerank: a cycle is an exact fixed point of the integer recurrence") {
+    // a→b→c→a, outdeg 1 everywhere: contribution = 1e6*7 div 8 = 875000,
+    // rank = 125000 + 875000 = 1000000 every round — bit-exact, no drift
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerank(edges, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("pagerank: hubs accumulate, dangling vertices keep teleport only") {
+    // 1→3, 2→3, 3 dangling. Round 1: r(3) = 125000 + 2*875000 = 1875000;
+    // r(1) = r(2) = 125000 (teleport only). Round 2+: r(3) = 125000 +
+    // 2*(125000*7 div 8) = 125000 + 2*109375 = 343750, then stationary.
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pagerank(edges, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 125000L && r(2L) == 125000L)
+    assert(r(3L) == 343750L)
+    val one = Graph.pagerank(edges, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(one(3L) == 1875000L)
+  }
+
+  test("pagerank deduplicates parallel edges and is deterministic") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = Graph.pagerank(edges, iters = 4).collect().map(_.toSeq).toSet
+    val b = Graph.pagerank(edges.repartition(7), iters = 4).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // symmetric 2-cycle: both vertices pin at 1e6 like any cycle
+    assert(a == Set(Seq(1L, 1000000L), Seq(2L, 1000000L)))
+  }
+
   test("bm25 matches hand computation and ranks rarer terms higher") {
     val corpus = Seq(
       (1L, "a a b"),   // tf(a)=2, dl=3
