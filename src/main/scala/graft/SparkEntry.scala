@@ -61,6 +61,7 @@ object SparkEntry {
     "a7_manifest_collect" -> (Q.a7_manifest_collect(_, _)),
     "a8_status_tally"     -> (Q.a8_status_tally(_, _)),
     "a9_zonal_stats"      -> (Q.a9_zonal_stats(_, _)),
+    "a10_region_label"    -> (Q.a10_region_label(_, _)),
     "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
     "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
     "w3_lag_delta"        -> (Q.w3_lag_delta(_, _)),
@@ -565,6 +566,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cells"), min("v").as("z_min"), max("v").as("z_max"),
           round(avg("v"), 4).as("z_mean"), sum("v").as("z_sum"))
         .orderBy("zone")
+    }
+
+    /** A10 (beyond-parity): connected-component labeling of same-valued
+      * zones on the a9 raster — GDAL's region-group/sieve primitive as
+      * shifted-key equi-joins + [[graft.operators.Dedup.components]];
+      * deterministic min-pixel-id labels, recursive-CTE closure oracle. */
+    def a10_region_label(s: SparkSession, d: String): DataFrame = {
+      val zones = pixels(s, d).groupBy("px", "py")
+        .agg(floor(max("value") / 10).cast("long").as("v"))
+      graft.operators.Regions.label(zones).orderBy("px", "py")
     }
 
     /** A8: status tally (pipe.py:137-168 status algebra). */
@@ -1630,6 +1641,28 @@ object SparkEntry {
           |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
           |v AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
           |SELECT id, count(*) AS n_triangles FROM v GROUP BY id ORDER BY id""".stripMargin,
+
+      "a10_region_label" ->
+        """WITH RECURSIVE cells AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py,
+          |    CAST(floor(max(l_quantity) / 10) AS BIGINT) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |ids AS (SELECT px, py, v, px * 1048576 + py AS id FROM cells),
+          |e AS (
+          |  SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
+          |    ON b.px = a.px + 1 AND b.py = a.py AND b.v = a.v
+          |  UNION ALL
+          |  SELECT a.id, b.id FROM ids a JOIN ids b
+          |    ON b.px = a.px AND b.py = a.py + 1 AND b.v = a.v),
+          |ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |reach AS (
+          |  SELECT src, dst FROM ee
+          |  UNION
+          |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src),
+          |lbl AS (SELECT src AS id, least(src, min(dst)) AS region FROM reach GROUP BY src)
+          |SELECT i.px, i.py, i.v, coalesce(l.region, i.id) AS region_id
+          |FROM ids i LEFT JOIN lbl l ON i.id = l.id
+          |ORDER BY px, py""".stripMargin,
 
       "g4_pagerank" -> {
         // five unrolled iterations of the exact integer-micro recurrence —
