@@ -42,6 +42,11 @@ object Projection {
     case 3857 => Some(WebMercator)
     case 5070 => Some(AlbersEqualArea.conus)
     case 3577 => Some(AlbersEqualArea.australia)
+    case 3031 => Some(PolarStereographic.antarctic)
+    case 3413 => Some(PolarStereographic.nsidcArctic)
+    case 3976 => Some(PolarStereographic.nsidcAntarctic)
+    case 2154 => Some(LambertConformalConic.lambert93)
+    case 3347 => Some(LambertConformalConic.canada)
     case z if z >= 32601 && z <= 32660 => Some(TransverseMercator.utm(z - 32600, north = true))
     case z if z >= 32701 && z <= 32760 => Some(TransverseMercator.utm(z - 32700, north = false))
     case _ => None
@@ -236,6 +241,167 @@ object Projection {
     def australia: AlbersEqualArea =
       AlbersEqualArea(6378137.0, grs80InvF, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0,
         Bounds(112.0, -44.0, 154.0, -9.0))
+  }
+
+  /** Shared conformal machinery (Snyder PP 1395 §3): the isometric
+    * auxiliary t(φ) both conformal conic/azimuthal families project
+    * through, and the closed series recovering φ from the conformal
+    * latitude χ (eq. 3-5) — no per-point iteration on the inverse. */
+  private[functions] trait ConformalMath {
+    def a: Double
+    def invF: Double
+    protected lazy val e2: Double = { val f = 1.0 / invF; f * (2 - f) }
+    protected lazy val e: Double = math.sqrt(e2)
+
+    /** Snyder eq. 15-9 / 21-33: t(φ) = tan(π/4 − φ/2) · [(1+e sinφ)/(1−e sinφ)]^(e/2). */
+    protected def tConf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+
+    /** Snyder eq. 14-15: m(φ) = cos φ / √(1 − e² sin² φ). */
+    protected def mAux(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+
+    /** Snyder eq. 3-5: φ from the conformal latitude χ. */
+    protected def phiFromChi(chi: Double): Double = {
+      val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e6 * e2
+      chi +
+        (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
+        (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
+        (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
+        (4279 * e8 / 161280) * math.sin(8 * chi)
+    }
+  }
+
+  /** Ellipsoidal Polar Stereographic, variant B (standard parallel form;
+    * Snyder PP 1395 §21, eqs. 21-33…21-41; EPSG method 9829) — the polar
+    * science grids: EPSG:3031/3976 (Antarctic), EPSG:3413 (NSIDC Arctic
+    * sea-ice). Conformal; scale true along `latTsDeg`. The south aspect is
+    * the north-aspect math on the mirrored latitude with the y axis
+    * flipped. Pole singularity: the pole itself maps to (FE, FN) and the
+    * inverse of that point returns λ0. */
+  final case class PolarStereographic(a: Double, invF: Double,
+                                      latTsDeg: Double, lon0Deg: Double,
+                                      falseEasting: Double, falseNorthing: Double,
+                                      areaOfUse: Bounds) extends Projection with ConformalMath {
+    require(latTsDeg != 0.0, "polar stereographic needs a polar standard parallel")
+    private val south = latTsDeg < 0
+    private val sgn = if (south) -1.0 else 1.0
+    private val lon0 = math.toRadians(lon0Deg)
+    private val tF = tConf(math.toRadians(math.abs(latTsDeg)))
+    private val mF = mAux(math.toRadians(math.abs(latTsDeg)))
+
+    def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-90.0, math.min(90.0, latDeg)) // inf/NaN clamp
+      val phi = sgn * math.toRadians(lat) // mirror for the south aspect
+      var dLam = math.toRadians(lngDeg) - lon0
+      while (dLam > math.Pi) dLam -= 2 * math.Pi
+      while (dLam < -math.Pi) dLam += 2 * math.Pi
+      val rho = a * mF * tConf(phi) / tF // eq. 21-34
+      (falseEasting + rho * math.sin(dLam),
+        falseNorthing - sgn * rho * math.cos(dLam))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseEasting
+      val yp = y - falseNorthing
+      val rho = math.hypot(xp, yp)
+      if (rho < 1e-9) return (lon0Deg, sgn * 90.0)
+      val tP = rho * tF / (a * mF) // eq. 21-39
+      val chi = math.Pi / 2 - 2 * math.atan(tP) // eq. 7-13
+      val phi = phiFromChi(chi)
+      val lam = lon0 + math.atan2(xp, -sgn * yp)
+      (math.toDegrees(lam), sgn * math.toDegrees(phi))
+    }
+  }
+
+  object PolarStereographic {
+    /** EPSG:3031 — WGS84 / Antarctic Polar Stereographic: lat_ts −71, λ0 0. */
+    def antarctic: PolarStereographic =
+      PolarStereographic(6378137.0, 298.257223563, -71.0, 0.0, 0.0, 0.0,
+        Bounds(-180, -90, 180, -60))
+    /** EPSG:3413 — WGS84 / NSIDC Sea Ice Polar Stereographic North:
+      * lat_ts 70, λ0 −45. */
+    def nsidcArctic: PolarStereographic =
+      PolarStereographic(6378137.0, 298.257223563, 70.0, -45.0, 0.0, 0.0,
+        Bounds(-180, 60, 180, 90))
+    /** EPSG:3976 — WGS84 / NSIDC Sea Ice Polar Stereographic South:
+      * lat_ts −70, λ0 0. */
+    def nsidcAntarctic: PolarStereographic =
+      PolarStereographic(6378137.0, 298.257223563, -70.0, 0.0, 0.0, 0.0,
+        Bounds(-180, -90, 180, -60))
+  }
+
+  /** Ellipsoidal Lambert Conformal Conic, 2SP (Snyder PP 1395 §15,
+    * eqs. 15-1…15-11; EPSG method 9802) — the national-grid family
+    * (Lambert-93 France, Statistics Canada LCC, US state planes).
+    * Conformal; scale true along both standard parallels. Southern cones
+    * (n < 0) flip ρ and the polar sector through the sign factors on the
+    * inverse. */
+  final case class LambertConformalConic(a: Double, invF: Double,
+                                         lat0Deg: Double, lon0Deg: Double,
+                                         sp1Deg: Double, sp2Deg: Double,
+                                         falseEasting: Double, falseNorthing: Double,
+                                         areaOfUse: Bounds) extends Projection with ConformalMath {
+    private val lon0 = math.toRadians(lon0Deg)
+    private val t1 = tConf(math.toRadians(sp1Deg))
+    private val t2 = tConf(math.toRadians(sp2Deg))
+    private val m1 = mAux(math.toRadians(sp1Deg))
+    private val m2 = mAux(math.toRadians(sp2Deg))
+    private val n =
+      if (math.abs(sp1Deg - sp2Deg) < 1e-12) math.sin(math.toRadians(sp1Deg))
+      else (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2)) // eq. 15-8
+    private val bigF = m1 / (n * math.pow(t1, n)) // eq. 15-10
+    private val rho0 = a * bigF * math.pow(tConf(math.toRadians(lat0Deg)), n)
+
+    private def rho(phi: Double): Double = {
+      val t = tConf(phi)
+      // the pole on the cone's side has t → 0: ρ → 0 (15-7 continuous limit)
+      if (t <= 0) 0.0 else a * bigF * math.pow(t, n)
+    }
+
+    def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-90.0, math.min(90.0, latDeg)) // inf/NaN clamp
+      val phi = math.toRadians(lat)
+      var dLam = math.toRadians(lngDeg) - lon0
+      while (dLam > math.Pi) dLam -= 2 * math.Pi
+      while (dLam < -math.Pi) dLam += 2 * math.Pi
+      val theta = n * dLam // eq. 14-4
+      val r = rho(phi)
+      (falseEasting + r * math.sin(theta),
+        falseNorthing + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseEasting
+      val yp = rho0 - (y - falseNorthing)
+      val sign = if (n >= 0) 1.0 else -1.0
+      val r = sign * math.hypot(xp, yp)
+      if (math.abs(r) < 1e-9) // apex: the pole on the cone's side
+        return (lon0Deg, math.signum(n) * 90.0)
+      val theta = math.atan2(sign * xp, sign * yp)
+      val tP = math.pow(r / (a * bigF), 1 / n) // eq. 15-11
+      val chi = math.Pi / 2 - 2 * math.atan(tP)
+      (math.toDegrees(lon0 + theta / n), math.toDegrees(phiFromChi(chi)))
+    }
+  }
+
+  object LambertConformalConic {
+    private val grs80InvF = 298.257222101
+    /** EPSG:2154 — RGF93 / Lambert-93: φ0 46.5, λ0 3, parallels 49 / 44,
+      * FE 700 000, FN 6 600 000, GRS80. */
+    def lambert93: LambertConformalConic =
+      LambertConformalConic(6378137.0, grs80InvF, 46.5, 3.0, 49.0, 44.0,
+        700000.0, 6600000.0, Bounds(-9.86, 41.15, 10.38, 51.56))
+    /** EPSG:3347 — NAD83 / Statistics Canada Lambert: φ0 63.390675,
+      * λ0 −91.866667, parallels 49 / 77, FE 6 200 000, FN 3 000 000. */
+    def canada: LambertConformalConic =
+      LambertConformalConic(6378137.0, grs80InvF, 63.390675, -91.8666666666667,
+        49.0, 77.0, 6200000.0, 3000000.0, Bounds(-141.0, 40.0, -52.6, 86.5))
   }
 
   /** Spherical sinusoidal (Snyder PP 1395 §30, eqs. 30-1/30-2): the MODIS

@@ -67,7 +67,7 @@ class ProjectionSpec extends AnyFunSuite {
 
   test("unknown CRS pairs still fail loudly") {
     intercept[IllegalArgumentException] {
-      Reproject.pointTransform("EPSG:2154", "EPSG:4326") // Lambert-93 not shipped
+      Reproject.pointTransform("EPSG:27700", "EPSG:4326") // OSGB not shipped
     }
   }
 
@@ -161,6 +161,119 @@ class ProjectionSpec extends AnyFunSuite {
     val (xe, _) = aus.forward(140.0, -25.0)
     val (x0, ys) = aus.forward(132.0, -25.0)
     assert(xe > 0 && math.abs(x0) < 1e-6 && ys < 0)
+  }
+
+  // ---- Polar stereographic / Lambert conformal conic ---------------------
+
+  /** Numeric local scale along a parallel: projected length of a tiny arc
+    * over its ellipsoidal length a·m(φ)·Δλ. */
+  private def parallelScale(p: Projection, lngDeg: Double, latDeg: Double): Double = {
+    val a = 6378137.0; val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    val dDeg = 1e-6
+    val (x0, y0) = p.forward(lngDeg, latDeg)
+    val (x1, y1) = p.forward(lngDeg + dDeg, latDeg)
+    val s = math.sin(math.toRadians(latDeg))
+    val trueLen = a * math.cos(math.toRadians(latDeg)) /
+      math.sqrt(1 - e2 * s * s) * math.toRadians(dDeg)
+    math.hypot(x1 - x0, y1 - y0) / trueLen
+  }
+
+  test("polar stereographic variant B reproduces the EPSG worked example") {
+    // IOGP Guidance Note 7-2, method 9829: WGS84, lat_ts −71, λ0 70°E,
+    // FE = FN = 6 000 000 → (120°E, 75°S) = (7 255 380.79 E, 7 053 389.56 N)
+    val p = Projection.PolarStereographic(6378137.0, 298.257223563,
+      -71.0, 70.0, 6000000.0, 6000000.0, Bounds(-180, -90, 180, -60))
+    val (x, y) = p.forward(120.0, -75.0)
+    assert(math.abs(x - 7255380.79) < 0.05, s"E = $x")
+    assert(math.abs(y - 7053389.56) < 0.05, s"N = $y")
+    val (l2, p2) = p.inverse(7255380.79, 7053389.56)
+    assert(math.abs(l2 - 120.0) < 1e-6 && math.abs(p2 + 75.0) < 1e-6)
+  }
+
+  test("polar stereographic: pole at origin, true scale on lat_ts, conformal") {
+    for (epsg <- Seq(3031, 3413, 3976)) {
+      val p = Projection.forEpsg(epsg).get
+      val ps = p.asInstanceOf[Projection.PolarStereographic]
+      val polarLat = if (ps.latTsDeg < 0) -90.0 else 90.0
+      val (xp, yp) = p.forward(77.0, polarLat) // any λ: the pole is a point
+      assert(math.abs(xp) < 1e-6 && math.abs(yp) < 1e-6, s"$epsg pole → ($xp,$yp)")
+      // scale exactly 1 on the standard parallel, >1 equatorward of it
+      val k0 = parallelScale(p, 30.0, ps.latTsDeg)
+      assert(math.abs(k0 - 1) < 1e-7, s"$epsg k(lat_ts) = $k0")
+      val equatorward = if (ps.latTsDeg < 0) ps.latTsDeg + 8 else ps.latTsDeg - 8
+      assert(parallelScale(p, 30.0, equatorward) > 1.0)
+      val poleward = if (ps.latTsDeg < 0) ps.latTsDeg - 8 else ps.latTsDeg + 8
+      assert(parallelScale(p, 30.0, poleward) < 1.0)
+    }
+  }
+
+  test("polar stereographic round-trips over both polar caps") {
+    // ±180° name the same meridian: compare longitudes modulo 360
+    def lngDiff(a: Double, b: Double): Double = {
+      val d = math.abs(a - b) % 360.0
+      math.min(d, 360.0 - d)
+    }
+    val south = Projection.forEpsg(3031).get
+    val north = Projection.forEpsg(3413).get
+    var worst = 0.0
+    for (lng <- BigDecimal(-180.0) to 175.0 by 17.5; lat <- BigDecimal(-89.0) to -61.0 by 3.5) {
+      val (x, y) = south.forward(lng.toDouble, lat.toDouble)
+      val (l2, p2) = south.inverse(x, y)
+      worst = math.max(worst, math.max(lngDiff(l2, lng.toDouble), math.abs(p2 - lat.toDouble)))
+    }
+    for (lng <- BigDecimal(-180.0) to 175.0 by 17.5; lat <- BigDecimal(61.0) to 89.0 by 3.5) {
+      val (x, y) = north.forward(lng.toDouble, lat.toDouble)
+      val (l2, p2) = north.inverse(x, y)
+      worst = math.max(worst, math.max(lngDiff(l2, lng.toDouble), math.abs(p2 - lat.toDouble)))
+    }
+    assert(worst < 1e-8, s"polar worst round-trip $worst deg")
+    // the exact pole inverts to λ0
+    assert(south.inverse(0.0, 0.0) == ((0.0, -90.0)))
+  }
+
+  test("LCC 2SP reproduces the Snyder worked example (Clarke 1866)") {
+    // Snyder PP 1395 appendix, §15: Clarke 1866 (a 6378206.4, 1/f
+    // 294.9786982), parallels 33/45, origin (23, −96) → point (35°N, 75°W)
+    // projects to x = 1 894 410.9 m, y = 1 564 649.5 m
+    val p = Projection.LambertConformalConic(6378206.4, 294.9786982,
+      23.0, -96.0, 33.0, 45.0, 0.0, 0.0, Bounds(-125, 20, -60, 55))
+    val (x, y) = p.forward(-75.0, 35.0)
+    assert(math.abs(x - 1894410.9) < 0.5, s"x = $x")
+    assert(math.abs(y - 1564649.5) < 0.5, s"y = $y")
+    val (l2, p2) = p.inverse(x, y)
+    assert(math.abs(l2 + 75.0) < 1e-8 && math.abs(p2 - 35.0) < 1e-8)
+  }
+
+  test("LCC: origin at (FE, FN), true scale on both parallels, shrink between") {
+    for (epsg <- Seq(2154, 3347)) {
+      val p = Projection.forEpsg(epsg).get
+      val lcc = p.asInstanceOf[Projection.LambertConformalConic]
+      val (x0, y0) = p.forward(lcc.lon0Deg, lcc.lat0Deg)
+      assert(math.abs(x0 - lcc.falseEasting) < 1e-6 &&
+        math.abs(y0 - lcc.falseNorthing) < 1e-6, s"$epsg origin → ($x0,$y0)")
+      val k1 = parallelScale(p, lcc.lon0Deg, lcc.sp1Deg)
+      val k2 = parallelScale(p, lcc.lon0Deg, lcc.sp2Deg)
+      assert(math.abs(k1 - 1) < 1e-7 && math.abs(k2 - 1) < 1e-7, s"$epsg k=($k1,$k2)")
+      val mid = (lcc.sp1Deg + lcc.sp2Deg) / 2
+      assert(parallelScale(p, lcc.lon0Deg, mid) < 1.0)
+    }
+  }
+
+  test("LCC round-trips over both areas of use") {
+    var worst = 0.0
+    for (epsg <- Seq(2154, 3347)) {
+      val p = Projection.forEpsg(epsg).get
+      val b = p.areaOfUse
+      for (i <- 0 to 8; j <- 0 to 8) {
+        val lng = b.left + (b.right - b.left) * i / 8
+        val lat = b.bottom + (b.top - b.bottom) * j / 8
+        val (x, y) = p.forward(lng, lat)
+        val (l2, p2) = p.inverse(x, y)
+        worst = math.max(worst, math.max(math.abs(l2 - lng), math.abs(p2 - lat)))
+      }
+    }
+    assert(worst < 1e-8, s"LCC worst round-trip $worst deg")
   }
 
   // ---- Sinusoidal (MODIS grid) -------------------------------------------
