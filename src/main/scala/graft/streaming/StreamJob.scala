@@ -151,6 +151,71 @@ object StreamJob {
           })
   }
 
+  case class UserEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  /** stage = stages reached so far (0 = none), anchorMs = reach time of the
+    * latest stage — TWO fields per live user, the whole state. */
+  case class FunnelState(stage: Int, anchorMs: Long)
+  case class FunnelAdvance(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** Streaming funnel — [[graft.operators.Funnel]]'s stream twin: a
+    * per-user stage machine over `flatMapGroupsWithState` that emits one
+    * row the moment a user reaches a new stage (first-touch anchors,
+    * strictly increasing timestamps, per-step conversion window).
+    *
+    * Within each micro-batch a user's events replay in event-time order
+    * (the per-group sort touches one user's batch slice, never the
+    * stream), so a single-batch replay reproduces the batch operator
+    * exactly; across batches the machine is monotone — an
+    * out-of-watermark straggler that would have re-anchored an EARLIER
+    * stage is ignored, the standard online-funnel approximation.
+    *
+    * Bounded state, the 100 TB property: state is two numbers per LIVE
+    * user, and eviction is event-time-driven — once the watermark passes
+    * anchor + window no future event can advance the user (their
+    * timestamps exceed the window), so the state times out and frees.
+    * Completed users drop their state immediately. */
+  def streamingFunnel(events: Dataset[UserEvent], stages: Seq[String],
+                      withinMs: Long, watermark: String = "1 hour"): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+    val idx = stages.zipWithIndex.toMap // stage name → 0-based position
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed anchor + window: no event can ever advance
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.filter(e => idx.contains(e.event_type)).toIndexedSeq
+              .sortBy(e => (e.ts.getTime, idx(e.event_type)))
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = IndexedSeq.newBuilder[FunnelAdvance]
+            for (e <- sorted if s.stage < stages.length) {
+              val t = e.ts.getTime
+              val advances =
+                if (idx(e.event_type) != s.stage) false
+                else if (s.stage == 0) true // stage 1: earliest head event
+                else t > s.anchorMs && t <= s.anchorMs + withinMs
+              if (advances) {
+                s = FunnelState(s.stage + 1, t)
+                out += FunnelAdvance(user, s.stage, e.ts)
+              }
+            }
+            if (s.stage >= stages.length) state.remove() // converted: done
+            else if (s.stage > 0) {
+              state.update(s)
+              // evict once no in-watermark event can still land in the
+              // window (timeout must stay ahead of the current watermark)
+              state.setTimeoutTimestamp(math.max(s.anchorMs + withinMs + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          })
+  }
+
   /** Incremental tile ingestion: stream new block parquet under `path`
     * through a per-batch function — the foreachBatch pattern for driving
     * LayerJob-style transforms incrementally (new manifest entries become

@@ -204,6 +204,64 @@ class StreamingSpec extends SparkSpec {
     assert(got("b").n_docs == 1 && got("b").n_tokens == 20)
   }
 
+  test("streaming funnel single-batch replay == batch Funnel, multi-batch advances") {
+    import spark.implicits._
+    import StreamJob.{FunnelAdvance, UserEvent}
+    val stages = Seq("view", "click", "purchase")
+    val withinMs = 24 * 3600 * 1000L
+
+    // leg 1: the whole sf0.001 event log in ONE micro-batch — per-group
+    // event-time sort makes the replay reproduce the batch operator exactly
+    val batch = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val dir = new java.io.File("target/tmp/stream_funnel").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir).as[UserEvent]
+    val q = StreamJob.streamingFunnel(stream, stages, withinMs)
+      .writeStream.outputMode("append").format("memory").queryName("st_funnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamedCounts = spark.table("st_funnel")
+      .groupBy("stage").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchCounts = graft.operators.Funnel.counts(
+        Tables.events(spark, sf()), stages, withinMs / 1000).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap.filter(_._2 > 0)
+    assert(streamedCounts == batchCounts,
+      s"stream $streamedCounts vs batch $batchCounts")
+
+    // leg 2: advancement across micro-batches (state carries the anchor)
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val b0 = Seq(UserEvent(1L, "view", t(0)), UserEvent(1L, "click", t(10)),
+      UserEvent(2L, "click", t(0))) // no view yet: stage machine stays at 0
+    val b1 = Seq(UserEvent(1L, "purchase", t(20)), UserEvent(2L, "view", t(30)))
+    val dir2 = new java.io.File("target/tmp/stream_funnel2")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir2); dir2.mkdirs()
+    Seq(b0, b1).zipWithIndex.foreach { case (evts, i) =>
+      val stage = new java.io.File(dir2, s".stage$i")
+      evts.toDS().coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir2, f"batch$i%03d.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    }
+    val stream2 = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir2.getAbsolutePath).as[UserEvent]
+    val q2 = StreamJob.streamingFunnel(stream2, stages, withinMs)
+      .writeStream.outputMode("append").format("memory").queryName("st_funnel2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("st_funnel2").as[FunnelAdvance].collect()
+      .map(a => (a.user_id, a.stage) -> a.ts).toMap
+    // user 1 walks all three stages, the purchase arriving a batch later
+    assert(got.keySet == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+    assert(got((1L, 3)) == t(20))
+    // user 2's pre-view click never counted; the later view opens stage 1
+    assert(got((2L, 1)) == t(30))
+  }
+
   test("StreamJob incremental foreachBatch drives a batch transform") {
     val batch = Tables.events(spark, sf())
     val dir = new java.io.File("target/tmp/stream_events3").getAbsolutePath
