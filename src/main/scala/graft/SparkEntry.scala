@@ -113,6 +113,7 @@ object SparkEntry {
     "e4_embedding_quantize" -> (Q.e4_embedding_quantize(_, _)),
     "e5_knn_ivf"          -> (Q.e5_knn_ivf(_, _)),
     "e7_ivf_fixed"        -> (Q.e7_ivf_fixed(_, _)),
+    "e9_pq_adc"           -> (Q.e9_pq_adc(_, _)),
     "t5_chunk_windows"    -> (Q.t5_chunk_windows(_, _)),
     "x1_approx_distinct"  -> (Q.x1_approx_distinct(_, _)),
     "x2_salted_rasterize" -> (Q.x2_salted_rasterize(_, _)),
@@ -1081,6 +1082,23 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents, nprobe = 2, k = 5)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
+    }
+
+    /** Product-quantization ADC ranking on e7's fixed codebook: 8 sub-space
+      * codes per vector, query 0 answered from the codes + a literal
+      * micro-unit lookup table (see [[Similarity.pqTopK]]). Encode fuses
+      * into the scan; the only wide op is the TakeOrdered top-20. */
+    def e9_pq_adc(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => ((r.getLong(0) / 37).toInt, r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).map(_._2).toSeq
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toSeq
+      Similarity.pqTopK(emb, cents, query, m = 8, k = 20).orderBy("rank")
     }
 
     /** SemDeDup over the embedding corpus: deterministic LSH sign-bucket
@@ -2326,6 +2344,35 @@ object SparkEntry {
            |SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
            |FROM pb p JOIN ck c ON p.band = c.band AND p.v0 = c.v0 AND p.v1 = c.v1
            |ORDER BY probe_id, corpus_id""".stripMargin,
+
+      "e9_pq_adc" -> {
+        val codeCols = (0 until 8).map(ms =>
+          s"CAST(max(CASE WHEN m = $ms THEN code END) AS INT) AS code$ms").mkString(", ")
+        s"""WITH emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT CAST(vec_id // 37 AS INT) AS j, embedding::DOUBLE[] AS cv
+           |          FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 260),
+           |subs AS (SELECT CAST(range AS INT) AS m FROM range(8)),
+           |dists AS (
+           |  SELECT vec_id, m, j,
+           |    CAST(floor(list_dot_product(
+           |      list_transform(range(1, 9), i -> v[m * 8 + i] - cv[m * 8 + i]),
+           |      list_transform(range(1, 9), i -> v[m * 8 + i] - cv[m * 8 + i]))
+           |      * 1e6 + 0.5) AS BIGINT) AS micro
+           |  FROM emb2, subs, cents),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT vec_id, m, j,
+           |    row_number() OVER (PARTITION BY vec_id, m ORDER BY micro, j) AS rn
+           |  FROM dists) WHERE rn = 1),
+           |lut AS (SELECT m, j, micro FROM dists WHERE vec_id = 0),
+           |adc AS (SELECT c.vec_id, CAST(sum(l.micro) AS BIGINT) AS adc_micro
+           |        FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code GROUP BY 1),
+           |cw AS (SELECT vec_id, $codeCols FROM codes GROUP BY vec_id),
+           |ranked AS (SELECT a.vec_id, cw.code0, cw.code1, cw.code2, cw.code3,
+           |    cw.code4, cw.code5, cw.code6, cw.code7, a.adc_micro,
+           |    CAST(row_number() OVER (ORDER BY a.adc_micro, a.vec_id) AS INT) AS rank
+           |  FROM adc a JOIN cw USING (vec_id))
+           |SELECT * FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
 
       "e7_ivf_fixed" ->
         """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -225,6 +225,68 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Product-quantization ANN — the memory side of the IVF-PQ pairing that
+    * makes billion-vector search tractable: each vector compresses to `m`
+    * sub-space codebook indices (here m bytes), and query distance is
+    * answered from the codes alone via an asymmetric-distance (ADC) lookup
+    * table, never touching the original floats.
+    *
+    * Determinism discipline: every sub-space distance quantizes to integer
+    * MICRO-units before it is compared (encode argmin, ties to the lowest
+    * codeword) or summed (ADC = Σ_m lut[m][code_m], an exact integer sum) —
+    * so both the codes and the ranking replay bit-for-bit in any engine.
+    * The codebook is caller-fixed (data-derived like e7's centroids or
+    * trained offline); the ADC lookup table is computed driver-side with
+    * the same left-to-right fold the engines use and enters the plan as
+    * `m` literal arrays.
+    *
+    * Scale shape: encode is pure per-row expressions fused into the scan
+    * (no shuffle, no UDF — plan-time-unrolled like [[graft.operators.Focal]]'s
+    * kernels); the only wide op is the final distributed TakeOrdered. At
+    * 100 TB the encoded corpus is 8 bytes/vector + id — the artifact you
+    * actually store — and any query is a literal-table rescan of it. */
+  def pqTopK(corpus: DataFrame, codebook: Seq[Seq[Double]], query: Seq[Double],
+             m: Int, k: Int): DataFrame = {
+    val dim = query.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(codebook.nonEmpty && codebook.forall(_.length == dim),
+      "codebook entries must be full-dimension vectors")
+    val sub = dim / m
+    // micro-unit ‖a−b‖² with the engines' left-to-right fold order
+    def microDist(a: Seq[Double], b: Seq[Double]): Long = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      math.floor(d * 1e6 + 0.5).toLong
+    }
+    val v = col("embedding").cast("array<double>")
+    def subDist(ms: Int, cw: Seq[Double]): Column = {
+      val cLit = array(cw.map(lit): _*)
+      floor(aggregate(
+        zip_with(slice(v, ms * sub + 1, sub), cLit, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d) * 1e6 + 0.5).cast("long")
+    }
+    val withCodes = (0 until m).foldLeft(corpus) { (df, ms) =>
+      val dists = array(codebook.indices.map(j =>
+        subDist(ms, codebook(j).slice(ms * sub, ms * sub + sub))): _*)
+      // array_position returns the FIRST index of the min: lowest-codeword
+      // tie-break, 1-based
+      df.withColumn(s"__c$ms", (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
+    val luts = (0 until m).map { ms =>
+      val qSub = query.slice(ms * sub, ms * sub + sub)
+      array(codebook.map(cw =>
+        lit(microDist(qSub, cw.slice(ms * sub, ms * sub + sub)))): _*)
+    }
+    val adc = (0 until m).map(ms => element_at(luts(ms), col(s"__c$ms") + 1))
+      .reduce(_ + _)
+    val coded = withCodes.withColumn("adc_micro", adc)
+    val top = coded.orderBy(col("adc_micro").asc, col("vec_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("adc_micro").asc, col("vec_id").asc)))
+      .select(Seq(col("vec_id")) ++ (0 until m).map(ms => col(s"__c$ms").as(s"code$ms")) ++
+        Seq(col("adc_micro"), col("rank")): _*)
+  }
+
   /** Reciprocal-rank fusion of any number of rankers over a shared id
     * space — the standard way to combine a lexical retriever (BM25) with a
     * dense one (cosine ANN) without calibrating their score scales:

@@ -416,6 +416,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("pqTopK: codes are nearest sub-codewords, ADC is the exact lut sum") {
+    // 4-dim vectors, m=2 → two 2-dim subspaces; codebook of two codewords
+    val cb = Seq(Seq(0.0, 0.0, 10.0, 10.0), Seq(4.0, 0.0, 10.0, 14.0))
+    val corpus = Seq(
+      (1L, Seq(0.5f, 0.0f, 10.0f, 10.0f)), // sub0 → cw0 (0.25 vs 12.25), sub1 → cw0 (0 vs 16)
+      (2L, Seq(3.5f, 0.0f, 10.0f, 13.0f)), // sub0 → cw1 (12.25 vs 0.25), sub1 → cw1 (9 vs 1)
+      (3L, Seq(2.0f, 0.0f, 10.0f, 12.0f))  // sub0 TIE (4 vs 4) → cw0; sub1 tie (4 vs 4) → cw0
+    ).toDF("vec_id", "embedding")
+    val query = Seq(0.0, 0.0, 10.0, 10.0) // = cw0: lut0 = [0, 16e6], lut1 = [0, 16e6]
+    val got = Similarity.pqTopK(corpus, cb, query, m = 2, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got(1L) == ((0, 0, 0L, 1)))           // both codes 0 → adc 0
+    assert(got(3L) == ((0, 0, 0L, 2)))           // ties go to the lowest codeword
+    assert(got(2L) == ((1, 1, 32000000L, 3)))    // 16e6 + 16e6
+  }
+
   test("rrfFuse: integer nano fusion, consensus count, total order") {
     val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val r2 = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
