@@ -127,6 +127,8 @@ object SparkEntry {
     "x10_funnel"          -> (Q.x10_funnel(_, _)),
     "x11_retention"       -> (Q.x11_retention(_, _)),
     "x12_cube"            -> (Q.x12_cube(_, _)),
+    "x13_upsert"          -> (Q.x13_upsert(_, _)),
+    "x14_snapshot_diff"   -> (Q.x14_snapshot_diff(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
@@ -1263,6 +1265,34 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("gid"), col("n"), col("sum_qty"))
         .orderBy("gid", "rf", "ls")
+
+    /** MERGE upsert: a deterministic update batch (changed rows, identical
+      * re-deliveries, fresh inserts) applied to the corpus in one
+      * full-outer join — see [[graft.operators.Merge.upsert]]. */
+    def x13_upsert(s: SparkSession, d: String): DataFrame = {
+      val t = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val batch = t.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 7)
+        .unionAll(t.filter(col("doc_id") % 10 === 1))
+        .unionAll(t.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.operators.Merge.upsert(t, batch, "doc_id", Seq("source", "n_chars"))
+        .orderBy("doc_id")
+    }
+
+    /** Snapshot diff (CDC): removals, in-place changes, and additions
+      * between two corpus versions as a delta-sized report — see
+      * [[graft.operators.Merge.diff]]. */
+    def x14_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+      val old = Tables.documents(s, d).select("doc_id", "n_chars")
+      val nw = old.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 10 === 0, col("n_chars") + 5).otherwise(col("n_chars")))
+        .unionAll(old.filter(col("doc_id") % 29 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000))
+      graft.operators.Merge.diff(old, nw, "doc_id", Seq("n_chars"))
+        .orderBy("doc_id")
+    }
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
       * reporting shape. Explicit pivot values keep the plan a single
@@ -2512,6 +2542,39 @@ object SparkEntry {
           |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           |ORDER BY gid, rf, ls""".stripMargin,
+
+      "x13_upsert" ->
+        """WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+          |s AS (
+          |  SELECT doc_id, source, n_chars + 7 AS n_chars FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 1
+          |  UNION ALL SELECT doc_id + 1000000, source, n_chars FROM documents WHERE doc_id % 17 = 0)
+          |SELECT coalesce(s.doc_id, t.doc_id) AS doc_id,
+          |  CASE WHEN s.doc_id IS NOT NULL THEN s.source ELSE t.source END AS source,
+          |  CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE t.n_chars END AS n_chars,
+          |  CASE WHEN t.doc_id IS NULL THEN 'inserted'
+          |       WHEN s.doc_id IS NULL THEN 'kept'
+          |       WHEN s.source IS DISTINCT FROM t.source
+          |         OR s.n_chars IS DISTINCT FROM t.n_chars THEN 'updated'
+          |       ELSE 'unchanged' END AS action
+          |FROM t FULL OUTER JOIN s ON t.doc_id = s.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      "x14_snapshot_diff" ->
+        """WITH o AS (SELECT doc_id, n_chars FROM documents),
+          |n AS (
+          |  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+          |  FROM documents WHERE doc_id % 13 != 0
+          |  UNION ALL SELECT doc_id + 2000000, n_chars FROM documents WHERE doc_id % 29 = 0)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |  o.n_chars AS old_n_chars, n.n_chars AS new_n_chars,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |       WHEN n.doc_id IS NULL THEN 'removed'
+          |       ELSE 'changed' END AS action
+          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+          |   OR o.n_chars IS DISTINCT FROM n.n_chars
+          |ORDER BY doc_id""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus maintenance relations — the MERGE/CDC surface a continuously
+  * curated 100 TB corpus needs between full rebuilds: apply an update
+  * batch (upsert) and explain what changed between two snapshots (diff).
+  * Both are ONE full-outer hash join on the key — no iteration, no window;
+  * over a [[graft.sources.BucketedStore]] layout the shuffle disappears
+  * entirely (both sides pre-bucketed on the key), which is the point at
+  * scale: the nightly batch never re-shuffles the corpus.
+  */
+object Merge {
+
+  private def tagged(df: DataFrame, key: String, cols: Seq[String],
+                     prefix: String): DataFrame =
+    df.select(col(key) +: cols.map(c => col(c).as(s"$prefix$c"))
+      :+ lit(true).as(s"${prefix}present"): _*)
+
+  /** Upsert `source` into `target` on `key`: source rows win (update or
+    * insert), target-only rows survive. The result carries the merged
+    * payload columns under their original names plus `action` ∈
+    * {inserted, updated, unchanged, kept}: 'updated' only when a compared
+    * column actually differs and 'unchanged' when a re-delivered batch row
+    * is byte-identical — the visibility that makes reprocessed batches
+    * provably idempotent; 'kept' rows were not in the batch at all.
+    * Null-safe comparison throughout (null payloads are ordinary values). */
+  def upsert(target: DataFrame, source: DataFrame, key: String,
+             compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "upsert needs at least one payload column")
+    val t = tagged(target, key, compareCols, "__t_")
+    val s = tagged(source, key, compareCols, "__s_")
+    val changed = compareCols.map(c =>
+      !(col(s"__s_$c") <=> col(s"__t_$c"))).reduce(_ || _)
+    val action =
+      when(col("__t_present").isNull, lit("inserted"))
+        .when(col("__s_present").isNull, lit("kept"))
+        .when(changed, lit("updated"))
+        .otherwise(lit("unchanged"))
+    t.join(s, Seq(key), "full_outer")
+      .withColumn("action", action)
+      // the source row wins ENTIRELY when present — per-column coalesce
+      // would silently resurrect a target value the batch nulled out
+      .select(col(key) +: compareCols.map(c =>
+        when(col("__s_present").isNotNull, col(s"__s_$c"))
+          .otherwise(col(s"__t_$c")).as(c)) :+ col("action"): _*)
+  }
+
+  /** Snapshot diff (CDC between two corpus versions): one row per key that
+    * is `added`, `removed`, or `changed`, with the old/new value of each
+    * compared column. Identical rows drop out — the report is
+    * delta-sized, not corpus-sized. */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+           compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "diff needs at least one payload column")
+    val o = tagged(oldSnap, key, compareCols, "__o_")
+    val n = tagged(newSnap, key, compareCols, "__n_")
+    val changed = compareCols.map(c =>
+      !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    val action =
+      when(col("__o_present").isNull, lit("added"))
+        .when(col("__n_present").isNull, lit("removed"))
+        .when(changed, lit("changed"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("action", action)
+      .filter(col("action").isNotNull) // identical rows are not a delta
+      .select(col(key) +: compareCols.flatMap(c =>
+        Seq(col(s"__o_$c").as(s"old_$c"), col(s"__n_$c").as(s"new_$c")))
+        :+ col("action"): _*)
+  }
+}
