@@ -127,6 +127,9 @@ object SparkEntry {
     "x10_funnel"          -> (Q.x10_funnel(_, _)),
     "x11_retention"       -> (Q.x11_retention(_, _)),
     "x12_cube"            -> (Q.x12_cube(_, _)),
+    "w4_rank_family"      -> (Q.w4_rank_family(_, _)),
+    "o5_set_except"       -> (Q.o5_set_except(_, _)),
+    "t21_json_extract"    -> (Q.t21_json_extract(_, _)),
     "x13_upsert"          -> (Q.x13_upsert(_, _)),
     "x14_snapshot_diff"   -> (Q.x14_snapshot_diff(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
@@ -1265,6 +1268,49 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("gid"), col("n"), col("sum_qty"))
         .orderBy("gid", "rf", "ls")
+
+    /** The full rank-function family in one pass: rank/dense_rank/
+      * percent_rank/cume_dist over a TIED ordering (coarse value buckets —
+      * real peer groups) plus ntile/row_number over the unique tiebroken
+      * ordering (ntile depends on physical row order, so it only
+      * determinizes over a total order). One window sort per ordering. */
+    def w4_rank_family(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d).filter(col("user_id") < 10)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("long").as("bucket"))
+      val wTies = Window.partitionBy("event_type").orderBy("bucket")
+      val wUnique = Window.partitionBy("event_type").orderBy("bucket", "event_id")
+      ev.select(col("event_id"), col("event_type"), col("bucket"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          round(percent_rank().over(wTies), 6).as("pct_rank"),
+          round(cume_dist().over(wTies), 6).as("cume"),
+          ntile(4).over(wUnique).as("quartile"),
+          row_number().over(wUnique).as("rn"))
+        .orderBy("event_id")
+    }
+
+    /** Relational EXCEPT (distinct set difference): parts never shipped in
+      * bulk (quantity > 45) — Catalyst plans EXCEPT as an aggregate +
+      * left-anti join, the shuffle-minimal form; the filter pushes to the
+      * lineitem scan. */
+    def o5_set_except(s: SparkSession, d: String): DataFrame =
+      Tables.part(s, d).select(col("p_partkey"))
+        .except(li(s, d).filter(col("l_quantity") > 45)
+          .select(col("l_partkey").as("p_partkey")))
+        .orderBy("p_partkey")
+
+    /** JSON property extraction over the events payload column —
+      * `get_json_object` fused into the scan (no UDF, no parse step
+      * materialized), then an ordinary aggregate. */
+    def t21_json_extract(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k") + lit(5e-7), 4).as("avg_k"))
+        .orderBy("event_type")
 
     /** MERGE upsert: a deterministic update batch (changed rows, identical
       * re-deliveries, fresh inserts) applied to the corpus in one
@@ -2542,6 +2588,32 @@ object SparkEntry {
           |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           |ORDER BY gid, rf, ls""".stripMargin,
+
+      "w4_rank_family" ->
+        """WITH ev AS (SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS bucket
+          |           FROM events WHERE user_id < 10)
+          |SELECT event_id, event_type, bucket,
+          |  CAST(rank() OVER wt AS INT) AS rnk,
+          |  CAST(dense_rank() OVER wt AS INT) AS drnk,
+          |  round(percent_rank() OVER wt, 6) AS pct_rank,
+          |  round(cume_dist() OVER wt, 6) AS cume,
+          |  CAST(ntile(4) OVER wu AS INT) AS quartile,
+          |  CAST(row_number() OVER wu AS INT) AS rn
+          |FROM ev
+          |WINDOW wt AS (PARTITION BY event_type ORDER BY bucket),
+          |       wu AS (PARTITION BY event_type ORDER BY bucket, event_id)
+          |ORDER BY event_id""".stripMargin,
+
+      "o5_set_except" ->
+        """SELECT p_partkey FROM part
+          |EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+          |ORDER BY p_partkey""".stripMargin,
+
+      "t21_json_extract" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 5e-7, 4) AS avg_k
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "x13_upsert" ->
         """WITH t AS (SELECT doc_id, source, n_chars FROM documents),
