@@ -114,6 +114,7 @@ object SparkEntry {
     "e5_knn_ivf"          -> (Q.e5_knn_ivf(_, _)),
     "e7_ivf_fixed"        -> (Q.e7_ivf_fixed(_, _)),
     "e9_pq_adc"           -> (Q.e9_pq_adc(_, _)),
+    "e10_ivf_pq"          -> (Q.e10_ivf_pq(_, _)),
     "t5_chunk_windows"    -> (Q.t5_chunk_windows(_, _)),
     "x1_approx_distinct"  -> (Q.x1_approx_distinct(_, _)),
     "x2_salted_rasterize" -> (Q.x2_salted_rasterize(_, _)),
@@ -1104,6 +1105,36 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>"))
         .collect()(0).getSeq[Double](0).toSeq
       Similarity.pqTopK(emb, cents, query, m = 8, k = 20).orderBy("rank")
+    }
+
+    /** IVF-PQ end to end — the architecture a billion-vector index actually
+      * runs: corpus inverted-listed by nearest centroid (the partition key
+      * at scale), the query probes its nprobe nearest lists, and ranking
+      * inside the probed lists is PQ/ADC over the codes. Pure composition
+      * of [[Similarity.nearestCentroid]] + [[Similarity.pqTopK]]: the list
+      * filter prunes the scan BEFORE encode, so a probe touches
+      * nprobe/nlist of the corpus. */
+    def e10_ivf_pq(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => ((r.getLong(0) / 37).toInt, r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toSeq
+      // the query's nprobe nearest lists, driver-side with the engines'
+      // fold order; (d, cid) tuple sort = distance then lowest cid
+      val probed = cents.map { case (cid, c) =>
+        (query.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }, cid)
+      }.sorted.take(2).map(_._2)
+      val listed = emb.withColumn("cid",
+        Similarity.nearestCentroid(col("embedding").cast("array<double>"), cents))
+      Similarity.pqTopK(listed.filter(col("cid").isin(probed: _*)),
+          cents.map(_._2), query, m = 8, k = 10)
+        .select("vec_id", "adc_micro", "rank")
+        .orderBy("rank")
     }
 
     /** SemDeDup over the embedding corpus: deterministic LSH sign-bucket
@@ -2420,6 +2451,41 @@ object SparkEntry {
            |SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
            |FROM pb p JOIN ck c ON p.band = c.band AND p.v0 = c.v0 AND p.v1 = c.v1
            |ORDER BY probe_id, corpus_id""".stripMargin,
+
+      "e10_ivf_pq" ->
+        """WITH emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |cent AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM emb2
+          |         WHERE vec_id % 37 = 0 AND vec_id < 260),
+          |adist AS (SELECT e.vec_id, cent.cid,
+          |    list_sum(list_transform(list_zip(e.v, cent.c),
+          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+          |  FROM emb2 e CROSS JOIN cent),
+          |assigned AS (SELECT vec_id, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM adist) WHERE rn = 1),
+          |probes AS (SELECT cid FROM (
+          |    SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+          |    FROM adist WHERE vec_id = 0) WHERE rn <= 2),
+          |sub AS (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cid = p.cid),
+          |subs AS (SELECT CAST(range AS INT) AS m FROM range(8)),
+          |pqd AS (SELECT e2.vec_id, s2.m, cb.cid AS j,
+          |    CAST(floor(list_dot_product(
+          |      list_transform(range(1, 9), i -> e2.v[s2.m * 8 + i] - cb.c[s2.m * 8 + i]),
+          |      list_transform(range(1, 9), i -> e2.v[s2.m * 8 + i] - cb.c[s2.m * 8 + i]))
+          |      * 1e6 + 0.5) AS BIGINT) AS micro
+          |  FROM emb2 e2, subs s2, cent cb),
+          |codes AS (SELECT vec_id, m, j AS code FROM (
+          |    SELECT vec_id, m, j,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY micro, j) AS rn
+          |    FROM pqd) WHERE rn = 1),
+          |lut AS (SELECT m, j, micro FROM pqd WHERE vec_id = 0),
+          |adc AS (SELECT c2.vec_id, CAST(sum(l.micro) AS BIGINT) AS adc_micro
+          |        FROM codes c2 JOIN lut l ON l.m = c2.m AND l.j = c2.code
+          |        JOIN sub ON sub.vec_id = c2.vec_id GROUP BY 1),
+          |ranked AS (SELECT vec_id, adc_micro,
+          |    CAST(row_number() OVER (ORDER BY adc_micro, vec_id) AS INT) AS rank FROM adc)
+          |SELECT vec_id, adc_micro, rank FROM ranked WHERE rank <= 10
+          |ORDER BY rank""".stripMargin,
 
       "e9_pq_adc" -> {
         val codeCols = (0 until 8).map(ms =>

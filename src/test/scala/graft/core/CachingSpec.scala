@@ -97,6 +97,18 @@ class CachingSpec extends SparkSpec {
     assertReleasesClean("bigramSurprisal") { TextOps.bigramSurprisal(docs).count() }
   }
 
+  test("bm25 releases the pinned tf relation") {
+    assertReleasesClean("bm25") { TextOps.bm25(docs, Seq("quick", "cat")).count() }
+  }
+
+  test("pagerank releases adjacency and node relations") {
+    import spark.implicits._
+    assertReleasesClean("pagerank") {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      Graph.pagerank(edges, iters = 2).count()
+    }
+  }
+
   test("release is surgical: application-owned caches survive") {
     withCleanCache {
     val mine = docs.persist()
