@@ -133,6 +133,8 @@ object SparkEntry {
     "t21_json_extract"    -> (Q.t21_json_extract(_, _)),
     "x13_upsert"          -> (Q.x13_upsert(_, _)),
     "x14_snapshot_diff"   -> (Q.x14_snapshot_diff(_, _)),
+    "x15_scd2"            -> (Q.x15_scd2(_, _)),
+    "x16_grouping_sets"   -> (Q.x16_grouping_sets(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
@@ -1370,6 +1372,38 @@ object SparkEntry {
       graft.operators.Merge.diff(old, nw, "doc_id", Seq("n_chars"))
         .orderBy("doc_id")
     }
+
+    /** SCD Type-2 dimension build — the versioned-attribute shape that
+      * completes the CDC family (x13 upsert, x14 diff): the order-status
+      * history of each customer as half-open validity intervals. The log
+      * is first made unique per (custkey, date) with the max_by(orderkey)
+      * discipline so both engines see the identical change sequence —
+      * see [[graft.operators.Merge.scd2]]. */
+    def x15_scd2(s: SparkSession, d: String): DataFrame = {
+      val log = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"), col("o_orderdate").as("d"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status"))
+      graft.operators.Merge.scd2(log, "custkey", "d", Seq("status"))
+        .orderBy("custkey", "valid_from")
+    }
+
+    /** Explicit GROUPING SETS — the reporting shape between x3's ROLLUP
+      * and x12's CUBE: exactly the requested grouping combinations in ONE
+      * aggregate pass (Catalyst expands rows once, no per-set rescans).
+      * Spark's and DuckDB's grouping_id bit conventions differ, so the
+      * sentinel-coalesce carries the set identity portably. */
+    def x16_grouping_sets(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
       * reporting shape. Explicit pivot values keep the plan a single
@@ -2713,6 +2747,31 @@ object SparkEntry {
           |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
           |   OR o.n_chars IS DISTINCT FROM n.n_chars
           |ORDER BY doc_id""".stripMargin,
+
+      "x15_scd2" ->
+        """WITH snap AS (
+          |  SELECT o_custkey AS custkey, o_orderdate AS d,
+          |         arg_max(o_orderstatus, o_orderkey) AS status
+          |  FROM orders GROUP BY 1, 2),
+          |chg AS (
+          |  SELECT custkey, d, status,
+          |         lag(status) OVER (PARTITION BY custkey ORDER BY d) AS prev
+          |  FROM snap),
+          |ver AS (
+          |  SELECT custkey, status, d AS valid_from FROM chg
+          |  WHERE prev IS NULL OR status <> prev)
+          |SELECT custkey, status, valid_from,
+          |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to,
+          |  (lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) IS NULL) AS is_current
+          |FROM ver ORDER BY custkey, valid_from""".stripMargin,
+
+      "x16_grouping_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY rf, ls""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p

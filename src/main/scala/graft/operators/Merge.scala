@@ -69,4 +69,39 @@ object Merge {
         Seq(col(s"__o_$c").as(s"old_$c"), col(s"__n_$c").as(s"new_$c")))
         :+ col("action"): _*)
   }
+
+  /** Slowly-changing-dimension type 2 build: collapse a change log into
+    * versioned rows `(key, attrs…, valid_from, valid_to, is_current)`.
+    * A new version opens only when a tracked attribute actually CHANGES
+    * (null-safe compare vs the previous observation); re-deliveries of an
+    * unchanged state collapse away, so a noisy at-least-once feed still
+    * yields a minimal dimension. `valid_to` is the next version's
+    * `valid_from` (half-open intervals, no gaps/overlaps by construction);
+    * the open version has `valid_to` null and `is_current` true.
+    *
+    * Two window passes over the SAME (key × ts) sort — Catalyst plans one
+    * shuffle + one sort and runs both frames over it. The log must be
+    * unique per (key, ts); pre-aggregate upstream if the feed can emit
+    * twice for one instant (see the x15 query for the max_by discipline).
+    * Scale shape: window over the key partition — skew only if one key
+    * has unbounded history, which a dimension log does not. */
+  def scd2(log: DataFrame, key: String, ts: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(ts)
+    val changed = attrCols.map(c =>
+      !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
+    val isFirst = lag(col(ts), 1).over(w).isNull
+    val versions = log
+      .withColumn("__open", isFirst || changed)
+      .filter(col("__open"))
+      .withColumn("valid_from", col(ts))
+    val w2 = Window.partitionBy(key).orderBy("valid_from")
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key) +: attrCols.map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+  }
 }
