@@ -51,6 +51,8 @@ object SparkEntry {
     "g2_dbscan"           -> (Q.g2_dbscan(_, _)),
     "g3_triangle_count"   -> (Q.g3_triangle_count(_, _)),
     "g4_pagerank"         -> (Q.g4_pagerank(_, _)),
+    "g5_sssp"             -> (Q.g5_sssp(_, _)),
+    "b1_bloom_join"       -> (Q.b1_bloom_join(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
     "a2_rasterize_value"  -> (Q.a2_rasterize_value(_, _)),
@@ -463,6 +465,38 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
         .orderBy("doc_id")
     }
+
+    /** Single-source shortest paths over a layered DAG derived from the
+      * orders table (every edge advances ≥ 12 of 60 node slots, so no
+      * shortest path exceeds 5 hops — 6 relaxation rounds converge by
+      * construction). Integer weights make min() exact; the oracle
+      * enumerates all paths with a recursive CTE. See
+      * [[graft.operators.Graph.sssp]]. */
+    def g5_sssp(s: SparkSession, d: String): DataFrame = {
+      val edges = Tables.orders(s, d)
+        .select((col("o_orderkey") % 60).as("src"),
+          (col("o_orderkey") % 60 + lit(12) + col("o_custkey") % 13).as("dst"),
+          (lit(1) + col("o_orderkey") % 7).as("w"))
+        .filter(col("dst") < 60)
+      graft.operators.Graph.sssp(edges, sourceId = 0L, iters = 6)
+        .orderBy("id")
+    }
+
+    /** Bloom-pruned dimension join — the runtime-filter shape for
+      * selective fact⋈dim joins at 100 TB: an 8 KB bitset over the
+      * filtered part keys prunes lineitem BEFORE any shuffle; the exact
+      * join then removes Bloom false positives, so the result is
+      * identical to the plain join the oracle runs. Pure codegen probe,
+      * no UDF — see [[graft.functions.Bloom]]. */
+    def b1_bloom_join(s: SparkSession, d: String): DataFrame =
+      graft.functions.Bloom.prunedEquiJoin(
+          li(s, d), "l_partkey",
+          Tables.part(s, d).filter(col("p_size") <= 2), "p_partkey")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            + lit(5e-7), 2).as("revenue"))
+        .orderBy("p_brand")
 
     /** Horn slope over the packed grid (cellSize 1): both gradients are
       * exact dyadic sums; atan/sqrt agree across engines within the
@@ -1800,6 +1834,26 @@ object SparkEntry {
           |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
           |v AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
           |SELECT id, count(*) AS n_triangles FROM v GROUP BY id ORDER BY id""".stripMargin,
+
+      "g5_sssp" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
+          |    SELECT o_orderkey % 60 AS src,
+          |           o_orderkey % 60 + 12 + o_custkey % 13 AS dst,
+          |           1 + o_orderkey % 7 AS w
+          |    FROM orders) WHERE dst < 60 GROUP BY src, dst),
+          |paths AS (
+          |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+          |  UNION
+          |  SELECT e.dst, p.dist + e.w FROM paths p JOIN e ON e.src = p.id)
+          |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+          |FROM paths GROUP BY id ORDER BY id""".stripMargin,
+
+      "b1_bloom_join" ->
+        """SELECT p_brand, count(*) AS n,
+          |  round(sum(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue
+          |FROM part JOIN lineitem ON l_partkey = p_partkey
+          |WHERE p_size <= 2 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
       "a10_region_label" ->
         """WITH RECURSIVE cells AS (

@@ -83,4 +83,36 @@ object Graph {
     }
     r
   }
+
+  /** Single-source shortest paths by synchronous Bellman-Ford relaxation —
+    * the lineage-distance / influence-radius primitive over citation and
+    * duplicate graphs. Integer weights, so min() is exact and the result
+    * is independent of relaxation order (oracle-checkable, g5).
+    *
+    * After k rounds the frontier holds the exact min cost over paths of
+    * ≤ k edges; `iters` must cover the hop count of the longest shortest
+    * path (callers bound it structurally — layered/DAG graphs — or pass
+    * the vertex count for the general Bellman-Ford guarantee). Each round
+    * is ONE shuffle: the edge relation joins the current distances on the
+    * shuffle-side key, and union + min-aggregate fold the improvements;
+    * localCheckpoint keeps the plan flat across rounds (the
+    * [[Dedup.components]] / [[pagerank]] discipline). Unreachable
+    * vertices are absent from the result, not infinite. */
+  def sssp(edges: DataFrame, sourceId: Long, iters: Int): DataFrame = {
+    require(iters >= 1, "sssp needs at least one relaxation round")
+    val e = graft.core.Caching.shared(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .groupBy("src", "dst").agg(min("w").as("w")))
+    var dist = e.sparkSession.range(1)
+      .select(lit(sourceId).as("id"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = e.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -392,6 +392,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == Set(Seq(1L, 1000000L), Seq(2L, 1000000L)))
   }
 
+  test("sssp: relaxation finds min-cost paths, not min-hop paths") {
+    // 1→2→3 costs 1+1=2 beats the direct 1→3 edge of cost 5;
+    // parallel edges collapse to the cheapest; 9 is unreachable → absent
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (1L, 3L, 7L),
+      (3L, 4L, 2L), (9L, 9L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.sssp(edges.filter($"src" =!= 9L), sourceId = 1L, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("sssp: k rounds bound path length by k edges; order-independent") {
+    val chain = (1L until 6L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val two = Graph.sssp(chain, sourceId = 1L, iters = 2).collect()
+      .map(x => x.getLong(0)).toSet
+    assert(two == Set(1L, 2L, 3L)) // frontier after 2 rounds: ≤ 2 hops
+    val full = Graph.sssp(chain.repartition(5), sourceId = 1L, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(full == (1L to 6L).map(i => i -> (i - 1)).toMap)
+  }
+
   test("bm25 matches hand computation and ranks rarer terms higher") {
     val corpus = Seq(
       (1L, "a a b"),   // tf(a)=2, dl=3
