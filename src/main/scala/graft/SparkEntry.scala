@@ -139,6 +139,7 @@ object SparkEntry {
     "x16_grouping_sets"   -> (Q.x16_grouping_sets(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
+    "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
     "q5_local_supplier"   -> (Q.q5_local_supplier(_, _)))
 
@@ -1484,6 +1485,17 @@ object SparkEntry {
       Multimodal.imagePixelFeatures(
         Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"))
         .orderBy("asset_id")
+
+    /** REAL audio-frame plumbing: deterministic 16-bit PCM payloads packed
+      * AND re-parsed through actual bytes (ByteBuffer, little-endian),
+      * integer-exact per-frame energy/peak aggregates the oracle
+      * recomputes from the generating formula — any endianness or framing
+      * slip breaks the hash. */
+    def m3_audio_frames(s: SparkSession, d: String): DataFrame =
+      Multimodal.audioFrameFeatures(
+        Multimodal.syntheticPcm(
+          Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id"))
+        .orderBy("asset_id", "frame_idx")
 
     /** TPC-H Q5 shape — the 6-table join with the local-supplier
       * correlation (supplier and customer share a nation). Region/nation
@@ -2904,6 +2916,22 @@ object SparkEntry {
           |  CAST(sum((7 * doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_v,
           |  CAST(sum(((7 * doc_id + 3 * x + 5 * y) % 256) * (x + width * y)) AS BIGINT) AS wsum_v
           |FROM px GROUP BY doc_id, width, height ORDER BY asset_id""".stripMargin,
+
+      // the decode-free fixture: sample j of asset i is
+      // ((31i + 17j) mod 4096) - 2048 by construction, so the oracle
+      // aggregates the FORMULA while Spark re-parses the packed bytes
+      "m3_audio_frames" ->
+        """WITH a AS (SELECT doc_id AS id, 5 + doc_id % 5 AS n_frames
+          |           FROM documents WHERE doc_id % 20 = 0),
+          |f AS (SELECT id, unnest(range(0, n_frames)) AS frame FROM a),
+          |s AS (SELECT id, frame, unnest(range(0, 160)) AS j FROM f),
+          |v AS (SELECT id, frame,
+          |        (id*31 + (frame*160 + j)*17) % 4096 - 2048 AS val FROM s)
+          |SELECT id AS asset_id, CAST(frame AS INT) AS frame_idx,
+          |  CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+          |  CAST(sum(val*val) AS BIGINT) AS sum_sq,
+          |  CAST(max(abs(val)) AS BIGINT) AS max_abs
+          |FROM v GROUP BY id, frame ORDER BY asset_id, frame_idx""".stripMargin,
 
       "q5_local_supplier" ->
         """SELECT n_name,

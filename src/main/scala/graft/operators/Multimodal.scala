@@ -185,6 +185,72 @@ object Multimodal {
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
       .select("asset_id", "frame_idx", "ts_ms")
 
+  /** Deterministic synthetic PCM corpus keyed by an id column: asset i
+    * carries (5 + i mod 5)·160 signed 16-bit little-endian samples with
+    * sample j = ((31·i + 17·j) mod 4096) − 2048 — like [[syntheticPngs]],
+    * a formula an oracle can aggregate in SQL without touching bytes,
+    * while the Spark side must genuinely pack and re-parse the binary. */
+  def syntheticPcm(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = ((5 + id % 5) * 160).toInt
+        val bytes = new Array[Byte](n * 2)
+        var j = 0
+        while (j < n) {
+          val v = ((31 * id + 17 * j) % 4096 - 2048).toShort
+          bytes(2 * j) = (v & 0xff).toByte
+          bytes(2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        (id, "audio", "audio/pcm", bytes)
+      }
+    }.toDF("asset_id", "modality", "mime", "payload")
+      .withColumn("meta", struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        (length(col("payload")) / 2 * 1000 / 16000).cast("long").as("duration_ms"),
+        lit(16000).as("sample_rate")))
+      .select("asset_id", "modality", "mime", "meta", "payload")
+  }
+
+  /** Frame-level audio features over raw 16-bit LE PCM payloads: the
+    * energy/peak per fixed-length frame that silence trimming and
+    * voice-activity gating run on. REAL byte parsing (ByteBuffer, one
+    * decoder pass per partition batch) → integer-exact per-frame
+    * aggregates; a trailing partial frame is dropped (standard hop
+    * behavior). One narrow mapPartitions, no shuffle — frames explode
+    * inside the task, and downstream aggregates see an ordinary table. */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 160): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "audio")
+      .select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          if (payload == null) Iterator.empty
+          else {
+            val buf = java.nio.ByteBuffer.wrap(payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nFrames = payload.length / 2 / frameLen
+            (0 until nFrames).iterator.map { f =>
+              var sumAbs = 0L; var sumSq = 0L; var maxAbs = 0L
+              var j = 0
+              while (j < frameLen) {
+                val v = buf.getShort((f * frameLen + j) * 2).toLong
+                val a = math.abs(v)
+                sumAbs += a; sumSq += v * v
+                if (a > maxAbs) maxAbs = a
+                j += 1
+              }
+              (id, f, sumAbs, sumSq, maxAbs)
+            }
+          }
+        }
+      }.toDF("asset_id", "frame_idx", "sum_abs", "sum_sq", "max_abs")
+  }
+
   /** Build a media table from any (id, text) source — used by tests/bench to
     * exercise the plumbing with deterministic payloads. */
   def syntheticFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =

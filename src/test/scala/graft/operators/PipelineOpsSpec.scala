@@ -392,6 +392,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == Set(Seq(1L, 1000000L), Seq(2L, 1000000L)))
   }
 
+  test("audio frames: byte round-trip is exact, partial frames drop") {
+    val media = Multimodal.syntheticPcm(Seq(3L, 7L).toDF("id"), "id")
+    val feats = Multimodal.audioFrameFeatures(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // asset 3: (5 + 3%5)·160 = 1280 samples → 8 full frames of 160
+    assert(feats.keys.count(_._1 == 3L) == 8)
+    // hand-compute frame 0 of asset 3 from the generating formula
+    val vals = (0 until 160).map(j => (31 * 3 + 17 * j) % 4096 - 2048)
+    assert(feats((3L, 0)) ==
+      (vals.map(v => math.abs(v).toLong).sum,
+        vals.map(v => v.toLong * v).sum,
+        vals.map(v => math.abs(v).toLong).max))
+    // an 8-byte tail beyond the last full frame must not emit a frame
+    val ragged = media.limit(1).selectExpr("asset_id", "modality",
+      "concat(payload, CAST(x'0102030405060708' AS BINARY)) AS payload")
+    val n0 = feats.keys.count(_._1 == 3L)
+    assert(Multimodal.audioFrameFeatures(ragged).count() == n0)
+  }
+
   test("sssp: relaxation finds min-cost paths, not min-hop paths") {
     // 1→2→3 costs 1+1=2 beats the direct 1→3 edge of cost 5;
     // parallel edges collapse to the cheapest; 9 is unreachable → absent
