@@ -64,6 +64,7 @@ object SparkEntry {
     "a8_status_tally"     -> (Q.a8_status_tally(_, _)),
     "a9_zonal_stats"      -> (Q.a9_zonal_stats(_, _)),
     "a10_region_label"    -> (Q.a10_region_label(_, _)),
+    "a11_proximity"       -> (Q.a11_proximity(_, _)),
     "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
     "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
     "w3_lag_delta"        -> (Q.w3_lag_delta(_, _)),
@@ -620,6 +621,25 @@ object SparkEntry {
       val zones = pixels(s, d).groupBy("px", "py")
         .agg(floor(max("value") / 10).cast("long").as("v"))
       graft.operators.Regions.label(zones).orderBy("px", "py")
+    }
+
+    /** Raster proximity (GDAL gdal_proximity with maxdist): per pixel, the
+      * min SQUARED distance to the nearest high-value pixel within radius
+      * 3, null beyond — via the binned distance join's min-aggregate form
+      * ([[graft.operators.DistanceJoin.nearestWithinSq]]); exact integer
+      * d², so the min is order-independent. The cell relation is pinned
+      * once and feeds both join sides and the final left join. */
+    def a11_proximity(s: SparkSession, d: String): DataFrame = {
+      val cells = graft.core.Caching.shared(
+        pixels(s, d).groupBy("px", "py")
+          .agg(floor(max("value") / 10).cast("long").as("v"))
+          .withColumn("id", col("px") * 1048576 + col("py")))
+      val targets = cells.filter(col("v") >= 5)
+      val near = graft.operators.DistanceJoin.nearestWithinSq(
+        cells, targets, d = 3.0, idCol = "id", xCol = "px", yCol = "py")
+      cells.join(near, Seq("id"), "left")
+        .select(col("px"), col("py"), col("v"), col("d2"))
+        .orderBy("px", "py")
     }
 
     /** A8: status tally (pipe.py:137-168 status algebra). */
@@ -1888,6 +1908,22 @@ object SparkEntry {
           |SELECT i.px, i.py, i.v, coalesce(l.region, i.id) AS region_id
           |FROM ids i LEFT JOIN lbl l ON i.id = l.id
           |ORDER BY px, py""".stripMargin,
+
+      "a11_proximity" ->
+        """WITH cells AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py,
+          |    CAST(floor(max(l_quantity) / 10) AS BIGINT) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |t AS (SELECT px AS tx, py AS ty FROM cells WHERE v >= 5),
+          |near AS (
+          |  SELECT c.px, c.py,
+          |    min((c.px - t.tx)*(c.px - t.tx) + (c.py - t.ty)*(c.py - t.ty)) AS d2
+          |  FROM cells c JOIN t ON abs(c.px - t.tx) <= 3 AND abs(c.py - t.ty) <= 3
+          |  WHERE (c.px - t.tx)*(c.px - t.tx) + (c.py - t.ty)*(c.py - t.ty) <= 9
+          |  GROUP BY c.px, c.py)
+          |SELECT c.px, c.py, c.v, n.d2 FROM cells c LEFT JOIN near n
+          |  ON c.px = n.px AND c.py = n.py
+          |ORDER BY c.px, c.py""".stripMargin,
 
       "g4_pagerank" -> {
         // five unrolled iterations of the exact integer-micro recurrence —

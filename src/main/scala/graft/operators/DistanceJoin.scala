@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object DistanceJoin {
 
-  def join(left: DataFrame, right: DataFrame, d: Double,
-           idCol: String = "id", xCol: String = "x", yCol: String = "y"): DataFrame = {
+  /** Candidate pairs within d with their exact squared distance — the
+    * shared binned-join core of [[join]] and [[nearestWithinSq]]. */
+  private def candidates(left: DataFrame, right: DataFrame, d: Double,
+                         idCol: String, xCol: String, yCol: String): DataFrame = {
     require(d > 0, "distance must be positive")
     val l = left.select(col(idCol).as("lid"), col(xCol).as("__lx"), col(yCol).as("__ly"),
       floor(col(xCol) / d).cast("long").as("__cx"),
@@ -46,6 +48,25 @@ object DistanceJoin {
       // coordinates stay exact when they are integral, so the boundary
       // d² compare cannot flip across engines
       .filter(d2 <= d * d)
-      .select(col("lid"), col("rid"), F.sqrt(d2).as("dist"))
+      .withColumn("__d2", d2)
   }
+
+  def join(left: DataFrame, right: DataFrame, d: Double,
+           idCol: String = "id", xCol: String = "x", yCol: String = "y"): DataFrame =
+    candidates(left, right, d, idCol, xCol, yCol)
+      .select(col("lid"), col("rid"), F.sqrt(col("__d2")).as("dist"))
+
+  /** Per-left-point minimum SQUARED distance to any right point within d —
+    * the proximity / distance-transform primitive (GDAL's gdal_proximity
+    * with maxdist, a11). Squared distance stays in exact integer
+    * arithmetic for integral coordinates, so min() is order-independent
+    * and oracle-checkable. Left points with no right point within d are
+    * ABSENT (the caller left-joins and interprets null as "beyond
+    * maxdist", GDAL's nodata convention). Same shuffle currency as
+    * [[join]]: |L| + 9·|R| keyed rows, then a map-side-combined min. */
+  def nearestWithinSq(left: DataFrame, right: DataFrame, d: Double,
+                      idCol: String = "id", xCol: String = "x",
+                      yCol: String = "y"): DataFrame =
+    candidates(left, right, d, idCol, xCol, yCol)
+      .groupBy(col("lid").as(idCol)).agg(min("__d2").as("d2"))
 }

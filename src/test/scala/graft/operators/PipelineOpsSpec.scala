@@ -786,6 +786,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains((3L, 13L)))
   }
 
+  test("nearestWithinSq: exact integer min-d², self hits zero, beyond-radius absent") {
+    val pts = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 10L, 10L), (4L, 30L, 30L))
+      .toDF("id", "x", "y")
+    val targets = pts.filter($"id" =!= 4L && $"id" =!= 3L) // targets: 1, 2
+    val got = DistanceJoin.nearestWithinSq(pts, targets, d = 3.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 and 2 are themselves targets → 0; 3 and 4 beyond radius → absent
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+    val asym = DistanceJoin.nearestWithinSq(
+      Seq((9L, 1L, 1L)).toDF("id", "x", "y"), targets, d = 3.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asym == Map(9L -> 2L)) // min((1-0)²+1², (1-2)²+1²) = 2
+  }
+
   test("distance join: negative coordinates bin on the floor lattice, not truncation") {
     // all three close pairs straddle cell boundaries at negative
     // coordinates — truncation-based binning (cast instead of floor) maps
