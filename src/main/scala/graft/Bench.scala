@@ -29,7 +29,8 @@ object Bench {
     "e1_knn_brute", "e2_knn_lsh", "e6_semantic_dedup",
     "s1_grid_seed", "m1_media_features", "r3_warp_3857",
     "r6_focal_mean", "t16_posting_lists", "g1_distance_join",
-    "g4_pagerank", "t20_bm25", "x10_funnel", "a10_region_label")
+    "g4_pagerank", "t20_bm25", "x10_funnel", "a10_region_label",
+    "b1_bloom_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -138,6 +138,8 @@ object SparkEntry {
     "x14_snapshot_diff"   -> (Q.x14_snapshot_diff(_, _)),
     "x15_scd2"            -> (Q.x15_scd2(_, _)),
     "x16_grouping_sets"   -> (Q.x16_grouping_sets(_, _)),
+    "x17_transitions"     -> (Q.x17_transitions(_, _)),
+    "q3_topk_revenue"     -> (Q.q3_topk_revenue(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1459,6 +1461,39 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"))
         .orderBy("rf", "ls")
+
+    /** Next-event transition counts (the Markov matrix behavioral
+      * pipelines fit): one window lead per user's time-ordered event
+      * stream, then an ordinary count aggregate. event_id tiebreaks equal
+      * timestamps so the sequence is total-ordered in any engine. */
+    def x17_transitions(s: SparkSession, d: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "next_type")
+    }
+
+    /** TPC-H Q3 shape — the selective 3-table join feeding a top-k: both
+      * date filters push to the scans, the aggregate is partial+final, and
+      * the LIMIT plans as TakeOrderedAndProject (a per-partition top-k +
+      * single-reduce merge — no global sort materializes). revenue ties
+      * are broken by l_orderkey so the cut is deterministic. */
+    def q3_topk_revenue(s: SparkSession, d: String): DataFrame =
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          + lit(5e-7), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
       * reporting shape. Explicit pivot values keep the plan a single
@@ -2874,6 +2909,26 @@ object SparkEntry {
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY rf, ls""".stripMargin,
+
+      "x17_transitions" ->
+        """WITH seq AS (
+          |  SELECT user_id, event_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |  FROM events)
+          |SELECT event_type, next_type, count(*) AS n
+          |FROM seq WHERE next_type IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q3_topk_revenue" ->
+        """SELECT l_orderkey,
+          |  round(sum(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue,
+          |  o_orderdate, o_orderpriority
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+          |  AND l_shipdate > DATE '1995-03-15'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
