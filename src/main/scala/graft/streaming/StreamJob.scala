@@ -216,6 +216,56 @@ object StreamJob {
           })
   }
 
+  case class TransitionState(lastType: String, lastTsMs: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+                        ts: java.sql.Timestamp)
+
+  /** Streaming next-event transitions — the x17 Markov-matrix query's
+    * stream twin: per-user state is ONE (lastType, lastTs) pair; each
+    * arriving event emits the (previous → current) transition and becomes
+    * the new state. Within a micro-batch a user's slice replays in event-
+    * time order, so a single-batch replay reproduces the batch window-lead
+    * derivation exactly (given unique per-user timestamps, x17's total-
+    * order condition). Late events older than the stored state are
+    * DROPPED, not re-ordered — the standard online approximation; the
+    * batch query is the repair path.
+    *
+    * Bounded state, eviction by idleness: once the watermark is `idleMs`
+    * past the user's last event, the state times out and frees. A user
+    * returning later starts a fresh chain (one boundary transition lost
+    * per eviction — the documented trade). */
+  def streamingTransitions(events: Dataset[UserEvent], idleMs: Long,
+                           watermark: String = "1 hour"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[UserEvent], state: GroupState[TransitionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            val out = IndexedSeq.newBuilder[Transition]
+            var s = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (s == null || t >= s.lastTsMs) { // stragglers drop
+                if (s != null)
+                  out += Transition(user, s.lastType, e.event_type, e.ts)
+                s = TransitionState(e.event_type, t)
+              }
+            }
+            if (s != null) {
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(s.lastTsMs + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          })
+  }
+
   /** Incremental tile ingestion: stream new block parquet under `path`
     * through a per-batch function — the foreachBatch pattern for driving
     * LayerJob-style transforms incrementally (new manifest entries become

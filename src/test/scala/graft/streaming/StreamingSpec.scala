@@ -273,4 +273,57 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(seen.get() == batch.count())
   }
+
+  test("streaming transitions single-batch == x17 batch; state spans batches; stragglers drop") {
+    import spark.implicits._
+    import StreamJob.{Transition, UserEvent}
+
+    // leg 1: whole sf0.001 log in one micro-batch — per-user event-time
+    // replay reproduces the batch window-lead matrix (timestamps are
+    // unique per user at this SF, the x17 total-order condition)
+    val batch = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val dir = new java.io.File("target/tmp/stream_trans").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir).as[UserEvent]
+    val q = StreamJob.streamingTransitions(stream, idleMs = 365L * 24 * 3600 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("st_trans")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st_trans")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fromBatch = graft.SparkEntry.queries("x17_transitions")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == fromBatch, s"stream $streamed vs batch $fromBatch")
+
+    // leg 2: the chain links ACROSS micro-batches, and a straggler older
+    // than the stored state drops instead of re-ordering history
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val b0 = Seq(UserEvent(1L, "view", t(0)), UserEvent(1L, "click", t(10)))
+    val b1 = Seq(UserEvent(1L, "purchase", t(20)),
+      UserEvent(1L, "error", t(5))) // straggler: between view and click
+    val dir2 = new java.io.File("target/tmp/stream_trans2")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir2); dir2.mkdirs()
+    Seq(b0, b1).zipWithIndex.foreach { case (evts, i) =>
+      val stage = new java.io.File(dir2, s".stage$i")
+      evts.toDS().coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir2, f"batch$i%03d.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    }
+    val stream2 = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir2.getAbsolutePath).as[UserEvent]
+    val q2 = StreamJob.streamingTransitions(stream2, idleMs = 3600000L)
+      .writeStream.outputMode("append").format("memory").queryName("st_trans2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("st_trans2").as[Transition].collect()
+      .map(tr => (tr.from_type, tr.to_type)).toSet
+    assert(got == Set(("view", "click"), ("click", "purchase")),
+      s"got $got") // no edge touches the dropped straggler
+  }
 }
