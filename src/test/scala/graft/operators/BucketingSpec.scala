@@ -52,4 +52,29 @@ class BucketingSpec extends SparkSpec {
       assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("MERGE upsert over co-bucketed corpus + batch is shuffle-free") {
+    // the Merge scaladoc's 100 TB claim, asserted on the plan: when the
+    // corpus and the update batch share the bucket layout on the key, the
+    // nightly upsert's full-outer join reshuffles NEITHER side
+    val docs = Tables.documents(spark, sf()).select("doc_id", "source", "n_chars")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + 1)
+    graft.sources.BucketedStore.writeBucketed(docs, "corpus_bucketed",
+      Seq("doc_id"), buckets = 8, sortCols = Seq("doc_id"))
+    graft.sources.BucketedStore.writeBucketed(batch, "batch_bucketed",
+      Seq("doc_id"), buckets = 8, sortCols = Seq("doc_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = Merge.upsert(spark.table("corpus_bucketed"),
+        spark.table("batch_bucketed"), "doc_id", Seq("source", "n_chars"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+        s"bucketed upsert reshuffled a side:\n$plan")
+      val expected = Merge.upsert(docs, batch, "doc_id", Seq("source", "n_chars"))
+      assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
