@@ -143,6 +143,7 @@ object SparkEntry {
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
+    "m4_frame_plan"       -> (Q.m4_frame_plan(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
     "q5_local_supplier"   -> (Q.q5_local_supplier(_, _)))
 
@@ -1550,6 +1551,20 @@ object SparkEntry {
       Multimodal.audioFrameFeatures(
         Multimodal.syntheticPcm(
           Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id"))
+        .orderBy("asset_id", "frame_idx")
+
+    /** Video frame-sampling plan from metadata only (no decode): every
+      * 250 ms per asset — `sequence` + `explode`, pure Catalyst, the work
+      * list a downstream decoder fans out over. */
+    def m4_frame_plan(s: SparkSession, d: String): DataFrame =
+      Multimodal.sampleFramePlan(
+        Tables.documents(s, d).select(
+          col("doc_id").as("asset_id"), lit("video").as("modality"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            (lit(500) + (col("doc_id") % 7) * 333).cast("long").as("duration_ms"),
+            lit(null).cast("int").as("sample_rate")).as("meta")),
+        everyMs = 250L)
         .orderBy("asset_id", "frame_idx")
 
     /** TPC-H Q5 shape — the 6-table join with the local-supplier
@@ -3023,6 +3038,14 @@ object SparkEntry {
           |  CAST(sum(val*val) AS BIGINT) AS sum_sq,
           |  CAST(max(abs(val)) AS BIGINT) AS max_abs
           |FROM v GROUP BY id, frame ORDER BY asset_id, frame_idx""".stripMargin,
+
+      "m4_frame_plan" ->
+        """WITH a AS (SELECT doc_id AS asset_id,
+          |             500 + (doc_id % 7) * 333 AS dur FROM documents),
+          |f AS (SELECT asset_id, unnest(range(0, dur, 250)) AS ts_ms FROM a)
+          |SELECT asset_id, CAST(ts_ms // 250 AS BIGINT) AS frame_idx,
+          |  CAST(ts_ms AS BIGINT) AS ts_ms
+          |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
 
       "q5_local_supplier" ->
         """SELECT n_name,

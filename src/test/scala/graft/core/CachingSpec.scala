@@ -109,6 +109,20 @@ class CachingSpec extends SparkSpec {
     }
   }
 
+  test("sssp releases the pinned edge relation") {
+    import spark.implicits._
+    assertReleasesClean("sssp") {
+      val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "w")
+      Graph.sssp(edges, sourceId = 1L, iters = 2).count()
+    }
+  }
+
+  test("a11 proximity query releases the pinned cell relation") {
+    assertReleasesClean("a11_proximity") {
+      graft.SparkEntry.queries("a11_proximity")(spark, "/root/testdata/sf0.001").count()
+    }
+  }
+
   test("release is surgical: application-owned caches survive") {
     withCleanCache {
     val mine = docs.persist()
