@@ -139,6 +139,7 @@ object SparkEntry {
     "x15_scd2"            -> (Q.x15_scd2(_, _)),
     "x16_grouping_sets"   -> (Q.x16_grouping_sets(_, _)),
     "x17_transitions"     -> (Q.x17_transitions(_, _)),
+    "x18_first_touch"     -> (Q.x18_first_touch(_, _)),
     "q3_topk_revenue"     -> (Q.q3_topk_revenue(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
@@ -1476,6 +1477,29 @@ object SparkEntry {
         .groupBy("event_type", "next_type")
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "next_type")
+    }
+
+    /** First-touch attribution: each purchase credits the user's EARLIEST
+      * event in the preceding 7 days. One user-keyed equi join with the
+      * time window as a residual predicate, then an argmin via struct-min
+      * ((ts, event_id) is unique, so the lexicographic min IS the
+      * earliest-then-lowest-id event — order-independent and map-side
+      * combined). The purchase relation is user-keyed too, so at scale
+      * both sides co-partition. */
+    def x18_first_touch(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+      p.join(ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          Seq("user_id"))
+        .filter(col("ts") >= col("pts") - expr("INTERVAL 7 DAYS") &&
+          col("ts") < col("pts"))
+        .groupBy(col("pid").as("purchase_id"), col("user_id"), col("pts"))
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+        .select(col("purchase_id"), col("user_id"),
+          col("f.event_type").as("first_touch"), col("f.ts").as("touch_ts"))
+        .orderBy("purchase_id")
     }
 
     /** TPC-H Q3 shape — the selective 3-table join feeding a top-k: both
@@ -2933,6 +2957,27 @@ object SparkEntry {
           |SELECT event_type, next_type, count(*) AS n
           |FROM seq WHERE next_type IS NOT NULL
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // two-step min (earliest ts, then lowest event_id at that ts) ==
+      // Spark's lexicographic struct-min, since (ts, event_id) is unique
+      "x18_first_touch" ->
+        """WITH p AS (
+          |  SELECT event_id AS pid, user_id, ts AS pts FROM events
+          |  WHERE event_type = 'purchase'),
+          |w AS (
+          |  SELECT p.pid, min(e.ts) AS fts
+          |  FROM p JOIN events e ON e.user_id = p.user_id
+          |    AND e.ts >= p.pts - INTERVAL 7 DAY AND e.ts < p.pts
+          |  GROUP BY p.pid),
+          |f AS (
+          |  SELECT p.pid, p.user_id, w.fts, min(e.event_id) AS feid
+          |  FROM p JOIN w ON w.pid = p.pid
+          |    JOIN events e ON e.user_id = p.user_id AND e.ts = w.fts
+          |  GROUP BY 1, 2, 3)
+          |SELECT f.pid AS purchase_id, f.user_id,
+          |  e.event_type AS first_touch, f.fts AS touch_ts
+          |FROM f JOIN events e ON e.event_id = f.feid
+          |ORDER BY purchase_id""".stripMargin,
 
       "q3_topk_revenue" ->
         """SELECT l_orderkey,
