@@ -108,6 +108,7 @@ object SparkEntry {
     "d12_near_dedup"      -> (Q.d12_near_dedup(_, _)),
     "d13_edit_distance"   -> (Q.d13_edit_distance(_, _)),
     "d14_minhash_est"     -> (Q.d14_minhash_est(_, _)),
+    "d15_ngram_jaccard"   -> (Q.d15_ngram_jaccard(_, _)),
     "t16_posting_lists"   -> (Q.t16_posting_lists(_, _)),
     "t17_bigram_surprisal" -> (Q.t17_bigram_surprisal(_, _)),
     "e1_knn_brute"        -> (Q.e1_knn_brute(_, _)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "x17_transitions"     -> (Q.x17_transitions(_, _)),
     "x18_first_touch"     -> (Q.x18_first_touch(_, _)),
     "q3_topk_revenue"     -> (Q.q3_topk_revenue(_, _)),
+    "q4_order_priority"   -> (Q.q4_order_priority(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -894,6 +896,24 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }
 
+    /** Word-trigram (n=3) Jaccard over the LSH candidates — the n-gram
+      * variant of d5's verify. Trigram sets punish token reorders that
+      * unigram Jaccard can't see (same bag, different order → near-zero
+      * trigram overlap), so the two scores bracket edit locality. Shares
+      * the candidate machinery: the corpus shingles once per n, the pair
+      * relation is LSH-bounded, never all-pairs. */
+    def d15_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, k = 4)
+      val cands = graft.core.Caching.shared(
+        Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+          maxBucketSize = lshCap))
+      Dedup.jaccard(docs, cands, n = 3)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .select("doc1", "doc2", "inter", "jaccard")
+        .orderBy("doc1", "doc2")
+    }
+
     /** SimHash Hamming-ball near-dup pairs (pigeonhole band join + exact
       * bit_count verify; signatures persisted across the three consumers).
       * Two 8-bit bands / Hamming ≤ 1: wide enough band keys that buckets
@@ -1519,6 +1539,27 @@ object SparkEntry {
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+
+    /** TPC-H Q4 shape — EXISTS over a correlated non-equi predicate, the
+      * late-shipped-orders tally. The EXISTS plans as a LEFT SEMI join:
+      * equi key (l_orderkey = o_orderkey) drives the shuffle/broadcast,
+      * the interval arithmetic rides along as a residual condition, and
+      * each order is counted at most once no matter how many late lines it
+      * has — no distinct pass needed. Both date filters push to the orders
+      * scan. */
+    def q4_order_priority(s: SparkSession, d: String): DataFrame = {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
       * reporting shape. Explicit pivot values keep the plan a single
@@ -2399,6 +2440,28 @@ object SparkEntry {
            |          JOIN sigs s2 ON s2.doc_id = doc2
            |ORDER BY doc1, doc2""".stripMargin,
 
+      // word trigrams: list slice toks[i:i+2] is inclusive (3 tokens),
+      // clamped for docs shorter than n — mirrors slice(toks, i+1, 3)
+      "d15_ngram_jaccard" ->
+        s"""WITH $candCtes,
+           |tokl AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |tri AS (SELECT doc_id,
+           |  unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+           |    FOR i IN range(1, greatest(len(toks)-2, 1)+1)])) AS tok FROM tokl),
+           |sz AS (SELECT doc_id, count(*) AS s FROM tri GROUP BY doc_id),
+           |i AS (SELECT doc1, doc2, count(*) AS inter
+           |      FROM cand JOIN tri a ON a.doc_id = doc1
+           |        JOIN tri b ON b.doc_id = doc2 AND b.tok = a.tok
+           |      GROUP BY 1, 2)
+           |SELECT cand.doc1, cand.doc2,
+           |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+           |  round(coalesce(i.inter, 0) * 1.0
+           |    / (s1.s + s2.s - coalesce(i.inter, 0)), 4) AS jaccard
+           |FROM cand LEFT JOIN i ON i.doc1 = cand.doc1 AND i.doc2 = cand.doc2
+           |  JOIN sz s1 ON s1.doc_id = cand.doc1
+           |  JOIN sz s2 ON s2.doc_id = cand.doc2
+           |ORDER BY 1, 2""".stripMargin,
+
       "t20_bm25" ->
         s"""WITH $bm25Ctes,
            |ranked AS (SELECT doc_id, n_terms, round(score_micro / 1e6, 4) AS bm25,
@@ -2989,6 +3052,16 @@ object SparkEntry {
           |  AND l_shipdate > DATE '1995-03-15'
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE o.o_orderdate >= DATE '1995-01-01'
+          |  AND o.o_orderdate < DATE '1995-04-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
