@@ -143,6 +143,7 @@ object SparkEntry {
     "x18_first_touch"     -> (Q.x18_first_touch(_, _)),
     "q3_topk_revenue"     -> (Q.q3_topk_revenue(_, _)),
     "q4_order_priority"   -> (Q.q4_order_priority(_, _)),
+    "q13_custdist"        -> (Q.q13_custdist(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1559,6 +1560,24 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
+    }
+
+    /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
+      * join whose predicate touches only the right side (so it pushes to
+      * the orders scan, preserving outer rows), a per-customer count that
+      * keeps zero-order customers via count(col) null-skipping, then a
+      * re-aggregate of the aggregate. Two shuffles by construction:
+      * custkey, then c_count — the second input is one row per customer,
+      * already partial-aggregated map-side. */
+    def q13_custdist(s: SparkSession, d: String): DataFrame = {
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
@@ -3062,6 +3081,14 @@ object SparkEntry {
           |              WHERE l.l_orderkey = o.o_orderkey
           |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q13_custdist" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          |  FROM customer c LEFT JOIN orders o
+          |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+          |  GROUP BY c.c_custkey) t
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
