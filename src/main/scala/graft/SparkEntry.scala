@@ -73,6 +73,7 @@ object SparkEntry {
     "o4_tile_dedup"       -> (Q.o4_tile_dedup(_, _)),
     "st1_window_agg"      -> (Q.st1_window_agg(_, _)),
     "st2_sessionize"      -> (Q.st2_sessionize(_, _)),
+    "st3_hopping"         -> (Q.st3_hopping(_, _)),
     "t1_token_count"      -> (Q.t1_token_count(_, _)),
     "t2_lang_id"          -> (Q.t2_lang_id(_, _)),
     "t3_quality_score"    -> (Q.t3_quality_score(_, _)),
@@ -730,6 +731,21 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")
+
+    /** ST3: hopping (sliding) event-time windows — 1-hour windows every
+      * 30 min, so each event lands in exactly duration/slide = 2 windows.
+      * Spark's `window()` plans this as a 2-row Expand before the
+      * aggregate (no self-join, no range join); the distinct-user count
+      * adds the usual two-phase distinct aggregate. The streaming form is
+      * the same expression under a watermark — this is its batch twin,
+      * and the oracle pins the epoch-aligned bucket boundaries. */
+    def st3_hopping(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("n_users"))
+        .orderBy("w_start", "event_type")
 
     /** ST2: sessionization — 30-min inactivity gap via lag + running sum
       * (the batch twin of flatMapGroupsWithState session windows). */
@@ -2200,6 +2216,21 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
           | round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+      // epoch-aligned 30-min buckets; each event expands to its bucket
+      // and the one before (window [start, start+1h) covers both)
+      "st3_hopping" ->
+        """WITH e AS (
+          |  SELECT TIMESTAMP '1970-01-01'
+          |    + (CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800)
+          |      * INTERVAL 1 SECOND AS b,
+          |    event_type, user_id FROM events),
+          |w AS (
+          |  SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS w_start,
+          |    event_type, user_id FROM e)
+          |SELECT w_start, event_type, count(*) AS n,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "st2_sessionize" ->
         """WITH g AS (

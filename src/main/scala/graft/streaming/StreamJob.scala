@@ -20,6 +20,21 @@ object StreamJob {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Hopping windows (streaming twin of st3): 1-hour windows sliding every
+    * 30 min — each event expands into exactly duration/slide = 2 window
+    * states, and the watermark evicts a window once its end passes the
+    * horizon, so live state is bounded at ~2·|active keys| regardless of
+    * stream length. Distinct users is `approx_count_distinct`: exact
+    * distinct needs all member ids retained per window (unsupported in
+    * streaming aggregates, and the wrong shape at scale) — one HLL sketch
+    * per window-key is the 100 TB form; the batch st3 twin is the exact
+    * repair path. */
+  def eventHoppingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct("user_id").as("n_users"))
+
   /** Sessionization with explicit state (streaming twin of st2): gap-based
     * sessions via flatMapGroupsWithState-free session_window (Spark's
     * native session windows bound state by watermark + gap). */

@@ -41,6 +41,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("StreamJob hopping windows == batch st3 counts (st3's stream twin)") {
+    val batch = Tables.events(spark, sf())
+    val dir = new java.io.File("target/tmp/stream_events_hop").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val q = StreamJob.eventHoppingAgg(
+        spark.readStream.schema(batch.schema).parquet(dir))
+      .writeStream.outputMode("complete").format("memory").queryName("st_hop")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // exact columns (window, event_type, n) must match the batch query;
+    // n_users is approximate by design on the stream side
+    val streamed = spark.table("st_hop")
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val expected = graft.SparkEntry.queries("st3_hopping")(spark, sf())
+      .select("w_start", "event_type", "n")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
   test("StreamJob session windows bound state and count events per session") {
     val batch = Tables.events(spark, sf())
     val dir = new java.io.File("target/tmp/stream_events2").getAbsolutePath
