@@ -65,6 +65,7 @@ object SparkEntry {
     "a9_zonal_stats"      -> (Q.a9_zonal_stats(_, _)),
     "a10_region_label"    -> (Q.a10_region_label(_, _)),
     "a11_proximity"       -> (Q.a11_proximity(_, _)),
+    "a12_sieve"           -> (Q.a12_sieve(_, _)),
     "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
     "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
     "w3_lag_delta"        -> (Q.w3_lag_delta(_, _)),
@@ -629,6 +630,15 @@ object SparkEntry {
       val zones = pixels(s, d).groupBy("px", "py")
         .agg(floor(max("value") / 10).cast("long").as("v"))
       graft.operators.Regions.label(zones).orderBy("px", "py")
+    }
+
+    /** GDAL-sieve over the zone raster: regions under 3 px drop to nodata
+      * (null), survivors keep their value; n_px rides along so the oracle
+      * checks the census too. See [[graft.operators.Regions.sieve]]. */
+    def a12_sieve(s: SparkSession, d: String): DataFrame = {
+      val zones = pixels(s, d).groupBy("px", "py")
+        .agg(floor(max("value") / 10).cast("long").as("v"))
+      graft.operators.Regions.sieve(zones, minPx = 3).orderBy("px", "py")
     }
 
     /** Raster proximity (GDAL gdal_proximity with maxdist): per pixel, the
@@ -2058,6 +2068,34 @@ object SparkEntry {
           |SELECT i.px, i.py, i.v, coalesce(l.region, i.id) AS region_id
           |FROM ids i LEFT JOIN lbl l ON i.id = l.id
           |ORDER BY px, py""".stripMargin,
+
+      // a10's labeling + a size census + CASE: regions under 3 px → NULL
+      "a12_sieve" ->
+        """WITH RECURSIVE cells AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py,
+          |    CAST(floor(max(l_quantity) / 10) AS BIGINT) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |ids AS (SELECT px, py, v, px * 1048576 + py AS id FROM cells),
+          |e AS (
+          |  SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
+          |    ON b.px = a.px + 1 AND b.py = a.py AND b.v = a.v
+          |  UNION ALL
+          |  SELECT a.id, b.id FROM ids a JOIN ids b
+          |    ON b.px = a.px AND b.py = a.py + 1 AND b.v = a.v),
+          |ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |reach AS (
+          |  SELECT src, dst FROM ee
+          |  UNION
+          |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src),
+          |lbl AS (SELECT src AS id, least(src, min(dst)) AS region FROM reach GROUP BY src),
+          |labeled AS (
+          |  SELECT i.px, i.py, i.v, coalesce(l.region, i.id) AS region_id
+          |  FROM ids i LEFT JOIN lbl l ON i.id = l.id),
+          |sz AS (SELECT v, region_id, count(*) AS n_px FROM labeled GROUP BY 1, 2)
+          |SELECT labeled.px, labeled.py,
+          |  CASE WHEN sz.n_px >= 3 THEN labeled.v END AS v, sz.n_px
+          |FROM labeled JOIN sz ON sz.v = labeled.v AND sz.region_id = labeled.region_id
+          |ORDER BY 1, 2""".stripMargin,
 
       "a11_proximity" ->
         """WITH cells AS (

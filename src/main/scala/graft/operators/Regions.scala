@@ -56,4 +56,23 @@ object Regions {
     label(cells)
       .groupBy("v", "region_id")
       .agg(count(lit(1)).as("n_px"))
+
+  /** GDAL-sieve (drop-to-nodata form): null the value of every pixel whose
+    * 4-connected region is smaller than `minPx`, as `gdal_sieve` does with
+    * no connectedness-8 flag and nodata as the destination. (GDAL's other
+    * mode — absorb into the largest neighbor — is a second labeling pass
+    * over the sieved output; the drop form is what masking pipelines use.)
+    *
+    * One labeling, one size census, one region-keyed equi join back: the
+    * labeled relation is pinned ([[graft.core.Caching.shared]] —
+    * caller-released) because both the census and the final join consume
+    * it; the join key (v, region_id) is the census's grouping key, so the
+    * census side arrives pre-partitioned and small (one row per region). */
+  def sieve(cells: DataFrame, minPx: Long): DataFrame = {
+    val labeled = graft.core.Caching.shared(label(cells))
+    val sizes = labeled.groupBy("v", "region_id").agg(count(lit(1)).as("n_px"))
+    labeled.join(sizes, Seq("v", "region_id"))
+      .select(col("px"), col("py"),
+        when(col("n_px") >= minPx, col("v")).as("v"), col("n_px"))
+  }
 }

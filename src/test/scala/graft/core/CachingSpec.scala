@@ -123,6 +123,12 @@ class CachingSpec extends SparkSpec {
     }
   }
 
+  test("sieve releases the pinned labeled relation") {
+    assertReleasesClean("a12_sieve") {
+      graft.SparkEntry.queries("a12_sieve")(spark, "/root/testdata/sf0.001").count()
+    }
+  }
+
   test("release is surgical: application-owned caches survive") {
     withCleanCache {
     val mine = docs.persist()
