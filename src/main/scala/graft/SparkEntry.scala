@@ -69,6 +69,7 @@ object SparkEntry {
     "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
     "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
     "w3_lag_delta"        -> (Q.w3_lag_delta(_, _)),
+    "w5_range_frame"      -> (Q.w5_range_frame(_, _)),
     "o1_topk"             -> (Q.o1_topk(_, _)),
     "o3_set_ops"          -> (Q.o3_set_ops(_, _)),
     "o4_tile_dedup"       -> (Q.o4_tile_dedup(_, _)),
@@ -708,6 +709,24 @@ object SparkEntry {
           round(col("value") - coalesce(lag("value", 1).over(w), lit(0.0)), 4).as("delta"),
           round(first("value").over(w), 4).as("first_v"))
         .orderBy("user_id", "event_id")
+    }
+
+    /** W5: event-time RANGE frame — trailing 1-hour per-user count and
+      * integer sum. Unlike w2's ROWS frame, the frame bound is a VALUE
+      * offset on the ordering key (epoch seconds), so frame width varies
+      * per row with event density; peers at the same instant are all
+      * in-frame by definition. Integer sum (floor) keeps the varying
+      * accumulation order exact across engines; the DuckDB twin casts its
+      * HUGEINT window sum back to BIGINT. */
+    def w5_range_frame(s: SparkSession, d: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(floor(col("value")).cast("long")).over(w).as("sum_1h"))
+        .orderBy("event_id")
     }
 
     /** O1: deterministic top-k (order + limit with total tiebreak). */
@@ -2235,6 +2254,17 @@ object SparkEntry {
           |FROM events WHERE user_id < 100 AND event_type = 'purchase'
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           |ORDER BY user_id, event_id""".stripMargin,
+
+      "w5_range_frame" ->
+        """SELECT event_id, user_id,
+          |  count(*) OVER w AS n_1h,
+          |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS sum_1h
+          |FROM events
+          |WHERE user_id < 50
+          |WINDOW w AS (PARTITION BY user_id
+          |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+          |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
 
       "o1_topk" ->
         """SELECT o_orderkey, o_totalprice FROM orders
