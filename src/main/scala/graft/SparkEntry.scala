@@ -100,6 +100,7 @@ object SparkEntry {
     "t9_rep_signals"      -> (Q.t9_rep_signals(_, _)),
     "t18_dedup_report"    -> (Q.t18_dedup_report(_, _)),
     "t19_bpe_pairs"       -> (Q.t19_bpe_pairs(_, _)),
+    "t23_collocations"    -> (Q.t23_collocations(_, _)),
     "t20_bm25"            -> (Q.t20_bm25(_, _)),
     "e8_rrf"              -> (Q.e8_rrf(_, _)),
     "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "x16_grouping_sets"   -> (Q.x16_grouping_sets(_, _)),
     "x17_transitions"     -> (Q.x17_transitions(_, _)),
     "x18_first_touch"     -> (Q.x18_first_touch(_, _)),
+    "x19_unpivot"         -> (Q.x19_unpivot(_, _)),
     "q3_topk_revenue"     -> (Q.q3_topk_revenue(_, _)),
     "q4_order_priority"   -> (Q.q4_order_priority(_, _)),
     "q13_custdist"        -> (Q.q13_custdist(_, _)),
@@ -761,6 +763,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")
 
+    /** UNPIVOT (melt) — the inverse of x8's pivot, proving the round trip:
+      * the wide per-cohort count table folds back to (cohort, event_type,
+      * n) rows. Spark plans `unpivot` as an Expand (one input row → five
+      * output rows, no shuffle); the only exchanges are the pivot
+      * aggregate's own. */
+    def x19_unpivot(s: SparkSession, d: String): DataFrame = {
+      val wide = Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+      wide.unpivot(
+          Array(col("cohort")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy("cohort", "event_type")
+    }
+
     /** ST3: hopping (sliding) event-time windows — 1-hour windows every
       * 30 min, so each event lands in exactly duration/slide = 2 windows.
       * Spark's `window()` plans this as a 2-row Expand before the
@@ -1032,6 +1053,11 @@ object SparkEntry {
         .select("rank", "pair", "n")
         .orderBy("rank")
     }
+
+    /** PMI collocations: top-20 bigram associations, micro-nat integer
+      * scores, total tiebreak — see [[graft.operators.TextOps.collocations]]. */
+    def t23_collocations(s: SparkSession, d: String): DataFrame =
+      graft.operators.TextOps.collocations(Tables.documents(s, d))
 
     /** BM25 retrieval: the whole corpus ranked against a fixed 3-term
       * query, top 20. Ranking key = the integer micro-unit score (ties by
@@ -2285,6 +2311,21 @@ object SparkEntry {
           | round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+      // FILTERed counts build the same wide table x8 pivots to; UNPIVOT
+      // folds it back — column names become the event_type values
+      "x19_unpivot" ->
+        """WITH p AS (
+          |  SELECT user_id % 10 AS cohort,
+          |    count(*) FILTER (event_type = 'click') AS click,
+          |    count(*) FILTER (event_type = 'error') AS error,
+          |    count(*) FILTER (event_type = 'purchase') AS purchase,
+          |    count(*) FILTER (event_type = 'signup') AS signup,
+          |    count(*) FILTER (event_type = 'view') AS view
+          |  FROM events GROUP BY 1)
+          |SELECT cohort, event_type, n FROM p
+          |UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+          |ORDER BY cohort, event_type""".stripMargin,
+
       // epoch-aligned 30-min buckets; each event expands to its bucket
       // and the one before (window [start, start+1h) covers both)
       "st3_hopping" ->
@@ -2630,6 +2671,28 @@ object SparkEntry {
         """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
           |  round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_rate
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // PMI argument is the exact rational c12·N²/(M·c1·c2); micro-nat
+      // quantization with the +0.5 floor, ranked with a total tiebreak
+      "t23_collocations" ->
+        s"""WITH tokl AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |uni AS (SELECT unnest(toks) AS tok FROM tokl),
+           |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+           |n AS (SELECT count(*) AS n FROM uni),
+           |bi AS (SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+           |         FOR i IN range(1, len(toks))]) AS bg
+           |       FROM tokl WHERE len(toks) >= 2),
+           |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+           |m AS (SELECT CAST(sum(c12) AS BIGINT) AS m FROM bc),
+           |pmi AS (
+           |  SELECT w1, w2, c12,
+           |    CAST(floor(ln(c12 * n.n * n.n * 1.0 / (m.m * u1.c * u2.c)) * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+           |  FROM bc, n, m
+           |  JOIN uc u1 ON u1.tok = bc.w1
+           |  JOIN uc u2 ON u2.tok = bc.w2
+           |  WHERE c12 >= 5)
+           |SELECT w1, w2, c12, pmi_micro FROM pmi
+           |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
 
       "t19_bpe_pairs" ->
         s"""WITH words AS (SELECT unnest($tokExpr) AS word FROM documents),

@@ -456,6 +456,45 @@ object TextOps {
         round(col("__sum").cast("double") / col("n_bigrams") / 1e6, 4).as("surprisal"))
   }
 
+  /** PMI collocation ranking — the classic bigram-association extractor
+    * (Church & Hanks 1990): PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with
+    * p from corpus counts, so the argument is the exact integer rational
+    * c12·N² / (M·c1·c2) (N tokens, M bigrams). Scores are micro-nat
+    * quantized ([[unigramSurprisal]]'s cross-engine recipe) and ranked
+    * with a total (score, w1, w2) tiebreak. `minCount` drops the hapax
+    * noise floor BEFORE the vocabulary joins — at 100 TB most bigrams are
+    * singletons and never deserve a join probe. Shuffle currency: one
+    * bigram aggregate + two vocabulary-keyed hash joins; the totals are
+    * 1-row broadcasts. The unigram-count and bigram-count relations are
+    * pinned (each feeds two consumers) — caller releases. */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val tokl = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val uni = tokl.select(explode(col("toks")).as("tok"))
+    val uc = graft.core.Caching.shared(
+      uni.groupBy("tok").agg(count(lit(1)).as("c")))
+    val n = uni.agg(count(lit(1)).as("__n"))
+    val bcAll = graft.core.Caching.shared(
+      tokl.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c12")))
+    val m = bcAll.agg(sum("c12").as("__m"))
+    bcAll.filter(col("c12") >= minCount)
+      .join(uc.select(col("tok").as("w1"), col("c").as("__c1")), "w1")
+      .join(uc.select(col("tok").as("w2"), col("c").as("__c2")), "w2")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .withColumn("pmi_micro",
+        floor(log((col("c12") * col("__n") * col("__n")).cast("double") /
+          (col("__m") * col("__c1") * col("__c2")).cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Inverted index: token → document frequency + the sorted posting list
     * (retrieval-side complement of tfidf; also the exact-match layer of a
     * decontamination service). One explode + one hash aggregate — the same

@@ -129,6 +129,12 @@ class CachingSpec extends SparkSpec {
     }
   }
 
+  test("collocations releases the pinned count relations") {
+    assertReleasesClean("collocations") {
+      TextOps.collocations(docs, minCount = 1, topK = 10).count()
+    }
+  }
+
   test("release is surgical: application-owned caches survive") {
     withCleanCache {
     val mine = docs.persist()
