@@ -149,6 +149,7 @@ object SparkEntry {
     "q3_topk_revenue"     -> (Q.q3_topk_revenue(_, _)),
     "q4_order_priority"   -> (Q.q4_order_priority(_, _)),
     "q13_custdist"        -> (Q.q13_custdist(_, _)),
+    "q18_big_orders"      -> (Q.q18_big_orders(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1649,6 +1650,25 @@ object SparkEntry {
         .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
         .groupBy("c_count").agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    }
+
+    /** TPC-H Q18 shape — large-volume orders: HAVING on a grouped sum
+      * feeds a join back to orders/customer and a top-k. The HAVING
+      * filter runs on the aggregate OUTPUT (one row per order, partials
+      * map-side combined), so the join probe side is already tiny; the
+      * LIMIT plans as TakeOrderedAndProject. l_quantity is integral-valued,
+      * so the sum is exact and casts to BIGINT on both engines. */
+    def q18_big_orders(s: SparkSession, d: String): DataFrame = {
+      val big = li(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__sq"))
+        .filter(col("__sq") > 150)
+        .select(col("l_orderkey"), col("__sq").cast("long").as("sum_qty"))
+      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
     }
 
     /** Pivot: per-user-cohort event-type counts as columns — the wide
@@ -3251,6 +3271,15 @@ object SparkEntry {
           |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
           |  GROUP BY c.c_custkey) t
           |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+      "q18_big_orders" ->
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+          |  CAST(t.sum_qty AS BIGINT) AS sum_qty
+          |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+          |      GROUP BY 1 HAVING sum(l_quantity) > 150) t
+          |JOIN orders o ON o.o_orderkey = t.l_orderkey
+          |JOIN customer c ON c.c_custkey = o.o_custkey
+          |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
