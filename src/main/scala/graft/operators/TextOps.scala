@@ -472,7 +472,9 @@ object TextOps {
     val uni = tokl.select(explode(col("toks")).as("tok"))
     val uc = graft.core.Caching.shared(
       uni.groupBy("tok").agg(count(lit(1)).as("c")))
-    val n = uni.agg(count(lit(1)).as("__n"))
+    // totals derive from the pinned count relations — the corpus explodes
+    // exactly twice (unigrams, bigrams), never again for a scalar
+    val n = uc.agg(sum("c").as("__n"))
     val bcAll = graft.core.Caching.shared(
       tokl.filter(size(col("toks")) >= 2)
         .select(explode(zip_with(
