@@ -150,6 +150,7 @@ object SparkEntry {
     "q4_order_priority"   -> (Q.q4_order_priority(_, _)),
     "q13_custdist"        -> (Q.q13_custdist(_, _)),
     "q18_big_orders"      -> (Q.q18_big_orders(_, _)),
+    "q6_forecast_revenue" -> (Q.q6_forecast_revenue(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1633,6 +1634,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
     }
+
+    /** TPC-H Q6 shape — the pure scan benchmark: every predicate reaches
+      * the parquet scan's PushedFilters (date range, discount band,
+      * quantity cap), the projection prunes to two columns, and the global
+      * aggregate is a partial+final pair — the query IS the scan. The
+      * +5e-7 epsilon before round guards the half-even boundary against
+      * accumulation-order differences (q1's discipline). */
+    def q6_forecast_revenue(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")) + lit(5e-7), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
 
     /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
       * join whose predicate touches only the right side (so it pushes to
@@ -3280,6 +3296,13 @@ object SparkEntry {
           |JOIN orders o ON o.o_orderkey = t.l_orderkey
           |JOIN customer c ON c.c_custkey = o.o_custkey
           |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+      "q6_forecast_revenue" ->
+        """SELECT round(sum(l_extendedprice * l_discount) + 5e-7, 2) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
