@@ -1637,10 +1637,11 @@ object SparkEntry {
 
     /** TPC-H Q6 shape — the pure scan benchmark: every predicate reaches
       * the parquet scan's PushedFilters (date range, discount band,
-      * quantity cap), the projection prunes to two columns, and the global
-      * aggregate is a partial+final pair — the query IS the scan. The
-      * +5e-7 epsilon before round guards the half-even boundary against
-      * accumulation-order differences (q1's discipline). */
+      * quantity cap), the read schema prunes to the filter + aggregate
+      * columns, and the global aggregate is a partial+final pair — the
+      * query IS the scan. The +5e-7 epsilon before round guards the
+      * half-even boundary against accumulation-order differences (q1's
+      * discipline). */
     def q6_forecast_revenue(s: SparkSession, d: String): DataFrame =
       li(s, d)
         .filter(col("l_shipdate") >= lit("1995-01-01") &&
