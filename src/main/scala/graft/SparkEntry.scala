@@ -151,6 +151,7 @@ object SparkEntry {
     "q13_custdist"        -> (Q.q13_custdist(_, _)),
     "q18_big_orders"      -> (Q.q18_big_orders(_, _)),
     "q6_forecast_revenue" -> (Q.q6_forecast_revenue(_, _)),
+    "q19_disjunctive"     -> (Q.q19_disjunctive(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1650,6 +1651,25 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")) + lit(5e-7), 2)
           .as("revenue"),
           count(lit(1)).as("n_lines"))
+
+    /** TPC-H Q19 shape — disjunctive OR-of-ANDs predicate spanning both
+      * join sides. Catalyst CNF-converts the disjunction and pushes the
+      * single-table factors to each scan (brand/size bounds to part,
+      * the union quantity envelope to lineitem); the full predicate stays
+      * as the join residual. The plan to check: PushedFilters on BOTH
+      * scans despite every branch mixing tables. */
+    def q19_disjunctive(s: SparkSession, d: String): DataFrame = {
+      val branch = (b: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === b && col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li(s, d).join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .filter(branch("Brand#1", 15, 1, 11) ||
+          branch("Brand#2", 25, 10, 20) ||
+          branch("Brand#3", 35, 20, 30))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          + lit(5e-7), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }
 
     /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
       * join whose predicate touches only the right side (so it pushes to
@@ -3304,6 +3324,14 @@ object SparkEntry {
           |FROM lineitem
           |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+      "q19_disjunctive" ->
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
