@@ -152,6 +152,7 @@ object SparkEntry {
     "q18_big_orders"      -> (Q.q18_big_orders(_, _)),
     "q6_forecast_revenue" -> (Q.q6_forecast_revenue(_, _)),
     "q19_disjunctive"     -> (Q.q19_disjunctive(_, _)),
+    "q14_promo_share"     -> (Q.q14_promo_share(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1669,6 +1670,28 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           + lit(5e-7), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
+    }
+
+    /** TPC-H Q14 shape — conditional-aggregation ratio (promo revenue
+      * share). Revenue quantizes to integer cents PER ROW (floor + 0.5 of
+      * the identical per-row product), so both sums are exact integers and
+      * the ratio is deterministic regardless of accumulation order — the
+      * cross-engine discipline for ratios of float sums. Date filter
+      * pushes to the lineitem scan; one join, one global aggregate. */
+    def q14_promo_share(s: SparkSession, d: String): DataFrame = {
+      val j = li(s, d)
+        .filter(col("l_shipdate") >= lit("1995-09-01") &&
+          col("l_shipdate") < lit("1995-10-01"))
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .select(col("p_type"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+            + lit(0.5)).cast("long").as("cents"))
+      j.agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L)) /
+          sum(col("cents")) + lit(5e-7), 4).as("promo_pct"),
+        sum(col("cents")).as("total_cents"),
+        count(lit(1)).as("n_lines"))
     }
 
     /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
@@ -3332,6 +3355,19 @@ object SparkEntry {
           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
           |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+      // per-row cent quantization makes both sums exact integers — the
+      // ratio can't drift with accumulation order
+      "q14_promo_share" ->
+        """WITH j AS (
+          |  SELECT p_type,
+          |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01')
+          |SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+          |         / sum(cents) + 5e-7, 4) AS promo_pct,
+          |  CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS n_lines
+          |FROM j""".stripMargin,
 
       "x4_correlated_sub" ->
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
