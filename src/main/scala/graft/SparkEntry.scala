@@ -66,6 +66,7 @@ object SparkEntry {
     "a10_region_label"    -> (Q.a10_region_label(_, _)),
     "a11_proximity"       -> (Q.a11_proximity(_, _)),
     "a12_sieve"           -> (Q.a12_sieve(_, _)),
+    "a13_sieve_absorb"    -> (Q.a13_sieve_absorb(_, _)),
     "w1_ordered_burn_rank" -> (Q.w1_ordered_burn_rank(_, _)),
     "w2_running_sum"      -> (Q.w2_running_sum(_, _)),
     "w3_lag_delta"        -> (Q.w3_lag_delta(_, _)),
@@ -646,6 +647,17 @@ object SparkEntry {
       val zones = pixels(s, d).groupBy("px", "py")
         .agg(floor(max("value") / 10).cast("long").as("v"))
       graft.operators.Regions.sieve(zones, minPx = 3).orderBy("px", "py")
+    }
+
+    /** GDAL-sieve, absorb form (gdal_sieve's DEFAULT): regions under 3 px
+      * take the value of their largest 4-connected neighbor region (ties
+      * to the smaller region id), instead of dropping to nodata like a12.
+      * One absorb pass over original labels — see
+      * [[graft.operators.Regions.sieveAbsorb]]. */
+    def a13_sieve_absorb(s: SparkSession, d: String): DataFrame = {
+      val zones = pixels(s, d).groupBy("px", "py")
+        .agg(floor(max("value") / 10).cast("long").as("v"))
+      graft.operators.Regions.sieveAbsorb(zones, minPx = 3).orderBy("px", "py")
     }
 
     /** Raster proximity (GDAL gdal_proximity with maxdist): per pixel, the
@@ -2220,6 +2232,52 @@ object SparkEntry {
           |SELECT labeled.px, labeled.py,
           |  CASE WHEN sz.n_px >= 3 THEN labeled.v END AS v, sz.n_px
           |FROM labeled JOIN sz ON sz.v = labeled.v AND sz.region_id = labeled.region_id
+          |ORDER BY 1, 2""".stripMargin,
+
+      // a10's labeling + census + cross-region adjacency: sub-3px regions
+      // take the largest neighbor's value (tie: smaller region id)
+      "a13_sieve_absorb" ->
+        """WITH RECURSIVE cells AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py,
+          |    CAST(floor(max(l_quantity) / 10) AS BIGINT) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |ids AS (SELECT px, py, v, px * 1048576 + py AS id FROM cells),
+          |e AS (
+          |  SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
+          |    ON b.px = a.px + 1 AND b.py = a.py AND b.v = a.v
+          |  UNION ALL
+          |  SELECT a.id, b.id FROM ids a JOIN ids b
+          |    ON b.px = a.px AND b.py = a.py + 1 AND b.v = a.v),
+          |ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |reach AS (
+          |  SELECT src, dst FROM ee
+          |  UNION
+          |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src),
+          |lbl AS (SELECT src AS id, least(src, min(dst)) AS region FROM reach GROUP BY src),
+          |labeled AS (
+          |  SELECT i.px, i.py, i.v, coalesce(l.region, i.id) AS region_id
+          |  FROM ids i LEFT JOIN lbl l ON i.id = l.id),
+          |sz AS (SELECT region_id, count(*) AS n_px FROM labeled GROUP BY 1),
+          |rv AS (SELECT region_id, min(v) AS rv FROM labeled GROUP BY 1),
+          |tch AS (
+          |  SELECT a.region_id AS ra, b.region_id AS rb FROM labeled a JOIN labeled b
+          |    ON b.px = a.px + 1 AND b.py = a.py
+          |  UNION ALL
+          |  SELECT a.region_id, b.region_id FROM labeled a JOIN labeled b
+          |    ON b.px = a.px AND b.py = a.py + 1),
+          |pairs AS (SELECT DISTINCT ra, rb FROM
+          |  (SELECT ra, rb FROM tch UNION ALL SELECT rb AS ra, ra AS rb FROM tch)
+          |  WHERE ra <> rb),
+          |ns AS (SELECT p.ra, p.rb, sz.n_px FROM pairs p JOIN sz ON sz.region_id = p.rb),
+          |mx AS (SELECT ra, max(n_px) AS mx FROM ns GROUP BY 1),
+          |pick AS (SELECT ns.ra, min(ns.rb) AS rb FROM ns JOIN mx
+          |  ON mx.ra = ns.ra AND ns.n_px = mx.mx GROUP BY 1),
+          |ab AS (SELECT pick.ra AS region_id, rv.rv AS absorb_v
+          |  FROM pick JOIN rv ON rv.region_id = pick.rb)
+          |SELECT l.px, l.py,
+          |  CASE WHEN sz.n_px >= 3 THEN l.v ELSE coalesce(ab.absorb_v, l.v) END AS v
+          |FROM labeled l JOIN sz ON sz.region_id = l.region_id
+          |LEFT JOIN ab ON ab.region_id = l.region_id
           |ORDER BY 1, 2""".stripMargin,
 
       "a11_proximity" ->

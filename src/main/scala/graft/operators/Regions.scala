@@ -25,9 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Regions {
 
-  /** Collision-free linear pixel id (py bounded by the 2^20 row limit). */
+  /** Collision-free linear pixel id. The 2^20 row packing is ENFORCED, not
+    * assumed: a py at or past 1,048,576 (or any negative coordinate) would
+    * silently alias two pixels onto one id and corrupt every label built on
+    * it, so the guard is woven into the id value itself — same pattern as
+    * the Focal non-uniform-block guard — where the optimizer cannot prune
+    * it. Callers with a taller lattice must re-grid (or shift origin). */
   private def pixelId(px: org.apache.spark.sql.Column, py: org.apache.spark.sql.Column) =
-    px * 1048576L + py
+    when(px >= 0L && py >= 0L && py < 1048576L, px * 1048576L + py)
+      .otherwise(raise_error(format_string(
+        "graft regions: pixel (%s, %s) outside the 2^20 row-packing bound " +
+          "(0 <= py < 1048576, px >= 0) - labels would alias; re-grid the lattice",
+        px, py)))
 
   /** Label every cell of a (px, py, v) raster relation with its region id
     * (= min pixel id in the 4-connected same-value region). Isolated
@@ -74,5 +83,61 @@ object Regions {
     labeled.join(sizes, Seq("v", "region_id"))
       .select(col("px"), col("py"),
         when(col("n_px") >= minPx, col("v")).as("v"), col("n_px"))
+  }
+
+  /** GDAL-sieve, absorb form (`gdal_sieve`'s default): every pixel of a
+    * region smaller than `minPx` takes the value of the region's LARGEST
+    * 4-connected neighboring region (by pixel count; ties broken by the
+    * smaller region id, so the result is deterministic). A small region
+    * with no neighbor at all keeps its value, as GDAL keeps islands
+    * surrounded by nodata.
+    *
+    * One pass, by design: GDAL iterates smallest-first until fixpoint,
+    * which is inherently sequential; the relational form does a single
+    * absorb round (label → census → neighbor argmax → value join), the
+    * "second labeling pass over the sieved output" shape. Re-invoke on the
+    * output for the iterative polish if a pipeline needs it — each round is
+    * the same bounded plan, no flood fill.
+    *
+    * Scale shape: neighbor adjacency is the SAME two shifted-key equi-joins
+    * the labeling already does (on (px, py) alone, cross-region pairs
+    * kept), so at cluster scale it rides the grid partitioning; the
+    * absorb decision is a per-region argmax over the neighbor census — one
+    * row per adjacent region pair, tiny next to the pixel relation. */
+  def sieveAbsorb(cells: DataFrame, minPx: Long): DataFrame = {
+    val labeled = graft.core.Caching.shared(label(cells))
+    val sizes = labeled.groupBy("region_id").agg(count(lit(1)).as("n_px"))
+
+    // Cross-region 4-adjacency: join on position only, keep pairs whose
+    // regions differ, symmetrize. One row per (region, neighbor) pair after
+    // the distinct — everything downstream is region-keyed and small.
+    val a = labeled.select(col("px"), col("py"), col("region_id").as("ra"))
+    val b = labeled.select(col("px"), col("py"), col("region_id").as("rb"))
+    val right = a.withColumn("px", col("px") + 1).join(b, Seq("px", "py"))
+    val down = a.withColumn("py", col("py") + 1).join(b, Seq("px", "py"))
+    val touches = right.unionByName(down).select("ra", "rb")
+    val pairs = touches
+      .unionByName(touches.select(col("rb").as("ra"), col("ra").as("rb")))
+      .filter(col("ra") =!= col("rb"))
+      .distinct()
+
+    // Largest neighbor, ties to the smaller region id — exact two-step
+    // (max size, then min id among the maxima) so no packed ordering key
+    // can alias; all relations here are one-row-per-region.
+    val regionV = labeled.groupBy("region_id").agg(first(col("v")).as("rv"))
+    val nbrSized = pairs.join(sizes.withColumnRenamed("region_id", "rb"), Seq("rb"))
+    val best = nbrSized.groupBy("ra").agg(max("n_px").as("__mx"))
+    val nbr = nbrSized.join(best, Seq("ra"))
+      .filter(col("n_px") === col("__mx"))
+      .groupBy("ra")
+      .agg(min(col("rb")).as("__rb"))
+      .join(regionV.withColumnRenamed("region_id", "__rb"), Seq("__rb"))
+      .select(col("ra").as("region_id"), col("rv").as("absorb_v"))
+
+    labeled.join(sizes, Seq("region_id"))
+      .join(nbr, Seq("region_id"), "left")
+      .select(col("px"), col("py"),
+        when(col("n_px") >= minPx, col("v"))
+          .otherwise(coalesce(col("absorb_v"), col("v"))).as("v"))
   }
 }
