@@ -108,7 +108,15 @@ object Bench {
     val qsMin = render(_._2._2)
     val qsMax = render(_._2._3)
     val total = results.map(_._2._1).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
+    // The driver tails stdout with a byte cap; round 7's record lost the
+    // head of this (long) line to that cap. Persist the full JSON to a file
+    // the driver can read whole, then print it as the final stdout line.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
+    println(json)
     spark.stop()
   }
 }

@@ -52,6 +52,7 @@ object SparkEntry {
     "g3_triangle_count"   -> (Q.g3_triangle_count(_, _)),
     "g4_pagerank"         -> (Q.g4_pagerank(_, _)),
     "g5_sssp"             -> (Q.g5_sssp(_, _)),
+    "g6_pagerank_dangling" -> (Q.g6_pagerank_dangling(_, _)),
     "b1_bloom_join"       -> (Q.b1_bloom_join(_, _)),
     "r2_resample_mode"    -> (Q.r2_resample_mode(_, _)),
     "a1_rasterize_count"  -> (Q.a1_rasterize_count(_, _)),
@@ -481,6 +482,26 @@ object SparkEntry {
           explode(array((col("doc_id") * 31 + 7) % col("__n"),
             (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
       graft.operators.Graph.pagerank(edges, iters = 5)
+        .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+        .orderBy("doc_id")
+    }
+
+    /** PageRank with dangling-mass redistribution over a graph where a
+      * third of the docs never cite (doc_id % 3 == 0 emits no edges —
+      * the cited-but-never-citing shape real curation graphs are full
+      * of). Each round the damped dangling mass is split evenly with
+      * exact integer remainder accounting — see
+      * [[graft.operators.Graph.pagerank]] `redistributeDangling`; the
+      * oracle replays the five rounds with the dangling share as a
+      * 1-row cross-joined scalar. */
+    def g6_pagerank_dangling(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.filter(col("doc_id") % 3 =!= 0).crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
+      graft.operators.Graph.pagerank(edges, iters = 5, redistributeDangling = true)
         .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
         .orderBy("doc_id")
     }
@@ -2314,6 +2335,38 @@ object SparkEntry {
            |adj AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
            |nodes AS (SELECT DISTINCT id FROM (
            |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+           |$iters
+           |SELECT id AS doc_id, rank AS rank_micro FROM r5 ORDER BY doc_id""".stripMargin
+      },
+
+      "g6_pagerank_dangling" -> {
+        // same exact integer-micro recurrence as g4 plus the per-round
+        // dangling share: sum((rank*7)//8) over no-out-edge vertices,
+        // // N, cross-joined as a 1-row scalar into the rank update
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (SELECT n2.id,
+             |    CAST(125000 + coalesce(m.mass, 0) + ds.share AS BIGINT) AS rank
+             |  FROM nodes n2 LEFT JOIN (
+             |    SELECT adj.dst AS id, sum((r${k - 1}.rank * 7) // (8 * adj.outdeg)) AS mass
+             |    FROM adj JOIN r${k - 1} ON adj.src = r${k - 1}.id GROUP BY 1) m
+             |  ON n2.id = m.id
+             |  CROSS JOIN (
+             |    SELECT coalesce(sum((r${k - 1}.rank * 7) // 8), 0) // (SELECT n FROM nv) AS share
+             |    FROM r${k - 1} JOIN dang ON r${k - 1}.id = dang.id) ds)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM documents, nn
+           |    WHERE doc_id % 3 <> 0
+           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn
+           |    WHERE doc_id % 3 <> 0)),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |adj AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |nv AS (SELECT count(*) AS n FROM nodes),
+           |dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
            |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
            |$iters
            |SELECT id AS doc_id, rank AS rank_micro FROM r5 ORDER BY doc_id""".stripMargin

@@ -48,10 +48,17 @@ object Graph {
     *
     * Dangling vertices (no out-edges) keep only the teleport term and leak
     * the rest of their mass, as in the textbook formulation without
-    * dangling redistribution — callers who need mass conservation add
-    * self-loops first. Floor-division remainders also leak (≤ outdeg − 1
-    * micro-units per vertex per round): total mass drifts down by parts
-    * per million, which cancels in ranking use.
+    * dangling redistribution. Curation graphs are full of dangling docs
+    * (cited-but-never-citing), so `redistributeDangling = true` adds the
+    * conserving variant: each round the damped dangling mass
+    * Σ (rank·dampNum) div dampDen is split evenly — (total div N) to every
+    * vertex, exact integer remainder (< N micro-units) leaking, same
+    * floor-division discipline as the per-edge term. The share is a 1-row
+    * aggregate broadcast into the rank update (a bounded
+    * BroadcastNestedLoopJoin, not a shuffle). Floor-division remainders
+    * leak in both modes (≤ outdeg − 1 micro-units per vertex per round):
+    * total mass drifts down by parts per million, which cancels in
+    * ranking use.
     *
     * Scale shape: one shuffle per iteration (contribution aggregate keyed
     * on dst) plus the vertex-keyed join back; the adjacency relation with
@@ -60,7 +67,8 @@ object Graph {
     * [[graft.operators.Dedup.components]] discipline). High-degree hubs
     * are ordinary aggregate skew — map-side combine absorbs them. */
   def pagerank(edges: DataFrame, iters: Int = 5,
-               dampNum: Long = 7, dampDen: Long = 8): DataFrame = {
+               dampNum: Long = 7, dampDen: Long = 8,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0, 1)")
     val e = edges.select(col("src").cast("long").as("src"),
@@ -69,6 +77,21 @@ object Graph {
     val adj = graft.core.Caching.shared(e.join(deg, "src"))
     val nodes = graft.core.Caching.shared(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    // Dangling share per round: a function of the current ranks, evaluated
+    // lazily inside the loop. The vertex count is a one-time setup scalar
+    // (like any cardinality statistic), not a per-round collect.
+    val danglingShare: Option[DataFrame => DataFrame] =
+      if (!redistributeDangling) None
+      else {
+        val srcs = e.select(col("src").as("id")).distinct()
+        val dangling = graft.core.Caching.shared(
+          nodes.join(srcs, Seq("id"), "left_anti"))
+        val nVertices = nodes.count()
+        Some(r => r.join(dangling, "id")
+          .agg(coalesce(sum(expr(s"(rank * $dampNum) div $dampDen")), lit(0L))
+            .as("__dm"))
+          .select(expr(s"__dm div $nVertices").as("__share")))
+      }
     val teleport = 1000000L * (dampDen - dampNum) / dampDen
     var r = nodes.select(col("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
@@ -76,10 +99,14 @@ object Graph {
         .select(col("dst").as("id"),
           expr(s"rank * $dampNum div ($dampDen * outdeg)").as("__c"))
         .groupBy("id").agg(sum("__c").as("__mass"))
-      r = nodes.join(mass, Seq("id"), "left")
-        .select(col("id"),
+      val base = nodes.join(mass, Seq("id"), "left")
+      r = (danglingShare match {
+        case Some(shareOf) => base.crossJoin(broadcast(shareOf(r)))
+          .select(col("id"), (lit(teleport) + coalesce(col("__mass"), lit(0L))
+            + col("__share")).as("rank"))
+        case None => base.select(col("id"),
           (lit(teleport) + coalesce(col("__mass"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      }).localCheckpoint()
     }
     r
   }
