@@ -11,26 +11,45 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Per-vertex triangle counts via the classic relational enumeration:
-    * canonicalize edges to a < b, build wedges a<b<c by joining adjacency
-    * on the middle vertex, close each wedge against the edge set. Every
-    * triangle enumerates exactly once (its vertices are totally ordered),
-    * so the count needs no division by symmetry. Two shuffle joins on
-    * vertex keys — the canonical edge relation is persisted because it
-    * feeds both wedge legs AND the closing probe. Skewed high-degree
-    * vertices are ordinary join skew (AQE splits them); production
-    * refinements (degree-based orientation) drop in here without changing
-    * the contract. Input: (doc1, doc2) pairs, any orientation/dupes.
+  /** Per-vertex triangle counts via DEGREE-ORDERED wedge enumeration:
+    * orient every undirected edge from its (degree, id)-smaller endpoint,
+    * pair each vertex's out-neighbors into wedges, close each wedge
+    * against the oriented edge set. Every triangle enumerates exactly
+    * once (its vertices are totally ordered by (degree, id)), so the
+    * count needs no division by symmetry — and because a vertex's
+    * out-degree under this orientation is O(√m), the wedge relation is
+    * O(m^1.5) even on power-law graphs where id-ordered enumeration
+    * blows up quadratically on the hubs (a star's center generates ZERO
+    * wedges here: every star edge points INTO it). That asymptotic gap is
+    * the difference between minutes and hours on a 100 TB dup graph. Two
+    * shuffle joins on vertex keys — the oriented edge relation is
+    * persisted because it feeds both wedge legs AND the closing probe.
+    * Input: (doc1, doc2) pairs, any orientation/dupes.
     * Output: (id, n_triangles) for vertices in at least one triangle. */
   def triangles(pairs: DataFrame): DataFrame = {
-    val e = graft.core.Caching.shared(pairs.select(
+    val und = pairs.select(
         least(col("doc1"), col("doc2")).as("a"),
         greatest(col("doc1"), col("doc2")).as("b"))
       .filter(col("a") < col("b")) // drop self-loops
-      .distinct())
-    val wedges = e.select(col("a").as("x"), col("b").as("y"))
-      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
-    val tris = wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient a—b from the (deg, id)-lexicographically smaller endpoint;
+    // carry the head's degree so wedge pairing can re-apply the same order
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val e = graft.core.Caching.shared(und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("x"),
+        when(aFirst, col("b")).otherwise(col("a")).as("y"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dy")))
+    val wedges = e.join(
+        e.select(col("x"), col("y").as("z"), col("dy").as("dz")), "x")
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val tris = wedges.join(
+      e.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"))
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }

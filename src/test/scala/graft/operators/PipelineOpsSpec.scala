@@ -842,6 +842,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangles: degree orientation keeps hub wedges bounded") {
+    // 200-leaf star: under (degree, id) orientation every star edge points
+    // INTO the hub (leaves have degree 1 or 2, hub 201), so the hub pairs
+    // no out-neighbors — the id-ordered enumeration would have generated
+    // C(200,2) = 19,900 wedges from it. One rim edge 5—6 closes exactly one
+    // triangle; the remaining 199 leaves stay triangle-free.
+    val hub = 1000L
+    val star = (1L to 200L).map(i => (hub, i))
+    val edges = (star :+ (5L, 6L)).toDF("doc1", "doc2")
+    val counted = Graph.triangles(edges)
+    val r = counted.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(hub -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
   test("inverted index: numeric-ordered postings, df filter at the aggregate") {
     val idx = TextOps.invertedIndex(docs, minDf = 2).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
