@@ -104,6 +104,7 @@ object SparkEntry {
     "t19_bpe_pairs"       -> (Q.t19_bpe_pairs(_, _)),
     "t23_collocations"    -> (Q.t23_collocations(_, _)),
     "t20_bm25"            -> (Q.t20_bm25(_, _)),
+    "t22_bm25_incremental" -> (Q.t22_bm25_incremental(_, _)),
     "e8_rrf"              -> (Q.e8_rrf(_, _)),
     "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
     "t11_pii_scrub"       -> (Q.t11_pii_scrub(_, _)),
@@ -1103,6 +1104,28 @@ object SparkEntry {
       * of the scored corpus), then the 20 survivors get rank numbers. */
     def t20_bm25(s: SparkSession, d: String): DataFrame = {
       val scored = TextOps.bm25(Tables.documents(s, d),
+        Seq("spark", "vector", "merge"))
+      scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("n_terms").cast("long").as("n_terms"),
+          col("bm25"), col("rank"))
+        .orderBy("rank")
+    }
+
+    /** Incremental BM25: build the statistics table from the even-id half
+      * of the corpus, MERGE-fold the odd-id half in as a batch
+      * ([[graft.operators.TextOps.bm25MergeStats]], the x13 machinery),
+      * then score with the MAINTAINED table. The oracle is the FULL
+      * recompute — hash equality proves batch-maintained stats ≡ rebuild,
+      * exactly (integer df/dl_total/n_docs; avgdl derived by one exact
+      * division on both sides). */
+    def t22_bm25_incremental(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val stats = graft.operators.TextOps.bm25MergeStats(
+        graft.operators.TextOps.bm25Stats(docs.filter(col("doc_id") % 2 === 0)),
+        docs.filter(col("doc_id") % 2 =!= 0))
+      val scored = graft.operators.TextOps.bm25WithStats(docs, stats,
         Seq("spark", "vector", "merge"))
       scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(20)
         .withColumn("rank", row_number().over(
@@ -2814,6 +2837,30 @@ object SparkEntry {
 
       "t20_bm25" ->
         s"""WITH $bm25Ctes,
+           |ranked AS (SELECT doc_id, n_terms, round(score_micro / 1e6, 4) AS bm25,
+           |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           |  FROM bm)
+           |SELECT doc_id, n_terms, bm25, rank FROM ranked
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      // full recompute — equality with the Spark side's batch-maintained
+      // stats table IS the t22 claim. avgdl via one exact integer-sum
+      // division (not avg()), matching the maintained dl_total / n_docs.
+      "t22_bm25_incremental" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($tokExpr) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+           |stats AS (SELECT count(*) AS n_docs,
+           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |bm AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |    sum(CAST(floor(ln(1.0 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5))
+           |        * t.tf * (1.2 + 1.0)
+           |        / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / s.avgdl))
+           |        * 1e6 + 0.5) AS BIGINT)) AS score_micro
+           |  FROM tf t JOIN dfq d2 USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+           |  WHERE t.tok IN ('spark', 'vector', 'merge')
+           |  GROUP BY 1),
            |ranked AS (SELECT doc_id, n_terms, round(score_micro / 1e6, 4) AS bm25,
            |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
            |  FROM bm)

@@ -320,6 +320,79 @@ object TextOps {
         round(col("score_micro").cast("double") / 1e6, 4).as("bm25"))
   }
 
+  /** BM25 statistics TABLE for the incremental retrieval shape: one row
+    * per term `(tok, df, 0, 0)` plus a single corpus row
+    * `("", 0, dl_total, n_docs)` (tokens are never empty, so the sentinel
+    * key cannot collide). A 100 TB corpus doesn't recompute df/avgdl per
+    * query — it maintains this table and folds document batches in with
+    * [[bm25MergeStats]]. All values are exact longs, so maintained ≡
+    * recomputed is bit-equality, not approximation (`avgdl` is derived at
+    * score time as dl_total / n_docs — exact-integer division to double,
+    * immune to float-accumulation order). */
+  def bm25Stats(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tf = graft.core.Caching.shared(
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val terms = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"), lit(0L).as("dl_total"), lit(0L).as("n_docs"))
+    val corpus = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .agg(coalesce(sum("dl"), lit(0L)).as("dl_total"), count(lit(1)).as("n_docs"))
+      .select(lit("").as("tok"), lit(0L).as("df"), col("dl_total"), col("n_docs"))
+    terms.union(corpus)
+  }
+
+  /** Fold a new document batch into a maintained BM25 statistics table —
+    * the [[Merge.upsert]] (x13) machinery, so the nightly batch is ONE
+    * key join against the stats table (shuffle-free over a
+    * [[graft.sources.BucketedStore]] layout), never a corpus re-scan.
+    * Exact longs add exactly: applying batches in any order reaches the
+    * same table as one full rebuild. */
+  def bm25MergeStats(stats: DataFrame, batch: DataFrame): DataFrame = {
+    val b = bm25Stats(batch)
+    val incremented = b.join(stats.select(col("tok"),
+        col("df").as("__odf"), col("dl_total").as("__odl"),
+        col("n_docs").as("__ond")), Seq("tok"), "left")
+      .select(col("tok"),
+        (col("df") + coalesce(col("__odf"), lit(0L))).as("df"),
+        (col("dl_total") + coalesce(col("__odl"), lit(0L))).as("dl_total"),
+        (col("n_docs") + coalesce(col("__ond"), lit(0L))).as("n_docs"))
+    Merge.upsert(stats, incremented, "tok",
+      Seq("df", "dl_total", "n_docs")).drop("action")
+  }
+
+  /** BM25 scoring against a MAINTAINED statistics table ([[bm25Stats]] /
+    * [[bm25MergeStats]]) instead of per-query corpus aggregates — same
+    * integer-micro quantization discipline as [[bm25]], identical scores
+    * when the table covers the corpus. Per-doc tf/dl come from the scored
+    * docs themselves (intrinsic to the row); df and the 1-row corpus
+    * stats are the only table lookups — a vocabulary-sized join and a
+    * broadcast. */
+  def bm25WithStats(docs: DataFrame, stats: DataFrame, queryTerms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tf = graft.core.Caching.shared(
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val corpus = stats.filter(col("tok") === "").select(col("n_docs"),
+      (col("dl_total").cast("double") / col("n_docs")).as("avgdl"))
+    val dfreq = stats.filter(col("tok") =!= "").select(col("tok"), col("df"))
+    tf.filter(col("tok").isin(queryTerms: _*))
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__term",
+        col("__idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("__micro", floor(col("__term") * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("__micro").as("score_micro"))
+      .select(col("doc_id"), col("n_terms"), col("score_micro"),
+        round(col("score_micro").cast("double") / 1e6, 4).as("bm25"))
+  }
+
   /** PII patterns shared with the oracle dialect — RE2-safe (no
     * lookaround, no backreferences), so the same strings run under Java
     * regex and DuckDB. Heuristic-detector shape, not a compliance tool. */

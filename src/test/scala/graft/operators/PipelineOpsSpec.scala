@@ -456,6 +456,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("bm25 incremental: merge-maintained stats score identically to rebuild") {
+    val corpus = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b b b"), (4L, "c c a b"), (5L, "")
+    ).toDF("doc_id", "text")
+    // batch 1+2 folded into stats of 3+4+5, vs one full build — and the
+    // scores from the maintained table must equal the aggregate-form bm25
+    val merged = TextOps.bm25MergeStats(
+      TextOps.bm25Stats(corpus.filter($"doc_id" >= 3L)),
+      corpus.filter($"doc_id" < 3L))
+    val rebuilt = TextOps.bm25Stats(corpus)
+    assert(merged.collect().toSet == rebuilt.collect().toSet)
+    val viaStats = TextOps.bm25WithStats(corpus, merged, Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = TextOps.bm25(corpus, Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaStats == direct)
+  }
+
   test("pqTopK: codes are nearest sub-codewords, ADC is the exact lut sum") {
     // 4-dim vectors, m=2 → two 2-dim subspaces; codebook of two codewords
     val cb = Seq(Seq(0.0, 0.0, 10.0, 10.0), Seq(4.0, 0.0, 10.0, 14.0))
