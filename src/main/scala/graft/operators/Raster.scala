@@ -148,29 +148,20 @@ object Raster {
       .drop("s", "ss")
   }
 
-  /** Per-block bucket counts for the histogram (A4 map-side combine;
-    * `gdalinfo -hist` semantics: n equal buckets over [lo, hi]).
-    *
-    * One UDF call per BLOCK with an imperative O(pixels) fill — a
-    * functional fold rebuilding the bucket array per pixel would be
-    * O(pixels × buckets), 256× slower at 256 buckets. This is not a
-    * per-pixel UDF: it amortizes over the whole packed array. */
-  def blockHistogram(values: Column, valid: Column, lo: Double, hi: Double, n: Int): Column = {
-    val hist = udf((vals: Seq[java.lang.Double], oks: Seq[Boolean]) => {
-      val out = new Array[Long](n)
-      val width = (hi - lo) / n
-      // iterate, never index: the Seq Spark hands a UDF can be list-backed,
-      // where apply(i) is O(i) and an indexed loop goes quadratic
-      val vi = vals.iterator; val oi = oks.iterator
-      while (vi.hasNext && oi.hasNext) {
-        val v = vi.next(); val ok = oi.next()
-        if (v != null && ok) {
-          val b = math.min(n - 1, math.max(0, ((v - lo) / width).toInt))
-          out(b) += 1
-        }
-      }
-      out
-    })
-    hist(values, valid)
+  /** Per-pixel histogram bucket index (A4 map side; `gdalinfo -hist`
+    * semantics: n equal buckets over [lo, hi], out-of-range clamps to the
+    * edge buckets). Pure zip_with arithmetic — invalid/nodata pixels map
+    * to null — so the consumer's explode + count hash-aggregate builds
+    * the histogram entirely inside whole-stage codegen, map-side combined
+    * to ≤ n rows per task before any shuffle. This replaced the last UDF
+    * on the raster hot path: the per-block boxed-Seq UDF paid more in
+    * (de)serializing a 100k-element Seq[java.lang.Double] than its
+    * imperative fill ever saved. */
+  def bucketIndex(values: Column, valid: Column, lo: Double, hi: Double, n: Int): Column = {
+    val width = (hi - lo) / n
+    zip_with(values, valid, (v, ok) =>
+      when(ok && v.isNotNull,
+        least(greatest(floor((v - lo) / width), lit(0.0)),
+          lit((n - 1).toDouble)).cast("int")))
   }
 }

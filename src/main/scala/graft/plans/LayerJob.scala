@@ -204,14 +204,15 @@ object LayerJob {
         val nb = 256
         val histIn = (1 to spec.bandCount).map { i =>
           computed.select(col("tile_id"), lit(i).as("band"),
-            posexplode(Raster.blockHistogram(
+            explode(Raster.bucketIndex(
               col(s"band_$i").cast("array<double>"),
               transform(col(s"band_$i"), v =>
                 pt.noData.map(nd => v.isNotNull && v =!= nd).getOrElse(v.isNotNull)),
-              lo, math.min(hi, 65536.0), nb)))
+              lo, math.min(hi, 65536.0), nb)).as("pos"))
+            .where(col("pos").isNotNull)
         }.reduce(_ unionByName _)
         Some(histIn
-          .groupBy("tile_id", "band", "pos").agg(sum("col").as("n"))
+          .groupBy("tile_id", "band", "pos").agg(count(lit(1)).as("n"))
           .groupBy("tile_id", "band")
           .agg(map_from_arrays(collect_list("pos"), collect_list("n")).as("m"))
           .select(col("tile_id"), col("band"),

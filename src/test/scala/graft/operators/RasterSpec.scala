@@ -97,11 +97,17 @@ class RasterSpec extends SparkSpec {
     assert(stats.getAs[Long]("n") == truth.getLong(3))
   }
 
-  test("block histogram partials sum to pixel counts (A4)") {
+  test("bucket indexes cover every valid pixel and clamp to edges (A4)") {
     val in = Raster.synthesizeBand(blocks, band = 1)
-    val h = in.select(Raster.blockHistogram(col("values"), col("valid"), 0, 255, 8).as("h"))
-    val total = h.select(aggregate(col("h"), lit(0L), (a, x) => a + x).as("n")).agg(sum("n"))
-      .collect()(0).getLong(0)
+    val total = in
+      .select(explode(Raster.bucketIndex(col("values"), col("valid"), 0, 255, 8)).as("b"))
+      .where(col("b").isNotNull).count()
     assert(total == 9L * 336 * 336)
+    // out-of-range values clamp to the edge buckets; invalid → null
+    val r = spark.range(1).select(Raster.bucketIndex(
+      array(lit(-5.0), lit(10.0), lit(255.0), lit(300.0), lit(null).cast("double"), lit(40.0)),
+      array(lit(true), lit(true), lit(true), lit(true), lit(true), lit(false)),
+      0, 255, 8).as("b")).collect()(0).getSeq[Any](0)
+    assert(r == Seq(0, 0, 7, 7, null, null))
   }
 }
