@@ -14,6 +14,12 @@ import graft.core.grid.Bounds
   *    ellipsoidal Transverse Mercator series (Snyder, *Map Projections — A
   *    Working Manual*, USGS PP 1395, eqs. 8-9…8-25) — mm-accurate inside a
   *    zone, sub-meter several zones out.
+  *  - a well-known-CRS parameter table (ellipsoid + family + published
+  *    EPSG parameters) for the national grids rasters actually arrive in:
+  *    OSGB 27700 (Airy TM + Helmert datum shift), NZTM 2193, LAEA Europe
+  *    3035, and the ETRS89/NAD83/GDA UTM zone ranges — so an
+  *    unlisted-but-well-known code transforms instead of rejecting, and
+  *    only truly unknown codes fail loudly.
   *
   * `forward` takes (lng, lat) degrees → projected (x, y); `inverse` the
   * reverse. Inputs clamp to the projection's area of use, the reference's
@@ -37,6 +43,8 @@ object Projection {
     case c => c.stripPrefix("EPSG:").toIntOption.flatMap(forEpsg)
   }
 
+  private val grs80InvF = 298.257222101
+
   def forEpsg(epsg: Int): Option[Projection] = epsg match {
     case 4326 => Some(Wgs84)
     case 3857 => Some(WebMercator)
@@ -49,6 +57,34 @@ object Projection {
     case 3347 => Some(LambertConformalConic.canada)
     case z if z >= 32601 && z <= 32660 => Some(TransverseMercator.utm(z - 32600, north = true))
     case z if z >= 32701 && z <= 32760 => Some(TransverseMercator.utm(z - 32700, north = false))
+    // ---- well-known-CRS parameter table (P5 fallback): national grids
+    // resolved from published EPSG parameters (ellipsoid + family + origin),
+    // so an unlisted-but-well-known code transforms instead of rejecting.
+    // Truly unknown codes still fail loudly at the Reproject layer.
+    case 27700 => Some(DatumShifted( // OSGB36 / British National Grid
+      TransverseMercator(6377563.396, 299.3249646, // Airy 1830
+        49.0, -2.0, 0.9996012717, 400000.0, -100000.0, Bounds(-9, 49, 2, 61)),
+      6377563.396, 299.3249646,
+      // WGS84→OSGB36: the published OSTN-free Helmert set (≈3.5 m)
+      Helmert(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894)))
+    case 2193 => Some(TransverseMercator( // NZGD2000 / NZTM2000 (GRS80)
+      6378137.0, grs80InvF, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0,
+      Bounds(166.0, -47.4, 178.7, -34.0)))
+    case 3035 => Some(LambertAzimuthalEqualArea( // ETRS89-extended / LAEA Europe
+      6378137.0, grs80InvF, 52.0, 10.0, 4321000.0, 3210000.0,
+      Bounds(-16.1, 32.88, 40.18, 84.73)))
+    case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM 28N–38N (GRS80)
+      Some(TransverseMercator.utm(z - 25800, north = true, 6378137.0, grs80InvF))
+    case z if z >= 26901 && z <= 26923 => // NAD83 / UTM 1N–23N (GRS80)
+      Some(TransverseMercator.utm(z - 26900, north = true, 6378137.0, grs80InvF))
+    case z if z >= 28348 && z <= 28358 => // GDA94 / MGA 48–58 (GRS80, south)
+      Some(TransverseMercator.utm(z - 28300, north = false, 6378137.0, grs80InvF))
+    case z if z >= 7846 && z <= 7859 => // GDA2020 / MGA 46–59 (GRS80, south)
+      Some(TransverseMercator.utm(z - 7800, north = false, 6378137.0, grs80InvF))
+    // modern geographic datums coincident with WGS84 at the sub-meter
+    // working accuracy of this registry (NAD83, ETRS89, GDA94, NZGD2000,
+    // GDA2020 geographic axes)
+    case 4269 | 4258 | 4283 | 4167 | 7844 => Some(Wgs84)
     case _ => None
   }
 
@@ -64,12 +100,15 @@ object Projection {
     val areaOfUse: Bounds = Bounds(-180, -Reproject.maxLat, 180, Reproject.maxLat)
   }
 
-  /** WGS84 ellipsoidal Transverse Mercator (Snyder PP 1395 §8). */
-  final case class TransverseMercator(lon0Deg: Double, k0: Double,
+  /** Ellipsoidal Transverse Mercator (Snyder PP 1395 §8), parameterized
+    * over the ellipsoid and latitude of origin — the one TM covers UTM
+    * (WGS84/GRS80, φ0 = 0), OSGB (Airy 1830, φ0 = 49) and the other
+    * national grids in the well-known-CRS table. */
+  final case class TransverseMercator(a: Double, invF: Double,
+                                      lat0Deg: Double, lon0Deg: Double, k0: Double,
                                       falseEasting: Double, falseNorthing: Double,
                                       areaOfUse: Bounds) extends Projection {
-    private val a = 6378137.0
-    private val f = 1.0 / 298.257223563
+    private val f = 1.0 / invF
     private val e2 = f * (2 - f)
     private val e4 = e2 * e2
     private val e6 = e4 * e2
@@ -82,6 +121,10 @@ object Projection {
         - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
         + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
         - (35 * e6 / 3072) * math.sin(6 * phi))
+
+    // M(φ0): grids with a non-equatorial origin (OSGB) measure northings
+    // from it — y = FN + k0·(M(φ) − M(φ0)), Snyder eq. 8-9
+    private val m0 = arc(math.toRadians(lat0Deg))
 
     def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
       // clamp only the polar singularity (tan φ → ∞), NOT the official
@@ -103,7 +146,7 @@ object Projection {
       val x = falseEasting + k0 * n * (bigA
         + (1 - t + c) * math.pow(bigA, 3) / 6
         + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(bigA, 5) / 120)
-      val y = falseNorthing + k0 * (arc(phi)
+      val y = falseNorthing + k0 * (arc(phi) - m0
         + n * tanP * (bigA * bigA / 2
           + (5 - t + 9 * c + 4 * c * c) * math.pow(bigA, 4) / 24
           + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(bigA, 6) / 720))
@@ -111,7 +154,7 @@ object Projection {
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val m = (y - falseNorthing) / k0
+      val m = m0 + (y - falseNorthing) / k0
       val mu = m / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
       val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
       val phi1 = (mu
@@ -139,10 +182,16 @@ object Projection {
   object TransverseMercator {
     /** UTM zone 1–60: central meridian -183 + 6·zone, k0 0.9996, FE 500 km,
       * FN 0 (north) / 10 000 km (south); area of use is the UTM lat band. */
-    def utm(zone: Int, north: Boolean): TransverseMercator = {
+    def utm(zone: Int, north: Boolean): TransverseMercator =
+      utm(zone, north, 6378137.0, 298.257223563)
+
+    /** UTM on an explicit ellipsoid — GRS80 for the NAD83 / ETRS89 /
+      * GDA94 / GDA2020 zone families in the well-known-CRS table. */
+    def utm(zone: Int, north: Boolean, a: Double, invF: Double): TransverseMercator = {
       require(zone >= 1 && zone <= 60, s"UTM zone $zone")
       val lon0 = -183.0 + 6.0 * zone
-      TransverseMercator(lon0, 0.9996, 500000.0, if (north) 0.0 else 10000000.0,
+      TransverseMercator(a, invF, 0.0, lon0, 0.9996, 500000.0,
+        if (north) 0.0 else 10000000.0,
         if (north) Bounds(lon0 - 3, 0, lon0 + 3, 84) else Bounds(lon0 - 3, -80, lon0 + 3, 0))
     }
   }
@@ -436,5 +485,157 @@ object Projection {
     def Modis: Sinusoidal = Sinusoidal(6371007.181, 0.0, Bounds(-180, -90, 180, 90))
     /** ESRI:54008 World Sinusoidal (WGS84 semi-major as sphere). */
     def World: Sinusoidal = Sinusoidal(6378137.0, 0.0, Bounds(-180, -90, 180, 90))
+  }
+
+  /** 7-parameter Helmert datum transform (EPSG method 9606, position-vector
+    * rotation convention) through geocentric cartesian coordinates —
+    * the public closed form pyproj applies when a CRS carries `towgs84`
+    * parameters. `dx/dy/dz` metres, rotations arc-seconds, `ppm` scale.
+    * Accuracy is whatever the published parameter set claims (≈3–5 m for
+    * the classic OSGB36 set) — the right working tool absent a
+    * distortion-grid file, and loudly better than ignoring a 100 m datum
+    * gap. The inverse negates the (small) parameters, standard practice
+    * at this accuracy class. */
+  final case class Helmert(dx: Double, dy: Double, dz: Double,
+                           rxAs: Double, ryAs: Double, rzAs: Double, ppm: Double) {
+    private val s = 1.0 + ppm * 1e-6
+    private val rx = math.toRadians(rxAs / 3600.0)
+    private val ry = math.toRadians(ryAs / 3600.0)
+    private val rz = math.toRadians(rzAs / 3600.0)
+    def apply(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (dx + s * (x - rz * y + ry * z),
+        dy + s * (rz * x + y - rx * z),
+        dz + s * (-ry * x + rx * y + z))
+    def negated: Helmert = Helmert(-dx, -dy, -dz, -rxAs, -ryAs, -rzAs, -ppm)
+  }
+
+  /** Geodetic ↔ geocentric conversions on an ellipsoid (the standard
+    * closed forward; iterative latitude recovery on the return, converging
+    * in ~4 rounds at double precision). Heights pinned to the ellipsoid
+    * (h = 0): raster bounds carry no height. */
+  private final class Geocentric(a: Double, invF: Double) {
+    private val f = 1.0 / invF
+    private val e2 = f * (2 - f)
+    def toXyz(lngDeg: Double, latDeg: Double): (Double, Double, Double) = {
+      val phi = math.toRadians(latDeg); val lam = math.toRadians(lngDeg)
+      val sinP = math.sin(phi)
+      val n = a / math.sqrt(1 - e2 * sinP * sinP)
+      (n * math.cos(phi) * math.cos(lam),
+        n * math.cos(phi) * math.sin(lam),
+        n * (1 - e2) * sinP)
+    }
+    def toLngLat(x: Double, y: Double, z: Double): (Double, Double) = {
+      val p = math.hypot(x, y)
+      var phi = math.atan2(z, p * (1 - e2))
+      var i = 0
+      while (i < 10) {
+        val sinP = math.sin(phi)
+        val n = a / math.sqrt(1 - e2 * sinP * sinP)
+        val next = math.atan2(z + e2 * n * sinP, p)
+        if (math.abs(next - phi) < 1e-13) i = 10 else i += 1
+        phi = next
+      }
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+    }
+  }
+
+  /** A projection on a non-WGS84 datum: WGS84 lat/lng shifts onto the
+    * local datum through [[Helmert]] before the projection math runs on
+    * the local ellipsoid (and back on the inverse) — so `forward` keeps
+    * the registry-wide contract that inputs are WGS84 degrees. */
+  final case class DatumShifted(base: Projection, localA: Double,
+                                localInvF: Double, wgs84ToLocal: Helmert)
+      extends Projection {
+    private val wgs = new Geocentric(6378137.0, 298.257223563)
+    private val local = new Geocentric(localA, localInvF)
+    private val toWgs = wgs84ToLocal.negated
+    def forward(lng: Double, lat: Double): (Double, Double) = {
+      val (x, y, z) = wgs.toXyz(lng, lat)
+      val (lx, ly, lz) = wgs84ToLocal(x, y, z)
+      val (llng, llat) = local.toLngLat(lx, ly, lz)
+      base.forward(llng, llat)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (llng, llat) = base.inverse(x, y)
+      val (lx, ly, lz) = local.toXyz(llng, llat)
+      val (wx, wy, wz) = toWgs(lx, ly, lz)
+      wgs.toLngLat(wx, wy, wz)
+    }
+    def areaOfUse: Bounds = base.areaOfUse
+  }
+
+  /** Ellipsoidal Lambert Azimuthal Equal-Area, oblique aspect (Snyder PP
+    * 1395 §24, eqs. 24-2…24-8 forward, 24-16…24-19 + 3-16 inverse; EPSG
+    * method 9820) — the pan-European statistical grid EPSG:3035. Equal
+    * area like Albers (zonal sums stay true) but azimuthal, so one
+    * projection covers the whole continent without cone seams. */
+  final case class LambertAzimuthalEqualArea(a: Double, invF: Double,
+                                             lat0Deg: Double, lon0Deg: Double,
+                                             falseEasting: Double, falseNorthing: Double,
+                                             areaOfUse: Bounds) extends Projection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    private val lon0 = math.toRadians(lon0Deg)
+
+    private def q(phi: Double): Double = { // Snyder eq. 3-12
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s)
+        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val qp = q(math.Pi / 2)
+    private def beta(phi: Double): Double =
+      math.asin(math.max(-1.0, math.min(1.0, q(phi) / qp))) // eq. 3-11
+    private val beta1 = beta(math.toRadians(lat0Deg))
+    private val rq = a * math.sqrt(qp / 2) // eq. 3-13
+    private val m1 = {
+      val s = math.sin(math.toRadians(lat0Deg))
+      math.cos(math.toRadians(lat0Deg)) / math.sqrt(1 - e2 * s * s)
+    }
+    private val d = a * m1 / (rq * math.cos(beta1)) // eq. 24-20
+    private val sinB1 = math.sin(beta1); private val cosB1 = math.cos(beta1)
+
+    def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-90.0, math.min(90.0, latDeg)) // inf/NaN clamp
+      val b = beta(math.toRadians(lat))
+      var dLam = math.toRadians(lngDeg) - lon0
+      while (dLam > math.Pi) dLam -= 2 * math.Pi
+      while (dLam < -math.Pi) dLam += 2 * math.Pi
+      val sinB = math.sin(b); val cosB = math.cos(b)
+      // eq. 24-19: B = Rq·√(2/(1 + sinβ1 sinβ + cosβ1 cosβ cosΔλ))
+      val denom = 1 + sinB1 * sinB + cosB1 * cosB * math.cos(dLam)
+      // antipode of the center: the boundary circle, x/y indeterminate — clamp
+      if (denom < 1e-12) return (falseEasting, falseNorthing + rq * 2 / d)
+      val bb = rq * math.sqrt(2 / denom)
+      (falseEasting + bb * d * cosB * math.sin(dLam),
+        falseNorthing + (bb / d) * (cosB1 * sinB - sinB1 * cosB * math.cos(dLam)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = (x - falseEasting) / d
+      val yp = (y - falseNorthing) * d
+      val rho = math.hypot(xp, yp)
+      if (rho < 1e-9) return (lon0Deg, lat0Deg)
+      val ce = 2 * math.asin(math.max(-1.0, math.min(1.0, rho / (2 * rq)))) // eq. 24-16
+      val sinCe = math.sin(ce); val cosCe = math.cos(ce)
+      val qv = qp * (cosCe * sinB1 + yp * sinCe * cosB1 / rho) // eq. 24-17
+      val lam = lon0 + math.atan2(xp * sinCe,
+        rho * cosB1 * cosCe - yp * sinB1 * sinCe) // eq. 24-18
+      // eq. 3-16: iterate φ from the equal-area auxiliary (Albers discipline)
+      var phi = math.asin(math.max(-1.0, math.min(1.0, qv / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi); val c = math.cos(phi)
+        if (math.abs(c) < 1e-12) { i = 15 }
+        else {
+          val e2s = 1 - e2 * s * s
+          val delta = (e2s * e2s / (2 * c)) * (qv / (1 - e2) - s / e2s
+            + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+          phi += delta
+          if (math.abs(delta) < 1e-14) i = 15 else i += 1
+        }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
   }
 }

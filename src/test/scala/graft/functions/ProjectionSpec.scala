@@ -67,7 +67,8 @@ class ProjectionSpec extends AnyFunSuite {
 
   test("unknown CRS pairs still fail loudly") {
     intercept[IllegalArgumentException] {
-      Reproject.pointTransform("EPSG:27700", "EPSG:4326") // OSGB not shipped
+      // HD72 / EOV (Hotine oblique Mercator) — family not shipped
+      Reproject.pointTransform("EPSG:23700", "EPSG:4326")
     }
   }
 
@@ -302,6 +303,88 @@ class ProjectionSpec extends AnyFunSuite {
       val (x, y) = p.forward(lng, lat)
       val (l2, p2) = p.inverse(x, y)
       assert(math.abs(l2 - lng) < 1e-9 && math.abs(p2 - lat) < 1e-9)
+    }
+  }
+
+  // ---- Well-known-CRS fallback table (P5): OSGB, NZTM, LAEA, UTM datums --
+
+  test("OSGB Airy TM reproduces the OS worked example (projection layer)") {
+    // "A guide to coordinate systems in Great Britain" (Ordnance Survey),
+    // annex worked example: OSGB36 φ 52°39'27.2531"N, λ 1°43'4.5177"E →
+    // E 651409.903, N 313177.270
+    val tm = Projection.TransverseMercator(6377563.396, 299.3249646,
+      49.0, -2.0, 0.9996012717, 400000.0, -100000.0, Bounds(-9, 49, 2, 61))
+    val lat = 52 + 39.0 / 60 + 27.2531 / 3600
+    val lng = 1 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = tm.forward(lng, lat)
+    assert(math.abs(e - 651409.903) < 0.005, s"E = $e")
+    assert(math.abs(n - 313177.270) < 0.005, s"N = $n")
+    val (l2, p2) = tm.inverse(651409.903, 313177.270)
+    assert(math.abs(l2 - lng) < 1e-7 && math.abs(p2 - lat) < 1e-7)
+  }
+
+  test("EPSG:27700 applies the OSGB36 Helmert datum shift from WGS84") {
+    val p = Projection.forEpsg(27700).get
+    // the same OS-guide station in ETRS89 (≈WGS84): 52°39'28.8282"N,
+    // 1°42'57.8663"E; the classic single-Helmert set is quoted at ≈3.5 m
+    val lat = 52 + 39.0 / 60 + 28.8282 / 3600
+    val lng = 1 + 42.0 / 60 + 57.8663 / 3600
+    val (e, n) = p.forward(lng, lat)
+    assert(math.hypot(e - 651409.903, n - 313177.270) < 6.0,
+      s"shifted grid = ($e, $n)")
+    // WITHOUT the shift the error is the full ~100 m datum gap — the
+    // Helmert leg is load-bearing, not decorative
+    val bare = Projection.TransverseMercator(6377563.396, 299.3249646,
+      49.0, -2.0, 0.9996012717, 400000.0, -100000.0, Bounds(-9, 49, 2, 61))
+    val (e0, n0) = bare.forward(lng, lat)
+    assert(math.hypot(e0 - 651409.903, n0 - 313177.270) > 50.0)
+    // round-trip through the datum shift and back
+    val (l2, p2) = p.inverse(e, n)
+    assert(math.abs(l2 - lng) < 1e-6 && math.abs(p2 - lat) < 1e-6)
+  }
+
+  test("NZTM2000 and the UTM datum families resolve and round-trip") {
+    val nz = Projection.forEpsg(2193).get
+    val (x0, y0) = nz.forward(173.0, 0.0) // grid origin
+    assert(math.abs(x0 - 1600000.0) < 1e-6 && math.abs(y0 - 10000000.0) < 1e-6)
+    // NZTM spans ±7° of longitude — the Snyder series truncates at the
+    // centimeter level out at the grid edge, so the edge tolerance is
+    // 1e-6 deg (≈10 cm), not the in-zone 1e-8
+    for ((lng, lat) <- Seq((174.7772, -41.2889), (172.6362, -43.5321), (168.0, -46.5))) {
+      val (x, y) = nz.forward(lng, lat); val (l2, p2) = nz.inverse(x, y)
+      assert(math.abs(l2 - lng) < 1e-6 && math.abs(p2 - lat) < 1e-6,
+        s"NZTM round trip ($lng,$lat)")
+    }
+    // ETRS89/NAD83/GDA UTM: GRS80 vs WGS84 differs by 0.1 mm in b — the
+    // zone grids must agree with the WGS84 zones at the centimeter level
+    val etrs = Projection.forEpsg(25832).get
+    val wgs = Projection.forEpsg(32632).get
+    val (xe, ye) = etrs.forward(10.0, 50.0)
+    val (xw, yw) = wgs.forward(10.0, 50.0)
+    assert(math.hypot(xe - xw, ye - yw) < 0.01)
+    assert(Projection.forEpsg(26910).isDefined) // NAD83 / UTM 10N
+    val mga = Projection.forEpsg(28355).get // GDA94 / MGA 55
+    val (xs, ys) = mga.forward(147.0, -37.0)
+    assert(ys < 10000000.0 && xs > 0) // southern false northing carried
+    assert(Projection.forEpsg(7855).isDefined) // GDA2020 / MGA 55
+    // geographic datums coincident with WGS84 at working accuracy
+    assert(Projection.forEpsg(4269).contains(Projection.Wgs84))
+    assert(Projection.forEpsg(4258).contains(Projection.Wgs84))
+  }
+
+  test("LAEA Europe (EPSG:3035): center anchor, equal-area, round-trip") {
+    val p = Projection.forEpsg(3035).get
+    val (x0, y0) = p.forward(10.0, 52.0) // projection center → (FE, FN)
+    assert(math.abs(x0 - 4321000.0) < 1e-6 && math.abs(y0 - 3210000.0) < 1e-6)
+    for ((lng, lat) <- Seq((-8.0, 37.0), (25.0, 60.0), (10.0, 45.0), (35.0, 35.0))) {
+      val proj = projectedCellArea(p, lng, lat, lng + 1, lat + 1)
+      val ell = ellipsoidCellArea(lng, lat, lng + 1, lat + 1)
+      assert(math.abs(proj / ell - 1) < 1e-6,
+        s"cell at ($lng,$lat): projected $proj vs ellipsoid $ell")
+      val (x, y) = p.forward(lng, lat)
+      val (l2, p2) = p.inverse(x, y)
+      assert(math.abs(l2 - lng) < 1e-9 && math.abs(p2 - lat) < 1e-9,
+        s"3035 round trip ($lng,$lat) → ($l2,$p2)")
     }
   }
 

@@ -110,8 +110,8 @@ class ReprojectSpec extends SparkSpec {
     // registry doesn't ship still fails loudly
     val utm = Reproject.bounds(Bounds(14, 40, 16, 41), "EPSG:4326", "EPSG:32633")
     assert(utm.left > 350000 && utm.right < 650000 && utm.bottom > 4300000)
-    // Lambert-93 joined the registry in round 7 — OSGB stays unshipped
+    // OSGB joined the well-known table in round 8 — EOV stays unshipped
     intercept[IllegalArgumentException](
-      Reproject.bounds(b, "EPSG:4326", "EPSG:27700"))
+      Reproject.bounds(b, "EPSG:4326", "EPSG:23700"))
   }
 }
