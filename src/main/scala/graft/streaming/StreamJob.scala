@@ -281,6 +281,75 @@ object StreamJob {
           })
   }
 
+  case class ValueEvent(event_id: Long, user_id: Long,
+                        ts: java.sql.Timestamp, value: Double)
+  /** frontierSec = newest processed second; buf = (second, ⌊value⌋) pairs
+    * still inside the trailing horizon — the WHOLE per-user state. */
+  case class TrailingWindowState(frontierSec: Long, buf: List[(Long, Long)])
+  case class TrailingAgg(event_id: Long, user_id: Long, n_1h: Long, sum_1h: Long)
+
+  /** Streaming trailing RANGE-frame aggregate — the batch w5 window
+    * (`RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` per user) as a
+    * stream: every arriving event emits its own trailing 1-hour count and
+    * ⌊value⌋-sum, the archetypal "activity in the last hour" query.
+    *
+    * Per-user state is just the events still inside the horizon (second +
+    * one long each), bounded by the user's event rate × horizon — never
+    * the stream. Eviction is event-time-driven: once the watermark passes
+    * frontier + horizon no future frame can reach the buffer, the state
+    * times out and frees.
+    *
+    * RANGE frames include PEERS (rows sharing the order-key value), so
+    * equal-second groups process atomically: buffer first absorbs the
+    * whole group, then every member emits the same frame — exactly the
+    * batch window semantics. Within a micro-batch the user's slice
+    * replays in event-time order; across batches a straggler older than
+    * the frontier drops (emitted frames are immutable), the standard
+    * online approximation with batch w5 as the repair path. */
+  def streamingTrailingAgg(events: Dataset[ValueEvent], horizonSec: Long = 3600L,
+                           watermark: String = "1 hour"): Dataset[TrailingAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[ValueEvent], state: GroupState[TrailingWindowState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val s0 = state.getOption.getOrElse(TrailingWindowState(Long.MinValue, Nil))
+            val sorted = it.map(e => (e.ts.getTime / 1000, e)).toIndexedSeq
+              .filter(_._1 >= s0.frontierSec) // stragglers drop
+              .sortBy { case (sec, e) => (sec, e.event_id) }
+            var buf = s0.buf
+            var frontier = s0.frontierSec
+            val out = IndexedSeq.newBuilder[TrailingAgg]
+            var i = 0
+            while (i < sorted.length) {
+              val sec = sorted(i)._1
+              var j = i
+              while (j < sorted.length && sorted(j)._1 == sec) j += 1
+              val peers = sorted.slice(i, j)
+              buf = peers.map { case (s, e) =>
+                (s, math.floor(e.value).toLong) }.toList ::: buf
+              buf = buf.filter(_._1 >= sec - horizonSec)
+              val n = buf.size.toLong
+              val sum = buf.iterator.map(_._2).sum
+              peers.foreach { case (_, e) =>
+                out += TrailingAgg(e.event_id, user, n, sum) }
+              frontier = sec
+              i = j
+            }
+            if (buf.nonEmpty) {
+              state.update(TrailingWindowState(frontier, buf))
+              state.setTimeoutTimestamp(math.max((frontier + horizonSec) * 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.result().iterator
+          })
+  }
+
   /** Incremental tile ingestion: stream new block parquet under `path`
     * through a per-batch function — the foreachBatch pattern for driving
     * LayerJob-style transforms incrementally (new manifest entries become

@@ -60,6 +60,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("StreamJob trailing RANGE frame == batch w5 (w5's stream twin)") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf()).filter(col("user_id") < 50)
+    val dir = new java.io.File("target/tmp/stream_events_w5").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[StreamJob.ValueEvent]
+    val q = StreamJob.streamingTrailingAgg(src)
+      .writeStream.outputMode("append").format("memory").queryName("st_w5")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st_w5")
+      .select("event_id", "user_id", "n_1h", "sum_1h")
+    val expected = graft.SparkEntry.queries("w5_range_frame")(spark, sf())
+      .select("event_id", "user_id", "n_1h", "sum_1h")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
   test("StreamJob session windows bound state and count events per session") {
     val batch = Tables.events(spark, sf())
     val dir = new java.io.File("target/tmp/stream_events2").getAbsolutePath
