@@ -156,6 +156,13 @@ object SparkEntry {
     "q6_forecast_revenue" -> (Q.q6_forecast_revenue(_, _)),
     "q19_disjunctive"     -> (Q.q19_disjunctive(_, _)),
     "q14_promo_share"     -> (Q.q14_promo_share(_, _)),
+    "q7_nation_volume"    -> (Q.q7_nation_volume(_, _)),
+    "q8_market_share"     -> (Q.q8_market_share(_, _)),
+    "q10_returned_items"  -> (Q.q10_returned_items(_, _)),
+    "q15_top_supplier"    -> (Q.q15_top_supplier(_, _)),
+    "q17_small_qty"       -> (Q.q17_small_qty(_, _)),
+    "q21_waiting_supplier" -> (Q.q21_waiting_supplier(_, _)),
+    "q22_idle_customers"  -> (Q.q22_idle_customers(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1748,6 +1755,172 @@ object SparkEntry {
           sum(col("cents")) + lit(5e-7), 4).as("promo_pct"),
         sum(col("cents")).as("total_cents"),
         count(lit(1)).as("n_lines"))
+    }
+
+    /** TPC-H Q7 shape — two-nation volume shipping: the symmetric
+      * nation-pair predicate over a 5-table join, revenue per
+      * (supp_nation, cust_nation, ship year). The nation dimension
+      * broadcasts twice under different roles; per-row cent quantization
+      * keeps the yearly sums integer-exact. */
+    def q7_nation_volume(s: SparkSession, d: String): DataFrame = {
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation"))
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(sn), col("__snk") === col("s_nationkey"))
+        .join(broadcast(cn), col("__cnk") === col("c_nationkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+            + lit(0.5)).cast("long").as("__c"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("__c").as("rev_cents"), count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }
+
+    /** TPC-H Q8 shape — national market share: one nation's fraction of
+      * ASIA-customer STANDARD-part revenue per order year. The share is a
+      * conditional-sum ratio over per-row cent quantization, so the float
+      * division is one deterministic op over two exact integers. */
+    def q8_market_share(s: SparkSession, d: String): DataFrame = {
+      val asiaNations = Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA").select(col("n_nationkey").as("__cnk"))
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))
+      li(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "STANDARD"),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(asiaNations), col("__cnk") === col("c_nationkey"), "left_semi")
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(sn), col("__snk") === col("s_nationkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("supp_nation"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+            + lit(0.5)).cast("long").as("__c"))
+        .groupBy("o_year")
+        .agg(round(sum(when(col("supp_nation") === "NATION_3", col("__c"))
+            .otherwise(0L)).cast("double") / sum("__c") + lit(5e-7), 4).as("mkt_share"),
+          sum("__c").as("total_cents"))
+        .orderBy("o_year")
+    }
+
+    /** TPC-H Q10 shape — returned-item revenue: top 20 customers by
+      * returned (R-flag) revenue over one quarter of orders. Classic
+      * fact-to-dim join funnel ending in TakeOrdered, not a global sort. */
+    def q10_returned_items(s: SparkSession, d: String): DataFrame =
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-10-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+          col("o_custkey") === col("c_custkey"))
+        .join(li(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+            + lit(0.5)).cast("long").as("__c"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum("__c").as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("c_custkey")).limit(20)
+
+    /** TPC-H Q15 shape — top supplier: quarterly revenue per supplier,
+      * keep the max (the VIEW + scalar-max subquery form: aggregate once,
+      * broadcast the 1-row max back as a filter). */
+    def q15_top_supplier(s: SparkSession, d: String): DataFrame = {
+      // pinned: the revenue view feeds BOTH the scalar max and the join —
+      // without the pin the quarter's lineitem scan-aggregate runs twice
+      val rev = graft.core.Caching.shared(li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.5)).cast("long")).as("total_cents")))
+      val mx = rev.agg(max("total_cents").as("__mx"))
+      rev.join(broadcast(mx), col("total_cents") === col("__mx"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    }
+
+    /** TPC-H Q17 shape — small-quantity revenue: lineitems under 20% of
+      * their part's average quantity, for one brand's SMALL parts. The
+      * correlated AVG subquery becomes one aggregate + key join over the
+      * pinned part-lineitem relation (consumed by both the average and
+      * the filter). */
+    def q17_small_qty(s: SparkSession, d: String): DataFrame = {
+      val pts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val lp = graft.core.Caching.shared(
+        li(s, d).join(broadcast(pts), col("p_partkey") === col("l_partkey"))
+          .select(col("p_partkey"), col("l_quantity"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("__c")))
+      val avgQ = lp.groupBy("p_partkey").agg(avg("l_quantity").as("__avgq"))
+      lp.join(avgQ, "p_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("__avgq"))
+        .agg(coalesce(sum("__c"), lit(0L)).as("sum_cents"),
+          count(lit(1)).as("n_lines"))
+        .select(round(col("sum_cents").cast("double") / 100.0 / 7.0 + lit(5e-7), 2)
+          .as("avg_yearly"), col("sum_cents"), col("n_lines"))
+    }
+
+    /** TPC-H Q21 shape (adapted to the reduced schema) — suppliers who
+      * kept multi-supplier orders waiting: this supplier shipped > 60 days
+      * after the order date, some OTHER supplier shares the order
+      * (EXISTS → left-semi), and NO other supplier was also late
+      * (NOT EXISTS → left-anti). The late relation is pinned: it feeds
+      * the probe side and both correlated legs. */
+    def q21_waiting_supplier(s: SparkSession, d: String): DataFrame = {
+      val late = graft.core.Caching.shared(
+        li(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct())
+      val allSupp = li(s, d)
+        .select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk")).distinct()
+      late
+        .join(allSupp,
+          col("__ok") === col("l_orderkey") && col("__sk") =!= col("l_suppkey"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2")),
+          col("__ok2") === col("l_orderkey") && col("__sk2") =!= col("l_suppkey"),
+          "left_anti")
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }
+
+    /** TPC-H Q22 shape (adapted) — idle high-balance customers: balance
+      * above the positive-balance average (scalar subquery → 1-row
+      * broadcast) with no high-value order (anti-join), tallied per
+      * nation with cent-exact balance sums. */
+    def q22_idle_customers(s: SparkSession, d: String): DataFrame = {
+      val c = Tables.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0).agg(avg("c_acctbal").as("__ab"))
+      val high = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__ab"))
+        .join(high, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")).as("bal_cents"))
+        .orderBy("c_nationkey")
     }
 
     /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
@@ -3531,6 +3704,108 @@ object SparkEntry {
         """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price FROM part p
           |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part b WHERE b.p_brand = p.p_brand)
           |ORDER BY p_partkey""".stripMargin,
+
+      "q7_nation_volume" ->
+        """SELECT supp_nation, cust_nation, l_year,
+          |  CAST(sum(c) AS BIGINT) AS rev_cents, count(*) AS n_lines
+          |FROM (
+          |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+          |    year(l_shipdate) AS l_year,
+          |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c
+          |  FROM lineitem
+          |  JOIN orders ON o_orderkey = l_orderkey
+          |  JOIN customer ON c_custkey = o_custkey
+          |  JOIN supplier ON s_suppkey = l_suppkey
+          |  JOIN nation ns ON ns.n_nationkey = s_nationkey
+          |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+          |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+          |    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          |      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')))
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+      "q8_market_share" ->
+        """WITH v AS (
+          |  SELECT year(o_orderdate) AS o_year, ns.n_name AS supp_nation,
+          |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c
+          |  FROM lineitem
+          |  JOIN part ON p_partkey = l_partkey
+          |  JOIN orders ON o_orderkey = l_orderkey
+          |  JOIN customer ON c_custkey = o_custkey
+          |  JOIN supplier ON s_suppkey = l_suppkey
+          |  JOIN nation ns ON ns.n_nationkey = s_nationkey
+          |  WHERE p_type = 'STANDARD'
+          |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+          |    AND c_nationkey IN (SELECT n_nationkey FROM nation JOIN region
+          |      ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'))
+          |SELECT o_year,
+          |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN c ELSE 0 END) AS DOUBLE)
+          |    / CAST(sum(c) AS DOUBLE) + 5e-7, 4) AS mkt_share,
+          |  CAST(sum(c) AS BIGINT) AS total_cents
+          |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+          |  CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS BIGINT)
+          |    AS rev_cents
+          |FROM customer
+          |JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON n_nationkey = c_nationkey
+          |WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+          |  AND l_returnflag = 'R'
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+      "q15_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+          |      AS BIGINT) AS total_cents
+          |  FROM lineitem
+          |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, total_cents
+          |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+          |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "q17_small_qty" ->
+        """WITH lp AS (
+          |  SELECT l_partkey AS p_partkey, l_quantity,
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'),
+          |aq AS (SELECT p_partkey, avg(l_quantity) AS avgq FROM lp GROUP BY 1),
+          |f AS (SELECT c FROM lp JOIN aq USING (p_partkey)
+          |      WHERE l_quantity < 0.2 * avgq)
+          |SELECT round(CAST(coalesce(sum(c), 0) AS DOUBLE) / 100.0 / 7.0 + 5e-7, 2)
+          |    AS avg_yearly,
+          |  CAST(coalesce(sum(c), 0) AS BIGINT) AS sum_cents,
+          |  count(*) AS n_lines
+          |FROM f""".stripMargin,
+
+      "q21_waiting_supplier" ->
+        """WITH late AS (
+          |  SELECT DISTINCT l_orderkey, l_suppkey
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |SELECT s_name, count(*) AS numwait
+          |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+          |WHERE EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM late l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+      "q22_idle_customers" ->
+        """SELECT c_nationkey, count(*) AS numcust,
+          |  CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS bal_cents
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
       "x5_asof_join" ->
         """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
