@@ -105,6 +105,7 @@ object SparkEntry {
     "t23_collocations"    -> (Q.t23_collocations(_, _)),
     "t20_bm25"            -> (Q.t20_bm25(_, _)),
     "t22_bm25_incremental" -> (Q.t22_bm25_incremental(_, _)),
+    "t24_mixture_sample"  -> (Q.t24_mixture_sample(_, _)),
     "e8_rrf"              -> (Q.e8_rrf(_, _)),
     "t10_stratified_sample" -> (Q.t10_stratified_sample(_, _)),
     "t11_pii_scrub"       -> (Q.t11_pii_scrub(_, _)),
@@ -1103,6 +1104,20 @@ object SparkEntry {
       * scores, total tiebreak — see [[graft.operators.TextOps.collocations]]. */
     def t23_collocations(s: SparkSession, d: String): DataFrame =
       graft.operators.TextOps.collocations(Tables.documents(s, d))
+
+    /** Mixture resampling toward target domain weights under a global doc
+      * budget ([[graft.operators.TextOps.mixtureSample]]): weights
+      * src0:5 src1:3 src2:2 src3:1, budget 120. With 25 docs per source at
+      * sf0.01 this exercises both regimes — src0/src1 quotas (54/32)
+      * exceed availability so the whole domain passes and the shortfall
+      * stays visible, src2/src3 quotas (21/10) bind and the salted
+      * hash-rank picks the deterministic subset. */
+    def t24_mixture_sample(s: SparkSession, d: String): DataFrame =
+      TextOps.mixtureSample(Tables.documents(s, d),
+          Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L),
+          budget = 120L)
+        .select("doc_id", "source", "mix_rank", "mix_quota")
+        .orderBy("doc_id")
 
     /** BM25 retrieval: the whole corpus ranked against a fixed 3-term
       * query, top 20. Ranking key = the integer micro-unit score (ties by
@@ -3104,6 +3119,18 @@ object SparkEntry {
            |  WHERE c12 >= 5)
            |SELECT w1, w2, c12, pmi_micro FROM pmi
            |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      "t24_mixture_sample" ->
+        s"""WITH r AS (SELECT doc_id, source,
+           |  row_number() OVER (PARTITION BY source
+           |    ORDER BY ${h("'mix:' || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC)
+           |    AS mix_rank,
+           |  CAST(CASE source WHEN 'src0' THEN 54 WHEN 'src1' THEN 32
+           |    WHEN 'src2' THEN 21 WHEN 'src3' THEN 10 ELSE 0 END AS BIGINT)
+           |    AS mix_quota
+           |  FROM documents)
+           |SELECT doc_id, source, mix_rank, mix_quota FROM r
+           |WHERE mix_rank <= mix_quota ORDER BY doc_id""".stripMargin,
 
       "t19_bpe_pairs" ->
         s"""WITH words AS (SELECT unnest($tokExpr) AS word FROM documents),

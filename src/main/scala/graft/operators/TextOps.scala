@@ -227,6 +227,42 @@ object TextOps {
       .select(col("doc_id"), col(groupCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Mixture resampling toward target DOMAIN WEIGHTS under a global doc
+    * budget — the Pile/Dolma-style mixture-balancing step between raw
+    * crawl proportions and the training distribution. Domain k's quota is
+    * ⌊budget · wₖ / Σw⌋ docs (exact integer rational — no float weights,
+    * so every engine computes the same quota), filled in deterministic
+    * hash-rank order (salted 32-bit hash, doc-id tiebreak): reruns,
+    * engines, and partial recomputes all select the identical doc set. A
+    * domain short of its quota contributes everything it has; the
+    * shortfall stays VISIBLE (`mix_rank`/`mix_quota` in the output) —
+    * no silent redistribution.
+    *
+    * Scale shape: one window rank partitioned by the domain key — the
+    * sort is per-domain, parallelism scales with domain count. For a
+    * degenerate domain holding most of the corpus, the exact rank order
+    * can be replaced by a hash-cutoff search at the same contract; this
+    * exact form is the oracle-checkable spec of that contract. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Long], budget: Long,
+                    groupCol: String = "source", idCol: String = "doc_id",
+                    salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "mixture weights must be non-negative, sum > 0")
+    require(budget >= 0, "budget must be non-negative")
+    val sumW = weights.values.sum
+    val quota = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, w)) =>
+        when(col(groupCol) === k, lit(budget * w / sumW)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(PortableHash.hash32(
+        concat(lit(salt + ":"), col(idCol).cast("string"))).asc, col(idCol).asc)
+    docs
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_quota", quota)
+      .filter(col("mix_rank") <= col("mix_quota"))
+  }
+
   /** Unigram-surprisal score — the LM-scoring step of a CCNet-style
     * pipeline with the corpus's OWN unigram distribution standing in for
     * the external language model: surprisal(doc) = mean over tokens of

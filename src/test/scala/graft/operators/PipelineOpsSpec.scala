@@ -610,6 +610,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("mixture sample: exact quotas, availability caps visible, deterministic") {
+    // 4 domains × 100 docs; weights 5:3:2 and budget 90 → quotas 45/27/18
+    // for a/b/c, 0 for the unweighted d. Shrink domain c to 10 docs so the
+    // availability-capped path (quota 18 > 10 present) is exercised too.
+    val base = spark.range(400).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 4)).as("source"))
+      .filter(!(col("source") === "s2" && col("doc_id") >= 40))
+    val kept = TextOps.mixtureSample(base,
+      Map("s0" -> 5L, "s1" -> 3L, "s2" -> 2L), budget = 90L)
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 45L, "s1" -> 27L, "s2" -> 10L)) // s2 capped, s3 absent
+    // quota column reports the TARGET even when availability falls short
+    assert(kept.filter(col("source") === "s2").select(max("mix_quota"))
+      .head.getLong(0) == 18L)
+    assert(kept.filter(col("mix_rank") > col("mix_quota")).count() == 0)
+    // deterministic: identical doc set on recompute
+    val again = TextOps.mixtureSample(base,
+      Map("s0" -> 5L, "s1" -> 3L, "s2" -> 2L), budget = 90L)
+    assert(again.select("doc_id").except(kept.select("doc_id")).count() == 0)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
+    // degenerate weights rejected loudly
+    intercept[IllegalArgumentException] {
+      TextOps.mixtureSample(base, Map("s0" -> 0L), budget = 10L)
+    }
+  }
+
   test("components converges on a long path graph (pointer jumping, multi-round)") {
     // 0-1-2-…-199 as a single chain: min-label propagation alone needs 199
     // rounds; pointer jumping must close it within maxIters=20 (O(log n)),
