@@ -164,6 +164,12 @@ object SparkEntry {
     "q17_small_qty"       -> (Q.q17_small_qty(_, _)),
     "q21_waiting_supplier" -> (Q.q21_waiting_supplier(_, _)),
     "q22_idle_customers"  -> (Q.q22_idle_customers(_, _)),
+    "q2_min_cost_supp"    -> (Q.q2_min_cost_supp(_, _)),
+    "q9_product_profit"   -> (Q.q9_product_profit(_, _)),
+    "q11_important_stock" -> (Q.q11_important_stock(_, _)),
+    "q12_ship_priority"   -> (Q.q12_ship_priority(_, _)),
+    "q16_supplier_cnt"    -> (Q.q16_supplier_cnt(_, _)),
+    "q20_workhorse_supp"  -> (Q.q20_workhorse_supp(_, _)),
     "m1_media_features"   -> (Q.m1_media_features(_, _)),
     "m2_image_decode"     -> (Q.m2_image_decode(_, _)),
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
@@ -1936,6 +1942,164 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")).as("bal_cents"))
         .orderBy("c_nationkey")
+    }
+
+    /** TPC-H Q2 shape (adapted — no partsupp in the reduced schema, so
+      * lineitem's observed unit price stands in for ps_supplycost): for
+      * each small STANDARD part, the EUROPE suppliers whose minimum
+      * observed unit price equals the part's EUROPE-wide minimum. The
+      * correlated-min subquery becomes aggregate + join-back on the PINNED
+      * offers relation (it feeds both the per-part min and the equality
+      * probe); unit price cent-quantizes per row so min/equality are
+      * integer-exact. */
+    def q2_min_cost_supp(s: SparkSession, d: String): DataFrame = {
+      val es = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+      val pts = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+        .select(col("p_partkey"), col("p_brand"))
+      val offers = graft.core.Caching.shared(li(s, d)
+        .join(broadcast(pts.select("p_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .join(es.select(col("s_suppkey").as("__esk")),
+          col("__esk") === col("l_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 100
+          + lit(0.5)).cast("long")).as("unit_cents")))
+      val minc = offers.groupBy(col("l_partkey").as("__pk"))
+        .agg(min("unit_cents").as("__minc"))
+      offers
+        .join(minc, col("__pk") === col("l_partkey") &&
+          col("unit_cents") === col("__minc"))
+        .join(es, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(pts), col("p_partkey") === col("l_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("s_suppkey"),
+          col("p_partkey"), col("p_brand"), col("unit_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey")).limit(20)
+    }
+
+    /** TPC-H Q9 shape (adapted — p_retailprice·0.6·qty stands in for the
+      * partsupp supply cost): per-nation-per-year profit on color-named
+      * parts. LIKE filter prunes the broadcast part dim; profit
+      * cent-quantizes per row (one identically-associated expression both
+      * engines evaluate bit-for-bit), so yearly sums are exact. */
+    def q9_product_profit(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select("p_partkey", "p_retailprice")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"),
+          floor((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * lit(0.6) * col("l_quantity")) * 100
+            + lit(0.5)).cast("long").as("__c"))
+        .groupBy("nation", "o_year")
+        .agg(sum("__c").as("profit_cents"), count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year").desc)
+
+    /** TPC-H Q11 shape (adapted — one nation's lineitem revenue per part
+      * stands in for partsupp stock value): parts whose value exceeds
+      * 1/1000 of the nation total. The pinned per-part aggregate feeds
+      * both the scalar total (1-row broadcast) and the filter; the
+      * threshold compares integers (value·1000 > total), no float
+      * fraction. */
+    def q11_important_stock(s: SparkSession, d: String): DataFrame = {
+      val ns = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey").as("__sk"))
+      val vals = graft.core.Caching.shared(li(s, d)
+        .join(broadcast(ns), col("__sk") === col("l_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("val_cents")))
+      val tot = vals.agg(sum("val_cents").as("__tot"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("val_cents") * 1000 > col("__tot"))
+        .select(col("l_partkey").as("p_partkey"), col("val_cents"))
+        .orderBy(col("val_cents").desc, col("p_partkey"))
+    }
+
+    /** TPC-H Q12 shape (adapted — the reduced lineitem has no
+      * shipmode/commit/receipt dates, so ship delay classes stand in for
+      * shipmode): high- vs low-priority order counts per delay bucket.
+      * One fact-fact join; the CASE bucketing and priority split are pure
+      * conditional aggregation — map-side combined, two shuffle keys
+      * total. Dates are midnight-aligned so datediff is engine-exact. */
+    def q12_ship_priority(s: SparkSession, d: String): DataFrame = {
+      val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+      li(s, d)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(
+          when(delay <= 30, "1-fast").when(delay <= 90, "2-normal")
+            .otherwise("3-slow").as("ship_class"),
+          col("o_orderpriority"))
+        .groupBy("ship_class")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_count"))
+        .orderBy("ship_class")
+    }
+
+    /** TPC-H Q16 shape (adapted — lineitem part-supplier pairs stand in
+      * for partsupp; negative-balance suppliers stand in for the
+      * complaints exclusion): supplier counts per (brand, type, size)
+      * slice, excluded suppliers anti-joined out BEFORE the distinct
+      * count. Both dims broadcast; countDistinct dedups the repeated
+      * lineitem pairs in the aggregate itself. */
+    def q16_supplier_cnt(s: SparkSession, d: String): DataFrame = {
+      val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("__xk"))
+      val pts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      li(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(pts), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(excl), col("__xk") === col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }
+
+    /** TPC-H Q20 shape (adapted — no ps_availqty, so the part's total
+      * 1996 shipped volume is the stock proxy): suppliers who carried
+      * MORE THAN HALF of some blue part's 1996 volume. Nested aggregation
+      * (per part-supplier, then per part) over the pinned shipped
+      * relation, integer half-compare (2·qty > total), then a semi-join
+      * back to the supplier dim — the original's correlated-subquery
+      * chain, shuffle-minimal. */
+    def q20_workhorse_supp(s: SparkSession, d: String): DataFrame = {
+      val pts = Tables.part(s, d).filter(col("p_name").like("blue%"))
+        .select(col("p_partkey"))
+      val shipped = graft.core.Caching.shared(li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(pts), col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty")))
+      val tot = shipped.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum("qty").as("__tot"))
+      val workhorse = shipped.join(tot, col("__pk") === col("l_partkey"))
+        .filter(col("qty") * 2 > col("__tot"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(workhorse, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
     }
 
     /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
@@ -3833,6 +3997,90 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM orders o
           |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q2_min_cost_supp" ->
+        """WITH es AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+          |    JOIN nation ON n_nationkey = s_nationkey
+          |    JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'),
+          |pts AS (SELECT p_partkey, p_brand FROM part
+          |        WHERE p_type = 'STANDARD' AND p_size < 10),
+          |offers AS (SELECT l_partkey, l_suppkey,
+          |    CAST(min(floor(l_extendedprice / l_quantity * 100 + 0.5)) AS BIGINT)
+          |      AS unit_cents
+          |  FROM lineitem
+          |  WHERE l_partkey IN (SELECT p_partkey FROM pts)
+          |    AND l_suppkey IN (SELECT s_suppkey FROM es)
+          |  GROUP BY 1, 2),
+          |minc AS (SELECT l_partkey, min(unit_cents) AS mc FROM offers GROUP BY 1)
+          |SELECT s_acctbal, s_name, n_name, s_suppkey, p_partkey, p_brand, unit_cents
+          |FROM offers JOIN minc USING (l_partkey)
+          |JOIN es ON s_suppkey = l_suppkey
+          |JOIN pts ON p_partkey = l_partkey
+          |WHERE unit_cents = mc
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin,
+
+      "q9_product_profit" ->
+        """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+          |  CAST(sum(floor((l_extendedprice * (1 - l_discount)
+          |    - p_retailprice * 0.6 * l_quantity) * 100 + 0.5)) AS BIGINT)
+          |    AS profit_cents,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |JOIN part ON p_partkey = l_partkey
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey
+          |WHERE p_name LIKE 'red%'
+          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+      "q11_important_stock" ->
+        """WITH vals AS (
+          |  SELECT l_partkey AS p_partkey,
+          |    CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS val_cents
+          |  FROM lineitem
+          |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+          |      ON n_nationkey = s_nationkey WHERE n_name = 'NATION_7')
+          |  GROUP BY 1)
+          |SELECT p_partkey, val_cents FROM vals
+          |WHERE val_cents * 1000 > (SELECT sum(val_cents) FROM vals)
+          |ORDER BY val_cents DESC, p_partkey""".stripMargin,
+
+      "q12_ship_priority" ->
+        """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+          |         THEN '1-fast'
+          |       WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+          |         THEN '2-normal'
+          |       ELSE '3-slow' END AS ship_class,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+          |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q16_supplier_cnt" ->
+        """SELECT p_brand, p_type, p_size,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+      "q20_workhorse_supp" ->
+        """WITH shipped AS (
+          |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+          |  FROM lineitem
+          |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT l_partkey, sum(qty) AS t FROM shipped GROUP BY 1),
+          |wh AS (SELECT DISTINCT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+          |       WHERE qty * 2 > t)
+          |SELECT s_suppkey, s_name, n_name
+          |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+          |WHERE s_suppkey IN (SELECT l_suppkey FROM wh)
+          |ORDER BY s_suppkey""".stripMargin,
 
       "x5_asof_join" ->
         """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
