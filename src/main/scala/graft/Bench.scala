@@ -30,7 +30,12 @@ object Bench {
     "s1_grid_seed", "m1_media_features", "r3_warp_3857",
     "r6_focal_mean", "t16_posting_lists", "g1_distance_join",
     "g4_pagerank", "t20_bm25", "x10_funnel", "a10_region_label",
-    "b1_bloom_join", "q4_order_priority", "q6_forecast_revenue")
+    "b1_bloom_join", "q4_order_priority", "q6_forecast_revenue",
+    // round-8 additions: the heaviest new TPC-H shapes (5-table join,
+    // double-correlated anti/semi, nested-agg profit), the maintained-
+    // stats BM25, and the mixture-balancing window
+    "q7_nation_volume", "q21_waiting_supplier", "q9_product_profit",
+    "t22_bm25_incremental", "t24_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

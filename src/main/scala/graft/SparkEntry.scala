@@ -1150,9 +1150,12 @@ object SparkEntry {
       * division on both sides). */
     def t22_bm25_incremental(s: SparkSession, d: String): DataFrame = {
       val docs = Tables.documents(s, d)
-      val stats = graft.operators.TextOps.bm25MergeStats(
+      // the maintained table is STORED state in the real shape — pin it so
+      // the two broadcast consumers (corpus row, query-term df) read the
+      // materialized table instead of re-running the merge lineage each
+      val stats = graft.core.Caching.shared(graft.operators.TextOps.bm25MergeStats(
         graft.operators.TextOps.bm25Stats(docs.filter(col("doc_id") % 2 === 0)),
-        docs.filter(col("doc_id") % 2 =!= 0))
+        docs.filter(col("doc_id") % 2 =!= 0)))
       val scored = graft.operators.TextOps.bm25WithStats(docs, stats,
         Seq("spark", "vector", "merge"))
       scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(20)
@@ -1912,8 +1915,10 @@ object SparkEntry {
             col("o_orderkey") === col("l_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .select(col("l_orderkey"), col("l_suppkey")).distinct())
+      // no distinct: the left_semi probe only checks existence, so the
+      // dedup aggregate over the full fact table is pure wasted shuffle
       val allSupp = li(s, d)
-        .select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk")).distinct()
+        .select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk"))
       late
         .join(allSupp,
           col("__ok") === col("l_orderkey") && col("__sk") =!= col("l_suppkey"),
@@ -1965,7 +1970,7 @@ object SparkEntry {
       val offers = graft.core.Caching.shared(li(s, d)
         .join(broadcast(pts.select("p_partkey")),
           col("p_partkey") === col("l_partkey"), "left_semi")
-        .join(es.select(col("s_suppkey").as("__esk")),
+        .join(broadcast(es.select(col("s_suppkey").as("__esk"))),
           col("__esk") === col("l_suppkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 100

@@ -339,9 +339,13 @@ object TextOps {
       tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df is only ever consumed for the query terms — filter BEFORE the
+    // aggregate so the vocabulary-wide shuffle collapses to |q| map-side-
+    // combined counts, and the join becomes a |q|-row broadcast
+    val dfreq = tf.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
     tf.filter(col("tok").isin(queryTerms: _*))
-      .join(dfreq, "tok")
+      .join(broadcast(dfreq), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
@@ -412,9 +416,12 @@ object TextOps {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = stats.filter(col("tok") === "").select(col("n_docs"),
       (col("dl_total").cast("double") / col("n_docs")).as("avgdl"))
-    val dfreq = stats.filter(col("tok") =!= "").select(col("tok"), col("df"))
+    // prune the vocabulary-sized stats table to the query terms at the
+    // scan — the df join is then a |q|-row broadcast, not a table join
+    val dfreq = stats.filter(col("tok").isin(queryTerms: _*))
+      .select(col("tok"), col("df"))
     tf.filter(col("tok").isin(queryTerms: _*))
-      .join(dfreq, "tok")
+      .join(broadcast(dfreq), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("__idf",
