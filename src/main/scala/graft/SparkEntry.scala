@@ -87,6 +87,7 @@ object SparkEntry {
     "t8_top_terms"        -> (Q.t8_top_terms(_, _)),
     "c1_curation_pipeline" -> (Q.c1_curation_pipeline(_, _)),
     "c2_quality_gate"     -> (Q.c2_quality_gate(_, _)),
+    "c3_diversity_sample" -> (Q.c3_diversity_sample(_, _)),
     "t14_token_budget"    -> (Q.t14_token_budget(_, _)),
     "t15_unigram_surprisal" -> (Q.t15_unigram_surprisal(_, _)),
     "e6_semantic_dedup"   -> (Q.e6_semantic_dedup(_, _)),
@@ -1259,6 +1260,34 @@ object SparkEntry {
     def c2_quality_gate(s: SparkSession, d: String): DataFrame =
       TextOps.qualityGate(Tables.documents(s, d), keepNum = 3, keepDen = 10)
         .orderBy("doc_id")
+
+    /** Cluster-balanced diversity sampling — the curation step between
+      * dedup and training: embed-cluster the corpus (e7's fixed-centroid
+      * assignment, a pure expression over the broadcast codebook), join
+      * per-doc quality (t3), keep each cluster's top-25 by quality. The
+      * semantic-cluster quota prevents the quality cut from collapsing
+      * the corpus onto one dominant mode; one window rank per cluster is
+      * the only wide op after the doc-keyed join. */
+    def c3_diversity_sample(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => ((r.getLong(0) / 37).toInt, r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val assigned = emb.select(col("vec_id"),
+        Similarity.nearestCentroid(col("embedding").cast("array<double>"), cents)
+          .as("cid"))
+      val quality = TextOps.withQuality(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      quality.join(assigned, col("vec_id") === col("doc_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 25)
+        .select(col("doc_id"), col("cid"), col("quality"), col("rank"))
+        .orderBy("cid", "rank")
+    }
 
     /** Per-source token-budget downsampling: greedy keep in portable-hash
       * order until each source reaches its 800-token allocation. */
@@ -2981,6 +3010,41 @@ object SparkEntry {
            |FROM q JOIN k USING (doc_id) JOIN b USING (doc_id)
            |WHERE q.quality >= 0.5 AND b.bucket < 90
            |ORDER BY doc_id""".stripMargin
+      },
+
+      "c3_diversity_sample" -> {
+        val en = TextOps.stopwords("en").mkString("\\b(", "|", ")\\b")
+        s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM emb
+           |         WHERE vec_id % 37 = 0 AND vec_id < 260),
+           |dist AS (SELECT e.vec_id, cent.cid,
+           |    list_sum(list_transform(list_zip(e.v, cent.c),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+           |  FROM emb e CROSS JOIN cent),
+           |assigned AS (SELECT vec_id, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM dist)
+           |  WHERE rn = 1),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS n_chars,
+           |    CAST(len($tokExpr) AS DOUBLE) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+           |    CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE) AS n_stop
+           |  FROM documents),
+           |q AS (SELECT doc_id, round(
+           |    least(n_tokens / 50.0, 1.0) * 0.4 +
+           |    least(n_punct / greatest(n_tokens / 10.0, 1.0), 1.0) * 0.2 +
+           |    least(n_stop / greatest(n_tokens / 20.0, 1.0), 1.0) * 0.2 +
+           |    (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3 AND 10
+           |      THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+           |  FROM m),
+           |r AS (SELECT doc_id, cid, quality,
+           |    CAST(row_number() OVER (PARTITION BY cid
+           |      ORDER BY quality DESC, doc_id) AS INT) AS rank
+           |  FROM q JOIN assigned ON vec_id = doc_id)
+           |SELECT doc_id, cid, quality, rank FROM r WHERE rank <= 25
+           |ORDER BY cid, rank""".stripMargin
       },
 
       "t3_quality_score" -> {
