@@ -113,15 +113,19 @@ object Bench {
     val qsMin = render(_._2._2)
     val qsMax = render(_._2._3)
     val total = results.map(_._2._1).sum
-    val json =
+    val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
-    // The driver tails stdout with a byte cap; round 7's record lost the
-    // head of this (long) line to that cap. Persist the full JSON to a file
-    // the driver can read whole, then print it as the final stdout line.
+    // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
+    // head of the full (min/max-bearing) line to that cap even with the
+    // file fallback. Keep the full record in BENCH_LATEST.json, but print a
+    // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
+    // cap together with sbt's trailing [success] line.
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
-    println(json)
+    println(compact)
     spark.stop()
   }
 }

@@ -176,7 +176,12 @@ object SparkEntry {
     "m3_audio_frames"     -> (Q.m3_audio_frames(_, _)),
     "m4_frame_plan"       -> (Q.m4_frame_plan(_, _)),
     "q1_pricing_summary"  -> (Q.q1_pricing_summary(_, _)),
-    "q5_local_supplier"   -> (Q.q5_local_supplier(_, _)))
+    "q5_local_supplier"   -> (Q.q5_local_supplier(_, _)),
+    "t25_span_scrub"      -> (Q.t25_span_scrub(_, _)),
+    "t26_heavy_hitters"   -> (Q.t26_heavy_hitters(_, _)),
+    "t27_quality_rules"   -> (Q.t27_quality_rules(_, _)),
+    "g7_label_prop"       -> (Q.g7_label_prop(_, _)),
+    "e11_ann_recall"      -> (Q.e11_ann_recall(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -519,6 +524,25 @@ object SparkEntry {
             (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
       graft.operators.Graph.pagerank(edges, iters = 5, redistributeDangling = true)
         .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+        .orderBy("doc_id")
+    }
+
+    /** Community detection by 3 rounds of deterministic synchronous label
+      * propagation over the same hash-derived citation graph as g4, taken
+      * undirected — the clustering pass that separates communities where
+      * connected components would merge everything through bridge edges.
+      * Ties break to the smallest label, so the fixed point is exact and
+      * the oracle replays the rounds as unrolled CTEs. See
+      * [[graft.operators.Graph.labelPropagation]]. */
+    def g7_label_prop(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("doc1"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("doc2"))
+      graft.operators.Graph.labelPropagation(edges, iters = 3)
+        .select(col("id").as("doc_id"), col("label"))
         .orderBy("doc_id")
     }
 
@@ -1188,6 +1212,24 @@ object SparkEntry {
         .orderBy("rank")
     }
 
+    /** ANN evaluation — recall@5 of the LSH index (e2) against exhaustive
+      * ground truth (e1), per query. The metrology operator every ANN
+      * deployment runs on a sampled query set before trusting the index;
+      * both inputs are deterministic, so recall itself is oracle-exact.
+      * The ground-truth side is small (queries × k), so the hit probe is
+      * a broadcast left join — no shuffle beyond the two rankers'. */
+    def e11_ann_recall(s: SparkSession, d: String): DataFrame = {
+      val truth = e1_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+      val approx = e2_knn_lsh(s, d)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum("__hit"), lit(0L)).as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
+        .orderBy("query_id")
+    }
+
     /** Per-source duplication report — the corpus-health summary a curation
       * run publishes: doc counts, distinct-text counts (distinct on the
       * 32-byte digest, never the text), and the dup rate. */
@@ -1203,6 +1245,31 @@ object SparkEntry {
     /** Gopher-style repetition quality signals. */
     def t9_rep_signals(s: SparkSession, d: String): DataFrame =
       TextOps.repetitionSignals(Tables.documents(s, d)).orderBy("doc_id")
+
+    /** Span-level dedup SCRUB — the removal step d8 only measures:
+      * corpus-duplicated 16-token spans are deleted from every carrier,
+      * and the gate hashes the REWRITTEN text itself (md5 per doc), not
+      * just counts. See [[graft.operators.Dedup.scrubDupSpans]]. */
+    def t25_span_scrub(s: SparkSession, d: String): DataFrame =
+      graft.operators.Dedup.scrubDupSpans(Tables.documents(s, d), window = 16)
+        .orderBy("doc_id")
+
+    /** Corpus heavy hitters — terms with frequency ≥ 1/64 of all tokens.
+      * Two-pass sketch discipline: a Misra-Gries summary (128 counters,
+      * mergeable across partitions) nominates candidates WITHOUT a
+      * vocabulary-sized shuffle, then one exact count over the candidate
+      * set alone confirms — the exact output the oracle replays with a
+      * plain GROUP BY. See [[graft.operators.TextOps.heavyHitters]]. */
+    def t26_heavy_hitters(s: SparkSession, d: String): DataFrame =
+      TextOps.heavyHitters(Tables.documents(s, d), support = 64)
+
+    /** Gopher-style hard rule flags — the per-rule boolean table a
+      * curation pipeline audits before gating (distinct from t3's blended
+      * score: rules are individually actionable). Integer comparisons
+      * only, so every flag replays exactly. See
+      * [[graft.operators.TextOps.gopherRules]]. */
+    def t27_quality_rules(s: SparkSession, d: String): DataFrame =
+      TextOps.gopherRules(Tables.documents(s, d)).orderBy("doc_id")
 
     /** Deterministic per-language stratified sample (data-mix rebalance):
       * keep 50% of en, 30% of es/fr/de, 10% of anything else. */
@@ -2333,6 +2400,38 @@ object SparkEntry {
          |  FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
          |    AND a.doc_id < b2.doc_id)""".stripMargin
 
+    /** e1/e2 ranker SQL, shared verbatim with the e11 recall evaluation. */
+    private val e1KnnSql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rawcos
+        |  FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+
+    private val e2KnnSql = {
+      def planeLit(p: Int): String =
+        (0 until 64).map(dd => Similarity.planeComponent(p, dd).toString).mkString("[", ", ", "]")
+      val bucketOf = (v: String) => (0 until 8).map { p =>
+        s"CASE WHEN list_dot_product($v, ${planeLit(p)}) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |be AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM be WHERE vec_id < 5),
+         |s AS (SELECT query_id, be.vec_id AS neighbor_id,
+         |  list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS rawcos
+         |  FROM q JOIN be USING (bucket) WHERE query_id != be.vec_id),
+         |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }
+
     val sql: Map[String, String] = Map(
       "s1_grid_seed" ->
         """SELECT CAST(r*36 + c AS BIGINT) AS tile_idx,
@@ -2749,6 +2848,31 @@ object SparkEntry {
            |SELECT id AS doc_id, rank AS rank_micro FROM r5 ORDER BY doc_id""".stripMargin
       },
 
+      "g7_label_prop" -> {
+        // three unrolled rounds of synchronous LPA: each vertex adopts the
+        // most frequent neighbor label, ties to the SMALLEST label
+        val rounds = (1 to 3).map { k =>
+          s"""c$k AS (SELECT nbr.src, l.label, count(*) AS c
+             |  FROM nbr JOIN l${k - 1} l ON l.id = nbr.dst GROUP BY 1, 2),
+             |l$k AS (SELECT src AS id, label FROM (
+             |    SELECT src, label,
+             |      row_number() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+             |    FROM c$k) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn),
+           |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+           |        FROM e0 WHERE u <> v),
+           |nbr AS (SELECT a AS src, b AS dst FROM und
+           |        UNION ALL SELECT b, a FROM und),
+           |l0 AS (SELECT DISTINCT src AS id, src AS label FROM nbr),
+           |$rounds
+           |SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label
+           |FROM l3 ORDER BY doc_id""".stripMargin
+      },
+
       "g6_pagerank_dangling" -> {
         // same exact integer-micro recurrence as g4 plus the per-round
         // dangling share: sum((rank*7)//8) over no-out-edge vertices,
@@ -2960,6 +3084,50 @@ object SparkEntry {
         s"""SELECT doc_id, CAST(len($tokExpr) AS INT) AS n_tokens,
            | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INT) AS n_subwords
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the scrub replays span-by-span: aligned 16-token spans, md5 census
+      // key, spans in >1 doc dropped everywhere, kept spans re-joined in
+      // position order and the rewrite itself hashed
+      "t25_span_scrub" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+           |s AS (SELECT doc_id, unnest(range(0, len(toks), 16)) AS st, toks FROM t2),
+           |sp AS (SELECT doc_id, CAST(st // 16 AS INT) AS pos,
+           |  array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS span,
+           |  least(CAST(16 AS BIGINT), len(toks) - st) AS span_len FROM s),
+           |dg AS (SELECT doc_id, pos, span, span_len, md5(span) AS dig FROM sp),
+           |fr AS (SELECT dig, count(DISTINCT doc_id) AS nd FROM dg GROUP BY 1)
+           |SELECT doc_id, count(*) AS n_spans,
+           |  CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN nd = 1 THEN span_len ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           |  md5(coalesce(string_agg(CASE WHEN nd = 1 THEN span END, ' ' ORDER BY pos), '')) AS scrubbed_md5
+           |FROM dg JOIN fr USING (dig) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t26_heavy_hitters" ->
+        s"""WITH tok AS (SELECT unnest($tokExpr) AS term FROM documents),
+           |tot AS (SELECT count(*) AS n FROM tok),
+           |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1)
+           |SELECT term, cnt,
+           |  CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INT) AS rank
+           |FROM c, tot WHERE cnt * 64 >= n ORDER BY rank""".stripMargin,
+
+      "t27_quality_rules" -> {
+        val en = TextOps.stopwords("en").mkString("\\b(", "|", ")\\b")
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len($tokExpr) AS BIGINT) AS ntok,
+           |  CAST(length(text) AS BIGINT) AS nchars,
+           |  CAST(len(regexp_extract_all(lower(text), '$en')) AS BIGINT) AS nstop,
+           |  CAST(len(regexp_extract_all(text, '[#@<>\\[\\]{}|\\\\]')) AS BIGINT) AS nsym
+           |FROM documents)
+           |SELECT doc_id,
+           |  CAST(ntok >= 50 AND ntok <= 100000 AS INT) AS ok_n_tokens,
+           |  CAST(nchars >= ntok * 3 AND nchars <= ntok * 10 AS INT) AS ok_word_len,
+           |  CAST(nsym * 10 <= ntok AS INT) AS ok_symbols,
+           |  CAST(nstop >= 2 AS INT) AS ok_stopwords,
+           |  CAST((ntok >= 50 AND ntok <= 100000) AND (nchars >= ntok * 3 AND nchars <= ntok * 10)
+           |    AND nsym * 10 <= ntok AND nstop >= 2 AS INT) AS keep
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
 
       "t2_lang_id" -> {
         // argmax over (score, lang) with ties to the lexicographically LAST
@@ -3666,36 +3834,22 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin,
 
-      "e1_knn_brute" ->
-        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-          |s AS (SELECT query_id, neighbor_id,
-          |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rawcos
-          |  FROM q CROSS JOIN c WHERE query_id != neighbor_id),
-          |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
-          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank
-          |  FROM s)
-          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-          |ORDER BY query_id, rank""".stripMargin,
+      "e1_knn_brute" -> e1KnnSql,
 
-      "e2_knn_lsh" -> {
-        def planeLit(p: Int): String =
-          (0 until 64).map(dd => Similarity.planeComponent(p, dd).toString).mkString("[", ", ", "]")
-        val bucketOf = (v: String) => (0 until 8).map { p =>
-          s"CASE WHEN list_dot_product($v, ${planeLit(p)}) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |be AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e),
-           |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM be WHERE vec_id < 5),
-           |s AS (SELECT query_id, be.vec_id AS neighbor_id,
-           |  list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS rawcos
-           |  FROM q JOIN be USING (bucket) WHERE query_id != be.vec_id),
-           |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
-           |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank
-           |  FROM s)
-           |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin
-      },
+      "e2_knn_lsh" -> e2KnnSql,
+
+      // recall@5 of the LSH ranker against exhaustive ground truth — both
+      // rankers' SQL shared verbatim with their own oracle entries
+      "e11_ann_recall" ->
+        s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($e1KnnSql)),
+           |appr AS (SELECT query_id, neighbor_id FROM ($e2KnnSql))
+           |SELECT t.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+           |    // count(*) AS BIGINT) AS recall_pct
+           |FROM truth t LEFT JOIN appr a
+           |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
       "x2_salted_rasterize" ->
         """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value

@@ -371,6 +371,52 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Span-level dedup SCRUB — the removal step [[spanDupStats]] only
+    * measures: every non-overlapping `window`-token span whose exact
+    * content appears in MORE THAN ONE document is deleted from every
+    * document carrying it (the CCNet/RefinedWeb duplicated-line discipline:
+    * boilerplate lines are dropped everywhere, not kept once — for
+    * line-less text the unit is the aligned token span). Output per doc:
+    * span census plus the md5 of the scrubbed text, so the gate verifies
+    * the REWRITE itself without shipping documents through the compare.
+    *
+    * The census key is the md5 digest of the span text (not a 32-bit
+    * hash): 128 bits makes corpus-scale collisions ignorable AND the digest
+    * replays exactly in any engine, so the scrub is oracle-checkable.
+    * Scale shape: the span relation is pinned once and feeds both the
+    * frequency aggregate (shuffles digest+doc_id only — Catalyst prunes
+    * the text) and the digest-keyed join back; reassembly is one per-doc
+    * aggregate whose collect_list holds a single document's spans — the
+    * same order of state as the document itself, which any rewrite op must
+    * hold. Nothing is O(n²); cost is linear in corpus tokens. */
+  def scrubDupSpans(docs: DataFrame, window: Int = 16): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val spans = graft.core.Caching.shared(toks
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - 1, lit(window)),
+          st => slice(col("toks"), st + 1, lit(window)))))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("col")).as("span"),
+        size(col("col")).cast("long").as("span_len"))
+      .withColumn("dig", md5(col("span"))))
+    val freq = spans.groupBy("dig")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    spans.join(freq, "dig")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("nd") === 1, col("span_len")).otherwise(0L)).as("n_tokens_kept"),
+        // kept spans, original order: collect_list skips the nulls the
+        // when() leaves for dropped spans; struct sort orders by pos
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("nd") === 1, struct(col("pos"), col("span"))))),
+          x => x("span")))).as("scrubbed_md5"))
+  }
+
   /** Exact duplicated-substring coverage — the token-granular form of the
     * exact-substring dedup signal (suffix-array method of "Deduplicating
     * Training Data Makes Language Models Better"): every OVERLAPPING

@@ -161,4 +161,46 @@ object Graph {
     }
     dist
   }
+
+  /** Synchronous label propagation (community detection) — the cheap
+    * clustering pass curation pipelines run over near-dup / citation
+    * graphs when connected components is too coarse (one bridge edge
+    * merges two communities) and modularity solvers are too heavy. Each
+    * round every vertex adopts the most frequent label among its
+    * neighbors, ties broken by SMALLEST label — fully deterministic, so a
+    * fixed round count is oracle-checkable (g7), unlike the
+    * random-order/random-tie textbook LPA.
+    *
+    * Scale shape: one shuffle per round — the neighbor relation joins the
+    * current labels on the vertex key, and the (vertex, label) frequency
+    * aggregate is map-side combined (hub vertices are ordinary agg skew);
+    * the argmax is a struct-max inside the same aggregate, never a window
+    * sort. The bidirectional neighbor relation is pinned once;
+    * localCheckpoint keeps the plan flat across rounds (the
+    * [[Dedup.components]] / [[pagerank]] discipline). Input: (doc1, doc2)
+    * pairs, any orientation/dupes; self-loops dropped. Vertices keep their
+    * own id as the initial label. */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "label propagation needs at least one round")
+    val und = pairs.select(
+        least(col("doc1"), col("doc2")).cast("long").as("a"),
+        greatest(col("doc1"), col("doc2")).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val nbrs = graft.core.Caching.shared(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = nbrs.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      labels = nbrs.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("__c"))
+        // argmax count, tie → smallest label: max over (count, −label)
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("id"), (-col("__m.__nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -31,13 +31,16 @@ object RangeJoin {
                    binWidthSec: Long): DataFrame = {
     require(binWidthSec > 0, "binWidthSec must be positive")
     val w = binWidthSec * 1000000L // micros
-    def bin(c: Column): Column = floor(unix_micros(c) / w).cast("long")
+    // unix_micros rejects TIMESTAMP_NTZ; the session timezone is pinned
+    // UTC, so the NTZ→TZ cast is a deterministic reinterpretation
+    def em(c: Column): Column = unix_micros(c.cast("timestamp"))
+    def bin(c: Column): Column = floor(em(c) / w).cast("long")
     val iv = intervals
       .withColumn("__bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))
     val pt = points.withColumn("__bin", bin(col(tsCol)))
     iv.join(pt, keys :+ "__bin")
-      .filter(unix_micros(col(tsCol)) >= unix_micros(col(startCol)) &&
-        unix_micros(col(tsCol)) < unix_micros(col(endCol)))
+      .filter(em(col(tsCol)) >= em(col(startCol)) &&
+        em(col(tsCol)) < em(col(endCol)))
       .drop("__bin")
   }
 }

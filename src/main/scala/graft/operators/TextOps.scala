@@ -632,4 +632,97 @@ object TextOps {
         array_join(transform(array_sort(collect_list(col("doc_id"))),
           _.cast("string")), ",").as("postings"))
       .filter(col("df") >= minDf)
+
+  /** Misra-Gries frequency summary: at most `k` counters; any term with
+    * true frequency > N/(k+1) is guaranteed present, with estimate
+    * undercounting by at most N/(k+1). Mergeable (Agarwal et al.,
+    * "Mergeable Summaries"): merged summaries keep the same guarantee, so
+    * partials combine across partitions like any algebraic aggregate —
+    * the property that makes the sketch a constant-size substitute for a
+    * vocabulary-wide shuffle at corpus scale. */
+  class MisraGries(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], term: String): Map[String, Long] =
+      m.get(term) match {
+        case Some(c) => m.updated(term, c + 1)
+        case None if m.size < k => m.updated(term, 1L)
+        // all counters decrement; zeros evict (the classic MG step)
+        case None => m.collect { case (t, c) if c > 1 => t -> (c - 1) }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val s =
+        if (a.size >= b.size) b.foldLeft(a) { case (m, (t, c)) =>
+          m.updated(t, m.getOrElse(t, 0L) + c) }
+        else merge(b, a)
+      if (s.size <= k) s
+      else {
+        // subtract the (k+1)-th largest count from all; drop non-positive
+        val cut = s.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse)(k)
+        s.collect { case (t, c) if c > cut => t -> (c - cut) }
+      }
+    }
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact corpus heavy hitters (frequency ≥ N/`support`) by the two-pass
+    * sketch discipline: pass 1 folds a [[MisraGries]] summary with
+    * 2·support counters — constant-size state per partition, merged on
+    * the driver like a Bloom build, NEVER a vocabulary-sized shuffle —
+    * whose guarantee (present if freq > N/(2s+1) < N/s) makes the
+    * candidate set a certain superset of the answer; pass 2 counts the
+    * candidates exactly (the `isin` filter prunes at the scan, so the
+    * aggregate shuffles ≤ 2·support distinct keys) and keeps
+    * cnt·support ≥ N. At 100 TB this is the only shape that finds top
+    * terms without materializing the long-tail vocabulary. */
+  def heavyHitters(docs: DataFrame, support: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = graft.core.Caching.shared(
+      docs.select(explode(Dedup.tokens(col("text"))).as("term")))
+    val summary = terms.as[String]
+      .select(new MisraGries(2 * support).toColumn).head()
+    val total = terms.count()
+    val cands = summary.keys.toSeq.sorted
+    terms.filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * support >= total)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)).cast("int"))
+      .orderBy("rank")
+  }
+
+  /** Gopher-style hard quality rules as individually-actionable flags
+    * (Rae et al. 2021 §A1.1 shape): token-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, minimum stopword evidence. All integer
+    * comparisons on counts bound ONCE as attributes (the [[withQuality]]
+    * discipline — higher-order-function counts are excluded from
+    * subexpression elimination, so each regex runs once per row, fused
+    * into the scan; no shuffle, no UDF). `keep` is the conjunction. */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumns(Map(
+        "__ntok" -> tokenCount(t).cast("long"),
+        "__nchars" -> length(t).cast("long"),
+        "__nstop" -> stopwordHits(t, stopwords("en")).cast("long"),
+        "__nsym" -> size(regexp_extract_all(t, lit("[#@<>\\[\\]{}|\\\\]"), lit(0)))
+          .cast("long")))
+      .select(col("doc_id"),
+        (col("__ntok") >= 50 && col("__ntok") <= 100000).cast("int").as("ok_n_tokens"),
+        // mean word length in [3,10]: nchars/ntok bounds without the float
+        (col("__nchars") >= col("__ntok") * 3 &&
+          col("__nchars") <= col("__ntok") * 10).cast("int").as("ok_word_len"),
+        // symbol-to-word ratio ≤ 0.1
+        (col("__nsym") * 10 <= col("__ntok")).cast("int").as("ok_symbols"),
+        (col("__nstop") >= 2).cast("int").as("ok_stopwords"))
+      .withColumn("keep",
+        (col("ok_n_tokens") * col("ok_word_len") *
+          col("ok_symbols") * col("ok_stopwords")).cast("int"))
+  }
 }

@@ -908,4 +908,77 @@ class PipelineOpsSpec extends SparkSpec {
     assert(idx("jumps") == ((2L, "1,2")))
     assert(!idx.contains("spark"))          // df=1 pruned
   }
+
+  test("span scrub: corpus-duplicated spans removed from EVERY carrier") {
+    // window=3: docs 1/2 share span "a b c" (dropped from both); each keeps
+    // its distinct tail span; doc 3 is untouched (all spans unique to it)
+    val d = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c p q r"),
+      (3L, "u v w m n o"))
+      .toDF("doc_id", "text")
+    val r = Dedup.scrubDupSpans(d, window = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
+      .toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L) == ((2L, 1L, 3L, m("x y z"))))
+    assert(r(2L) == ((2L, 1L, 3L, m("p q r"))))
+    assert(r(3L) == ((2L, 2L, 6L, m("u v w m n o"))))
+    // same span TWICE in one doc is not a corpus dup (distinct-doc census)
+    val solo = Seq((7L, "a b c a b c")).toDF("doc_id", "text")
+    val s7 = Dedup.scrubDupSpans(solo, window = 3).collect().head
+    assert(s7.getLong(2) == 2L && s7.getString(4) == m("a b c a b c"))
+  }
+
+  test("misra-gries: mergeable summary is a certain heavy-hitter superset") {
+    val mg = new TextOps.MisraGries(4)
+    // stream: 40 a, 30 b, 5 c..g singles spread across two partitions
+    val p1 = Seq.fill(25)("a") ++ Seq.fill(10)("b") ++ Seq("c", "d", "e")
+    val p2 = Seq.fill(15)("a") ++ Seq.fill(20)("b") ++ Seq("f", "g")
+    val merged = mg.merge(
+      p1.foldLeft(mg.zero)(mg.reduce), p2.foldLeft(mg.zero)(mg.reduce))
+    assert(merged.size <= 4)
+    // N=75, k=4 ⇒ anything with freq > 15 is guaranteed present, and the
+    // estimate undercounts by at most N/(k+1) = 15
+    assert(merged.contains("a") && merged("a") >= 40L - 15L)
+    assert(merged.contains("b") && merged("b") >= 30L - 15L)
+  }
+
+  test("heavy hitters: two-pass output equals the exact threshold count") {
+    val d = Seq(
+      (1L, "x x x x x x x x y y y y z w"),
+      (2L, "x x y y z q r s t u v")).toDF("doc_id", "text")
+    // N=25 tokens; support=5 ⇒ threshold cnt*5 >= 25 ⇒ cnt >= 5
+    val r = TextOps.heavyHitters(d, support = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    assert(r.toSeq == Seq(("x", 10L, 1), ("y", 6L, 2)))
+  }
+
+  test("label propagation: communities split at the bridge, ties to min") {
+    // two triangles joined by one bridge edge 3—4: LPA converges to the
+    // min label of each triangle; the bridge never outvotes the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("doc1", "doc2")
+    val r = Graph.labelPropagation(edges, iters = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 1L && r(2L) == 1L && r(3L) == 1L)
+    assert(Set(4L, 5L, 6L).map(r).size == 1, s"right triangle one community: $r")
+    assert(r(4L) != r(1L) || r(5L) != r(2L), s"bridge must not merge all: $r")
+  }
+
+  test("gopher rules: each rule individually actionable, keep = conjunction") {
+    val fifty = (1 to 50).map(i => s"w$i").mkString(" ")  // 50 short tokens
+    val d = Seq(
+      (1L, fifty + " the and of to"),                   // all rules pass
+      (2L, "too short the and"),                        // fails n_tokens
+      (3L, fifty.replace(" ", "xxxxxxxxxx ") + " the and")) // long words
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(d).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getInt(5))))
+      .toMap
+    assert(r(1L) == ((1, 1, 1, 1, 1)))
+    assert(r(2L)._1 == 0 && r(2L)._5 == 0)
+    assert(r(3L)._2 == 0 && r(3L)._5 == 0)
+  }
 }
