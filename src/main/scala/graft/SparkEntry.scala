@@ -181,6 +181,8 @@ object SparkEntry {
     "t26_heavy_hitters"   -> (Q.t26_heavy_hitters(_, _)),
     "t27_quality_rules"   -> (Q.t27_quality_rules(_, _)),
     "g7_label_prop"       -> (Q.g7_label_prop(_, _)),
+    "g8_kcore"            -> (Q.g8_kcore(_, _)),
+    "x20_approx_quantile" -> (Q.x20_approx_quantile(_, _)),
     "e11_ann_recall"      -> (Q.e11_ann_recall(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -543,6 +545,23 @@ object SparkEntry {
             (col("doc_id") * 17 + 3) % col("__n"))).as("doc2"))
       graft.operators.Graph.labelPropagation(edges, iters = 3)
         .select(col("id").as("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }
+
+    /** k-core of the g4 citation graph (k=4, 4 peel rounds): the density
+      * filter that isolates mutually-dense subgraphs (spam farms, template
+      * clusters) from incidental connectivity. Deterministic fixed-round
+      * peeling — the oracle unrolls the rounds. See
+      * [[graft.operators.Graph.kcorePeel]]. */
+    def g8_kcore(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("doc1"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("doc2"))
+      graft.operators.Graph.kcorePeel(edges, k = 4, rounds = 4)
+        .select(col("id").as("doc_id"), col("deg"))
         .orderBy("doc_id")
     }
 
@@ -1178,6 +1197,9 @@ object SparkEntry {
       // the maintained table is STORED state in the real shape — pin it so
       // the two broadcast consumers (corpus row, query-term df) read the
       // materialized table instead of re-running the merge lineage each
+      // time. (The PRE-merge table's two consumers inside bm25MergeStats
+      // re-read the pinned tf relation, so pinning it too only adds a
+      // materialization barrier — measured, not guessed.)
       val stats = graft.core.Caching.shared(graft.operators.TextOps.bm25MergeStats(
         graft.operators.TextOps.bm25Stats(docs.filter(col("doc_id") % 2 === 0)),
         docs.filter(col("doc_id") % 2 =!= 0)))
@@ -1545,6 +1567,17 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)") + lit(5e-7), 4).as("p50"),
           round(expr("percentile(value, 0.75)") + lit(5e-7), 4).as("p75"),
           count(lit(1)).as("n"))
+        .orderBy("event_type")
+
+    /** Fixed-grid approximate quantiles per event type — the mergeable
+      * histogram-sketch shape a 100 TB percentile actually runs (x6's
+      * exact `percentile()` holds every value per group in memory).
+      * Deterministic: the estimate is a pure IEEE function of exact bucket
+      * counts and per-group min/max, so the oracle replays it bit-for-bit.
+      * See [[graft.operators.Sketch.gridQuantiles]]. */
+    def x20_approx_quantile(s: SparkSession, d: String): DataFrame =
+      graft.operators.Sketch.gridQuantiles(
+          Tables.events(s, d), "value", "event_type", buckets = 128)
         .orderBy("event_type")
 
     /** Interval-containment join via bucketization (RangeJoin): follow-on
@@ -2873,6 +2906,28 @@ object SparkEntry {
            |FROM l3 ORDER BY doc_id""".stripMargin
       },
 
+      "g8_kcore" -> {
+        // four unrolled peel rounds: drop vertices with degree < 4, then
+        // restrict the edge relation to surviving endpoints
+        val rounds = (1 to 4).map { k =>
+          s"""d$k AS (SELECT src, count(*) AS deg FROM n${k - 1} GROUP BY 1),
+             |v$k AS (SELECT src AS id FROM d$k WHERE deg >= 4),
+             |n$k AS (SELECT n.src, n.dst FROM n${k - 1} n
+             |        JOIN v$k x ON n.src = x.id JOIN v$k y ON n.dst = y.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn),
+           |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+           |        FROM e0 WHERE u <> v),
+           |n0 AS (SELECT a AS src, b AS dst FROM und
+           |       UNION ALL SELECT b, a FROM und),
+           |$rounds
+           |SELECT CAST(src AS BIGINT) AS doc_id, count(*) AS deg
+           |FROM n4 GROUP BY 1 ORDER BY doc_id""".stripMargin
+      },
+
       "g6_pagerank_dangling" -> {
         // same exact integer-micro recurrence as g4 plus the per-round
         // dangling share: sum((rank*7)//8) over no-out-edge vertices,
@@ -3867,6 +3922,33 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.75) + 5e-7, 4) AS p75,
           |  count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // fixed-grid histogram quantile: the estimate is a pure IEEE function
+      // of exact bucket counts and per-group min/max — every arithmetic
+      // step below mirrors the Spark expression order exactly
+      "x20_approx_quantile" -> {
+        def est(qn: Int) =
+          s"""max(CASE WHEN cum >= ceil(n * $qn / 4) AND cum - cnt < ceil(n * $qn / 4)
+             |  THEN lo + (bb + CAST(ceil(n * $qn / 4) - (cum - cnt) AS DOUBLE) / cnt)
+             |    * ((hi - lo) / 128) END)""".stripMargin
+        s"""WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+           |             count(*) AS n FROM events GROUP BY 1),
+           |bin AS (SELECT e.event_type,
+           |    CASE WHEN b.hi = b.lo THEN 0
+           |         ELSE CAST(least(floor((e.value - b.lo) / (b.hi - b.lo) * 128), 127) AS INT)
+           |    END AS bb
+           |  FROM events e JOIN b USING (event_type)),
+           |h AS (SELECT event_type, bb, count(*) AS cnt FROM bin GROUP BY 1, 2),
+           |c AS (SELECT event_type, bb, cnt,
+           |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bb) AS cum FROM h),
+           |j AS (SELECT c.*, b.lo, b.hi, b.n FROM c JOIN b USING (event_type))
+           |SELECT event_type,
+           |  CAST(floor(${est(1)} * 1000 + 0.5) AS BIGINT) AS q25_milli,
+           |  CAST(floor(${est(2)} * 1000 + 0.5) AS BIGINT) AS q50_milli,
+           |  CAST(floor(${est(3)} * 1000 + 0.5) AS BIGINT) AS q75_milli,
+           |  n
+           |FROM j GROUP BY event_type, n ORDER BY event_type""".stripMargin
+      },
 
       "x7_interval_join" ->
         """SELECT a.event_id, count(*) AS n_clicks

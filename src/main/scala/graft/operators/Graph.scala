@@ -180,6 +180,45 @@ object Graph {
     * [[Dedup.components]] / [[pagerank]] discipline). Input: (doc1, doc2)
     * pairs, any orientation/dupes; self-loops dropped. Vertices keep their
     * own id as the initial label. */
+  /** k-core peeling — the density filter curation pipelines run over link
+    * and duplicate graphs to isolate spam farms and template clusters
+    * (vertices that survive repeated removal of degree-<k vertices are
+    * mutually dense, not incidentally connected). Each round removes every
+    * vertex whose CURRENT degree is below `k`; after enough rounds the
+    * survivor set is exactly the k-core. `rounds` is fixed (the caller
+    * bounds it; peeling removes ≥1 vertex per non-converged round, and a
+    * converged round is a no-op), so the result is deterministic and
+    * oracle-checkable by unrolling.
+    *
+    * Scale shape per round: one map-side-combined degree aggregate + two
+    * vertex-keyed semi-joins restricting the edge relation — all equi-
+    * joins on vertex ids; localCheckpoint keeps the plan flat (the
+    * [[Dedup.components]] discipline). Output: surviving (id, deg).
+    * Input: (doc1, doc2) pairs, any orientation/dupes; self-loops
+    * dropped. */
+  def kcorePeel(pairs: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val und = pairs.select(
+        least(col("doc1"), col("doc2")).cast("long").as("a"),
+        greatest(col("doc1"), col("doc2")).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    var nbrs = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // checkpointed: the survivor set feeds BOTH endpoint probes
+      val keep = nbrs.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("src").as("__id"))
+        .localCheckpoint()
+      nbrs = nbrs
+        .join(keep, col("src") === col("__id"), "left_semi")
+        .join(keep, col("dst") === col("__id"), "left_semi")
+        .localCheckpoint()
+    }
+    nbrs.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "label propagation needs at least one round")
     val und = pairs.select(

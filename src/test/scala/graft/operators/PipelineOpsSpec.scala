@@ -967,6 +967,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(4L) != r(1L) || r(5L) != r(2L), s"bridge must not merge all: $r")
   }
 
+  test("kcore peel: clique survives, pendant chain cascades off") {
+    // 4-clique (deg 3 each) with a chain 4—5—6 hanging off vertex 4:
+    // k=3 round 1 removes 6 (deg 1) and 5 (deg 2); round 2 sees vertex 4
+    // back at clique degree 3 — the cascade never touches the clique
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("doc1", "doc2")
+    val r = Graph.kcorePeel(edges, k = 3, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("grid quantiles: hand-computed interpolation, degenerate group") {
+    val d = Seq(("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "value")
+    val r = Sketch.gridQuantiles(d, "value", "g", buckets = 2).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    // group a: lo=0 hi=3, width 1.5, counts (2,2) → q25=.75 q50=1.5 q75=2.25
+    assert(r("a") == ((750L, 1500L, 2250L, 4L)))
+    // all-equal group: every quantile is the value itself
+    assert(r("b") == ((7000L, 7000L, 7000L, 2L)))
+  }
+
   test("gopher rules: each rule individually actionable, keep = conjunction") {
     val fifty = (1 to 50).map(i => s"w$i").mkString(" ")  // 50 short tokens
     val d = Seq(
