@@ -25,15 +25,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as a
+  /** events.ts normalizes to session-TZ TimestampType whatever the
+    * driver-generated parquet carries: TIMESTAMP(NANOS) reads as a
     * nanosecond long under `spark.sql.legacy.parquet.nanosAsLong` (set in
-    * every graft session). Convert to a proper timestamp here (ns → µs,
-    * truncating like DuckDB does) so downstream operators see TimestampType. */
+    * every graft session) and converts ns → µs truncating like DuckDB;
+    * TIMESTAMP(MICROS) without the UTC flag reads as TIMESTAMP_NTZ, which
+    * Spark's event-time machinery (watermarks) and epoch functions
+    * (unix_micros) REJECT — every graft session pins
+    * spark.sql.session.timeZone=UTC, so the NTZ→TZ cast is a deterministic
+    * wall-clock-preserving reinterpretation. Downstream operators always
+    * see TimestampType. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
