@@ -30,6 +30,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a thrown query must NOT vanish from the ledger (round 8 lost x7
+        // to exactly that): write a marker row so the oracle compare runs
+        // and fails LOUDLY with a visible error column
+        try {
+          import spark.implicits._
+          Seq(s"QUERY THREW: ${e.getMessage}".take(500)).toDF("__error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       } finally
         // per-query cache scope: operators pin multi-consumer intermediates
         // via Caching.shared; the write above is the consuming action, so

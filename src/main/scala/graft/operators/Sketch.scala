@@ -38,6 +38,9 @@ object Sketch {
     val v = col(valueCol).cast("double")
     val bounds = df.groupBy(groupCol)
       .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("n"))
+    // lo/hi/n ride the bin aggregate's grouping keys (functionally
+    // dependent on the group), so the bounds relation has exactly ONE
+    // consumer — no pin, no second broadcast join, two data passes total
     val binned = df.join(broadcast(bounds), groupCol)
       // degenerate group (all values equal): everything lands in bucket 0
       .withColumn("__b",
@@ -45,13 +48,12 @@ object Sketch {
           .otherwise(least(
             floor((v - col("__lo")) / (col("__hi") - col("__lo")) * buckets),
             lit(buckets - 1))).cast("int"))
-      .groupBy(col(groupCol), col("__b"))
+      .groupBy(col(groupCol), col("__lo"), col("__hi"), col("n"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy("__b")
     val cum = binned
       .withColumn("__cum", sum("__cnt").over(w))
-      .join(broadcast(bounds), groupCol)
     // quantile q: target rank ceil(q·n); the straddling bucket is the
     // first with cum ≥ target; interpolate by the rank offset within it
     def est(qNum: Int, qDen: Int): Column = {
