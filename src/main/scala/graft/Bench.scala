@@ -35,7 +35,10 @@ object Bench {
     // double-correlated anti/semi, nested-agg profit), the maintained-
     // stats BM25, and the mixture-balancing window
     "q7_nation_volume", "q21_waiting_supplier", "q9_product_profit",
-    "t22_bm25_incremental", "t24_mixture_sample")
+    "t22_bm25_incremental", "t24_mixture_sample",
+    // round-9 additions: the corpus-rewrite scrub, the two new iterative
+    // graph ops, and the histogram quantile sketch
+    "t25_span_scrub", "g7_label_prop", "g8_kcore", "x20_approx_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
