@@ -72,6 +72,18 @@ def main():
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
+    # Absence detection: a query that THREW in Verify historically left no
+    # parquet and no oracle mismatch — it just vanished (round 8 lost x7
+    # this way). Verify now writes an __error marker parquet, but belt and
+    # braces: flag any declared query with neither a result dir nor an
+    # oracle entry mismatch.
+    import os
+    missing = [n for n in oracles
+               if (not only or n in only)
+               and not os.path.isdir(os.path.join(out_dir, n))]
+    for n in missing:
+        print(f"FAIL {n}: no result directory written (query threw?)")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
