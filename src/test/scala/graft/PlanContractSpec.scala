@@ -69,4 +69,30 @@ class PlanContractSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
     }
   }
+
+  test("t25: the pinned span relation is reused, the scrub never self-joins text") {
+    val p = plan("t25_span_scrub")
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("x20: grid quantiles scan the data exactly twice (bounds + binning)") {
+    val p = plan("x20_approx_quantile")
+    // one scan feeds the bounds aggregate, one the binning pass — the
+    // single-consumer-bounds restructure must not regress to a third
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("NestedLoopJoin"), p.take(1500))
+  }
+
+  test("g7/g8: per-round graph ops stay equi-join + aggregate, no windows or loops") {
+    Seq("g7_label_prop", "g8_kcore").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+        s"$q: ${p.take(1500)}")
+      // argmax-by-count is a struct-max INSIDE the aggregate, never a
+      // window sort over the neighbor relation
+      assert(!p.contains("Window"), s"$q: ${p.take(1500)}")
+    }
+  }
 }
