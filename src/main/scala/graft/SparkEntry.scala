@@ -78,6 +78,7 @@ object SparkEntry {
     "st1_window_agg"      -> (Q.st1_window_agg(_, _)),
     "st2_sessionize"      -> (Q.st2_sessionize(_, _)),
     "st3_hopping"         -> (Q.st3_hopping(_, _)),
+    "st4_dedup_first"     -> (Q.st4_dedup_first(_, _)),
     "t1_token_count"      -> (Q.t1_token_count(_, _)),
     "t2_lang_id"          -> (Q.t2_lang_id(_, _)),
     "t3_quality_score"    -> (Q.t3_quality_score(_, _)),
@@ -892,6 +893,22 @@ object SparkEntry {
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("n_users"))
         .orderBy("w_start", "event_type")
+
+    /** ST4: dedup-on-ingest batch twin — first event per
+      * (user, type, hour): the deterministic batch semantics of
+      * [[graft.streaming.StreamJob.streamingDedup]]'s
+      * dropDuplicatesWithinWatermark (key + bounded event-time horizon;
+      * the hour bucket stands in for the watermark window, making
+      * first-writer-wins replayable). The argmin is a struct-min — one
+      * map-side-combined aggregate, no per-key sort. */
+    def st4_dedup_first(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("__f"))
+        .select(col("user_id"), col("event_type"), col("hour"),
+          col("__f.ts").as("first_ts"), col("__f.event_id").as("first_event_id"))
+        .orderBy("user_id", "event_type", "hour")
 
     /** ST2: sessionization — 30-min inactivity gap via lag + running sum
       * (the batch twin of flatMapGroupsWithState session windows). */
@@ -3119,6 +3136,15 @@ object SparkEntry {
           |SELECT w_start, event_type, count(*) AS n,
           |  count(DISTINCT user_id) AS n_users
           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "st4_dedup_first" ->
+        """WITH r AS (SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
+          |    ts, event_id,
+          |    row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+          |                       ORDER BY ts, event_id) AS rn
+          |  FROM events)
+          |SELECT user_id, event_type, hour, ts AS first_ts, event_id AS first_event_id
+          |FROM r WHERE rn = 1 ORDER BY user_id, event_type, hour""".stripMargin,
 
       "st2_sessionize" ->
         """WITH g AS (
