@@ -184,7 +184,8 @@ object SparkEntry {
     "g7_label_prop"       -> (Q.g7_label_prop(_, _)),
     "g8_kcore"            -> (Q.g8_kcore(_, _)),
     "x20_approx_quantile" -> (Q.x20_approx_quantile(_, _)),
-    "e11_ann_recall"      -> (Q.e11_ann_recall(_, _)))
+    "e11_ann_recall"      -> (Q.e11_ann_recall(_, _)),
+    "e12_kmeans_exact"    -> (Q.e12_kmeans_exact(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1249,6 +1250,20 @@ object SparkEntry {
         .filter(col("rank") <= 20)
         .select(col("id"), col("rrf_nano"), col("n_lists"), col("rank"))
         .orderBy("rank")
+    }
+
+    /** Integer-exact k-means (2 Lloyd rounds, e7's fixed seeding) — the
+      * oracle-checkable sibling of e5's float clustering: micro-quantized
+      * vectors, BIGINT distance folds, floor(Σ/n) centroid updates. The
+      * full trajectory replays bit-for-bit in DuckDB, so the clustering
+      * itself (not just fixed-centroid probes) is hash-checked. See
+      * [[graft.operators.Similarity.kmeansExact]]. */
+    def e12_kmeans_exact(s: SparkSession, d: String): DataFrame = {
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeMicro(col("embedding")).as("qv"))
+      val init = q.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select((col("vec_id") / 37).cast("int").as("cid"), col("qv").as("c"))
+      Similarity.kmeansExact(q, init, iters = 2).orderBy("vec_id")
     }
 
     /** ANN evaluation — recall@5 of the LSH index (e2) against exhaustive
@@ -3931,6 +3946,38 @@ object SparkEntry {
            |FROM truth t LEFT JOIN appr a
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
            |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+      // integer-exact Lloyd rounds: micro-quantized vectors, BIGINT
+      // distance folds, floor(sum/n) centroid update — assign(c0) →
+      // update → assign(c1), mirroring kmeansExact(iters=2) exactly
+      "e12_kmeans_exact" ->
+        """WITH q AS (SELECT vec_id,
+          |    list_transform(embedding::DOUBLE[],
+          |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |c0 AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM q
+          |       WHERE vec_id % 37 = 0 AND vec_id < 260),
+          |d1 AS (SELECT q.vec_id, c0.cid,
+          |    CAST(list_sum(list_transform(list_zip(q.v, c0.c),
+          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+          |  FROM q, c0),
+          |a1 AS (SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM d1) WHERE rn = 1),
+          |m1 AS (SELECT cid, dim,
+          |    CAST(floor(sum(val) * 1.0 / count(*)) AS BIGINT) AS cv FROM (
+          |      SELECT a1.cid, generate_subscripts(q.v, 1) AS dim,
+          |             unnest(q.v) AS val
+          |      FROM a1 JOIN q USING (vec_id)) GROUP BY 1, 2),
+          |c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cid),
+          |d2 AS (SELECT q.vec_id, c1.cid,
+          |    CAST(list_sum(list_transform(list_zip(q.v, c1.c),
+          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+          |  FROM q, c1)
+          |SELECT vec_id, cid, d FROM (
+          |  SELECT vec_id, cid, d,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
       "x2_salted_rasterize" ->
         """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value

@@ -315,4 +315,56 @@ object Similarity {
       .orderBy(col("rrf_nano").desc, col("id").asc)
     fused.withColumn("rank", row_number().over(w))
   }
+
+  /** Micro-quantize a float vector to exact integer micro-units
+    * (half-up, the e4/pq discipline). */
+  def quantizeMicro(vec: Column): Column =
+    transform(vec, x => floor(x * 1e6 + 0.5).cast("long"))
+
+  /** INTEGER-EXACT Lloyd k-means — the oracle-checkable sibling of
+    * [[kmeansCentroids]] (e5's float form is rows-only by declaration:
+    * float means drift across engines). Vectors quantize once to
+    * micro-units; every subsequent step is exact: squared distances are
+    * BIGINT folds, the assignment argmin ties to the smallest cluster id,
+    * and the centroid update is floor(Σ/n) per dimension — floor of an
+    * IEEE-exact quotient of sub-2⁵³ integers, identical in any engine. A
+    * fixed round count replaces convergence testing, so the whole
+    * trajectory (not just the fixed point) replays bit-for-bit.
+    *
+    * Scale shape per round: assignment is vectors × k distance folds with
+    * the k-row centroid relation BROADCAST (the corpus never shuffles for
+    * it); the update explodes assigned vectors to (cid, dim, value) rows —
+    * the one unavoidable shuffle, map-side combined to k·dim partials.
+    * Clusters that empty simply drop out (mirrored exactly by the oracle).
+    * localCheckpoint keeps lineage flat across rounds.
+    *
+    * `vectors`: (vec_id, qv: array<long>); `init`: (cid, c: array<long>).
+    * Output: final-round assignment (vec_id, cid, d) with d the exact
+    * squared micro-distance. */
+  def kmeansExact(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansExact needs at least one round")
+    val pinned = graft.core.Caching.shared(vectors)
+    def assign(cents: DataFrame): DataFrame =
+      pinned.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("qv"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("__m"))
+        .select(col("vec_id"), col("__m.cid").as("cid"), col("__m.d").as("d"))
+    var cents = init
+    for (_ <- 1 until iters) {
+      val a = assign(cents)
+      cents = a.join(pinned, "vec_id")
+        .select(col("cid"), posexplode(col("qv")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long")
+          .as("__cv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("__cv")))),
+          x => x("__cv")).as("c"))
+        .localCheckpoint()
+    }
+    assign(cents)
+  }
 }

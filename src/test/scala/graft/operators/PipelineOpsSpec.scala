@@ -990,6 +990,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r("b") == ((7000L, 7000L, 7000L, 2L)))
   }
 
+  test("kmeansExact: integer Lloyd rounds, floor-mean update, ties to min cid") {
+    val vecs = Seq((0L, Seq(0L)), (1L, Seq(4L)), (2L, Seq(6L))).toDF("vec_id", "qv")
+    val init = Seq((0, Seq(0L)), (1, Seq(9L))).toDF("cid", "c")
+    val r = Similarity.kmeansExact(vecs, init, iters = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2)))).toMap
+    // round 1 assigns {0,4}→c0, {6}→c1; update: c0 = floor(4/2) = 2, c1 = 6
+    // round 2: vec 4 sits distance² 4 from BOTH centroids → tie → cid 0
+    assert(r(0L) == ((0, 4L)))
+    assert(r(1L) == ((0, 4L)))
+    assert(r(2L) == ((1, 0L)))
+  }
+
   test("gopher rules: each rule individually actionable, keep = conjunction") {
     val fifty = (1 to 50).map(i => s"w$i").mkString(" ")  // 50 short tokens
     val d = Seq(
