@@ -38,7 +38,8 @@ object Bench {
     "t22_bm25_incremental", "t24_mixture_sample",
     // round-9 additions: the corpus-rewrite scrub, the two new iterative
     // graph ops, and the histogram quantile sketch
-    "t25_span_scrub", "g7_label_prop", "g8_kcore", "x20_approx_quantile")
+    "t25_span_scrub", "g7_label_prop", "g8_kcore", "x20_approx_quantile",
+    "e12_kmeans_exact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

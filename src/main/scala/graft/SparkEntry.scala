@@ -181,6 +181,7 @@ object SparkEntry {
     "t25_span_scrub"      -> (Q.t25_span_scrub(_, _)),
     "t26_heavy_hitters"   -> (Q.t26_heavy_hitters(_, _)),
     "t27_quality_rules"   -> (Q.t27_quality_rules(_, _)),
+    "t28_normalize"       -> (Q.t28_normalize(_, _)),
     "g7_label_prop"       -> (Q.g7_label_prop(_, _)),
     "g8_kcore"            -> (Q.g8_kcore(_, _)),
     "x20_approx_quantile" -> (Q.x20_approx_quantile(_, _)),
@@ -1324,6 +1325,22 @@ object SparkEntry {
       * [[graft.operators.TextOps.gopherRules]]. */
     def t27_quality_rules(s: SparkSession, d: String): DataFrame =
       TextOps.gopherRules(Tables.documents(s, d)).orderBy("doc_id")
+
+    /** Canonical normalization pass (C4/CCNet shape): the gate hashes the
+      * normalized text itself, proving the rewrite. Seeded with mixed
+      * case + punctuation + whitespace runs so the pass has real work on
+      * the synthetic corpus (both engines build the identical seed). See
+      * [[graft.operators.TextOps.normalizeText]]. */
+    def t28_normalize(s: SparkSession, d: String): DataFrame = {
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat(upper(substring(col("text"), 1, 10)), lit("  ... "),
+          substring(col("text"), 11, 1000000), lit("!?  [END]")).as("text"))
+      seeded
+        .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"), length(col("norm")).cast("long").as("n_chars"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id")
+    }
 
     /** Deterministic per-language stratified sample (data-mix rebalance):
       * keep 50% of en, 30% of es/fr/de, 10% of anything else. */
@@ -3224,6 +3241,19 @@ object SparkEntry {
            |    AND nsym * 10 <= ntok AND nstop >= 2 AS INT) AS keep
            |FROM c ORDER BY doc_id""".stripMargin
       },
+
+      // same seed construction, same regexp chain: lowercase → strip
+      // non-[a-z0-9 ] → collapse spaces → trim; hash proves the rewrite
+      "t28_normalize" ->
+        """WITH s AS (SELECT doc_id,
+          |    upper(substr(text, 1, 10)) || '  ... ' || substr(text, 11) || '!?  [END]' AS text
+          |  FROM documents),
+          |n AS (SELECT doc_id,
+          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |      ' +', ' ', 'g')) AS norm
+          |  FROM s)
+          |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars, md5(norm) AS norm_md5
+          |FROM n ORDER BY doc_id""".stripMargin,
 
       "t2_lang_id" -> {
         // argmax over (score, lang) with ties to the lexicographically LAST

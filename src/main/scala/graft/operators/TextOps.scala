@@ -697,6 +697,18 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Canonical text normalization — the preprocessing pass every corpus
+    * pipeline runs before hashing/dedup (C4/CCNet shape): lowercase,
+    * strip everything outside [a-z0-9 ] (accents/punctuation/control
+    * chars drop — a full NFKC pass would need a custom Expression; the
+    * ASCII-canonical form is the portable, oracle-replayable core),
+    * collapse whitespace runs to one space, trim. Pure regexp chain fused
+    * into the scan — no UDF, no shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Gopher-style hard quality rules as individually-actionable flags
     * (Rae et al. 2021 §A1.1 shape): token-count bounds, mean-word-length
     * bounds, symbol-to-word ratio, minimum stopword evidence. All integer

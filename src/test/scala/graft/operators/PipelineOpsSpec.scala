@@ -1002,6 +1002,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(2L) == ((1, 0L)))
   }
 
+  test("normalize: case fold, strip non-alnum, collapse whitespace") {
+    val d = Seq((1L, "  Hello,   WORLD!! 42  "), (2L, "a\tb\nc")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.normalizeText(col("text")).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "hello world 42")
+    assert(r(2L) == "a b c")
+  }
+
   test("gopher rules: each rule individually actionable, keep = conjunction") {
     val fifty = (1 to 50).map(i => s"w$i").mkString(" ")  // 50 short tokens
     val d = Seq(
