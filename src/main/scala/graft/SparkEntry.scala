@@ -186,7 +186,12 @@ object SparkEntry {
     "g8_kcore"            -> (Q.g8_kcore(_, _)),
     "x20_approx_quantile" -> (Q.x20_approx_quantile(_, _)),
     "e11_ann_recall"      -> (Q.e11_ann_recall(_, _)),
-    "e12_kmeans_exact"    -> (Q.e12_kmeans_exact(_, _)))
+    "e12_kmeans_exact"    -> (Q.e12_kmeans_exact(_, _)),
+    "e13_pq_train"        -> (Q.e13_pq_train(_, _)),
+    "t29_count_min"       -> (Q.t29_count_min(_, _)),
+    "g9_hits"             -> (Q.g9_hits(_, _)),
+    "x21_covariance"      -> (Q.x21_covariance(_, _)),
+    "m5_image_resize"     -> (Q.m5_image_resize(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1266,6 +1271,93 @@ object SparkEntry {
         .select((col("vec_id") / 37).cast("int").as("cid"), col("qv").as("c"))
       Similarity.kmeansExact(q, init, iters = 2).orderBy("vec_id")
     }
+
+    /** PQ codebook TRAINING (e9/e10 use fixed codebooks; this learns
+      * them): integer Lloyd per 16-dim subspace, all four codebooks in
+      * the same two jobs per round. Output is each vector's
+      * trained-codebook code word per subspace — the full trajectory
+      * replays in SQL. See [[graft.operators.Similarity.pqTrain]]. */
+    def e13_pq_train(s: SparkSession, d: String): DataFrame = {
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeMicro(col("embedding")).as("qv"))
+      val init = q.filter(col("vec_id") % 37 === 0 && col("vec_id") < 148)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          posexplode(array((0 until 4).map(s1 =>
+            slice(col("qv"), s1 * 16 + 1, 16)): _*)).as(Seq("sub", "c")))
+        .select(col("sub"), col("cid"), col("c"))
+      Similarity.pqTrain(q, m = 4, dsub = 16, init = init, iters = 2)
+        .orderBy("vec_id", "sub")
+    }
+
+    /** Count-Min sketch over the token stream + point queries for the 30
+      * most frequent terms, est vs exact side by side (the e11 metrology
+      * discipline: the error column itself is part of the gate —
+      * overcount is provably ≥ 0, never under). Width 4×8 is sized to the
+      * synthetic corpus's 31-term vocabulary so collisions — the thing
+      * the min-over-rows exists for — actually occur; production widths
+      * scale the same plan, shuffling ≤ depth·width cells per partition
+      * regardless of vocabulary size. See
+      * [[graft.operators.Sketch.countMin]]. */
+    def t29_count_min(s: SparkSession, d: String): DataFrame = {
+      val toks = graft.core.Caching.shared(
+        Tables.documents(s, d).select(explode(Dedup.tokens(col("text"))).as("term")))
+      val sketch = graft.operators.Sketch.countMin(toks, "term", depth = 4, width = 8)
+      val probes = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(30)
+      graft.operators.Sketch.countMinLookup(sketch, probes, "term", depth = 4, width = 8)
+        .withColumn("overcount", col("est") - col("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+    }
+
+    /** HITS hubs & authorities over the same synthetic citation graph as
+      * g4 (two fixed iterations, exact integer arithmetic, L∞
+      * normalization — the top hub/authority pins at exactly 10⁶). See
+      * [[graft.operators.Graph.hits]]. */
+    def g9_hits(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
+      graft.operators.Graph.hits(edges, iters = 2)
+        .select(col("id").as("doc_id"), col("hub"), col("auth"))
+        .orderBy("doc_id")
+    }
+
+    /** Exact integer covariance/variance numerators per group — the
+      * distributed one-pass sufficient-statistics form (n·Σxy − Σx·Σy =
+      * n²·covar_pop): five map-side-combined sums, one exchange, zero
+      * floats, so accumulation order can never perturb the result.
+      * Price rides in integral hundreds to keep every product inside
+      * BIGINT through sf1-class cardinalities; a 100 TB deployment lifts
+      * the same expressions to DECIMAL(38,0) unchanged. */
+    def x21_covariance(s: SparkSession, d: String): DataFrame =
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") / 100).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("covar_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+        .orderBy("l_returnflag")
+
+    /** Nearest-neighbor resize of the real-decode PNG corpus to a fixed
+      * 8×8 thumbnail — the standardize-before-embed step; the oracle
+      * replays the integer floor sampling from the generating formula
+      * while Spark decodes real bytes. See
+      * [[graft.operators.Multimodal.resizeNearestFeatures]]. */
+    def m5_image_resize(s: SparkSession, d: String): DataFrame =
+      Multimodal.resizeNearestFeatures(
+        Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"),
+        outW = 8, outH = 8)
+        .orderBy("asset_id")
 
     /** ANN evaluation — recall@5 of the LSH index (e2) against exhaustive
       * ground truth (e1), per query. The metrology operator every ANN
@@ -4008,6 +4100,125 @@ object SparkEntry {
           |  SELECT vec_id, cid, d,
           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
           |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+      // PQ training: e12's unrolled integer Lloyd with the subspace id as
+      // an extra key everywhere — assign(c0) → floor-avg update → assign(c1)
+      "e13_pq_train" ->
+        """WITH q AS (SELECT vec_id,
+          |    list_transform(embedding::DOUBLE[],
+          |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
+          |subs AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+          |    list_slice(v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+          |  FROM q, (SELECT unnest(range(0, 4)) AS sub) s),
+          |c0 AS (SELECT sub, CAST(vec_id // 37 AS INT) AS cid, sv AS c
+          |       FROM subs WHERE vec_id % 37 = 0 AND vec_id < 148),
+          |d1 AS (SELECT subs.vec_id, subs.sub, c0.cid,
+          |    CAST(list_sum(list_transform(list_zip(subs.sv, c0.c),
+          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+          |  FROM subs JOIN c0 ON subs.sub = c0.sub),
+          |a1 AS (SELECT vec_id, sub, cid FROM (
+          |    SELECT vec_id, sub, cid,
+          |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          |    FROM d1) WHERE rn = 1),
+          |m1 AS (SELECT sub, cid, dim,
+          |    CAST(floor(sum(val) * 1.0 / count(*)) AS BIGINT) AS cv FROM (
+          |      SELECT a1.sub, a1.cid, generate_subscripts(subs.sv, 1) AS dim,
+          |             unnest(subs.sv) AS val
+          |      FROM a1 JOIN subs ON a1.vec_id = subs.vec_id AND a1.sub = subs.sub)
+          |    GROUP BY 1, 2, 3),
+          |c1 AS (SELECT sub, cid, list(cv ORDER BY dim) AS c FROM m1 GROUP BY 1, 2),
+          |d2 AS (SELECT subs.vec_id, subs.sub, c1.cid,
+          |    CAST(list_sum(list_transform(list_zip(subs.sv, c1.c),
+          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+          |  FROM subs JOIN c1 ON subs.sub = c1.sub)
+          |SELECT vec_id, sub, cid, d FROM (
+          |  SELECT vec_id, sub, cid, d,
+          |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          |  FROM d2) WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+      // the whole sketch replays: same md5-affine hash rows, same cells,
+      // same min-over-rows estimate; overcount ≥ 0 by construction
+      "t29_count_min" -> {
+        val params = (0 until 4).map { i =>
+          val (a, b) = PortableHash.perm(i); s"($i, $a, $b)"
+        }.mkString(", ")
+        s"""WITH tok AS (SELECT unnest($tokExpr) AS term FROM documents),
+           |hh AS (SELECT term, ${h("term")} AS hv FROM tok),
+           |p AS (SELECT * FROM (VALUES $params) v(i, a, b)),
+           |sk AS (SELECT p.i AS "row", ((hh.hv * p.a + p.b) % $P) % 8 AS cell,
+           |         count(*) AS ccnt
+           |       FROM hh, p GROUP BY 1, 2),
+           |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+           |probe AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 30),
+           |pc AS (SELECT probe.term, probe.cnt, p.i AS "row",
+           |         ((${h("probe.term")} * p.a + p.b) % $P) % 8 AS cell
+           |       FROM probe, p),
+           |est AS (SELECT pc.term, pc.cnt, min(sk.ccnt) AS est
+           |        FROM pc JOIN sk USING ("row", cell) GROUP BY 1, 2)
+           |SELECT term, cnt, est, est - cnt AS overcount
+           |FROM est ORDER BY cnt DESC, term""".stripMargin
+      },
+
+      // two unrolled HITS iterations: auth ← Σ in-hub, hub ← Σ out-auth,
+      // each L∞-normalized by integer floor division to 10⁶
+      "g9_hits" -> {
+        val iters = (1 to 2).map { k =>
+          s"""a${k}r AS (SELECT nodes.id, CAST(coalesce(s.a, 0) AS BIGINT) AS raw
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.dst AS id, sum(h${k - 1}.hub) AS a
+             |    FROM e JOIN h${k - 1} ON e.src = h${k - 1}.id GROUP BY 1) s
+             |  ON nodes.id = s.id),
+             |a${k}m AS (SELECT max(raw) AS mx FROM a${k}r),
+             |a$k AS (SELECT id, CAST(CASE WHEN mx > 0
+             |    THEN raw * 1000000 // mx ELSE 0 END AS BIGINT) AS auth
+             |  FROM a${k}r, a${k}m),
+             |h${k}r AS (SELECT nodes.id, CAST(coalesce(s.hh, 0) AS BIGINT) AS raw
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.src AS id, sum(a$k.auth) AS hh
+             |    FROM e JOIN a$k ON e.dst = a$k.id GROUP BY 1) s
+             |  ON nodes.id = s.id),
+             |h${k}m AS (SELECT max(raw) AS mx FROM h${k}r),
+             |h$k AS (SELECT id, CAST(CASE WHEN mx > 0
+             |    THEN raw * 1000000 // mx ELSE 0 END AS BIGINT) AS hub
+             |  FROM h${k}r, h${k}m)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM documents, nn
+           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn)),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+           |$iters
+           |SELECT h2.id AS doc_id, h2.hub, a2.auth
+           |FROM h2 JOIN a2 USING (id) ORDER BY doc_id""".stripMargin
+      },
+
+      "x21_covariance" ->
+        """WITH b AS (SELECT l_returnflag,
+          |    CAST(l_quantity AS BIGINT) AS x,
+          |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+          |  FROM lineitem)
+          |SELECT l_returnflag, count(*) AS n,
+          |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS covar_num,
+          |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS varx_num,
+          |  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vary_num
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // resized-raster sums from the generating formula; Spark decodes the
+      // real PNGs and floor-samples — src = (dst · srcDim) // out
+      "m5_image_resize" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 5 + 4 AS INT) AS w,
+          |             CAST(doc_id % 3 + 4 AS INT) AS h FROM documents),
+          |xs AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM d),
+          |px AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM xs),
+          |v AS (SELECT doc_id, x, y,
+          |    (7 * doc_id + 3 * ((x * w) // 8) + 5 * ((y * h) // 8)) % 256 AS v
+          |  FROM px)
+          |SELECT doc_id AS asset_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+          |  CAST(sum(v) AS BIGINT) AS sum_v,
+          |  CAST(sum(v * (x + 8 * y)) AS BIGINT) AS wsum_v
+          |FROM v GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
       "x2_salted_rasterize" ->
         """SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value

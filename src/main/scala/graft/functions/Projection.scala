@@ -34,14 +34,17 @@ trait Projection {
 
 object Projection {
 
-  /** Resolve a normalized CRS string: "EPSG:n", plus the non-EPSG
-    * authorities real rasters arrive in (MODIS sinusoidal has no EPSG
-    * code — it circulates as SR-ORG:6974 / "MODIS"). */
-  def forCrs(crs: String): Option[Projection] = crs.trim.toUpperCase match {
-    case "SR-ORG:6974" | "MODIS" | "SINUSOIDAL" => Some(Sinusoidal.Modis)
-    case "ESRI:54008" => Some(Sinusoidal.World)
-    case c => c.stripPrefix("EPSG:").toIntOption.flatMap(forEpsg)
-  }
+  /** Resolve a normalized CRS string: "EPSG:n", a classic `+proj=…`
+    * parameter string ([[Proj4]] — the arbitrary-CRS leg), plus the
+    * non-EPSG authorities real rasters arrive in (MODIS sinusoidal has no
+    * EPSG code — it circulates as SR-ORG:6974 / "MODIS"). */
+  def forCrs(crs: String): Option[Projection] =
+    if (crs.trim.startsWith("+")) Proj4.parse(crs)
+    else crs.trim.toUpperCase match {
+      case "SR-ORG:6974" | "MODIS" | "SINUSOIDAL" => Some(Sinusoidal.Modis)
+      case "ESRI:54008" => Some(Sinusoidal.World)
+      case c => c.stripPrefix("EPSG:").toIntOption.flatMap(forEpsg)
+    }
 
   private val grs80InvF = 298.257222101
 

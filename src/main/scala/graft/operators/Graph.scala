@@ -219,6 +219,61 @@ object Graph {
     nbrs.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** HITS hubs & authorities (Kleinberg) in EXACT integer arithmetic —
+    * the directed-graph complement to [[pagerank]]: a curation pipeline
+    * scores link/citation graphs for good *pointers* (hubs) separately
+    * from good *targets* (authorities), e.g. to weight seed lists vs
+    * content pages. Scores live in micro-units; each half-round is the
+    * standard mutual recursion (auth ← Σ in-neighbor hubs, then hub ← Σ
+    * out-neighbor auths, sequenced as in the original power iteration)
+    * normalized to L∞ = 10⁶: score·10⁶ div max — integer floor division
+    * both engines replay bit-for-bit, so shuffle order can never perturb
+    * a score and a fixed iteration count is oracle-checkable (g9), which
+    * double-precision L2-normalized HITS is not. (L∞ normalization keeps
+    * the same fixed-point directions as L2 — only the scale gauge
+    * differs — and the top hub/authority pins at exactly 10⁶.)
+    *
+    * Scale shape per iteration: two shuffles (the dst-keyed auth
+    * aggregate, the src-keyed hub aggregate) plus two 1-row max
+    * broadcasts (bounded BroadcastNestedLoopJoins, the [[pagerank]]
+    * dangling-share pattern); the edge relation is pinned once; vertices
+    * with no in-edges (auth 0) / no out-edges (hub 0) stay as rows via
+    * the left join + coalesce; localCheckpoint keeps the plan flat across
+    * rounds (the [[Dedup.components]] discipline). */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = graft.core.Caching.shared(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val nodes = graft.core.Caching.shared(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val scale = 1000000L
+    var s = nodes.select(col("id"), lit(scale).as("hub"), lit(scale).as("auth"))
+    def renorm(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(max(col(c)).as("__mx"))))
+        .withColumn(c, when(col("__mx") > 0,
+          expr(s"$c * $scale div __mx")).otherwise(lit(0L)))
+        .drop("__mx")
+    for (_ <- 1 to iters) {
+      val auth = renorm(
+        nodes.join(
+          e.join(s.select(col("id").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("id")).agg(sum("hub").as("auth")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth")
+      val hub = renorm(
+        nodes.join(
+          e.join(auth.select(col("id").as("dst"), col("auth").as("__a")), "dst")
+            .groupBy(col("src").as("id")).agg(sum("__a").as("hub")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub")
+      s = hub.join(auth, "id").localCheckpoint()
+    }
+    s.select(col("id"), col("hub"), col("auth"))
+  }
+
   def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "label propagation needs at least one round")
     val und = pairs.select(

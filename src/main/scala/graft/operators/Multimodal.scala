@@ -44,11 +44,12 @@ object Multimodal {
   final case class ImageFeatures(width: Int, height: Int, checksum: Long,
                                  sumV: Long, wsumV: Long, hist: Array[Double])
 
-  /** REAL image decode via `javax.imageio` (PNG/BMP/GIF — in the JDK).
-    * None when the payload is not a decodable image; luminance is the
-    * ITU-R BT.601 integer approximation ((299 R + 587 G + 114 B) / 1000)
-    * for color rasters, the sample itself for grayscale. */
-  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+  /** REAL image decode to a row-major 8-bit luminance raster via
+    * `javax.imageio` (PNG/BMP/GIF — in the JDK). None when the payload is
+    * not a decodable image; luminance is the ITU-R BT.601 integer
+    * approximation ((299 R + 587 G + 114 B) / 1000) for color rasters,
+    * the sample itself for grayscale. */
+  def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (payload == null) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -56,29 +57,41 @@ object Multimodal {
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     val gray = img.getColorModel.getNumComponents == 1
-    val hist = Array.fill(8)(0.0)
-    var checksum = 0L; var sumV = 0L; var wsumV = 0L
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v =
+        px(y * w + x) =
           if (gray) img.getRaster.getSample(x, y, 0) & 0xff
           else {
             val rgb = img.getRGB(x, y)
             (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
               114 * (rgb & 0xff)) / 1000
           }
-        checksum = (checksum * 31 + v) & 0x7fffffffffffffL
-        sumV += v
-        wsumV += v.toLong * (x + w.toLong * y)
-        hist(v >> 5) += 1.0
         x += 1
       }
       y += 1
     }
-    Some(ImageFeatures(w, h, checksum, sumV, wsumV, hist.map(_ / (w.toLong * h))))
+    Some((w, h, px))
   }
+
+  /** [[decodeGray]] + the integer-exact pixel features of [[ImageFeatures]]. */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] =
+    decodeGray(payload).map { case (w, h, px) =>
+      val hist = Array.fill(8)(0.0)
+      var checksum = 0L; var sumV = 0L; var wsumV = 0L
+      var i = 0
+      while (i < px.length) {
+        val v = px(i)
+        checksum = (checksum * 31 + v) & 0x7fffffffffffffL
+        sumV += v
+        wsumV += v.toLong * i // i == x + w·y in row-major order
+        hist(v >> 5) += 1.0
+        i += 1
+      }
+      ImageFeatures(w, h, checksum, sumV, wsumV, hist.map(_ / (w.toLong * h)))
+    }
 
   /** Raw-byte fallback featurizer for payloads without a JDK codec (audio,
     * video, opaque blobs): length, rolling checksum, 8 coarse byte-histogram
@@ -172,6 +185,43 @@ object Multimodal {
             (id, f.width, f.height, f.width.toLong * f.height, f.sumV, f.wsumV))
         }
       }.toDF("asset_id", "width", "height", "n_px", "sum_v", "wsum_v")
+  }
+
+  /** Nearest-neighbor image resize to a fixed `outW`×`outH` thumbnail —
+    * the standardize-before-embed step every multimodal training pipeline
+    * runs (CLIP-style fixed-resolution inputs). REAL decode
+    * ([[decodeGray]]), then the GDAL/PIL floor convention
+    * src = (dst · srcDim) div outDim — pure integer, so the resized
+    * raster is bit-reproducible and the oracle can replay it from a
+    * generating formula without any codec. Output: geometry + the
+    * integer-exact plain and position-weighted luminance sums over the
+    * RESIZED raster (the m2 discipline — order-insensitive, SQL-exact).
+    * One narrow mapPartitions; payload pruned after decode; no shuffle. */
+  def resizeNearestFeatures(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeGray(payload).map { case (w, h, px) =>
+            var sumV = 0L; var wsumV = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                val v = px(sy * w + x * w / outW).toLong
+                sumV += v
+                wsumV += v * (x + outW.toLong * y)
+                x += 1
+              }
+              y += 1
+            }
+            (id, outW, outH, sumV, wsumV)
+          }
+        }
+      }.toDF("asset_id", "out_w", "out_h", "sum_v", "wsum_v")
   }
 
   /** Deterministic frame sampling plan for video assets: every `everyMs`

@@ -367,4 +367,53 @@ object Similarity {
     }
     assign(cents)
   }
+
+  /** PQ codebook TRAINING — integer-exact Lloyd per subspace, closing the
+    * one hand-set link in the PQ chain: e9/e10 encode and probe against
+    * FIXED codebooks; this learns them from the corpus (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", §III: independent
+    * k-means in each of the m subspaces). Same arithmetic discipline as
+    * [[kmeansExact]] — micro-quantized BIGINT vectors, zip_with/aggregate
+    * distance folds, floor(Σ/n) centroid updates — with the subspace id as
+    * an extra key everywhere, so all m codebooks train in the SAME jobs
+    * (one assignment shuffle + one update shuffle per round, never m
+    * sequential k-means). The full trajectory replays bit-for-bit in SQL
+    * (e13). At scale: centroid relations are m·k rows (broadcast), the
+    * exploded subvector relation is m rows per vector with dsub-length
+    * arrays — the same bytes as the input, partitioned by vector.
+    *
+    * `vectors`: (vec_id, qv) with |qv| = m·dsub. `init`: (sub, cid, c)
+    * seed codebooks. Output: (vec_id, sub, cid, d) — the trained-codebook
+    * PQ code word per subspace plus its exact squared distance. */
+  def pqTrain(vectors: DataFrame, m: Int, dsub: Int,
+              init: DataFrame, iters: Int): DataFrame = {
+    require(m >= 1 && dsub >= 1 && iters >= 1, "pqTrain needs m, dsub, iters ≥ 1")
+    val subs = graft.core.Caching.shared(
+      vectors.select(col("vec_id"), posexplode(
+          array((0 until m).map(s1 => slice(col("qv"), s1 * dsub + 1, dsub)): _*))
+        .as(Seq("sub", "sv"))))
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), "sub")
+        .select(col("vec_id"), col("sub"), col("cid"),
+          aggregate(zip_with(col("sv"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d"), col("cid"))).as("__m"))
+        .select(col("vec_id"), col("sub"),
+          col("__m.cid").as("cid"), col("__m.d").as("d"))
+    var cents = init
+    for (_ <- 1 until iters) {
+      val a = assign(cents)
+      cents = a.join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long")
+          .as("__cv"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("__cv")))),
+          x => x("__cv")).as("c"))
+        .localCheckpoint()
+    }
+    assign(cents)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.PortableHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -71,5 +72,52 @@ object Sketch {
         floor(est(3, 4) * 1000 + 0.5).cast("long").as("q75_milli"))
       .select(col(groupCol), col("q25_milli"), col("q50_milli"),
         col("q75_milli"), col("n"))
+  }
+
+  /** The `depth` Count-Min cell indices for a term: the engine's portable
+    * md5-based 32-bit hash pushed through the minhash affine permutation
+    * family, reduced mod `width` — every hop reproducible in plain SQL,
+    * so the whole sketch (not just its error bound) is oracle-checkable. */
+  private def cmCells(term: Column, depth: Int, width: Int): Column = {
+    val h = PortableHash.hash32(term)
+    array((0 until depth).map(i => PortableHash.minhashTerm(h, i) % width): _*)
+  }
+
+  /** Count-Min sketch build (Cormode & Muthukrishnan 2005): a depth×width
+    * grid of counters where occurrence of term t increments cell
+    * (i, h_i(t)) for each of the `depth` pairwise-independent hash rows.
+    * THE mergeable frequency summary for a 100 TB vocabulary: the
+    * aggregate's key space is ≤ depth·width cells regardless of corpus or
+    * vocabulary size, so map-side combine compresses every partition to a
+    * constant-size partial and the shuffle moves O(depth·width) rows per
+    * partition — never a vocabulary-sized exchange (the same reason
+    * [[graft.operators.TextOps.heavyHitters]] sketches before it counts).
+    * Estimates only OVERcount (collisions add, never subtract):
+    * true ≤ est ≤ true + εN with ε = e/width at the standard depth
+    * ln(1/δ). Hash rows are the deterministic md5-affine family
+    * ([[graft.functions.PortableHash]]) — no RNG, replayable anywhere.
+    *
+    * Input: one row per token occurrence. Output: (row, cell, cnt) — only
+    * touched cells; absent cells are zero. */
+  def countMin(terms: DataFrame, termCol: String,
+               depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, "count-min needs depth ≥ 1, width ≥ 2")
+    terms.select(posexplode(cmCells(col(termCol), depth, width)).as(Seq("row", "cell")))
+      .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point query against a [[countMin]] sketch: est(t) = min over rows of
+    * the t-addressed cells. `probes` rows pass through with an `est`
+    * column appended. The probe relation is the small side (a term list),
+    * so the cell join broadcasts it; the min-over-depth aggregate touches
+    * depth rows per probe. */
+  def countMinLookup(sketch: DataFrame, probes: DataFrame, termCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame = {
+    val keyed = probes.select(col("*"),
+      posexplode(cmCells(col(termCol), depth, width)).as(Seq("row", "cell")))
+    val passThrough = probes.columns.map(col).toSeq
+    keyed.join(sketch.withColumnRenamed("cnt", "__cellcnt"), Seq("row", "cell"))
+      .groupBy(passThrough: _*)
+      .agg(min("__cellcnt").as("est"))
   }
 }

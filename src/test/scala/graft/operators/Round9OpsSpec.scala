@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-9 operator semantics on crafted inputs: Count-Min sketch
+  * (overcount-only error + mergeability), HITS (known tiny-graph fixed
+  * points), PQ codebook training (per-subspace convergence), and
+  * nearest-neighbor image resize (hand-computed rasters). */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min: estimates never undercount, exact without collisions") {
+    val terms = (Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"))
+      .toDF("term")
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // wide sketch: 3 terms in 4×64 cells collide with negligible odds
+    val wide = Sketch.countMinLookup(
+      Sketch.countMin(terms, "term", depth = 4, width = 64),
+      exact, "term", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wide("alpha") == ((5L, 5L)) && wide("beta") == ((3L, 3L)) &&
+      wide("gamma") == ((1L, 1L)))
+    // width 2: collisions forced; the bound est ≥ cnt must still hold
+    val tight = Sketch.countMinLookup(
+      Sketch.countMin(terms, "term", depth = 2, width = 2),
+      exact, "term", depth = 2, width = 2).collect()
+    tight.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"${r.getString(0)}: est ${r.getLong(2)} < cnt ${r.getLong(1)}"))
+  }
+
+  test("count-min: sketches merge — build(all) == cellwise sum of partial builds") {
+    val all = (1 to 40).map(i => s"t${i % 7}").toDF("term")
+    val (h1, h2) = (all.limit(20), all.exceptAll(all.limit(20)))
+    val merged = Sketch.countMin(h1, "term", 4, 8)
+      .unionAll(Sketch.countMin(h2, "term", 4, 8))
+      .groupBy("row", "cell").agg(sum("cnt").as("cnt"))
+    val direct = Sketch.countMin(all, "term", 4, 8)
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty)
+  }
+
+  test("hits: hubs and authorities separate on a directed star") {
+    // 1→3, 2→3: pure hubs 1,2; pure authority 3
+    val r = Graph.hits(Seq((1L, 3L), (2L, 3L)).toDF("src", "dst"), iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((1000000L, 0L)) && r(2L) == ((1000000L, 0L)))
+    assert(r(3L) == ((0L, 1000000L)))
+  }
+
+  test("hits: path graph scores match the hand-unrolled recurrence") {
+    // 1→2→3: auth {2,3} = 10⁶, hub {1,2} = 10⁶ after any iteration count
+    val r = Graph.hits(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((1000000L, 0L)))
+    assert(r(2L) == ((1000000L, 1000000L)))
+    assert(r(3L) == ((0L, 1000000L)))
+  }
+
+  test("pq training: each subspace converges to its own clusters") {
+    // sub0 clusters at {0,0}/{50,50}; sub1 clusters at {100,100}/{0,0} —
+    // vectors mix them, so a single full-space k-means could not separate
+    val vecs = Seq(
+      (1L, Seq(0L, 0L, 100L, 100L)), (2L, Seq(1L, 1L, 99L, 99L)),
+      (3L, Seq(50L, 50L, 0L, 0L)), (4L, Seq(51L, 51L, 1L, 1L)))
+      .toDF("vec_id", "qv")
+    val init = Seq(
+      (0, 0, Seq(0L, 0L)), (0, 1, Seq(40L, 40L)),
+      (1, 0, Seq(90L, 90L)), (1, 1, Seq(10L, 10L)))
+      .toDF("sub", "cid", "c")
+    val r = Similarity.pqTrain(vecs, m = 2, dsub = 2, init = init, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getInt(2)).toMap
+    assert(r((1L, 0)) == 0 && r((2L, 0)) == 0 && r((3L, 0)) == 1 && r((4L, 0)) == 1)
+    assert(r((1L, 1)) == 0 && r((2L, 1)) == 0 && r((3L, 1)) == 1 && r((4L, 1)) == 1)
+  }
+
+  test("pq training: distances are exact against trained centroids") {
+    val vecs = Seq((1L, Seq(0L, 0L)), (2L, Seq(2L, 2L)), (3L, Seq(10L, 10L)))
+      .toDF("vec_id", "qv")
+    val init = Seq((0, 0, Seq(0L, 0L)), (0, 1, Seq(10L, 10L))).toDF("sub", "cid", "c")
+    // round 1 assigns {1,2}→cid0, {3}→cid1; update: c0 = floor-avg = [1,1]
+    val r = Similarity.pqTrain(vecs, m = 1, dsub = 2, init = init, iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getInt(2), x.getLong(3))).toMap
+    assert(r(1L) == ((0, 2L)))  // (0-1)²·2
+    assert(r(2L) == ((0, 2L)))  // (2-1)²·2
+    assert(r(3L) == ((1, 0L)))
+  }
+
+  test("nearest-neighbor resize: hand-computed rasters, down and up") {
+    val px = Array.tabulate(8)(i => (10 * i).toByte) // 4×2: rows (0,10,20,30),(40,50,60,70)
+    val media = Seq((1L, Multimodal.encodeGrayPng(4, 2, px))).toDF("asset_id", "payload")
+    // down to 2×2: sx = x·4/2 ∈ {0,2}, sy = y·2/2 ∈ {0,1} → 0,20,40,60
+    val down = Multimodal.resizeNearestFeatures(media, 2, 2).collect().head
+    assert(down.getLong(3) == 120L, s"sum ${down.getLong(3)}")
+    assert(down.getLong(4) == 0L * 0 + 20L * 1 + 40L * 2 + 60L * 3)
+    // up to 8×4: sx = x·4/8 repeats each source column twice
+    val up = Multimodal.resizeNearestFeatures(media, 8, 4).collect().head
+    assert(up.getLong(3) == px.map(_.toLong).sum * 4, s"sum ${up.getLong(3)}")
+  }
+}
