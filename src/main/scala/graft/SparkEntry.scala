@@ -191,6 +191,7 @@ object SparkEntry {
     "t29_count_min"       -> (Q.t29_count_min(_, _)),
     "g9_hits"             -> (Q.g9_hits(_, _)),
     "x21_covariance"      -> (Q.x21_covariance(_, _)),
+    "x22_compaction_plan" -> (Q.x22_compaction_plan(_, _)),
     "m5_image_resize"     -> (Q.m5_image_resize(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1347,6 +1348,19 @@ object SparkEntry {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
         .orderBy("l_returnflag")
+
+    /** Small-file compaction planning over a synthetic file catalog
+      * (deterministic pseudo-sizes from the part table): sequential
+      * greedy packing into 64 KB rewrite bins, one window cumsum per
+      * partition directory — the lakehouse maintenance work list. See
+      * [[graft.operators.Compaction]]. */
+    def x22_compaction_plan(s: SparkSession, d: String): DataFrame = {
+      val files = Tables.part(s, d).select(
+        col("p_brand").as("dir"), col("p_partkey").as("file"),
+        (col("p_size") * 1000 + col("p_partkey") % 977).cast("long").as("bytes"))
+      graft.operators.Compaction.plan(files, targetBytes = 64000L)
+        .orderBy("dir", "bin")
+    }
 
     /** Nearest-neighbor resize of the real-decode PNG corpus to a fixed
       * 8×8 thumbnail — the standardize-before-embed step; the oracle
@@ -4204,6 +4218,20 @@ object SparkEntry {
           |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS varx_num,
           |  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vary_num
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // sequential greedy packing: bin = running-bytes-before // target,
+      // per directory in file order — pure integer, window cumsum replays
+      "x22_compaction_plan" ->
+        """WITH f AS (SELECT p_brand AS dir, p_partkey AS file,
+          |    CAST(p_size * 1000 + p_partkey % 977 AS BIGINT) AS bytes FROM part),
+          |b AS (SELECT dir, file, bytes,
+          |    coalesce(sum(bytes) OVER (PARTITION BY dir ORDER BY file
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM f)
+          |SELECT dir, CAST(cum_before // 64000 AS BIGINT) AS bin,
+          |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+          |  CAST(count(*) > 1 AS INT) AS needs_rewrite
+          |FROM b GROUP BY 1, 2 ORDER BY dir, bin""".stripMargin,
 
       // resized-raster sums from the generating formula; Spark decodes the
       // real PNGs and floor-samples — src = (dst · srcDim) // out

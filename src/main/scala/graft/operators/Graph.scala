@@ -254,7 +254,7 @@ object Graph {
         .withColumn(c, when(col("__mx") > 0,
           expr(s"$c * $scale div __mx")).otherwise(lit(0L)))
         .drop("__mx")
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val auth = renorm(
         nodes.join(
           e.join(s.select(col("id").as("src"), col("hub")), "src")
@@ -269,7 +269,11 @@ object Graph {
           Seq("id"), "left")
           .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub")),
         "hub")
-      s = hub.join(auth, "id").localCheckpoint()
+      s = hub.join(auth, "id")
+      // flatten lineage between rounds; the LAST round stays a plan (the
+      // caller's action consumes it — no extra materialization, and plan
+      // contracts can see the per-round shape)
+      if (i < iters) s = s.localCheckpoint()
     }
     s.select(col("id"), col("hub"), col("auth"))
   }

@@ -78,7 +78,7 @@ object Sketch {
     * md5-based 32-bit hash pushed through the minhash affine permutation
     * family, reduced mod `width` — every hop reproducible in plain SQL,
     * so the whole sketch (not just its error bound) is oracle-checkable. */
-  private def cmCells(term: Column, depth: Int, width: Int): Column = {
+  private[graft] def cmCells(term: Column, depth: Int, width: Int): Column = {
     val h = PortableHash.hash32(term)
     array((0 until depth).map(i => PortableHash.minhashTerm(h, i) % width): _*)
   }

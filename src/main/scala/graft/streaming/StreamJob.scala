@@ -350,6 +350,24 @@ object StreamJob {
           })
   }
 
+  /** Streaming Count-Min sketch (t29's stream twin): arriving tokens fold
+    * into the d×w counter grid as an ordinary streaming aggregation whose
+    * state is BOUNDED BY CONSTRUCTION at depth·width rows — the rare
+    * streaming aggregate that needs no watermark to stay finite, because
+    * the key space (not the eviction policy) bounds it. Per micro-batch
+    * the update is map-side combined to ≤ d·w partials per partition;
+    * downstream point queries read the sketch table exactly as the batch
+    * [[graft.operators.Sketch.countMinLookup]] does. Run in Update mode;
+    * frequencies only ever grow, so re-emitted cells are monotone. */
+  def streamingCountMin(terms: DataFrame, termCol: String,
+                        depth: Int = 4, width: Int = 1024): DataFrame =
+    terms
+      .select(posexplode(
+        graft.operators.Sketch.cmCells(col(termCol), depth, width))
+        .as(Seq("row", "cell")))
+      .groupBy("row", "cell")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Incremental tile ingestion: stream new block parquet under `path`
     * through a per-batch function — the foreachBatch pattern for driving
     * LayerJob-style transforms incrementally (new manifest entries become

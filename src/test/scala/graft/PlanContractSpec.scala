@@ -95,4 +95,35 @@ class PlanContractSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q: ${p.take(1500)}")
     }
   }
+
+  test("t29/e13: sketch and PQ training never cross-join, pinned relations reuse") {
+    Seq("t29_count_min", "e13_pq_train").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      // the token stream / exploded subvector relation feeds multiple
+      // consumers from ONE InMemoryRelation — never a recompute per leg
+      assert(p.contains("InMemoryTableScan"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("g9: HITS per-round shape combines sums map-side, no cartesian product") {
+    // rounds 1..n-1 are checkpoint-flattened (the g4/g7 discipline); the
+    // final round stays a plan, so the per-iteration shape is visible
+    val p = plan("g9_hits")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("m5: resize is one narrow decode pass — no joins, no mid-plan shuffle") {
+    val p = plan("m5_image_resize")
+    assert(!p.contains("Join"), p.take(1500))
+    // the only exchange is the output ordering's range partitioning
+    assert(!p.contains("hashpartitioning"), p.take(1500))
+  }
+
+  test("x22: compaction planning exchanges once on the directory key") {
+    val p = plan("x22_compaction_plan")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.split("hashpartitioning").length - 1 <= 1, p.take(2000))
+  }
 }

@@ -85,6 +85,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(3L) == ((1, 0L)))
   }
 
+  test("compaction: sequential greedy packing, straddling file joins the earlier bin") {
+    val files = Seq(
+      ("a", 1L, 30L), ("a", 2L, 30L), ("a", 3L, 30L), // cum_before 0,30,60 → bins 0,0,1
+      ("b", 1L, 200L),                                // lone oversized file
+      ("c", 1L, 10L), ("c", 2L, 10L))
+      .toDF("dir", "file", "bytes")
+    val bins = Compaction.assignBins(files, targetBytes = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(bins(("a", 1L)) == 0 && bins(("a", 2L)) == 0 && bins(("a", 3L)) == 1)
+    assert(bins(("b", 1L)) == 0)
+    val plan = Compaction.plan(files, targetBytes = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(plan(("a", 0L)) == ((2L, 60L, 1)))  // straddler joined bin 0: 1 over target
+    assert(plan(("a", 1L)) == ((1L, 30L, 0)))
+    assert(plan(("b", 0L)) == ((1L, 200L, 0))) // single file: nothing to rewrite
+    assert(plan(("c", 0L)) == ((2L, 20L, 1)))
+  }
+
   test("nearest-neighbor resize: hand-computed rasters, down and up") {
     val px = Array.tabulate(8)(i => (10 * i).toByte) // 4×2: rows (0,10,20,30),(40,50,60,70)
     val media = Seq((1L, Multimodal.encodeGrayPng(4, 2, px))).toDF("asset_id", "payload")

@@ -301,6 +301,25 @@ class StreamingSpec extends SparkSpec {
     assert(got((2L, 1)) == t(30))
   }
 
+  test("streaming count-min == batch sketch (t29's stream twin), d·w-bounded state") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = new java.io.File("target/tmp/stream_docs_cm").getAbsolutePath
+    docs.write.mode("overwrite").parquet(dir)
+    val streamTerms = spark.readStream.schema(docs.schema).parquet(dir)
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+    val q = StreamJob.streamingCountMin(streamTerms, "term", depth = 4, width = 16)
+      .writeStream.outputMode("complete").format("memory").queryName("st_cm")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st_cm")
+    val batch = graft.operators.Sketch.countMin(
+      docs.select(explode(graft.operators.Dedup.tokens(col("text"))).as("term")),
+      "term", depth = 4, width = 16)
+    assert(streamed.count() > 0)
+    assert(streamed.count() <= 4 * 16, "state must be bounded by the grid")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("StreamJob incremental foreachBatch drives a batch transform") {
     val batch = Tables.events(spark, sf())
     val dir = new java.io.File("target/tmp/stream_events3").getAbsolutePath
