@@ -39,7 +39,11 @@ object Bench {
     // round-9 additions: the corpus-rewrite scrub, the two new iterative
     // graph ops, and the histogram quantile sketch
     "t25_span_scrub", "g7_label_prop", "g8_kcore", "x20_approx_quantile",
-    "e12_kmeans_exact")
+    "e12_kmeans_exact",
+    // round-9 second batch: the frequency sketch, the second iterative
+    // eigen-style graph op, subspace codebook training, and the
+    // window-cumsum compaction planner
+    "t29_count_min", "g9_hits", "e13_pq_train", "x22_compaction_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -192,6 +192,9 @@ object SparkEntry {
     "g9_hits"             -> (Q.g9_hits(_, _)),
     "x21_covariance"      -> (Q.x21_covariance(_, _)),
     "x22_compaction_plan" -> (Q.x22_compaction_plan(_, _)),
+    "x23_hll_registers"   -> (Q.x23_hll_registers(_, _)),
+    "x24_zonemap_prune"   -> (Q.x24_zonemap_prune(_, _)),
+    "t30_sparse_retrieval" -> (Q.t30_sparse_retrieval(_, _)),
     "m5_image_resize"     -> (Q.m5_image_resize(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1348,6 +1351,49 @@ object SparkEntry {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
         .orderBy("l_returnflag")
+
+    /** Sparse VSM retrieval — rank the corpus against doc 0's TF-IDF
+      * vector by integer sparse dot product (the DSIR
+      * similarity-to-seed-corpus shape). See
+      * [[graft.operators.TextOps.sparseRetrieval]]. */
+    def t30_sparse_retrieval(s: SparkSession, d: String): DataFrame =
+      TextOps.sparseRetrieval(Tables.documents(s, d), queryDocId = 0L, k = 20)
+        .orderBy("rank")
+
+    /** Zone-map data skipping — the planning-time pruning a 100 TB scan
+      * lives on: per-bucket min/max statistics (the parquet row-group /
+      * Iceberg manifest shape) decide which buckets a date-range
+      * predicate can touch; `n_match` proves soundness (pruned ⇒ zero
+      * matching rows). The stats build is one map-side-combined
+      * aggregate; the decision is a scalar comparison per bucket row. */
+    def x24_zonemap_prune(s: SparkSession, d: String): DataFrame = {
+      val lo = lit("1997-01-01")
+      val hi = lit("1997-12-31")
+      Tables.orders(s, d)
+        .select(expr("o_orderkey div 1024").as("bucket"),
+          col("o_orderdate"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderdate").as("min_date"), max("o_orderdate").as("max_date"),
+          sum(when(col("o_orderdate") >= lo && col("o_orderdate") <= hi, 1L)
+            .otherwise(0L)).as("n_match"))
+        .select(col("bucket"), col("n_rows"), col("n_match"),
+          (col("max_date") >= lo && col("min_date") <= hi).cast("int")
+            .as("survives"))
+        .orderBy("bucket")
+    }
+
+    /** HLL register table over the distinct-orderkey stream — the
+      * oracle-checkable sibling of x1's opaque built-in sketch: portable
+      * md5 hash, bin()-based rank arithmetic, 64 max-registers that
+      * replay bit-for-bit in SQL. The float estimator stays driver-side
+      * post-processing over these 64 integers. See
+      * [[graft.operators.Sketch.hllRegisters]]. */
+    def x23_hll_registers(s: SparkSession, d: String): DataFrame =
+      graft.operators.Sketch.hllRegisters(
+        Tables.lineitem(s, d).select(col("l_orderkey").cast("string").as("k")),
+        "k", m = 64)
+        .orderBy("bucket")
 
     /** Small-file compaction planning over a synthetic file catalog
       * (deterministic pseudo-sizes from the part table): sequential
@@ -4218,6 +4264,48 @@ object SparkEntry {
           |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS varx_num,
           |  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vary_num
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // integer sparse dot product over shared terms; idf quantized
+      // per-term before any sum (the t20 discipline); ln = natural log
+      "t30_sparse_retrieval" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($tokExpr) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+           |w AS (SELECT tf.doc_id, tf.tok,
+           |    tf.tf * CAST(floor((ln((nn.n_docs + 1) * 1.0 / (dfq.df + 1)) + 1)
+           |      * 1e6 + 0.5) AS BIGINT) AS w
+           |  FROM tf JOIN dfq USING (tok), nn),
+           |qv AS (SELECT tok, w AS wq FROM w WHERE doc_id = 0),
+           |sc AS (SELECT w.doc_id, CAST(sum(w.w * qv.wq) AS BIGINT) AS score_micro2
+           |  FROM w JOIN qv USING (tok) WHERE w.doc_id <> 0 GROUP BY 1)
+           |SELECT doc_id, score_micro2,
+           |  CAST(row_number() OVER (ORDER BY score_micro2 DESC, doc_id) AS INT) AS rank
+           |FROM sc ORDER BY rank LIMIT 20""".stripMargin,
+
+      // per-bucket min/max stats decide survival; n_match proves pruned
+      // buckets contain zero qualifying rows
+      "x24_zonemap_prune" ->
+        """SELECT o_orderkey // 1024 AS bucket, count(*) AS n_rows,
+          |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+          |      AND o_orderdate <= TIMESTAMP '1997-12-31' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_match,
+          |  CAST(max(o_orderdate) >= TIMESTAMP '1997-01-01'
+          |    AND min(o_orderdate) <= TIMESTAMP '1997-12-31' AS INT) AS survives
+          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      // the HLL state replays: same portable hash, same bucket/suffix
+      // split, same bin()-length rank — both engines strip leading zeros
+      "x23_hll_registers" ->
+        """WITH hh AS (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+          |      AS BIGINT) AS h FROM lineitem),
+          |r AS (SELECT h % 64 AS bucket, h // 64 AS sfx FROM hh),
+          |k AS (SELECT bucket,
+          |    CASE WHEN sfx = 0 THEN 27 ELSE 27 - length(bin(sfx)) END AS rank FROM r),
+          |reg AS (SELECT bucket, max(rank) AS register FROM k GROUP BY 1)
+          |SELECT t.bucket, CAST(coalesce(reg.register, 0) AS INT) AS register
+          |FROM (SELECT unnest(range(0, 64)) AS bucket) t LEFT JOIN reg USING (bucket)
+          |ORDER BY bucket""".stripMargin,
 
       // sequential greedy packing: bin = running-bytes-before // target,
       // per directory in file order — pure integer, window cumsum replays

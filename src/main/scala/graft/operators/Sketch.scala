@@ -106,6 +106,44 @@ object Sketch {
       .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
   }
 
+  /** HyperLogLog register table under the PORTABLE hash — the
+    * oracle-checkable face of approx-distinct (x1 runs Spark's built-in
+    * `approx_count_distinct`, whose internal hash no other engine can
+    * replay; these registers use the md5-based [[PortableHash]], so the
+    * sketch STATE itself hash-checks in SQL — the e12-for-e5 discipline
+    * applied to cardinality). Flajolet et al. 2007: bucket = h mod m,
+    * rank = leading-zero count of the remaining hash bits + 1, register =
+    * max rank per bucket. The estimator (α·m²/Σ2^(−reg), linear-counting
+    * fallback below 2.5m) is a scalar over m integers — driver-side
+    * post-processing, deliberately NOT a float column in the gate.
+    *
+    * Rank arithmetic is `bin()`-based (27 − length of the binary suffix,
+    * both engines strip leading zeros identically) — pure codegen, no
+    * UDF. Scale: the aggregate's key space is m buckets; map-side combine
+    * reduces every partition to ≤ m rows — the same
+    * constant-state-per-partition shape as [[countMin]], and exactly how
+    * a 100 TB distinct-count actually ships its partials. Registers merge
+    * across shards/streams by max — the property HLL exists for.
+    *
+    * Output: (bucket, register) for all m buckets (empty = 0). */
+  def hllRegisters(df: DataFrame, valueCol: String, m: Int = 64): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val suffixBits = 32 - Integer.numberOfTrailingZeros(m)
+    val occupied = df
+      .select(PortableHash.hash32(col(valueCol)).as("__h"))
+      // integer div/mod (Column./ is double division — a 2^26 suffix must
+      // not round-trip through a double even when it happens to be exact)
+      .select(expr(s"__h % $m").as("bucket"), expr(s"__h div $m").as("__sfx"))
+      .withColumn("__rank",
+        when(col("__sfx") === 0, lit(suffixBits + 1))
+          .otherwise(lit(suffixBits + 1) - length(bin(col("__sfx")))))
+      .groupBy("bucket").agg(max("__rank").as("register"))
+    val all = df.sparkSession.range(m).select(col("id").as("bucket"))
+    all.join(occupied, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("register"), lit(0)).cast("int").as("register"))
+  }
+
   /** Point query against a [[countMin]] sketch: est(t) = min over rows of
     * the t-addressed cells. `probes` rows pass through with an `est`
     * column appended. The probe relation is the small side (a term list),

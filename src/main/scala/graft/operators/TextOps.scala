@@ -737,4 +737,44 @@ object TextOps {
         (col("ok_n_tokens") * col("ok_word_len") *
           col("ok_symbols") * col("ok_stopwords")).cast("int"))
   }
+
+  /** Sparse vector-space retrieval: rank the corpus against one document's
+    * TF-IDF vector by sparse dot product over the shared-term posting
+    * join — the classic VSM scorer next to [[bm25]] (data selection by
+    * similarity-to-seed-corpus, the DSIR shape, runs exactly this with
+    * the query side being the target-distribution centroid).
+    *
+    * Exactness discipline (the [[bm25]] pattern): idf quantizes to
+    * integer micro-units per TERM (a vocabulary-sized scalar projection),
+    * weights are tf·idf_micro integers, and the per-doc dot product is an
+    * order-independent integer sum — no float ever accumulates.
+    *
+    * Scale shape: the (doc, term, tf) relation every text op shuffles is
+    * pinned once and feeds df AND both weight legs; the query vector is
+    * |q-terms| rows, broadcast; scoring touches only docs sharing ≥ 1
+    * query term (the posting-list prune); top-k is TakeOrdered, never a
+    * global sort. */
+  def sparseRetrieval(docs: DataFrame, queryDocId: Long, k: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tf = graft.core.Caching.shared(
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = graft.core.Caching.shared(
+      tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("__idf_micro",
+          floor((log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+            * 1e6 + 0.5).cast("long"))
+        .select(col("doc_id"), col("tok"), (col("tf") * col("__idf_micro")).as("w")))
+    val qv = broadcast(w.filter(col("doc_id") === queryDocId)
+      .select(col("tok"), col("w").as("__wq")))
+    w.filter(col("doc_id") =!= queryDocId)
+      .join(qv, "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("__wq")).as("score_micro2"))
+      .orderBy(col("score_micro2").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro2").desc, col("doc_id").asc)).cast("int"))
+  }
 }

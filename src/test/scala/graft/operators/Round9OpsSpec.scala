@@ -85,6 +85,42 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(3L) == ((1, 0L)))
   }
 
+  test("hll registers: multiplicity-insensitive, mergeable by max, full grid out") {
+    val vals = (1 to 200).map(i => s"v${i % 50}").toDF("k") // 50 distinct
+    val r = Sketch.hllRegisters(vals, "k", m = 64)
+    val rows = r.collect()
+    assert(rows.length == 64, "one row per bucket, empties included")
+    assert(rows.forall(_.getInt(1) >= 0))
+    assert(rows.count(_.getInt(1) > 0) > 10, "50 distinct values touch many buckets")
+    // duplicates never move a register
+    val doubled = Sketch.hllRegisters(vals.unionAll(vals), "k", m = 64)
+    assert(r.exceptAll(doubled).isEmpty && doubled.exceptAll(r).isEmpty)
+    // shard merge = cellwise max
+    val h1 = (1 to 25).map(i => s"v$i").toDF("k")
+    val h2 = (26 to 50).map(i => s"v$i").toDF("k")
+    val merged = Sketch.hllRegisters(h1, "k", 64)
+      .unionAll(Sketch.hllRegisters(h2, "k", 64))
+      .groupBy("bucket").agg(max("register").cast("int").as("register"))
+    val direct = Sketch.hllRegisters((1 to 50).map(i => s"v$i").toDF("k"), "k", 64)
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty)
+    // a single distinct value sets exactly one register
+    val one = Sketch.hllRegisters(Seq("x", "x", "x").toDF("k"), "k", 64).collect()
+    assert(one.count(_.getInt(1) > 0) == 1)
+  }
+
+  test("sparse retrieval ranks by shared-term weight overlap") {
+    val docs = Seq(
+      (0L, "spark engine spark catalyst"),       // query doc
+      (1L, "spark engine catalyst optimizer"),   // shares 3 terms
+      (2L, "spark streaming"),                   // shares 1
+      (3L, "completely unrelated words here"))   // shares 0 → absent
+      .toDF("doc_id", "text")
+    val r = TextOps.sparseRetrieval(docs, queryDocId = 0L, k = 10).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L), "doc 3 never scored")
+    assert(r.head.getLong(1) > r(1).getLong(1), "more overlap → higher score")
+    assert(r.map(_.getInt(2)).toSeq == Seq(1, 2))
+  }
+
   test("compaction: sequential greedy packing, straddling file joins the earlier bin") {
     val files = Seq(
       ("a", 1L, 30L), ("a", 2L, 30L), ("a", 3L, 30L), // cum_before 0,30,60 → bins 0,0,1
