@@ -195,6 +195,7 @@ object SparkEntry {
     "x23_hll_registers"   -> (Q.x23_hll_registers(_, _)),
     "x24_zonemap_prune"   -> (Q.x24_zonemap_prune(_, _)),
     "t30_sparse_retrieval" -> (Q.t30_sparse_retrieval(_, _)),
+    "d16_cdc_chunks"      -> (Q.d16_cdc_chunks(_, _)),
     "m5_image_resize"     -> (Q.m5_image_resize(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1351,6 +1352,15 @@ object SparkEntry {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
         .orderBy("l_returnflag")
+
+    /** Content-defined chunking + chunk-level dedup census — the
+      * insertion-robust dedup granularity (rsync/FastCDC boundaries from
+      * rolling content hashes, so an inserted token disturbs one chunk,
+      * not every downstream window). See
+      * [[graft.operators.Dedup.cdcChunkStats]]. */
+    def d16_cdc_chunks(s: SparkSession, d: String): DataFrame =
+      Dedup.cdcChunkStats(Tables.documents(s, d), window = 4, mask = 16)
+        .orderBy("doc_id")
 
     /** Sparse VSM retrieval — rank the corpus against doc 0's TF-IDF
       * vector by integer sparse dot product (the DSIR
@@ -4264,6 +4274,32 @@ object SparkEntry {
           |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS varx_num,
           |  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vary_num
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // content-defined boundaries replay: same last-4-token context
+      // through the portable hash, same cumsum chunk ids, same md5 chunk
+      // identity — then an ordinary digest census
+      "d16_cdc_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+           |p AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t2),
+           |tk AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+           |    CASE WHEN pos >= 3 AND
+           |      ${h("array_to_string(list_slice(toks, pos - 2, pos + 1), ' ')")} % 16 = 0
+           |      THEN 1 ELSE 0 END AS b
+           |  FROM p),
+           |ck AS (SELECT doc_id, pos, tok,
+           |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+           |  FROM tk),
+           |ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+           |    md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+           |  FROM ck GROUP BY 1, 2),
+           |cs AS (SELECT digest, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN nd > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_dup_tokens
+           |FROM ch JOIN cs USING (digest) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // integer sparse dot product over shared terms; idf quantized
       // per-term before any sum (the t20 discipline); ln = natural log

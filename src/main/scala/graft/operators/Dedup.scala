@@ -573,4 +573,59 @@ object Dedup {
       .withColumn("jaccard_est", col("eq_k").cast("double") / k)
       .select("doc1", "doc2", "eq_k", "jaccard_est")
   }
+
+  /** Content-defined chunking + chunk-level dedup stats — the
+    * insertion-robust sibling of [[spanDupStats]]'s fixed windows: a
+    * chunk boundary falls AFTER any token whose trailing `window`-token
+    * rolling context hashes to 0 mod `mask` (the rsync/LBFS/FastCDC
+    * principle — boundaries derive from CONTENT, so inserting one token
+    * reshuffles only the chunk it lands in, where fixed spans shift every
+    * downstream window and miss the duplication). Expected chunk length
+    * is `mask` tokens, dialed by `mask`.
+    *
+    * Everything replays cross-engine: the context is the literal last-w
+    * tokens joined by spaces pushed through the portable md5 hash, chunk
+    * ids are a window cumsum of boundary flags, chunk identity is the md5
+    * of the position-ordered chunk text. Output per doc: chunk count,
+    * corpus-duplicated chunk count, token counts for both — the
+    * boilerplate-fraction signal at chunk granularity.
+    *
+    * Scale shape: two per-doc window passes (lag context + boundary
+    * cumsum) over ONE (doc, pos) sort — per-doc state, embarrassingly
+    * parallel across docs; the chunk census is a digest-keyed aggregate;
+    * the pinned chunk relation feeds the census and the join-back (the
+    * t25 discipline). CDC is inherently sequential WITHIN a document —
+    * per-doc windows are exactly the parallel grain a 100 TB corpus
+    * wants. */
+  def cdcChunkStats(docs: DataFrame, window: Int = 4, mask: Int = 16): DataFrame = {
+    require(window >= 2 && mask >= 2, "window and mask must be ≥ 2")
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // concat_ws skips the null lags at pos < window-1; the boundary test
+    // gates on pos ≥ window-1, so short contexts never mark
+    val ctx = concat_ws(" ",
+      ((window - 1) to 1 by -1).map(i => lag("tok", i).over(w)) :+ col("tok"): _*)
+    val marked = tok.withColumn("__b",
+      when(col("pos") >= window - 1 && hash32(ctx) % mask === 0, 1L)
+        .otherwise(0L))
+    val chunked = marked.withColumn("chunk",
+      coalesce(sum("__b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val chunks = graft.core.Caching.shared(
+      chunked.groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")), " ")).as("digest")))
+    val census = chunks.groupBy("digest")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+    chunks.join(census, "digest")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("__nd") > 1, col("n_tokens")).otherwise(0L))
+          .as("n_dup_tokens"))
+  }
 }

@@ -249,11 +249,16 @@ object Graph {
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val scale = 1000000L
     var s = nodes.select(col("id"), lit(scale).as("hub"), lit(scale).as("auth"))
-    def renorm(df: DataFrame, c: String): DataFrame =
-      df.crossJoin(broadcast(df.agg(max(col(c)).as("__mx"))))
+    // pin the raw scores: each renorm consumes its input twice (the 1-row
+    // max build and the normalize projection), and the auth relation is
+    // consumed again by both the hub update and the round's output join
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val pinned = graft.core.Caching.shared(df)
+      pinned.crossJoin(broadcast(pinned.agg(max(col(c)).as("__mx"))))
         .withColumn(c, when(col("__mx") > 0,
           expr(s"$c * $scale div __mx")).otherwise(lit(0L)))
         .drop("__mx")
+    }
     for (i <- 1 to iters) {
       val auth = renorm(
         nodes.join(

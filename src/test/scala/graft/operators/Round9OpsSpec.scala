@@ -85,6 +85,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(3L) == ((1, 0L)))
   }
 
+  test("cdc chunking: shared runs dedup across docs and survive an insertion") {
+    val shared = (1 to 60).map(i => s"s$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"alpha beta gamma $shared tail one"),
+      (2L, s"prefix other words here $shared"),
+      (3L, s"INSERTED alpha beta gamma $shared tail one"), // one-token insertion vs doc 1
+      (4L, "entirely distinct content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.cdcChunkStats(docsDf, window = 4, mask = 4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // token counts are exact
+    assert(r(1L)._3 == 65 && r(2L)._3 == 64 && r(4L)._3 == 8)
+    // the shared 60-token run yields common chunks in all three carriers —
+    // including doc 3, where a FIXED-window spanner would have every
+    // window shifted by the leading insertion
+    assert(r(1L)._2 > 0 && r(2L)._2 > 0 && r(3L)._2 > 0,
+      s"dup chunks: ${r(1L)._2}/${r(2L)._2}/${r(3L)._2}")
+    // unique doc shares nothing
+    assert(r(4L)._2 == 0 && r(4L)._4 == 0)
+    // dup token mass is bounded by total
+    r.values.foreach { case (nc, ndc, nt, ndt) =>
+      assert(ndc <= nc && ndt <= nt)
+    }
+  }
+
   test("hll registers: multiplicity-insensitive, mergeable by max, full grid out") {
     val vals = (1 to 200).map(i => s"v${i % 50}").toDF("k") // 50 distinct
     val r = Sketch.hllRegisters(vals, "k", m = 64)
