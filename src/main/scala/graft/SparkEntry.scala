@@ -196,6 +196,7 @@ object SparkEntry {
     "x24_zonemap_prune"   -> (Q.x24_zonemap_prune(_, _)),
     "t30_sparse_retrieval" -> (Q.t30_sparse_retrieval(_, _)),
     "d16_cdc_chunks"      -> (Q.d16_cdc_chunks(_, _)),
+    "e14_pca_power"       -> (Q.e14_pca_power(_, _)),
     "m5_image_resize"     -> (Q.m5_image_resize(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1292,6 +1293,18 @@ object SparkEntry {
         .select(col("sub"), col("cid"), col("c"))
       Similarity.pqTrain(q, m = 4, dsub = 16, init = init, iters = 2)
         .orderBy("vec_id", "sub")
+    }
+
+    /** Principal component of the embedding corpus — integer-exact power
+      * iteration over the micro-quantized scatter matrix (3 rounds, L∞
+      * gauge): the whitening/drift-analysis primitive, with covariance
+      * build, matrix-vector products, and normalizations all replaying
+      * bit-for-bit in SQL. See
+      * [[graft.operators.Similarity.pcaPower]]. */
+    def e14_pca_power(s: SparkSession, d: String): DataFrame = {
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeMicro(col("embedding")).as("qv"))
+      Similarity.pcaPower(q, iters = 3).orderBy("dim")
     }
 
     /** Count-Min sketch over the token stream + point queries for the 30
@@ -4170,6 +4183,37 @@ object SparkEntry {
           |  SELECT vec_id, cid, d,
           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
           |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+      // power iteration replays: sign-safe |x| div d re-signed (Spark div
+      // truncates, SQL // floors — negatives never reach either), unit-
+      // divisor L∞ gauge, 3 unrolled matrix-vector rounds
+      "e14_pca_power" -> {
+        val iters = (1 to 3).map { k =>
+          s"""r$k AS (SELECT sc.i, sum(sc.m * x${k - 1}.x) AS r
+             |  FROM sc JOIN x${k - 1} ON sc.j = x${k - 1}.j GROUP BY 1),
+             |u$k AS (SELECT greatest(1, max(abs(r)) // 1000000) AS u FROM r$k),
+             |x$k AS (SELECT i AS j,
+             |    CAST(CASE WHEN r < 0 THEN -(abs(r) // u) ELSE r // u END AS BIGINT) AS x
+             |  FROM r$k, u$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
+           |comp AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+           |    unnest(v) AS val FROM q),
+           |mean AS (SELECT i, CASE WHEN sum(val) < 0
+           |      THEN -(abs(sum(val)) // count(*)) ELSE sum(val) // count(*) END AS mu
+           |  FROM comp GROUP BY 1),
+           |cc AS (SELECT comp.vec_id, comp.i, val - mu AS cv
+           |  FROM comp JOIN mean USING (i)),
+           |m0 AS (SELECT a.i, b.i AS j, sum(a.cv * b.cv) AS m
+           |  FROM cc a JOIN cc b USING (vec_id) GROUP BY 1, 2),
+           |sc AS (SELECT i, j, CASE WHEN m < 0
+           |      THEN -(abs(m) // 1000000000) ELSE m // 1000000000 END AS m FROM m0),
+           |x0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS x FROM sc),
+           |$iters
+           |SELECT j AS dim, x AS eig_micro FROM x3 ORDER BY dim""".stripMargin
+      },
 
       // PQ training: e12's unrolled integer Lloyd with the subspace id as
       // an extra key everywhere — assign(c0) → floor-avg update → assign(c1)

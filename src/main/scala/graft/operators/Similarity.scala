@@ -368,6 +368,71 @@ object Similarity {
     assign(cents)
   }
 
+  /** Principal component of an embedding corpus by integer-exact POWER
+    * ITERATION — the analysis/whitening primitive (dominant-direction
+    * removal à la all-but-the-top, drift monitoring, PCA-guided IVF
+    * splits) made oracle-checkable: covariance accumulation, the
+    * matrix-vector products, and every normalization are integer
+    * arithmetic with sign-safe magnitude division (|x| div d re-signed —
+    * Spark's `div` truncates toward zero while SQL's `//` floors, so
+    * negative divisions NEVER happen), hence bit-identical under any
+    * accumulation order.
+    *
+    * Steps: per-dimension integer mean → centered components → the d×d
+    * scatter matrix M(i,j) = Σ c_i·c_j (one self-join on the vector id,
+    * map-side-combined — d² rows total regardless of corpus size) →
+    * `iters` rounds of x ← M·x with L∞ renormalization to 10⁶ (the
+    * [[graft.operators.Graph.hits]] gauge; the 1-row max-abs broadcasts).
+    * Scatter cells pre-scale by `matrixScaleDiv` to keep x·M inside
+    * BIGINT at any corpus size. Convergence is the standard power-method
+    * rate (λ₂/λ₁ per round); fixed `iters` keeps it replayable.
+    *
+    * Scale shape: the component explode is the only corpus-sized
+    * relation (pinned — it feeds mean and scatter); everything after is
+    * d²-sized. At 100 TB the scatter aggregate is exactly how a
+    * distributed covariance is built: partial d² partials per partition,
+    * one exchange. */
+  def pcaPower(vectors: DataFrame, iters: Int = 3,
+               matrixScaleDiv: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "pcaPower needs at least one iteration")
+    val comp = graft.core.Caching.shared(
+      vectors.select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "v"))))
+    // sign-safe integer division over NAMED columns: |num| div den,
+    // re-signed — truncation-vs-floor never diverges cross-engine because
+    // a negative numerator never reaches the div
+    def signSafe(num: String, den: String): Column =
+      expr(s"CASE WHEN $num < 0 THEN -(abs($num) div $den) ELSE $num div $den END")
+    val mean = comp.groupBy("i")
+      .agg(sum("v").as("__s"), count(lit(1)).as("__n"))
+      .select(col("i"), signSafe("__s", "__n").as("mu"))
+    val centered = graft.core.Caching.shared(
+      comp.join(broadcast(mean), "i")
+        .select(col("vec_id"), col("i"), (col("v") - col("mu")).as("c")))
+    val scatter = graft.core.Caching.shared(
+      centered.join(
+          centered.select(col("vec_id"), col("i").as("j"), col("c").as("cj")),
+          "vec_id")
+        .groupBy("i", "j").agg(sum(col("c") * col("cj")).as("__m"))
+        .select(col("i"), col("j"),
+          signSafe("__m", matrixScaleDiv.toString).as("m")))
+    val scale = 1000000L
+    var x = scatter.select(col("j")).distinct()
+      .select(col("j"), lit(scale).as("x"))
+    for (k <- 1 to iters) {
+      val raw = graft.core.Caching.shared(
+        scatter.join(x, "j")
+          .groupBy(col("i")).agg(sum(col("m") * col("x")).as("__r")))
+      // L∞ gauge via a unit divisor (max|raw| div 10⁶) instead of
+      // multiplying raw by 10⁶ — raw·10⁶ would overflow BIGINT at scale
+      x = raw
+        .crossJoin(broadcast(raw.agg(max(abs(col("__r"))).as("__mx"))))
+        .withColumn("__unit", greatest(lit(1L), expr(s"__mx div $scale")))
+        .select(col("i").as("j"), signSafe("__r", "__unit").as("x"))
+      if (k < iters) x = x.localCheckpoint()
+    }
+    x.select(col("j").cast("long").as("dim"), col("x").as("eig_micro"))
+  }
+
   /** PQ codebook TRAINING — integer-exact Lloyd per subspace, closing the
     * one hand-set link in the PQ chain: e9/e10 encode and probe against
     * FIXED codebooks; this learns them from the corpus (Jégou et al.,

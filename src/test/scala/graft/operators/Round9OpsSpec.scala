@@ -166,6 +166,22 @@ class Round9OpsSpec extends SparkSpec {
     assert(plan(("c", 0L)) == ((2L, 20L, 1)))
   }
 
+  test("pca power iteration converges to the dominant direction") {
+    // a corpus stretched along (3, 4), mean-centered by symmetry: the
+    // principal eigenvector is ∝ (3, 4) with the big component at the
+    // 10⁶ L∞ gauge
+    val vecs = (1 to 40)
+      .map(t => (t.toLong, Seq(3000L * (t - 20), 4000L * (t - 20))))
+      .toDF("vec_id", "qv")
+    // matrixScaleDiv sized to the toy magnitudes (production 10⁹ assumes
+    // micro-unit corpora where scatter cells are 10¹²⁺)
+    val r = Similarity.pcaPower(vecs, iters = 5, matrixScaleDiv = 1000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(math.abs(r(1L).toDouble / r(0L) - 4.0 / 3.0) < 0.01,
+      s"direction ${r(0L)}:${r(1L)}")
+    assert(math.abs(r(1L)) >= 1000000L - 20 && math.abs(r(1L)) <= 1000000L + 20)
+  }
+
   test("nearest-neighbor resize: hand-computed rasters, down and up") {
     val px = Array.tabulate(8)(i => (10 * i).toByte) // 4×2: rows (0,10,20,30),(40,50,60,70)
     val media = Seq((1L, Multimodal.encodeGrayPng(4, 2, px))).toDF("asset_id", "payload")
