@@ -197,6 +197,7 @@ object SparkEntry {
     "t30_sparse_retrieval" -> (Q.t30_sparse_retrieval(_, _)),
     "d16_cdc_chunks"      -> (Q.d16_cdc_chunks(_, _)),
     "e14_pca_power"       -> (Q.e14_pca_power(_, _)),
+    "r10_aspect"          -> (Q.r10_aspect(_, _)),
     "m5_image_resize"     -> (Q.m5_image_resize(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -617,6 +618,15 @@ object SparkEntry {
     def r8_slope(s: SparkSession, d: String): DataFrame =
       focalCells(graft.operators.Focal.slope(focalBlocks(s, d), cellSize = 1.0),
         "slope")
+
+    /** Horn aspect (downslope bearing, degrees clockwise from north) over
+      * the same exchanged window as r8/r9 — completes the terrain-family
+      * oracle coverage (slope/hillshade had gate queries; aspect was
+      * spec-only). Flat cells (both gradients zero) have no bearing and
+      * drop, like partial windows. */
+    def r10_aspect(s: SparkSession, d: String): DataFrame =
+      focalCells(graft.operators.Focal.aspect(focalBlocks(s, d), cellSize = 1.0),
+        "aspect")
 
     /** Hillshade with the default NW sun. The sun's trig folds to the same
       * Scala-computed literals on both sides (see the oracle), so only
@@ -2863,6 +2873,24 @@ object SparkEntry {
           |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1)
           |SELECT px, py, round(sum(w * v) / sum(w) + 5e-7, 4) AS blur
           |FROM j GROUP BY px, py ORDER BY px, py""".stripMargin,
+
+      // Horn aspect: same neighbor self-join gradients as r8; bearing =
+      // atan2(−gx, gy) normalized to [0, 360); flat cells have no bearing
+      "r10_aspect" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |g AS (
+          |  SELECT a.px, a.py, count(*) AS n,
+          |    sum((b.px - a.px) * (2 - abs(b.py - a.py)) * b.v) AS sx,
+          |    sum((b.py - a.py) * (2 - abs(b.px - a.px)) * b.v) AS sy
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+          |  GROUP BY a.px, a.py)
+          |SELECT px, py,
+          |  round((degrees(atan2(-(sx / 8.0), sy / 8.0)) % 360 + 360) % 360 + 5e-7, 4)
+          |    AS aspect
+          |FROM g WHERE n = 9 AND NOT (sx = 0 AND sy = 0) ORDER BY px, py""".stripMargin,
 
       "r8_slope" ->
         """WITH grid AS (
