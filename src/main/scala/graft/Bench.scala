@@ -43,7 +43,12 @@ object Bench {
     // round-9 second batch: the frequency sketch, the second iterative
     // eigen-style graph op, subspace codebook training, and the
     // window-cumsum compaction planner
-    "t29_count_min", "g9_hits", "e13_pq_train", "x22_compaction_plan")
+    "t29_count_min", "g9_hits", "e13_pq_train", "x22_compaction_plan",
+    // round-9 third batch: the halo-exchange multi-index terrain pass,
+    // sparse-frontier personalized pagerank, wedge-capped link prediction,
+    // the bitmap-index overlap matrix, and native session windows
+    "r12_terrain_idx", "g10_ppr", "g11_link_pred", "x26_bitmap_overlap",
+    "st5_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

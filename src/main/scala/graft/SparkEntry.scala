@@ -198,7 +198,15 @@ object SparkEntry {
     "d16_cdc_chunks"      -> (Q.d16_cdc_chunks(_, _)),
     "e14_pca_power"       -> (Q.e14_pca_power(_, _)),
     "r10_aspect"          -> (Q.r10_aspect(_, _)),
-    "m5_image_resize"     -> (Q.m5_image_resize(_, _)))
+    "m5_image_resize"     -> (Q.m5_image_resize(_, _)),
+    "r11_curvature"       -> (Q.r11_curvature(_, _)),
+    "r12_terrain_idx"     -> (Q.r12_terrain_idx(_, _)),
+    "g10_ppr"             -> (Q.g10_ppr(_, _)),
+    "g11_link_pred"       -> (Q.g11_link_pred(_, _)),
+    "x25_skyline"         -> (Q.x25_skyline(_, _)),
+    "x26_bitmap_overlap"  -> (Q.x26_bitmap_overlap(_, _)),
+    "st5_session_window"  -> (Q.st5_session_window(_, _)),
+    "e15_sq_recall"       -> (Q.e15_sq_recall(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -2613,6 +2621,144 @@ object SparkEntry {
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+
+    /** Zevenbergen–Thorne general curvature over the r8/r9 focal lattice —
+      * a pure second-difference cross, so every output is an exact decimal
+      * rational (no trig at all; the one terrain measure that needs no
+      * epsilon). Same single halo exchange as slope. */
+    def r11_curvature(s: SparkSession, d: String): DataFrame =
+      focalCells(graft.operators.Focal.curvature(focalBlocks(s, d), cellSize = 1.0),
+        "curv")
+
+    /** The gdaldem index family — TPI, Riley TRI, roughness — in ONE
+      * window pass over the shared focal lattice: the struct-valued kernel
+      * proves the halo-exchange skeleton amortizes across co-computed
+      * outputs (three indices, one exchange — never three). TPI and
+      * roughness are exact (dyadic /8 resp. max−min over integers); only
+      * TRI's sqrt runs cross-engine. */
+    def r12_terrain_idx(s: SparkSession, d: String): DataFrame =
+      graft.operators.Focal.terrainIndices(focalBlocks(s, d))
+        .select(col("block_x"), col("block_y"),
+          posexplode(arrays_zip(col("values"), col("valid"))))
+        .filter(col("col.valid"))
+        .select(
+          (col("block_x") * fbw + col("pos") % fbw).cast("long").as("px"),
+          (col("block_y") * fbh + floor(col("pos") / fbw)).cast("long").as("py"),
+          round(col("col.values.tpi") + lit(5e-7), 4).as("tpi"),
+          round(col("col.values.tri") + lit(5e-7), 4).as("tri"),
+          col("col.values.rough").cast("long").as("rough"))
+        .orderBy("px", "py")
+
+    /** Personalized PageRank from a trusted seed set (doc_id % 50 == 0)
+      * over the g4 citation graph — 4 rounds of the exact integer-micro
+      * recurrence with all teleport mass returning to the seeds. The
+      * oracle unrolls the same recurrence; the sparse-frontier filter in
+      * [[graft.operators.Graph.personalizedPagerank]] is invisible to it
+      * (zero ranks contribute zero mass). */
+    def g10_ppr(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
+      val seeds = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.Graph.personalizedPagerank(edges, seeds, iters = 4)
+        .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+        .orderBy("doc_id")
+    }
+
+    /** Common-neighbor / Jaccard link prediction over the g7 doc graph:
+      * non-adjacent pairs sharing ≥2 neighbors, wedges enumerated only
+      * through centers of degree ≤ 8 (the hub cap the oracle mirrors —
+      * the SQL applies the identical degree gate). */
+    def g11_link_pred(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("doc1"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("doc2"))
+      graft.operators.Graph.linkPrediction(edges, maxDeg = 8, minCommon = 2)
+        .orderBy("a", "b")
+    }
+
+    /** 2-D skyline (Pareto frontier: minimize price, maximize size) by the
+      * SWEEP algorithm: per-price max size (one map-side-combined
+      * aggregate over the data), then a running-max window over the
+      * DISTINCT-price relation — O(distinct prices) window rows, never the
+      * O(n²) dominance self-join the oracle's NOT EXISTS formulation runs.
+      * Two different algorithms, hash-identical frontiers. */
+    def x25_skyline(s: SparkSession, d: String): DataFrame =
+      graft.operators.Pareto.skyline2d(
+          Tables.part(s, d)
+            .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          minCol = "p_retailprice", maxCol = "p_size")
+        .orderBy("p_partkey")
+
+    /** Exact audience-overlap matrix via 64-bit WORD BITMAPS — the
+      * groupBitmapAnd shape (ClickHouse/Druid) that makes pairwise
+      * distinct-user intersections tractable at 100 TB: users fold into
+      * (word = id div 64, bit = id mod 64) masks per segment, so a
+      * segment's membership is |users|/64 longs, intersections are
+      * popcount(AND) over a word-keyed equi-join of the TINY bitmap
+      * relations, and no (segment, user) pair ever shuffles twice. All
+      * integer, no sketch error — the oracle recomputes with plain
+      * COUNT(DISTINCT) joins. */
+    def x26_bitmap_overlap(s: SparkSession, d: String): DataFrame =
+      graft.operators.Sketch.bitmapOverlap(
+          Tables.events(s, d), segCol = "event_type", idCol = "user_id")
+        .orderBy("seg1", "seg2")
+
+    /** ST5: native session windows — `session_window(ts, 30 min)` is the
+      * batch twin of [[graft.streaming.StreamJob.eventSessions]] (the SAME
+      * expression runs under a watermark in streaming, where the gap
+      * bounds state). Emits the actual merged windows (start, last+gap)
+      * st2's lag/cumsum form only counts; microsecond-exact, so the
+      * oracle's gaps-and-islands replay hashes identically. */
+    def st5_session_window(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n_events"))
+        .orderBy("user_id", "s_start")
+
+    /** Recall@5 of GLOBAL-scale symmetric int8 quantization against the
+      * float brute-force truth (e1) — the measurement that licenses
+      * shipping the 4×-smaller codes at 100 TB. One corpus absmax (1-row
+      * broadcast) scales every vector; dot products and norms over the
+      * int8 codes are EXACT integers (≤127²·64 per term), so the quantized
+      * ranking is bit-replayable and only the final cosine normalization
+      * touches floats — identically on both engines. */
+    def e15_sq_recall(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val scale = emb.agg(max(Similarity.absMax(col("embedding"))).as("__scale"))
+      val codes = emb.crossJoin(broadcast(scale))
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding"), col("__scale")).as("q"))
+        .select(col("vec_id"), col("q"),
+          aggregate(transform(col("q"), x => x * x), lit(0L), _ + _).as("nrm"))
+      val qs = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("nq"))
+      val scored = broadcast(qs).join(codes, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          aggregate(zip_with(col("qq"), col("q"), _ * _), lit(0L), _ + _).as("dot"),
+          (col("nq") * col("nrm")).cast("double").as("nn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy((col("dot") / sqrt(col("nn"))).desc, col("neighbor_id").asc)
+      val approx = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val truth = e1_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+      truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum("__hit"), lit(0L)).as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
+        .orderBy("query_id")
+    }
   }
 
   // ================================================================ Oracles
@@ -5044,6 +5190,165 @@ object SparkEntry {
           | round(avg(l_discount), 4) AS avg_disc,
           | count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      // Zevenbergen–Thorne general curvature: −100·(z_W+z_E+z_N+z_S−4z_C)/L²,
+      // L = 1 — the 4-connected cross re-summed from the neighborhood join
+      "r11_curvature" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |g AS (
+          |  SELECT a.px, a.py, count(*) AS n,
+          |    sum(CASE WHEN abs(b.px - a.px) + abs(b.py - a.py) = 1 THEN b.v ELSE 0 END)
+          |      AS cross_sum,
+          |    max(CASE WHEN b.px = a.px AND b.py = a.py THEN b.v END) AS z0
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+          |  GROUP BY a.px, a.py)
+          |SELECT px, py, round(-100.0 * (cross_sum - 4 * z0) + 5e-7, 4) AS curv
+          |FROM g WHERE n = 9 ORDER BY px, py""".stripMargin,
+
+      // TPI = z0 − (Σ9 − z0)/8; Riley TRI = √Σ(zi − z0)² (center adds 0);
+      // roughness = max − min of the window — all from ONE neighborhood join
+      "r12_terrain_idx" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |g AS (
+          |  SELECT a.px, a.py, a.v AS z0, count(*) AS n, sum(b.v) AS s9,
+          |    sum((b.v - a.v) * (b.v - a.v)) AS sq,
+          |    max(b.v) AS mx, min(b.v) AS mn
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+          |  GROUP BY a.px, a.py, a.v)
+          |SELECT px, py,
+          |  round(z0 - (s9 - z0) / 8.0 + 5e-7, 4) AS tpi,
+          |  round(sqrt(sq) + 5e-7, 4) AS tri,
+          |  CAST(mx - mn AS BIGINT) AS rough
+          |FROM g WHERE n = 9 ORDER BY px, py""".stripMargin,
+
+      "g10_ppr" -> {
+        // four unrolled rounds of the seed-teleport integer recurrence:
+        // teleport 125000 ONLY on seeds (id % 50 = 0), r0 = 10^6·1[seed]
+        val iters = (1 to 4).map { k =>
+          s"""r$k AS (SELECT n2.id,
+             |  CAST(CASE WHEN n2.id % 50 = 0 THEN 125000 ELSE 0 END
+             |    + coalesce(m.mass, 0) AS BIGINT) AS rank
+             |  FROM nodes n2 LEFT JOIN (
+             |    SELECT adj.dst AS id, sum(r${k - 1}.rank * 7 // (8 * adj.outdeg)) AS mass
+             |    FROM adj JOIN r${k - 1} ON adj.src = r${k - 1}.id GROUP BY 1) m
+             |  ON n2.id = m.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM documents, nn
+           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn)),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |adj AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |r0 AS (SELECT id,
+           |  CAST(CASE WHEN id % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+           |  FROM nodes),
+           |$iters
+           |SELECT id AS doc_id, rank AS rank_micro FROM r4 ORDER BY doc_id""".stripMargin
+      },
+
+      // wedges only through centers of degree <= 8 (the same hub cap),
+      // true degrees in the Jaccard denominator, existing edges excluded
+      "g11_link_pred" ->
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+          |e0 AS (
+          |  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+          |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn),
+          |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          |        FROM e0 WHERE u <> v),
+          |nbr AS (SELECT a AS c, b AS u FROM und UNION ALL SELECT b, a FROM und),
+          |deg AS (SELECT c, count(*) AS deg FROM nbr GROUP BY 1),
+          |cap AS (SELECT nbr.c, nbr.u FROM nbr JOIN deg USING (c) WHERE deg <= 8),
+          |cand AS (SELECT l.u AS a, r.u AS b, count(*) AS cn
+          |  FROM cap l JOIN cap r ON l.c = r.c AND l.u < r.u
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |nc AS (SELECT * FROM cand c WHERE NOT EXISTS (
+          |  SELECT 1 FROM und WHERE und.a = c.a AND und.b = c.b))
+          |SELECT nc.a, nc.b, nc.cn, da.deg AS deg_a, db.deg AS deg_b,
+          |  round(nc.cn / (da.deg + db.deg - nc.cn) + 5e-7, 4) AS jaccard
+          |FROM nc JOIN deg da ON da.c = nc.a JOIN deg db ON db.c = nc.b
+          |ORDER BY a, b""".stripMargin,
+
+      // quadratic dominance NOT EXISTS — a different algorithm than the
+      // Spark side's distinct-price sweep, same frontier
+      "x25_skyline" ->
+        """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+          |WHERE NOT EXISTS (SELECT 1 FROM part r
+          |  WHERE r.p_retailprice <= p.p_retailprice AND r.p_size >= p.p_size
+          |    AND (r.p_retailprice < p.p_retailprice OR r.p_size > p.p_size))
+          |ORDER BY p.p_partkey""".stripMargin,
+
+      // plain COUNT(DISTINCT) set algebra — no bitmaps on the oracle side
+      "x26_bitmap_overlap" ->
+        """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+          |card AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+          |inter AS (SELECT a.event_type AS seg1, b.event_type AS seg2,
+          |    count(*) AS n_common
+          |  FROM du a JOIN du b
+          |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT seg1, seg2, c1.n AS n1, c2.n AS n2, inter.n_common,
+          |  c1.n + c2.n - inter.n_common AS n_union
+          |FROM inter JOIN card c1 ON c1.event_type = seg1
+          |  JOIN card c2 ON c2.event_type = seg2
+          |ORDER BY seg1, seg2""".stripMargin,
+
+      // gaps-and-islands at MICROSECOND precision: a new session starts at
+      // gap >= 30 min (session_window merges only strictly-overlapping
+      // [ts, ts+gap) windows); end = last event + gap
+      "st5_session_window" ->
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+          |         WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+          |         ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g)
+          |SELECT user_id, min(ts) AS s_start,
+          |  max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n_events
+          |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+      // recall@5 of the global-scale int8 ranker vs the e1 float truth —
+      // the quantized dots/norms are exact BIGINTs on both engines
+      "e15_sq_recall" ->
+        s"""WITH sc AS (SELECT max(list_max(list_transform(embedding::DOUBLE[],
+           |    x -> abs(x)))) AS s FROM embeddings),
+           |c AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+           |    x -> CASE WHEN sc.s = 0 THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(floor(x * 127.0 / sc.s + 0.5) AS BIGINT) END) AS q
+           |  FROM embeddings, sc),
+           |nq AS (SELECT vec_id, q,
+           |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm FROM c),
+           |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn
+           |  FROM nq WHERE vec_id < 5),
+           |s2 AS (SELECT query_id, nq.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(list_zip(qq, q), p -> p[1] * p[2]))
+           |      AS BIGINT) AS dot,
+           |    CAST(qn * nrm AS DOUBLE) AS nn
+           |  FROM qs, nq WHERE query_id != nq.vec_id),
+           |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+           |    PARTITION BY query_id ORDER BY dot / sqrt(nn) DESC, neighbor_id ASC)
+           |    AS INT) AS rank FROM s2),
+           |appr AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+           |truth AS (SELECT query_id, neighbor_id FROM ($e1KnnSql))
+           |SELECT t.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+           |    // count(*) AS BIGINT) AS recall_pct
+           |FROM truth t LEFT JOIN appr a
+           |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin)
   }
 }

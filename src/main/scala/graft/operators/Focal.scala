@@ -146,6 +146,45 @@ object Focal {
     }
   }
 
+  /** Zevenbergen & Thorne (1987) general curvature — the second-derivative
+    * terrain measure (convexity > 0, concavity < 0, in 1/(100·cellSize)
+    * units, the ArcGIS/GRASS convention): curv = −100·(z_W + z_E + z_N +
+    * z_S − 4·z_C)/L². Only the 4-connected cross enters, so over
+    * integer-valued elevations the result is an EXACT rational with a
+    * power-of-ten denominator — bit-identical cross-engine, no epsilon
+    * needed. Full windows only (n = 9), like [[slope]]. */
+  def curvature(blocks: DataFrame, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    convolveWith(blocks, 1) { cells =>
+      val n = cells.map(_._2).reduce(_ + _)
+      def z(wx: Int, wy: Int): Column =
+        cells.collectFirst { case (v, _, `wx`, `wy`) => v }.get
+      val cross = z(0, 1) + z(2, 1) + z(1, 0) + z(1, 2) - z(1, 1) * 4
+      (when(n === 9, cross * (-100.0 / (cellSize * cellSize))), n)
+    }
+  }
+
+  /** The gdaldem index family in ONE window pass (one halo exchange, one
+    * struct-valued lattice — never three exchanges for three indices):
+    *   - tpi:  topographic position index, z_C − mean(8 neighbors)
+    *           (dyadic /8 ⇒ exact over integer elevations);
+    *   - tri:  Riley et al. terrain ruggedness, √Σ(z_i − z_C)² (the sum is
+    *           an exact integer; only sqrt runs cross-engine);
+    *   - rough: roughness, max − min of the full 3×3 window (exact).
+    * Full windows only (n = 9). Output `values` is array<struct<tpi, tri,
+    * rough>> on the same lattice keys. */
+  def terrainIndices(blocks: DataFrame): DataFrame =
+    convolveWith(blocks, 1) { cells =>
+      val n = cells.map(_._2).reduce(_ + _)
+      val center = cells.collectFirst { case (v, _, 1, 1) => v }.get
+      val nbrs = cells.collect { case (v, _, wx, wy) if (wx, wy) != ((1, 1)) => v }
+      val tpi = center - nbrs.reduce(_ + _) / 8.0
+      val tri = sqrt(nbrs.map(v => (v - center) * (v - center)).reduce(_ + _))
+      val rough = greatest(cells.map(_._1): _*) - least(cells.map(_._1): _*)
+      (when(n === 9,
+        struct(tpi.as("tpi"), tri.as("tri"), rough.as("rough"))), n)
+    }
+
   /** Horn gradients (dz/dx, dz/dy) and the window validity count, shared by
     * the terrain kernels. weight(dx, dy): gx = dx·(2−|dy|),
     * gy = dy·(2−|dx|), both over 8·cellSize. */

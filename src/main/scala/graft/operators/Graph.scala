@@ -130,6 +130,95 @@ object Graph {
     r
   }
 
+  /** Personalized PageRank — proximity-to-a-seed-set, the "more like
+    * these" authority score a curation pipeline runs to expand a trusted
+    * (or poisoned) source list over a link graph. Same exact integer-micro
+    * arithmetic as [[pagerank]] (damping dampNum/dampDen, floor division
+    * everywhere — bit-replayable, so oracle-checkable by unrolling), but
+    * ALL teleport mass returns to the seeds: rank₀ = 10⁶·1[seed], and each
+    * round adds the per-seed teleport (10⁶·(dampDen−dampNum)) div dampDen
+    * only on seed vertices. Scores are per-seed-unit mass (total ≈
+    * nSeeds·10⁶); non-seed vertices hold only flowed-in mass. Dangling
+    * mass leaks as in textbook PPR.
+    *
+    * Scale shape: [[pagerank]]'s one-shuffle-per-round plus one extra
+    * pruning win unique to PPR — mass is SPARSE (zero outside the seeds'
+    * out-neighborhood for the first rounds), so the contribution join
+    * filters `rank > 0` and early rounds touch only the frontier, not the
+    * full vertex set. Seed flags are pinned once next to the adjacency. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                           dampNum: Long = 7, dampDen: Long = 8): DataFrame = {
+    require(iters >= 1, "personalizedPagerank needs at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0, 1)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = graft.core.Caching.shared(e.join(deg, "src"))
+    val nodes =
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val seedFlags = graft.core.Caching.shared(nodes.join(
+        seeds.select(col("id").cast("long").as("id")).distinct()
+          .withColumn("__s", lit(1L)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("__s")))
+    val teleport = 1000000L * (dampDen - dampNum) / dampDen
+    var r = seedFlags.select(col("id"), (col("__s") * 1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val mass = adj.join(
+          r.filter(col("rank") > 0).withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr(s"rank * $dampNum div ($dampDen * outdeg)").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__mass"))
+      r = seedFlags.join(mass, Seq("id"), "left")
+        .select(col("id"),
+          (col("__s") * teleport + coalesce(col("__mass"), lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  /** Common-neighbor / Jaccard link prediction — the "which near-dup pairs
+    * did LSH miss" / "which docs should share a source" edge-completion
+    * score over duplicate and citation graphs. A candidate pair is two
+    * non-adjacent vertices with ≥ `minCommon` shared neighbors;
+    * jaccard = cn / (deg(a) + deg(b) − cn).
+    *
+    * Scale shape: wedge enumeration through each shared neighbor — two
+    * joins on the CENTER vertex key. A hub center generates deg² wedge
+    * pairs and predicts nothing (a stopword-like vertex connects
+    * everything), so centers with degree > `maxDeg` are excluded from
+    * wedge generation — the standard mitigation that bounds the wedge
+    * relation by maxDeg·m on power-law graphs. True degrees (hub edges
+    * included) still enter the Jaccard denominator; the existing-edge
+    * exclusion is a broadcast-able anti-join on the pair key. The capped
+    * neighbor relation is pinned once and feeds both wedge legs. */
+  def linkPrediction(pairs: DataFrame, maxDeg: Long = 64,
+                     minCommon: Long = 2): DataFrame = {
+    require(maxDeg >= 1 && minCommon >= 1, "maxDeg and minCommon must be positive")
+    val und = pairs.select(
+        least(col("doc1"), col("doc2")).as("a"),
+        greatest(col("doc1"), col("doc2")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val nbr = und.select(col("a").as("c"), col("b").as("u"))
+      .union(und.select(col("b").as("c"), col("a").as("u")))
+    val deg = graft.core.Caching.shared(
+      nbr.groupBy("c").agg(count(lit(1)).as("deg")))
+    val capped = graft.core.Caching.shared(
+      nbr.join(deg.filter(col("deg") <= maxDeg).select("c"), "c"))
+    val cand = capped.select(col("c"), col("u").as("a"))
+      .join(capped.select(col("c"), col("u").as("b")), "c")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("c").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("c").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        round(col("cn") / (col("deg_a") + col("deg_b") - col("cn")) + lit(5e-7), 4)
+          .as("jaccard"))
+  }
+
   /** Single-source shortest paths by synchronous Bellman-Ford relaxation —
     * the lineage-distance / influence-radius primitive over citation and
     * duplicate graphs. Integer weights, so min() is exact and the result

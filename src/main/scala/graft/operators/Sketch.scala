@@ -158,4 +158,39 @@ object Sketch {
       .groupBy(passThrough: _*)
       .agg(min("__cellcnt").as("est"))
   }
+
+  /** Exact 64-bit word bitmaps per segment — the bitmap-index shape
+    * (ClickHouse groupBitmap / Druid) for membership set algebra over an
+    * integer id space: id folds to (word = id div 64, bit = id mod 64)
+    * and a segment's members aggregate to one mask long per occupied
+    * word via `bit_or` (mergeable, map-side combined — a member never
+    * shuffles twice however often it recurs). Output: (seg, word, bm).
+    * State is |members|/64 longs per segment, NOT |rows|. */
+  def bitmapWords(df: DataFrame, segCol: String, idCol: String): DataFrame =
+    df.select(col(segCol).as("seg"), expr(s"$idCol div 64").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($idCol % 64 AS INT))").as("__bit"))
+      .groupBy("seg", "word")
+      .agg(expr("bit_or(__bit)").as("bm"))
+
+  /** Pairwise segment overlap from [[bitmapWords]] masks: cardinalities
+    * are Σ popcount(word), intersections Σ popcount(AND) over a
+    * word-keyed equi self-join of the tiny bitmap relation — exact (no
+    * sketch error), all-integer, and never a (segment, id)-grain shuffle.
+    * Output per unordered pair with n_common > 0:
+    * (seg1, seg2, n1, n2, n_common, n_union). */
+  def bitmapOverlap(df: DataFrame, segCol: String, idCol: String): DataFrame = {
+    val words = bitmapWords(df, segCol, idCol)
+    val card = words.groupBy("seg").agg(sum(expr("bit_count(bm)")).as("n"))
+    val a = words.select(col("seg").as("seg1"), col("word"), col("bm").as("bm1"))
+    val b = words.select(col("seg").as("seg2"), col("word"), col("bm").as("bm2"))
+    a.join(b, Seq("word")).filter(col("seg1") < col("seg2"))
+      .groupBy("seg1", "seg2")
+      .agg(sum(expr("bit_count(bm1 & bm2)")).as("n_common"))
+      .filter(col("n_common") > 0)
+      .join(broadcast(card.select(col("seg").as("seg1"), col("n").as("n1"))), "seg1")
+      .join(broadcast(card.select(col("seg").as("seg2"), col("n").as("n2"))), "seg2")
+      .select(col("seg1"), col("seg2"), col("n1"), col("n2"), col("n_common"),
+        (col("n1") + col("n2") - col("n_common")).as("n_union"))
+  }
+
 }

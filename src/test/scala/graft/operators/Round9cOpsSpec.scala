@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 third-batch operator semantics on crafted inputs: Z&T curvature
+  * and the TPI/TRI/roughness family (hand-computed windows), personalized
+  * PageRank (hand-unrolled integer recurrence), link prediction (known
+  * wedges + hub-cap behavior), bitmap overlap (word/sign-bit edges vs
+  * brute-force set algebra), and the skyline sweep vs brute-force
+  * dominance. */
+class Round9cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one 6×4 block lattice (2×2 blocks of 3×2) with all cells valid
+  private def grid(f: (Int, Int) => Double): DataFrame = {
+    val (bw, bh, nx, ny) = (3, 2, 2, 2)
+    val rows = for { by <- 0 until ny; bx <- 0 until nx } yield {
+      val cells = for { y <- 0 until bh; x <- 0 until bw }
+        yield f(bx * bw + x, by * bh + y)
+      (bx, by, bw, bh, cells.map(java.lang.Double.valueOf),
+        cells.map(_ => true))
+    }
+    rows.toDF("block_x", "block_y", "width", "height", "values", "valid")
+  }
+
+  private def cells(out: DataFrame): Map[(Int, Int), Double] =
+    out.select(col("block_x"), col("block_y"),
+        posexplode(arrays_zip(col("values"), col("valid"))))
+      .filter(col("col.valid"))
+      .select((col("block_x") * 3 + col("pos") % 3).cast("long").as("gx"),
+        (col("block_y") * 2 + floor(col("pos") / 3)).cast("long").as("gy"),
+        col("col.values").cast("double").as("v"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+      .toMap
+
+  test("curvature: ramps are flat, z = x² has constant −200, edges nodata") {
+    val flat = cells(Focal.curvature(grid((x, y) => 3.0 * x + 2.0 * y), 1.0))
+    assert(flat.keySet == (for { x <- 1 to 4; y <- 1 to 2 } yield (x, y)).toSet,
+      "full 3×3 windows only — the raster edge ring must be nodata")
+    flat.values.foreach(v => assert(v == 0.0, s"linear ramp must have zero curvature, got $v"))
+    val para = cells(Focal.curvature(grid((x, _) => (x * x).toDouble), 1.0))
+    // (x−1)² + (x+1)² − 2x² = 2 in the E–W cross; N–S flat ⇒ curv = −100·2
+    para.values.foreach(v => assert(v == -200.0, s"z=x² curvature must be −200, got $v"))
+  }
+
+  test("terrain indices: single peak has hand-computed TPI/TRI/roughness") {
+    val out = Focal.terrainIndices(grid((x, y) => if ((x, y) == ((2, 1))) 8.0 else 0.0))
+      .select(col("block_x"), col("block_y"),
+        posexplode(arrays_zip(col("values"), col("valid"))))
+      .filter(col("col.valid"))
+      .select((col("block_x") * 3 + col("pos") % 3).cast("long").as("gx"),
+        (col("block_y") * 2 + floor(col("pos") / 3)).cast("long").as("gy"),
+        col("col.values.tpi").as("tpi"), col("col.values.tri").as("tri"),
+        col("col.values.rough").as("rough"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // at the peak: TPI = 8 − 0 = 8, TRI = √(8·8²) = √512, rough = 8
+    assert(out((2, 1)) == ((8.0, math.sqrt(512.0), 8.0)))
+    // beside the peak: TPI = 0 − 8/8 = −1, TRI = √(8²) = 8, rough = 8
+    assert(out((1, 1)) == ((-1.0, 8.0, 8.0)))
+    // far corner window never sees the peak: all zero
+    assert(out((4, 2)) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("personalized pagerank: 2-cycle matches the hand-unrolled recurrence") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.personalizedPagerank(edges, seeds, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = (10⁶, 0); r1 = (125000, 875000); r2 = (125000+765625, 109375)
+    assert(r(1L) == 890625L, s"seed rank after 2 rounds: ${r(1L)}")
+    assert(r(2L) == 109375L, "non-seed vertex must get NO teleport mass")
+  }
+
+  test("personalized pagerank: mass stays inside the seed's reachable set") {
+    // two disjoint 2-cycles; seeding {1} must leave {3,4} at exactly zero
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val r = Graph.personalizedPagerank(edges, Seq(1L).toDF("id"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(3L) == 0L && r(4L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+  }
+
+  test("link prediction: square closes both diagonals with jaccard 1") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("doc1", "doc2")
+    val got = Graph.linkPrediction(square, maxDeg = 8, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // diagonals (1,3) and (2,4): cn = 2, deg 2 each, jaccard = 2/(2+2−2) = 1
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((2L, 2L, 2L, 1.0)))
+    assert(got((2L, 4L)) == ((2L, 2L, 2L, 1.0)))
+  }
+
+  test("link prediction: hub cap suppresses wedges through high-degree centers") {
+    // star center 0 → leaves 1..5: every leaf pair shares only the hub
+    val star = (1L to 5L).map(i => (0L, i)).toDF("doc1", "doc2")
+    assert(Graph.linkPrediction(star, maxDeg = 3, minCommon = 1).isEmpty,
+      "center degree 5 > cap 3 — no wedge may route through it")
+    val uncapped = Graph.linkPrediction(star, maxDeg = 8, minCommon = 1)
+    assert(uncapped.count() == 10, "cap lifted: all C(5,2) leaf pairs appear")
+    // leaf degrees are 1 ⇒ jaccard = 1/(1+1−1) = 1 for every pair
+    uncapped.collect().foreach(r => assert(r.getDouble(5) == 1.0))
+  }
+
+  test("bitmap overlap: word boundaries and bit 63 match brute-force set algebra") {
+    // ids straddle words {0,1,2} incl. 63 (sign bit) and 64 (word edge)
+    val members = Map(
+      "a" -> Set(0L, 1L, 63L, 64L, 100L),
+      "b" -> Set(1L, 63L, 65L, 100L, 128L),
+      "c" -> Set(2L, 200L))
+    val df = members.toSeq
+      .flatMap { case (s, ids) => ids.flatMap(i => Seq(s -> i, s -> i)) } // dupes too
+      .toDF("seg", "uid")
+    val got = Sketch.bitmapOverlap(df, "seg", "uid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (Seq(x, y) <- members.keys.toSeq.sorted.combinations(2)) {
+      val (sx, sy) = (members(x), members(y))
+      val common = (sx & sy).size.toLong
+      if (common == 0) assert(!got.contains((x, y)))
+      else assert(got((x, y)) ==
+        ((sx.size.toLong, sy.size.toLong, common, (sx | sy).size.toLong)))
+    }
+    assert(got.contains(("a", "b")) && !got.contains(("a", "c")))
+  }
+
+  test("skyline sweep equals brute-force dominance on a pseudo-random cloud") {
+    val pts = (0 until 300)
+      .map(i => (i.toLong, (i * 37 % 101).toDouble, i * 53 % 97))
+    val df = pts.toDF("id", "cost", "gain")
+    val got = Pareto.skyline2d(df, "cost", "gain")
+      .select("id").as[Long].collect().toSet
+    val brute = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+    }.map(_._1).toSet
+    assert(got == brute, s"sweep=${got.size} brute=${brute.size}")
+    assert(got.nonEmpty)
+  }
+}
