@@ -179,7 +179,9 @@ object Sketch {
     * Output per unordered pair with n_common > 0:
     * (seg1, seg2, n1, n2, n_common, n_union). */
   def bitmapOverlap(df: DataFrame, segCol: String, idCol: String): DataFrame = {
-    val words = bitmapWords(df, segCol, idCol)
+    // pin the mask relation: it feeds both join legs AND both cardinality
+    // lookups — unpinned, the corpus would scan four times
+    val words = graft.core.Caching.shared(bitmapWords(df, segCol, idCol))
     val card = words.groupBy("seg").agg(sum(expr("bit_count(bm)")).as("n"))
     val a = words.select(col("seg").as("seg1"), col("word"), col("bm").as("bm1"))
     val b = words.select(col("seg").as("seg2"), col("word"), col("bm").as("bm2"))
