@@ -48,7 +48,10 @@ object Bench {
     // sparse-frontier personalized pagerank, wedge-capped link prediction,
     // the bitmap-index overlap matrix, and native session windows
     "r12_terrain_idx", "g10_ppr", "g11_link_pred", "x26_bitmap_overlap",
-    "st5_session_window")
+    "st5_session_window",
+    // round-9 fourth batch: sequence patterns (collect-and-regex shape),
+    // modularity (labeling + census over one pinned edge relation)
+    "x27_event_pattern", "g12_modularity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -206,7 +206,12 @@ object SparkEntry {
     "x25_skyline"         -> (Q.x25_skyline(_, _)),
     "x26_bitmap_overlap"  -> (Q.x26_bitmap_overlap(_, _)),
     "st5_session_window"  -> (Q.st5_session_window(_, _)),
-    "e15_sq_recall"       -> (Q.e15_sq_recall(_, _)))
+    "e15_sq_recall"       -> (Q.e15_sq_recall(_, _)),
+    "r13_flow_dir"        -> (Q.r13_flow_dir(_, _)),
+    "g12_modularity"      -> (Q.g12_modularity(_, _)),
+    "x27_event_pattern"   -> (Q.x27_event_pattern(_, _)),
+    "e16_mrl_recall"      -> (Q.e16_mrl_recall(_, _)),
+    "t31_bpe_round2"      -> (Q.t31_bpe_round2(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -2759,6 +2764,120 @@ object SparkEntry {
         .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
         .orderBy("query_id")
     }
+
+    /** D8 flow direction over the shared focal lattice — drop² cross-
+      * multiplied compares (no sqrt), smallest-code ties, sinks/flats 0.
+      * See [[graft.operators.Focal.flowDirD8]]. */
+    def r13_flow_dir(s: SparkSession, d: String): DataFrame =
+      focalCells(graft.operators.Focal.flowDirD8(focalBlocks(s, d)), "flow_dir")
+
+    /** Newman modularity of g7's labeling over the same doc graph — the
+      * did-LPA-find-structure score, exact to the micro-unit. See
+      * [[graft.operators.Graph.modularity]]. */
+    def g12_modularity(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      // pinned: the edge relation feeds BOTH the labeling rounds and the
+      // modularity census
+      val edges = graft.core.Caching.shared(docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("doc1"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("doc2")))
+      val labels = graft.operators.Graph.labelPropagation(edges, iters = 3)
+      graft.operators.Graph.modularity(edges, labels).orderBy("label")
+    }
+
+    /** MATCH_RECOGNIZE-lite sequence pattern matching: each user's event
+      * stream folds to a compact per-event character string (one
+      * ObjectHashAggregate whose state is one char per event — the t25
+      * reassembly discipline; a production run bounds it per session),
+      * then the funnel pattern `v+cp` (views, click, purchase) counts as
+      * non-overlapping regex matches — the same greedy left-to-right
+      * semantics in Java and DuckDB regex for this alternation-free
+      * pattern. No self-join per stage (x10's shape), no state machine
+      * UDF. */
+    def x27_event_pattern(s: SparkSession, d: String): DataFrame = {
+      val ch = when(col("event_type") === "click", "c")
+        .when(col("event_type") === "error", "e")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("v")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), ch.as("ch")).as("ev"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("ev"))), e => e("ch")), "")
+          .as("seq"))
+        .select(col("user_id"), length(col("seq")).cast("long").as("seq_len"),
+          expr("size(regexp_extract_all(seq, 'v+cp', 0))").cast("long")
+            .as("n_funnels"))
+        .orderBy("user_id")
+    }
+
+    /** Matryoshka-style prefix-dimension recall: rank by cosine over the
+      * FIRST 16 of 64 dims (`slice` — the MRL truncation that cuts ANN
+      * memory 4× when embeddings are trained nested) and measure
+      * recall@5 against the full-dim float truth (e1). Same audited
+      * recall-join shape as e11/e15. */
+    def e16_mrl_recall(s: SparkSession, d: String): DataFrame = {
+      val pre = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 16).as("v"))
+      val q = broadcast(pre.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val scored = q.join(pre, col("query_id") =!= col("vec_id"))
+        .withColumn("cos", graft.functions.VectorExpressions.vec_cosine(
+          col("qv"), col("v")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val approx = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1L).as("__hit"))
+      val truth = e1_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+      truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum("__hit"), lit(0L)).as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    /** BPE round 2 — the step that makes t19 a TRAINING loop, not a
+      * census: the round-1 winner pair (a 1-row broadcast) merges into a
+      * single symbol via plain left-to-right `replace` (identical
+      * non-regex semantics in both engines), words re-segment, and
+      * adjacent SYMBOL pairs re-count — merged symbols expand back in the
+      * display key (`ab+c` = symbols "ab","c"). Each further round is
+      * this same query over the re-segmented words. */
+    def t31_bpe_round2(s: SparkSession, d: String): DataFrame = {
+      val words = Tables.documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+      val pairs1 = words.filter(length(col("word")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      val top = pairs1.orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("top_pair"))
+      val seg = words.crossJoin(broadcast(top))
+        .select(expr("replace(word, top_pair, chr(1))").as("seg"),
+          col("top_pair"))
+      def sym(at: Column): Column =
+        when(at === "\u0001", col("top_pair")).otherwise(at)
+      seg.filter(length(col("seg")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("seg")) - 1),
+          i => concat(sym(col("seg").substr(i, lit(1))), lit("+"),
+            sym(col("seg").substr(i + 1, lit(1)))))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("pair"))))
+        .filter(col("rank") <= 15)
+        .select("rank", "pair", "n")
+        .orderBy("rank")
+    }
   }
 
   // ================================================================ Oracles
@@ -2814,6 +2933,32 @@ object SparkEntry {
          |    AND a.doc_id < b2.doc_id)""".stripMargin
 
     /** e1/e2 ranker SQL, shared verbatim with the e11 recall evaluation. */
+    // three unrolled rounds of synchronous LPA: each vertex adopts the
+    // most frequent neighbor label, ties to the SMALLEST label — shared
+    // verbatim by g7's own entry and g12's modularity scoring
+    private val g7LabelSql: String = {
+      val rounds = (1 to 3).map { k =>
+        s"""c$k AS (SELECT nbr.src, l.label, count(*) AS c
+           |  FROM nbr JOIN l${k - 1} l ON l.id = nbr.dst GROUP BY 1, 2),
+           |l$k AS (SELECT src AS id, label FROM (
+           |    SELECT src, label,
+           |      row_number() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+           |    FROM c$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn),
+         |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         |        FROM e0 WHERE u <> v),
+         |nbr AS (SELECT a AS src, b AS dst FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM nbr),
+         |$rounds
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label
+         |FROM l3 ORDER BY doc_id""".stripMargin
+    }
+
     private val e1KnnSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -3279,30 +3424,7 @@ object SparkEntry {
            |SELECT id AS doc_id, rank AS rank_micro FROM r5 ORDER BY doc_id""".stripMargin
       },
 
-      "g7_label_prop" -> {
-        // three unrolled rounds of synchronous LPA: each vertex adopts the
-        // most frequent neighbor label, ties to the SMALLEST label
-        val rounds = (1 to 3).map { k =>
-          s"""c$k AS (SELECT nbr.src, l.label, count(*) AS c
-             |  FROM nbr JOIN l${k - 1} l ON l.id = nbr.dst GROUP BY 1, 2),
-             |l$k AS (SELECT src AS id, label FROM (
-             |    SELECT src, label,
-             |      row_number() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
-             |    FROM c$k) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-           |e0 AS (
-           |  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
-           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn),
-           |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
-           |        FROM e0 WHERE u <> v),
-           |nbr AS (SELECT a AS src, b AS dst FROM und
-           |        UNION ALL SELECT b, a FROM und),
-           |l0 AS (SELECT DISTINCT src AS id, src AS label FROM nbr),
-           |$rounds
-           |SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label
-           |FROM l3 ORDER BY doc_id""".stripMargin
-      },
+      "g7_label_prop" -> g7LabelSql,
 
       "g8_kcore" -> {
         // four unrolled peel rounds: drop vertices with degree < 4, then
@@ -5349,6 +5471,127 @@ object SparkEntry {
            |    // count(*) AS BIGINT) AS recall_pct
            |FROM truth t LEFT JOIN appr a
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-           |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin)
+           |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+      // D8 argmax replayed as a window over the 8 neighbor drops: key =
+      // drop²·(2 cardinal / 1 diagonal) for positive drops, ESRI codes,
+      // ties to the smallest code, sinks/flats 0; full windows only
+      "r13_flow_dir" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |g AS (
+          |  SELECT a.px, a.py, b.px - a.px AS dx, b.py - a.py AS dy,
+          |    a.v - b.v AS drop
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+          |    AND NOT (b.px = a.px AND b.py = a.py)),
+          |scored AS (
+          |  SELECT px, py,
+          |    CASE WHEN drop > 0
+          |      THEN drop * drop * (CASE WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END)
+          |      ELSE -1 END AS k,
+          |    CASE WHEN dx = 1 AND dy = 0 THEN 1 WHEN dx = 1 AND dy = 1 THEN 2
+          |      WHEN dx = 0 AND dy = 1 THEN 4 WHEN dx = -1 AND dy = 1 THEN 8
+          |      WHEN dx = -1 AND dy = 0 THEN 16 WHEN dx = -1 AND dy = -1 THEN 32
+          |      WHEN dx = 0 AND dy = -1 THEN 64 ELSE 128 END AS code,
+          |    count(*) OVER (PARTITION BY px, py) AS nn
+          |  FROM g),
+          |r AS (SELECT px, py, k, code, nn,
+          |    row_number() OVER (PARTITION BY px, py ORDER BY k DESC, code ASC) AS rn
+          |  FROM scored)
+          |SELECT px, py,
+          |  round(CASE WHEN k > 0 THEN code ELSE 0 END + 5e-7, 4) AS flow_dir
+          |FROM r WHERE rn = 1 AND nn = 8 ORDER BY px, py""".stripMargin,
+
+      // per-community Newman modularity from g7's labeling: the common
+      // denominator 4m² clears both terms; sign-safe magnitude // division
+      "g12_modularity" ->
+        s"""WITH lab AS (SELECT doc_id AS id, label FROM ($g7LabelSql)),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+           |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn),
+           |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+           |        FROM e0 WHERE u <> v),
+           |deg AS (SELECT id, count(*) AS deg FROM (
+           |  SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+           |m1 AS (SELECT count(*) AS m FROM und),
+           |ein AS (SELECT la.label, count(*) AS e_in FROM und
+           |  JOIN lab la ON la.id = und.a JOIN lab lb ON lb.id = und.b
+           |  WHERE la.label = lb.label GROUP BY 1),
+           |ds AS (SELECT lab.label, count(*) AS n_members, sum(deg.deg) AS deg_sum
+           |  FROM lab JOIN deg ON deg.id = lab.id GROUP BY 1)
+           |SELECT ds.label, ds.n_members, coalesce(ein.e_in, 0) AS e_in, ds.deg_sum,
+           |  CASE WHEN 4 * m1.m * coalesce(ein.e_in, 0) - ds.deg_sum * ds.deg_sum >= 0
+           |    THEN (4 * m1.m * coalesce(ein.e_in, 0) - ds.deg_sum * ds.deg_sum)
+           |      * 1000000 // (4 * m1.m * m1.m)
+           |    ELSE -((ds.deg_sum * ds.deg_sum - 4 * m1.m * coalesce(ein.e_in, 0))
+           |      * 1000000 // (4 * m1.m * m1.m))
+           |  END AS contrib_micro
+           |FROM ds LEFT JOIN ein ON ein.label = ds.label, m1
+           |ORDER BY ds.label""".stripMargin,
+
+      // per-user event streams as ordered character strings; the funnel
+      // pattern counts as non-overlapping greedy regex matches
+      "x27_event_pattern" ->
+        """WITH s AS (
+          |  SELECT user_id, string_agg(
+          |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+          |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'v' END,
+          |    '' ORDER BY ts, event_id) AS seq
+          |  FROM events GROUP BY user_id)
+          |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+          |  CAST(len(regexp_extract_all(seq, 'v+cp')) AS BIGINT) AS n_funnels
+          |FROM s ORDER BY user_id""".stripMargin,
+
+      // recall@5 of the 16-of-64 prefix-dimension (Matryoshka) ranker
+      // against the full-dim float truth
+      "e16_mrl_recall" ->
+        s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |s2 AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |    list_dot_product(qv, v)
+           |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+           |      AS rawcos
+           |  FROM q CROSS JOIN e WHERE query_id != e.vec_id),
+           |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+           |    PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id ASC)
+           |    AS INT) AS rank FROM s2),
+           |appr AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+           |truth AS (SELECT query_id, neighbor_id FROM ($e1KnnSql))
+           |SELECT t.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+           |    // count(*) AS BIGINT) AS recall_pct
+           |FROM truth t LEFT JOIN appr a
+           |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+      // round-1 winner merges via plain left-to-right replace (identical
+      // non-regex semantics), words re-segment, symbol pairs re-count
+      "t31_bpe_round2" ->
+        s"""WITH words AS (SELECT unnest($tokExpr) AS word FROM documents),
+           |idx AS (SELECT word, unnest(generate_series(1, len(word) - 1)) AS i
+           |        FROM words WHERE len(word) >= 2),
+           |p1 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair FROM idx),
+           |top1 AS (SELECT pair AS tp FROM (
+           |    SELECT pair, count(*) AS n FROM p1 GROUP BY 1)
+           |  ORDER BY n DESC, pair LIMIT 1),
+           |seg AS (SELECT replace(word, top1.tp, chr(1)) AS sg, top1.tp
+           |        FROM words, top1),
+           |si AS (SELECT sg, tp, unnest(generate_series(1, len(sg) - 1)) AS i
+           |       FROM seg WHERE len(sg) >= 2),
+           |adj AS (SELECT
+           |    (CASE WHEN substr(sg, CAST(i AS INT), 1) = chr(1) THEN tp
+           |          ELSE substr(sg, CAST(i AS INT), 1) END)
+           |    || '+' ||
+           |    (CASE WHEN substr(sg, CAST(i AS INT) + 1, 1) = chr(1) THEN tp
+           |          ELSE substr(sg, CAST(i AS INT) + 1, 1) END) AS pair
+           |  FROM si),
+           |c AS (SELECT pair, count(*) AS n FROM adj GROUP BY 1),
+           |r AS (SELECT pair, n,
+           |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank FROM c)
+           |SELECT rank, pair, n FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin)
   }
 }

@@ -185,6 +185,36 @@ object Focal {
         struct(tpi.as("tpi"), tri.as("tri"), rough.as("rough"))), n)
     }
 
+  /** D8 flow direction — the hydrology primitive (flow accumulation,
+    * watershed delineation all start here): each cell drains to the
+    * steepest-descent neighbor, encoded in ESRI powers of two (E=1 SE=2
+    * S=4 SW=8 W=16 NW=32 N=64 NE=128; 0 = sink/flat). Steepness is
+    * drop/distance with distance √2 on diagonals — compared EXACTLY as
+    * drop²·(2 if cardinal else 1) over positive drops (cross-multiplied
+    * squares, no sqrt, no float division), so over integer elevations the
+    * argmax is bit-replayable. Ties pin to the SMALLEST code (semantics
+    * the oracle replays; GDAL leaves tie order unspecified). The argmax is
+    * a plan-time `greatest` over eight (key, −code) structs — no window,
+    * no second pass. Full windows only (n = 9). */
+  def flowDirD8(blocks: DataFrame): DataFrame = {
+    val code = Map((1, 0) -> 1, (1, 1) -> 2, (0, 1) -> 4, (-1, 1) -> 8,
+      (-1, 0) -> 16, (-1, -1) -> 32, (0, -1) -> 64, (1, -1) -> 128)
+    convolveWith(blocks, 1) { cells =>
+      val n = cells.map(_._2).reduce(_ + _)
+      val z0 = cells.collectFirst { case (v, _, 1, 1) => v }.get
+      val entries = cells.collect { case (v, _, wx, wy) if (wx, wy) != ((1, 1)) =>
+        val (dx, dy) = (wx - 1, wy - 1)
+        val cardinal = dx == 0 || dy == 0
+        val drop = z0 - v
+        val key = when(drop > 0, drop * drop * (if (cardinal) 2 else 1))
+          .otherwise(lit(-1.0))
+        struct(key.as("k"), lit(-code((dx, dy))).cast("double").as("nc"))
+      }
+      val best = greatest(entries: _*)
+      (when(n === 9, when(best("k") > 0, -best("nc")).otherwise(lit(0.0))), n)
+    }
+  }
+
   /** Horn gradients (dz/dx, dz/dy) and the window validity count, shared by
     * the terrain kernels. weight(dx, dy): gx = dx·(2−|dy|),
     * gy = dy·(2−|dx|), both over 8·cellSize. */

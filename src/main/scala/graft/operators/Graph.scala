@@ -219,6 +219,54 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** Newman modularity per community — the quality score that tells a
+    * curation pipeline whether a labeling (from [[labelPropagation]] or
+    * components) found real structure or noise: Q_c = e_c/m − (d_c/2m)²
+    * with e_c = intra-community edges, d_c = degree mass, m = edge count.
+    * Computed EXACTLY: the common denominator 4m² clears both terms, so
+    * contrib_micro = sign·(|4·m·e_c − d_c²|·10⁶ div 4m²) is pure integer
+    * arithmetic (sign-safe magnitude division — Spark `div` truncates
+    * toward zero while SQL `//` floors, so negatives never divide
+    * directly; the e14 discipline). Global Q_micro = Σ contrib_micro ±
+    * one micro-unit per community.
+    *
+    * Scale shape: one shuffle for degrees, one for the two label lookups
+    * (vertex-keyed joins of the labeling), one for the per-label fold; m
+    * rides in as a 1-row broadcast. Input: pairs (doc1, doc2) any
+    * orientation/dupes; labels (id, label). Output per community:
+    * (label, n_members, e_in, deg_sum, contrib_micro). */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    // pinned: the undirected edge relation feeds degrees, the edge count,
+    // AND the intra-community census — unpinned it materializes three times
+    val und = graft.core.Caching.shared(pairs.select(
+        least(col("doc1"), col("doc2")).as("a"),
+        greatest(col("doc1"), col("doc2")).as("b"))
+      .filter(col("a") < col("b")).distinct())
+    val lab = graft.core.Caching.shared(
+      labels.select(col("id").cast("long").as("id"), col("label")))
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val m1 = und.agg(count(lit(1)).as("__m"))
+    val ein = und
+      .join(lab.select(col("id").as("a"), col("label").as("__la")), "a")
+      .join(lab.select(col("id").as("b"), col("label").as("__lb")), "b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("e_in"))
+    val ds = lab.join(deg, "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"), sum("deg").as("deg_sum"))
+    ds.join(ein, Seq("label"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m1))
+      .withColumn("__num",
+        lit(4L) * col("__m") * col("e_in") - col("deg_sum") * col("deg_sum"))
+      .withColumn("contrib_micro",
+        when(col("__num") >= 0,
+          expr("__num * 1000000 div (4 * __m * __m)"))
+          .otherwise(-expr("(-__num) * 1000000 div (4 * __m * __m)")))
+      .select("label", "n_members", "e_in", "deg_sum", "contrib_micro")
+  }
+
   /** Single-source shortest paths by synchronous Bellman-Ford relaxation —
     * the lineage-distance / influence-radius primitive over citation and
     * duplicate graphs. Integer weights, so min() is exact and the result

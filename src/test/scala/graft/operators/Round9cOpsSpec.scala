@@ -128,6 +128,45 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got.contains(("a", "b")) && !got.contains(("a", "c")))
   }
 
+  test("D8 flow direction: ramps, peaks, flats, and diagonal dominance") {
+    // z = x: steepest descent is due west (code 16) everywhere interior
+    val west = cells(Focal.flowDirD8(grid((x, _) => x.toDouble)))
+    west.values.foreach(v => assert(v == 16.0, s"x-ramp must drain W, got $v"))
+    // flat: no positive drop anywhere — all sinks (0)
+    cells(Focal.flowDirD8(grid((_, _) => 5.0))).values
+      .foreach(v => assert(v == 0.0))
+    // z = x + y (y grows south): NW diagonal drop 2 (key 4) beats the
+    // cardinal drops 1 (key 2) — code 32
+    cells(Focal.flowDirD8(grid((x, y) => (x + y).toDouble))).values
+      .foreach(v => assert(v == 32.0, s"xy-ramp must drain NW, got $v"))
+    // single peak: at the peak all 8 drops tie on raw drop, but cardinals
+    // carry key 2·drop² — tie among {E,S,W,N} breaks to the smallest code (E=1)
+    val peak = cells(Focal.flowDirD8(grid((x, y) => if ((x, y) == ((2, 1))) 8.0 else 0.0)))
+    assert(peak((2, 1)) == 1.0)
+    // the peak's west neighbor has only the uphill drop — a flat/sink (0)
+    assert(peak((1, 1)) == 0.0)
+  }
+
+  test("modularity: disjoint triangles score +0.25 each, split edge −0.25 each") {
+    val tris = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("doc1", "doc2")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "label")
+    val got = Graph.modularity(tris, lab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per triangle: e_in=3, deg_sum=6, m=6 ⇒ (72−36)/144 = 0.25
+    assert(got(1L) == ((3L, 3L, 6L, 250000L)))
+    assert(got(4L) == ((3L, 3L, 6L, 250000L)))
+    // one edge, endpoints labeled apart: num < 0 exercises the sign-safe
+    // magnitude division (floor vs truncate never diverges)
+    val split = Graph.modularity(
+        Seq((1L, 2L)).toDF("doc1", "doc2"),
+        Seq((1L, 10L), (2L, 20L)).toDF("id", "label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(split(10L) == -250000L && split(20L) == -250000L)
+  }
+
   test("skyline sweep equals brute-force dominance on a pseudo-random cloud") {
     val pts = (0 until 300)
       .map(i => (i.toLong, (i * 37 % 101).toDouble, i * 53 % 97))
