@@ -211,7 +211,11 @@ object SparkEntry {
     "g12_modularity"      -> (Q.g12_modularity(_, _)),
     "x27_event_pattern"   -> (Q.x27_event_pattern(_, _)),
     "e16_mrl_recall"      -> (Q.e16_mrl_recall(_, _)),
-    "t31_bpe_round2"      -> (Q.t31_bpe_round2(_, _)))
+    "t31_bpe_round2"      -> (Q.t31_bpe_round2(_, _)),
+    "r14_flow_accum"      -> (Q.r14_flow_accum(_, _)),
+    "r15_majority"        -> (Q.r15_majority(_, _)),
+    "e17_hamming_recall"  -> (Q.e17_hamming_recall(_, _)),
+    "x28_position_attr"   -> (Q.x28_position_attr(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -2771,6 +2775,103 @@ object SparkEntry {
     def r13_flow_dir(s: SparkSession, d: String): DataFrame =
       focalCells(graft.operators.Focal.flowDirD8(focalBlocks(s, d)), "flow_dir")
 
+    /** Flow ACCUMULATION over r13's direction lattice: cells become a
+      * functional acyclic graph (one downhill out-edge each; drops are
+      * strictly positive so no cycles), and the upstream-cell count
+      * relaxes via [[graft.operators.Graph.ancestorCount]]. Values are
+      * integers in [1, 50], so every flow path strictly descends through
+      * < 50 distinct values — 50 rounds provably converge. The oracle
+      * computes the true transitive closure (recursive CTE) instead. */
+    def r14_flow_accum(s: SparkSession, d: String): DataFrame = {
+      val fd = focalCells(
+        graft.operators.Focal.flowDirD8(focalBlocks(s, d)), "flow_dir")
+      val dxc = when(col("flow_dir").isin(1.0, 2.0, 128.0), 1L)
+        .when(col("flow_dir").isin(8.0, 16.0, 32.0), -1L).otherwise(0L)
+      val dyc = when(col("flow_dir").isin(2.0, 4.0, 8.0), 1L)
+        .when(col("flow_dir").isin(32.0, 64.0, 128.0), -1L).otherwise(0L)
+      val edges = fd.filter(col("flow_dir") > 0)
+        .select((col("py") * 100 + col("px")).as("src"),
+          ((col("py") + dyc) * 100 + (col("px") + dxc)).as("dst"))
+      graft.operators.Graph.ancestorCount(edges, iters = 50)
+        .select((col("id") % 100).as("px"), expr("id div 100").as("py"),
+          col("acc"))
+        .orderBy("px", "py")
+    }
+
+    /** Majority (focal mode) filter — categorical smoothing with pinned
+      * smallest-value ties. See
+      * [[graft.operators.Focal.majorityFilter]]. */
+    def r15_majority(s: SparkSession, d: String): DataFrame =
+      focalCells(graft.operators.Focal.majorityFilter(focalBlocks(s, d)),
+        "majority")
+
+    /** Recall@5 of 1-bit (sign) binary embedding codes under Hamming
+      * distance — the 32×-compression extreme of the quantization ladder
+      * (e4 int8 → e15 SQ recall → this): 64 dims pack into TWO longs
+      * (32 sign bits each, positive — no sign-bit edge cases cross-
+      * engine), distance is popcount(xor) — pure integer, bit-replayable,
+      * and the candidate scan reads 16 bytes per vector instead of 256.
+      * Ranked against the e1 float truth through the audited recall
+      * join. */
+    def e17_hamming_recall(s: SparkSession, d: String): DataFrame = {
+      def half(lo: Int): Column = (0 until 32).map { j =>
+        when(element_at(col("embedding"), lo + j + 1) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val codes = Tables.embeddings(s, d)
+        .select(col("vec_id"), half(0).as("c0"), half(32).as("c1"))
+      val q = broadcast(codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("c0").as("q0"),
+          col("c1").as("q1")))
+      val scored = q.join(codes, col("query_id") =!= col("vec_id"))
+        .withColumn("ham", expr("bit_count(q0 ^ c0) + bit_count(q1 ^ c1)"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      val approx = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1L).as("__hit"))
+      val truth = e1_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+      truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum("__hit"), lit(0L)).as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    /** Position-based (U-shaped) multi-touch attribution — the marketing
+      * sibling of x18's first-touch: every view/click in the 7 days
+      * before a purchase shares that conversion's credit 40/20/40 (first
+      * 400k micro, last 400k, middles 200000 div (n−2); n=1 → 10⁶, n=2 →
+      * 500k each). All credits are exact integer micros, so the per-
+      * channel totals hash. User-keyed equi join with the window as a
+      * residual (x18's co-partitioned shape); position/count are one
+      * window pair per conversion. */
+    def x28_position_attr(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val joined = touch.join(conv, Seq("user_id"))
+        .filter(col("ts") < col("cts") &&
+          col("ts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+      val part = Window.partitionBy("user_id", "cid")
+      val ranked = joined
+        .withColumn("rn", row_number().over(part.orderBy("ts", "event_id")))
+        .withColumn("n", count(lit(1)).over(part))
+      ranked
+        .withColumn("credit",
+          when(col("n") === 1, lit(1000000L))
+            .when(col("n") === 2, lit(500000L))
+            .when(col("rn") === 1 || col("rn") === col("n"), lit(400000L))
+            .otherwise(expr("200000 div (n - 2)")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_micro"))
+        .orderBy("event_type")
+    }
+
     /** Newman modularity of g7's labeling over the same doc graph — the
       * did-LPA-find-structure score, exact to the micro-unit. See
       * [[graft.operators.Graph.modularity]]. */
@@ -2958,6 +3059,35 @@ object SparkEntry {
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label
          |FROM l3 ORDER BY doc_id""".stripMargin
     }
+
+    // D8 argmax shared by r13 itself and r14's accumulation closure
+    private val r13FlowSql: String =
+      """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |g AS (
+          |  SELECT a.px, a.py, b.px - a.px AS dx, b.py - a.py AS dy,
+          |    a.v - b.v AS drop
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
+          |    AND NOT (b.px = a.px AND b.py = a.py)),
+          |scored AS (
+          |  SELECT px, py,
+          |    CASE WHEN drop > 0
+          |      THEN drop * drop * (CASE WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END)
+          |      ELSE -1 END AS k,
+          |    CASE WHEN dx = 1 AND dy = 0 THEN 1 WHEN dx = 1 AND dy = 1 THEN 2
+          |      WHEN dx = 0 AND dy = 1 THEN 4 WHEN dx = -1 AND dy = 1 THEN 8
+          |      WHEN dx = -1 AND dy = 0 THEN 16 WHEN dx = -1 AND dy = -1 THEN 32
+          |      WHEN dx = 0 AND dy = -1 THEN 64 ELSE 128 END AS code,
+          |    count(*) OVER (PARTITION BY px, py) AS nn
+          |  FROM g),
+          |r AS (SELECT px, py, k, code, nn,
+          |    row_number() OVER (PARTITION BY px, py ORDER BY k DESC, code ASC) AS rn
+          |  FROM scored)
+          |SELECT px, py,
+          |  round(CASE WHEN k > 0 THEN code ELSE 0 END + 5e-7, 4) AS flow_dir
+          |FROM r WHERE rn = 1 AND nn = 8 ORDER BY px, py""".stripMargin
 
     private val e1KnnSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -5476,33 +5606,7 @@ object SparkEntry {
       // D8 argmax replayed as a window over the 8 neighbor drops: key =
       // drop²·(2 cardinal / 1 diagonal) for positive drops, ESRI codes,
       // ties to the smallest code, sinks/flats 0; full windows only
-      "r13_flow_dir" ->
-        """WITH grid AS (
-          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
-          |  FROM lineitem GROUP BY 1, 2),
-          |g AS (
-          |  SELECT a.px, a.py, b.px - a.px AS dx, b.py - a.py AS dy,
-          |    a.v - b.v AS drop
-          |  FROM grid a JOIN grid b
-          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1
-          |    AND NOT (b.px = a.px AND b.py = a.py)),
-          |scored AS (
-          |  SELECT px, py,
-          |    CASE WHEN drop > 0
-          |      THEN drop * drop * (CASE WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END)
-          |      ELSE -1 END AS k,
-          |    CASE WHEN dx = 1 AND dy = 0 THEN 1 WHEN dx = 1 AND dy = 1 THEN 2
-          |      WHEN dx = 0 AND dy = 1 THEN 4 WHEN dx = -1 AND dy = 1 THEN 8
-          |      WHEN dx = -1 AND dy = 0 THEN 16 WHEN dx = -1 AND dy = -1 THEN 32
-          |      WHEN dx = 0 AND dy = -1 THEN 64 ELSE 128 END AS code,
-          |    count(*) OVER (PARTITION BY px, py) AS nn
-          |  FROM g),
-          |r AS (SELECT px, py, k, code, nn,
-          |    row_number() OVER (PARTITION BY px, py ORDER BY k DESC, code ASC) AS rn
-          |  FROM scored)
-          |SELECT px, py,
-          |  round(CASE WHEN k > 0 THEN code ELSE 0 END + 5e-7, 4) AS flow_dir
-          |FROM r WHERE rn = 1 AND nn = 8 ORDER BY px, py""".stripMargin,
+      "r13_flow_dir" -> r13FlowSql,
 
       // per-community Newman modularity from g7's labeling: the common
       // denominator 4m² clears both terms; sign-safe magnitude // division
@@ -5592,6 +5696,95 @@ object SparkEntry {
            |c AS (SELECT pair, count(*) AS n FROM adj GROUP BY 1),
            |r AS (SELECT pair, n,
            |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank FROM c)
-           |SELECT rank, pair, n FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin)
+           |SELECT rank, pair, n FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+      // true ancestor closure over the D8 out-edges (recursive CTE on the
+      // functional graph — each vertex has one out-edge, paths are unique)
+      "r14_flow_accum" ->
+        s"""WITH RECURSIVE fdir AS ($r13FlowSql),
+           |edges AS (SELECT
+           |    py * 100 + px AS src,
+           |    (py + CASE WHEN flow_dir IN (2, 4, 8) THEN 1
+           |               WHEN flow_dir IN (32, 64, 128) THEN -1 ELSE 0 END) * 100
+           |    + (px + CASE WHEN flow_dir IN (1, 2, 128) THEN 1
+           |                 WHEN flow_dir IN (8, 16, 32) THEN -1 ELSE 0 END) AS dst
+           |  FROM fdir WHERE flow_dir > 0),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+           |paths(u, v) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT p.u, e.dst FROM paths p JOIN edges e ON e.src = p.v),
+           |anc AS (SELECT v AS id, count(*) AS acc FROM paths GROUP BY v)
+           |SELECT CAST(id % 100 AS BIGINT) AS px, CAST(id // 100 AS BIGINT) AS py,
+           |  CAST(coalesce(anc.acc, 0) AS BIGINT) AS acc
+           |FROM nodes LEFT JOIN anc USING (id) ORDER BY px, py""".stripMargin,
+
+      // per-window frequency argmax: count per value, ties to the
+      // smallest value, full windows only
+      "r15_majority" ->
+        """WITH grid AS (
+          |  SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, max(l_quantity) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |nb AS (
+          |  SELECT a.px, a.py, b.v
+          |  FROM grid a JOIN grid b
+          |    ON b.px BETWEEN a.px - 1 AND a.px + 1 AND b.py BETWEEN a.py - 1 AND a.py + 1),
+          |cnt AS (SELECT px, py, v, count(*) AS c FROM nb GROUP BY 1, 2, 3),
+          |tot AS (SELECT px, py, sum(c) AS n FROM cnt GROUP BY 1, 2),
+          |r AS (SELECT px, py, v,
+          |    row_number() OVER (PARTITION BY px, py ORDER BY c DESC, v ASC) AS rn
+          |  FROM cnt)
+          |SELECT r.px, r.py, round(v + 5e-7, 4) AS majority
+          |FROM r JOIN tot USING (px, py) WHERE rn = 1 AND n = 9
+          |ORDER BY px, py""".stripMargin,
+
+      // sign-bit codes packed as two positive 32-bit halves; Hamming =
+      // popcount(xor) per half — all integer
+      "e17_hamming_recall" -> {
+        def halfSql(lo: Int): String = (0 until 32).map { j =>
+          s"CASE WHEN v[${lo + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (SELECT vec_id, CAST(${halfSql(0)} AS BIGINT) AS c0,
+           |    CAST(${halfSql(32)} AS BIGINT) AS c1 FROM e),
+           |q AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1 FROM c
+           |  WHERE vec_id < 5),
+           |s2 AS (SELECT query_id, c.vec_id AS neighbor_id,
+           |    bit_count(xor(q0, c.c0)) + bit_count(xor(q1, c.c1)) AS ham
+           |  FROM q, c WHERE query_id != c.vec_id),
+           |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+           |    PARTITION BY query_id ORDER BY ham ASC, neighbor_id ASC)
+           |    AS INT) AS rank FROM s2),
+           |appr AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+           |truth AS (SELECT query_id, neighbor_id FROM ($e1KnnSql))
+           |SELECT t.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+           |    // count(*) AS BIGINT) AS recall_pct
+           |FROM truth t LEFT JOIN appr a
+           |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+      },
+
+      // U-shaped credits: 40/20/40 in exact integer micros, one
+      // rank/count window pair per conversion
+      "x28_position_attr" ->
+        """WITH conv AS (SELECT user_id, ts AS cts, event_id AS cid
+          |  FROM events WHERE event_type = 'purchase'),
+          |touch AS (SELECT user_id, ts, event_id, event_type
+          |  FROM events WHERE event_type IN ('view', 'click')),
+          |j AS (SELECT t.event_type, t.ts, t.event_id, c.user_id, c.cid
+          |  FROM touch t JOIN conv c ON t.user_id = c.user_id
+          |  WHERE t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY),
+          |r AS (SELECT event_type,
+          |    row_number() OVER (PARTITION BY user_id, cid ORDER BY ts, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY user_id, cid) AS n
+          |  FROM j)
+          |SELECT event_type, count(*) AS n_touches,
+          |  CAST(sum(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+          |    WHEN rn = 1 OR rn = n THEN 400000
+          |    ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_micro
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

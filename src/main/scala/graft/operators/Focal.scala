@@ -215,6 +215,25 @@ object Focal {
     }
   }
 
+  /** Majority (focal mode) filter — the categorical-raster smoother
+    * (gdal_sieve's sliding-window sibling): each cell takes the most
+    * frequent value of its full 3×3 window, ties to the SMALLEST value
+    * (pinned, oracle-replayable; GDAL leaves tie order unspecified). The
+    * per-window frequency argmax is a plan-time-unrolled 9×9 equality
+    * fold + struct `greatest` — all inside whole-stage codegen, no
+    * map-typed state, no second pass. Full windows only (n = 9). */
+  def majorityFilter(blocks: DataFrame): DataFrame =
+    convolveWith(blocks, 1) { cells =>
+      val n = cells.map(_._2).reduce(_ + _)
+      val entries = cells.map { case (v, _, _, _) =>
+        val cnt = cells.map { case (u, _, _, _) =>
+          when(u === v, 1).otherwise(0) }.reduce(_ + _)
+        struct(cnt.cast("double").as("c"), (-v).as("nv"))
+      }
+      val best = greatest(entries: _*)
+      (when(n === 9, -best("nv")), n)
+    }
+
   /** Horn gradients (dz/dx, dz/dy) and the window validity count, shared by
     * the terrain kernels. weight(dx, dy): gx = dx·(2−|dy|),
     * gy = dy·(2−|dx|), both over 8·cellSize. */

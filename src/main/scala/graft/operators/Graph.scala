@@ -219,6 +219,41 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** Ancestor count over a FUNCTIONAL acyclic graph (each vertex has at
+    * most one out-edge, no cycles) — the flow-accumulation primitive: on a
+    * D8 flow-direction lattice ([[Focal.flowDirD8]] turned into cell →
+    * downhill-cell edges) the result is the number of upstream cells
+    * draining through each cell, i.e. `gdaldem`-adjacent flow
+    * accumulation / stream-network extraction.
+    *
+    * Synchronous relaxation: acc₀ = 0, acc_{t+1}(v) = Σ_{u→v} (1 +
+    * acc_t(u)). After k rounds acc holds the exact ancestor count over
+    * paths of ≤ k edges, so `iters` must cover the longest directed path
+    * (the grid diameter on a flow lattice; callers bound it
+    * structurally). All integers — replayable in any engine. Scale shape:
+    * one shuffle per round (the contribution aggregate keyed on dst) plus
+    * the vertex join-back; edges pinned once; localCheckpoint keeps the
+    * plan flat (the [[pagerank]] discipline). Output: (id, acc) for every
+    * vertex (sources hold 0). */
+  def ancestorCount(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "ancestorCount needs at least one round")
+    val e = graft.core.Caching.shared(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val nodes = graft.core.Caching.shared(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    var acc = nodes.select(col("id"), lit(0L).as("acc"))
+    for (_ <- 1 to iters) {
+      val up = e.join(acc.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("acc") + 1).as("__up"))
+      acc = nodes.join(up, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__up"), lit(0L)).as("acc"))
+        .localCheckpoint()
+    }
+    acc
+  }
+
   /** Newman modularity per community — the quality score that tells a
     * curation pipeline whether a labeling (from [[labelPropagation]] or
     * components) found real structure or noise: Q_c = e_c/m − (d_c/2m)²

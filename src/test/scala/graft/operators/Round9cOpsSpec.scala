@@ -167,6 +167,36 @@ class Round9cOpsSpec extends SparkSpec {
     assert(split(10L) == -250000L && split(20L) == -250000L)
   }
 
+  test("ancestor count: paths and in-trees accumulate exactly") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.ancestorCount(path, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // in-tree: {1,2} → 3 → 4: acc(3) = 2, acc(4) = 3
+    val tree = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val t = Graph.ancestorCount(tree, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 3L))
+    // under-iterated: counts are the ≤k-hop truncation, never overshoot
+    val short = Graph.ancestorCount(path, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("majority filter: plurality wins, ties go to the smallest value") {
+    // 3×2 patch of 5s on zeros: the patch center's window holds six 5s
+    val patch = cells(Focal.majorityFilter(grid((x, y) =>
+      if (x >= 1 && x <= 3 && y >= 1 && y <= 2) 5.0 else 0.0)))
+    assert(patch((2, 1)) == 5.0 && patch((2, 2)) == 5.0)
+    assert(patch((1, 1)) == 0.0, "patch corner sees five 0s vs four 5s")
+    // hand window with a 4–4 tie (four 0s, four 5s, one 7) → smallest (0)
+    val vals = Map((1, 0) -> 0.0, (2, 0) -> 0.0, (3, 0) -> 0.0, (1, 1) -> 0.0,
+      (2, 1) -> 5.0, (3, 1) -> 5.0, (1, 2) -> 5.0, (2, 2) -> 5.0, (3, 2) -> 7.0)
+    val tied = cells(Focal.majorityFilter(grid((x, y) =>
+      vals.getOrElse((x, y), 9.0))))
+    assert(tied((2, 1)) == 0.0, s"4-4 tie must break to the smaller value")
+  }
+
   test("skyline sweep equals brute-force dominance on a pseudo-random cloud") {
     val pts = (0 until 300)
       .map(i => (i.toLong, (i * 37 % 101).toDouble, i * 53 % 97))

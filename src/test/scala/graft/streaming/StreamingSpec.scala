@@ -90,8 +90,24 @@ class StreamingSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("st_sessions")
-    assert(got.agg(sum("n_events")).collect()(0).getLong(0) <= batch.count())
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
     assert(got.count() > 0)
+    // exact equivalence with the st5 batch twin: every EMITTED session
+    // matches a batch session row-for-row (append mode only finalizes a
+    // session once the watermark passes its end, so streamed ⊆ batch) …
+    val batchSessions = graft.SparkEntry.queries("st5_session_window")(spark, sf())
+    assert(got.exceptAll(batchSessions).isEmpty,
+      "streamed sessions must be a subset of the batch session windows")
+    // … and every batch session that closed before the final watermark
+    // (max ts − 1h delay) was emitted — nothing silently dropped
+    val horizon = batch.agg(max("ts")).collect()(0).getTimestamp(0).toInstant
+      .minusSeconds(3600)
+    val missing = batchSessions
+      .filter(col("s_end") < lit(java.sql.Timestamp.from(horizon)))
+      .exceptAll(got)
+    assert(missing.isEmpty,
+      "sessions closed before the final watermark must all be emitted")
   }
 
   test("StreamJob streaming dedup keeps one row per digest (d1's stream twin)") {
