@@ -215,7 +215,10 @@ object SparkEntry {
     "r14_flow_accum"      -> (Q.r14_flow_accum(_, _)),
     "r15_majority"        -> (Q.r15_majority(_, _)),
     "e17_hamming_recall"  -> (Q.e17_hamming_recall(_, _)),
-    "x28_position_attr"   -> (Q.x28_position_attr(_, _)))
+    "x28_position_attr"   -> (Q.x28_position_attr(_, _)),
+    "x29_dq_audit"        -> (Q.x29_dq_audit(_, _)),
+    "x30_cohens_kappa"    -> (Q.x30_cohens_kappa(_, _)),
+    "t32_feature_hash"    -> (Q.t32_feature_hash(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -2840,6 +2843,80 @@ object SparkEntry {
         .orderBy("query_id")
     }
 
+    /** Data-quality constraint audit — the dbt-tests/Deequ shape: every
+      * constraint is ONE conditional aggregate (referential checks as a
+      * left join + null flag, never a second counting pass; uniqueness as
+      * count − countDistinct in the same fold), unioned into the report a
+      * pipeline publishes before training data ships. All counts exact
+      * integers; a clean TPC-H derivative proves zeros, the date/range
+      * rules catch real rows. */
+    def x29_dq_audit(s: SparkSession, d: String): DataFrame = {
+      val liDf = li(s, d)
+      val ord = Tables.orders(s, d)
+      def report(name: String, viol: Column, checked: Column, src: DataFrame) =
+        src.agg(viol.as("n_violations"), checked.as("n_checked"))
+          .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+      val orphanLi = report("lineitem.orphan_orderkey",
+        sum(when(col("__ok").isNull, 1L).otherwise(0L)), count(lit(1)),
+        liDf.join(ord.select(col("o_orderkey").as("l_orderkey"))
+          .distinct().withColumn("__ok", lit(1)), Seq("l_orderkey"), "left"))
+      val orphanOrd = report("orders.orphan_custkey",
+        sum(when(col("__ok").isNull, 1L).otherwise(0L)), count(lit(1)),
+        ord.join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"))
+          .distinct().withColumn("__ok", lit(1)), Seq("o_custkey"), "left"))
+      val dupPk = report("lineitem.dup_pk",
+        count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")),
+        count(lit(1)), liDf)
+      val nullQty = report("lineitem.null_quantity",
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)), count(lit(1)), liDf)
+      val badDisc = report("lineitem.bad_discount",
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)), count(lit(1)), liDf)
+      val negPrice = report("part.negative_price",
+        sum(when(col("p_retailprice") <= 0, 1L).otherwise(0L)), count(lit(1)),
+        Tables.part(s, d))
+      val lateDate = report("orders.date_after_1997",
+        sum(when(col("o_orderdate") >= lit("1998-01-01"), 1L).otherwise(0L)),
+        count(lit(1)), ord)
+      Seq(orphanLi, orphanOrd, dupPk, nullQty, badDisc, negPrice, lateDate)
+        .reduce(_.unionAll(_))
+        .orderBy("check_name")
+    }
+
+    /** Cohen's kappa between the gold `lang` column and the t2 language-
+      * id prediction — the label-agreement score a curation pipeline
+      * publishes when a model re-annotates training data. Exact integer
+      * form over the common denominator: kappa = (N·agree − Σ n1ₖn2ₖ) /
+      * (N² − Σ n1ₖn2ₖ), micro-quantized with sign-safe magnitude
+      * division. Marginals are two tiny per-class aggregates joined on
+      * the class key; the observed-agreement fold is one conditional
+      * aggregate over the rated relation. */
+    def x30_cohens_kappa(s: SparkSession, d: String): DataFrame = {
+      val rated = graft.core.Caching.shared(Tables.documents(s, d)
+        .select(col("lang").as("gold"), TextOps.langId(col("text")).as("pred")))
+      val n1 = rated.groupBy(col("gold").as("k")).agg(count(lit(1)).as("c1"))
+      val n2 = rated.groupBy(col("pred").as("k")).agg(count(lit(1)).as("c2"))
+      val pe = n1.join(n2, Seq("k"))
+        .agg(coalesce(sum(col("c1") * col("c2")), lit(0L)).as("pe_num"))
+      rated
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("gold") === col("pred"), 1L).otherwise(0L)).as("n_agree"))
+        .crossJoin(broadcast(pe))
+        .withColumn("__num", col("n") * col("n_agree") - col("pe_num"))
+        .withColumn("__den", col("n") * col("n") - col("pe_num"))
+        .select(col("n"), col("n_agree"),
+          when(col("__den") === 0, lit(1000000L))
+            .when(col("__num") >= 0, expr("__num * 1000000 div __den"))
+            .otherwise(-expr("(-__num) * 1000000 div __den"))
+            .as("kappa_micro"))
+    }
+
+    /** Hashing-trick featurization into 64 slots — see
+      * [[graft.operators.TextOps.featureHash]]. */
+    def t32_feature_hash(s: SparkSession, d: String): DataFrame =
+      TextOps.featureHash(Tables.documents(s, d), dim = 64)
+        .orderBy("doc_id", "idx")
+
     /** Position-based (U-shaped) multi-touch attribution — the marketing
       * sibling of x18's first-touch: every view/click in the 7 days
       * before a purchase shares that conversion's credit 40/20/40 (first
@@ -3088,6 +3165,26 @@ object SparkEntry {
           |SELECT px, py,
           |  round(CASE WHEN k > 0 THEN code ELSE 0 END + 5e-7, 4) AS flow_dir
           |FROM r WHERE rn = 1 AND nn = 8 ORDER BY px, py""".stripMargin
+
+    // stopword-argmax language id shared by t2 itself and x30's kappa
+    private val t2LangSql: String = {
+        // argmax over (score, lang) with ties to the lexicographically LAST
+        // lang — matching Spark's greatest() over (score, lang) structs.
+        val langs = TextOps.stopwords.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (lang, words) =>
+          val pat = words.mkString("\\b(", "|", ")\\b")
+          s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
+        }.mkString(", ")
+        val mx = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pick = langs.reverse.dropRight(1)
+          .map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }
+          .mkString(" ")
+        s"""WITH m AS (SELECT doc_id, $scoreCols FROM documents),
+           |g AS (SELECT *, $mx AS mx FROM m)
+           |SELECT doc_id,
+           | CASE WHEN mx > 0 THEN (CASE $pick ELSE '${langs.head._1}' END) ELSE 'und' END AS lang_pred
+           |FROM g ORDER BY doc_id""".stripMargin
+      }
 
     private val e1KnnSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -3856,24 +3953,7 @@ object SparkEntry {
           |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars, md5(norm) AS norm_md5
           |FROM n ORDER BY doc_id""".stripMargin,
 
-      "t2_lang_id" -> {
-        // argmax over (score, lang) with ties to the lexicographically LAST
-        // lang — matching Spark's greatest() over (score, lang) structs.
-        val langs = TextOps.stopwords.toSeq.sortBy(_._1)
-        val scoreCols = langs.map { case (lang, words) =>
-          val pat = words.mkString("\\b(", "|", ")\\b")
-          s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
-        }.mkString(", ")
-        val mx = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-        val pick = langs.reverse.dropRight(1)
-          .map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }
-          .mkString(" ")
-        s"""WITH m AS (SELECT doc_id, $scoreCols FROM documents),
-           |g AS (SELECT *, $mx AS mx FROM m)
-           |SELECT doc_id,
-           | CASE WHEN mx > 0 THEN (CASE $pick ELSE '${langs.head._1}' END) ELSE 'und' END AS lang_pred
-           |FROM g ORDER BY doc_id""".stripMargin
-      },
+      "t2_lang_id" -> t2LangSql,
 
       "t8_top_terms" ->
         s"""WITH tok AS (SELECT lang, unnest($tokExpr) AS tok FROM documents),
@@ -5785,6 +5865,70 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
           |    WHEN rn = 1 OR rn = n THEN 400000
           |    ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_micro
-          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // each constraint is one conditional aggregate; referential checks
+      // via LEFT JOIN + null flag, uniqueness via count − count(distinct)
+      "x29_dq_audit" ->
+        """SELECT * FROM (
+          |SELECT 'lineitem.orphan_orderkey' AS check_name,
+          |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+          |  count(*) AS n_checked
+          |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          |  ON l.l_orderkey = o.o_orderkey
+          |UNION ALL
+          |SELECT 'orders.orphan_custkey',
+          |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(*)
+          |FROM orders od LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          |  ON od.o_custkey = c.c_custkey
+          |UNION ALL
+          |SELECT 'lineitem.dup_pk',
+          |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+          |  count(*) FROM lineitem
+          |UNION ALL
+          |SELECT 'lineitem.null_quantity',
+          |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(*) FROM lineitem
+          |UNION ALL
+          |SELECT 'lineitem.bad_discount',
+          |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(*) FROM lineitem
+          |UNION ALL
+          |SELECT 'part.negative_price',
+          |  CAST(sum(CASE WHEN p_retailprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(*) FROM part
+          |UNION ALL
+          |SELECT 'orders.date_after_1997',
+          |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(*) FROM orders
+          |) ORDER BY check_name""".stripMargin,
+
+      // exact-integer kappa over the common denominator; sign-safe //
+      "x30_cohens_kappa" ->
+        s"""WITH pred AS (SELECT doc_id, lang_pred FROM ($t2LangSql)),
+           |rated AS (SELECT d.lang AS gold, p.lang_pred AS pred
+           |  FROM documents d JOIN pred p USING (doc_id)),
+           |n1 AS (SELECT gold AS k, count(*) AS c1 FROM rated GROUP BY 1),
+           |n2 AS (SELECT pred AS k, count(*) AS c2 FROM rated GROUP BY 1),
+           |pe AS (SELECT CAST(coalesce(sum(c1 * c2), 0) AS BIGINT) AS pe_num
+           |  FROM n1 JOIN n2 USING (k)),
+           |a AS (SELECT count(*) AS n,
+           |  CAST(sum(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           |  FROM rated)
+           |SELECT n, n_agree,
+           |  CAST(CASE WHEN n * n - pe_num = 0 THEN 1000000
+           |    WHEN n * n_agree - pe_num >= 0
+           |      THEN (n * n_agree - pe_num) * 1000000 // (n * n - pe_num)
+           |    ELSE -((pe_num - n * n_agree) * 1000000 // (n * n - pe_num))
+           |  END AS BIGINT) AS kappa_micro
+           |FROM a, pe""".stripMargin,
+
+      // portable 32-bit token hash mod 64 slots; counts fold collisions
+      "t32_feature_hash" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($tokExpr) AS tok FROM documents)
+           |SELECT doc_id, ${PortableHash.hash32Sql("tok")} % 64 AS idx,
+           |  count(*) AS cnt
+           |FROM tok GROUP BY 1, 2 ORDER BY doc_id, idx""".stripMargin)
   }
 }

@@ -777,4 +777,24 @@ object TextOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_micro2").desc, col("doc_id").asc)).cast("int"))
   }
+
+  /** Hashing-trick vectorizer (feature hashing): tokens bucket into a
+    * fixed `dim`-slot index space via the portable 32-bit hash — the
+    * vocabulary-free featurization that needs NO fitted dictionary, no
+    * vocabulary shuffle, and no driver state, which is why it is the
+    * text-to-features shape that survives 100 TB (a fitted CountVectorizer
+    * is a vocabulary-sized broadcast that grows with the corpus; this is
+    * O(dim) forever). Output is the sparse triplet form (doc_id, idx,
+    * cnt) — one map-side-combined aggregate; collisions fold counts
+    * (the standard hashing-trick tradeoff, dialed by `dim`). */
+  def featureHash(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    docs
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.PortableHash.hash32(col("tok")) % dim).as("idx"))
+      .groupBy("doc_id", "idx")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -197,6 +197,20 @@ class Round9cOpsSpec extends SparkSpec {
     assert(tied((2, 1)) == 0.0, s"4-4 tie must break to the smaller value")
   }
 
+  test("feature hashing: counts fold per slot, index space bounded, no dictionary") {
+    val docs = Seq((1L, "alpha beta alpha alpha"), (2L, "beta"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.featureHash(docs, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keys.forall { case (_, idx) => idx >= 0 && idx < 64 })
+    // 'alpha' folds to ONE slot with count 3; same token → same slot across docs
+    val alphaSlot = got.collect { case ((1L, idx), 3L) => idx }
+    assert(alphaSlot.size == 1)
+    val betaSlots = got.collect { case ((d, idx), 1L) if d != 3L => (d, idx) }.toSeq
+    assert(betaSlots.map(_._2).distinct.size == 1, "beta must hash identically in both docs")
+    assert(!got.keys.exists(_._1 == 3L), "empty doc yields no triplets")
+  }
+
   test("skyline sweep equals brute-force dominance on a pseudo-random cloud") {
     val pts = (0 until 300)
       .map(i => (i.toLong, (i * 37 % 101).toDouble, i * 53 % 97))
