@@ -2851,35 +2851,47 @@ object SparkEntry {
       * integers; a clean TPC-H derivative proves zeros, the date/range
       * rules catch real rows. */
     def x29_dq_audit(s: SparkSession, d: String): DataFrame = {
-      val liDf = li(s, d)
-      val ord = Tables.orders(s, d)
-      def report(name: String, viol: Column, checked: Column, src: DataFrame) =
-        src.agg(viol.as("n_violations"), checked.as("n_checked"))
-          .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
-      val orphanLi = report("lineitem.orphan_orderkey",
-        sum(when(col("__ok").isNull, 1L).otherwise(0L)), count(lit(1)),
-        liDf.join(ord.select(col("o_orderkey").as("l_orderkey"))
-          .distinct().withColumn("__ok", lit(1)), Seq("l_orderkey"), "left"))
-      val orphanOrd = report("orders.orphan_custkey",
-        sum(when(col("__ok").isNull, 1L).otherwise(0L)), count(lit(1)),
-        ord.join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"))
-          .distinct().withColumn("__ok", lit(1)), Seq("o_custkey"), "left"))
-      val dupPk = report("lineitem.dup_pk",
-        count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")),
-        count(lit(1)), liDf)
-      val nullQty = report("lineitem.null_quantity",
-        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)), count(lit(1)), liDf)
-      val badDisc = report("lineitem.bad_discount",
-        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
-          .otherwise(0L)), count(lit(1)), liDf)
-      val negPrice = report("part.negative_price",
-        sum(when(col("p_retailprice") <= 0, 1L).otherwise(0L)), count(lit(1)),
-        Tables.part(s, d))
-      val lateDate = report("orders.date_after_1997",
-        sum(when(col("o_orderdate") >= lit("1998-01-01"), 1L).otherwise(0L)),
-        count(lit(1)), ord)
-      Seq(orphanLi, orphanOrd, dupPk, nullQty, badDisc, negPrice, lateDate)
-        .reduce(_.unionAll(_))
+      // all of a fact table's constraints fold in ONE pass (a 100 TB audit
+      // cannot afford a scan per rule): lineitem's four rules share one
+      // aggregate over the dim-key left join, orders' two likewise; the
+      // per-rule rows explode out of the single-row fold afterwards
+      def rows(folded: DataFrame, rules: (String, String)*): DataFrame =
+        folded.select(explode(array(rules.map { case (name, vcol) =>
+            struct(lit(name).as("check_name"),
+              col(vcol).as("n_violations"), col("n").as("n_checked"))
+          }: _*)).as("r"))
+          .select("r.*")
+      val liFold = li(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"))
+          .distinct().withColumn("__ok", lit(1)), Seq("l_orderkey"), "left")
+        .agg(
+          sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("v_orphan"),
+          (count(lit(1)) -
+            countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_dup"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v_null"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("v_disc"),
+          count(lit(1)).as("n"))
+      val ordFold = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"))
+          .distinct().withColumn("__ok", lit(1)), Seq("o_custkey"), "left")
+        .agg(
+          sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("v_orphan"),
+          sum(when(col("o_orderdate") >= lit("1998-01-01"), 1L).otherwise(0L))
+            .as("v_date"),
+          count(lit(1)).as("n"))
+      val partFold = Tables.part(s, d).agg(
+        sum(when(col("p_retailprice") <= 0, 1L).otherwise(0L)).as("v_neg"),
+        count(lit(1)).as("n"))
+      rows(liFold,
+          "lineitem.orphan_orderkey" -> "v_orphan",
+          "lineitem.dup_pk" -> "v_dup",
+          "lineitem.null_quantity" -> "v_null",
+          "lineitem.bad_discount" -> "v_disc")
+        .unionAll(rows(ordFold,
+          "orders.orphan_custkey" -> "v_orphan",
+          "orders.date_after_1997" -> "v_date"))
+        .unionAll(rows(partFold, "part.negative_price" -> "v_neg"))
         .orderBy("check_name")
     }
 

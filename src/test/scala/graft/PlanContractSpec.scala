@@ -126,4 +126,47 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1500))
     assert(p.split("hashpartitioning").length - 1 <= 1, p.take(2000))
   }
+
+  test("x26: bitmap overlap pins the mask relation and joins word-keyed") {
+    val p = plan("x26_bitmap_overlap")
+    // all four consumers (two join legs, two cardinality lookups) read
+    // the pinned mask relation — the string shows each cached read as an
+    // InMemoryTableScan (whose printed child subsumes the one real scan)
+    assert(p.split("InMemoryTableScan").length - 1 >= 4,
+      s"all consumers must read the cache: ${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("x25: skyline never plans the O(n²) dominance self-join") {
+    val p = plan("x25_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(1500))
+    // the frontier broadcasts into the join-back; the fact table never
+    // shuffles for the dominance test
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("x27: sequence patterns are one user-keyed aggregate — no joins") {
+    val p = plan("x27_event_pattern")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(1500))
+  }
+
+  test("r12/r13/r15: struct-kernel focal passes stay UDF-free and join-free") {
+    Seq("r12_terrain_idx", "r13_flow_dir", "r15_majority").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q must stay in codegen: ${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("x29: every audit constraint is one conditional aggregate, no nested loop") {
+    val p = plan("x29_dq_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
+  }
 }
