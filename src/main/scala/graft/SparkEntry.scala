@@ -218,7 +218,8 @@ object SparkEntry {
     "x28_position_attr"   -> (Q.x28_position_attr(_, _)),
     "x29_dq_audit"        -> (Q.x29_dq_audit(_, _)),
     "x30_cohens_kappa"    -> (Q.x30_cohens_kappa(_, _)),
-    "t32_feature_hash"    -> (Q.t32_feature_hash(_, _)))
+    "t32_feature_hash"    -> (Q.t32_feature_hash(_, _)),
+    "x31_scd2_lookup"     -> (Q.x31_scd2_lookup(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -2843,6 +2844,35 @@ object SparkEntry {
         .orderBy("query_id")
     }
 
+    /** SCD2 point-in-time lookup — the QUERY half of the x15 dimension
+      * build, and the join pattern every feature-store / training-data
+      * backfill runs ("the customer's status AS OF the ship date"):
+      * facts as-of join the versioned dimension on (key, valid_from ≤
+      * fact time). Runs through [[graft.operators.AsOfJoin]]'s union-scan
+      * (ONE shuffle on the key, no inequality join, no per-fact version
+      * scan) while the oracle uses DuckDB's native ASOF JOIN — two
+      * engines, two algorithms, one result. Facts predating their key's
+      * first version surface as 'NONE' (the left-join semantics a
+      * backfill must preserve, never silently dropped). */
+    def x31_scd2_lookup(s: SparkSession, d: String): DataFrame = {
+      val dim = graft.operators.Merge.scd2(
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("custkey"), col("o_orderdate").as("d"))
+          .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status")),
+        "custkey", "d", Seq("status"))
+      val facts = li(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey").as("custkey")), "l_orderkey")
+        .select(col("custkey"), col("l_shipdate"))
+      graft.operators.AsOfJoin.asof(facts,
+          dim.select(col("custkey"), col("valid_from"), col("status")),
+          "custkey", "custkey", "l_shipdate", "valid_from",
+          Seq("valid_from", "status"))
+        .groupBy(coalesce(col("status"), lit("NONE")).as("status_at_ship"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status_at_ship")
+    }
+
     /** Data-quality constraint audit — the dbt-tests/Deequ shape: every
       * constraint is ONE conditional aggregate (referential checks as a
       * left join + null flag, never a second counting pass; uniqueness as
@@ -3197,6 +3227,24 @@ object SparkEntry {
            | CASE WHEN mx > 0 THEN (CASE $pick ELSE '${langs.head._1}' END) ELSE 'und' END AS lang_pred
            |FROM g ORDER BY doc_id""".stripMargin
       }
+
+    // SCD2 dimension build shared by x15 itself and x31's PIT lookup
+    private val x15Scd2Sql: String =
+      """WITH snap AS (
+          |  SELECT o_custkey AS custkey, o_orderdate AS d,
+          |         arg_max(o_orderstatus, o_orderkey) AS status
+          |  FROM orders GROUP BY 1, 2),
+          |chg AS (
+          |  SELECT custkey, d, status,
+          |         lag(status) OVER (PARTITION BY custkey ORDER BY d) AS prev
+          |  FROM snap),
+          |ver AS (
+          |  SELECT custkey, status, d AS valid_from FROM chg
+          |  WHERE prev IS NULL OR status <> prev)
+          |SELECT custkey, status, valid_from,
+          |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to,
+          |  (lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) IS NULL) AS is_current
+          |FROM ver ORDER BY custkey, valid_from""".stripMargin
 
     private val e1KnnSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -5103,22 +5151,7 @@ object SparkEntry {
           |   OR o.n_chars IS DISTINCT FROM n.n_chars
           |ORDER BY doc_id""".stripMargin,
 
-      "x15_scd2" ->
-        """WITH snap AS (
-          |  SELECT o_custkey AS custkey, o_orderdate AS d,
-          |         arg_max(o_orderstatus, o_orderkey) AS status
-          |  FROM orders GROUP BY 1, 2),
-          |chg AS (
-          |  SELECT custkey, d, status,
-          |         lag(status) OVER (PARTITION BY custkey ORDER BY d) AS prev
-          |  FROM snap),
-          |ver AS (
-          |  SELECT custkey, status, d AS valid_from FROM chg
-          |  WHERE prev IS NULL OR status <> prev)
-          |SELECT custkey, status, valid_from,
-          |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to,
-          |  (lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) IS NULL) AS is_current
-          |FROM ver ORDER BY custkey, valid_from""".stripMargin,
+      "x15_scd2" -> x15Scd2Sql,
 
       "x16_grouping_sets" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS rf,
@@ -5935,6 +5968,18 @@ object SparkEntry {
            |    ELSE -((pe_num - n * n_agree) * 1000000 // (n * n - pe_num))
            |  END AS BIGINT) AS kappa_micro
            |FROM a, pe""".stripMargin,
+
+      // DuckDB's native ASOF JOIN vs the Spark side's union-scan — two
+      // algorithms, one point-in-time result; pre-version facts → 'NONE'
+      "x31_scd2_lookup" ->
+        s"""WITH dim AS (SELECT custkey, status, valid_from FROM ($x15Scd2Sql)),
+           |facts AS (SELECT o.o_custkey AS custkey, l.l_shipdate
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |pit AS (SELECT coalesce(d.status, 'NONE') AS status_at_ship
+           |  FROM facts f ASOF LEFT JOIN dim d
+           |    ON f.custkey = d.custkey AND d.valid_from <= f.l_shipdate)
+           |SELECT status_at_ship, count(*) AS n FROM pit
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // portable 32-bit token hash mod 64 slots; counts fold collisions
       "t32_feature_hash" ->
