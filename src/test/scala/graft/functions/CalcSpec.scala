@@ -84,4 +84,18 @@ class CalcSpec extends SparkSpec {
     assert(one("A * 1e2", 3.0) == 300.0)
     assert(one("A + 0.5", 3.0) == 3.5)
   }
+
+  test("graft_calc SQL surface: literal calc compiles, bands bind positionally") {
+    graft.core.GraftExtensions.registerCalc(spark)
+    val r = spark.sql(
+      "SELECT graft_calc('(A + B) * (C + 2)', CAST(3 AS DOUBLE), " +
+        "CAST(1 AS DOUBLE), CAST(0.5 AS DOUBLE)) AS v").collect()
+    assert(r(0).getDouble(0) == 10.0)
+    // the calc string is compiled at PLAN time — a non-literal must fail
+    // loudly at analysis, never fall back to a runtime interpreter
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_calc(concat('A', '+1'), 1.0)").collect())
+    assert(e.getMessage.contains("literal calc string"),
+      s"unexpected: ${e.getMessage.take(200)}")
+  }
 }
