@@ -219,7 +219,12 @@ object SparkEntry {
     "x29_dq_audit"        -> (Q.x29_dq_audit(_, _)),
     "x30_cohens_kappa"    -> (Q.x30_cohens_kappa(_, _)),
     "t32_feature_hash"    -> (Q.t32_feature_hash(_, _)),
-    "x31_scd2_lookup"     -> (Q.x31_scd2_lookup(_, _)))
+    "x31_scd2_lookup"     -> (Q.x31_scd2_lookup(_, _)),
+    "d17_prefix_filter"   -> (Q.d17_prefix_filter(_, _)),
+    "e18_ndcg"            -> (Q.e18_ndcg(_, _)),
+    "x32_macro_f1"        -> (Q.x32_macro_f1(_, _)),
+    "x33_iqr_outliers"    -> (Q.x33_iqr_outliers(_, _)),
+    "m6_ahash"            -> (Q.m6_ahash(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1138,6 +1143,18 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }
 
+    /** EXACT all-pairs similarity join via prefix filtering (AllPairs /
+      * PPJoin) at Jaccard ≥ 0.5 — the zero-false-negative sibling of the
+      * LSH path: candidates meet in a rarest-token prefix inverted index
+      * instead of minhash buckets, so the result is the complete ≥ 0.5
+      * pair set, deterministically. See
+      * [[graft.operators.Dedup.prefixFilterJoin]]. */
+    def d17_prefix_filter(s: SparkSession, d: String): DataFrame =
+      Dedup.prefixFilterJoin(Tables.documents(s, d), minJaccard = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .select("doc1", "doc2", "inter", "jaccard")
+        .orderBy("doc1", "doc2")
+
     /** SimHash Hamming-ball near-dup pairs (pigeonhole band join + exact
       * bit_count verify; signatures persisted across the three consumers).
       * Two 8-bit bands / Hamming ≤ 1: wide enough band keys that buckets
@@ -1473,6 +1490,16 @@ object SparkEntry {
         outW = 8, outH = 8)
         .orderBy("asset_id")
 
+    /** Perceptual average-hash (aHash) fingerprints over the real-decode
+      * PNG corpus — the visual near-dup key of an image dedup pipeline;
+      * the oracle replays decode + resize + mean-threshold bits from the
+      * generating formula in pure SQL while Spark decodes real bytes. See
+      * [[graft.operators.Multimodal.averageHash]]. */
+    def m6_ahash(s: SparkSession, d: String): DataFrame =
+      Multimodal.averageHash(
+        Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"), size = 8)
+        .orderBy("asset_id")
+
     /** ANN evaluation — recall@5 of the LSH index (e2) against exhaustive
       * ground truth (e1), per query. The metrology operator every ANN
       * deployment runs on a sampled query set before trusting the index;
@@ -1488,6 +1515,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("k"),
           coalesce(sum("__hit"), lit(0L)).as("n_hits"))
         .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    /** Rank-aware ANN evaluation — NDCG@5 of the LSH ranker against e1's
+      * exhaustive ground truth, the position-weighted sibling of e11's
+      * recall (a hit at rank 1 is worth more than a hit at rank 5).
+      * Binary relevance (in the true top-5 or not); per-position discount
+      * floor(10⁶·ln2/ln(i+1)+0.5) micro-quantized BEFORE summing (the
+      * bm25/surprisal float discipline — both engines fold exact
+      * integers); IDCG puts all hits first, computed per query from
+      * n_hits alone by an in-row sequence fold (no second ranker pass).
+      * Ground truth is queries×k rows, so both probes broadcast. */
+    def e18_ndcg(s: SparkSession, d: String): DataFrame = {
+      val ln2 = log(lit(2.0))
+      def disc(i: Column) =
+        floor(lit(1e6) * ln2 / log(i.cast("double") + 1) + 0.5).cast("long")
+      // pinned: the truth relation feeds the hit probe AND the query list
+      val truth = graft.core.Caching.shared(
+        e1_knn_brute(s, d).select(col("query_id"), col("neighbor_id")))
+      val scored = e2_knn_lsh(s, d)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(broadcast(truth.withColumn("__hit", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("__hit").isNotNull, disc(col("rank"))).otherwise(0L))
+            .as("dcg_micro"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      truth.select("query_id").distinct()
+        .join(broadcast(scored), Seq("query_id"), "left")
+        .na.fill(0L, Seq("dcg_micro", "n_hits"))
+        .withColumn("idcg_micro",
+          when(col("n_hits") === 0, lit(0L)).otherwise(
+            aggregate(sequence(lit(1L), col("n_hits")), lit(0L),
+              (acc, i) => acc + disc(i))))
+        .withColumn("ndcg_micro",
+          when(col("idcg_micro") === 0, lit(0L))
+            .otherwise(expr("dcg_micro * 1000000 div idcg_micro")))
         .orderBy("query_id")
     }
 
@@ -2951,6 +3016,70 @@ object SparkEntry {
             .when(col("__num") >= 0, expr("__num * 1000000 div __den"))
             .otherwise(-expr("(-__num) * 1000000 div __den"))
             .as("kappa_micro"))
+    }
+
+    /** Per-class precision/recall/F1 of the t2 language-id against gold —
+      * the class-resolved sibling of x30's single-number kappa (macro-F1
+      * is the mean of the f1_micro column). ONE pass: the (gold, pred)
+      * confusion census is the only corpus-sized aggregate; per-class
+      * marginals and the diagonal all derive from those ≤|classes|² rows.
+      * F1 never divides twice: f1 = 2·tp/(n_gold + n_pred) exactly, so
+      * all three metrics are single integer divisions (micro units). */
+    def x32_macro_f1(s: SparkSession, d: String): DataFrame = {
+      val census = graft.core.Caching.shared(
+        Tables.documents(s, d)
+          .select(col("lang").as("gold"), TextOps.langId(col("text")).as("pred"))
+          .groupBy("gold", "pred").agg(count(lit(1)).as("c")))
+      val goldTot = census.groupBy(col("gold").as("k")).agg(sum("c").as("n_gold"))
+      val predTot = census.groupBy(col("pred").as("k")).agg(sum("c").as("n_pred"))
+      val tp = census.filter(col("gold") === col("pred"))
+        .select(col("gold").as("k"), col("c").as("tp"))
+      goldTot.join(predTot, Seq("k"), "full")
+        .join(tp, Seq("k"), "left")
+        .na.fill(0L, Seq("n_gold", "n_pred", "tp"))
+        .select(col("k"), col("n_gold"), col("n_pred"), col("tp"),
+          when(col("n_pred") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div n_pred")).as("prec_micro"),
+          when(col("n_gold") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div n_gold")).as("rec_micro"),
+          when(col("n_gold") + col("n_pred") === 0, 0L)
+            .otherwise(expr("2 * tp * 1000000 div (n_gold + n_pred)")).as("f1_micro"))
+        .orderBy("k")
+    }
+
+    /** Robust outlier detection — Tukey IQR fences per group over exact
+      * cent-quantized revenue: quartiles as true order statistics (the
+      * value at rank ⌈p·n⌉ — percentile_disc semantics, deterministic
+      * regardless of tie order), fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR
+      * compared in DOUBLED integers (2x < 2·Q1 − 3·IQR) so the half-cent
+      * never floats. The quartile table is |groups| rows and broadcasts
+      * back into the scan — the fact table shuffles once for the ranking
+      * window and never again. The anomaly-filter gate every curation
+      * pipeline runs over numeric features. */
+    def x33_iqr_outliers(s: SparkSession, d: String): DataFrame = {
+      val v = li(s, d).select(col("l_returnflag").as("grp"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val w = Window.partitionBy("grp").orderBy("cents")
+      val ranked = v
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("grp")))
+      val quart = ranked
+        .groupBy("grp")
+        .agg(
+          min(when(col("__rn") * 4 >= col("__n"), col("cents"))).as("q1"),
+          min(when(col("__rn") * 4 >= col("__n") * 3, col("cents"))).as("q3"),
+          max("__n").as("n"))
+      v.join(broadcast(quart), "grp")
+        .withColumn("__out",
+          when(col("cents") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+               col("cents") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3, 1L)
+            .otherwise(0L))
+        .groupBy("grp")
+        .agg(max("q1").as("q1"), max("q3").as("q3"), max("n").as("n"),
+          sum("__out").as("n_outliers"),
+          min(when(col("__out") === 1, col("cents"))).as("min_outlier_cents"),
+          max(when(col("__out") === 1, col("cents"))).as("max_outlier_cents"))
+        .orderBy("grp")
     }
 
     /** Hashing-trick featurization into 64 slots — see
@@ -5986,6 +6115,124 @@ object SparkEntry {
         s"""WITH tok AS (SELECT doc_id, unnest($tokExpr) AS tok FROM documents)
            |SELECT doc_id, ${PortableHash.hash32Sql("tok")} % 64 AS idx,
            |  count(*) AS cnt
-           |FROM tok GROUP BY 1, 2 ORDER BY doc_id, idx""".stripMargin)
+           |FROM tok GROUP BY 1, 2 ORDER BY doc_id, idx""".stripMargin,
+
+      // AllPairs/PPJoin prefix-filter replay: df-ordered prefixes of
+      // length sz − ⌈t·sz⌉ + 1, token-meet candidates, exact Jaccard ≥ t
+      // by integer cross-multiplication — the complete pair set
+      "d17_prefix_filter" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+           |dfq AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+           |pref AS (SELECT doc_id, tok FROM (
+           |    SELECT t.doc_id, t.tok, s.sz,
+           |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+           |    FROM tok t JOIN dfq d USING (tok) JOIN sz s USING (doc_id))
+           |  WHERE rn <= sz - ((sz * 500000 + 999999) // 1000000) + 1),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+           |candf AS (SELECT c.doc1, c.doc2, s1.sz AS sz1, s2.sz AS sz2 FROM cand c
+           |  JOIN sz s1 ON s1.doc_id = c.doc1 JOIN sz s2 ON s2.doc_id = c.doc2
+           |  WHERE least(s1.sz, s2.sz) * 1000000 >= greatest(s1.sz, s2.sz) * 500000),
+           |i AS (SELECT c.doc1, c.doc2, c.sz1, c.sz2, count(*) AS inter
+           |  FROM candf c JOIN tok t1 ON t1.doc_id = c.doc1
+           |    JOIN tok t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+           |  round(inter * 1.0 / (sz1 + sz2 - inter), 4) AS jaccard
+           |FROM i WHERE inter * 1000000 >= (sz1 + sz2 - inter) * 500000
+           |ORDER BY doc1, doc2""".stripMargin,
+
+      // rank-aware ANN eval: micro-quantized ln-based discounts folded as
+      // exact integers; IDCG from n_hits alone via a correlated series
+      "e18_ndcg" ->
+        s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($e1KnnSql)),
+           |appr AS (SELECT query_id, neighbor_id, rank FROM ($e2KnnSql)),
+           |scored AS (SELECT a.query_id,
+           |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+           |      THEN CAST(floor(1e6 * ln(2) / ln(a.rank + 1) + 0.5) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS dcg_micro,
+           |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM appr a LEFT JOIN truth t
+           |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+           |  GROUP BY 1),
+           |f AS (SELECT q.query_id, coalesce(s.dcg_micro, 0) AS dcg_micro,
+           |    coalesce(s.n_hits, 0) AS n_hits
+           |  FROM (SELECT DISTINCT query_id FROM truth) q
+           |  LEFT JOIN scored s USING (query_id)),
+           |cum AS (SELECT a.i AS nh,
+           |    CAST(sum(CAST(floor(1e6 * ln(2) / ln(b.i + 1) + 0.5) AS BIGINT)) AS BIGINT) AS idcg
+           |  FROM generate_series(1, 5) a(i) JOIN generate_series(1, 5) b(i) ON b.i <= a.i
+           |  GROUP BY 1),
+           |w AS (SELECT query_id, dcg_micro, n_hits,
+           |    CASE WHEN n_hits = 0 THEN 0 ELSE cum.idcg END AS idcg_micro
+           |  FROM f LEFT JOIN cum ON cum.nh = f.n_hits)
+           |SELECT query_id, dcg_micro, n_hits, idcg_micro,
+           |  CAST(CASE WHEN idcg_micro = 0 THEN 0
+           |    ELSE dcg_micro * 1000000 // idcg_micro END AS BIGINT) AS ndcg_micro
+           |FROM w ORDER BY query_id""".stripMargin,
+
+      // per-class P/R/F1 from the one confusion census; f1 = 2tp/(g+p)
+      // exactly — every metric is a single integer division
+      "x32_macro_f1" ->
+        s"""WITH pred AS (SELECT doc_id, lang_pred FROM ($t2LangSql)),
+           |rated AS (SELECT d.lang AS gold, p.lang_pred AS pred
+           |  FROM documents d JOIN pred p USING (doc_id)),
+           |census AS (SELECT gold, pred, count(*) AS c FROM rated GROUP BY 1, 2),
+           |gt AS (SELECT gold AS k, CAST(sum(c) AS BIGINT) AS n_gold FROM census GROUP BY 1),
+           |pt AS (SELECT pred AS k, CAST(sum(c) AS BIGINT) AS n_pred FROM census GROUP BY 1),
+           |tp AS (SELECT gold AS k, CAST(c AS BIGINT) AS tp FROM census WHERE gold = pred),
+           |m AS (SELECT k, coalesce(n_gold, 0) AS n_gold, coalesce(n_pred, 0) AS n_pred,
+           |    coalesce(tp, 0) AS tp
+           |  FROM gt FULL JOIN pt USING (k) LEFT JOIN tp USING (k))
+           |SELECT k, n_gold, n_pred, tp,
+           |  CAST(CASE WHEN n_pred = 0 THEN 0 ELSE tp * 1000000 // n_pred END AS BIGINT) AS prec_micro,
+           |  CAST(CASE WHEN n_gold = 0 THEN 0 ELSE tp * 1000000 // n_gold END AS BIGINT) AS rec_micro,
+           |  CAST(CASE WHEN n_gold + n_pred = 0 THEN 0
+           |    ELSE 2 * tp * 1000000 // (n_gold + n_pred) END AS BIGINT) AS f1_micro
+           |FROM m ORDER BY k""".stripMargin,
+
+      // Tukey IQR fences on exact order-statistic quartiles (value at
+      // rank ⌈p·n⌉); fence compare in doubled integers — no half-cent
+      "x33_iqr_outliers" ->
+        """WITH v AS (SELECT l_returnflag AS grp,
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+          |r AS (SELECT grp, cents,
+          |    row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+          |    count(*) OVER (PARTITION BY grp) AS n FROM v),
+          |quart AS (SELECT grp,
+          |    min(CASE WHEN rn * 4 >= n THEN cents END) AS q1,
+          |    min(CASE WHEN rn * 4 >= n * 3 THEN cents END) AS q3,
+          |    max(n) AS n
+          |  FROM r GROUP BY 1),
+          |o AS (SELECT v.grp, v.cents, q.q1, q.q3, q.n,
+          |    CASE WHEN v.cents * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+          |           OR v.cents * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
+          |      THEN 1 ELSE 0 END AS outl
+          |  FROM v JOIN quart q USING (grp))
+          |SELECT grp, max(q1) AS q1, max(q3) AS q3, CAST(max(n) AS BIGINT) AS n,
+          |  CAST(sum(outl) AS BIGINT) AS n_outliers,
+          |  min(CASE WHEN outl = 1 THEN cents END) AS min_outlier_cents,
+          |  max(CASE WHEN outl = 1 THEN cents END) AS max_outlier_cents
+          |FROM o GROUP BY 1 ORDER BY grp""".stripMargin,
+
+      // aHash replay from the generating formula: nearest-floor resize to
+      // 8×8, mean threshold by integer cross-multiplication (64·v ≥ Σv),
+      // bits packed into two signed-safe 32-bit halves
+      "m6_ahash" ->
+        """WITH ids AS (SELECT doc_id AS asset_id, doc_id % 5 + 4 AS w,
+          |    doc_id % 3 + 4 AS h FROM documents),
+          |cells AS (SELECT asset_id, i.i AS i,
+          |    (7 * asset_id + 3 * (((i.i % 8) * w) // 8)
+          |      + 5 * (((i.i // 8) * h) // 8)) % 256 AS v
+          |  FROM ids CROSS JOIN generate_series(0, 63) i(i)),
+          |s AS (SELECT asset_id, sum(v) AS sumv FROM cells GROUP BY 1)
+          |SELECT c.asset_id,
+          |  CAST(sum(CASE WHEN c.i >= 32 AND c.v * 64 >= s.sumv
+          |    THEN (CAST(1 AS BIGINT) << (c.i - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+          |  CAST(sum(CASE WHEN c.i < 32 AND c.v * 64 >= s.sumv
+          |    THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS BIGINT) AS hash_lo
+          |FROM cells c JOIN s USING (asset_id)
+          |GROUP BY 1 ORDER BY asset_id""".stripMargin)
   }
 }

@@ -628,4 +628,58 @@ object Dedup {
         sum(when(col("__nd") > 1, col("n_tokens")).otherwise(0L))
           .as("n_dup_tokens"))
   }
+
+  /** EXACT all-pairs set-similarity join via prefix filtering (AllPairs /
+    * PPJoin family — Bayardo et al., WWW'07; Xiao et al., WWW'08): every
+    * pair with token-set Jaccard ≥ `minJaccard`, with NO false negatives —
+    * the deterministic sibling of the probabilistic LSH path (d3/d5).
+    *
+    * Principle: order each doc's distinct tokens by ascending global
+    * document frequency (rarest first, ties by token) and keep only the
+    * PREFIX of length |s| − ⌈t·|s|⌉ + 1. Two sets with Jaccard ≥ t must
+    * share at least one prefix token (pigeonhole on the ≥ ⌈t·|s|⌉ overlap
+    * a qualifying pair needs), so candidates are pairs meeting in the
+    * prefix inverted index — and because prefixes hold the RAREST tokens,
+    * posting lists stay short exactly where a naive token join explodes
+    * (stopwords land in the suffix and never generate a single pair).
+    * The size filter t·max(|a|,|b|) ≤ min(|a|,|b|) prunes before the
+    * distinct; the exact Jaccard verify ([[jaccard]]) keeps only true
+    * positives. The threshold compare is integer cross-multiplication
+    * (inter·10⁶ ≥ t_micro·union) — no float boundary at any scale.
+    *
+    * Scale shape: one token explode (pinned: df census + both index legs),
+    * one per-doc prefix window (doc-keyed — embarrassingly parallel), one
+    * token-keyed equi-join, then the LSH-candidate verify machinery. At
+    * 100 TB the prefix index is the stored artifact (like the LSH bucket
+    * store) and batches probe it incrementally; df skew is self-limiting
+    * (high-df tokens are exactly the ones prefixes exclude). */
+  def prefixFilterJoin(docs: DataFrame, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0, 1]")
+    val tMicro = math.round(minJaccard * 1e6)
+    // distinct-token relation: df census + prefix build read it; the exact
+    // verify builds its own pinned shingle relation inside `jaccard`
+    val toks = graft.core.Caching.shared(
+      docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok")))
+    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val szW = Window.partitionBy("doc_id")
+    val ordW = szW.orderBy(col("__df"), col("tok"))
+    // prefix length p = sz − ⌈t·sz⌉ + 1, all-integer ceiling
+    val prefix = graft.core.Caching.shared(
+      toks.join(dfTab, "tok")
+        .withColumn("__sz", count(lit(1)).over(szW))
+        .withColumn("__rn", row_number().over(ordW))
+        .filter(col("__rn") <=
+          col("__sz") - expr(s"(__sz * ${tMicro}L + 999999) div 1000000") + 1)
+        .select(col("doc_id"), col("tok"), col("__sz")))
+    val cands = prefix.select(col("doc_id").as("doc1"), col("tok"), col("__sz").as("__sz1"))
+      .join(prefix.select(col("doc_id").as("doc2"), col("tok"), col("__sz").as("__sz2")), "tok")
+      .filter(col("doc1") < col("doc2") &&
+        least(col("__sz1"), col("__sz2")) * 1000000L >=
+          greatest(col("__sz1"), col("__sz2")) * tMicro)
+      .select("doc1", "doc2")
+      .distinct()
+    jaccard(docs, cands)
+      .filter(col("inter") * 1000000L >= col("uni") * tMicro)
+  }
 }

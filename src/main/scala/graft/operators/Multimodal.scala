@@ -224,6 +224,56 @@ object Multimodal {
       }.toDF("asset_id", "out_w", "out_h", "sum_v", "wsum_v")
   }
 
+  /** Perceptual average-hash (aHash) over REAL decoded images — the
+    * near-dup fingerprint of an image dedup pipeline: decode
+    * ([[decodeGray]]), nearest-neighbor resize to `size`×`size` (the
+    * [[resizeNearestFeatures]] floor convention), then one bit per cell:
+    * 1 iff cell luminance ≥ the thumbnail mean. The mean compare is pure
+    * integer cross-multiplication (size²·v ≥ Σv — no float, no rounding
+    * boundary), so the hash is bit-reproducible and an oracle can replay
+    * it from a generating formula without any codec. The 64 bits split
+    * into two 32-bit halves (`hash_hi` bits 32–63, `hash_lo` bits 0–31)
+    * so they stay exact in signed 64-bit SQL integers on both engines.
+    * Identical-hash grouping (or a simhash-style band join on the halves,
+    * [[Dedup.simhashCandidates]]) then finds visual near-dups without a
+    * pairwise pass. One narrow mapPartitions; no shuffle. */
+  def averageHash(media: DataFrame, size: Int = 8): DataFrame = {
+    require(size > 0 && size * size <= 64, "aHash needs size² ≤ 64 bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeGray(payload).map { case (w, h, px) =>
+            val n = size * size
+            val cells = new Array[Long](n)
+            var sum = 0L
+            var y = 0
+            while (y < size) {
+              val sy = y * h / size
+              var x = 0
+              while (x < size) {
+                val v = px(sy * w + x * w / size).toLong
+                cells(y * size + x) = v
+                sum += v
+                x += 1
+              }
+              y += 1
+            }
+            var lo = 0L; var hi = 0L
+            var i = 0
+            while (i < n) {
+              if (cells(i) * n >= sum) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            (id, hi, lo)
+          }
+        }
+      }.toDF("asset_id", "hash_hi", "hash_lo")
+  }
+
   /** Deterministic frame sampling plan for video assets: every `everyMs`
     * milliseconds, computed from metadata only (no decode) — emits
     * (asset_id, frame_idx, ts_ms) rows for downstream decode. */

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch-8 operator semantics on crafted inputs: prefix-filter
+  * set-similarity join (completeness vs brute force — the algorithm's
+  * zero-false-negative guarantee) and perceptual average-hash (hand-computed
+  * rasters, mean-threshold boundary).
+  */
+class Round9dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over a lazy dog"),       // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+    (4L, "entirely different words about spark and catalyst"),
+    (5L, "words about spark and catalyst mostly different"), // overlaps 4
+    (6L, "the a of and to in is it")                          // stopwords only
+  ).toDF("doc_id", "text")
+
+  test("prefix filter: complete — every brute-force pair ≥ t is found") {
+    val t = 0.5
+    // brute force: all pairs, exact Jaccard, threshold by cross-multiply
+    val ids = corpus.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("doc1"))
+      .crossJoin(ids.select(col("doc_id").as("doc2")))
+      .filter(col("doc1") < col("doc2"))
+    val brute = Dedup.jaccard(corpus, allPairs)
+      .filter(col("inter") * 1000000L >= col("uni") * 500000L)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.prefixFilterJoin(corpus, t)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf == brute, s"prefix-filter $pf != brute $brute")
+    // and the fixture is non-trivial: it contains true pairs
+    assert(brute.contains((1L, 3L)) && brute.contains((1L, 2L)))
+    graft.core.Caching.release(spark)
+  }
+
+  test("prefix filter: no false positives below the threshold") {
+    val pairs = Dedup.prefixFilterJoin(corpus, 0.9)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the exact dup survives a 0.9 bar
+    assert(pairs == Set((1L, 3L)))
+    graft.core.Caching.release(spark)
+  }
+
+  test("ahash: hand-computed 2×2 raster, mean-threshold boundary") {
+    // pixels row-major [10, 20, 30, 40]: sum 100, n 4 → bit iff 4v ≥ 100,
+    // so cells 30 (i=2, since 30·4=120) and 40 (i=3) set, 20 (80<100) not
+    val media = Seq((7L, "image", "image/png",
+      Multimodal.encodeGrayPng(2, 2, Array[Byte](10, 20, 30, 40))))
+      .toDF("asset_id", "modality", "mime", "payload")
+    val r = Multimodal.averageHash(media, size = 2).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 0L)                   // hash_hi
+    assert(r(0).getLong(2) == (1L << 2 | 1L << 3))  // hash_lo = 12
+  }
+
+  test("ahash: uniform raster sets every bit (v·n ≥ Σv at equality)") {
+    val media = Seq((8L, "image", "image/png",
+      Multimodal.encodeGrayPng(4, 4, Array.fill[Byte](16)(77))))
+      .toDF("asset_id", "modality", "mime", "payload")
+    val r = Multimodal.averageHash(media, size = 8).collect()
+    assert(r(0).getLong(1) == 0xFFFFFFFFL && r(0).getLong(2) == 0xFFFFFFFFL)
+  }
+
+  test("ahash: identical images hash identically, different images differ") {
+    val docs = Seq(10L, 11L, 10L).zipWithIndex
+      .map { case (seed, i) => (i.toLong, seed) }.toDF("asset_id", "seed")
+    // build payloads from the seed so rows 0 and 2 carry the same image
+    val media = Multimodal.syntheticPngs(
+      docs.select(col("seed").as("doc_id")), "doc_id")
+    val hashes = Multimodal.averageHash(media, size = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashes(10L) != hashes(11L))
+  }
+}
