@@ -224,7 +224,10 @@ object SparkEntry {
     "e18_ndcg"            -> (Q.e18_ndcg(_, _)),
     "x32_macro_f1"        -> (Q.x32_macro_f1(_, _)),
     "x33_iqr_outliers"    -> (Q.x33_iqr_outliers(_, _)),
-    "m6_ahash"            -> (Q.m6_ahash(_, _)))
+    "m6_ahash"            -> (Q.m6_ahash(_, _)),
+    "g13_neigh_agg"       -> (Q.g13_neigh_agg(_, _)),
+    "e19_cluster_purity"  -> (Q.e19_cluster_purity(_, _)),
+    "x34_chi_square"      -> (Q.x34_chi_square(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1341,6 +1344,33 @@ object SparkEntry {
         .select(col("sub"), col("cid"), col("c"))
       Similarity.pqTrain(q, m = 4, dsub = 16, init = init, iters = 2)
         .orderBy("vec_id", "sub")
+    }
+
+    /** Cluster-quality evaluation — per-cluster purity of e12's exact
+      * k-means assignment against the embedding `label` column: the
+      * metrology a clustering deployment runs before trusting its
+      * partitions (and the unsupervised twin of x32's classifier eval).
+      * One (cid, label) census feeds sizes AND majority labels; ties on
+      * the majority count go to the smallest label via a struct-max
+      * (never a window sort); purity is a single integer division. */
+    def e19_cluster_purity(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"), Similarity.quantizeMicro(col("embedding")).as("qv"))
+      val init = q.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select((col("vec_id") / 37).cast("int").as("cid"), col("qv").as("c"))
+      val assigned = Similarity.kmeansExact(q, init, iters = 2).select("vec_id", "cid")
+      val census = graft.core.Caching.shared(
+        assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
+          .groupBy("cid", "label").agg(count(lit(1)).as("c")))
+      val top = census
+        .groupBy("cid")
+        .agg(max(struct(col("c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("cid"), col("__m.c").as("top_cnt"), (-col("__m.__nl")).as("top_label"))
+      census.groupBy("cid").agg(sum("c").as("n"))
+        .join(top, "cid")
+        .select(col("cid"), col("n"), col("top_label"), col("top_cnt"),
+          expr("top_cnt * 1000000 div n").as("purity_micro"))
+        .orderBy("cid")
     }
 
     /** Principal component of the embedding corpus — integer-exact power
@@ -3082,6 +3112,41 @@ object SparkEntry {
         .orderBy("grp")
     }
 
+    /** A/B experiment readout — 2×2 chi-square over per-user conversion
+      * (any purchase event) with deterministic portable-hash variant
+      * assignment, the analysis every experimentation pipeline runs.
+      * χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) entirely in integers; the
+      * micro-scaling splits the division (q·10⁶ + r·10⁶ div den) so no
+      * intermediate exceeds 2⁶³ at these user counts — a 100 TB
+      * deployment lifts the same expressions to DECIMAL(38). One
+      * user-keyed aggregate (conversion flag is a max fold, map-side
+      * combined) and a 4-cell fold — nothing else touches the stream. */
+    def x34_chi_square(s: SparkSession, d: String): DataFrame = {
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant",
+          PortableHash.hash32(col("user_id").cast("string")) % 2)
+      users.agg(
+          sum(when(col("variant") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("nonconv_a"),
+          sum(when(col("variant") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("conv_b"),
+          sum(when(col("variant") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("nonconv_b"))
+        .withColumn("n_users",
+          col("conv_a") + col("nonconv_a") + col("conv_b") + col("nonconv_b"))
+        .withColumn("__det",
+          col("conv_a") * col("nonconv_b") - col("nonconv_a") * col("conv_b"))
+        .withColumn("__num", col("n_users") * col("__det") * col("__det"))
+        .withColumn("__den",
+          (col("conv_a") + col("nonconv_a")) * (col("conv_b") + col("nonconv_b")) *
+            (col("conv_a") + col("conv_b")) * (col("nonconv_a") + col("nonconv_b")))
+        .select(col("n_users"), col("conv_a"), col("nonconv_a"),
+          col("conv_b"), col("nonconv_b"),
+          when(col("__den") === 0, 0L)
+            .otherwise(expr("(__num div __den) * 1000000 + (__num % __den) * 1000000 div __den"))
+            .as("chi2_micro"))
+    }
+
     /** Hashing-trick featurization into 64 slots — see
       * [[graft.operators.TextOps.featureHash]]. */
     def t32_feature_hash(s: SparkSession, d: String): DataFrame =
@@ -3134,6 +3199,26 @@ object SparkEntry {
             (col("doc_id") * 17 + 3) % col("__n"))).as("doc2")))
       val labels = graft.operators.Graph.labelPropagation(edges, iters = 3)
       graft.operators.Graph.modularity(edges, labels).orderBy("label")
+    }
+
+    /** GraphSAGE-style 2-hop neighbor feature aggregation over the doc
+      * graph: each vertex's 8-dim micro-quantized embedding prefix is
+      * replaced, hop by hop, with the floor-mean of its out-neighbors' —
+      * the message-passing featurization a GNN training pipeline
+      * precomputes at corpus scale. Exact integers end to end (sign-safe
+      * magnitude division), so the 2-hop trajectory hash-checks. See
+      * [[graft.operators.Graph.neighborMeanAgg]]. */
+    def g13_neigh_agg(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.agg(count(lit(1)).as("__n"))
+      val edges = emb.select("vec_id").crossJoin(broadcast(n))
+        .select(col("vec_id").as("src"),
+          explode(array((col("vec_id") * 31 + 7) % col("__n"),
+            (col("vec_id") * 17 + 3) % col("__n"))).as("dst"))
+      val feats = emb.select(col("vec_id").as("id"),
+        slice(Similarity.quantizeMicro(col("embedding")), 1, 8).as("f"))
+      graft.operators.Graph.neighborMeanAgg(edges, feats, hops = 2)
+        .orderBy("id", "dim")
     }
 
     /** MATCH_RECOGNIZE-lite sequence pattern matching: each user's event
@@ -3374,6 +3459,39 @@ object SparkEntry {
           |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to,
           |  (lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) IS NULL) AS is_current
           |FROM ver ORDER BY custkey, valid_from""".stripMargin
+
+    // integer-exact Lloyd rounds: micro-quantized vectors, BIGINT
+    // distance folds, floor(sum/n) centroid update — assign(c0) →
+    // update → assign(c1), mirroring kmeansExact(iters=2) exactly.
+    // Shared by e12 itself and e19's purity scoring.
+    private val e12KmeansSql: String =
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM q
+        |       WHERE vec_id % 37 = 0 AND vec_id < 260),
+        |d1 AS (SELECT q.vec_id, c0.cid,
+        |    CAST(list_sum(list_transform(list_zip(q.v, c0.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        |  FROM q, c0),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |m1 AS (SELECT cid, dim,
+        |    CAST(floor(sum(val) * 1.0 / count(*)) AS BIGINT) AS cv FROM (
+        |      SELECT a1.cid, generate_subscripts(q.v, 1) AS dim,
+        |             unnest(q.v) AS val
+        |      FROM a1 JOIN q USING (vec_id)) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cid),
+        |d2 AS (SELECT q.vec_id, c1.cid,
+        |    CAST(list_sum(list_transform(list_zip(q.v, c1.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        |  FROM q, c1)
+        |SELECT vec_id, cid, d FROM (
+        |  SELECT vec_id, cid, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
     private val e1KnnSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -4847,37 +4965,7 @@ object SparkEntry {
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
            |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
-      // integer-exact Lloyd rounds: micro-quantized vectors, BIGINT
-      // distance folds, floor(sum/n) centroid update — assign(c0) →
-      // update → assign(c1), mirroring kmeansExact(iters=2) exactly
-      "e12_kmeans_exact" ->
-        """WITH q AS (SELECT vec_id,
-          |    list_transform(embedding::DOUBLE[],
-          |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
-          |c0 AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM q
-          |       WHERE vec_id % 37 = 0 AND vec_id < 260),
-          |d1 AS (SELECT q.vec_id, c0.cid,
-          |    CAST(list_sum(list_transform(list_zip(q.v, c0.c),
-          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-          |  FROM q, c0),
-          |a1 AS (SELECT vec_id, cid FROM (
-          |    SELECT vec_id, cid,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |    FROM d1) WHERE rn = 1),
-          |m1 AS (SELECT cid, dim,
-          |    CAST(floor(sum(val) * 1.0 / count(*)) AS BIGINT) AS cv FROM (
-          |      SELECT a1.cid, generate_subscripts(q.v, 1) AS dim,
-          |             unnest(q.v) AS val
-          |      FROM a1 JOIN q USING (vec_id)) GROUP BY 1, 2),
-          |c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cid),
-          |d2 AS (SELECT q.vec_id, c1.cid,
-          |    CAST(list_sum(list_transform(list_zip(q.v, c1.c),
-          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-          |  FROM q, c1)
-          |SELECT vec_id, cid, d FROM (
-          |  SELECT vec_id, cid, d,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      "e12_kmeans_exact" -> e12KmeansSql,
 
       // power iteration replays: sign-safe |x| div d re-signed (Spark div
       // truncates, SQL // floors — negatives never reach either), unit-
@@ -6233,6 +6321,67 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN c.i < 32 AND c.v * 64 >= s.sumv
           |    THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS BIGINT) AS hash_lo
           |FROM cells c JOIN s USING (asset_id)
-          |GROUP BY 1 ORDER BY asset_id""".stripMargin)
+          |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+
+      // two unrolled message-passing hops: dst-keyed component join +
+      // (src, dim) floor-mean, sign-safe magnitude division both engines
+      "g13_neigh_agg" ->
+        """WITH q AS (SELECT vec_id AS id,
+          |    list_transform(embedding::DOUBLE[],
+          |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))[1:8] AS f FROM embeddings),
+          |n AS (SELECT count(*) AS n FROM q),
+          |e AS (SELECT id AS src, unnest([(id * 31 + 7) % n.n, (id * 17 + 3) % n.n]) AS dst
+          |  FROM q, n),
+          |c0 AS (SELECT id, generate_subscripts(f, 1) - 1 AS dim, unnest(f) AS val FROM q),
+          |h1 AS (SELECT e.src AS id, c.dim,
+          |    CASE WHEN sum(c.val) < 0 THEN -((-sum(c.val)) // count(*))
+          |         ELSE sum(c.val) // count(*) END AS val
+          |  FROM e JOIN c0 c ON c.id = e.dst GROUP BY 1, 2),
+          |h2 AS (SELECT e.src AS id, c.dim,
+          |    CASE WHEN sum(c.val) < 0 THEN -((-sum(c.val)) // count(*))
+          |         ELSE sum(c.val) // count(*) END AS val
+          |  FROM e JOIN h1 c ON c.id = e.dst GROUP BY 1, 2)
+          |SELECT id, dim, CAST(val AS BIGINT) AS val FROM h2
+          |ORDER BY id, dim""".stripMargin,
+
+      // purity over the shared e12 assignment SQL; majority ties to the
+      // smallest label, purity one integer division
+      "e19_cluster_purity" ->
+        s"""WITH a AS (SELECT vec_id, cid FROM ($e12KmeansSql)),
+           |lab AS (SELECT a.cid, e.label FROM a JOIN embeddings e USING (vec_id)),
+           |census AS (SELECT cid, label, count(*) AS c FROM lab GROUP BY 1, 2),
+           |top AS (SELECT cid, label AS top_label, CAST(c AS BIGINT) AS top_cnt FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY c DESC, label ASC) AS rn
+           |    FROM census) WHERE rn = 1),
+           |sz AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n FROM census GROUP BY 1)
+           |SELECT s.cid, s.n, t.top_label, t.top_cnt,
+           |  CAST(t.top_cnt * 1000000 // s.n AS BIGINT) AS purity_micro
+           |FROM sz s JOIN top t USING (cid) ORDER BY s.cid""".stripMargin,
+
+      // 2×2 chi-square in exact integers; split division keeps every
+      // intermediate under 2^63 at these user counts
+      "x34_chi_square" -> {
+        val vh = PortableHash.hash32Sql("CAST(user_id AS VARCHAR)")
+        s"""WITH u AS (SELECT user_id,
+           |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           |  FROM events GROUP BY 1),
+           |v AS (SELECT $vh % 2 AS variant, conv FROM u),
+           |t AS (SELECT
+           |    CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+           |    CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonconv_a,
+           |    CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+           |    CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonconv_b
+           |  FROM v),
+           |x AS (SELECT *, conv_a + nonconv_a + conv_b + nonconv_b AS n_users,
+           |    conv_a * nonconv_b - nonconv_a * conv_b AS det FROM t),
+           |y AS (SELECT *, n_users * det * det AS num,
+           |    (conv_a + nonconv_a) * (conv_b + nonconv_b)
+           |      * (conv_a + conv_b) * (nonconv_a + nonconv_b) AS den FROM x)
+           |SELECT n_users, conv_a, nonconv_a, conv_b, nonconv_b,
+           |  CAST(CASE WHEN den = 0 THEN 0
+           |    ELSE (num // den) * 1000000 + (num % den) * 1000000 // den
+           |  END AS BIGINT) AS chi2_micro
+           |FROM y""".stripMargin
+      })
   }
 }

@@ -478,4 +478,44 @@ object Graph {
     }
     labels
   }
+
+  /** Multi-hop neighbor feature aggregation — the message-passing
+    * primitive of GNN feature pipelines (GraphSAGE-style mean
+    * aggregator, Hamilton et al., NeurIPS'17): each hop replaces every
+    * vertex's feature vector with the element-wise floor-mean of its
+    * out-neighbors' vectors from the previous hop. Features are exact
+    * integer micro-units; the mean is sign-safe magnitude division
+    * (|s| div n re-signed — Spark `div` truncates toward zero, SQL `//`
+    * floors, negatives never divide directly), so the whole trajectory
+    * replays bit-for-bit in any engine.
+    *
+    * `edges`: (src, dst) directed; `feats`: (id, f: array<long>). Output
+    * (id, dim, val) rows for every vertex WITH at least one out-edge
+    * (the component layout downstream aggregates want — no wide-array
+    * reassembly shuffle).
+    *
+    * Scale shape per hop: ONE dst-keyed join of the edge relation
+    * against the (id, dim, val) component layer and one
+    * map-side-combined (src, dim) aggregate — the same
+    * shuffle-per-round discipline as [[pagerank]]; duplicate edges
+    * weight their neighbor twice on both engines (multigraph mean).
+    * The edge relation is pinned across hops; localCheckpoint keeps
+    * lineage flat. At 100 TB both sides co-partition on the vertex
+    * key; per-dim rows make the aggregate state k·d-bounded per
+    * partition, never row-width-bounded. */
+  def neighborMeanAgg(edges: DataFrame, feats: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1, "neighbor aggregation needs at least one hop")
+    val e = graft.core.Caching.shared(edges.select(col("src"), col("dst")))
+    var comp = feats.select(col("id"), posexplode(col("f")).as(Seq("dim", "val")))
+    for (i <- 1 to hops) {
+      comp = e.join(comp.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("dim"))
+        .agg(sum("val").as("__s"), count(lit(1)).as("__n"))
+        .select(col("id"), col("dim"),
+          when(col("__s") < 0, -expr("(-__s) div __n"))
+            .otherwise(expr("__s div __n")).as("val"))
+      if (i < hops) comp = comp.localCheckpoint()
+    }
+    comp
+  }
 }

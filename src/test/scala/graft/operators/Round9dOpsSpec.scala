@@ -66,6 +66,32 @@ class Round9dOpsSpec extends SparkSpec {
     assert(r(0).getLong(1) == 0xFFFFFFFFL && r(0).getLong(2) == 0xFFFFFFFFL)
   }
 
+  test("neighbor agg: hand-computed 2-hop means, sign-safe truncation") {
+    // 1→{2,3}, 2→{3}, 3→{2}; f(1)=[10], f(2)=[-7], f(3)=[4]
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val feats = Seq((1L, Seq(10L)), (2L, Seq(-7L)), (3L, Seq(4L)))
+      .toDF("id", "f")
+    // hop1: h(1) = (-7+4)/2 = -3/2 → -1 (toward zero), h(2) = 4, h(3) = -7
+    val h1 = Graph.neighborMeanAgg(edges, feats, hops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h1 == Map(1L -> -1L, 2L -> 4L, 3L -> -7L))
+    // hop2: h(1) = (4 + -7)/2 → -1, h(2) = -7, h(3) = 4
+    val h2 = Graph.neighborMeanAgg(edges, feats, hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h2 == Map(1L -> -1L, 2L -> -7L, 3L -> 4L))
+    graft.core.Caching.release(spark)
+  }
+
+  test("neighbor agg: sourceless vertices drop; duplicate edges weight twice") {
+    // 1→2 twice and 1→3 once: mean = (2·5 + 8)/3 = 6
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val feats = Seq((1L, Seq(100L)), (2L, Seq(5L)), (3L, Seq(8L))).toDF("id", "f")
+    val r = Graph.neighborMeanAgg(edges, feats, hops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r == Map(1L -> 6L)) // 2 and 3 have no out-edges → absent
+    graft.core.Caching.release(spark)
+  }
+
   test("ahash: identical images hash identically, different images differ") {
     val docs = Seq(10L, 11L, 10L).zipWithIndex
       .map { case (seed, i) => (i.toLong, seed) }.toDF("asset_id", "seed")
