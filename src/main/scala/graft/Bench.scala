@@ -51,7 +51,13 @@ object Bench {
     "st5_session_window",
     // round-9 fourth batch: sequence patterns (collect-and-regex shape),
     // modularity (labeling + census over one pinned edge relation)
-    "x27_event_pattern", "g12_modularity")
+    "x27_event_pattern", "g12_modularity",
+    // round-9 batch 8/9: GNN message passing (two dst-keyed hop rounds)
+    // and the real-decode perceptual-hash pass over 5000 PNGs.
+    // d17_prefix_filter is deliberately NOT headline: its sf0.1 output is
+    // the complete 8.9M-pair Jaccard≥0.5 set (~56 s of exact verify) —
+    // gate-checked at both SFs instead
+    "g13_neigh_agg", "m6_ahash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
