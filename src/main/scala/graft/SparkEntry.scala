@@ -227,7 +227,10 @@ object SparkEntry {
     "m6_ahash"            -> (Q.m6_ahash(_, _)),
     "g13_neigh_agg"       -> (Q.g13_neigh_agg(_, _)),
     "e19_cluster_purity"  -> (Q.e19_cluster_purity(_, _)),
-    "x34_chi_square"      -> (Q.x34_chi_square(_, _)))
+    "x34_chi_square"      -> (Q.x34_chi_square(_, _)),
+    "a14_change_matrix"   -> (Q.a14_change_matrix(_, _)),
+    "x35_cdc_apply"       -> (Q.x35_cdc_apply(_, _)),
+    "d18_lsh_recall"      -> (Q.d18_lsh_recall(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -761,6 +764,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cells"), min("v").as("z_min"), max("v").as("z_max"),
           round(avg("v"), 4).as("z_mean"), sum("v").as("z_sum"))
         .orderBy("zone")
+    }
+
+    /** A14 (beyond-parity): change-detection cross-tabulation — the
+      * landcover-transition matrix of raster change analysis: per
+      * (class_from, class_to) pixel counts and area share between the
+      * pre-1997H2 and post-1997H2 classifications of a 200×50 lattice;
+      * a pixel with no observations in an epoch takes the nodata class
+      * −1 (the K4 pad). Both epoch rasters derive from one fact scan, so
+      * a single conditional pixel aggregate computes both classes in one
+      * pass; two materialized rasters co-locate on the grid key and the
+      * same cross-tab is one equi-join + this aggregate. The share
+      * divides once per matrix cell (|classes|² rows), total rides as a
+      * 1-row broadcast. */
+    def a14_change_matrix(s: SparkSession, d: String): DataFrame = {
+      val split = "1997-06-01"
+      val base = graft.core.Caching.shared(
+        li(s, d).select(
+            (col("l_partkey") % 200).as("px"), (col("l_suppkey") % 50).as("py"),
+            col("l_quantity").as("value"), col("l_shipdate"))
+          .groupBy("px", "py")
+          .agg(
+            coalesce(floor(max(when(col("l_shipdate") < lit(split), col("value"))) / 10),
+              lit(-1)).cast("long").as("c_from"),
+            coalesce(floor(max(when(col("l_shipdate") >= lit(split), col("value"))) / 10),
+              lit(-1)).cast("long").as("c_to")))
+      val total = base.agg(count(lit(1)).as("__t"))
+      base.groupBy("c_from", "c_to").agg(count(lit(1)).as("n_px"))
+        .crossJoin(broadcast(total))
+        .select(col("c_from"), col("c_to"), col("n_px"),
+          expr("n_px * 1000000 div __t").as("share_micro"))
+        .orderBy("c_from", "c_to")
     }
 
     /** A10 (beyond-parity): connected-component labeling of same-valued
@@ -2078,6 +2112,49 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 1000000))
       graft.operators.Merge.upsert(t, batch, "doc_id", Seq("source", "n_chars"))
         .orderBy("doc_id")
+    }
+
+    /** Full-CRUD CDC apply — the Debezium-feed step x13's upsert can't
+      * express: a pre-compacted I/U/D batch applied in ONE full-outer
+      * join (deletes are a filter on the joined relation, not a second
+      * anti-join pass). See [[graft.operators.Merge.applyChanges]]. */
+    def x35_cdc_apply(s: SparkSession, d: String): DataFrame = {
+      val t = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val changes = t.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars"), lit("D").as("op"))
+        .unionAll(t.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") + 11).as("n_chars"), lit("U").as("op")))
+        .unionAll(t.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+            col("n_chars"), lit("I").as("op")))
+      graft.operators.Merge.applyChanges(t, changes, "doc_id",
+        Seq("source", "n_chars")).orderBy("doc_id")
+    }
+
+    /** Dedup-pipeline metrology — recall of the LSH near-dup pipeline
+      * (d3 candidates → exact ≥ 0.5 verify) against the COMPLETE ground
+      * truth d17's prefix-filter join provides: the measurement that
+      * decides whether the probabilistic path's bands/rows are tuned
+      * tightly enough to ship. Both pair sets use the identical integer
+      * cross-multiplied threshold, so found ⊆ true by construction and
+      * the recall is exact. */
+    def d18_lsh_recall(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.prefixFilterJoin(docs, minJaccard = 0.5)
+        .select("doc1", "doc2")
+      val sigs = Dedup.minhashSignatures(docs, k = 4)
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+        maxBucketSize = lshCap)
+      val lsh = Dedup.jaccard(docs, cands)
+        .filter(col("inter") * 1000000L >= col("uni") * 500000L)
+        .select(col("doc1"), col("doc2"), lit(1L).as("__hit"))
+      exact.join(lsh, Seq("doc1", "doc2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum("__hit"), lit(0L)).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") === 0, 1000000L)
+            .otherwise(expr("n_found * 1000000 div n_true")).as("recall_micro"))
     }
 
     /** Snapshot diff (CDC): removals, in-place changes, and additions
@@ -6382,6 +6459,69 @@ object SparkEntry {
            |    ELSE (num // den) * 1000000 + (num % den) * 1000000 // den
            |  END AS BIGINT) AS chi2_micro
            |FROM y""".stripMargin
-      })
+      },
+
+      // one-pass dual classification + |classes|²-row cross-tab; the
+      // share divides once per matrix cell against the 1-row total
+      "a14_change_matrix" ->
+        """WITH px AS (SELECT l_partkey % 200 AS px, l_suppkey % 50 AS py,
+          |    CAST(coalesce(floor(max(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01'
+          |      THEN l_quantity END) / 10), -1) AS BIGINT) AS c_from,
+          |    CAST(coalesce(floor(max(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01'
+          |      THEN l_quantity END) / 10), -1) AS BIGINT) AS c_to
+          |  FROM lineitem GROUP BY 1, 2),
+          |t AS (SELECT count(*) AS t FROM px)
+          |SELECT c_from, c_to, count(*) AS n_px,
+          |  CAST(count(*) * 1000000 // t.t AS BIGINT) AS share_micro
+          |FROM px, t GROUP BY c_from, c_to, t.t
+          |ORDER BY c_from, c_to""".stripMargin,
+
+      // full-outer CRUD apply: D filters the joined relation, I/U take
+      // the change row entirely, absent keys keep the target row
+      "x35_cdc_apply" ->
+        """WITH t AS (SELECT doc_id, source AS t_source, n_chars AS t_n,
+          |    true AS t_p FROM documents),
+          |ch AS (
+          |  SELECT doc_id, source AS c_source, n_chars AS c_n, 'D' AS op,
+          |      true AS c_p FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT doc_id, source, n_chars + 11, 'U', true
+          |    FROM documents WHERE doc_id % 10 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, source, n_chars, 'I', true
+          |    FROM documents WHERE doc_id % 17 = 0),
+          |j AS (SELECT * FROM t FULL JOIN ch USING (doc_id))
+          |SELECT doc_id,
+          |  CASE WHEN c_p THEN c_source ELSE t_source END AS source,
+          |  CASE WHEN c_p THEN c_n ELSE t_n END AS n_chars,
+          |  CASE WHEN t_p IS NULL THEN 'inserted'
+          |       WHEN c_p IS NULL THEN 'kept' ELSE 'updated' END AS action
+          |FROM j WHERE coalesce(op, '') <> 'D'
+          |ORDER BY doc_id""".stripMargin,
+
+      // recall of the LSH pipeline against the complete brute-force
+      // pair set; identical integer thresholds ⇒ found ⊆ true
+      "d18_lsh_recall" ->
+        s"""WITH $candCtes,
+           |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+           |lshp AS (SELECT j.doc1, j.doc2
+           |  FROM (SELECT cand.doc1, cand.doc2, count(*) AS inter
+           |      FROM cand JOIN tok a ON a.doc_id = cand.doc1
+           |        JOIN tok b3 ON b3.doc_id = cand.doc2 AND b3.tok = a.tok
+           |      GROUP BY 1, 2) j
+           |  JOIN sz s1 ON s1.doc_id = j.doc1 JOIN sz s2 ON s2.doc_id = j.doc2
+           |  WHERE j.inter * 1000000 >= (s1.s + s2.s - j.inter) * 500000),
+           |truth AS (SELECT p.doc1, p.doc2
+           |  FROM (SELECT t1.doc_id AS doc1, t2.doc_id AS doc2, count(*) AS inter
+           |      FROM tok t1 JOIN tok t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+           |      GROUP BY 1, 2) p
+           |  JOIN sz s1 ON s1.doc_id = p.doc1 JOIN sz s2 ON s2.doc_id = p.doc2
+           |  WHERE p.inter * 1000000 >= (s1.s + s2.s - p.inter) * 500000)
+           |SELECT CAST(count(*) AS BIGINT) AS n_true,
+           |  CAST(coalesce(sum(CASE WHEN l.doc1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found,
+           |  CAST(CASE WHEN count(*) = 0 THEN 1000000
+           |    ELSE coalesce(sum(CASE WHEN l.doc1 IS NOT NULL THEN 1 ELSE 0 END), 0)
+           |      * 1000000 // count(*) END AS BIGINT) AS recall_micro
+           |FROM truth t LEFT JOIN lshp l ON l.doc1 = t.doc1 AND l.doc2 = t.doc2""".stripMargin)
   }
 }

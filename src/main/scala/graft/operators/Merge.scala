@@ -70,6 +70,35 @@ object Merge {
         :+ col("action"): _*)
   }
 
+  /** Apply a CDC change batch with FULL CRUD semantics — the
+    * Debezium-feed apply step [[upsert]] can't express: `changes` carries
+    * an `op` column ∈ {I, U, D}; D drops the key, I/U replace the row
+    * entirely (the upsert source-wins rule), keys absent from the batch
+    * survive untouched. Still ONE full-outer hash join on the key — the
+    * delete leg is a filter on the joined relation, never a second
+    * anti-join pass — and still shuffle-free over a bucketed layout.
+    * `action` ∈ {deleted is absent by construction; inserted, updated,
+    * kept} mirrors upsert's audit column. A batch must be pre-collapsed
+    * to one op per key (standard CDC compaction — last op wins —
+    * upstream). */
+  def applyChanges(target: DataFrame, changes: DataFrame, key: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "applyChanges needs at least one payload column")
+    val t = tagged(target, key, payloadCols, "__t_")
+    val c = tagged(changes, key, payloadCols :+ "op", "__c_")
+    val action =
+      when(col("__t_present").isNull, lit("inserted"))
+        .when(col("__c_present").isNull, lit("kept"))
+        .otherwise(lit("updated"))
+    t.join(c, Seq(key), "full_outer")
+      // a D for an absent key is a no-op row, filtered with the deletes
+      .filter(coalesce(col("__c_op"), lit("")) =!= "D")
+      .withColumn("action", action)
+      .select(col(key) +: payloadCols.map(cn =>
+        when(col("__c_present").isNotNull, col(s"__c_$cn"))
+          .otherwise(col(s"__t_$cn")).as(cn)) :+ col("action"): _*)
+  }
+
   /** Slowly-changing-dimension type 2 build: collapse a change log into
     * versioned rows `(key, attrs…, valid_from, valid_to, is_current)`.
     * A new version opens only when a tracked attribute actually CHANGES

@@ -31,6 +31,35 @@ class MergeSpec extends SparkSpec {
       (9L, Some("z"), "inserted")))
   }
 
+  test("applyChanges: delete / update / insert / kept in one pass") {
+    val target = Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L)
+    ).toDF("doc_id", "source", "n_chars")
+    val changes = Seq(
+      (1L, None: Option[String], 0L, "D"),   // delete (payload ignored)
+      (2L, Some("b2"), 22L, "U"),            // replace entirely
+      (7L, Some("g"), 70L, "I"),             // fresh insert
+      (8L, Some("h"), 80L, "D")              // delete of an absent key: no-op
+    ).toDF("doc_id", "source", "n_chars", "op")
+    val got = Merge.applyChanges(target, changes, "doc_id", Seq("source", "n_chars"))
+      .orderBy("doc_id").collect().map(row)
+    assert(got.toSeq == Seq(
+      (2L, Some("b2"), "updated"),
+      (3L, Some("c"), "kept"),
+      (7L, Some("g"), "inserted")))
+  }
+
+  test("applyChanges: U nulling a field wins entirely (no coalesce resurrection)") {
+    val target = Seq((5L, Some("x"), 50L)).toDF("doc_id", "source", "n_chars")
+    val changes = Seq((5L, None: Option[String], 51L, "U"))
+      .toDF("doc_id", "source", "n_chars", "op")
+    val got = Merge.applyChanges(target, changes, "doc_id", Seq("source", "n_chars"))
+      .collect().map(row)
+    assert(got.toSeq == Seq((5L, None, "updated")))
+  }
+
   test("scd2: versions open only on real change; redeliveries collapse; null-safe") {
     val log = Seq(
       (1L, 10L, Some("a")),
