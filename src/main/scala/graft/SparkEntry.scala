@@ -230,7 +230,10 @@ object SparkEntry {
     "x34_chi_square"      -> (Q.x34_chi_square(_, _)),
     "a14_change_matrix"   -> (Q.a14_change_matrix(_, _)),
     "x35_cdc_apply"       -> (Q.x35_cdc_apply(_, _)),
-    "d18_lsh_recall"      -> (Q.d18_lsh_recall(_, _)))
+    "d18_lsh_recall"      -> (Q.d18_lsh_recall(_, _)),
+    "m7_vad_segments"     -> (Q.m7_vad_segments(_, _)),
+    "t33_zipf_slope"      -> (Q.t33_zipf_slope(_, _)),
+    "x36_gini"            -> (Q.x36_gini(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1067,6 +1070,40 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }
 
+    /** Zipf rank-frequency diagnostic — OLS slope of ln(freq) on ln(rank)
+      * over the top-100 vocabulary (a healthy natural corpus fits slope
+      * ≈ −1; template/boilerplate corpora flatten it). Logs of integer
+      * counts/ranks micro-quantize BEFORE the sums (the bm25 float
+      * discipline), so the normal-equation folds are exact integers; the
+      * one slope division is sign-safe magnitude division lifted to
+      * DECIMAL(38) (the numerator exceeds 2⁶³ by design). Top-100 is
+      * TakeOrdered + the bounded single-partition rank (o1 pattern). */
+    def t33_zipf_slope(s: SparkSession, d: String): DataFrame = {
+      val freq = Tables.documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(100)
+      val pts = freq
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok").asc)))
+        .select(
+          floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+          floor(log(col("cnt").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+      pts
+        .agg(count(lit(1)).as("n_terms"), sum("x").as("__sx"), sum("y").as("__sy"),
+          sum(col("x") * col("y")).as("__sxy"), sum(col("x") * col("x")).as("__sxx"))
+        .withColumn("__num",
+          (col("__sxy").cast("decimal(38,0)") * col("n_terms") -
+            col("__sx").cast("decimal(38,0)") * col("__sy")) * lit(1000000L))
+        .withColumn("__den",
+          col("__sxx").cast("decimal(38,0)") * col("n_terms") -
+            col("__sx").cast("decimal(38,0)") * col("__sx"))
+        .select(col("n_terms"),
+          when(col("__den") === 0, 0L)
+            .when(col("__num") < 0, -expr("(-__num) div __den"))
+            .otherwise(expr("__num div __den")).as("slope_micro"))
+    }
+
     /** Bigram-LM surprisal (order-aware perplexity filter; t15's unigram
       * model is order-blind). Docs need ≥ 2 tokens to have any bigram. */
     def t17_bigram_surprisal(s: SparkSession, d: String): DataFrame =
@@ -1477,6 +1514,40 @@ object SparkEntry {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
         .orderBy("l_returnflag")
+
+    /** Gini coefficient of per-customer revenue — the inequality/skew
+      * diagnostic (applied to tokens-per-source it measures corpus
+      * concentration; here revenue concentration). Exact integers: cent
+      * revenue, G = (2Σi·xᵢ − (n+1)Σx)/(n·Σx) over the ascending rank i.
+      * The GLOBAL rank never uses a single-partition window: values
+      * bucket by range (monotone in the value), ranks are per-bucket
+      * windows plus cumulative bucket offsets — the two-pass
+      * zipWithIndex shape, declaratively; the offset table is |buckets|
+      * rows and broadcasts. The final division lifts to DECIMAL(38)
+      * (numerator ≈ 2·Σi·x·10⁶ exceeds 2⁶³ by design). */
+    def x36_gini(s: SparkSession, d: String): DataFrame = {
+      val rev = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("cents"))
+      val bucketed = graft.core.Caching.shared(
+        rev.withColumn("__b", expr("cents div 1000000")))
+      val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(
+          sum("__c").over(Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__b", "__off")
+      val wb = Window.partitionBy("__b").orderBy(col("cents"), col("o_custkey"))
+      bucketed.join(broadcast(offsets), "__b")
+        .withColumn("__i", row_number().over(wb) + col("__off"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+          sum(col("__i") * col("cents")).as("__s2"))
+        .withColumn("__num",
+          (col("__s2").cast("decimal(38,0)") * 2 -
+            (col("n") + 1) * col("total_cents").cast("decimal(38,0)")) * lit(1000000L))
+        .withColumn("__den", col("n") * col("total_cents").cast("decimal(38,0)"))
+        .select(col("n"), col("total_cents"),
+          when(col("__den") === 0, 0L)
+            .otherwise(expr("__num div __den")).as("gini_micro"))
+    }
 
     /** Content-defined chunking + chunk-level dedup census — the
       * insertion-robust dedup granularity (rsync/FastCDC boundaries from
@@ -2756,6 +2827,20 @@ object SparkEntry {
         Multimodal.syntheticPcm(
           Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id"))
         .orderBy("asset_id", "frame_idx")
+
+    /** Voice-activity segmentation over the real-parse PCM corpus — m3's
+      * frame energies folded into voiced segments (silence trimming, the
+      * step before transcription). Gaps-and-islands per asset; the
+      * oracle replays frame energies from the generating formula and the
+      * identical island window. See
+      * [[graft.operators.Multimodal.vadSegments]]. */
+    def m7_vad_segments(s: SparkSession, d: String): DataFrame =
+      Multimodal.vadSegments(
+        Multimodal.audioFrameFeatures(
+          Multimodal.syntheticPcm(
+            Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id")),
+        minEnergy = 170000000L)
+        .orderBy("asset_id", "start_frame")
 
     /** Video frame-sampling plan from metadata only (no decode): every
       * 250 ms per asset — `sequence` + `explode`, pure Catalyst, the work
@@ -6522,6 +6607,57 @@ object SparkEntry {
            |  CAST(CASE WHEN count(*) = 0 THEN 1000000
            |    ELSE coalesce(sum(CASE WHEN l.doc1 IS NOT NULL THEN 1 ELSE 0 END), 0)
            |      * 1000000 // count(*) END AS BIGINT) AS recall_micro
-           |FROM truth t LEFT JOIN lshp l ON l.doc1 = t.doc1 AND l.doc2 = t.doc2""".stripMargin)
+           |FROM truth t LEFT JOIN lshp l ON l.doc1 = t.doc1 AND l.doc2 = t.doc2""".stripMargin,
+
+      // m3's formula-replayed frame energies + the identical island window
+      "m7_vad_segments" ->
+        """WITH a AS (SELECT doc_id AS id, 5 + doc_id % 5 AS n_frames
+          |           FROM documents WHERE doc_id % 20 = 0),
+          |f AS (SELECT id, unnest(range(0, n_frames)) AS frame FROM a),
+          |s AS (SELECT id, frame, unnest(range(0, 160)) AS j FROM f),
+          |v AS (SELECT id, frame,
+          |        (id*31 + (frame*160 + j)*17) % 4096 - 2048 AS val FROM s),
+          |e AS (SELECT id, frame, sum(val*val) AS sum_sq FROM v GROUP BY 1, 2),
+          |voiced AS (SELECT id, frame, sum_sq,
+          |    frame - row_number() OVER (PARTITION BY id ORDER BY frame) AS island
+          |  FROM e WHERE sum_sq >= 170000000)
+          |SELECT id AS asset_id, CAST(min(frame) AS INT) AS start_frame,
+          |  CAST(max(frame) AS INT) AS end_frame,
+          |  count(*) AS n_frames, CAST(sum(sum_sq) AS BIGINT) AS energy
+          |FROM voiced GROUP BY id, island ORDER BY asset_id, start_frame""".stripMargin,
+
+      // micro-nat logs before the normal-equation folds; HUGEINT lift for
+      // the slope division, sign-safe magnitude form
+      "t33_zipf_slope" ->
+        s"""WITH freq AS (SELECT tok, count(*) AS cnt
+           |  FROM (SELECT unnest($tokExpr) AS tok FROM documents) GROUP BY 1
+           |  ORDER BY cnt DESC, tok ASC LIMIT 100),
+           |pts AS (SELECT CAST(floor(ln(r) * 1e6 + 0.5) AS BIGINT) AS x,
+           |    CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT) AS y
+           |  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+           |        FROM freq)),
+           |a AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+           |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts),
+           |b AS (SELECT n_terms,
+           |    (CAST(sxy AS HUGEINT) * n_terms - CAST(sx AS HUGEINT) * sy) * 1000000 AS num,
+           |    CAST(sxx AS HUGEINT) * n_terms - CAST(sx AS HUGEINT) * sx AS den FROM a)
+           |SELECT n_terms, CAST(CASE WHEN den = 0 THEN 0
+           |  WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS BIGINT) AS slope_micro
+           |FROM b""".stripMargin,
+
+      // ascending-rank Gini; the oracle's single window replays the
+      // Spark side's bucket-offset two-pass rank exactly
+      "x36_gini" ->
+        """WITH rev AS (SELECT o_custkey,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders GROUP BY 1),
+          |r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM rev),
+          |a AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+          |    CAST(sum(i * cents) AS HUGEINT) AS s2 FROM r)
+          |SELECT n, total_cents,
+          |  CAST(CASE WHEN n * total_cents = 0 THEN 0
+          |    ELSE ((2 * s2 - (CAST(n AS HUGEINT) + 1) * total_cents) * 1000000)
+          |      // (CAST(n AS HUGEINT) * total_cents) END AS BIGINT) AS gini_micro
+          |FROM a""".stripMargin)
   }
 }

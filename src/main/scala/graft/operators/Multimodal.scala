@@ -351,6 +351,26 @@ object Multimodal {
       }.toDF("asset_id", "frame_idx", "sum_abs", "sum_sq", "max_abs")
   }
 
+  /** Voice-activity segmentation over [[audioFrameFeatures]] output — the
+    * silence-trimming step an audio curation pipeline runs before
+    * transcription: frames with energy ≥ `minEnergy` are voiced, and
+    * consecutive voiced frames merge into segments (gaps-and-islands:
+    * island id = frame_idx − per-asset voiced rank, one asset-keyed
+    * window over one sort — per-asset state, embarrassingly parallel
+    * across assets). Output one row per segment with its frame span and
+    * total energy; integer thresholds keep it exact on any engine. */
+  def vadSegments(frames: DataFrame, minEnergy: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    frames
+      .filter(col("sum_sq") >= minEnergy)
+      .withColumn("__island", col("frame_idx") - row_number().over(w))
+      .groupBy(col("asset_id"), col("__island"))
+      .agg(min("frame_idx").as("start_frame"), max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("sum_sq").as("energy"))
+      .drop("__island")
+  }
+
   /** Build a media table from any (id, text) source — used by tests/bench to
     * exercise the plumbing with deterministic payloads. */
   def syntheticFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
