@@ -233,7 +233,10 @@ object SparkEntry {
     "d18_lsh_recall"      -> (Q.d18_lsh_recall(_, _)),
     "m7_vad_segments"     -> (Q.m7_vad_segments(_, _)),
     "t33_zipf_slope"      -> (Q.t33_zipf_slope(_, _)),
-    "x36_gini"            -> (Q.x36_gini(_, _)))
+    "x36_gini"            -> (Q.x36_gini(_, _)),
+    "t34_importance_weights" -> (Q.t34_importance_weights(_, _)),
+    "st6_latest_event"    -> (Q.st6_latest_event(_, _)),
+    "x37_rollup_topk"     -> (Q.x37_rollup_topk(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1844,6 +1847,27 @@ object SparkEntry {
     def t15_unigram_surprisal(s: SparkSession, d: String): DataFrame =
       TextOps.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
 
+    /** DSIR importance weights against the src0 slice as the target
+      * domain — the reweighting score that tilts a general corpus toward
+      * a target distribution before sampling. See
+      * [[graft.operators.TextOps.importanceWeights]]. */
+    def t34_importance_weights(s: SparkSession, d: String): DataFrame =
+      TextOps.importanceWeights(Tables.documents(s, d),
+        col("source") === "src0").orderBy("doc_id")
+
+    /** Latest-event-per-user materialized view — the BATCH twin of
+      * [[graft.streaming.StreamJob.streamingLatest]]'s mapGroupsWithState
+      * update stream: one struct-argmax per user, (ts, event_id)
+      * tiebreak ⇒ order-independent, so stream and batch converge to the
+      * identical view (StreamingSpec proves it). */
+    def st6_latest_event(s: SparkSession, d: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("__m"))
+        .select(col("user_id"), col("__m.ts").as("ts"),
+          col("__m.event_id").as("event_id"), col("__m.event_type").as("event_type"))
+        .orderBy("user_id")
+
     // ---------------------------------------- similarity search (north star)
     def e1_knn_brute(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.embeddings(s, d)
@@ -2009,6 +2033,32 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+    /** Rank-over-rollup (the TPC-DS Q67 shape): cent-exact revenue per
+      * (shipmode, returnflag) ROLLUP level, then the top 3 WITHIN each
+      * aggregation level — one aggregate pass + one window over the
+      * |groups|-sized rollup output (the window never sees fact rows).
+      * Levels derive from nullness (both columns non-null in the data)
+      * and sentinel-coalesce to 'ALL' so set identity crosses engines
+      * without grouping_id bit-order assumptions. */
+    def x37_rollup_topk(s: SparkSession, d: String): DataFrame = {
+      val agg = li(s, d)
+        .withColumn("shipyear", year(col("l_shipdate")).cast("long"))
+        .rollup("shipyear", "l_returnflag")
+        .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+        .withColumn("lvl",
+          when(col("shipyear").isNull && col("l_returnflag").isNull, 2L)
+            .when(col("l_returnflag").isNull, 1L).otherwise(0L))
+        .select(col("lvl"), coalesce(col("shipyear"), lit(-1L)).as("shipyear"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"), col("rev_cents"))
+      agg
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lvl")
+            .orderBy(col("rev_cents").desc, col("shipyear"), col("returnflag"))))
+        .filter(col("rank") <= 3)
+        .orderBy("lvl", "rank")
+    }
 
     /** Exact distributed percentiles (sort-based aggregate; the shape of
       * the reference's per-band statistics taken to quantiles). Linear
@@ -6658,6 +6708,47 @@ object SparkEntry {
           |  CAST(CASE WHEN n * total_cents = 0 THEN 0
           |    ELSE ((2 * s2 - (CAST(n AS HUGEINT) + 1) * total_cents) * 1000000)
           |      // (CAST(n AS HUGEINT) * total_cents) END AS BIGINT) AS gini_micro
-          |FROM a""".stripMargin)
+          |FROM a""".stripMargin,
+
+      // add-one-smoothed target/corpus unigram models over the shared
+      // vocabulary; per-token log-ratio micro-quantized before the sum
+      "t34_importance_weights" ->
+        s"""WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+           |    unnest($tokExpr) AS tok FROM documents),
+           |freq AS (SELECT tok, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+           |    count(*) AS call FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(ct) AS nt, sum(call) AS nc, count(*) AS v FROM freq),
+           |m AS (SELECT doc_id,
+           |    CAST(floor((ln((ct + 1) * 1.0 / (nt + v))
+           |      - ln((call + 1) * 1.0 / (nc + v))) * 1e6 + 0.5) AS BIGINT) AS micro
+           |  FROM tok JOIN freq USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(micro) AS BIGINT) AS logweight_micro
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // one arg_max per user; (ts, event_id) tiebreak matches the
+      // struct-max exactly
+      "st6_latest_event" ->
+        """SELECT user_id, ts, event_id, event_type FROM (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      // rank within each rollup level over the |groups|-sized aggregate;
+      // nullness-derived levels, 'ALL' sentinels (x3 discipline)
+      "x37_rollup_topk" ->
+        """WITH agg AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS shipyear0, l_returnflag,
+          |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+          |  FROM lineitem GROUP BY ROLLUP (shipyear0, l_returnflag)),
+          |lv AS (SELECT CASE WHEN shipyear0 IS NULL AND l_returnflag IS NULL THEN 2
+          |      WHEN l_returnflag IS NULL THEN 1 ELSE 0 END AS lvl,
+          |    coalesce(shipyear0, -1) AS shipyear,
+          |    coalesce(l_returnflag, 'ALL') AS returnflag, rev_cents FROM agg)
+          |SELECT lvl, shipyear, returnflag, rev_cents,
+          |  CAST(rank AS INT) AS rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY lvl
+          |    ORDER BY rev_cents DESC, shipyear, returnflag) AS rank FROM lv)
+          |WHERE rank <= 3 ORDER BY lvl, rank""".stripMargin)
   }
 }

@@ -295,6 +295,38 @@ object TextOps {
         round(col("__sum").cast("double") / col("n_tokens") / 1e6, 4).as("surprisal"))
   }
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23 — data
+    * selection via importance resampling): per-doc log importance
+    * Σ_tok [ln p_target(tok) − ln p_corpus(tok)] under add-one-smoothed
+    * unigram models over the SHARED vocabulary, the reweighting score
+    * that tilts a general corpus toward a target domain. `isTarget`
+    * marks the target slice (a seed corpus / domain exemplar set).
+    *
+    * Exactness: the per-token log-ratio quantizes to integer micro-nats
+    * BEFORE the per-doc sum (the t15/t17 discipline) — order-independent,
+    * hash-comparable. Scale shape: ONE corpus explode pinned across the
+    * model census and the scoring join; both model tables are
+    * vocabulary-sized; totals ride as a 1-row broadcast. */
+  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val tok = graft.core.Caching.shared(
+      docs.select(col("doc_id"), isTarget.as("__tgt"),
+        explode(Dedup.tokens(col("text"))).as("tok")))
+    // vocabulary-sized; feeds the totals AND the scoring join
+    val freq = graft.core.Caching.shared(tok.groupBy("tok").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      count(lit(1)).as("__call")))
+    val totals = freq.agg(sum("__ct").as("__nt"), sum("__call").as("__nc"),
+      count(lit(1)).as("__v"))
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("__micro",
+        floor((log((col("__ct") + 1).cast("double") / (col("__nt") + col("__v"))) -
+          log((col("__call") + 1).cast("double") / (col("__nc") + col("__v"))))
+          * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__micro").as("logweight_micro"))
+  }
+
   def tfidf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     // tf feeds both the weight projection and the df aggregate; persist so

@@ -350,6 +350,40 @@ object StreamJob {
           })
   }
 
+  case class FullEvent(event_id: Long, user_id: Long, event_type: String,
+                       ts: java.sql.Timestamp)
+  case class LatestRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                       event_type: String)
+
+  /** Latest-wins per-key materialized view (`mapGroupsWithState`, Update
+    * mode) — the streaming CDC-apply shape: each key's state is exactly
+    * ONE row (the (ts, event_id)-max observation so far), every
+    * micro-batch re-emits keys whose latest changed, and the sink
+    * upserts. State is O(active keys) with no watermark needed — the
+    * key space, not eviction, bounds it (a production deployment adds
+    * an idle-key timeout exactly like [[sourceAccumulator]]). The
+    * (ts, event_id) tiebreak makes the fold order-independent: any
+    * arrival order, any batch slicing, same final view — which is why
+    * the batch argmax twin (`st6_latest_event`) is hash-comparable. */
+  def streamingLatest(events: Dataset[FullEvent]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[FullEvent], state: GroupState[LatestRow]) => {
+          val incoming = it.maxBy(e => (e.ts.getTime, e.event_id))
+          val best = state.getOption match {
+            case Some(cur) if cur.ts.getTime > incoming.ts.getTime ||
+              (cur.ts.getTime == incoming.ts.getTime &&
+                cur.event_id >= incoming.event_id) => cur
+            case _ =>
+              LatestRow(uid, incoming.ts, incoming.event_id, incoming.event_type)
+          }
+          state.update(best)
+          best
+        })
+  }
+
   /** Streaming Count-Min sketch (t29's stream twin): arriving tokens fold
     * into the d×w counter grid as an ordinary streaming aggregation whose
     * state is BOUNDED BY CONSTRUCTION at depth·width rows — the rare

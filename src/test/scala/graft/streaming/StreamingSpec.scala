@@ -400,4 +400,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("view", "click"), ("click", "purchase")),
       s"got $got") // no edge touches the dropped straggler
   }
+
+  test("StreamJob latest-wins view == batch st6 argmax (st6's stream twin)") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf())
+    val dir = new java.io.File("target/tmp/stream_events_latest").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[StreamJob.FullEvent]
+    val q = StreamJob.streamingLatest(src)
+      .writeStream.outputMode("update").format("memory").queryName("st_latest")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // update-mode memory sink accumulates every re-emission; the final
+    // view is the (ts, event_id)-argmax per user over the emitted rows —
+    // the same reduction the sink's upsert performs
+    val finalView = spark.table("st_latest")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("__m"))
+      .select(col("user_id"), col("__m.ts").as("ts"),
+        col("__m.event_id").as("event_id"), col("__m.event_type").as("event_type"))
+    val expected = graft.SparkEntry.queries("st6_latest_event")(spark, sf())
+    assert(finalView.count() > 0)
+    assert(finalView.exceptAll(expected).isEmpty &&
+      expected.exceptAll(finalView).isEmpty)
+  }
 }
