@@ -169,4 +169,52 @@ class PlanContractSpec extends SparkSpec {
       p.take(1500))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
   }
+
+  test("d17: prefix index is pinned across both legs; never a cartesian pair join") {
+    val p = plan("d17_prefix_filter")
+    // token explode (df census + verify) and the prefix relation (both
+    // self-join legs) are each cached — ≥ 4 cached reads in the plan
+    assert(p.split("InMemoryTableScan").length - 1 >= 4, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(1500))
+    graft.core.Caching.release(spark)
+  }
+
+  test("x33: quartile table broadcasts back — the fact scan never re-shuffles") {
+    val p = plan("x33_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("x34: chi-square is one user-keyed aggregate plus a 1-row fold — no joins") {
+    val p = plan("x34_chi_square")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("partial_"), p.take(1500))
+  }
+
+  test("m6/m7: decode-side multimodal passes never shuffle payloads") {
+    val p6 = plan("m6_ahash")
+    assert(!p6.contains("Join"), p6.take(1500))
+    assert(!p6.contains("hashpartitioning"), p6.take(1500))
+    // VAD aggregates frames AFTER the narrow decode: the only hash
+    // exchange keys (asset, island) rows, never payload bytes
+    val p7 = plan("m7_vad_segments")
+    assert(!p7.contains("Join"), p7.take(1500))
+  }
+
+  test("x36: gini's global rank uses bucket windows, not one partition") {
+    val p = plan("x36_gini")
+    // the offsets table broadcasts; the value relation is pinned for its
+    // two consumers (offset census + ranked fold)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    graft.core.Caching.release(spark)
+  }
+
+  test("g13: per-hop aggregate combines map-side; no cartesian message join") {
+    val p = plan("g13_neigh_agg")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    graft.core.Caching.release(spark)
+  }
 }
