@@ -236,7 +236,9 @@ object SparkEntry {
     "x36_gini"            -> (Q.x36_gini(_, _)),
     "t34_importance_weights" -> (Q.t34_importance_weights(_, _)),
     "st6_latest_event"    -> (Q.st6_latest_event(_, _)),
-    "x37_rollup_topk"     -> (Q.x37_rollup_topk(_, _)))
+    "x37_rollup_topk"     -> (Q.x37_rollup_topk(_, _)),
+    "r16_watershed"       -> (Q.r16_watershed(_, _)),
+    "m8_image_dup_groups" -> (Q.m8_image_dup_groups(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1637,6 +1639,19 @@ object SparkEntry {
       Multimodal.averageHash(
         Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"), size = 8)
         .orderBy("asset_id")
+
+    /** Visual exact-dup groups over the aHash fingerprints — d1's
+      * digest-group shape on the perceptual key: images whose 64-bit
+      * average hash collides form a dup group (keeper = min asset id).
+      * One hash aggregate over m6's shuffle-free decode pass; only
+      * multi-member groups survive (the dedup work list). */
+    def m8_image_dup_groups(s: SparkSession, d: String): DataFrame =
+      Multimodal.averageHash(
+        Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"), size = 8)
+        .groupBy("hash_hi", "hash_lo")
+        .agg(min("asset_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keep_id")
 
     /** ANN evaluation — recall@5 of the LSH index (e2) against exhaustive
       * ground truth (e1), per query. The metrology operator every ANN
@@ -3116,6 +3131,38 @@ object SparkEntry {
       focalCells(graft.operators.Focal.majorityFilter(focalBlocks(s, d)),
         "majority")
 
+    /** Watershed delineation over r13's D8 flow lattice — each cell
+      * labeled by the sink (outlet) its flow path reaches, completing
+      * the hydrology family (direction → accumulation → basins). Flow
+      * paths strictly descend through < 50 integer values, so 6 pointer-
+      * doubling rounds (2⁶ = 64) provably cover every path. See
+      * [[graft.operators.Graph.terminalLabel]]. */
+    def r16_watershed(s: SparkSession, d: String): DataFrame = {
+      // pinned: the direction lattice feeds the edge build AND the
+      // cell-set join-back that drops synthetic off-grid outlet nodes
+      val fd = graft.core.Caching.shared(focalCells(
+        graft.operators.Focal.flowDirD8(focalBlocks(s, d)), "flow_dir"))
+      val dxc = when(col("flow_dir").isin(1.0, 2.0, 128.0), 1L)
+        .when(col("flow_dir").isin(8.0, 16.0, 32.0), -1L).otherwise(0L)
+      val dyc = when(col("flow_dir").isin(2.0, 4.0, 8.0), 1L)
+        .when(col("flow_dir").isin(32.0, 64.0, 128.0), -1L).otherwise(0L)
+      // sinks/flats (flow_dir = 0) carry a self-edge so every lattice
+      // cell appears in the node set with itself as terminal; border
+      // cells draining off-lattice keep the off-grid id as their basin
+      // ("drains off-map"), but only REAL cells emit rows
+      val edges = fd.select(
+        (col("py") * 100 + col("px")).as("src"),
+        when(col("flow_dir") > 0,
+          (col("py") + dyc) * 100 + (col("px") + dxc))
+          .otherwise(col("py") * 100 + col("px")).as("dst"))
+      val cells = fd.select((col("py") * 100 + col("px")).as("id"))
+      graft.operators.Graph.terminalLabel(edges, rounds = 6)
+        .join(cells, "id")
+        .select((col("id") % 100).as("px"), expr("id div 100").as("py"),
+          col("basin"))
+        .orderBy("px", "py")
+    }
+
     /** Recall@5 of 1-bit (sign) binary embedding codes under Hamming
       * distance — the 32×-compression extreme of the quantization ladder
       * (e4 int8 → e15 SQ recall → this): 64 dims pack into TWO longs
@@ -3704,6 +3751,23 @@ object SparkEntry {
         |  SELECT vec_id, cid, d,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+    // aHash replay shared by m6 itself and m8's dup grouping
+    private val m6AhashSql: String =
+      """WITH ids AS (SELECT doc_id AS asset_id, doc_id % 5 + 4 AS w,
+        |    doc_id % 3 + 4 AS h FROM documents),
+        |cells AS (SELECT asset_id, i.i AS i,
+        |    (7 * asset_id + 3 * (((i.i % 8) * w) // 8)
+        |      + 5 * (((i.i // 8) * h) // 8)) % 256 AS v
+        |  FROM ids CROSS JOIN generate_series(0, 63) i(i)),
+        |s AS (SELECT asset_id, sum(v) AS sumv FROM cells GROUP BY 1)
+        |SELECT c.asset_id,
+        |  CAST(sum(CASE WHEN c.i >= 32 AND c.v * 64 >= s.sumv
+        |    THEN (CAST(1 AS BIGINT) << (c.i - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |  CAST(sum(CASE WHEN c.i < 32 AND c.v * 64 >= s.sumv
+        |    THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS BIGINT) AS hash_lo
+        |FROM cells c JOIN s USING (asset_id)
+        |GROUP BY 1 ORDER BY asset_id""".stripMargin
 
     private val e1KnnSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -6519,21 +6583,46 @@ object SparkEntry {
       // aHash replay from the generating formula: nearest-floor resize to
       // 8×8, mean threshold by integer cross-multiplication (64·v ≥ Σv),
       // bits packed into two signed-safe 32-bit halves
-      "m6_ahash" ->
-        """WITH ids AS (SELECT doc_id AS asset_id, doc_id % 5 + 4 AS w,
-          |    doc_id % 3 + 4 AS h FROM documents),
-          |cells AS (SELECT asset_id, i.i AS i,
-          |    (7 * asset_id + 3 * (((i.i % 8) * w) // 8)
-          |      + 5 * (((i.i // 8) * h) // 8)) % 256 AS v
-          |  FROM ids CROSS JOIN generate_series(0, 63) i(i)),
-          |s AS (SELECT asset_id, sum(v) AS sumv FROM cells GROUP BY 1)
-          |SELECT c.asset_id,
-          |  CAST(sum(CASE WHEN c.i >= 32 AND c.v * 64 >= s.sumv
-          |    THEN (CAST(1 AS BIGINT) << (c.i - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
-          |  CAST(sum(CASE WHEN c.i < 32 AND c.v * 64 >= s.sumv
-          |    THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS BIGINT) AS hash_lo
-          |FROM cells c JOIN s USING (asset_id)
-          |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+      "m6_ahash" -> m6AhashSql,
+
+      // d1's digest-group shape over the perceptual key; only dup groups
+      "m8_image_dup_groups" ->
+        s"""WITH ah AS ($m6AhashSql)
+           |SELECT hash_hi, hash_lo, min(asset_id) AS keep_id,
+           |  count(*) AS n_copies
+           |FROM ah GROUP BY 1, 2 HAVING count(*) > 1
+           |ORDER BY keep_id""".stripMargin,
+
+      // basin = the sink each flow path reaches: recursive walk over the
+      // functional D8 out-edges, joined to the fixed points
+      "r16_watershed" ->
+        s"""WITH RECURSIVE fdir AS ($r13FlowSql),
+           |edges AS (SELECT
+           |    py * 100 + px AS src,
+           |    CASE WHEN flow_dir > 0 THEN
+           |      (py + CASE WHEN flow_dir IN (2, 4, 8) THEN 1
+           |                 WHEN flow_dir IN (32, 64, 128) THEN -1 ELSE 0 END) * 100
+           |      + (px + CASE WHEN flow_dir IN (1, 2, 128) THEN 1
+           |                   WHEN flow_dir IN (8, 16, 32) THEN -1 ELSE 0 END)
+           |    ELSE py * 100 + px END AS dst
+           |  FROM fdir),
+           |cells AS (SELECT py * 100 + px AS id FROM fdir),
+           |succ AS (SELECT c.id, coalesce(e.dst, c.id) AS s
+           |  FROM cells c LEFT JOIN edges e ON e.src = c.id),
+           |walk(id, v) AS (
+           |  SELECT id, s FROM succ
+           |  UNION
+           |  SELECT w.id, s2.s FROM walk w JOIN succ s2 ON s2.id = w.v
+           |  WHERE w.v <> s2.s),
+           |term AS (SELECT id FROM succ WHERE s = id
+           |  UNION
+           |  SELECT DISTINCT dst FROM edges
+           |  WHERE dst NOT IN (SELECT id FROM cells))
+           |SELECT CAST(w.id % 100 AS BIGINT) AS px,
+           |  CAST(w.id // 100 AS BIGINT) AS py,
+           |  CAST(w.v AS BIGINT) AS basin
+           |FROM walk w JOIN term k ON k.id = w.v
+           |ORDER BY px, py""".stripMargin,
 
       // two unrolled message-passing hops: dst-keyed component join +
       // (src, dim) floor-mean, sign-safe magnitude division both engines

@@ -254,6 +254,38 @@ object Graph {
     acc
   }
 
+  /** Terminal (sink) label of every vertex of a FUNCTIONAL graph — each
+    * vertex has AT MOST one out-edge, so every path ends at a unique
+    * sink, and the label partitions the graph into basins. Over a D8
+    * flow lattice this is WATERSHED delineation (which outlet each cell
+    * drains to); over a parent-pointer forest it resolves roots.
+    *
+    * Pointer doubling: succ₀(v) = its out-neighbor (v itself at sinks);
+    * each round succ ← succ∘succ, so `rounds` rounds cover paths of
+    * length 2^rounds — log₂(depth) rounds total, each ONE equi-join of
+    * the successor relation with itself (the shuffle per round), with
+    * localCheckpoint keeping lineage flat. Sinks are fixed points, so
+    * over-iterating is harmless — callers bound depth structurally and
+    * round up. All integer ids — replayable in any engine. Output:
+    * (id, basin) for every vertex incl. sinks (basin = own id). */
+  def terminalLabel(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "terminalLabel needs at least one doubling round")
+    val e = edges.select(col("src").cast("long").as("id"),
+      col("dst").cast("long").as("__d")).distinct()
+    val nodes = e.select(col("id"))
+      .union(e.select(col("__d").as("id"))).distinct()
+    var succ = nodes.join(e, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__d"), col("id")).as("succ"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      succ = succ.as("a")
+        .join(succ.as("b"), col("a.succ") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.succ").as("succ"))
+        .localCheckpoint()
+    }
+    succ.withColumnRenamed("succ", "basin")
+  }
+
   /** Newman modularity per community — the quality score that tells a
     * curation pipeline whether a labeling (from [[labelPropagation]] or
     * components) found real structure or noise: Q_c = e_c/m − (d_c/2m)²

@@ -92,6 +92,23 @@ class Round9dOpsSpec extends SparkSpec {
     graft.core.Caching.release(spark)
   }
 
+  test("terminal label: two basins resolve, sinks label themselves, over-iterating is safe") {
+    // chain 1→2→3 (sink 3 via self-edge), star 5→4, 6→4 (sink 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 3L), (5L, 4L), (6L, 4L), (4L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.terminalLabel(edges, rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("terminal label: rounds cover 2^rounds path length exactly") {
+    // path of 8 edges: 0→1→…→8 (sink 8); 3 rounds (2³ = 8) suffice
+    val edges = ((0L until 8L).map(i => (i, i + 1)) :+ ((8L, 8L))).toDF("src", "dst")
+    val r3 = Graph.terminalLabel(edges, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((0L to 8L).forall(i => r3(i) == 8L), s"got $r3")
+  }
+
   test("ahash: identical images hash identically, different images differ") {
     val docs = Seq(10L, 11L, 10L).zipWithIndex
       .map { case (seed, i) => (i.toLong, seed) }.toDF("asset_id", "seed")
