@@ -238,7 +238,9 @@ object SparkEntry {
     "st6_latest_event"    -> (Q.st6_latest_event(_, _)),
     "x37_rollup_topk"     -> (Q.x37_rollup_topk(_, _)),
     "r16_watershed"       -> (Q.r16_watershed(_, _)),
-    "m8_image_dup_groups" -> (Q.m8_image_dup_groups(_, _)))
+    "m8_image_dup_groups" -> (Q.m8_image_dup_groups(_, _)),
+    "e20_abtt"            -> (Q.e20_abtt(_, _)),
+    "g14_closeness"       -> (Q.g14_closeness(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1459,6 +1461,40 @@ object SparkEntry {
       val q = Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.quantizeMicro(col("embedding")).as("qv"))
       Similarity.pcaPower(q, iters = 3).orderBy("dim")
+    }
+
+    /** All-but-the-top post-processing — every embedding's projection
+      * onto e14's principal component removed, exact residual norms (the
+      * isotropization step before similarity search). See
+      * [[graft.operators.Similarity.abttResiduals]]. */
+    def e20_abtt(s: SparkSession, d: String): DataFrame = {
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeMicro(col("embedding")).as("qv"))
+      Similarity.abttResiduals(q, Similarity.pcaPower(q, iters = 3))
+        .orderBy("vec_id")
+    }
+
+    /** Closeness centrality of 5 seed docs over the synthetic doc graph —
+      * multi-source BFS in shared rounds (one shuffle per round covers
+      * ALL seeds), then one aggregate: reach, distance mass, and
+      * closeness = (reach−1)·10⁶ div Σdist over ≤ 4-hop paths. See
+      * [[graft.operators.Graph.multiSourceBfs]]. */
+    def g14_closeness(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
+      val seeds = docs.filter(col("doc_id") < 5).select(col("doc_id").as("seed"))
+      graft.operators.Graph.multiSourceBfs(edges, seeds, rounds = 4)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"), sum("dist").as("dist_sum"))
+        .select(col("seed"), col("n_reached"), col("dist_sum"),
+          when(col("dist_sum") === 0, 0L)
+            .otherwise(expr("(n_reached - 1) * 1000000 div dist_sum"))
+            .as("closeness_micro"))
+        .orderBy("seed")
     }
 
     /** Count-Min sketch over the token stream + point queries for the 30
@@ -3752,6 +3788,35 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+    // power-iteration replay shared by e14 itself and e20's residuals
+    private val e14PcaSql: String = {
+      val iters = (1 to 3).map { k =>
+        s"""r$k AS (SELECT sc.i, sum(sc.m * x${k - 1}.x) AS r
+           |  FROM sc JOIN x${k - 1} ON sc.j = x${k - 1}.j GROUP BY 1),
+           |u$k AS (SELECT greatest(1, max(abs(r)) // 1000000) AS u FROM r$k),
+           |x$k AS (SELECT i AS j,
+           |    CAST(CASE WHEN r < 0 THEN -(abs(r) // u) ELSE r // u END AS BIGINT) AS x
+           |  FROM r$k, u$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
+         |comp AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+         |    unnest(v) AS val FROM q),
+         |mean AS (SELECT i, CASE WHEN sum(val) < 0
+         |      THEN -(abs(sum(val)) // count(*)) ELSE sum(val) // count(*) END AS mu
+         |  FROM comp GROUP BY 1),
+         |cc AS (SELECT comp.vec_id, comp.i, val - mu AS cv
+         |  FROM comp JOIN mean USING (i)),
+         |m0 AS (SELECT a.i, b.i AS j, sum(a.cv * b.cv) AS m
+         |  FROM cc a JOIN cc b USING (vec_id) GROUP BY 1, 2),
+         |sc AS (SELECT i, j, CASE WHEN m < 0
+         |      THEN -(abs(m) // 1000000000) ELSE m // 1000000000 END AS m FROM m0),
+         |x0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS x FROM sc),
+         |$iters
+         |SELECT j AS dim, x AS eig_micro FROM x3 ORDER BY dim""".stripMargin
+    }
+
     // aHash replay shared by m6 itself and m8's dup grouping
     private val m6AhashSql: String =
       """WITH ids AS (SELECT doc_id AS asset_id, doc_id % 5 + 4 AS w,
@@ -5246,33 +5311,7 @@ object SparkEntry {
       // power iteration replays: sign-safe |x| div d re-signed (Spark div
       // truncates, SQL // floors — negatives never reach either), unit-
       // divisor L∞ gauge, 3 unrolled matrix-vector rounds
-      "e14_pca_power" -> {
-        val iters = (1 to 3).map { k =>
-          s"""r$k AS (SELECT sc.i, sum(sc.m * x${k - 1}.x) AS r
-             |  FROM sc JOIN x${k - 1} ON sc.j = x${k - 1}.j GROUP BY 1),
-             |u$k AS (SELECT greatest(1, max(abs(r)) // 1000000) AS u FROM r$k),
-             |x$k AS (SELECT i AS j,
-             |    CAST(CASE WHEN r < 0 THEN -(abs(r) // u) ELSE r // u END AS BIGINT) AS x
-             |  FROM r$k, u$k)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH q AS (SELECT vec_id,
-           |    list_transform(embedding::DOUBLE[],
-           |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
-           |comp AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
-           |    unnest(v) AS val FROM q),
-           |mean AS (SELECT i, CASE WHEN sum(val) < 0
-           |      THEN -(abs(sum(val)) // count(*)) ELSE sum(val) // count(*) END AS mu
-           |  FROM comp GROUP BY 1),
-           |cc AS (SELECT comp.vec_id, comp.i, val - mu AS cv
-           |  FROM comp JOIN mean USING (i)),
-           |m0 AS (SELECT a.i, b.i AS j, sum(a.cv * b.cv) AS m
-           |  FROM cc a JOIN cc b USING (vec_id) GROUP BY 1, 2),
-           |sc AS (SELECT i, j, CASE WHEN m < 0
-           |      THEN -(abs(m) // 1000000000) ELSE m // 1000000000 END AS m FROM m0),
-           |x0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS x FROM sc),
-           |$iters
-           |SELECT j AS dim, x AS eig_micro FROM x3 ORDER BY dim""".stripMargin
-      },
+      "e14_pca_power" -> e14PcaSql,
 
       // PQ training: e12's unrolled integer Lloyd with the subspace id as
       // an extra key everywhere — assign(c0) → floor-avg update → assign(c1)
@@ -6623,6 +6662,54 @@ object SparkEntry {
            |  CAST(w.v AS BIGINT) AS basin
            |FROM walk w JOIN term k ON k.id = w.v
            |ORDER BY px, py""".stripMargin,
+
+      // projection coefficient on HUGEINT (dot·10⁶ exceeds 2⁶³), then
+      // per-dim sign-safe divide-back; residual norms exact
+      "e20_abtt" ->
+        s"""WITH pc AS ($e14PcaSql),
+           |q2 AS (SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v FROM embeddings),
+           |c2 AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim,
+           |    unnest(v) AS val FROM q2),
+           |xx AS (SELECT CAST(sum(eig_micro * eig_micro) AS HUGEINT) AS xx FROM pc),
+           |dots AS (SELECT c2.vec_id,
+           |    CAST(sum(c2.val * pc.eig_micro) AS HUGEINT) AS dot
+           |  FROM c2 JOIN pc ON pc.dim = c2.dim GROUP BY 1),
+           |coefs AS (SELECT vec_id,
+           |    CAST(CASE WHEN xx = 0 THEN 0
+           |      WHEN dot < 0 THEN -(((-dot) * 1000000) // xx)
+           |      ELSE (dot * 1000000) // xx END AS BIGINT) AS c_micro
+           |  FROM dots, xx),
+           |res AS (SELECT c2.vec_id, co.c_micro,
+           |    c2.val - (CASE WHEN co.c_micro * pc.eig_micro < 0
+           |      THEN -((-(co.c_micro * pc.eig_micro)) // 1000000)
+           |      ELSE (co.c_micro * pc.eig_micro) // 1000000 END) AS r
+           |  FROM c2 JOIN pc ON pc.dim = c2.dim JOIN coefs co USING (vec_id))
+           |SELECT vec_id, max(c_micro) AS c_micro,
+           |  CAST(sum(r * r) AS BIGINT) AS resid_norm2
+           |FROM res GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      // bounded-depth multi-source BFS: recursive relaxation capped at 4
+      // hops, min-dist fold, closeness per seed
+      "g14_closeness" ->
+        """WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+          |e0 AS (SELECT doc_id AS src, unnest([(doc_id * 31 + 7) % n.n,
+          |    (doc_id * 17 + 3) % n.n]) AS dst FROM documents, n),
+          |arcs AS (SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+          |  WHERE src <> dst),
+          |walk(seed, id, dist) AS (
+          |  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 5
+          |  UNION
+          |  SELECT w.seed, a.dst, w.dist + 1 FROM walk w
+          |    JOIN arcs a ON a.src = w.id WHERE w.dist < 4),
+          |md AS (SELECT seed, id, min(dist) AS dist FROM walk GROUP BY 1, 2)
+          |SELECT seed, count(*) AS n_reached,
+          |  CAST(sum(dist) AS BIGINT) AS dist_sum,
+          |  CAST(CASE WHEN sum(dist) = 0 THEN 0
+          |    ELSE (count(*) - 1) * 1000000 // sum(dist) END AS BIGINT) AS closeness_micro
+          |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
 
       // two unrolled message-passing hops: dst-keyed component join +
       // (src, dim) floor-mean, sign-safe magnitude division both engines

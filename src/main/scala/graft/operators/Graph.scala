@@ -254,6 +254,34 @@ object Graph {
     acc
   }
 
+  /** Multi-source BFS — exact hop distances from EVERY seed in the same
+    * jobs: the per-round relation is (seed, id, dist) with the seed
+    * riding in the aggregate key, so k seeds cost one shuffle per round
+    * TOTAL, not k sequential traversals (the [[sssp]] discipline at
+    * unit weights). After `rounds` rounds distances are exact over
+    * ≤ rounds-edge paths; unreached (seed, id) pairs are absent.
+    * min() is order-independent — replayable in any engine. Closeness /
+    * eccentricity / reach statistics are one aggregate over the output. */
+  def multiSourceBfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "multiSourceBfs needs at least one round")
+    val arcs = graft.core.Caching.shared(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .union(edges.select(col("dst").cast("long").as("src"),
+          col("src").cast("long").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var dist = seeds.select(col("seed").cast("long").as("seed"))
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
+    for (r <- 1 to rounds) {
+      val relax = arcs.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("seed"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.union(relax)
+        .groupBy("seed", "id").agg(min("dist").as("dist"))
+      if (r < rounds) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
   /** Terminal (sink) label of every vertex of a FUNCTIONAL graph — each
     * vertex has AT MOST one out-edge, so every path ends at a unique
     * sink, and the label partitions the graph into basins. Over a D8

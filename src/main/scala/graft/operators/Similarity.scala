@@ -433,6 +433,50 @@ object Similarity {
     x.select(col("j").cast("long").as("dim"), col("x").as("eig_micro"))
   }
 
+  /** All-but-the-top dominant-direction removal (Mu & Viswanath,
+    * ICLR'18) — the embedding post-processing step that subtracts each
+    * vector's projection onto the corpus' principal component
+    * ([[pcaPower]]'s output), isotropizing the space before similarity
+    * search. Exact integers end to end: the projection coefficient
+    * c_micro = (v·x)·10⁶ / (x·x) lifts to DECIMAL(38) for its one
+    * division (sign-safe magnitude form — Spark `div` truncates, SQL
+    * `//` floors); per-dimension projections then divide back by 10⁶
+    * under the same discipline, so the residual and its norm are
+    * bit-identical in any engine.
+    *
+    * Scale shape: the component explode is pinned (coefficient fold +
+    * residual fold both read it); the d-row principal component and the
+    * 1-row x·x broadcast; per-vector coefficients broadcast back into
+    * the residual fold. Output: (vec_id, c_micro, resid_norm2). */
+  def abttResiduals(vectors: DataFrame, component: DataFrame): DataFrame = {
+    val comp = graft.core.Caching.shared(
+      vectors.select(col("vec_id"), posexplode(col("qv")).as(Seq("dim", "v"))))
+    val x = graft.core.Caching.shared(
+      component.select(col("dim"), col("eig_micro")))
+    val xx = x.agg(sum(col("eig_micro") * col("eig_micro")).as("__xx"))
+    val coefs = comp.join(broadcast(x), "dim")
+      .groupBy("vec_id").agg(sum(col("v") * col("eig_micro")).as("__dot"))
+      .crossJoin(broadcast(xx))
+      .withColumn("c_micro", expr(
+        """CASE WHEN __xx = 0 THEN CAST(0 AS BIGINT)
+          |  WHEN __dot < 0
+          |    THEN CAST(-((CAST(-__dot AS DECIMAL(38,0)) * 1000000)
+          |      div CAST(__xx AS DECIMAL(38,0))) AS BIGINT)
+          |  ELSE CAST((CAST(__dot AS DECIMAL(38,0)) * 1000000)
+          |    div CAST(__xx AS DECIMAL(38,0)) AS BIGINT) END""".stripMargin))
+      .select(col("vec_id"), col("c_micro"))
+    comp.join(broadcast(x), "dim")
+      .join(broadcast(coefs), "vec_id")
+      .withColumn("__p", expr(
+        """CASE WHEN c_micro * eig_micro < 0
+          |  THEN -((-(c_micro * eig_micro)) div 1000000)
+          |  ELSE (c_micro * eig_micro) div 1000000 END""".stripMargin))
+      .withColumn("__r", col("v") - col("__p"))
+      .groupBy("vec_id")
+      .agg(max("c_micro").as("c_micro"),
+        sum(col("__r") * col("__r")).as("resid_norm2"))
+  }
+
   /** PQ codebook TRAINING — integer-exact Lloyd per subspace, closing the
     * one hand-set link in the PQ chain: e9/e10 encode and probe against
     * FIXED codebooks; this learns them from the corpus (Jégou et al.,
