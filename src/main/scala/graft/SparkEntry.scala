@@ -240,7 +240,9 @@ object SparkEntry {
     "r16_watershed"       -> (Q.r16_watershed(_, _)),
     "m8_image_dup_groups" -> (Q.m8_image_dup_groups(_, _)),
     "e20_abtt"            -> (Q.e20_abtt(_, _)),
-    "g14_closeness"       -> (Q.g14_closeness(_, _)))
+    "g14_closeness"       -> (Q.g14_closeness(_, _)),
+    "d19_containment"     -> (Q.d19_containment(_, _)),
+    "t35_token_entropy"   -> (Q.t35_token_entropy(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1236,6 +1238,25 @@ object SparkEntry {
         .select("doc1", "doc2", "inter", "jaccard")
         .orderBy("doc1", "doc2")
 
+    /** Directional containment over the LSH candidates — |A∩B|/|A| and
+      * |A∩B|/|B| (quote/superset detection: a doc mostly CONTAINED in a
+      * longer one scores near 10⁶ on its side while Jaccard stays low —
+      * the asymmetric near-dup relation d5's symmetric score misses).
+      * Shares the candidate machinery and the exact intersection fold;
+      * thresholds compare in integer micros. */
+    def d19_containment(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, k = 4)
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, k = 4, rowsPerBand = 2),
+        maxBucketSize = lshCap)
+      Dedup.jaccard(docs, cands)
+        .select(col("doc1"), col("doc2"), col("inter"),
+          expr("inter * 1000000 div sz1").as("cont1_micro"),
+          expr("inter * 1000000 div sz2").as("cont2_micro"))
+        .filter(col("cont1_micro") >= 800000 || col("cont2_micro") >= 800000)
+        .orderBy("doc1", "doc2")
+    }
+
     /** SimHash Hamming-ball near-dup pairs (pigeonhole band join + exact
       * bit_count verify; signatures persisted across the three consumers).
       * Two 8-bit bands / Hamming ≤ 1: wide enough band keys that buckets
@@ -1897,6 +1918,26 @@ object SparkEntry {
       * per-token micro-nat quantization keeps the aggregate exact. */
     def t15_unigram_surprisal(s: SparkSession, d: String): DataFrame =
       TextOps.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
+
+    /** Per-source token-distribution Shannon entropy — the vocabulary-
+      * diversity diagnostic next to t33's Zipf slope (low entropy flags
+      * template/boilerplate sources before they flood a mixture).
+      * H = ln N − (Σ c·ln c)/N with per-term ln c micro-quantized
+      * BEFORE the weighted sum (exact integer folds); the one division
+      * truncates identically on both engines. One (source, token)
+      * aggregate — map-side combined — then a per-source fold. */
+    def t35_token_entropy(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n"), count(lit(1)).as("vocab"),
+          sum(col("c") *
+            floor(log(col("c").cast("double")) * 1e6 + 0.5).cast("long")).as("__s"))
+        .select(col("source"), col("n"), col("vocab"),
+          (floor(log(col("n").cast("double")) * 1e6 + 0.5).cast("long") -
+            expr("__s div n")).as("entropy_micro"))
+        .orderBy("source")
 
     /** DSIR importance weights against the src0 slice as the target
       * domain — the reweighting score that tilts a general corpus toward
@@ -6710,6 +6751,38 @@ object SparkEntry {
           |  CAST(CASE WHEN sum(dist) = 0 THEN 0
           |    ELSE (count(*) - 1) * 1000000 // sum(dist) END AS BIGINT) AS closeness_micro
           |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
+
+      // asymmetric containment on the LSH candidates; inter ≥ 1 pairs
+      // only on both sides (zero-overlap pairs fail the 0.8 bar anyway)
+      "d19_containment" ->
+        s"""WITH $candCtes,
+           |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+           |i AS (SELECT cand.doc1, cand.doc2, count(*) AS inter
+           |  FROM cand JOIN tok a ON a.doc_id = cand.doc1
+           |    JOIN tok b3 ON b3.doc_id = cand.doc2 AND b3.tok = a.tok
+           |  GROUP BY 1, 2),
+           |c AS (SELECT i.doc1, i.doc2, CAST(i.inter AS BIGINT) AS inter,
+           |    CAST(i.inter * 1000000 // s1.s AS BIGINT) AS cont1_micro,
+           |    CAST(i.inter * 1000000 // s2.s AS BIGINT) AS cont2_micro
+           |  FROM i JOIN sz s1 ON s1.doc_id = i.doc1
+           |    JOIN sz s2 ON s2.doc_id = i.doc2)
+           |SELECT * FROM c
+           |WHERE cont1_micro >= 800000 OR cont2_micro >= 800000
+           |ORDER BY doc1, doc2""".stripMargin,
+
+      // H = ln N − (Σ c·ln c)/N; per-term micro-nat logs before the fold
+      "t35_token_entropy" ->
+        s"""WITH cnt AS (SELECT source, tok, count(*) AS c FROM (
+           |    SELECT source, unnest($tokExpr) AS tok FROM documents)
+           |  GROUP BY 1, 2),
+           |f AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           |    count(*) AS vocab,
+           |    CAST(sum(c * CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+           |  FROM cnt GROUP BY 1)
+           |SELECT source, n, vocab,
+           |  CAST(CAST(floor(ln(n) * 1e6 + 0.5) AS BIGINT) - s // n AS BIGINT)
+           |    AS entropy_micro
+           |FROM f ORDER BY source""".stripMargin,
 
       // two unrolled message-passing hops: dst-keyed component join +
       // (src, dim) floor-mean, sign-safe magnitude division both engines
