@@ -242,7 +242,10 @@ object SparkEntry {
     "e20_abtt"            -> (Q.e20_abtt(_, _)),
     "g14_closeness"       -> (Q.g14_closeness(_, _)),
     "d19_containment"     -> (Q.d19_containment(_, _)),
-    "t35_token_entropy"   -> (Q.t35_token_entropy(_, _)))
+    "t35_token_entropy"   -> (Q.t35_token_entropy(_, _)),
+    "x38_conversion_latency" -> (Q.x38_conversion_latency(_, _)),
+    "x39_rolling_wau"     -> (Q.x39_rolling_wau(_, _)),
+    "e21_ivf_balance"     -> (Q.e21_ivf_balance(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -3446,6 +3449,85 @@ object SparkEntry {
           min(when(col("__out") === 1, col("cents"))).as("min_outlier_cents"),
           max(when(col("__out") === 1, col("cents"))).as("max_outlier_cents"))
         .orderBy("grp")
+    }
+
+    /** Conversion-latency distribution — seconds from each user's FIRST
+      * view to their first purchase AFTER it, summarized as exact order
+      * statistics (the x33 rank-⌈p·n⌉ discipline: p50/p90 are true data
+      * values, not interpolations). Two argmin folds (map-side combined)
+      * + one user-keyed join; the percentile pass ranks the |converters|
+      * relation. The time-to-convert readout every funnel ships with. */
+    def x38_conversion_latency(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vts"))
+      val lat = firstView.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts")), "user_id")
+        .filter(col("pts") >= col("vts"))
+        .groupBy("user_id")
+        .agg((unix_micros(min("pts")) - unix_micros(max("vts")))
+          .as("__us"))
+        .select(col("user_id"), expr("__us div 1000000").as("lat_sec"))
+      val w = Window.orderBy("lat_sec", "user_id")
+      lat
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+        .agg(count(lit(1)).as("n_conversions"),
+          min(when(col("__rn") * 2 >= col("__n"), col("lat_sec"))).as("p50_sec"),
+          min(when(col("__rn") * 10 >= col("__n") * 9, col("lat_sec"))).as("p90_sec"),
+          min("lat_sec").as("min_sec"), max("lat_sec").as("max_sec"))
+    }
+
+    /** Rolling 7-day active users per day (WAU) next to the daily count
+      * (DAU) and the stickiness ratio — the engagement triple every
+      * product dashboard leads with. Exact sliding DISTINCT without a
+      * range-window distinct (unsupported) or a self-join: each (day,
+      * user) presence row contributes to its 7 target days via one
+      * bounded explode, then per-day count_distinct. 7× amplification of
+      * the |days × users| presence relation (not the event stream) — the
+      * scale-safe shape. Days with zero trailing activity are absent. */
+    def x39_rolling_wau(s: SparkSession, d: String): DataFrame = {
+      val pres = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = pres.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = pres
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("user_id"))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+      // only days that actually occur in the stream report (trailing
+      // phantom days past the last event would under-count their window)
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 div wau").as("stickiness_micro"))
+        .orderBy("day")
+    }
+
+    /** IVF index-health report — per-list vector counts over e7's fixed
+      * coarse centroids plus the imbalance factor (max·k/n micro): the
+      * list-balance metrology that decides whether an IVF index needs
+      * re-training before it ships (a hot list breaks the nprobe cost
+      * model). One assignment fold (centroids broadcast) + one
+      * |k|-row aggregate. */
+    def e21_ivf_balance(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => ((r.getLong(0) / 37).toInt, r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val assigned = emb.select(col("vec_id"),
+        Similarity.nearestCentroid(col("embedding").cast("array<double>"), cents)
+          .as("cid"))
+      val lists = graft.core.Caching.shared(
+        assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs")))
+      val tot = lists.agg(sum("n_vecs").as("__n"), count(lit(1)).as("__k"),
+        max("n_vecs").as("__mx"))
+      lists.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_vecs"),
+          expr("n_vecs * __k * 1000000 div __n").as("load_micro"),
+          expr("__mx * __k * 1000000 div __n").as("imbalance_micro"))
+        .orderBy("cid")
     }
 
     /** A/B experiment readout — 2×2 chi-square over per-user conversion
@@ -6769,6 +6851,59 @@ object SparkEntry {
            |SELECT * FROM c
            |WHERE cont1_micro >= 800000 OR cont2_micro >= 800000
            |ORDER BY doc1, doc2""".stripMargin,
+
+      // two argmin folds + exact rank-⌈p·n⌉ order statistics
+      "x38_conversion_latency" ->
+        """WITH fv AS (SELECT user_id, min(ts) AS vts FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |lat AS (SELECT f.user_id,
+          |    CAST((epoch_us(min(p.ts)) - epoch_us(max(f.vts))) // 1000000
+          |      AS BIGINT) AS lat_sec
+          |  FROM fv f JOIN events p ON p.user_id = f.user_id
+          |    AND p.event_type = 'purchase' AND p.ts >= f.vts
+          |  GROUP BY 1),
+          |r AS (SELECT lat_sec,
+          |    row_number() OVER (ORDER BY lat_sec, user_id) AS rn,
+          |    count(*) OVER () AS n FROM lat)
+          |SELECT count(*) AS n_conversions,
+          |  min(CASE WHEN rn * 2 >= n THEN lat_sec END) AS p50_sec,
+          |  min(CASE WHEN rn * 10 >= n * 9 THEN lat_sec END) AS p90_sec,
+          |  min(lat_sec) AS min_sec, max(lat_sec) AS max_sec
+          |FROM r""".stripMargin,
+
+      // presence explode to 7 target days, per-day count distinct; only
+      // days that occur in the stream report
+      "x39_rolling_wau" ->
+        """WITH pres AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+          |  FROM events),
+          |dau AS (SELECT day, count(*) AS dau FROM pres GROUP BY 1),
+          |wau AS (SELECT p.day + CAST(o.o AS INT) AS day,
+          |    CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+          |  FROM pres p CROSS JOIN range(0, 7) o(o) GROUP BY 1)
+          |SELECT d.day, CAST(d.dau AS BIGINT) AS dau, w.wau,
+          |  CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_micro
+          |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
+
+      // e7's fixed-centroid assignment fold; k-row balance report
+      "e21_ivf_balance" ->
+        """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |cent AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM emb
+          |         WHERE vec_id % 37 = 0 AND vec_id < 260),
+          |dist AS (SELECT e.vec_id, cent.cid,
+          |    list_sum(list_transform(list_zip(e.v, cent.c),
+          |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          |  FROM emb e CROSS JOIN cent),
+          |assigned AS (SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          |    FROM dist) WHERE rn = 1),
+          |lists AS (SELECT cid, count(*) AS n_vecs FROM assigned GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, count(*) AS k,
+          |    CAST(max(n_vecs) AS BIGINT) AS mx FROM lists)
+          |SELECT l.cid, CAST(l.n_vecs AS BIGINT) AS n_vecs,
+          |  CAST(l.n_vecs * t.k * 1000000 // t.n AS BIGINT) AS load_micro,
+          |  CAST(t.mx * t.k * 1000000 // t.n AS BIGINT) AS imbalance_micro
+          |FROM lists l, tot t ORDER BY cid""".stripMargin,
 
       // H = ln N − (Σ c·ln c)/N; per-term micro-nat logs before the fold
       "t35_token_entropy" ->
