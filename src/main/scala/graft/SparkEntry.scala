@@ -245,7 +245,9 @@ object SparkEntry {
     "t35_token_entropy"   -> (Q.t35_token_entropy(_, _)),
     "x38_conversion_latency" -> (Q.x38_conversion_latency(_, _)),
     "x39_rolling_wau"     -> (Q.x39_rolling_wau(_, _)),
-    "e21_ivf_balance"     -> (Q.e21_ivf_balance(_, _)))
+    "e21_ivf_balance"     -> (Q.e21_ivf_balance(_, _)),
+    "x40_hll_merge"       -> (Q.x40_hll_merge(_, _)),
+    "x41_debounce"        -> (Q.x41_debounce(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1665,6 +1667,43 @@ object SparkEntry {
         Tables.lineitem(s, d).select(col("l_orderkey").cast("string").as("k")),
         "k", m = 64)
         .orderBy("bucket")
+
+    /** HLL register MERGEABILITY, hash-proven — per-returnflag register
+      * tables max-merge into exactly the whole-corpus register table:
+      * the property that lets a lake keep per-partition sketches and
+      * answer any union cardinality without rescanning. The per-group
+      * build costs the same two jobs as one sketch (the group key rides
+      * in the aggregate); the merge is a 64·|groups|-row fold. See
+      * [[graft.operators.Sketch.hllRegistersBy]]. */
+    def x40_hll_merge(s: SparkSession, d: String): DataFrame = {
+      val src = graft.core.Caching.shared(li(s, d)
+        .select(col("l_returnflag").as("grp"),
+          col("l_orderkey").cast("string").as("k")))
+      val merged = graft.operators.Sketch.hllRegistersBy(src, "grp", "k", m = 64)
+        .groupBy("bucket").agg(max("register").as("merged_register"))
+      graft.operators.Sketch.hllRegisters(src.select("k"), "k", m = 64)
+        .withColumnRenamed("register", "global_register")
+        .join(merged, Seq("bucket"), "left")
+        .na.fill(0, Seq("merged_register"))
+        .orderBy("bucket")
+    }
+
+    /** Consecutive-duplicate collapse (debounce) — the event-stream
+      * hygiene pass that drops an event repeating its user's immediately
+      * previous type (double-click/retry noise) before any funnel or
+      * transition analysis. One user-keyed window (lag compare), then a
+      * per-user census. */
+    def x41_debounce(s: SparkSession, d: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("__prev", lag("event_type", 1).over(w))
+        .withColumn("__keep",
+          when(col("__prev").isNull || col("__prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("__keep").as("n_kept"))
+        .orderBy("user_id")
+    }
 
     /** Small-file compaction planning over a synthetic file catalog
       * (deterministic pseudo-sizes from the part table): sequential
@@ -6904,6 +6943,36 @@ object SparkEntry {
           |  CAST(l.n_vecs * t.k * 1000000 // t.n AS BIGINT) AS load_micro,
           |  CAST(t.mx * t.k * 1000000 // t.n AS BIGINT) AS imbalance_micro
           |FROM lists l, tot t ORDER BY cid""".stripMargin,
+
+      // per-group registers max-merge ≡ the global register table
+      "x40_hll_merge" ->
+        """WITH hh AS (SELECT l_returnflag AS grp,
+          |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+          |      AS BIGINT) AS h FROM lineitem),
+          |r AS (SELECT grp, h % 64 AS bucket, h // 64 AS sfx FROM hh),
+          |k AS (SELECT grp, bucket,
+          |    CASE WHEN sfx = 0 THEN 27 ELSE 27 - length(bin(sfx)) END AS rank FROM r),
+          |per AS (SELECT grp, bucket, max(rank) AS register FROM k GROUP BY 1, 2),
+          |merged AS (SELECT bucket, max(register) AS merged_register
+          |  FROM per GROUP BY 1),
+          |whole AS (SELECT bucket, max(rank) AS register FROM k GROUP BY 1)
+          |SELECT t.bucket,
+          |  CAST(coalesce(whole.register, 0) AS INT) AS global_register,
+          |  CAST(coalesce(merged.merged_register, 0) AS INT) AS merged_register
+          |FROM (SELECT unnest(range(0, 64)) AS bucket) t
+          |LEFT JOIN whole USING (bucket) LEFT JOIN merged USING (bucket)
+          |ORDER BY bucket""".stripMargin,
+
+      // lag compare per user; census of kept vs raw
+      "x41_debounce" ->
+        """WITH l AS (SELECT user_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS prev
+          |  FROM events)
+          |SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       // H = ln N − (Σ c·ln c)/N; per-term micro-nat logs before the fold
       "t35_token_entropy" ->

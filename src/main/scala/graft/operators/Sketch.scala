@@ -144,6 +144,29 @@ object Sketch {
         coalesce(col("register"), lit(0)).cast("int").as("register"))
   }
 
+  /** Per-group [[hllRegisters]] — one register table per `keyCol` value,
+    * in the SAME two jobs regardless of group count (the group key rides
+    * in the aggregate). Registers merge across groups by bucket-wise
+    * max — the property that lets a 100 TB lake keep per-partition
+    * sketches and answer any union cardinality without rescanning
+    * (x40 hash-proves merged ≡ whole-corpus registers). Only occupied
+    * (key, bucket) cells emit (absent ⇒ register 0); the merge side
+    * zero-fills. */
+  def hllRegistersBy(df: DataFrame, keyCol: String, valueCol: String,
+                     m: Int = 64): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val suffixBits = 32 - Integer.numberOfTrailingZeros(m)
+    df
+      .select(col(keyCol), PortableHash.hash32(col(valueCol)).as("__h"))
+      .select(col(keyCol), expr(s"__h % $m").as("bucket"),
+        expr(s"__h div $m").as("__sfx"))
+      .withColumn("__rank",
+        when(col("__sfx") === 0, lit(suffixBits + 1))
+          .otherwise(lit(suffixBits + 1) - length(bin(col("__sfx")))))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max("__rank").cast("int").as("register"))
+  }
+
   /** Point query against a [[countMin]] sketch: est(t) = min over rows of
     * the t-addressed cells. `probes` rows pass through with an `est`
     * column appended. The probe relation is the small side (a term list),
