@@ -247,7 +247,8 @@ object SparkEntry {
     "x39_rolling_wau"     -> (Q.x39_rolling_wau(_, _)),
     "e21_ivf_balance"     -> (Q.e21_ivf_balance(_, _)),
     "x40_hll_merge"       -> (Q.x40_hll_merge(_, _)),
-    "x41_debounce"        -> (Q.x41_debounce(_, _)))
+    "x41_debounce"        -> (Q.x41_debounce(_, _)),
+    "e22_rerank"          -> (Q.e22_rerank(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -3315,6 +3316,48 @@ object SparkEntry {
           coalesce(sum("__hit"), lit(0L)).as("n_hits"))
         .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
         .orderBy("query_id")
+    }
+
+    /** TWO-STAGE retrieval — the production ANN architecture: a cheap
+      * 1-bit Hamming shortlist over the whole corpus (e17's 16-byte
+      * codes) gates an exact float-cosine rerank that only ever touches
+      * the ≤ 20 shortlisted vectors per query. Coarse filter scans
+      * everything at 32× compression; exact math runs on a constant-size
+      * set — the cost model that holds at a billion vectors. Both stages
+      * are deterministic (Hamming ties → smallest id; cosine ties →
+      * smallest id), so the composed pipeline hash-checks. */
+    def e22_rerank(s: SparkSession, d: String): DataFrame = {
+      def half(lo: Int): Column = (0 until 32).map { j =>
+        when(element_at(col("embedding"), lo + j + 1) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val emb = Tables.embeddings(s, d)
+      val codes = emb.select(col("vec_id"), half(0).as("c0"), half(32).as("c1"))
+      val q = broadcast(codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("c0").as("q0"),
+          col("c1").as("q1")))
+      val shortlist = q.join(codes, col("query_id") =!= col("vec_id"))
+        .withColumn("ham", expr("bit_count(q0 ^ c0) + bit_count(q1 ^ c1)"))
+        .withColumn("srank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("ham").asc, col("vec_id").asc)))
+        .filter(col("srank") <= 20)
+        .select("query_id", "vec_id")
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val rer = shortlist
+        .join(broadcast(qv), "query_id")
+        .join(emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("cv")), "vec_id")
+        .withColumn("__cos", graft.functions.VectorExpressions.vec_cosine(
+          col("qv"), col("cv")))
+      rer
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("__cos").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("__cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
 
     /** SCD2 point-in-time lookup — the QUERY half of the x15 dimension
@@ -6584,6 +6627,37 @@ object SparkEntry {
            |FROM truth t LEFT JOIN appr a
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
            |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+      },
+
+      // Hamming shortlist (top-20, ties to smallest id) → exact cosine
+      // rerank of the shortlist only — the two-stage pipeline replays
+      "e22_rerank" -> {
+        def halfSql(lo: Int): String = (0 until 32).map { j =>
+          s"CASE WHEN v[${lo + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (SELECT vec_id, CAST(${halfSql(0)} AS BIGINT) AS c0,
+           |    CAST(${halfSql(32)} AS BIGINT) AS c1 FROM e),
+           |q AS (SELECT vec_id AS query_id, c0 AS q0, c1 AS q1 FROM c
+           |  WHERE vec_id < 5),
+           |s2 AS (SELECT query_id, c.vec_id AS neighbor_id,
+           |    bit_count(xor(q0, c.c0)) + bit_count(xor(q1, c.c1)) AS ham
+           |  FROM q, c WHERE query_id != c.vec_id),
+           |shortlist AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY ham ASC, neighbor_id ASC) AS srank
+           |    FROM s2) WHERE srank <= 20),
+           |rer AS (SELECT sl.query_id, sl.neighbor_id,
+           |    list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS rawcos
+           |  FROM shortlist sl
+           |    JOIN e qe ON qe.vec_id = sl.query_id
+           |    JOIN e ce ON ce.vec_id = sl.neighbor_id)
+           |SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
+           |  CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rawcos DESC, neighbor_id ASC) AS rank FROM rer)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       },
 
       // U-shaped credits: 40/20/40 in exact integer micros, one
