@@ -384,6 +384,38 @@ object StreamJob {
         })
   }
 
+  case class DebouncedEvent(user_id: Long, event_id: Long, event_type: String,
+                            ts: java.sql.Timestamp)
+
+  /** Streaming debounce (x41's stream twin) — drop events repeating
+    * their user's immediately previous type, ONLINE: state is one
+    * event-type string per key, each micro-batch replays its slice in
+    * (ts, event_id) order and emits only type CHANGES (Append mode —
+    * emitted rows are final). Within-batch and cross-batch behavior
+    * agree because the state carries the last SEEN type across the
+    * boundary; a straggler arriving after newer events processed is
+    * compared against the newest type (the online approximation — the
+    * batch x41 window is the repair path, the st4/w5 discipline). */
+  def streamingDebounce(events: Dataset[FullEvent]): Dataset[DebouncedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[FullEvent], state: GroupState[String]) => {
+          val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.orNull
+          val out = IndexedSeq.newBuilder[DebouncedEvent]
+          sorted.foreach { e =>
+            if (last == null || last != e.event_type) {
+              out += DebouncedEvent(uid, e.event_id, e.event_type, e.ts)
+              last = e.event_type
+            }
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+        })
+  }
+
   /** Streaming Count-Min sketch (t29's stream twin): arriving tokens fold
     * into the d×w counter grid as an ordinary streaming aggregation whose
     * state is BOUNDED BY CONSTRUCTION at depth·width rows — the rare

@@ -401,6 +401,28 @@ class StreamingSpec extends SparkSpec {
       s"got $got") // no edge touches the dropped straggler
   }
 
+  test("StreamJob debounce == batch x41 kept census (x41's stream twin)") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf())
+    val dir = new java.io.File("target/tmp/stream_events_deb").getAbsolutePath
+    batch.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[StreamJob.FullEvent]
+    val q = StreamJob.streamingDebounce(src)
+      .writeStream.outputMode("append").format("memory").queryName("st_deb")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // single-batch run ⇒ identical kept counts per user as batch x41
+    val streamed = spark.table("st_deb").groupBy("user_id")
+      .agg(count(lit(1)).as("n_kept"))
+    val expected = graft.SparkEntry.queries("x41_debounce")(spark, sf())
+      .select("user_id", "n_kept")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
+  }
+
   test("StreamJob latest-wins view == batch st6 argmax (st6's stream twin)") {
     import spark.implicits._
     val batch = Tables.events(spark, sf())
