@@ -57,7 +57,12 @@ object Bench {
     // d17_prefix_filter is deliberately NOT headline: its sf0.1 output is
     // the complete 8.9M-pair Jaccard≥0.5 set (~56 s of exact verify) —
     // gate-checked at both SFs instead
-    "g13_neigh_agg", "m6_ahash")
+    "g13_neigh_agg", "m6_ahash",
+    // round-9 batches 10–18: two-stage retrieval, DSIR scoring, the
+    // rolling-distinct WAU explode, bucket-ranked gini, watershed
+    // pointer doubling, and the corpus-entropy diagnostic
+    "e22_rerank", "t34_importance_weights", "x39_rolling_wau",
+    "x36_gini", "r16_watershed", "t35_token_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
