@@ -248,7 +248,9 @@ object SparkEntry {
     "e21_ivf_balance"     -> (Q.e21_ivf_balance(_, _)),
     "x40_hll_merge"       -> (Q.x40_hll_merge(_, _)),
     "x41_debounce"        -> (Q.x41_debounce(_, _)),
-    "e22_rerank"          -> (Q.e22_rerank(_, _)))
+    "e22_rerank"          -> (Q.e22_rerank(_, _)),
+    "p4_clip_area"        -> (Q.p4_clip_area(_, _)),
+    "j3_mosaic_priority"  -> (Q.j3_mosaic_priority(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -362,6 +364,49 @@ object SparkEntry {
         ((col("p_partkey") % 18) * 10 - 90).cast("double").as("f_bottom"),
         ((col("p_partkey") % 36) * 10 - 165).cast("double").as("f_right"),
         ((col("p_partkey") % 18) * 10 - 75).cast("double").as("f_top"))
+
+    /** P4: geometry clip through the REAL JTS path — every footprint
+      * intersected with a fixed window via `st_intersection` (the same
+      * function the vector pipeline clips with), area of the clipped
+      * geometry out. The oracle cross-checks JTS against closed-form
+      * axis-aligned arithmetic (integer-valued lattice bounds ⇒ the
+      * doubles are exact); empty intersections surface as area 0, the
+      * K4 pad discipline. */
+    def p4_clip_area(s: SparkSession, d: String): DataFrame = {
+      import graft.functions.GeoFunctions
+      val win = GeoFunctions.st_makeEnvelope(
+        lit(-60.0), lit(-40.0), lit(60.0), lit(40.0))
+      footprints(s, d)
+        .withColumn("__clip", GeoFunctions.st_intersection(
+          GeoFunctions.st_makeEnvelope(col("f_left"), col("f_bottom"),
+            col("f_right"), col("f_top")), win))
+        .select(col("uri"),
+          round(when(col("__clip").isNull, 0.0)
+            .otherwise(GeoFunctions.st_area(col("__clip"))), 4).as("clip_area"))
+        .orderBy("uri")
+    }
+
+    /** J3: mosaic overlay — priority-ordered first-non-null coalesce per
+      * pixel over three source layers (the VRT overlay semantic the
+      * raster pipeline runs inside LayerJob, here as an oracle-checkable
+      * lattice query): layer 1 = first-line items, layer 2 = discounted
+      * items, layer 3 = everything; a pixel takes the highest-priority
+      * layer that has data there, and reports WHICH. One conditional
+      * pixel aggregate computes all three layers in a single pass. */
+    def j3_mosaic_priority(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .select((col("l_partkey") % 40).as("px"), (col("l_suppkey") % 10).as("py"),
+          col("l_quantity").as("v"), col("l_linenumber"), col("l_discount"))
+        .groupBy("px", "py")
+        .agg(
+          max(when(col("l_linenumber") === 1, col("v"))).as("__b1"),
+          max(when(col("l_discount") > 0.05, col("v"))).as("__b2"),
+          max(col("v")).as("__b3"))
+        .select(col("px"), col("py"),
+          coalesce(col("__b1"), col("__b2"), col("__b3")).cast("long").as("value"),
+          when(col("__b1").isNotNull, 1L).when(col("__b2").isNotNull, 2L)
+            .otherwise(3L).as("src_priority"))
+        .orderBy("px", "py")
 
     /** J1/F2: tile ⋉ source-extent spatial semi-join — tiles whose interior
       * intersects any footprint; file catalog broadcast (SURVEY §4). */
@@ -6628,6 +6673,30 @@ object SparkEntry {
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
            |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
       },
+
+      // closed-form axis-aligned clip area vs the Spark side's real JTS
+      // intersection — integer lattice bounds keep the doubles exact
+      "p4_clip_area" ->
+        """SELECT concat('file_', p_partkey, '.tif') AS uri,
+          |  round(
+          |    greatest(0, least((p_partkey % 36) * 10 - 165, 60)
+          |      - greatest((p_partkey % 36) * 10 - 180, -60)) *
+          |    greatest(0, least((p_partkey % 18) * 10 - 75, 40)
+          |      - greatest((p_partkey % 18) * 10 - 90, -40)), 4) AS clip_area
+          |FROM part ORDER BY uri""".stripMargin,
+
+      // one conditional pixel aggregate; priority coalesce + provenance
+      "j3_mosaic_priority" ->
+        """WITH px AS (SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py,
+          |    max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS b1,
+          |    max(CASE WHEN l_discount > 0.05 THEN l_quantity END) AS b2,
+          |    max(l_quantity) AS b3
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT px, py,
+          |  CAST(floor(coalesce(b1, b2, b3)) AS BIGINT) AS value,
+          |  CAST(CASE WHEN b1 IS NOT NULL THEN 1
+          |    WHEN b2 IS NOT NULL THEN 2 ELSE 3 END AS BIGINT) AS src_priority
+          |FROM px ORDER BY px, py""".stripMargin,
 
       // Hamming shortlist (top-20, ties to smallest id) → exact cosine
       // rerank of the shortlist only — the two-stage pipeline replays
