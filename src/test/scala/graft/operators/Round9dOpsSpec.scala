@@ -38,6 +38,33 @@ class Round9dOpsSpec extends SparkSpec {
     graft.core.Caching.release(spark)
   }
 
+  test("prefix filter: completeness holds across seeded random corpora and thresholds") {
+    // fixed-seed random corpora: the completeness theorem must hold for
+    // any token distribution and any threshold, not just the crafted one
+    for (seed <- Seq(7, 42); t <- Seq(0.3, 0.6, 0.85)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g", "hh", "iii", "jj")
+      val docs = (1L to 30L).map { id =>
+        val n = 2 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val ids = docs.select(col("doc_id"))
+      val allPairs = ids.select(col("doc_id").as("doc1"))
+        .crossJoin(ids.select(col("doc_id").as("doc2")))
+        .filter(col("doc1") < col("doc2"))
+      val tMicro = math.round(t * 1e6)
+      val brute = Dedup.jaccard(docs, allPairs)
+        .filter(col("inter") * 1000000L >= col("uni") * tMicro)
+        .select("doc1", "doc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pf = Dedup.prefixFilterJoin(docs, t)
+        .select("doc1", "doc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pf == brute, s"seed=$seed t=$t: pf $pf != brute $brute")
+      graft.core.Caching.release(spark)
+    }
+  }
+
   test("prefix filter: no false positives below the threshold") {
     val pairs = Dedup.prefixFilterJoin(corpus, 0.9)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
