@@ -250,7 +250,9 @@ object SparkEntry {
     "x41_debounce"        -> (Q.x41_debounce(_, _)),
     "e22_rerank"          -> (Q.e22_rerank(_, _)),
     "p4_clip_area"        -> (Q.p4_clip_area(_, _)),
-    "j3_mosaic_priority"  -> (Q.j3_mosaic_priority(_, _)))
+    "j3_mosaic_priority"  -> (Q.j3_mosaic_priority(_, _)),
+    "x42_quantile_binning" -> (Q.x42_quantile_binning(_, _)),
+    "e23_recall_curve"    -> (Q.e23_recall_curve(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1627,6 +1629,63 @@ object SparkEntry {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
         .orderBy("l_returnflag")
+
+    /** Equal-frequency (quantile) binning of a numeric feature — the ML
+      * preprocessing transform (decile features, WoE binning): 10 bins
+      * whose boundaries are exact order statistics, each bin reporting
+      * its value range and population. The global rank uses the x36
+      * bucket-offset shape (range buckets + per-bucket windows +
+      * broadcast cumulative offsets — never a single-partition window);
+      * bin = (rank−1)·10 div n. Deterministic under ties (value, then
+      * key), so bin populations are exact on both engines. */
+    def x42_quantile_binning(s: SparkSession, d: String): DataFrame = {
+      val v = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val bucketed = graft.core.Caching.shared(
+        v.withColumn("__b", expr("cents div 100000")))
+      val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(
+          sum("__c").over(Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__b", "__off")
+      val n = bucketed.agg(count(lit(1)).as("__n"))
+      val wb = Window.partitionBy("__b")
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      bucketed.join(broadcast(offsets), "__b")
+        .withColumn("__i", row_number().over(wb) + col("__off"))
+        .crossJoin(broadcast(n))
+        .withColumn("bin", expr("(__i - 1) * 10 div __n"))
+        .groupBy("bin")
+        .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("bin")
+    }
+
+    /** Recall@k CURVE of the LSH ranker — e11 resolved at k = 1, 3, 5 in
+      * one pass (the operating-curve view an ANN deployment tunes
+      * against, not a single point): per (query, k) hits over the same
+      * two rankers, rank columns gate membership. All relations are
+      * queries×k-sized; one bounded explode per side. */
+    def e23_recall_curve(s: SparkSession, d: String): DataFrame = {
+      val ks = Seq(1, 3, 5)
+      val truth = graft.core.Caching.shared(e1_knn_brute(s, d)
+        .select(col("query_id"), col("neighbor_id"), col("rank")))
+      val approx = graft.core.Caching.shared(e2_knn_lsh(s, d)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("arank")))
+      val kdf = explode(array(ks.map(lit): _*)).as("k")
+      truth.select(col("query_id"), col("neighbor_id"), col("rank"), kdf)
+        .filter(col("rank") <= col("k"))
+        .join(approx.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        // found-but-beyond-k counts as a MISS at that k, not a dropped row
+        .withColumn("__h2",
+          when(col("__hit").isNotNull && col("arank") <= col("k"), 1L)
+            .otherwise(0L))
+        .groupBy("query_id", "k")
+        .agg(count(lit(1)).as("n_true"), sum("__h2").as("n_hits"))
+        .withColumn("recall_micro", expr("n_hits * 1000000 div n_true"))
+        .orderBy("query_id", "k")
+    }
 
     /** Gini coefficient of per-customer revenue — the inequality/skew
       * diagnostic (applied to tokens-per-source it measures corpus
@@ -6673,6 +6732,38 @@ object SparkEntry {
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
            |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
       },
+
+      // equal-frequency bins from exact global ranks; the oracle's single
+      // window replays the bucket-offset two-pass rank exactly
+      "x42_quantile_binning" ->
+        """WITH v AS (SELECT l_orderkey, l_linenumber,
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM lineitem),
+          |r AS (SELECT cents,
+          |    row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS i,
+          |    count(*) OVER () AS n FROM v)
+          |SELECT CAST((i - 1) * 10 // n AS BIGINT) AS bin,
+          |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+          |  count(*) AS n_rows
+          |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+      // recall at k = 1, 3, 5 from the shared e1/e2 rankers; found
+      // beyond k is a miss at that k
+      "e23_recall_curve" ->
+        s"""WITH truth AS (SELECT query_id, neighbor_id, rank FROM ($e1KnnSql)),
+           |appr AS (SELECT query_id, neighbor_id, rank AS arank FROM ($e2KnnSql)),
+           |ks AS (SELECT unnest([1, 3, 5]) AS k),
+           |t2 AS (SELECT t.query_id, t.neighbor_id, ks.k FROM truth t
+           |  CROSS JOIN ks WHERE t.rank <= ks.k)
+           |SELECT t2.query_id, CAST(t2.k AS INT) AS k,
+           |  count(*) AS n_true,
+           |  CAST(sum(CASE WHEN a.arank IS NOT NULL AND a.arank <= t2.k
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN a.arank IS NOT NULL AND a.arank <= t2.k
+           |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_micro
+           |FROM t2 LEFT JOIN appr a
+           |  ON a.query_id = t2.query_id AND a.neighbor_id = t2.neighbor_id
+           |GROUP BY 1, 2 ORDER BY t2.query_id, k""".stripMargin,
 
       // closed-form axis-aligned clip area vs the Spark side's real JTS
       // intersection — integer lattice bounds keep the doubles exact
