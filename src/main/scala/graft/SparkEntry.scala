@@ -252,7 +252,10 @@ object SparkEntry {
     "p4_clip_area"        -> (Q.p4_clip_area(_, _)),
     "j3_mosaic_priority"  -> (Q.j3_mosaic_priority(_, _)),
     "x42_quantile_binning" -> (Q.x42_quantile_binning(_, _)),
-    "e23_recall_curve"    -> (Q.e23_recall_curve(_, _)))
+    "e23_recall_curve"    -> (Q.e23_recall_curve(_, _)),
+    "t37_cross_contamination" -> (Q.t37_cross_contamination(_, _)),
+    "m9_ahash_pairs"      -> (Q.m9_ahash_pairs(_, _)),
+    "x44_psi_drift"       -> (Q.x44_psi_drift(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1353,6 +1356,31 @@ object SparkEntry {
     def d11_substring_dup(s: SparkSession, d: String): DataFrame =
       Dedup.substringDupCoverage(Tables.documents(s, d), window = 8).orderBy("doc_id")
 
+    /** Cross-SOURCE contamination matrix — pairwise distinct-5-gram
+      * overlap between every pair of corpus sources (d9 resolves one
+      * benchmark against the corpus; this is the full provenance
+      * matrix that finds which feeds share pipelines/mirrors). The gram
+      * relation collapses to (source, gram) DISTINCT rows — vocabulary-
+      * sized per source — and the pair intersection is one gram-keyed
+      * self-join + count; source pair count is |sources|², never docs².
+      * Hashes, not raw grams, cross the shuffle (32 bytes/row). */
+    def t37_cross_contamination(s: SparkSession, d: String): DataFrame = {
+      val grams = graft.core.Caching.shared(
+        Tables.documents(s, d)
+          .select(col("source"), Dedup.tokens(col("text")).as("__toks"))
+          .filter(size(col("__toks")) >= 5)
+          .select(col("source"), explode(array_distinct(transform(
+            sequence(lit(1), size(col("__toks")) - 4),
+            i => PortableHash.hash32(
+              concat_ws(" ", slice(col("__toks"), i, lit(5))))))).as("g"))
+          .distinct())
+      grams.select(col("source").as("src1"), col("g"))
+        .join(grams.select(col("source").as("src2"), col("g")), "g")
+        .filter(col("src1") < col("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("n_shared"))
+        .orderBy("src1", "src2")
+    }
+
     /** Benchmark decontamination: distinct 5-gram overlap of every corpus
       * doc against the `src0` slice standing in for an eval suite. */
     def d9_contamination(s: SparkSession, d: String): DataFrame = {
@@ -1687,6 +1715,37 @@ object SparkEntry {
         .orderBy("query_id", "k")
     }
 
+    /** Population-stability-index drift report — THE ML-monitoring
+      * metric between a feature's two epochs: per-bin
+      * (p_A − p_B)·ln(p_A/p_B) with add-one smoothing (zero-count bins
+      * stay finite), fixed equal-width bins (the a4 histogram lattice in
+      * cents, integer-div binning), epochs split at 1997-06-01. One
+      * conditional aggregate computes both epoch counts; totals ride as
+      * a 1-row broadcast; PSI = Σ of the per-bin column. Smoothed
+      * probabilities are single exact-int divisions evaluated once in
+      * IEEE doubles — deterministic cross-engine (the bm25 float
+      * discipline). */
+    def x44_psi_drift(s: SparkSession, d: String): DataFrame = {
+      val split = "1997-06-01"
+      val lo = 90000L; val w = 1041000L // 10 bins over [0.9k, 105k] dollars
+      val cnt = li(s, d).select(
+          (col("l_shipdate") < lit(split)).as("__a"),
+          least(greatest(
+            expr(s"(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) - $lo) div $w"),
+            lit(0L)), lit(9L)).as("bin"))
+        .groupBy("bin").agg(
+          sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+      val tot = cnt.agg(sum("n_a").as("__na"), sum("n_b").as("__nb"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("__pa", (col("n_a") + 1).cast("double") / (col("__na") + 10))
+        .withColumn("__pb", (col("n_b") + 1).cast("double") / (col("__nb") + 10))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          floor((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))
+            * 1e6 + 0.5).cast("long").as("psi_term_micro"))
+        .orderBy("bin")
+    }
+
     /** Gini coefficient of per-customer revenue — the inequality/skew
       * diagnostic (applied to tokens-per-source it measures corpus
       * concentration; here revenue concentration). Exact integers: cent
@@ -1856,6 +1915,31 @@ object SparkEntry {
         .agg(min("asset_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
         .orderBy("keep_id")
+
+    /** Visual NEAR-dup pairs — aHash Hamming ≤ 1 via the d7 pigeonhole:
+      * a pair within Hamming 1 of a 64-bit hash must agree EXACTLY on at
+      * least one 32-bit half, so candidates meet in a half-keyed band
+      * join (never all-pairs) and bit_count verifies. Extends m8's
+      * exact-collision groups to the near ring. */
+    def m9_ahash_pairs(s: SparkSession, d: String): DataFrame = {
+      val hashes = graft.core.Caching.shared(
+        Multimodal.averageHash(
+          Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"), size = 8))
+      def side(n: Int) = hashes.select(col("asset_id").as(s"a$n"),
+        col("hash_hi").as(s"h$n"), col("hash_lo").as(s"l$n"))
+      // two EQUI band joins (hi band, lo band) — an OR-joined predicate
+      // would plan a nested loop over all pairs; the union of equi-joins
+      // keeps both legs hash-joinable (the d7 shape)
+      def band(k: String) = side(1).join(side(2),
+        col(s"${k}1") === col(s"${k}2") && col("a1") < col("a2"))
+        .select("a1", "a2", "h1", "h2", "l1", "l2")
+      band("h").unionAll(band("l")).distinct()
+        .withColumn("hamming",
+          expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)"))
+        .filter(col("hamming") <= 1)
+        .select(col("a1"), col("a2"), col("hamming"))
+        .orderBy("a1", "a2")
+    }
 
     /** ANN evaluation — recall@5 of the LSH index (e2) against exhaustive
       * ground truth (e1), per query. The metrology operator every ANN
@@ -6732,6 +6816,52 @@ object SparkEntry {
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
            |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
       },
+
+      // distinct hashed 5-grams per source; one gram-keyed self-join
+      "t37_cross_contamination" ->
+        s"""WITH t AS (SELECT source, $tokExpr AS toks FROM documents),
+           |g AS (SELECT DISTINCT source, ${h("gram")} AS g FROM (
+           |    SELECT source, unnest(list_distinct(list_transform(
+           |      range(1, greatest(len(toks) - 4, 0) + 1),
+           |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')))) AS gram
+           |    FROM t WHERE len(toks) >= 5))
+           |SELECT a.source AS src1, b.source AS src2, count(*) AS n_shared
+           |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+           |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin,
+
+      // pigeonhole: Hamming ≤ 1 must agree on a 32-bit half; union of
+      // two equi band joins + popcount verify
+      "m9_ahash_pairs" ->
+        s"""WITH ah AS ($m6AhashSql),
+           |s1 AS (SELECT asset_id AS a1, hash_hi AS h1, hash_lo AS l1 FROM ah),
+           |s2 AS (SELECT asset_id AS a2, hash_hi AS h2, hash_lo AS l2 FROM ah),
+           |cand AS (
+           |  SELECT DISTINCT a1, a2, h1, h2, l1, l2 FROM (
+           |    SELECT * FROM s1 JOIN s2 ON h1 = h2 AND a1 < a2
+           |    UNION ALL
+           |    SELECT * FROM s1 JOIN s2 ON l1 = l2 AND a1 < a2))
+           |SELECT a1, a2,
+           |  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS BIGINT) AS hamming
+           |FROM cand
+           |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
+           |ORDER BY a1, a2""".stripMargin,
+
+      // per-bin smoothed (pA − pB)·ln(pA/pB), epochs split mid-1997
+      "x44_psi_drift" ->
+        """WITH b AS (SELECT l_shipdate < TIMESTAMP '1997-06-01' AS a,
+          |    least(greatest((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+          |      - 90000) // 1041000, 0), 9) AS bin
+          |  FROM lineitem),
+          |cnt AS (SELECT bin,
+          |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+          |  FROM b GROUP BY 1),
+          |tot AS (SELECT sum(n_a) AS na, sum(n_b) AS nb FROM cnt)
+          |SELECT bin, n_a, n_b,
+          |  CAST(floor(((n_a + 1) * 1.0 / (na + 10) - (n_b + 1) * 1.0 / (nb + 10))
+          |    * ln(((n_a + 1) * 1.0 / (na + 10)) / ((n_b + 1) * 1.0 / (nb + 10)))
+          |    * 1e6 + 0.5) AS BIGINT) AS psi_term_micro
+          |FROM cnt, tot ORDER BY bin""".stripMargin,
 
       // equal-frequency bins from exact global ranks; the oracle's single
       // window replays the bucket-offset two-pass rank exactly
