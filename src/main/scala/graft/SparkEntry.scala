@@ -255,7 +255,8 @@ object SparkEntry {
     "e23_recall_curve"    -> (Q.e23_recall_curve(_, _)),
     "t37_cross_contamination" -> (Q.t37_cross_contamination(_, _)),
     "m9_ahash_pairs"      -> (Q.m9_ahash_pairs(_, _)),
-    "x44_psi_drift"       -> (Q.x44_psi_drift(_, _)))
+    "x44_psi_drift"       -> (Q.x44_psi_drift(_, _)),
+    "x45_watermark_audit" -> (Q.x45_watermark_audit(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1713,6 +1714,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_true"), sum("__h2").as("n_hits"))
         .withColumn("recall_micro", expr("n_hits * 1000000 div n_true"))
         .orderBy("query_id", "k")
+    }
+
+    /** Watermark-lateness audit — for each event, how far behind the
+      * stream's high-water mark (max event time seen over earlier
+      * ARRIVALS — event_id is the arrival order) it arrived, and what a
+      * 1-hour watermark would therefore drop: the sizing analysis run
+      * BEFORE picking a Structured Streaming watermark. The global
+      * running max never uses a single-partition window — the x36/x42
+      * bucket shape: per-bucket running maxes + a broadcast cumulative
+      * bucket-prefix table. Integer seconds; first arrival is 0 late. */
+    def x45_watermark_audit(s: SparkSession, d: String): DataFrame = {
+      val ev = graft.core.Caching.shared(Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          expr("event_id div 1000").as("__b")))
+      val pre = ev.groupBy("__b").agg(max("ts").as("__bm"))
+        .withColumn("__pre", max("__bm").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("__b", "__pre")
+      val wb = Window.partitionBy("__b").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.join(broadcast(pre), "__b")
+        .withColumn("__hwm", greatest(
+          coalesce(max("ts").over(wb), col("__pre"), col("ts")),
+          coalesce(col("__pre"), col("ts"))))
+        .withColumn("__late_sec",
+          greatest(expr("(unix_micros(__hwm) - unix_micros(ts)) div 1000000"),
+            lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("__late_sec") > 3600, 1L).otherwise(0L)).as("n_dropped_1h"),
+          max("__late_sec").as("max_late_sec"))
+        .orderBy("event_type")
     }
 
     /** Population-stability-index drift report — THE ML-monitoring
@@ -6845,6 +6878,23 @@ object SparkEntry {
            |FROM cand
            |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
            |ORDER BY a1, a2""".stripMargin,
+
+      // single global running max over arrival order (the oracle may use
+      // one window; the Spark side buckets it)
+      "x45_watermark_audit" ->
+        """WITH h AS (SELECT event_type, ts,
+          |    max(ts) OVER (ORDER BY event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+          |  FROM events),
+          |l AS (SELECT event_type,
+          |    CASE WHEN hwm IS NULL OR hwm <= ts THEN 0
+          |      ELSE (epoch_us(hwm) - epoch_us(ts)) // 1000000 END AS late_sec
+          |  FROM h)
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN late_sec > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dropped_1h,
+          |  CAST(max(late_sec) AS BIGINT) AS max_late_sec
+          |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
 
       // per-bin smoothed (pA − pB)·ln(pA/pB), epochs split mid-1997
       "x44_psi_drift" ->
