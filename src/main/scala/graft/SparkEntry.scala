@@ -256,7 +256,8 @@ object SparkEntry {
     "t37_cross_contamination" -> (Q.t37_cross_contamination(_, _)),
     "m9_ahash_pairs"      -> (Q.m9_ahash_pairs(_, _)),
     "x44_psi_drift"       -> (Q.x44_psi_drift(_, _)),
-    "x45_watermark_audit" -> (Q.x45_watermark_audit(_, _)))
+    "x45_watermark_audit" -> (Q.x45_watermark_audit(_, _)),
+    "w6_rolling_median"   -> (Q.w6_rolling_median(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1714,6 +1715,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_true"), sum("__h2").as("n_hits"))
         .withColumn("recall_micro", expr("n_hits * 1000000 div n_true"))
         .orderBy("query_id", "k")
+    }
+
+    /** Rolling (windowed) median — the robust smoother over each user's
+      * last 5 observations (outlier-resistant trend lines, sensor
+      * despiking). Spark has no native windowed median: collect the ROWS
+      * frame, sort, take the LOWER median (element ⌈n/2⌉ — integer-exact
+      * and engine-identical, unlike the interpolated even-n form). Frame
+      * state is ≤ 5 values per row; the window is user-keyed. */
+    def w6_rolling_median(s: SparkSession, d: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value")).cast("long").as("v"))
+        .withColumn("__fr", sort_array(collect_list("v").over(w)))
+        .select(col("event_id"), col("user_id"), col("v"),
+          element_at(col("__fr"),
+            expr("CAST((size(__fr) + 1) div 2 AS INT)")).as("med5"))
+        .orderBy("event_id")
     }
 
     /** Watermark-lateness audit — for each event, how far behind the
@@ -6878,6 +6898,17 @@ object SparkEntry {
            |FROM cand
            |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
            |ORDER BY a1, a2""".stripMargin,
+
+      // frame-collect + lower median (element ⌈n/2⌉) — integer-exact
+      "w6_rolling_median" ->
+        """WITH e AS (SELECT event_id, user_id, ts,
+          |    CAST(floor(value) AS BIGINT) AS v FROM events WHERE user_id < 20),
+          |w AS (SELECT event_id, user_id, v,
+          |    list_sort(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+          |  FROM e)
+          |SELECT event_id, user_id, v, fr[CAST((len(fr) + 1) // 2 AS INT)] AS med5
+          |FROM w ORDER BY event_id""".stripMargin,
 
       // single global running max over arrival order (the oracle may use
       // one window; the Spark side buckets it)
