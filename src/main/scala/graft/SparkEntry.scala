@@ -1671,20 +1671,12 @@ object SparkEntry {
     def x42_quantile_binning(s: SparkSession, d: String): DataFrame = {
       val v = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
-      val bucketed = graft.core.Caching.shared(
-        v.withColumn("__b", expr("cents div 100000")))
-      val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
-        .withColumn("__off", coalesce(
-          sum("__c").over(Window.orderBy("__b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("__b", "__off")
-      val n = bucketed.agg(count(lit(1)).as("__n"))
-      val wb = Window.partitionBy("__b")
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-      bucketed.join(broadcast(offsets), "__b")
-        .withColumn("__i", row_number().over(wb) + col("__off"))
+      val ranked = graft.operators.Ranks.globalRank(v, col("cents"),
+        Seq(col("l_orderkey"), col("l_linenumber")), expr("cents div 100000"))
+      val n = v.agg(count(lit(1)).as("__n"))
+      ranked
         .crossJoin(broadcast(n))
-        .withColumn("bin", expr("(__i - 1) * 10 div __n"))
+        .withColumn("bin", expr("(__rank - 1) * 10 div __n"))
         .groupBy("bin")
         .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"),
           count(lit(1)).as("n_rows"))
@@ -1812,18 +1804,10 @@ object SparkEntry {
     def x36_gini(s: SparkSession, d: String): DataFrame = {
       val rev = Tables.orders(s, d).groupBy("o_custkey")
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("cents"))
-      val bucketed = graft.core.Caching.shared(
-        rev.withColumn("__b", expr("cents div 1000000")))
-      val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
-        .withColumn("__off", coalesce(
-          sum("__c").over(Window.orderBy("__b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("__b", "__off")
-      val wb = Window.partitionBy("__b").orderBy(col("cents"), col("o_custkey"))
-      bucketed.join(broadcast(offsets), "__b")
-        .withColumn("__i", row_number().over(wb) + col("__off"))
+      graft.operators.Ranks.globalRank(rev, col("cents"), Seq(col("o_custkey")),
+          expr("cents div 1000000"))
         .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
-          sum(col("__i") * col("cents")).as("__s2"))
+          sum(col("__rank") * col("cents")).as("__s2"))
         .withColumn("__num",
           (col("__s2").cast("decimal(38,0)") * 2 -
             (col("n") + 1) * col("total_cents").cast("decimal(38,0)")) * lit(1000000L))
