@@ -57,6 +57,19 @@ class Round9eOpsSpec extends SparkSpec {
     graft.core.Caching.release(spark)
   }
 
+  test("global rank: permutation 1..n, equals the single-window rank") {
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 200L).map(i => (i, rnd.nextInt(50).toLong)).toDF("id", "v")
+    val got = Ranks.globalRank(df, col("v"), Seq(col("id")), expr("v div 7"))
+      .select(col("id"), col("__rank"))
+    val expected = df.withColumn("__rank",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v", "id")))
+      .select("id", "__rank")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    graft.core.Caching.release(spark)
+  }
+
   test("hll merge: per-group registers max-merge to the global table") {
     val df = (1 to 500).map(i => (s"g${i % 3}", s"v$i")).toDF("grp", "k")
     val per = Sketch.hllRegistersBy(df, "grp", "k", m = 32)
