@@ -257,7 +257,9 @@ object SparkEntry {
     "m9_ahash_pairs"      -> (Q.m9_ahash_pairs(_, _)),
     "x44_psi_drift"       -> (Q.x44_psi_drift(_, _)),
     "x45_watermark_audit" -> (Q.x45_watermark_audit(_, _)),
-    "w6_rolling_median"   -> (Q.w6_rolling_median(_, _)))
+    "w6_rolling_median"   -> (Q.w6_rolling_median(_, _)),
+    "t39_readability"     -> (Q.t39_readability(_, _)),
+    "x48_new_vs_returning" -> (Q.x48_new_vs_returning(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -2186,6 +2188,49 @@ object SparkEntry {
       * per-token micro-nat quantization keeps the aggregate exact. */
     def t15_unigram_surprisal(s: SparkSession, d: String): DataFrame =
       TextOps.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
+
+    /** Flesch-style readability score — the classic text-quality feature
+      * (reading-ease gates in curation): 206.835 − 1.015·(words/sent) −
+      * 84.6·(syll/words), with sentences = [.!?]+ runs (min 1), words =
+      * whitespace tokens, syllables = [aeiouy]+ vowel groups per word
+      * (min 1/word — the standard heuristic). All three counts are exact
+      * integers from regex extraction; the formula evaluates once in
+      * IEEE doubles and micro-quantizes (the bm25 discipline). Fused
+      * into the scan — no shuffle before the output sort. */
+    def t39_readability(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(filter(split(lower(col("text")), "[.!?]+"),
+            t => length(trim(t)) > 0)), lit(1)).cast("long").as("n_sent"),
+          Dedup.tokens(col("text")).as("__toks"))
+        .withColumn("n_words", greatest(size(col("__toks")), lit(1)).cast("long"))
+        .withColumn("n_syll",
+          aggregate(transform(col("__toks"),
+            t => greatest(size(filter(split(t, "[^aeiouy]+"),
+              g => length(g) > 0)), lit(1)).cast("long")),
+            lit(0L), (acc, x) => acc + x))
+        .select(col("doc_id"), col("n_sent"), col("n_words"), col("n_syll"),
+          floor((lit(206.835) -
+            lit(1.015) * col("n_words") / col("n_sent") -
+            lit(84.6) * col("n_syll") / col("n_words")) * 1e6 + 0.5)
+            .cast("long").as("flesch_micro"))
+        .orderBy("doc_id")
+
+    /** New-vs-returning daily split — each day's actives partitioned by
+      * whether this is their FIRST day ever (the acquisition/retention
+      * headline every growth dashboard opens with). First-seen day is
+      * one user-keyed argmin; the daily census joins presence against
+      * it user-keyed — co-partitioned at scale. */
+    def x48_new_vs_returning(s: SparkSession, d: String): DataFrame = {
+      val pres = graft.core.Caching.shared(Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+      val first = pres.groupBy("user_id").agg(min("day").as("__first"))
+      pres.join(first, "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("__first"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") =!= col("__first"), 1L).otherwise(0L)).as("n_returning"))
+        .orderBy("day")
+    }
 
     /** Per-source token-distribution Shannon entropy — the vocabulary-
       * diversity diagnostic next to t33's Zipf slope (low entropy flags
@@ -6882,6 +6927,36 @@ object SparkEntry {
            |FROM cand
            |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
            |ORDER BY a1, a2""".stripMargin,
+
+      // exact integer sentence/word/vowel-group counts; one IEEE
+      // evaluation of the Flesch formula, micro-quantized
+      "t39_readability" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    greatest(len(list_filter(string_split_regex(lower(text), '[.!?]+'),
+           |      x -> len(trim(x)) > 0)), 1) AS n_sent,
+           |    $tokExpr AS toks
+           |  FROM documents),
+           |c AS (SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sent,
+           |    CAST(greatest(len(toks), 1) AS BIGINT) AS n_words,
+           |    CAST(coalesce(list_sum(list_transform(toks,
+           |      w -> greatest(len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+           |        g -> len(g) > 0)), 1))), 0) AS BIGINT) AS n_syll
+           |  FROM t)
+           |SELECT doc_id, n_sent, n_words, n_syll,
+           |  CAST(floor((206.835 - 1.015 * n_words / n_sent
+           |    - 84.6 * n_syll / n_words) * 1e6 + 0.5) AS BIGINT) AS flesch_micro
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // first-seen argmin + user-keyed presence join
+      "x48_new_vs_returning" ->
+        """WITH pres AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+          |  FROM events),
+          |f AS (SELECT user_id, min(day) AS fd FROM pres GROUP BY 1)
+          |SELECT day,
+          |  CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          |  CAST(sum(CASE WHEN day <> fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+          |FROM pres JOIN f USING (user_id)
+          |GROUP BY day ORDER BY day""".stripMargin,
 
       // frame-collect + lower median (element ⌈n/2⌉) — integer-exact
       "w6_rolling_median" ->
