@@ -259,7 +259,8 @@ object SparkEntry {
     "x45_watermark_audit" -> (Q.x45_watermark_audit(_, _)),
     "w6_rolling_median"   -> (Q.w6_rolling_median(_, _)),
     "t39_readability"     -> (Q.t39_readability(_, _)),
-    "x48_new_vs_returning" -> (Q.x48_new_vs_returning(_, _)))
+    "x48_new_vs_returning" -> (Q.x48_new_vs_returning(_, _)),
+    "e24_mmr"             -> (Q.e24_mmr(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -3586,6 +3587,60 @@ object SparkEntry {
           coalesce(sum("__hit"), lit(0L)).as("n_hits"))
         .withColumn("recall_pct", (col("n_hits") * 100 / col("k")).cast("long"))
         .orderBy("query_id")
+    }
+
+    /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+      * SIGIR'98) — the diversity stage of a retrieval pipeline: from
+      * each query's brute top-10 pool, greedily select 5 results
+      * maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 0.7.
+      * Greedy selection is inherently sequential in k — the 5 rounds
+      * unroll at plan time (the BPE-round-2 discipline), each round one
+      * anti-join + one max-sim join + one argmax struct-min over the
+      * pool-sized relation. Cosines micro-quantize BEFORE the MMR
+      * arithmetic, so scores are exact integers (7·cq − 3·ms, no
+      * division) and ties pin to the smallest id — the whole greedy
+      * trajectory replays in SQL. Pool and pairwise-sim relations are
+      * queries×10 and queries×90 rows; everything broadcasts. */
+    def e24_mmr(s: SparkSession, d: String): DataFrame = {
+      import graft.functions.VectorExpressions.vec_cosine
+      val ev = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qs = ev.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val pool = graft.core.Caching.shared(
+        broadcast(qs).join(ev, col("vec_id") =!= col("query_id"))
+          .withColumn("__cos", vec_cosine(col("qv"), col("v")))
+          .withColumn("__pr", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("__cos").desc, col("vec_id").asc)))
+          .filter(col("__pr") <= 10)
+          .select(col("query_id"), col("vec_id").as("id"),
+            floor(col("__cos") * 1e6 + 0.5).cast("long").as("cq")))
+      val withVec = pool.join(ev.withColumnRenamed("vec_id", "id"), "id")
+      val ps = graft.core.Caching.shared(
+        withVec.select(col("query_id"), col("id").as("a"), col("v").as("va"))
+          .join(withVec.select(col("query_id"), col("id").as("b"),
+            col("v").as("vb")), Seq("query_id"))
+          .filter(col("a") =!= col("b"))
+          .select(col("query_id"), col("a"), col("b"),
+            floor(vec_cosine(col("va"), col("vb")) * 1e6 + 0.5)
+              .cast("long").as("s")))
+      def pick(cands: DataFrame, score: Column): DataFrame = cands
+        .withColumn("__sc", score)
+        .groupBy("query_id")
+        .agg(min(struct((-col("__sc")).as("ns"), col("id").as("id"))).as("__p"))
+        .select(col("query_id"), col("__p.id").as("id"))
+      var sel = pick(pool, col("cq")).withColumn("rank", lit(1))
+      for (k <- 2 to 5) {
+        val cands = pool.join(sel.select("query_id", "id"),
+            Seq("query_id", "id"), "left_anti")
+          .join(ps.join(broadcast(sel.select(col("query_id"), col("id").as("b"))),
+              Seq("query_id", "b"))
+            .groupBy(col("query_id"), col("a").as("id"))
+            .agg(max("s").as("__ms")), Seq("query_id", "id"))
+        sel = sel.unionAll(
+          pick(cands, col("cq") * 7 - col("__ms") * 3).withColumn("rank", lit(k)))
+      }
+      sel.select(col("query_id"), col("rank"), col("id")).orderBy("query_id", "rank")
     }
 
     /** TWO-STAGE retrieval — the production ANN architecture: a cheap
@@ -7058,6 +7113,47 @@ object SparkEntry {
           |  CAST(CASE WHEN b1 IS NOT NULL THEN 1
           |    WHEN b2 IS NOT NULL THEN 2 ELSE 3 END AS BIGINT) AS src_priority
           |FROM px ORDER BY px, py""".stripMargin,
+
+      // five unrolled greedy MMR rounds over micro-quantized cosines;
+      // argmax 7·cq − 3·ms with ties to the smallest id
+      "e24_mmr" -> {
+        val rounds = (2 to 5).map { k =>
+          s"""c$k AS (SELECT p.query_id, p.id, p.cq, max(ps.s) AS ms
+             |  FROM pool p
+             |  JOIN ps ON ps.query_id = p.query_id AND ps.a = p.id
+             |  JOIN sel${k - 1} sl ON sl.query_id = ps.query_id AND sl.id = ps.b
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+             |    WHERE x.query_id = p.query_id AND x.id = p.id)
+             |  GROUP BY 1, 2, 3),
+             |p$k AS (SELECT query_id, id FROM (
+             |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cq * 7 - ms * 3 DESC, id) AS rn FROM c$k) WHERE rn = 1),
+             |sel$k AS (SELECT * FROM sel${k - 1}
+             |  UNION ALL SELECT query_id, id, $k FROM p$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |sc AS (SELECT query_id, e.vec_id AS id,
+           |    list_dot_product(qv, v) /
+           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS rawcos
+           |  FROM q, e WHERE e.vec_id != query_id),
+           |pool AS (SELECT query_id, id,
+           |    CAST(floor(rawcos * 1e6 + 0.5) AS BIGINT) AS cq FROM (
+           |    SELECT query_id, id, rawcos, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rawcos DESC, id) AS pr FROM sc) WHERE pr <= 10),
+           |ps AS (SELECT p1.query_id, p1.id AS a, p2.id AS b,
+           |    CAST(floor(list_dot_product(ea.v, eb.v) /
+           |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+           |      * 1e6 + 0.5) AS BIGINT) AS s
+           |  FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id AND p1.id != p2.id
+           |    JOIN e ea ON ea.vec_id = p1.id JOIN e eb ON eb.vec_id = p2.id),
+           |sel1 AS (SELECT query_id, id, 1 AS rank FROM (
+           |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cq DESC, id) AS rn FROM pool) WHERE rn = 1),
+           |$rounds
+           |SELECT query_id, CAST(rank AS INT) AS rank, id FROM sel5
+           |ORDER BY query_id, rank""".stripMargin
+      },
 
       // Hamming shortlist (top-20, ties to smallest id) → exact cosine
       // rerank of the shortlist only — the two-stage pipeline replays
