@@ -260,7 +260,10 @@ object SparkEntry {
     "w6_rolling_median"   -> (Q.w6_rolling_median(_, _)),
     "t39_readability"     -> (Q.t39_readability(_, _)),
     "x48_new_vs_returning" -> (Q.x48_new_vs_returning(_, _)),
-    "e24_mmr"             -> (Q.e24_mmr(_, _)))
+    "e24_mmr"             -> (Q.e24_mmr(_, _)),
+    "x49_bounce_rate"     -> (Q.x49_bounce_rate(_, _)),
+    "e25_threshold_sweep" -> (Q.e25_threshold_sweep(_, _)),
+    "g15_degree_hist"     -> (Q.g15_degree_hist(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1084,6 +1087,30 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }
+
+    /** Daily bounce rate — single-event sessions over all sessions (the
+      * engagement-quality headline): st2's gaps-and-islands
+      * sessionization (30-min gap), sessions keyed to the day they
+      * START, bounce = 1-event session. Two window passes over ONE
+      * user-keyed sort + a per-day fold; rate is one integer division. */
+    def x49_bounce_rate(s: SparkSession, d: String): DataFrame = {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val newSession = when(
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)) > 1800, 1)
+        .when(lag("ts", 1).over(byUser).isNull, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_id", sum("new_s").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(to_date(min("ts")).as("day"), count(lit(1)).as("__n"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("bounce_micro", expr("n_bounce * 1000000 div n_sessions"))
+        .orderBy("day")
     }
 
     // ---------------------------------------------- text analysis (north star)
@@ -2287,6 +2314,27 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), dim = 64, bits = 8, k = 5)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
+    }
+
+    /** Threshold-calibration sweep — the near-dup pair count at every
+      * candidate cosine cutoff in ONE pass (conditional sums over the
+      * bounded pairwise relation): the tuning curve read before fixing
+      * e3/e6's τ. Micro-quantized cosines make the threshold compares
+      * integer-exact; thresholds 0.30 … 0.90 by 0.10. */
+    def e25_threshold_sweep(s: SparkSession, d: String): DataFrame = {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val pairs = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+        .join(broadcast(e.select(col("vec_id").as("id2"), col("embedding").as("v2"))),
+          col("id1") < col("id2"))
+        .select(floor(graft.functions.VectorExpressions.vec_cosine(
+          col("v1").cast("array<double>"), col("v2").cast("array<double>"))
+          * 1e6 + 0.5).cast("long").as("c"))
+      val ts = (3 to 9).map(_ * 100000L)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          ts.map(t => sum(when(col("c") >= t, 1L).otherwise(0L))
+            .as(s"n_ge_${t / 100000}0pct")): _*)
+        .select(col("n_pairs") +: ts.map(t => col(s"n_ge_${t / 100000}0pct")): _*)
     }
 
     /** Embedding-cosine near-dup pairs (the embedding flavor of dedup):
@@ -4024,6 +4072,26 @@ object SparkEntry {
             (col("doc_id") * 17 + 3) % col("__n"))).as("doc2")))
       val labels = graft.operators.Graph.labelPropagation(edges, iters = 3)
       graft.operators.Graph.modularity(edges, labels).orderBy("label")
+    }
+
+    /** Degree histogram of the undirected doc graph — the first
+      * diagnostic read on ANY graph (power-law tail ⇒ hub caps and skew
+      * salting are mandatory downstream). Symmetrize + distinct, one
+      * vertex-keyed degree aggregate, one |degrees|-row fold. */
+    def g15_degree_hist(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val und = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("deg")
     }
 
     /** GraphSAGE-style 2-hop neighbor feature aggregation over the doc
@@ -6982,6 +7050,59 @@ object SparkEntry {
            |FROM cand
            |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
            |ORDER BY a1, a2""".stripMargin,
+
+      // st2's sessionization keyed to the start day; one division
+      "x49_bounce_rate" ->
+        """WITH l AS (SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |        IS NULL THEN 1
+          |      WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+          |        ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |s2 AS (SELECT user_id, ts,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM l),
+          |sess AS (SELECT user_id, session_id, CAST(min(ts) AS DATE) AS day,
+          |    count(*) AS n FROM s2 GROUP BY 1, 2)
+          |SELECT day, count(*) AS n_sessions,
+          |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+          |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+          |    AS BIGINT) AS bounce_micro
+          |FROM sess GROUP BY day ORDER BY day""".stripMargin,
+
+      // one pass, one conditional sum per threshold over micro cosines
+      "e25_threshold_sweep" -> {
+        val cols = (3 to 9).map(t =>
+          s"CAST(sum(CASE WHEN c >= ${t * 100000} THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_${t}0pct")
+          .mkString(",\n           |  ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE vec_id < 200),
+           |p AS (SELECT CAST(floor(list_dot_product(a.v, b.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           |    * 1e6 + 0.5) AS BIGINT) AS c
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT count(*) AS n_pairs,
+           |  $cols
+           |FROM p""".stripMargin
+      },
+
+      // symmetrized simple graph, vertex degree fold, |degrees|-row
+      // census. UNION ALL of the two arithmetic edges instead of unnest:
+      // DuckDB 1.x hits an internal binder error on unnest under
+      // least/greatest+DISTINCT here
+      "g15_degree_hist" ->
+        """WITH n AS (SELECT count(*) AS n FROM documents),
+          |e0 AS (SELECT doc_id AS src, ((doc_id * 31 + 7) % n.n) AS d1,
+          |    ((doc_id * 17 + 3) % n.n) AS d2 FROM documents, n),
+          |edges AS (SELECT src, d1 AS dst FROM e0
+          |  UNION ALL SELECT src, d2 AS dst FROM e0),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM edges WHERE src <> dst),
+          |deg AS (SELECT id, count(*) AS deg FROM (
+          |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+          |SELECT deg, count(*) AS n_vertices FROM deg
+          |GROUP BY 1 ORDER BY deg""".stripMargin,
 
       // exact integer sentence/word/vowel-group counts; one IEEE
       // evaluation of the Flesch formula, micro-quantized
