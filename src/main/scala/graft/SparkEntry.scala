@@ -263,7 +263,8 @@ object SparkEntry {
     "e24_mmr"             -> (Q.e24_mmr(_, _)),
     "x49_bounce_rate"     -> (Q.x49_bounce_rate(_, _)),
     "e25_threshold_sweep" -> (Q.e25_threshold_sweep(_, _)),
-    "g15_degree_hist"     -> (Q.g15_degree_hist(_, _)))
+    "g15_degree_hist"     -> (Q.g15_degree_hist(_, _)),
+    "x50_pareto"          -> (Q.x50_pareto(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1788,6 +1789,40 @@ object SparkEntry {
           sum(when(col("__late_sec") > 3600, 1L).otherwise(0L)).as("n_dropped_1h"),
           max("__late_sec").as("max_late_sec"))
         .orderBy("event_type")
+    }
+
+    /** Pareto concentration (the 80/20 readout) — the minimal number of
+      * top customers whose revenue reaches 80% of the total. Ranks
+      * DESCEND via [[graft.operators.Ranks.globalRank]] on the negated
+      * value (bucket stays monotone); the global running sum extends the
+      * same two-pass shape — per-bucket window cumsums + a broadcast
+      * cumulative bucket-sum prefix — so no single-partition window
+      * appears at any size. The 80% compare is integer
+      * cross-multiplication (5·cum ≥ 4·total). */
+    def x50_pareto(s: SparkSession, d: String): DataFrame = {
+      val rev = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("cents"))
+        .withColumn("__neg", -col("cents"))
+      val ranked = graft.core.Caching.shared(
+        graft.operators.Ranks.globalRank(rev, col("__neg"),
+          Seq(col("o_custkey")), expr("__neg div 1000000")))
+      val bsums = ranked.groupBy(expr("__neg div 1000000").as("__sb"))
+        .agg(sum("cents").as("__bs"))
+        .withColumn("__pre", coalesce(
+          sum("__bs").over(Window.orderBy("__sb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__sb", "__pre")
+      val wb = Window.partitionBy(expr("__neg div 1000000"))
+        .orderBy(col("__neg"), col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .join(broadcast(bsums), expr("__neg div 1000000") === col("__sb"))
+        .withColumn("__cum", sum("cents").over(wb) + col("__pre"))
+        .crossJoin(broadcast(ranked.agg(sum("cents").as("__tot"),
+          count(lit(1)).as("__n"))))
+        .agg(max("__n").as("n_customers"), max("__tot").as("total_cents"),
+          min(when(col("__cum") * 5 >= col("__tot") * 4, col("__rank")))
+            .as("k_80"))
     }
 
     /** Population-stability-index drift report — THE ML-monitoring
@@ -7050,6 +7085,21 @@ object SparkEntry {
            |FROM cand
            |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
            |ORDER BY a1, a2""".stripMargin,
+
+      // descending rank + one window cumsum; 5·cum ≥ 4·total integer form
+      "x50_pareto" ->
+        """WITH rev AS (SELECT o_custkey,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders GROUP BY 1),
+          |r AS (SELECT cents,
+          |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+          |    sum(cents) OVER (ORDER BY cents DESC, o_custkey
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM rev),
+          |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n FROM rev)
+          |SELECT t.n AS n_customers, t.tot AS total_cents,
+          |  CAST(min(CASE WHEN r.cum * 5 >= t.tot * 4 THEN r.rnk END) AS BIGINT) AS k_80
+          |FROM r, t GROUP BY t.n, t.tot""".stripMargin,
 
       // st2's sessionization keyed to the start day; one division
       "x49_bounce_rate" ->
