@@ -264,7 +264,9 @@ object SparkEntry {
     "x49_bounce_rate"     -> (Q.x49_bounce_rate(_, _)),
     "e25_threshold_sweep" -> (Q.e25_threshold_sweep(_, _)),
     "g15_degree_hist"     -> (Q.g15_degree_hist(_, _)),
-    "x50_pareto"          -> (Q.x50_pareto(_, _)))
+    "x50_pareto"          -> (Q.x50_pareto(_, _)),
+    "g16_assortativity"   -> (Q.g16_assortativity(_, _)),
+    "t40_novelty"         -> (Q.t40_novelty(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -1388,6 +1390,31 @@ object SparkEntry {
       * covers. */
     def d11_substring_dup(s: SparkSession, d: String): DataFrame =
       Dedup.substringDupCoverage(Tables.documents(s, d), window = 8).orderBy("doc_id")
+
+    /** N-gram NOVELTY rate per document — the ingest-order diagnostic
+      * (how much genuinely new content each arriving doc contributes):
+      * a 5-gram is novel for doc d iff NO lower-id doc carries it, i.e.
+      * d owns the gram's corpus-wide min doc_id. One gram census keyed
+      * on the 32-byte hash (the d8 discipline) + one join-back; the
+      * novelty compare is pure integers. */
+    def t40_novelty(s: SparkSession, d: String): DataFrame = {
+      val grams = graft.core.Caching.shared(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+          .filter(size(col("__toks")) >= 5)
+          .select(col("doc_id"), explode(array_distinct(transform(
+            sequence(lit(1), size(col("__toks")) - 4),
+            i => PortableHash.hash32(
+              concat_ws(" ", slice(col("__toks"), i, lit(5))))))).as("g")))
+      val firstSeen = grams.groupBy("g").agg(min("doc_id").as("__first"))
+      grams.join(firstSeen, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("__first"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_micro", expr("n_novel * 1000000 div n_grams"))
+        .orderBy("doc_id")
+    }
 
     /** Cross-SOURCE contamination matrix — pairwise distinct-5-gram
       * overlap between every pair of corpus sources (d9 resolves one
@@ -4127,6 +4154,40 @@ object SparkEntry {
         .groupBy("id").agg(count(lit(1)).as("deg"))
         .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
         .orderBy("deg")
+    }
+
+    /** Degree assortativity numerators — does the graph wire hubs to
+      * hubs (assortative) or hubs to leaves (disassortative)? Pearson
+      * correlation of endpoint degrees over the undirected edge list,
+      * reported as the exact integer sufficient-statistic numerators
+      * (the x21 discipline — no float division to drift): r = covar_num
+      * / √(varx_num·vary_num) downstream. Each edge contributes BOTH
+      * orientations so the correlation is symmetric. */
+    def g16_assortativity(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val und = graft.core.Caching.shared(docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 31 + 7) % col("__n"),
+            (col("doc_id") * 17 + 3) % col("__n"))).as("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+      val deg = graft.core.Caching.shared(
+        und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg")))
+      und.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+        .join(deg.select(col("id").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("id").as("y"), col("deg").as("dy")), "y")
+        .agg(count(lit(1)).as("n_arcs"), sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n_arcs"),
+          (col("n_arcs") * col("sxy") - col("sx") * col("sy")).as("covar_num"),
+          (col("n_arcs") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+          (col("n_arcs") * col("syy") - col("sy") * col("sy")).as("vary_num"))
     }
 
     /** GraphSAGE-style 2-hop neighbor feature aggregation over the doc
@@ -7085,6 +7146,42 @@ object SparkEntry {
            |FROM cand
            |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
            |ORDER BY a1, a2""".stripMargin,
+
+      // both arc orientations; exact x21-style sufficient statistics
+      "g16_assortativity" ->
+        """WITH n AS (SELECT count(*) AS n FROM documents),
+          |e0 AS (SELECT doc_id AS src, ((doc_id * 31 + 7) % n.n) AS d1,
+          |    ((doc_id * 17 + 3) % n.n) AS d2 FROM documents, n),
+          |edges AS (SELECT src, d1 AS dst FROM e0
+          |  UNION ALL SELECT src, d2 AS dst FROM e0),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM edges WHERE src <> dst),
+          |deg AS (SELECT id, count(*) AS deg FROM (
+          |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+          |arcs AS (SELECT a AS x, b AS y FROM und
+          |  UNION ALL SELECT b AS x, a AS y FROM und),
+          |j AS (SELECT dx.deg AS dx, dy.deg AS dy FROM arcs
+          |  JOIN deg dx ON dx.id = arcs.x JOIN deg dy ON dy.id = arcs.y)
+          |SELECT count(*) AS n_arcs,
+          |  CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dy) AS BIGINT) AS covar_num,
+          |  CAST(count(*) * sum(dx * dx) - sum(dx) * sum(dx) AS BIGINT) AS varx_num,
+          |  CAST(count(*) * sum(dy * dy) - sum(dy) * sum(dy) AS BIGINT) AS vary_num
+          |FROM j""".stripMargin,
+
+      // gram-hash census min doc_id + join-back; novelty is integer
+      "t40_novelty" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
+           |g AS (SELECT doc_id, ${h("gram")} AS g FROM (
+           |    SELECT doc_id, unnest(list_distinct(list_transform(
+           |      range(1, greatest(len(toks) - 4, 0) + 1),
+           |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')))) AS gram
+           |    FROM t WHERE len(toks) >= 5)),
+           |f AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1)
+           |SELECT doc_id, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  CAST(sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS novelty_micro
+           |FROM g JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // descending rank + one window cumsum; 5·cum ≥ 4·total integer form
       "x50_pareto" ->
