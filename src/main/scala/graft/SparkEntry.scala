@@ -266,7 +266,8 @@ object SparkEntry {
     "g15_degree_hist"     -> (Q.g15_degree_hist(_, _)),
     "x50_pareto"          -> (Q.x50_pareto(_, _)),
     "g16_assortativity"   -> (Q.g16_assortativity(_, _)),
-    "t40_novelty"         -> (Q.t40_novelty(_, _)))
+    "t40_novelty"         -> (Q.t40_novelty(_, _)),
+    "e26_nprobe_sweep"    -> (Q.e26_nprobe_sweep(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -4020,6 +4021,61 @@ object SparkEntry {
         .orderBy("day")
     }
 
+    /** IVF nprobe OPERATING CURVE — corpus-wide recall@5 vs the e1 truth
+      * at nprobe = 1..4 over e7's fixed coarse centroids, in one pass:
+      * the probe ranks compute once, every nprobe tier filters the same
+      * relation (the e23 discipline applied to the probe axis — the
+      * curve an IVF deployment reads before fixing its latency/recall
+      * point). Assignment folds once; candidates per tier rank by exact
+      * cosine. */
+    def e26_nprobe_sweep(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import graft.functions.VectorExpressions.vec_cosine
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => ((r.getLong(0) / 37).toInt, r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val assigned = graft.core.Caching.shared(
+        emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.nearestCentroid(col("embedding").cast("array<double>"), cents)
+            .as("cid")))
+      val cdf = broadcast(cents.toDF("cid", "c"))
+      val qs = graft.core.Caching.shared(
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv")))
+      val pranks = qs.crossJoin(cdf)
+        .withColumn("__d2", aggregate(
+          zip_with(col("qv"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("__pr", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("__d2"), col("cid"))))
+      val tiers = pranks
+        .select(col("query_id"), col("cid"), col("__pr"),
+          explode(array((1 to 4).map(lit): _*)).as("np"))
+        .filter(col("__pr") <= col("np"))
+      val approx = tiers
+        .join(assigned, "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(broadcast(qs), "query_id")
+        .withColumn("__cos", vec_cosine(col("qv"), col("v")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("query_id", "np")
+            .orderBy(col("__cos").desc, col("neighbor_id"))))
+        .filter(col("__rk") <= 5)
+        .select(col("query_id"), col("np"), col("neighbor_id"), lit(1L).as("__hit"))
+      val truth = e1_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+      truth.crossJoin(broadcast((1 to 4).toDF("np")))
+        .join(broadcast(approx), Seq("query_id", "np", "neighbor_id"), "left")
+        .groupBy("np")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum("__hit"), lit(0L)).as("n_hits"))
+        .withColumn("recall_micro", expr("n_hits * 1000000 div n_true"))
+        .orderBy("np")
+    }
+
     /** IVF index-health report — per-list vector counts over e7's fixed
       * coarse centroids plus the imbalance factor (max·k/n micro): the
       * list-balance metrology that decides whether an IVF index needs
@@ -7146,6 +7202,48 @@ object SparkEntry {
            |FROM cand
            |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 1
            |ORDER BY a1, a2""".stripMargin,
+
+      // probe ranks once, four nprobe tiers filter the same relation;
+      // per-tier cosine top-5 vs the shared e1 truth
+      "e26_nprobe_sweep" ->
+        s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM emb
+           |         WHERE vec_id % 37 = 0 AND vec_id < 260),
+           |dist AS (SELECT e.vec_id, cent.cid,
+           |    list_sum(list_transform(list_zip(e.v, cent.c),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           |  FROM emb e CROSS JOIN cent),
+           |assigned AS (SELECT vec_id AS neighbor_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |pranks AS (SELECT vec_id AS query_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+           |  FROM dist WHERE vec_id < 5),
+           |ks AS (SELECT unnest([1, 2, 3, 4]) AS np),
+           |tiers AS (SELECT p.query_id, p.cid, ks.np FROM pranks p
+           |  CROSS JOIN ks WHERE p.pr <= ks.np),
+           |cand AS (SELECT t.query_id, t.np, a.neighbor_id,
+           |    list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS rawcos
+           |  FROM tiers t JOIN assigned a ON a.cid = t.cid
+           |    AND a.neighbor_id != t.query_id
+           |  JOIN emb qe ON qe.vec_id = t.query_id
+           |  JOIN emb ce ON ce.vec_id = a.neighbor_id),
+           |appr AS (SELECT query_id, np, neighbor_id FROM (
+           |    SELECT query_id, np, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id, np ORDER BY rawcos DESC, neighbor_id) AS rk
+           |    FROM cand) WHERE rk <= 5),
+           |truth AS (SELECT query_id, neighbor_id FROM ($e1KnnSql))
+           |SELECT ks.np, count(*) AS n_true,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000000 // count(*) AS BIGINT) AS recall_micro
+           |FROM truth t CROSS JOIN ks
+           |LEFT JOIN appr a ON a.query_id = t.query_id AND a.np = ks.np
+           |  AND a.neighbor_id = t.neighbor_id
+           |GROUP BY ks.np ORDER BY ks.np""".stripMargin,
 
       // both arc orientations; exact x21-style sufficient statistics
       "g16_assortativity" ->
