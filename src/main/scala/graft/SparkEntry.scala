@@ -267,7 +267,8 @@ object SparkEntry {
     "x50_pareto"          -> (Q.x50_pareto(_, _)),
     "g16_assortativity"   -> (Q.g16_assortativity(_, _)),
     "t40_novelty"         -> (Q.t40_novelty(_, _)),
-    "e26_nprobe_sweep"    -> (Q.e26_nprobe_sweep(_, _)))
+    "e26_nprobe_sweep"    -> (Q.e26_nprobe_sweep(_, _)),
+    "x51_mad"             -> (Q.x51_mad(_, _)))
 
   def oracleSql: Map[String, String] = Oracles.sql
 
@@ -4103,6 +4104,33 @@ object SparkEntry {
         .orderBy("cid")
     }
 
+    /** Median absolute deviation — the robust scale estimate next to
+      * x33's IQR fences (outlier-resistant σ for feature standardization):
+      * per group, the LOWER median of |x − median(x)|, both medians as
+      * exact rank-⌈n/2⌉ order statistics (two grp-keyed ranking windows,
+      * the |groups|-row median table broadcasting back between them).
+      * All integers in cents — engine-identical. */
+    def x51_mad(s: SparkSession, d: String): DataFrame = {
+      val v = graft.core.Caching.shared(li(s, d).select(
+        col("l_returnflag").as("grp"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents")))
+      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("grp").orderBy(valueCol)
+        df.withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("grp")))
+          .groupBy("grp")
+          .agg(min(when(col("__rn") * 2 >= col("__n"), col(valueCol))).as(out))
+      }
+      val med = lowerMedian(v, "cents", "median_cents")
+      val dev = v.join(broadcast(med), "grp")
+        .select(col("grp"), col("median_cents"),
+          abs(col("cents") - col("median_cents")).as("adev"))
+      lowerMedian(dev, "adev", "mad_cents")
+        .join(broadcast(med), "grp")
+        .select(col("grp"), col("median_cents"), col("mad_cents"))
+        .orderBy("grp")
+    }
+
     /** A/B experiment readout — 2×2 chi-square over per-user conversion
       * (any purchase event) with deterministic portable-hash variant
       * assignment, the analysis every experimentation pipeline runs.
@@ -7722,6 +7750,27 @@ object SparkEntry {
            |  CAST(CASE WHEN n_gold + n_pred = 0 THEN 0
            |    ELSE 2 * tp * 1000000 // (n_gold + n_pred) END AS BIGINT) AS f1_micro
            |FROM m ORDER BY k""".stripMargin,
+
+      // two exact lower-median passes; the median table broadcasts back
+      "x51_mad" ->
+        """WITH v AS (SELECT l_returnflag AS grp,
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM lineitem),
+          |r1 AS (SELECT grp, cents,
+          |    row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+          |    count(*) OVER (PARTITION BY grp) AS n FROM v),
+          |med AS (SELECT grp,
+          |    min(CASE WHEN rn * 2 >= n THEN cents END) AS median_cents
+          |  FROM r1 GROUP BY 1),
+          |dev AS (SELECT v.grp, abs(v.cents - m.median_cents) AS adev,
+          |    m.median_cents
+          |  FROM v JOIN med m USING (grp)),
+          |r2 AS (SELECT grp, adev, median_cents,
+          |    row_number() OVER (PARTITION BY grp ORDER BY adev) AS rn,
+          |    count(*) OVER (PARTITION BY grp) AS n FROM dev)
+          |SELECT grp, max(median_cents) AS median_cents,
+          |  min(CASE WHEN rn * 2 >= n THEN adev END) AS mad_cents
+          |FROM r2 GROUP BY 1 ORDER BY grp""".stripMargin,
 
       // Tukey IQR fences on exact order-statistic quartiles (value at
       // rank ⌈p·n⌉); fence compare in doubled integers — no half-cent
