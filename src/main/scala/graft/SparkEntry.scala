@@ -39,6 +39,7 @@ object SparkEntry {
     "j2_file_catalog_join" -> (Q.j2_file_catalog_join(_, _)),
     "j4_band_align_join"  -> (Q.j4_band_align_join(_, _)),
     "j5_join3_revenue"    -> (Q.j5_join3_revenue(_, _)),
+    "j6_spatial_features" -> (Q.j6_spatial_features(_, _)),
     "r1_resample_avg"     -> (Q.r1_resample_avg(_, _)),
     "r3_warp_3857"        -> (Q.r3_warp_3857(_, _)),
     "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
@@ -435,6 +436,36 @@ object SparkEntry {
           col("left") < col("f_right") && col("f_left") < col("right") &&
             col("bottom") < col("f_top") && col("f_bottom") < col("top"), "left_semi")
         .select("tile_id", "left", "bottom", "right", "top")
+        .orderBy("tile_id")
+    }
+
+    /** J5 spatial form — the ACTUAL `st_intersects` tile ⋈ features join
+      * VectorJob runs (`plans/VectorJob.scala` — real JTS geometries via
+      * `st_makeEnvelope`/`st_intersects`/`st_intersection`, broadcast tile
+      * seed), where j1/j2 exercise only the bbox-arithmetic twin. Per
+      * tile: intersecting-feature count and summed CLIPPED area (P4 on
+      * the join output). The oracle replays it as closed-form axis-
+      * aligned overlap products — integer lattice bounds keep every
+      * double exact, and JTS's touch-counts-as-intersecting semantics
+      * map to `<=` (touch-only pairs clip to a zero-area line, the p4
+      * empty→0 discipline). Reference: tiles/vector_src_tile.py:122-147. */
+    def j6_spatial_features(s: SparkSession, d: String): DataFrame = {
+      import graft.functions.GeoFunctions
+      val tiles = LatLngGrid(10, 40000).tilesDF(s)
+        .withColumn("tile_env", GeoFunctions.st_makeEnvelope(
+          col("left"), col("bottom"), col("right"), col("top")))
+      val feats = footprints(s, d)
+        .withColumn("geom", GeoFunctions.st_makeEnvelope(
+          col("f_left"), col("f_bottom"), col("f_right"), col("f_top")))
+      feats.join(broadcast(tiles),
+          GeoFunctions.st_intersects(col("geom"), col("tile_env")))
+        .withColumn("__clip",
+          GeoFunctions.st_intersection(col("geom"), col("tile_env")))
+        .groupBy("tile_id")
+        .agg(count(lit(1)).as("n_feat"),
+          round(sum(when(col("__clip").isNull, 0.0)
+            .otherwise(GeoFunctions.st_area(col("__clip")))), 4)
+            .as("sum_clip_area"))
         .orderBy("tile_id")
     }
 
@@ -2530,14 +2561,43 @@ object SparkEntry {
           col("col").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
 
-    /** Approx distinct (HLL) — no cross-engine oracle exists for sketch
-      * internals, so the driver records the rows-only check; the exact
-      * distinct lives in the same result for eyeballing drift. */
-    def x1_approx_distinct(s: SparkSession, d: String): DataFrame =
-      li(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          countDistinct("l_partkey").as("exact_parts"))
+    /** Approx distinct (HLL) from the PORTABLE register table — the raw
+      * Flajolet estimator α·m²/Σ2^(−M_j) evaluated in EXACT integer
+      * arithmetic over [[graft.operators.Sketch.hllRegistersBy]]'s m=64
+      * registers (α_64 = 0.709 as the rational 709/1000; Σ2^(−M_j)
+      * cleared by the common denominator 2²⁷, so z_num ≤ 64·2²⁷ and the
+      * quotient 709·m²·2²⁷ div (1000·z_num) is one positive BIGINT floor
+      * division — replayable bit-for-bit in SQL, unlike the opaque
+      * built-in `approx_count_distinct`). The exact distinct rides along
+      * for drift eyeballing. n_zero_registers is the linear-counting
+      * trigger input (V); at this cardinality V=0 and the raw path is the
+      * published estimator, no float ln anywhere. */
+    def x1_approx_distinct(s: SparkSession, d: String): DataFrame = {
+      val src = graft.core.Caching.shared(li(s, d)
+        .select(col("l_returnflag").as("grp"),
+          col("l_partkey").cast("string").as("k")))
+      val regs = graft.operators.Sketch.hllRegistersBy(src, "grp", "k", m = 64)
+      // zero-fill the grid: |groups|·64 rows, broadcast-sized both sides
+      val grid = src.select("grp").distinct()
+        .crossJoin(s.range(64).select(col("id").as("bucket")))
+      val est = grid.join(regs, Seq("grp", "bucket"), "left")
+        .select(col("grp"), coalesce(col("register"), lit(0)).as("register"))
+        .groupBy("grp")
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - register AS INT))"))
+            .as("z_num"),
+          sum(when(col("register") === 0, 1L).otherwise(0L))
+            .as("n_zero_registers"))
+        // 709 · 64² · 2²⁷ = 389,776,872,046,592 — fits BIGINT with room
+        .select(col("grp"),
+          expr("389776872046592 div (1000 * z_num)").as("hll_est"),
+          col("n_zero_registers"))
+      val exact = src.groupBy("grp").agg(countDistinct("k").as("exact_parts"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp").as("l_returnflag"), col("hll_est"),
+          col("n_zero_registers"), col("exact_parts"))
         .orderBy("l_returnflag")
+    }
 
     /** Salted two-phase rasterize-count: must equal the plain A1 aggregate
       * (the skew-mitigation path, verified against the unsalted oracle). */
@@ -4134,10 +4194,13 @@ object SparkEntry {
     /** A/B experiment readout — 2×2 chi-square over per-user conversion
       * (any purchase event) with deterministic portable-hash variant
       * assignment, the analysis every experimentation pipeline runs.
-      * χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) entirely in integers; the
-      * micro-scaling splits the division (q·10⁶ + r·10⁶ div den) so no
-      * intermediate exceeds 2⁶³ at these user counts — a 100 TB
-      * deployment lifts the same expressions to DECIMAL(38). One
+      * χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) entirely in integers:
+      * N·det² and the marginal product lift to DECIMAL(38,0) (paired
+      * with HUGEINT in the oracle — det can reach n²/4, so the products
+      * pass 2⁶³ near a few hundred thousand users; decimal headroom
+      * holds to ~7·10⁷), and the micro-scaling splits the division
+      * (q·10⁶ + r·10⁶ div den) to keep the 10⁶ factor off the big
+      * product. One
       * user-keyed aggregate (conversion flag is a max fold, map-side
       * combined) and a 4-cell fold — nothing else touches the stream. */
     def x34_chi_square(s: SparkSession, d: String): DataFrame = {
@@ -4155,9 +4218,11 @@ object SparkEntry {
           col("conv_a") + col("nonconv_a") + col("conv_b") + col("nonconv_b"))
         .withColumn("__det",
           col("conv_a") * col("nonconv_b") - col("nonconv_a") * col("conv_b"))
-        .withColumn("__num", col("n_users") * col("__det") * col("__det"))
+        .withColumn("__num",
+          col("n_users").cast("decimal(38,0)") * col("__det") * col("__det"))
         .withColumn("__den",
-          (col("conv_a") + col("nonconv_a")) * (col("conv_b") + col("nonconv_b")) *
+          (col("conv_a") + col("nonconv_a")).cast("decimal(38,0)") *
+            (col("conv_b") + col("nonconv_b")) *
             (col("conv_a") + col("conv_b")) * (col("nonconv_a") + col("nonconv_b")))
         .select(col("n_users"), col("conv_a"), col("nonconv_a"),
           col("conv_b"), col("nonconv_b"),
@@ -4276,7 +4341,7 @@ object SparkEntry {
 
     /** GraphSAGE-style 2-hop neighbor feature aggregation over the doc
       * graph: each vertex's 8-dim micro-quantized embedding prefix is
-      * replaced, hop by hop, with the floor-mean of its out-neighbors' —
+      * replaced, hop by hop, with the truncated mean of its out-neighbors' —
       * the message-passing featurization a GNN training pipeline
       * precomputes at corpus scale. Exact integers end to end (sign-safe
       * magnitude division), so the 2-hop trajectory hash-checks. See
@@ -4735,6 +4800,29 @@ object SparkEntry {
           |SELECT tile_id, tl AS "left", tb AS bottom, tr AS "right", tt AS top FROM tiles
           |WHERE EXISTS (SELECT 1 FROM fp WHERE tl < fr AND fl < tr AND tb < ft AND fb < tt)
           |ORDER BY tile_id""".stripMargin,
+
+      // the REAL JTS st_intersects/st_intersection join replayed as
+      // closed-form axis-aligned overlap products; JTS touch-counts-as-
+      // intersecting ⇒ <=, touch-only pairs contribute area 0
+      "j6_spatial_features" ->
+        """WITH tiles AS (
+          |  SELECT (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+          |    || '_' ||
+          |    CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+          |   CAST(c*10 - 180 AS DOUBLE) AS tl, CAST(80 - r*10 AS DOUBLE) AS tb,
+          |   CAST(c*10 - 170 AS DOUBLE) AS tr, CAST(90 - r*10 AS DOUBLE) AS tt
+          |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)),
+          |fp AS (
+          |  SELECT CAST((p_partkey % 36) * 10 - 180 AS DOUBLE) AS fl, CAST((p_partkey % 18) * 10 - 90 AS DOUBLE) AS fb,
+          |         CAST((p_partkey % 36) * 10 - 165 AS DOUBLE) AS fr, CAST((p_partkey % 18) * 10 - 75 AS DOUBLE) AS ft
+          |  FROM part)
+          |SELECT tile_id, count(*) AS n_feat,
+          |  round(sum(
+          |    greatest(0, least(fr, tr) - greatest(fl, tl)) *
+          |    greatest(0, least(ft, tt) - greatest(fb, tb))), 4) AS sum_clip_area
+          |FROM tiles JOIN fp
+          |  ON tl <= fr AND fl <= tr AND tb <= ft AND fb <= tt
+          |GROUP BY tile_id ORDER BY tile_id""".stripMargin,
 
       "j2_file_catalog_join" ->
         """WITH tiles AS (
@@ -6250,6 +6338,33 @@ object SparkEntry {
           |    AND min(o_orderdate) <= TIMESTAMP '1997-12-31' AS INT) AS survives
           |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+      // the raw HLL estimator over the portable register table: Σ2^(−M_j)
+      // cleared by 2²⁷ (z_num), then one positive BIGINT floor division
+      // 709·m²·2²⁷ // (1000·z_num) — α_64 = 709/1000 kept rational
+      "x1_approx_distinct" ->
+        """WITH hh AS (SELECT l_returnflag AS grp,
+          |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+          |      AS BIGINT) AS h, l_partkey FROM lineitem),
+          |r AS (SELECT grp, h % 64 AS bucket, h // 64 AS sfx FROM hh),
+          |k AS (SELECT grp, bucket,
+          |    CASE WHEN sfx = 0 THEN 27 ELSE 27 - length(bin(sfx)) END AS rank FROM r),
+          |reg AS (SELECT grp, bucket, max(rank) AS register FROM k GROUP BY 1, 2),
+          |grid AS (SELECT g.grp, t.bucket FROM (SELECT DISTINCT grp FROM hh) g,
+          |    (SELECT unnest(range(0, 64)) AS bucket) t),
+          |filled AS (SELECT grid.grp,
+          |    CAST(coalesce(reg.register, 0) AS INT) AS register
+          |  FROM grid LEFT JOIN reg ON reg.grp = grid.grp AND reg.bucket = grid.bucket),
+          |z AS (SELECT grp,
+          |    CAST(sum(CAST(1 AS BIGINT) << (27 - register)) AS BIGINT) AS z_num,
+          |    CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_zero_registers
+          |  FROM filled GROUP BY 1),
+          |ex AS (SELECT grp, count(DISTINCT l_partkey) AS exact_parts FROM hh GROUP BY 1)
+          |SELECT z.grp AS l_returnflag,
+          |  CAST(389776872046592 // (1000 * z_num) AS BIGINT) AS hll_est,
+          |  n_zero_registers, CAST(exact_parts AS BIGINT) AS exact_parts
+          |FROM z JOIN ex ON ex.grp = z.grp ORDER BY l_returnflag""".stripMargin,
+
       // the HLL state replays: same portable hash, same bucket/suffix
       // split, same bin()-length rank — both engines strip leading zeros
       "x23_hll_registers" ->
@@ -7059,15 +7174,16 @@ object SparkEntry {
            |ein AS (SELECT la.label, count(*) AS e_in FROM und
            |  JOIN lab la ON la.id = und.a JOIN lab lb ON lb.id = und.b
            |  WHERE la.label = lb.label GROUP BY 1),
-           |ds AS (SELECT lab.label, count(*) AS n_members, sum(deg.deg) AS deg_sum
+           |ds AS (SELECT lab.label, count(*) AS n_members,
+           |  CAST(sum(deg.deg) AS BIGINT) AS deg_sum
            |  FROM lab JOIN deg ON deg.id = lab.id GROUP BY 1)
            |SELECT ds.label, ds.n_members, coalesce(ein.e_in, 0) AS e_in, ds.deg_sum,
-           |  CASE WHEN 4 * m1.m * coalesce(ein.e_in, 0) - ds.deg_sum * ds.deg_sum >= 0
+           |  CAST(CASE WHEN 4 * m1.m * coalesce(ein.e_in, 0) - ds.deg_sum * ds.deg_sum >= 0
            |    THEN (4 * m1.m * coalesce(ein.e_in, 0) - ds.deg_sum * ds.deg_sum)
            |      * 1000000 // (4 * m1.m * m1.m)
            |    ELSE -((ds.deg_sum * ds.deg_sum - 4 * m1.m * coalesce(ein.e_in, 0))
            |      * 1000000 // (4 * m1.m * m1.m))
-           |  END AS contrib_micro
+           |  END AS BIGINT) AS contrib_micro
            |FROM ds LEFT JOIN ein ON ein.label = ds.label, m1
            |ORDER BY ds.label""".stripMargin,
 
@@ -8004,7 +8120,7 @@ object SparkEntry {
            |FROM f ORDER BY source""".stripMargin,
 
       // two unrolled message-passing hops: dst-keyed component join +
-      // (src, dim) floor-mean, sign-safe magnitude division both engines
+      // (src, dim) truncated mean, sign-safe magnitude division both engines
       "g13_neigh_agg" ->
         """WITH q AS (SELECT vec_id AS id,
           |    list_transform(embedding::DOUBLE[],
@@ -8038,8 +8154,9 @@ object SparkEntry {
            |  CAST(t.top_cnt * 1000000 // s.n AS BIGINT) AS purity_micro
            |FROM sz s JOIN top t USING (cid) ORDER BY s.cid""".stripMargin,
 
-      // 2×2 chi-square in exact integers; split division keeps every
-      // intermediate under 2^63 at these user counts
+      // 2×2 chi-square in exact integers; N·det² and the marginal product
+      // lift to HUGEINT (DECIMAL(38) on the Spark side), split division
+      // keeps the 10⁶ factor off the big product
       "x34_chi_square" -> {
         val vh = PortableHash.hash32Sql("CAST(user_id AS VARCHAR)")
         s"""WITH u AS (SELECT user_id,
@@ -8054,8 +8171,8 @@ object SparkEntry {
            |  FROM v),
            |x AS (SELECT *, conv_a + nonconv_a + conv_b + nonconv_b AS n_users,
            |    conv_a * nonconv_b - nonconv_a * conv_b AS det FROM t),
-           |y AS (SELECT *, n_users * det * det AS num,
-           |    (conv_a + nonconv_a) * (conv_b + nonconv_b)
+           |y AS (SELECT *, CAST(n_users AS HUGEINT) * det * det AS num,
+           |    CAST(conv_a + nonconv_a AS HUGEINT) * (conv_b + nonconv_b)
            |      * (conv_a + conv_b) * (nonconv_a + nonconv_b) AS den FROM x)
            |SELECT n_users, conv_a, nonconv_a, conv_b, nonconv_b,
            |  CAST(CASE WHEN den = 0 THEN 0

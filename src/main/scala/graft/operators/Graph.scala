@@ -549,17 +549,21 @@ object Graph {
   /** Multi-hop neighbor feature aggregation — the message-passing
     * primitive of GNN feature pipelines (GraphSAGE-style mean
     * aggregator, Hamilton et al., NeurIPS'17): each hop replaces every
-    * vertex's feature vector with the element-wise floor-mean of its
-    * out-neighbors' vectors from the previous hop. Features are exact
+    * vertex's feature vector with the element-wise truncated
+    * (toward-zero) mean of its out-neighbors' vectors from the previous
+    * hop (-3/2 → -1, matching both Spark `div` and the oracle's
+    * sign-safe form). Features are exact
     * integer micro-units; the mean is sign-safe magnitude division
     * (|s| div n re-signed — Spark `div` truncates toward zero, SQL `//`
     * floors, negatives never divide directly), so the whole trajectory
     * replays bit-for-bit in any engine.
     *
     * `edges`: (src, dst) directed; `feats`: (id, f: array<long>). Output
-    * (id, dim, val) rows for every vertex WITH at least one out-edge
-    * (the component layout downstream aggregates want — no wide-array
-    * reassembly shuffle).
+    * (id, dim, val) rows in the component layout downstream aggregates
+    * want — no wide-array reassembly shuffle. Coverage at hop k requires
+    * a k-step OUTGOING path: the inner join against the previous hop's
+    * layer drops a vertex whose successors all ran out of out-edges
+    * (left-join with a carry policy if full coverage is ever needed).
     *
     * Scale shape per hop: ONE dst-keyed join of the edge relation
     * against the (id, dim, val) component layer and one

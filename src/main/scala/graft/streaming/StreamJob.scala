@@ -358,8 +358,10 @@ object StreamJob {
   /** Latest-wins per-key materialized view (`mapGroupsWithState`, Update
     * mode) — the streaming CDC-apply shape: each key's state is exactly
     * ONE row (the (ts, event_id)-max observation so far), every
-    * micro-batch re-emits keys whose latest changed, and the sink
-    * upserts. State is O(active keys) with no watermark needed — the
+    * micro-batch re-emits the state row for EVERY key seen in the batch
+    * (even when the incoming events lose the tiebreak — idempotent under
+    * an upsert sink; emit-only-on-change would need a changed flag), and
+    * the sink upserts. State is O(active keys) with no watermark needed — the
     * key space, not eviction, bounds it (a production deployment adds
     * an idle-key timeout exactly like [[sourceAccumulator]]). The
     * (ts, event_id) tiebreak makes the fold order-independent: any
