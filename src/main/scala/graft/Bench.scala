@@ -64,9 +64,21 @@ object Bench {
     "e22_rerank", "t34_importance_weights", "x39_rolling_wau",
     "x36_gini", "r16_watershed", "t35_token_entropy")
 
+  /** 1-minute load average from /proc/loadavg — recorded at start and end
+    * so a contention-polluted run identifies itself in the record (the
+    * round-9 driver run read 87.8 s against 58.9 s quiet purely from host
+    * load; without the stamp that reads as a regression). */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional trailing query names: bench only those (local iteration);
+    // the driver always invokes with no args = the full headline set
+    val only = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -123,7 +135,8 @@ object Bench {
       val all = (if (first.max / first.min > 3.0) first :+ run() else first).sorted
       (all((all.size - 1) / 2), all.head, all.last)
     }
-    val results = headline.flatMap { name =>
+    val loadStart = loadavg()
+    val results = headline.filter(n => only.isEmpty || only(n)).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         name -> measure { () =>
           val t0 = System.nanoTime()
@@ -132,7 +145,8 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
       }
-    } :+ ("layer_pipeline_199mpx" -> measure(() => layerPipeline()))
+    } ++ (if (only.isEmpty || only("layer_pipeline_199mpx"))
+      Seq("layer_pipeline_199mpx" -> measure(() => layerPipeline())) else Nil)
     def render(f3: ((String, (Double, Double, Double))) => Double): String =
       results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f3(kv)}%.3f" }
         .mkString("{", ",", "}")
@@ -140,15 +154,16 @@ object Bench {
     val qsMin = render(_._2._2)
     val qsMax = render(_._2._3)
     val total = results.map(_._2._1).sum
+    val loadEnd = loadavg()
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
     // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
     // cap together with sbt's trailing [success] line.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }

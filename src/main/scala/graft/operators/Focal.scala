@@ -391,25 +391,37 @@ object Focal {
           lit(false))))
 
     // --- 3. convolve: plan-time-unrolled (2r+1)² window -------------------
-    // One transform over the w·h centers; the window offsets are literals,
-    // so each center evaluates a fixed expression tree over the two padded
-    // attribute arrays — all inside whole-stage codegen.
-    // Center i sits at padded (i%w + r, i÷w + r); window cell (wx, wy) ∈
-    // [0, 2r]² is offset (wx−r, wy−r) from it, so its padded index is
-    // (i÷w + wy)·pw + i%w + wx — the r's cancel.
+    // TWO chained transforms over the w·h centers, not one: stage 3a
+    // materializes each center's (2r+1)² window cells as a small
+    // array<struct<v, ok>>, stage 3b runs the kernel over element_at
+    // references INTO that array. A single-stage unroll put the full
+    // padded-index subtree (~15 nodes) at every window-cell REFERENCE —
+    // kernels that read a cell k times (majority's 9×9 equality fold, the
+    // D8 argmax's 8 z₀ reads) multiplied it into thousands of plan nodes,
+    // and the whole family paid a multi-second PLAN-CONSTANT analysis +
+    // eval cost at any SF (PLANS.md r16 note). Splitting caps every
+    // reference at 3 nodes; each center's big subtrees evaluate exactly
+    // once. Window-cell addressing: center i sits at padded (i%w + r,
+    // i÷w + r); cell (wx, wy) ∈ [0, 2r]² is offset (wx−r, wy−r) from it,
+    // so its padded index is (i÷w + wy)·pw + i%w + wx — the r's cancel.
     val win = for { wy <- 0 to 2 * r; wx <- 0 to 2 * r } yield (wx, wy)
-    val convolved = gathered.withColumn("out",
-      transform(sequence(lit(0), w * h - 1), i => {
-        val cells = win.map { case (wx, wy) =>
+    val convolved = gathered
+      .withColumn("win",
+        transform(sequence(lit(0), w * h - 1), i => array(win.map { case (wx, wy) =>
           val at = ((i % w + wx) + (floor(i / w) + wy) * pw + 1).cast("int")
           val v = element_at(col("pv"), at)
-          val ok = element_at(col("pok"), at) && v.isNotNull
-          (when(ok, v), when(ok, 1).otherwise(0), wx, wy)
-        }
-        val (value, n) = mk(cells)
-        struct(when(n > 0, value).as("v"),
-          (n > 0 && value.isNotNull).as("ok"))
-      }))
+          struct(v.as("v"), (element_at(col("pok"), at) && v.isNotNull).as("ok"))
+        }: _*)))
+      .withColumn("out",
+        transform(col("win"), wc => {
+          val cells = win.zipWithIndex.map { case ((wx, wy), k) =>
+            val c = element_at(wc, k + 1)
+            (when(c("ok"), c("v")), when(c("ok"), 1).otherwise(0), wx, wy)
+          }
+          val (value, n) = mk(cells)
+          struct(when(n > 0, value).as("v"),
+            (n > 0 && value.isNotNull).as("ok"))
+        }))
 
     convolved.select(col("block_x"), col("block_y"), col("width"), col("height"),
       transform(col("out"), o => o("v")).as("values"),
