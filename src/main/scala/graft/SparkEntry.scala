@@ -25,6 +25,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
+    "s5_tiff_roundtrip"   -> (Q.s5_tiff_roundtrip(_, _)),
     "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
     "z1_zorder"           -> (Q.z1_zorder(_, _)),
     "f1_subset_filter"    -> (Q.f1_subset_filter(_, _)),
@@ -2042,6 +2043,84 @@ object SparkEntry {
         (col("p_size") * 1000 + col("p_partkey") % 977).cast("long").as("bytes"))
       graft.operators.Compaction.plan(files, targetBytes = 64000L)
         .orderBy("dir", "bin")
+    }
+
+    /** S4/S5/K1 in the hash-checked ledger — the GeoTIFF CODEC round
+      * trip, oracled via the m5 fixture recipe: per (asset, codec leg) a
+      * formula-valued 24×24 raster (2×2 tiles of 16 — padding exercised)
+      * is ENCODED through the real `GeoTiff.Writer` (K1) and re-DECODED
+      * through the real IFD parse + tile read (S4/S5), and the decoded
+      * pixels fold to position-weighted integer sums the oracle computes
+      * straight from the generating formula. Six legs cover the codec
+      * matrix: uint16+DEFLATE, uint8 raw, NBITS=4 bit-packing, CCITT-G4
+      * bilevel, float32 (SampleFormat=IEEE, integer-valued ⇒ exact), and
+      * int16 (signed narrow). Encode/decode run inside `mapPartitions`
+      * (the multimodal discipline — codecs never in expressions); temp
+      * files are per-task and deleted in `finally`. Any bit the codec
+      * chain drops or shifts breaks the wsum hash. */
+    def s5_tiff_roundtrip(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import graft.sources.GeoTiff
+      val W = 24; val T = 16
+      val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_deflate", "u8_raw")
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 12)
+        .select(col("p_partkey").cast("long").as("asset_id")).as[Long]
+        .repartition(4)
+        .mapPartitions { ids =>
+          ids.flatMap { a =>
+            legs.map { leg =>
+              def v(x: Int, y: Int): Double = leg match {
+                case "u16_deflate" => ((7 * a + 3 * x + 5 * y) % 60000).toDouble
+                case "u8_raw"      => ((a + x * y) % 256).toDouble
+                case "nbits4"      => ((3 * x + 5 * y + 7 * a) % 16).toDouble
+                case "ccitt1"      => ((x + y + a) % 2).toDouble
+                case "f32"         => (a * 100 + x - y).toDouble
+                case "i16"         => (((x * y + a) % 200) - 100).toDouble
+              }
+              def prof(dt: String, defl: Boolean = true, nb: Option[Int] = None,
+                       cc: Boolean = false) =
+                GeoTiff.Profile(W, W, 1, dt, T, T, None, 4326, 0.0, 0.0, 1.0, 1.0,
+                  deflate = defl, nbits = nb, ccitt = cc)
+              val p = leg match {
+                case "u16_deflate" => prof("uint16")
+                case "u8_raw"      => prof("uint8", defl = false)
+                case "nbits4"      => prof("uint8", nb = Some(4))
+                case "ccitt1"      => prof("uint8", nb = Some(1), cc = true)
+                case "f32"         => prof("float32")
+                case "i16"         => prof("int16")
+              }
+              val f = java.io.File.createTempFile(s"graft_s5_${a}_$leg", ".tif")
+              try {
+                val w = new GeoTiff.Writer(f.getAbsolutePath, p)
+                for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross)
+                  w.writeTile(1, tr, tc, Array.tabulate(T * T) { i =>
+                    val gx = tc * T + i % T; val gy = tr * T + i / T
+                    if (gx < W && gy < W) v(gx, gy) else 0.0
+                  })
+                w.close()
+                val t = GeoTiff.open(f.getAbsolutePath)
+                var sum = 0L; var wsum = 0L
+                for (tr <- 0 until t.profile.tilesDown;
+                     tc <- 0 until t.profile.tilesAcross) {
+                  val px = t.readTile(1, tr, tc)
+                  var i = 0
+                  while (i < px.length) {
+                    val gx = tc * T + i % T; val gy = tr * T + i / T
+                    if (gx < W && gy < W) {
+                      val lv = px(i).toLong
+                      sum += lv; wsum += lv * (gx + W.toLong * gy)
+                    }
+                    i += 1
+                  }
+                }
+                (a, leg, sum, wsum)
+              } finally f.delete()
+            }
+          }
+        }
+        .toDF("asset_id", "leg", "sum_v", "wsum_v")
+        .orderBy("asset_id", "leg")
     }
 
     /** Nearest-neighbor resize of the real-decode PNG corpus to a fixed
@@ -6391,6 +6470,26 @@ object SparkEntry {
           |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes,
           |  CAST(count(*) > 1 AS INT) AS needs_rewrite
           |FROM b GROUP BY 1, 2 ORDER BY dir, bin""".stripMargin,
+
+      // decoded-pixel sums from the generating formula; Spark runs the
+      // REAL GeoTIFF encode (Writer: DEFLATE/NBITS/CCITT-G4/raw) then the
+      // real IFD-parse + tile decode — any dropped/shifted bit breaks wsum
+      "s5_tiff_roundtrip" ->
+        """WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS asset_id FROM part
+          |  WHERE p_partkey <= 12),
+          |xs AS (SELECT unnest(range(0, 24)) AS x),
+          |ys AS (SELECT unnest(range(0, 24)) AS y),
+          |px AS (SELECT asset_id, x, y FROM a, xs, ys),
+          |legs AS (
+          |  SELECT asset_id, 'ccitt1' AS leg, (x + y + asset_id) % 2 AS v, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'f32', asset_id * 100 + x - y, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'i16', ((x * y + asset_id) % 200) - 100, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'nbits4', (3*x + 5*y + 7*asset_id) % 16, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u16_deflate', (7*asset_id + 3*x + 5*y) % 60000, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u8_raw', (asset_id + x*y) % 256, x, y FROM px)
+          |SELECT asset_id, leg, CAST(sum(v) AS BIGINT) AS sum_v,
+          |  CAST(sum(v * (x + 24*y)) AS BIGINT) AS wsum_v
+          |FROM legs GROUP BY 1, 2 ORDER BY asset_id, leg""".stripMargin,
 
       // resized-raster sums from the generating formula; Spark decodes the
       // real PNGs and floor-samples — src = (dst · srcDim) // out
