@@ -77,8 +77,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional trailing query names: bench only those (local iteration);
-    // the driver always invokes with no args = the full headline set
+    // the driver always invokes with no args = the full headline set.
+    // Unknown names fail fast — a typo must not silently produce a smaller
+    // record that reads as a 93% "speedup" (ADVICE r10).
     val only = args.toSet
+    val known = headline.toSet + "layer_pipeline_199mpx"
+    val unknown = only -- known
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
+      System.err.println(s"[bench] valid names: ${known.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -155,16 +164,24 @@ object Bench {
     val qsMax = render(_._2._3)
     val total = results.map(_._2._1).sum
     val loadEnd = loadavg()
+    // Filtered (partial) runs are a different artifact class: they go to
+    // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
+    // overwrite the headline record — a 3-query iteration run must not read
+    // as a 93% total drop across rounds (ADVICE r10).
+    val partialTag =
+      if (only.isEmpty) ""
+      else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
     // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
     // cap together with sbt's trailing [success] line.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"sf":"$sfDir"}"""
+    val outFile = if (only.isEmpty) "BENCH_LATEST.json" else "BENCH_PARTIAL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     println(compact)

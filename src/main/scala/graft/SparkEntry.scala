@@ -2528,14 +2528,34 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }
 
+    /** e12's TRAINED integer centroids collected as [[Similarity.ivfTopK]]'s
+      * driver-side centroid seq (k rows — never corpus-sized). Micro-unit
+      * longs convert to double via one exact widening (< 2⁵³) + one
+      * correctly-rounded IEEE division by 1e6 — bit-identical to DuckDB's
+      * `x / 1000000.0`, which is what lets a TRAINED index stay on the
+      * hash ledger. Shared by e5's probe search and e26's operating curve
+      * (the index a deployment would actually build and then sweep). */
+    private def trainedIvfCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeMicro(col("embedding")).as("qv"))
+      val init = q.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
+        .select((col("vec_id") / 37).cast("int").as("cid"), col("qv").as("c"))
+      Similarity.kmeansExactCentroids(q, init, iters = 2)
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble / 1e6).toSeq))
+        .sortBy(_._1).toSeq
+    }
+
     /** IVF ANN (the coarse-quantizer scale path next to e2's LSH): k-means
       * inverted lists, nprobe-of-k probe search, exact cosine inside the
-      * probed lists. Iterative float k-means has no cross-engine oracle
-      * (accumulation-order sensitive), so like x1 this records the
-      * rows-only check; IVFSpec pins recall vs brute force. */
+      * probed lists. The coarse quantizer is TRAINED — e12's integer-exact
+      * Lloyd rounds (micro-quantized vectors, BIGINT folds, floor(Σ/n)
+      * updates) — so unlike float Lloyd the full train→probe trajectory
+      * replays bit-for-bit in the oracle; `e7_ivf_fixed` keeps the
+      * untrained fixed-centroid variant. */
     def e5_knn_ivf(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+      val cents = trainedIvfCentroids(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents, nprobe = 2, k = 5)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
@@ -4162,21 +4182,18 @@ object SparkEntry {
     }
 
     /** IVF nprobe OPERATING CURVE — corpus-wide recall@5 vs the e1 truth
-      * at nprobe = 1..4 over e7's fixed coarse centroids, in one pass:
-      * the probe ranks compute once, every nprobe tier filters the same
-      * relation (the e23 discipline applied to the probe axis — the
-      * curve an IVF deployment reads before fixing its latency/recall
-      * point). Assignment folds once; candidates per tier rank by exact
+      * at nprobe = 1..4 over e5's TRAINED integer-Lloyd coarse centroids,
+      * in one pass: the probe ranks compute once, every nprobe tier
+      * filters the same relation (the e23 discipline applied to the probe
+      * axis — the curve an IVF deployment reads before fixing its
+      * latency/recall point, measured on the index it would actually
+      * build). Assignment folds once; candidates per tier rank by exact
       * cosine. */
     def e26_nprobe_sweep(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       import graft.functions.VectorExpressions.vec_cosine
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => ((r.getLong(0) / 37).toInt, r.getSeq[Double](1).toSeq))
-        .sortBy(_._1).toSeq
+      val cents = trainedIvfCentroids(s, d)
       val assigned = graft.core.Caching.shared(
         emb.select(col("vec_id").as("neighbor_id"),
           col("embedding").cast("array<double>").as("v"),
@@ -4709,6 +4726,35 @@ object SparkEntry {
         |  SELECT vec_id, cid, d,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+    // e12's trained integer centroids as an IVF coarse quantizer: one
+    // assign → floor-mean update round (the kmeansExact(iters=2)
+    // trajectory), then micro-unit BIGINTs → doubles via /1000000.0 —
+    // the same single correctly-rounded IEEE division the Spark side
+    // does driver-side, so probe distances replay exactly. Yields a
+    // `cent(cid, c: DOUBLE[])` CTE; shared by e5 and e26.
+    private val trainedCentCtes: String =
+      """kq AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+        |kc0 AS (SELECT CAST(vec_id // 37 AS INT) AS cid, qv AS c FROM kq
+        |       WHERE vec_id % 37 = 0 AND vec_id < 260),
+        |kd1 AS (SELECT kq.vec_id, kc0.cid,
+        |    CAST(list_sum(list_transform(list_zip(kq.qv, kc0.c),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        |  FROM kq, kc0),
+        |ka1 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM kd1) WHERE rn = 1),
+        |km1 AS (SELECT cid, dim,
+        |    CAST(floor(sum(val) * 1.0 / count(*)) AS BIGINT) AS cv FROM (
+        |      SELECT ka1.cid, generate_subscripts(kq.qv, 1) AS dim,
+        |             unnest(kq.qv) AS val
+        |      FROM ka1 JOIN kq USING (vec_id)) GROUP BY 1, 2),
+        |cent AS (SELECT cid,
+        |    list_transform(list(cv ORDER BY dim), x -> x / 1000000.0) AS c
+        |  FROM km1 GROUP BY cid)""".stripMargin
 
     // power-iteration replay shared by e14 itself and e20's residuals
     private val e14PcaSql: String = {
@@ -6209,6 +6255,33 @@ object SparkEntry {
            |SELECT * FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
       },
 
+      // trained-centroid IVF: e12's integer Lloyd round builds the coarse
+      // quantizer, then e7's probe replay (euclidean list assignment,
+      // nprobe=2 ranking, in-list cosine top-5) runs against it
+      "e5_knn_ivf" ->
+        s"""WITH $trainedCentCtes,
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |dist AS (SELECT e.vec_id, e.v, cent.cid,
+           |    list_sum(list_transform(list_zip(e.v, cent.c),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+           |  FROM emb e CROSS JOIN cent),
+           |assigned AS (SELECT vec_id, v, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist)
+           |  WHERE rn = 1),
+           |probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM dist WHERE vec_id < 5)
+           |  WHERE rn <= 2),
+           |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    list_dot_product(p.qv, a.v) /
+           |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS rawcos
+           |  FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id != p.query_id),
+           |r AS (SELECT query_id, neighbor_id, round(rawcos, 4) AS cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin,
+
       "e7_ivf_fixed" ->
         """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |cent AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM emb
@@ -7447,11 +7520,11 @@ object SparkEntry {
            |ORDER BY a1, a2""".stripMargin,
 
       // probe ranks once, four nprobe tiers filter the same relation;
-      // per-tier cosine top-5 vs the shared e1 truth
+      // per-tier cosine top-5 vs the shared e1 truth — over e5's TRAINED
+      // integer-Lloyd coarse centroids (the index a deployment builds)
       "e26_nprobe_sweep" ->
-        s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |cent AS (SELECT CAST(vec_id // 37 AS INT) AS cid, v AS c FROM emb
-           |         WHERE vec_id % 37 = 0 AND vec_id < 260),
+        s"""WITH $trainedCentCtes,
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |dist AS (SELECT e.vec_id, cent.cid,
            |    list_sum(list_transform(list_zip(e.v, cent.c),
            |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2

@@ -342,19 +342,25 @@ object Similarity {
     * Output: final-round assignment (vec_id, cid, d) with d the exact
     * squared micro-distance. */
   def kmeansExact(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    val pinned = graft.core.Caching.shared(vectors)
+    assignExact(pinned, kmeansExactCentroids(vectors, init, iters))
+  }
+
+  /** The trained CENTROID relation of [[kmeansExact]] — the (cid,
+    * c: array<long>) state after `iters - 1` integer Lloyd update rounds
+    * (iters = 2 ⇒ one assign → floor-mean update, e12's trajectory).
+    * Exposed so an IVF index can be built on trained-and-still-replayable
+    * centroids: micro-unit longs convert to doubles with one exact
+    * widening + one correctly-rounded division, so the downstream float
+    * probe arithmetic (`ivfTopK`) is bit-identical cross-engine — the
+    * property float Lloyd means can never give (e5 was rows-only until
+    * this existed). */
+  def kmeansExactCentroids(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "kmeansExact needs at least one round")
     val pinned = graft.core.Caching.shared(vectors)
-    def assign(cents: DataFrame): DataFrame =
-      pinned.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          aggregate(zip_with(col("qv"), col("c"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d"), col("cid"))).as("__m"))
-        .select(col("vec_id"), col("__m.cid").as("cid"), col("__m.d").as("d"))
     var cents = init
     for (_ <- 1 until iters) {
-      val a = assign(cents)
+      val a = assignExact(pinned, cents)
       cents = a.join(pinned, "vec_id")
         .select(col("cid"), posexplode(col("qv")))
         .groupBy(col("cid"), col("pos"))
@@ -365,8 +371,19 @@ object Similarity {
           x => x("__cv")).as("c"))
         .localCheckpoint()
     }
-    assign(cents)
+    cents
   }
+
+  /** One exact assignment round: BIGINT distance folds against the
+    * BROADCAST k-row centroid relation, argmin ties to the smallest cid. */
+  private def assignExact(pinned: DataFrame, cents: DataFrame): DataFrame =
+    pinned.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        aggregate(zip_with(col("qv"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("cid"), col("__m.d").as("d"))
 
   /** Principal component of an embedding corpus by integer-exact POWER
     * ITERATION — the analysis/whitening primitive (dominant-direction
