@@ -653,7 +653,8 @@ object Dedup {
     * 100 TB the prefix index is the stored artifact (like the LSH bucket
     * store) and batches probe it incrementally; df skew is self-limiting
     * (high-df tokens are exactly the ones prefixes exclude). */
-  def prefixFilterJoin(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def prefixFilterJoin(docs: DataFrame, minJaccard: Double,
+                       maxPostingLen: Int = 0): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0, 1]")
     val tMicro = math.round(minJaccard * 1e6)
     // distinct-token relation: df census + prefix build read it; the exact
@@ -672,8 +673,33 @@ object Dedup {
         .filter(col("__rn") <=
           col("__sz") - expr(s"(__sz * ${tMicro}L + 999999) div 1000000") + 1)
         .select(col("doc_id"), col("tok"), col("__sz")))
-    val cands = prefix.select(col("doc_id").as("doc1"), col("tok"), col("__sz").as("__sz1"))
-      .join(prefix.select(col("doc_id").as("doc2"), col("tok"), col("__sz").as("__sz2")), "tok")
+    // Posting-length guard (the dropOversized discipline on the prefix
+    // index): df-ordered prefixes bound posting lists on natural corpora,
+    // but one adversarial token that stays "rare enough" to land in many
+    // prefixes could still explode the self-join quadratically. With
+    // maxPostingLen > 0 those lists drop LOUDLY (logged count + entries);
+    // pairs whose ONLY shared prefix token was dropped are lost, which is
+    // the explicit cost of the cap — d17 runs uncapped for the exact
+    // ground-truth, a 100 TB deployment sets the cap like d3's
+    // maxBucketSize. Off by default: exactness is d17's contract.
+    val guarded =
+      if (maxPostingLen <= 0) prefix
+      else {
+        val over = prefix.groupBy("tok").agg(count(lit(1)).as("__plen"))
+          .filter(col("__plen") > maxPostingLen)
+        val rows = over.collect()
+        if (rows.isEmpty) prefix
+        else {
+          System.err.println(
+            s"[graft] prefixFilterJoin: dropping ${rows.length} posting lists " +
+              s"(${rows.map(_.getLong(1)).sum} entries) above cap $maxPostingLen")
+          val local = prefix.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), over.schema)
+          prefix.join(broadcast(local.select("tok")), Seq("tok"), "left_anti")
+        }
+      }
+    val cands = guarded.select(col("doc_id").as("doc1"), col("tok"), col("__sz").as("__sz1"))
+      .join(guarded.select(col("doc_id").as("doc2"), col("tok"), col("__sz").as("__sz2")), "tok")
       .filter(col("doc1") < col("doc2") &&
         least(col("__sz1"), col("__sz2")) * 1000000L >=
           greatest(col("__sz1"), col("__sz2")) * tMicro)

@@ -73,6 +73,34 @@ class Round9dOpsSpec extends SparkSpec {
     graft.core.Caching.release(spark)
   }
 
+  test("prefix filter: maxPostingLen drops a pathological posting list loudly, " +
+      "clean pairs unchanged") {
+    // 20 two-token docs {common, uniq_i}: sz=2 at t=0.5 keeps BOTH tokens
+    // in the prefix, so "common"'s posting list is corpus-sized — the
+    // quadratic-candidate pathology the guard exists for. Docs 100/101 are
+    // an exact dup pair whose tokens are all rare (df=2) — they must
+    // survive the cap. Docs 200/201 are single-token {common} docs whose
+    // ONLY shared prefix token is the dropped one — the documented
+    // false-negative cost of capping.
+    val docs = ((1L to 20L).map(i => (i, s"common uniq$i")) ++
+      Seq((100L, "alpha beta gamma delta"), (101L, "alpha beta gamma delta"),
+        (200L, "common"), (201L, "common"))).toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.prefixFilterJoin(docs, 0.5, maxPostingLen = cap)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(0)
+    // {common,uniq_i} vs {common} is Jaccard exactly 1/2 → every (i, 200/201)
+    // pair qualifies at t=0.5; (i, j) pairs are 1/3 and never appear
+    val viaCommon = (1L to 20L).flatMap(i => Seq((i, 200L), (i, 201L))).toSet
+    assert(uncapped == viaCommon + ((100L, 101L)) + ((200L, 201L)))
+    // cap 5 < 22 occurrences of "common": its list drops; the rare-token
+    // dup pair survives, every common-mediated pair is the explicit loss
+    val capped = pairs(5)
+    assert(capped == Set((100L, 101L)))
+    // a cap the corpus never reaches is a no-op (clean-corpus contract)
+    assert(pairs(1000) == uncapped)
+    graft.core.Caching.release(spark)
+  }
+
   test("ahash: hand-computed 2×2 raster, mean-threshold boundary") {
     // pixels row-major [10, 20, 30, 40]: sum 100, n 4 → bit iff 4v ≥ 100,
     // so cells 30 (i=2, since 30·4=120) and 40 (i=3) set, 20 (80<100) not
