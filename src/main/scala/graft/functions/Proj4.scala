@@ -14,7 +14,7 @@ import graft.functions.Projection._
   * projection family the registry implements:
   *
   *   longlat, merc (spherical), utm, tmerc, aea, lcc (2SP), stere (polar
-  *   aspect), laea, sinu
+  *   aspect), laea, sinu, eqc (spherical plate-carrée), ortho (spherical)
   *
   * Ellipsoids resolve from `+ellps`/`+datum` or explicit `+a`/`+b`/`+rf`;
   * a non-zero `+towgs84` (3- or 7-parameter) wraps the projection in the
@@ -162,6 +162,14 @@ object Proj4 {
         LambertAzimuthalEqualArea(a, invF, lat0, lon0, x0, y0, world)
       case "sinu" =>
         Sinusoidal(a, lon0, world) // spherical by construction; +R or +a is the radius
+      case "eqc" =>
+        // classic PROJ.4 eqc is SPHERICAL on the semi-major regardless of
+        // +ellps (Snyder §12; ellipsoidal eqc arrived in PROJ ≥ 6) — the
+        // plate-carrée family EPSG:32662-style strings circulate in
+        Equirectangular(a, p.d("lat_ts", 0.0), lat0, lon0, x0, y0, world)
+      case "ortho" =>
+        // classic PROJ.4 ortho is the spherical Snyder §20 form
+        Orthographic(a, lat0, lon0, x0, y0, world)
       case other => fail(s"unsupported +proj=$other")
     }
 

@@ -84,6 +84,10 @@ object Projection {
       Some(TransverseMercator.utm(z - 28300, north = false, 6378137.0, grs80InvF))
     case z if z >= 7846 && z <= 7859 => // GDA2020 / MGA 46–59 (GRS80, south)
       Some(TransverseMercator.utm(z - 7800, north = false, 6378137.0, grs80InvF))
+    case 4088 => Some(Equirectangular.WorldSphere) // World Equidistant Cylindrical (Sphere)
+    // Plate Carrée as classic PROJ.4 resolved it: spherical on the WGS84
+    // semi-major (the modern ellipsoidal variant is EPSG:4087, PROJ ≥ 6)
+    case 32662 => Some(Equirectangular.PlateCarree)
     // modern geographic datums coincident with WGS84 at the sub-meter
     // working accuracy of this registry (NAD83, ETRS89, GDA94, NZGD2000,
     // GDA2020 geographic axes)
@@ -488,6 +492,94 @@ object Projection {
     def Modis: Sinusoidal = Sinusoidal(6371007.181, 0.0, Bounds(-180, -90, 180, 90))
     /** ESRI:54008 World Sinusoidal (WGS84 semi-major as sphere). */
     def World: Sinusoidal = Sinusoidal(6378137.0, 0.0, Bounds(-180, -90, 180, 90))
+  }
+
+  /** Spherical equidistant cylindrical / equirectangular (Snyder PP 1395
+    * §12, eqs. 12-1..12-6): x = R·Δλ·cos φ₁ + x₀, y = R·(φ − φ₀) + y₀ —
+    * the plate-carrée family. Classic PROJ.4 `+proj=eqc` computes exactly
+    * this spherical form on the semi-major regardless of `+ellps` (the
+    * ellipsoidal meridional-arc variant arrived in PROJ ≥ 6), so this is
+    * the faithful target for the proj strings that circulate
+    * (EPSG:32662-style exports; reference resolves them via pyproj,
+    * `gfw_pixetl/sources.py:137-168`). */
+  final case class Equirectangular(r: Double, latTsDeg: Double, lat0Deg: Double,
+                                   lon0Deg: Double, x0: Double, y0: Double,
+                                   areaOfUse: Bounds) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val cosTs = math.cos(math.toRadians(latTsDeg))
+
+    def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-90.0, math.min(90.0, latDeg)) // inf/NaN clamp
+      var dLam = math.toRadians(lngDeg) - lon0
+      while (dLam > math.Pi) dLam -= 2 * math.Pi
+      while (dLam < -math.Pi) dLam += 2 * math.Pi
+      (r * dLam * cosTs + x0, r * (math.toRadians(lat) - phi0) + y0)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = math.max(-math.Pi / 2, math.min(math.Pi / 2, (y - y0) / r + phi0))
+      val lam = lon0 + (x - x0) / (r * cosTs)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  object Equirectangular {
+    /** EPSG:4088 World Equidistant Cylindrical (Sphere): R = 6 371 007 m. */
+    def WorldSphere: Equirectangular =
+      Equirectangular(6371007.0, 0, 0, 0, 0, 0, Bounds(-180, -90, 180, 90))
+    /** EPSG:32662 WGS 84 / Plate Carrée as classic PROJ.4 resolved it:
+      * spherical formulas on the WGS84 semi-major. */
+    def PlateCarree: Equirectangular =
+      Equirectangular(6378137.0, 0, 0, 0, 0, 0, Bounds(-180, -90, 180, 90))
+  }
+
+  /** Spherical orthographic (Snyder PP 1395 §20, eqs. 20-3..20-17): the
+    * view-from-infinity hemisphere. Forward: x = R·cos φ·sin Δλ,
+    * y = R·(cos φ₁·sin φ − sin φ₁·cos φ·cos Δλ); points on the far
+    * hemisphere (cos c < 0) clamp to the horizon rim (ρ = R) so boundary
+    * sampling stays monotone instead of folding back — the rim is exactly
+    * where the projection's own limit lies. Classic PROJ.4 `+proj=ortho`
+    * is this spherical form (ellipsoidal arrived in PROJ ≥ 7). */
+  final case class Orthographic(r: Double, lat0Deg: Double, lon0Deg: Double,
+                                x0: Double, y0: Double,
+                                areaOfUse: Bounds) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private val phi1 = math.toRadians(lat0Deg)
+    private val sinP1 = math.sin(phi1)
+    private val cosP1 = math.cos(phi1)
+
+    def forward(lngDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-90.0, math.min(90.0, latDeg))
+      val phi = math.toRadians(lat)
+      var dLam = math.toRadians(lngDeg) - lon0
+      while (dLam > math.Pi) dLam -= 2 * math.Pi
+      while (dLam < -math.Pi) dLam += 2 * math.Pi
+      val (sinP, cosP) = (math.sin(phi), math.cos(phi))
+      val cosC = sinP1 * sinP + cosP1 * cosP * math.cos(dLam) // 20-5
+      val x = r * cosP * math.sin(dLam)                        // 20-3
+      val y = r * (cosP1 * sinP - sinP1 * cosP * math.cos(dLam)) // 20-4
+      if (cosC >= 0) (x + x0, y + y0)
+      else { // far hemisphere: clamp onto the horizon circle
+        val rho = math.hypot(x, y)
+        if (rho < 1e-12) (x0 + r, y0) // antipode: any rim point; fix +x
+        else (x0 + x * r / rho, y0 + y * r / rho)
+      }
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val (x, y) = (xIn - x0, yIn - y0)
+      val rhoRaw = math.hypot(x, y)
+      if (rhoRaw < 1e-12) return (math.toDegrees(lon0), math.toDegrees(phi1))
+      val clamp = math.min(rhoRaw, r) / rhoRaw // outside the rim → rim
+      val (xc, yc, rho) = (x * clamp, y * clamp, math.min(rhoRaw, r))
+      val c = math.asin(math.min(1.0, rho / r))                // 20-13
+      val (sinC, cosC) = (math.sin(c), math.cos(c))
+      val phi = math.asin(cosC * sinP1 + yc * sinC * cosP1 / rho) // 20-14
+      val lam = lon0 + math.atan2(xc * sinC,                   // 20-15
+        rho * cosP1 * cosC - yc * sinP1 * sinC)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
   }
 
   /** 7-parameter Helmert datum transform (EPSG method 9606, position-vector

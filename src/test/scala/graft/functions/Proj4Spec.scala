@@ -74,6 +74,41 @@ class Proj4Spec extends AnyFunSuite {
       Projection.forCrs("MODIS").get, Seq((0.0, 0.0), (100.0, 45.0), (-60.0, -10.0)))
   }
 
+  test("+proj=eqc spherical plate-carrée: Snyder §12 closed form + EPSG twins") {
+    // R=1, lat_ts=30, lon_0=0: (45°, 30°) → x = (π/4)·cos 30°, y = π/6
+    val p = Proj4.parse("+proj=eqc +lat_ts=30 +lat_0=0 +lon_0=0 +R=1").get
+    val (x, y) = p.forward(45.0, 30.0)
+    assert(math.abs(x - math.Pi / 4 * math.cos(math.toRadians(30))) < 1e-12)
+    assert(math.abs(y - math.Pi / 6) < 1e-12)
+    val (lng, lat) = p.inverse(x, y)
+    assert(math.abs(lng - 45.0) < 1e-9 && math.abs(lat - 30.0) < 1e-9)
+    // EPSG:4088 (sphere R=6371007) and 32662 (classic-proj4 spherical on
+    // the WGS84 semi-major) agree with their proj-string twins
+    agree(Proj4.parse("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +R=6371007").get,
+      Projection.forEpsg(4088).get, Seq((15.0, 52.0), (-122.4, 37.8)))
+    agree(Proj4.parse("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +a=6378137").get,
+      Projection.forEpsg(32662).get, Seq((15.0, 52.0), (-74.0, -40.7)))
+  }
+
+  test("+proj=ortho: Snyder §20 worked example + rim clamping") {
+    // Snyder PP 1395 p. 311: R=1, φ1=40°, λ0=−100°, (φ=30°, λ=−110°)
+    // → x = −0.1503837, y = −0.1651911
+    val p = Proj4.parse("+proj=ortho +lat_0=40 +lon_0=-100 +R=1").get
+    val (x, y) = p.forward(-110.0, 30.0)
+    assert(math.abs(x - -0.1503837) < 1e-7, s"x=$x")
+    assert(math.abs(y - -0.1651911) < 1e-7, s"y=$y")
+    val (lng, lat) = p.inverse(x, y)
+    assert(math.abs(lng - -110.0) < 1e-6 && math.abs(lat - 30.0) < 1e-6)
+    // far hemisphere clamps onto the horizon circle (ρ = R), never folds
+    val (fx, fy) = p.forward(70.0, -35.0) // antipodal-ish point
+    assert(math.abs(math.hypot(fx, fy) - 1.0) < 1e-9)
+    // center round-trips exactly
+    val (cx, cy) = p.forward(-100.0, 40.0)
+    assert(math.abs(cx) < 1e-12 && math.abs(cy) < 1e-12)
+    val (clng, clat) = p.inverse(0, 0)
+    assert(math.abs(clng - -100.0) < 1e-9 && math.abs(clat - 40.0) < 1e-9)
+  }
+
   test("+proj=longlat is the identity; +proj=merc spherical is WebMercator") {
     val ll = Proj4.parse("+proj=longlat +datum=WGS84 +no_defs").get
     assert(ll.forward(12.5, 41.9) == ((12.5, 41.9)))
