@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
     "s5_tiff_roundtrip"   -> (Q.s5_tiff_roundtrip(_, _)),
+    "s2_manifest_chain"   -> (Q.s2_manifest_chain(_, _)),
     "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
     "z1_zorder"           -> (Q.z1_zorder(_, _)),
     "f1_subset_filter"    -> (Q.f1_subset_filter(_, _)),
@@ -2121,6 +2122,76 @@ object SparkEntry {
         }
         .toDF("asset_id", "leg", "sum_v", "wsum_v")
         .orderBy("asset_id", "leg")
+    }
+
+    /** S2/S8/K2 manifest CHAIN — the control-plane round trip a chained
+      * job runs: render tiles.geojson through the K3 sink
+      * ([[graft.plans.LayerJob.writeTilesGeojson]]) for every 7th grid
+      * tile, upload real (tiny-profile) GeoTIFFs for every 21st tile via
+      * the K2 in-task temp+copy Hadoop-FS route
+      * (`tiles/tile.py:143-172`), re-scan the manifest with S2's
+      * dest-relative name resolution
+      * ([[graft.sources.Catalog.fromTilesGeojson]],
+      * `gfw_pixetl/layers.py:114-128`), list existing outputs (S8,
+      * [[graft.sources.Catalog.existingTiles]], `sources.py:254-263`),
+      * and anti-join to the remaining work list. The oracle replays tile
+      * ids, manifest order, footprints, and the existence predicate in
+      * closed form, so the whole chain (JSON render → parse → WKB →
+      * envelope → anti-join) is hash-checked, not just spec-asserted.
+      * Every relation is catalog-sized (≤ 93 rows) by construction. */
+    def s2_manifest_chain(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import graft.sources.{Catalog, GeoTiff}
+      import graft.plans.LayerJob
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s2_chain")
+      val destDir = tmp.resolve("tiles")
+      java.nio.file.Files.createDirectories(destDir)
+      val sel = LatLngGrid(10, 40000).tilesDF(s).filter(col("tile_idx") % 7 === 0)
+      // K3 render: dest-relative names (the sink contract), GeoJSON rings
+      val manifest = sel.select(col("tile_id"),
+        concat(lit("tiles/"), col("tile_id"), lit(".tif")).as("uri"),
+        concat(lit("{\"type\":\"Polygon\",\"coordinates\":[[["),
+          col("left"), lit(","), col("bottom"), lit("],["),
+          col("right"), lit(","), col("bottom"), lit("],["),
+          col("right"), lit(","), col("top"), lit("],["),
+          col("left"), lit(","), col("top"), lit("],["),
+          col("left"), lit(","), col("bottom"), lit("]]]}")).as("geometry"))
+      LayerJob.writeTilesGeojson(manifest, s"$tmp/tiles.geojson")
+      // K2 upload: real Writer bytes through local temp + Hadoop-FS copy
+      // INSIDE the task (21 | tile_idx ⊂ 7 | tile_idx, so existing ⊂ manifest)
+      val destUri = s"file://$destDir"
+      sel.filter(col("tile_idx") % 21 === 0).select("tile_id").as[String]
+        .repartition(4)
+        .mapPartitions { ids =>
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI("file:///"), new org.apache.hadoop.conf.Configuration())
+          ids.map { id =>
+            val f = java.io.File.createTempFile(s"graft_s2_$id", ".tif")
+            val w = new GeoTiff.Writer(f.getAbsolutePath,
+              GeoTiff.Profile(16, 16, 1, "uint8", 16, 16, None, 4326, 0, 0, 1, 1))
+            w.writeTile(1, 0, 0, Array.tabulate(256)(i => (i % 7).toDouble))
+            w.close()
+            fs.copyFromLocalFile(true, true,
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+              new org.apache.hadoop.fs.Path(s"$destUri/$id.tif"))
+            id
+          }
+        }.count()
+      // S2 re-scan (relative names resolve against the manifest dir) +
+      // S8 listing + the F3-shape anti-join to the remaining work list
+      val cat = Catalog.fromTilesGeojson(s, s"$tmp/tiles.geojson")
+      val existing = Catalog.existingTiles(s, destDir.toString)
+      val envCols = udf { (wkb: Array[Byte]) =>
+        val e = graft.functions.GeoFunctions.read(wkb).getEnvelopeInternal
+        (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+      }
+      cat.withColumn("tile_id", regexp_extract(col("uri"), "([^/]+)\\.tif$", 1))
+        .join(existing, Seq("tile_id"), "left_anti")
+        .withColumn("__e", envCols(col("footprint")))
+        .select(col("tile_id"), col("manifest_idx"),
+          col("__e._1").as("left"), col("__e._2").as("bottom"),
+          col("__e._3").as("right"), col("__e._4").as("top"))
+        .orderBy("tile_id")
     }
 
     /** Nearest-neighbor resize of the real-decode PNG corpus to a fixed
@@ -4843,6 +4914,26 @@ object SparkEntry {
           | CAST(c*10 - 170 AS DOUBLE) AS "right", CAST(90 - r*10 AS DOUBLE) AS top
           |FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)
           |ORDER BY tile_idx""".stripMargin,
+
+      // the manifest chain replayed in closed form: grid tile ids/bounds,
+      // manifest order = tile_id string sort (the K3 render order, which
+      // posexplode re-surfaces as manifest_idx), existence = 21 | tile_idx
+      "s2_manifest_chain" ->
+        """WITH t AS (
+          |  SELECT CAST(r*36 + c AS BIGINT) AS tile_idx,
+          |    (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+          |     || '_' ||
+          |     CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+          |    CAST(c*10 - 180 AS DOUBLE) AS "left", CAST(80 - r*10 AS DOUBLE) AS bottom,
+          |    CAST(c*10 - 170 AS DOUBLE) AS "right", CAST(90 - r*10 AS DOUBLE) AS top
+          |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)),
+          |sel AS (SELECT * FROM t WHERE tile_idx % 7 = 0),
+          |m AS (SELECT tile_id, "left", bottom, "right", top,
+          |    CAST(row_number() OVER (ORDER BY tile_id) - 1 AS INT) AS manifest_idx
+          |  FROM sel)
+          |SELECT m.tile_id, m.manifest_idx, m."left", m.bottom, m."right", m.top
+          |FROM m WHERE m.tile_id NOT IN (SELECT tile_id FROM sel WHERE tile_idx % 21 = 0)
+          |ORDER BY m.tile_id""".stripMargin,
 
       "z1_zorder" -> {
         import graft.functions.ZOrder
