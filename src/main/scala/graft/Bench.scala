@@ -92,6 +92,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-coalesce the output partitioning of cached plans:
+      // every Caching.shared pin otherwise freezes its pre-AQE partition
+      // count (32 here), inflating EVERY downstream stage over a pinned
+      // intermediate to 32 tasks regardless of size — measured on t22:
+      // 559 → 32 tasks, 4.7 → 2.0 s warm. Physical-only (same results);
+      // the setting a production AQE+cache deployment runs with.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // 8 MB advisory (not the 64 MB default): post-shuffle coalescing
+      // keeps enough partitions that compute-heavy cached intermediates
+      // (r16's pointer-doubling self-joins) stay parallel on 32 cores,
+      // while toy-SF relations still collapse to one task. A cluster
+      // deployment re-sizes this to its executor memory budget.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -133,35 +146,54 @@ object Bench {
       * If max/min > 3 the spread is machine contention, not the query
       * (round 6 recorded 3–5× phantom regressions from a loaded host):
       * take one extra run so the reported median sheds the outlier, and
-      * report (median, min, max) so the driver can SEE the spread. */
-    def measure(once: () => Double): (Double, Double, Double) = {
-      def run(): Double = {
+      * report (median, min, max) so the driver can SEE the spread.
+      *
+      * Each run yields (plan_s, exec_s): plan = DataFrame construction +
+      * analysis/optimization (plus any eager control-plane jobs the query
+      * runs at build time — honest: that cost repeats every submission),
+      * exec = the counting action. The split is what located the focal
+      * family's plan-constant bottleneck in round 10; now every headline
+      * query records it, so a "slow" toy-SF query whose cost is all plan
+      * constant identifies itself in the record. */
+    def measure(once: () => (Double, Double)): (Double, Double, Double, Double, Double) = {
+      def run(): (Double, Double) = {
         val t = once()
         graft.core.Caching.release(spark)
         t
       }
       val first = Seq(run(), run(), run())
-      val all = (if (first.max / first.min > 3.0) first :+ run() else first).sorted
-      (all((all.size - 1) / 2), all.head, all.last)
+      def tot(t: (Double, Double)) = t._1 + t._2
+      val all = (if (first.map(tot).max / first.map(tot).min > 3.0) first :+ run()
+        else first).sortBy(tot)
+      val med = all((all.size - 1) / 2)
+      (tot(med), tot(all.head), tot(all.last), med._1, med._2)
     }
     val loadStart = loadavg()
     val results = headline.filter(n => only.isEmpty || only(n)).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         name -> measure { () =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            val df = fn(spark, sfDir)
+            df.queryExecution.executedPlan // force analysis + optimization
+            val t1 = System.nanoTime()
+            df.count()
+            val t2 = System.nanoTime()
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); (-1.0, 0.0) }
         }
       }
     } ++ (if (only.isEmpty || only("layer_pipeline_199mpx"))
-      Seq("layer_pipeline_199mpx" -> measure(() => layerPipeline())) else Nil)
-    def render(f3: ((String, (Double, Double, Double))) => Double): String =
-      results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f3(kv)}%.3f" }
+      Seq("layer_pipeline_199mpx" -> measure(() => (0.0, layerPipeline()))) else Nil)
+    def render(f: ((String, (Double, Double, Double, Double, Double))) => Double): String =
+      results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f(kv)}%.3f" }
         .mkString("{", ",", "}")
     val qs = render(_._2._1)
     val qsMin = render(_._2._2)
     val qsMax = render(_._2._3)
+    val qsPlan = render(_._2._4)
+    val qsExec = render(_._2._5)
     val total = results.map(_._2._1).sum
     val loadEnd = loadavg()
     // Filtered (partial) runs are a different artifact class: they go to
@@ -172,7 +204,7 @@ object Bench {
       if (only.isEmpty) ""
       else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // physical-only: AQE may re-coalesce cached-plan output partitioning
+      // (see Bench.scala — without it every pinned intermediate freezes
+      // its pre-AQE partition count)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

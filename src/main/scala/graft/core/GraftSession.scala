@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true") // explicit: skewed shuffle joins split at runtime
+      // physical-only: let AQE re-coalesce cached-plan output partitioning;
+      // otherwise every Caching.shared pin freezes its pre-AQE partition
+      // count and inflates all downstream stages (t22: 559 → 32 tasks)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // 8 MB advisory: keep coalesced cached intermediates parallel on a
+      // 32-core local profile (see Bench.scala); clusters re-size this
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // test tables carry TIMESTAMP(NANOS) columns (events.ts)
