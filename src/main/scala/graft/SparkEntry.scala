@@ -27,6 +27,8 @@ object SparkEntry {
     "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
     "s5_tiff_roundtrip"   -> (Q.s5_tiff_roundtrip(_, _)),
     "s2_manifest_chain"   -> (Q.s2_manifest_chain(_, _)),
+    "p5_reproject"        -> (Q.p5_reproject(_, _)),
+    "s3_listing_scan"     -> (Q.s3_listing_scan(_, _)),
     "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
     "z1_zorder"           -> (Q.z1_zorder(_, _)),
     "f1_subset_filter"    -> (Q.f1_subset_filter(_, _)),
@@ -292,6 +294,57 @@ object SparkEntry {
           round(col("left"), 4).as("left"), round(col("bottom"), 4).as("bottom"),
           round(col("right"), 4).as("right"), round(col("top"), 4).as("top"))
         .orderBy("tile_idx")
+    }
+
+    /** S3 as a LEDGER row — the object-store/folder listing scan
+      * ([[graft.sources.Catalog.listFolder]], `layers.py:131-161`) over a
+      * fixture prefix: 41 `.tif` keys with deterministic sizes plus
+      * decoy non-`.tif` keys the suffix filter must exclude. The oracle
+      * replays names and byte sizes in closed form, so the Hadoop-FS glob
+      * → filter → (uri, size) relation is value-checked. */
+    def s3_listing_scan(s: SparkSession, d: String): DataFrame = {
+      import graft.sources.Catalog
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s3_list")
+      for (k <- 0 to 40) {
+        java.nio.file.Files.write(tmp.resolve(f"part_$k%03d.tif"),
+          Array.fill[Byte](k * 7 + 13)(0x5a))
+        if (k % 10 == 0) // decoys: wrong suffix, must not list
+          java.nio.file.Files.write(tmp.resolve(f"part_$k%03d.tif.aux.xml"),
+            Array.fill[Byte](99)(0x5a))
+      }
+      Catalog.listFolder(s, tmp.toString, ".tif")
+        .select(regexp_extract(col("uri"), "([^/]+)$", 1).as("name"), col("size"))
+        .orderBy("name")
+    }
+
+    /** P5 as a LEDGER row — the registry's forward transforms for the
+      * spherical closed-form families (WebMercator, world sinusoidal,
+      * plate-carrée eqc, orthographic incl. its horizon-rim clamp),
+      * applied to every grid tile center through the real
+      * [[graft.functions.Projection.forCrs]] dispatch (EPSG, ESRI and
+      * proj-string authorities all exercised). Rounded to dm: Java Math
+      * and DuckDB libm agree to a few ulps (≤ ~2e-7 m at the worst
+      * high-latitude Mercator y), six orders below the compare precision.
+      * The ellipsoidal families (TM, LCC, AEA, stere) stay spec-pinned
+      * via Snyder worked examples — their series have no one-line SQL
+      * replay. Ref: `gfw_pixetl/sources.py:137-168` (pyproj transform). */
+    def p5_reproject(s: SparkSession, d: String): DataFrame = {
+      import graft.functions.Projection
+      val crss = Seq("EPSG:3857", "ESRI:54008", "EPSG:32662",
+        "+proj=ortho +lat_0=0 +lon_0=0 +a=6378137")
+      val fwd = udf { (crs: String, lng: Double, lat: Double) =>
+        val (x, y) = Projection.forCrs(crs).get.forward(lng, lat)
+        (x, y)
+      }
+      LatLngGrid(10, 40000).tilesDF(s)
+        .select(col("tile_id"),
+          ((col("left") + col("right")) / 2).as("lng"),
+          ((col("bottom") + col("top")) / 2).as("lat"))
+        .withColumn("crs", explode(array(crss.map(lit): _*)))
+        .withColumn("__p", fwd(col("crs"), col("lng"), col("lat")))
+        .select(col("tile_id"), col("crs"),
+          round(col("__p._1"), 1).as("x"), round(col("__p._2"), 1).as("y"))
+        .orderBy("tile_id", "crs")
     }
 
     /** F1: subset filter (tile_id ∈ subset). */
@@ -4914,6 +4967,46 @@ object SparkEntry {
           | CAST(c*10 - 170 AS DOUBLE) AS "right", CAST(90 - r*10 AS DOUBLE) AS top
           |FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)
           |ORDER BY tile_idx""".stripMargin,
+
+      // listing replay: names + byte sizes in closed form; the .aux.xml
+      // decoys prove the suffix filter
+      "s3_listing_scan" ->
+        """SELECT printf('part_%03d.tif', k) AS name,
+          |  CAST(k*7 + 13 AS BIGINT) AS size
+          |FROM generate_series(0, 40) t(k) ORDER BY name""".stripMargin,
+
+      // the four spherical forward transforms in closed form (Snyder §12,
+      // §20, §21, §30); ortho replays the horizon-rim clamp for far-
+      // hemisphere points; dm rounding absorbs libm ulp differences
+      "p5_reproject" ->
+        """WITH t AS (
+          |  SELECT (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+          |     || '_' ||
+          |     CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+          |    CAST(c*10 - 175 AS DOUBLE) AS lng, CAST(85 - r*10 AS DOUBLE) AS lat
+          |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)),
+          |proj AS (
+          |  SELECT tile_id, 'EPSG:3857' AS crs,
+          |      lng * 20037508.342789244 / 180.0 AS x,
+          |      6378137.0 * ln(tan(pi()/4 + radians(lat)/2)) AS y FROM t
+          |  UNION ALL
+          |  SELECT tile_id, 'ESRI:54008',
+          |      6378137.0 * radians(lng) * cos(radians(lat)),
+          |      6378137.0 * radians(lat) FROM t
+          |  UNION ALL
+          |  SELECT tile_id, 'EPSG:32662',
+          |      6378137.0 * radians(lng), 6378137.0 * radians(lat) FROM t
+          |  UNION ALL
+          |  SELECT tile_id, '+proj=ortho +lat_0=0 +lon_0=0 +a=6378137',
+          |      CASE WHEN cos(radians(lat)) * cos(radians(lng)) >= 0 THEN xo
+          |           ELSE xo * 6378137.0 / sqrt(xo*xo + yo*yo) END,
+          |      CASE WHEN cos(radians(lat)) * cos(radians(lng)) >= 0 THEN yo
+          |           ELSE yo * 6378137.0 / sqrt(xo*xo + yo*yo) END
+          |    FROM (SELECT tile_id, lng, lat,
+          |        6378137.0 * cos(radians(lat)) * sin(radians(lng)) AS xo,
+          |        6378137.0 * sin(radians(lat)) AS yo FROM t))
+          |SELECT tile_id, crs, round(x, 1) AS x, round(y, 1) AS y
+          |FROM proj ORDER BY tile_id, crs""".stripMargin,
 
       // the manifest chain replayed in closed form: grid tile ids/bounds,
       // manifest order = tile_id string sort (the K3 render order, which
