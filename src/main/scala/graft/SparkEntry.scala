@@ -29,6 +29,7 @@ object SparkEntry {
     "s2_manifest_chain"   -> (Q.s2_manifest_chain(_, _)),
     "p5_reproject"        -> (Q.p5_reproject(_, _)),
     "s3_listing_scan"     -> (Q.s3_listing_scan(_, _)),
+    "p5_utm_grid"         -> (Q.p5_utm_grid(_, _)),
     "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
     "z1_zorder"           -> (Q.z1_zorder(_, _)),
     "f1_subset_filter"    -> (Q.f1_subset_filter(_, _)),
@@ -345,6 +346,33 @@ object SparkEntry {
         .select(col("tile_id"), col("crs"),
           round(col("__p._1"), 1).as("x"), round(col("__p._2"), 1).as("y"))
         .orderBy("tile_id", "crs")
+    }
+
+    /** P5's ELLIPSOIDAL leg as a LEDGER row — every grid tile center
+      * forward-projected into its canonical UTM zone through the EPSG
+      * registry dispatch (`forEpsg(326xx/327xx)` — the WGS84 ellipsoidal
+      * Transverse Mercator series, Snyder §8, exercising all 120 zone
+      * codes' parameterization). The oracle transcribes the SAME series
+      * term-for-term with identical association, so the only cross-engine
+      * divergence is libm ulps (~1e-9 m) — six orders below the mm
+      * rounding. The polar clamp (±84°) replays in SQL. */
+    def p5_utm_grid(s: SparkSession, d: String): DataFrame = {
+      import graft.functions.Projection
+      val fwd = udf { (lng: Double, lat: Double) =>
+        val zone = math.min(60, (math.floor((lng + 180) / 6) + 1).toInt)
+        val epsg = (if (lat >= 0) 32600 else 32700) + zone
+        val (x, y) = Projection.forEpsg(epsg).get.forward(lng, lat)
+        (zone, x, y)
+      }
+      LatLngGrid(10, 40000).tilesDF(s)
+        .select(col("tile_id"),
+          ((col("left") + col("right")) / 2).as("lng"),
+          ((col("bottom") + col("top")) / 2).as("lat"))
+        .withColumn("__u", fwd(col("lng"), col("lat")))
+        .select(col("tile_id"), col("__u._1").as("zone"),
+          round(col("__u._2"), 3).as("easting"),
+          round(col("__u._3"), 3).as("northing"))
+        .orderBy("tile_id")
     }
 
     /** F1: subset filter (tile_id ∈ subset). */
@@ -4974,6 +5002,45 @@ object SparkEntry {
         """SELECT printf('part_%03d.tif', k) AS name,
           |  CAST(k*7 + 13 AS BIGINT) AS size
           |FROM generate_series(0, 40) t(k) ORDER BY name""".stripMargin,
+
+      // the ellipsoidal UTM forward series (Snyder §8) transcribed with
+      // the implementation's exact association, so doubles match to libm
+      // ulps; zone choice, hemisphere false northing, and the ±84° polar
+      // clamp all replay
+      "p5_utm_grid" ->
+        """WITH t AS (
+          |  SELECT (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+          |     || '_' ||
+          |     CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+          |    CAST(c*10 - 175 AS DOUBLE) AS lng, CAST(85 - r*10 AS DOUBLE) AS lat
+          |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)),
+          |z AS (SELECT tile_id, lng, lat,
+          |    CAST(least(60, floor((lng + 180) / 6) + 1) AS INT) AS zone FROM t),
+          |e AS (SELECT *,
+          |    (1.0/298.257223563) * (2 - (1.0/298.257223563)) AS e2,
+          |    radians(greatest(-84.0, least(84.0, lat))) AS phi,
+          |    radians(lng) - radians(CAST(zone*6 - 183 AS DOUBLE)) AS d FROM z),
+          |e1 AS (SELECT *, e2*e2 AS e4, e2*e2*e2 AS e6, e2/(1 - e2) AS ep2,
+          |    sin(phi) AS sinp, cos(phi) AS cosp, tan(phi) AS tanp FROM e),
+          |e2t AS (SELECT *,
+          |    6378137.0 / sqrt(1 - e2*sinp*sinp) AS n,
+          |    tanp*tanp AS tt, ep2*cosp*cosp AS cc, cosp*d AS biga,
+          |    6378137.0 * ((1 - e2/4 - 3*e4/64 - 5*e6/256)*phi
+          |      - (3*e2/8 + 3*e4/32 + 45*e6/1024)*sin(2*phi)
+          |      + (15*e4/256 + 45*e6/1024)*sin(4*phi)
+          |      - (35*e6/3072)*sin(6*phi)) AS arc FROM e1),
+          |res AS (SELECT tile_id, zone,
+          |    500000.0 + 0.9996*n*(biga
+          |      + (1 - tt + cc)*pow(biga, 3)/6
+          |      + (5 - 18*tt + tt*tt + 72*cc - 58*ep2)*pow(biga, 5)/120) AS easting,
+          |    (CASE WHEN lat >= 0 THEN 0.0 ELSE 10000000.0 END)
+          |      + 0.9996*(arc + n*tanp*(biga*biga/2
+          |        + (5 - tt + 9*cc + 4*cc*cc)*pow(biga, 4)/24
+          |        + (61 - 58*tt + tt*tt + 600*cc - 330*ep2)*pow(biga, 6)/720)) AS northing
+          |  FROM e2t)
+          |SELECT tile_id, zone, round(easting, 3) AS easting,
+          |  round(northing, 3) AS northing
+          |FROM res ORDER BY tile_id""".stripMargin,
 
       // the four spherical forward transforms in closed form (Snyder §12,
       // §20, §21, §30); ortho replays the horizon-rim clamp for far-
