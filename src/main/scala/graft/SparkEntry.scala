@@ -30,6 +30,7 @@ object SparkEntry {
     "p5_reproject"        -> (Q.p5_reproject(_, _)),
     "s3_listing_scan"     -> (Q.s3_listing_scan(_, _)),
     "p5_utm_grid"         -> (Q.p5_utm_grid(_, _)),
+    "p5_conic_polar"      -> (Q.p5_conic_polar(_, _)),
     "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
     "z1_zorder"           -> (Q.z1_zorder(_, _)),
     "f1_subset_filter"    -> (Q.f1_subset_filter(_, _)),
@@ -373,6 +374,38 @@ object SparkEntry {
           round(col("__u._2"), 3).as("easting"),
           round(col("__u._3"), 3).as("northing"))
         .orderBy("tile_id")
+    }
+
+    /** P5's CONIC + POLAR ellipsoidal legs as a LEDGER row — grid tile
+      * centers inside each projection's working domain forward-projected
+      * through the registry: Albers equal-area CONUS (EPSG:5070, Snyder
+      * §14), Lambert conformal conic 2SP Lambert-93 (EPSG:2154, §15), and
+      * Antarctic polar stereographic variant B (EPSG:3031, §21). Same
+      * discipline as p5_utm_grid: the oracle transcribes each series
+      * term-for-term with identical association, so divergence is libm
+      * ulps, six orders below the mm rounding. With this row every
+      * registry projection family is value-checked. */
+    def p5_conic_polar(s: SparkSession, d: String): DataFrame = {
+      import graft.functions.Projection
+      val fwd = udf { (epsg: Int, lng: Double, lat: Double) =>
+        val (x, y) = Projection.forEpsg(epsg).get.forward(lng, lat)
+        (x, y)
+      }
+      val centers = LatLngGrid(10, 40000).tilesDF(s)
+        .select(col("tile_id"),
+          ((col("left") + col("right")) / 2).as("lng"),
+          ((col("bottom") + col("top")) / 2).as("lat"))
+      val legs = Seq(
+        (5070, col("lng").between(-125, -65) && col("lat").between(15, 55)),
+        (2154, col("lng").between(-5, 15) && col("lat").between(35, 55)),
+        (3031, col("lat") <= -55))
+      legs.map { case (epsg, dom) =>
+        centers.filter(dom)
+          .withColumn("epsg", lit(epsg))
+          .withColumn("__p", fwd(col("epsg"), col("lng"), col("lat")))
+          .select(col("tile_id"), col("epsg"),
+            round(col("__p._1"), 3).as("x"), round(col("__p._2"), 3).as("y"))
+      }.reduce(_ union _).orderBy("tile_id", "epsg")
     }
 
     /** F1: subset filter (tile_id ∈ subset). */
@@ -5002,6 +5035,68 @@ object SparkEntry {
         """SELECT printf('part_%03d.tif', k) AS name,
           |  CAST(k*7 + 13 AS BIGINT) AS size
           |FROM generate_series(0, 40) t(k) ORDER BY name""".stripMargin,
+
+      // conic + polar ellipsoidal forwards (Snyder §14/§15/§21) transcribed
+      // with the implementation's exact association (q/m/tConf auxiliaries
+      // expanded inline — recomputing sin(phi) is bitwise identical to
+      // Scala's let-bound reuse); domains match the Spark filters
+      "p5_conic_polar" -> {
+        // Snyder auxiliaries over a free `phi` SQL expression; e/e2 come
+        // from the surrounding SELECT scope
+        def qS(phi: String) =
+          s"((1 - e2) * (sin($phi) / (1 - e2 * sin($phi) * sin($phi)) - (1 / (2 * e)) * ln((1 - e * sin($phi)) / (1 + e * sin($phi)))))"
+        def mS(phi: String) =
+          s"(cos($phi) / sqrt(1 - e2 * sin($phi) * sin($phi)))"
+        def tS(phi: String) =
+          s"(tan(pi() / 4 - $phi / 2) / pow((1 - e * sin($phi)) / (1 + e * sin($phi)), e / 2))"
+        val grs80 = "(1.0/298.257222101) * (2 - (1.0/298.257222101))"
+        val wgs84 = "(1.0/298.257223563) * (2 - (1.0/298.257223563))"
+        s"""WITH t AS (
+           |  SELECT (CASE WHEN 90 - r*10 >= 0 THEN printf('%02dN', 90 - r*10) ELSE printf('%02dS', r*10 - 90) END
+           |     || '_' ||
+           |     CASE WHEN c*10 - 180 >= 0 THEN printf('%03dE', c*10 - 180) ELSE printf('%03dW', 180 - c*10) END) AS tile_id,
+           |    CAST(c*10 - 175 AS DOUBLE) AS lng, CAST(85 - r*10 AS DOUBLE) AS lat
+           |  FROM generate_series(0, 17) t1(r) CROSS JOIN generate_series(0, 35) t2(c)),
+           |aea0 AS (SELECT tile_id, lng, lat, $grs80 AS e2, sqrt($grs80) AS e,
+           |    radians(lat) AS phi, radians(lng) - radians(-96.0) AS dlam
+           |  FROM t WHERE lng BETWEEN -125 AND -65 AND lat BETWEEN 15 AND 55),
+           |aea1 AS (SELECT *,
+           |    (${mS("radians(29.5)")} * ${mS("radians(29.5)")} - ${mS("radians(45.5)")} * ${mS("radians(45.5)")})
+           |      / (${qS("radians(45.5)")} - ${qS("radians(29.5)")}) AS n,
+           |    ${mS("radians(29.5)")} * ${mS("radians(29.5)")} AS m1sq,
+           |    ${qS("radians(29.5)")} AS q1 FROM aea0),
+           |aea2 AS (SELECT *, m1sq + n * q1 AS bigc FROM aea1),
+           |aea AS (SELECT tile_id, CAST(5070 AS INT) AS epsg,
+           |    6378137.0 * sqrt(greatest(0.0, bigc - n * ${qS("phi")})) / n * sin(n * dlam) AS x,
+           |    6378137.0 * sqrt(bigc - n * ${qS("radians(23.0)")}) / n
+           |      - 6378137.0 * sqrt(greatest(0.0, bigc - n * ${qS("phi")})) / n * cos(n * dlam) AS y
+           |  FROM aea2),
+           |lcc0 AS (SELECT tile_id, lng, lat, $grs80 AS e2, sqrt($grs80) AS e,
+           |    radians(lat) AS phi, radians(lng) - radians(3.0) AS dlam
+           |  FROM t WHERE lng BETWEEN -5 AND 15 AND lat BETWEEN 35 AND 55),
+           |lcc1 AS (SELECT *,
+           |    (ln(${mS("radians(49.0)")}) - ln(${mS("radians(44.0)")}))
+           |      / (ln(${tS("radians(49.0)")}) - ln(${tS("radians(44.0)")})) AS n,
+           |    ${mS("radians(49.0)")} AS m1, ${tS("radians(49.0)")} AS t1 FROM lcc0),
+           |lcc2 AS (SELECT *, m1 / (n * pow(t1, n)) AS bigf FROM lcc1),
+           |lcc3 AS (SELECT *, 6378137.0 * bigf * pow(${tS("radians(46.5)")}, n) AS rho0,
+           |    CASE WHEN ${tS("phi")} <= 0 THEN 0.0
+           |         ELSE 6378137.0 * bigf * pow(${tS("phi")}, n) END AS r FROM lcc2),
+           |lcc AS (SELECT tile_id, CAST(2154 AS INT) AS epsg,
+           |    700000.0 + r * sin(n * dlam) AS x,
+           |    6600000.0 + rho0 - r * cos(n * dlam) AS y FROM lcc3),
+           |ps0 AS (SELECT tile_id, lng, lat, $wgs84 AS e2, sqrt($wgs84) AS e,
+           |    (-1.0) * radians(lat) AS phi, radians(lng) AS dlam
+           |  FROM t WHERE lat <= -55),
+           |ps1 AS (SELECT *,
+           |    6378137.0 * ${mS("radians(71.0)")} * ${tS("phi")} / ${tS("radians(71.0)")} AS rho FROM ps0),
+           |ps AS (SELECT tile_id, CAST(3031 AS INT) AS epsg,
+           |    rho * sin(dlam) AS x,
+           |    0.0 - (-1.0) * rho * cos(dlam) AS y FROM ps1),
+           |allp AS (SELECT * FROM aea UNION ALL SELECT * FROM lcc UNION ALL SELECT * FROM ps)
+           |SELECT tile_id, epsg, round(x, 3) AS x, round(y, 3) AS y
+           |FROM allp ORDER BY tile_id, epsg""".stripMargin
+      },
 
       // the ellipsoidal UTM forward series (Snyder §8) transcribed with
       // the implementation's exact association, so doubles match to libm
