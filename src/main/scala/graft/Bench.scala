@@ -81,13 +81,19 @@ object Bench {
     // Unknown names fail fast — a typo must not silently produce a smaller
     // record that reads as a 93% "speedup" (ADVICE r10).
     val only = args.toSet
-    val known = headline.toSet + "layer_pipeline_199mpx"
+    val known = SparkEntry.queries.keySet + "layer_pipeline_199mpx"
     val unknown = only -- known
     if (unknown.nonEmpty) {
       System.err.println(s"[bench] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
-      System.err.println(s"[bench] valid names: ${known.toSeq.sorted.mkString(", ")}")
+      System.err.println(s"[bench] valid names: any SparkEntry.queries key or layer_pipeline_199mpx")
       sys.exit(2)
     }
+    // explicit names may reach ANY ledger query (local iteration on a
+    // non-headline query is the whole point of args); a no-args run is
+    // exactly the headline set
+    val toRun = if (only.isEmpty) headline
+      else (headline ++ SparkEntry.queries.keys.filterNot(headline.contains))
+        .filter(only)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -119,7 +125,7 @@ object Bench {
     // 90/9984 grid with the synthetic reader — ~199 Mpx end to end, the
     // shape the reference's 648-tile envelope is quoted against. Counts
     // blocks AND folds stats so every stage executes.
-    def layerPipeline(): Double = {
+    def layerPipeline(): (Double, Double) = {
       val spec = LayerSpec(dataset = "bench", version = "v1", sourceType = "raster",
         pixelMeaning = "x", dataType = "uint16", calc = Some("A * 2 + 1"),
         grid = "90/9984", sourceUri = Some(Seq("mem")), noData = Some(Seq(0.0)))
@@ -134,9 +140,11 @@ object Bench {
       val t0 = System.nanoTime()
       val r = LayerJob.run(spark, spec, catalog, reader,
         subset = Some(Seq("90N_180W", "90N_090W")))
+      r.blocks.queryExecution.executedPlan // plan = job build + optimization
+      val t1 = System.nanoTime()
       r.blocks.count()
       r.tileStats.count()
-      (System.nanoTime() - t0) / 1e9
+      ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
     }
 
     /** Dispersion-guarded measurement: 3 timed runs, each COLD (graft-
@@ -169,7 +177,7 @@ object Bench {
       (tot(med), tot(all.head), tot(all.last), med._1, med._2)
     }
     val loadStart = loadavg()
-    val results = headline.filter(n => only.isEmpty || only(n)).flatMap { name =>
+    val results = toRun.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         name -> measure { () =>
           val t0 = System.nanoTime()
@@ -181,11 +189,16 @@ object Bench {
             val t2 = System.nanoTime()
             ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
           } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name: $e"); (-1.0, 0.0) }
+            // record REAL elapsed-to-failure: a sentinel like -1 would
+            // SUBTRACT from the headline total and read as a speedup —
+            // the exact failure mode the partial-run guard exists for
+            System.err.println(s"[bench] $name: $e")
+            ((System.nanoTime() - t0) / 1e9, 0.0)
+          }
         }
       }
     } ++ (if (only.isEmpty || only("layer_pipeline_199mpx"))
-      Seq("layer_pipeline_199mpx" -> measure(() => (0.0, layerPipeline()))) else Nil)
+      Seq("layer_pipeline_199mpx" -> measure(() => layerPipeline())) else Nil)
     def render(f: ((String, (Double, Double, Double, Double, Double))) => Double): String =
       results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f(kv)}%.3f" }
         .mkString("{", ",", "}")

@@ -298,6 +298,23 @@ object SparkEntry {
         .orderBy("tile_idx")
     }
 
+    /** Fixture temp dir removed recursively at JVM exit — the manifest/
+      * listing fixture queries write real files the returned (lazy) plan
+      * still reads, so cleanup can't happen inside the query; without the
+      * hook every Verify/Bench invocation leaves ~50 files in /tmp and a
+      * long-lived driver host accumulates them unboundedly. */
+    private def tempFixtureDir(prefix: String): java.nio.file.Path = {
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+          p.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
+      dir
+    }
+
     /** S3 as a LEDGER row — the object-store/folder listing scan
       * ([[graft.sources.Catalog.listFolder]], `layers.py:131-161`) over a
       * fixture prefix: 41 `.tif` keys with deterministic sizes plus
@@ -306,7 +323,7 @@ object SparkEntry {
       * → filter → (uri, size) relation is value-checked. */
     def s3_listing_scan(s: SparkSession, d: String): DataFrame = {
       import graft.sources.Catalog
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s3_list")
+      val tmp = tempFixtureDir("graft_s3_list")
       for (k <- 0 to 40) {
         java.nio.file.Files.write(tmp.resolve(f"part_$k%03d.tif"),
           Array.fill[Byte](k * 7 + 13)(0x5a))
@@ -2257,7 +2274,7 @@ object SparkEntry {
       import s.implicits._
       import graft.sources.{Catalog, GeoTiff}
       import graft.plans.LayerJob
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s2_chain")
+      val tmp = tempFixtureDir("graft_s2_chain")
       val destDir = tmp.resolve("tiles")
       java.nio.file.Files.createDirectories(destDir)
       val sel = LatLngGrid(10, 40000).tilesDF(s).filter(col("tile_idx") % 7 === 0)

@@ -343,7 +343,7 @@ object Similarity {
     * squared micro-distance. */
   def kmeansExact(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     val pinned = graft.core.Caching.shared(vectors)
-    assignExact(pinned, kmeansExactCentroids(vectors, init, iters))
+    assignExact(pinned, centroidRounds(pinned, init, iters))
   }
 
   /** The trained CENTROID relation of [[kmeansExact]] — the (cid,
@@ -355,9 +355,14 @@ object Similarity {
     * probe arithmetic (`ivfTopK`) is bit-identical cross-engine — the
     * property float Lloyd means can never give (e5 was rows-only until
     * this existed). */
-  def kmeansExactCentroids(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+  def kmeansExactCentroids(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame =
+    centroidRounds(graft.core.Caching.shared(vectors), init, iters)
+
+  /** The Lloyd update rounds over an ALREADY-PINNED vector relation —
+    * shared so [[kmeansExact]] pins exactly once for both the rounds and
+    * its final assignment. */
+  private def centroidRounds(pinned: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "kmeansExact needs at least one round")
-    val pinned = graft.core.Caching.shared(vectors)
     var cents = init
     for (_ <- 1 until iters) {
       val a = assignExact(pinned, cents)
