@@ -29,6 +29,7 @@ object SparkEntry {
     "s2_manifest_chain"   -> (Q.s2_manifest_chain(_, _)),
     "p5_reproject"        -> (Q.p5_reproject(_, _)),
     "s3_listing_scan"     -> (Q.s3_listing_scan(_, _)),
+    "s7_jdbc_pushdown"    -> (Q.s7_jdbc_pushdown(_, _)),
     "p5_utm_grid"         -> (Q.p5_utm_grid(_, _)),
     "p5_conic_polar"      -> (Q.p5_conic_polar(_, _)),
     "s1_wm_grid_seed"     -> (Q.s1_wm_grid_seed(_, _)),
@@ -334,6 +335,44 @@ object SparkEntry {
       Catalog.listFolder(s, tmp.toString, ".tif")
         .select(regexp_extract(col("uri"), "([^/]+)$", 1).as("name"), col("size"))
         .orderBy("name")
+    }
+
+    /** S7 as a LEDGER row — the partitioned-JDBC vector scan
+      * ([[graft.sources.VectorSource.readPartitioned]], the reader wiring
+      * under the PostGIS `readJdbc`; ref
+      * `gfw_pixetl/tiles/vector_src_tile.py:87-156`) driven END TO END
+      * against an embedded Derby database (the one JDBC engine in the
+      * sandbox): a deterministic bbox-feature table derived from
+      * `customer` is loaded through Spark's JDBC writer, the layer-
+      * envelope intersection predicate is pushed INTO the database in the
+      * portable SQL-92 form of the renderer's `ST_Intersects(envelope)`
+      * shape, and the scan returns as 8 key-range partitions. The bucketed
+      * integer fold replays in closed form over `customer`, so the row
+      * checks exactly "did the DB evaluate the pushed predicate, and did
+      * every key range come back complete, exactly once". */
+    def s7_jdbc_pushdown(s: SparkSession, d: String): DataFrame = {
+      import graft.sources.VectorSource
+      if (System.getProperty("derby.system.home") == null) // derby.log home
+        System.setProperty("derby.system.home", tempFixtureDir("graft_s7_derby").toString)
+      val feat = Tables.customer(s, d).select(
+        col("c_custkey").as("fid"),
+        (col("c_custkey") % 360 - 180).cast("int").as("xmin"),
+        (col("c_custkey") % 180 - 90).cast("int").as("ymin"),
+        (col("c_custkey") % 360 - 180 + col("c_custkey") % 7 + 1).cast("int").as("xmax"),
+        (col("c_custkey") % 180 - 90 + col("c_custkey") % 5 + 1).cast("int").as("ymax"),
+        ((col("c_custkey") * 13) % 1000).as("val"))
+      val url = "jdbc:derby:memory:graft_s7;create=true"
+      feat.write.mode("overwrite").jdbc(url, "features", new java.util.Properties())
+      val maxFid = feat.agg(max("fid")).head().getLong(0)
+      // quoted idents: Spark's JDBC writer creates case-preserved columns
+      val sub = """(SELECT "fid" AS FID, "xmin" AS XMIN, "ymin" AS YMIN, "val" AS VAL
+                   | FROM features
+                   | WHERE NOT ("xmax" < -60 OR "xmin" > 60 OR "ymax" < -45 OR "ymin" > 45)) src""".stripMargin
+      VectorSource.readPartitioned(s, url, sub, "FID", Some((1L, maxFid + 1)), numPartitions = 8)
+        .groupBy((col("FID") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_feat"), sum("FID").as("sum_fid"),
+          sum(col("XMIN") + col("YMIN")).as("sum_ll"), sum("VAL").as("sum_val"))
+        .orderBy("bucket")
     }
 
     /** P5 as a LEDGER row — the registry's forward transforms for the
@@ -5052,6 +5091,28 @@ object SparkEntry {
         """SELECT printf('part_%03d.tif', k) AS name,
           |  CAST(k*7 + 13 AS BIGINT) AS size
           |FROM generate_series(0, 40) t(k) ORDER BY name""".stripMargin,
+
+      // the Derby-backed partitioned-JDBC scan replayed in closed form
+      // over customer: same bbox derivation, same envelope predicate,
+      // same bucketed fold — green means the pushed predicate and the
+      // 8 key ranges returned the complete relation exactly once
+      "s7_jdbc_pushdown" ->
+        """WITH feat AS (
+          |  SELECT c_custkey AS fid,
+          |    CAST(c_custkey % 360 - 180 AS INT) AS xmin,
+          |    CAST(c_custkey % 180 - 90 AS INT) AS ymin,
+          |    CAST(c_custkey % 360 - 180 + c_custkey % 7 + 1 AS INT) AS xmax,
+          |    CAST(c_custkey % 180 - 90 + c_custkey % 5 + 1 AS INT) AS ymax,
+          |    (c_custkey * 13) % 1000 AS val
+          |  FROM customer),
+          |kept AS (SELECT * FROM feat
+          |  WHERE NOT (xmax < -60 OR xmin > 60 OR ymax < -45 OR ymin > 45))
+          |SELECT fid % 16 AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_feat,
+          |  CAST(sum(fid) AS BIGINT) AS sum_fid,
+          |  CAST(sum(xmin + ymin) AS BIGINT) AS sum_ll,
+          |  CAST(sum(val) AS BIGINT) AS sum_val
+          |FROM kept GROUP BY 1 ORDER BY bucket""".stripMargin,
 
       // conic + polar ellipsoidal forwards (Snyder §14/§15/§21) transcribed
       // with the implementation's exact association (q/m/tConf auxiliaries

@@ -63,12 +63,26 @@ object VectorSource {
                fidRange: Option[(Long, Long)] = None, numPartitions: Int = 8,
                properties: java.util.Properties = new java.util.Properties()): DataFrame = {
     val sub = s"(${renderQuery(schema, table, field, calc, bounds, order, fidColumn)}) AS src"
+    readPartitioned(spark, url, sub, fidColumn, fidRange, numPartitions, properties)
+  }
+
+  /** The reader wiring under [[readJdbc]], independent of the PostGIS SQL
+    * dialect: a pushed-down subquery scanned as `numPartitions` key ranges
+    * of `partColumn`. The `s7_jdbc_pushdown` ledger row drives this exact
+    * path against an embedded Derby database (the only JDBC engine in the
+    * sandbox), with the envelope-intersection predicate rendered in
+    * portable SQL-92 — so the partitioned-scan machinery is hash-checked
+    * end to end even though PostGIS itself is out of reach. */
+  def readPartitioned(spark: SparkSession, url: String, subquery: String,
+                      partColumn: String, range: Option[(Long, Long)],
+                      numPartitions: Int = 8,
+                      properties: java.util.Properties = new java.util.Properties()): DataFrame = {
     val base = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", sub)
-    val reader = fidRange match {
+      .option("dbtable", subquery)
+    val reader = range match {
       case Some((lo, hi)) => base
-        .option("partitionColumn", fidColumn)
+        .option("partitionColumn", partColumn)
         .option("lowerBound", lo).option("upperBound", hi)
         .option("numPartitions", numPartitions)
       case None => base
