@@ -240,6 +240,7 @@ object SparkEntry {
     "x35_cdc_apply"       -> (Q.x35_cdc_apply(_, _)),
     "d18_lsh_recall"      -> (Q.d18_lsh_recall(_, _)),
     "m7_vad_segments"     -> (Q.m7_vad_segments(_, _)),
+    "m10_dft_energy"      -> (Q.m10_dft_energy(_, _)),
     "t33_zipf_slope"      -> (Q.t33_zipf_slope(_, _)),
     "x36_gini"            -> (Q.x36_gini(_, _)),
     "t34_importance_weights" -> (Q.t34_importance_weights(_, _)),
@@ -3802,6 +3803,18 @@ object SparkEntry {
       * oracle replays frame energies from the generating formula and the
       * identical island window. See
       * [[graft.operators.Multimodal.vadSegments]]. */
+    /** Frame-level DFT bin energies (harmonics 1/2/4/8 of the 160-sample
+      * frame) over the real-parse PCM corpus — the spectral gate next to
+      * m3's time-domain energies. Integer-quantized trig correlation, so
+      * the fold replays exactly; the oracle regenerates samples from the
+      * formula and the identical quantized tables. See
+      * [[graft.operators.Multimodal.dftBinEnergy]]. */
+    def m10_dft_energy(s: SparkSession, d: String): DataFrame =
+      Multimodal.dftBinEnergy(
+        Multimodal.syntheticPcm(
+          Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id"))
+        .orderBy("asset_id", "frame_idx", "bin")
+
     def m7_vad_segments(s: SparkSession, d: String): DataFrame =
       Multimodal.vadSegments(
         Multimodal.audioFrameFeatures(
@@ -7557,6 +7570,30 @@ object SparkEntry {
           |  CAST(sum(val*val) AS BIGINT) AS sum_sq,
           |  CAST(max(abs(val)) AS BIGINT) AS max_abs
           |FROM v GROUP BY id, frame ORDER BY asset_id, frame_idx""".stripMargin,
+
+      // DFT bin energies: samples from the generating formula, the same
+      // floor(trig·10³+0.5) quantized tables, exact integer folds; power
+      // from the BIGINT-cast sums so nothing touches HUGEINT overflow
+      "m10_dft_energy" ->
+        """WITH a AS (SELECT doc_id AS id, 5 + doc_id % 5 AS n_frames
+          |           FROM documents WHERE doc_id % 20 = 0),
+          |f AS (SELECT id, unnest(range(0, n_frames)) AS frame FROM a),
+          |s AS (SELECT id, frame, unnest(range(0, 160)) AS j FROM f),
+          |v AS (SELECT id, frame, j,
+          |        (id*31 + (frame*160 + j)*17) % 4096 - 2048 AS val FROM s),
+          |b AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS bin),
+          |t AS (SELECT v.id, v.frame, b.bin,
+          |        v.val * CAST(floor(cos(2*pi()*b.bin*v.j/160)*1000 + 0.5) AS BIGINT) AS vc,
+          |        v.val * CAST(floor(sin(2*pi()*b.bin*v.j/160)*1000 + 0.5) AS BIGINT) AS vs
+          |      FROM v, b),
+          |agg AS (SELECT id, frame, bin,
+          |          CAST(sum(vc) AS BIGINT) AS re_milli,
+          |          CAST(sum(vs) AS BIGINT) AS im_milli
+          |        FROM t GROUP BY id, frame, bin)
+          |SELECT id AS asset_id, CAST(frame AS INT) AS frame_idx,
+          |  CAST(bin AS INT) AS bin, re_milli, im_milli,
+          |  re_milli*re_milli + im_milli*im_milli AS power
+          |FROM agg ORDER BY asset_id, frame_idx, bin""".stripMargin,
 
       "m4_frame_plan" ->
         """WITH a AS (SELECT doc_id AS asset_id,

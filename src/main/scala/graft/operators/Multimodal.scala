@@ -351,6 +351,55 @@ object Multimodal {
       }.toDF("asset_id", "frame_idx", "sum_abs", "sum_sq", "max_abs")
   }
 
+  /** Frame-level DFT bin energies over raw 16-bit LE PCM — the spectral
+    * feature a music/noise/bandwidth gate runs next to
+    * [[audioFrameFeatures]]' time-domain energy (e.g. telephony-band vs
+    * wideband detection before transcription). The correlation kernel is
+    * an integer-quantized trig table (`floor(cos·10³ + 0.5)` — the worst
+    * case over this frame size's angle set sits 1.4e-3 from a rounding
+    * boundary, ten orders above libm ulp disagreement), so the per-frame
+    * multiply-accumulate is an order-independent EXACT integer fold that
+    * replays on any engine — float DFT sums would be fold-order dependent
+    * and unhashable. One narrow mapPartitions; payloads never shuffle;
+    * `power = re² + im²` stays in range (|re| ≤ 2048·10³·160 ≈ 3.3e8 →
+    * power ≤ 2.2e17 < 2⁶³). */
+  def dftBinEnergy(media: DataFrame, frameLen: Int = 160,
+                   bins: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(frameLen > 0 && bins.nonEmpty, "frameLen and bins must be non-empty")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val binsArr = bins.toArray
+    val cosT = binsArr.map(k => Array.tabulate(frameLen)(j =>
+      math.floor(math.cos(2.0 * math.Pi * k * j / frameLen) * 1000 + 0.5).toLong))
+    val sinT = binsArr.map(k => Array.tabulate(frameLen)(j =>
+      math.floor(math.sin(2.0 * math.Pi * k * j / frameLen) * 1000 + 0.5).toLong))
+    media.filter(col("modality") === "audio")
+      .select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          if (payload == null) Iterator.empty
+          else {
+            val buf = java.nio.ByteBuffer.wrap(payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nFrames = payload.length / 2 / frameLen
+            for {
+              f <- (0 until nFrames).iterator
+              ki <- binsArr.indices.iterator
+            } yield {
+              var re = 0L; var im = 0L
+              var j = 0
+              while (j < frameLen) {
+                val v = buf.getShort((f * frameLen + j) * 2).toLong
+                re += v * cosT(ki)(j); im += v * sinT(ki)(j)
+                j += 1
+              }
+              (id, f, binsArr(ki), re, im, re * re + im * im)
+            }
+          }
+        }
+      }.toDF("asset_id", "frame_idx", "bin", "re_milli", "im_milli", "power")
+  }
+
   /** Voice-activity segmentation over [[audioFrameFeatures]] output — the
     * silence-trimming step an audio curation pipeline runs before
     * transcription: frames with energy ≥ `minEnergy` are voiced, and
