@@ -412,6 +412,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.audioFrameFeatures(ragged).count() == n0)
   }
 
+  test("dft bin energy: pure tone concentrates in its bin, fold is exact") {
+    // payload = 1 frame of a pure bin-2 cosine at amplitude 1000 (16-bit LE)
+    val n = 160
+    val tone = Array.tabulate(n)(j =>
+      math.round(1000.0 * math.cos(2.0 * math.Pi * 2 * j / n)).toShort)
+    val bytes = new Array[Byte](n * 2)
+    tone.zipWithIndex.foreach { case (v, j) =>
+      bytes(2 * j) = (v & 0xff).toByte; bytes(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val media = Seq((1L, "audio", bytes)).toDF("asset_id", "modality", "payload")
+    val out = Multimodal.dftBinEnergy(media).collect()
+      .map(r => r.getInt(2) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set(1, 2, 4, 8))
+    // bin 2 carries ~N/2·amp·10³ in re; off bins only quantization residue
+    assert(out(2)._3 > 100L * out(1)._3)
+    assert(out(2)._3 > 100L * out(4)._3)
+    assert(out(2)._3 > 100L * out(8)._3)
+    // exact replay: same quantized tables, independent BigInt-free fold
+    val expected = Seq(1, 2, 4, 8).map { k =>
+      val re = (0 until n).map(j => tone(j).toLong *
+        math.floor(math.cos(2.0 * math.Pi * k * j / n) * 1000 + 0.5).toLong).sum
+      val im = (0 until n).map(j => tone(j).toLong *
+        math.floor(math.sin(2.0 * math.Pi * k * j / n) * 1000 + 0.5).toLong).sum
+      k -> ((re, im, re * re + im * im))
+    }.toMap
+    assert(out == expected)
+  }
+
   test("sssp: relaxation finds min-cost paths, not min-hop paths") {
     // 1→2→3 costs 1+1=2 beats the direct 1→3 edge of cost 5;
     // parallel edges collapse to the cheapest; 9 is unreachable → absent
