@@ -276,6 +276,7 @@ object SparkEntry {
     "x50_pareto"          -> (Q.x50_pareto(_, _)),
     "g16_assortativity"   -> (Q.g16_assortativity(_, _)),
     "t40_novelty"         -> (Q.t40_novelty(_, _)),
+    "t41_perplexity"      -> (Q.t41_perplexity(_, _)),
     "e26_nprobe_sweep"    -> (Q.e26_nprobe_sweep(_, _)),
     "x51_mad"             -> (Q.x51_mad(_, _)))
 
@@ -1603,6 +1604,13 @@ object SparkEntry {
       * d owns the gram's corpus-wide min doc_id. One gram census keyed
       * on the 32-byte hash (the d8 discipline) + one join-back; the
       * novelty compare is pure integers. */
+    /** CCNet-style LM perplexity gate — per-doc perplexity under the
+      * corpus-trained interpolated unigram/bigram model, keep decided on
+      * integer micro-nat sums (no float threshold boundary). See
+      * [[graft.operators.TextOps.perplexityFilter]]. */
+    def t41_perplexity(s: SparkSession, d: String): DataFrame =
+      TextOps.perplexityFilter(Tables.documents(s, d)).orderBy("doc_id")
+
     def t40_novelty(s: SparkSession, d: String): DataFrame = {
       val grams = graft.core.Caching.shared(
         Tables.documents(s, d)
@@ -8044,6 +8052,28 @@ object SparkEntry {
           |FROM j""".stripMargin,
 
       // gram-hash census min doc_id + join-back; novelty is integer
+      // interpolated-LM perplexity: λ = 0.75 so both mixture weights are
+      // exact binary doubles; keep compares integer micro-nat sums
+      "t41_perplexity" ->
+        """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                  x -> len(x) > 0) AS toks FROM documents),
+          |uc AS (SELECT tok, count(*) AS c
+          |       FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+          |tot AS (SELECT sum(c) AS n, count(*) AS v FROM uc),
+          |bi AS (SELECT doc_id, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
+          |       FROM t WHERE len(toks) >= 2),
+          |bfreq AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+          |pfx AS (SELECT w1, sum(bc) AS pc FROM bfreq GROUP BY 1),
+          |m AS (SELECT doc_id,
+          |    CAST(floor(-ln(0.75 * (bc * 1.0 / pc) +
+          |                   0.25 * ((c + 1) * 1.0 / (n + v))) * 1e6 + 0.5) AS BIGINT) AS micro
+          |  FROM bi JOIN bfreq USING (w1, w2) JOIN pfx USING (w1)
+          |  JOIN uc ON uc.tok = bi.w2 CROSS JOIN tot)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(exp(sum(micro) * 1.0 / count(*) / 1e6) + 5e-7, 2) AS ppl,
+          |  CAST(CASE WHEN sum(micro) < count(*) * 3500000 THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
       "t40_novelty" ->
         s"""WITH t AS (SELECT doc_id, $tokExpr AS toks FROM documents),
            |g AS (SELECT doc_id, ${h("gram")} AS g FROM (

@@ -604,6 +604,57 @@ object TextOps {
         round(col("__sum").cast("double") / col("n_bigrams") / 1e6, 4).as("surprisal"))
   }
 
+  /** CCNet-style language-model perplexity gate (Wenzek et al., LREC'20)
+    * — the canonical LM quality filter: each document scored by its
+    * perplexity under an interpolated unigram/bigram model trained on the
+    * corpus itself, p(w₂|w₁) = λ·(bc/pc) + (1−λ)·(uc+1)/(N+V), and gated
+    * at a surprisal budget of `tauMicro` micro-nats per bigram (default
+    * 3.5 nats ≈ ppl 33, mid-corpus on the test distribution). λ = 0.75
+    * deliberately: both λ and 1−λ are exact binary doubles, so the
+    * interpolation replays bit-for-bit on any engine (0.7/0.3 would not).
+    * The keep decision compares INTEGER micro-nat sums (Σmicro <
+    * n·tauMicro) — no float threshold boundary exists; `ppl` is the
+    * rounded human diagnostic. Documents with fewer than two tokens have
+    * no bigrams and are absent (a deployment gates those on [[tokenStats]]
+    * length rules instead).
+    *
+    * Scale shape: the token-array scan is pinned and feeds the unigram
+    * census, the bigram census, and the scoring explode; all model
+    * relations are vocabulary-sized; totals ride as a 1-row broadcast —
+    * the t15/t17/t34 discipline unchanged. */
+  def perplexityFilter(docs: DataFrame, tauMicro: Long = 3500000L): DataFrame = {
+    val lambda = 0.75
+    val tokl = graft.core.Caching.shared(
+      docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__toks")))
+    val uc = graft.core.Caching.shared(
+      tokl.select(explode(col("__toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("__uc")))
+    val tot = uc.agg(sum("__uc").as("__n"), count(lit(1)).as("__v"))
+    val bi = tokl.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bfreq = graft.core.Caching.shared(
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc")))
+    val pfx = bfreq.groupBy("w1").agg(sum("__bc").as("__pc"))
+    bi.join(bfreq, Seq("w1", "w2"))
+      .join(pfx, "w1")
+      .join(uc.withColumnRenamed("tok", "w2"), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("__micro", floor(-log(
+          lit(lambda) * (col("__bc").cast("double") / col("__pc")) +
+          lit(1.0 - lambda) * ((col("__uc") + 1).cast("double") / (col("__n") + col("__v"))))
+        * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__micro").as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(col("__sum").cast("double") / col("n_bigrams") / 1e6) + lit(5e-7), 2)
+          .as("ppl"),
+        (col("__sum") < col("n_bigrams") * tauMicro).cast("int").as("keep"))
+  }
+
   /** PMI collocation ranking — the classic bigram-association extractor
     * (Church & Hanks 1990): PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with
     * p from corpus counts, so the argument is the exact integer rational
