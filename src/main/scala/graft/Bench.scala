@@ -81,6 +81,22 @@ object Bench {
     // Unknown names fail fast — a typo must not silently produce a smaller
     // record that reads as a 93% "speedup" (ADVICE r10).
     val only = args.toSet
+    // Contention gate (ADVICE r10/r12): the r12-vs-r11 record ran an
+    // IDENTICAL binary and still swung −44%..+96% per query purely from
+    // host load (loadavg_start 3.97). A full run therefore WAITS for the
+    // host to go quiet (≤ maxLoad) before starting, and if the wait times
+    // out it still runs — the driver needs a BENCH_rN line — but tags the
+    // record "contended":true and refuses to overwrite BENCH_LATEST.json,
+    // so regression detection never compares against noise.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "1.5").toDouble
+    val waitSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SECS", "600").toInt
+    if (only.isEmpty) {
+      var waited = 0
+      while (loadavg() > maxLoad && waited < waitSecs) {
+        System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $maxLoad%.1f — waiting for quiet host ($waited/$waitSecs s)")
+        Thread.sleep(15000); waited += 15
+      }
+    }
     val known = SparkEntry.queries.keySet + "layer_pipeline_199mpx"
     val unknown = only -- known
     if (unknown.nonEmpty) {
@@ -213,9 +229,11 @@ object Bench {
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
     // as a 93% total drop across rounds (ADVICE r10).
+    val contended = only.isEmpty && loadStart > maxLoad
     val partialTag =
-      if (only.isEmpty) ""
-      else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+      (if (contended) ""","contended":true""" else "") +
+      (if (only.isEmpty) ""
+       else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
@@ -225,7 +243,15 @@ object Bench {
     // cap together with sbt's trailing [success] line.
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"sf":"$sfDir"}"""
-    val outFile = if (only.isEmpty) "BENCH_LATEST.json" else "BENCH_PARTIAL.json"
+    // a contended full run must NOT become the canonical baseline: r12's
+    // contended record overwrote BENCH_LATEST and poisoned a round of
+    // regression detection (ADVICE r12 medium)
+    val outFile =
+      if (!only.isEmpty) "BENCH_PARTIAL.json"
+      else if (contended) { System.err.println(
+        f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f: contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
+        "BENCH_CONTENDED.json" }
+      else "BENCH_LATEST.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }

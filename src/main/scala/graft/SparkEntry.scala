@@ -2815,8 +2815,10 @@ object SparkEntry {
       * 37ℤ) — the same inverted-list probe machinery as e5, but fully
       * oracle-checkable: centroid choice, euclidean list assignment (ties
       * to the lower cid), nprobe ranking, and the in-list cosine top-k all
-      * replay exactly in DuckDB. e5 keeps the k-means variant (rows-only:
-      * float Lloyd rounds have no cross-engine oracle). */
+      * replay exactly in DuckDB. e5 keeps the k-means variant — since its
+      * centroids come from integer-exact Lloyd rounds it is hash-checked
+      * too; this fixed-centroid twin isolates the probe machinery from
+      * the training trajectory. */
     def e7_ivf_fixed(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 260)

@@ -505,6 +505,11 @@ object Projection {
   final case class Equirectangular(r: Double, latTsDeg: Double, lat0Deg: Double,
                                    lon0Deg: Double, x0: Double, y0: Double,
                                    areaOfUse: Bounds) extends Projection {
+    // a standard parallel AT the pole degenerates the cylinder (cos φ₁ = 0
+    // ⇒ inverse divides by zero): fail at construction, not with Infinity
+    // mid-query (ADVICE r11)
+    require(math.abs(latTsDeg) < 90.0,
+      s"equirectangular lat_ts must satisfy |lat_ts| < 90, got $latTsDeg")
     private val lon0 = math.toRadians(lon0Deg)
     private val phi0 = math.toRadians(lat0Deg)
     private val cosTs = math.cos(math.toRadians(latTsDeg))
@@ -575,7 +580,10 @@ object Projection {
       val (xc, yc, rho) = (x * clamp, y * clamp, math.min(rhoRaw, r))
       val c = math.asin(math.min(1.0, rho / r))                // 20-13
       val (sinC, cosC) = (math.sin(c), math.cos(c))
-      val phi = math.asin(cosC * sinP1 + yc * sinC * cosP1 / rho) // 20-14
+      // rim rounding can push the argument a ulp outside [-1,1] ⇒ NaN:
+      // clamp like `c` above (ADVICE r11)
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        cosC * sinP1 + yc * sinC * cosP1 / rho)))              // 20-14
       val lam = lon0 + math.atan2(xc * sinC,                   // 20-15
         rho * cosP1 * cosC - yc * sinP1 * sinC)
       (math.toDegrees(lam), math.toDegrees(phi))

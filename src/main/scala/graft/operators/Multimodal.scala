@@ -360,9 +360,16 @@ object Multimodal {
     * boundary, ten orders above libm ulp disagreement), so the per-frame
     * multiply-accumulate is an order-independent EXACT integer fold that
     * replays on any engine — float DFT sums would be fold-order dependent
-    * and unhashable. One narrow mapPartitions; payloads never shuffle;
-    * `power = re² + im²` stays in range (|re| ≤ 2048·10³·160 ≈ 3.3e8 →
-    * power ≤ 2.2e17 < 2⁶³). */
+    * and unhashable. One narrow mapPartitions; payloads never shuffle.
+    *
+    * Overflow contract: `power = re² + im²` fits in a signed 64-bit iff
+    * |re|, |im| ≤ 2³¹−1 (then re²+im² ≤ 2·(2³¹−1)² < 2⁶³). The
+    * correlators can exceed that only when amplitude × frameLen is
+    * extreme (a FULL-SCALE ±32768 square wave phase-locked to a bin at
+    * frameLen 160 reaches |re| ≈ 3.3e9); each frame×bin is therefore
+    * guarded and fails LOUDLY — never a silent Long wraparound into a
+    * garbage energy (the r12 ADVICE medium). Callers with hot wideband
+    * input shrink frameLen or pre-scale. */
   def dftBinEnergy(media: DataFrame, frameLen: Int = 160,
                    bins: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     require(frameLen > 0 && bins.nonEmpty, "frameLen and bins must be non-empty")
@@ -393,6 +400,13 @@ object Multimodal {
                 re += v * cosT(ki)(j); im += v * sinT(ki)(j)
                 j += 1
               }
+              // |re|,|im| ≤ 2³¹−1 ⇔ re²+im² < 2⁶³: outside that, power
+              // would wrap silently — fail loudly with the frame id
+              if (math.abs(re) > Int.MaxValue || math.abs(im) > Int.MaxValue)
+                throw new ArithmeticException(
+                  s"dftBinEnergy: correlator overflow at asset $id frame $f " +
+                    s"bin ${binsArr(ki)} (re=$re im=$im): amplitude x frameLen " +
+                    "exceeds the 64-bit power bound; shrink frameLen or pre-scale")
               (id, f, binsArr(ki), re, im, re * re + im * im)
             }
           }

@@ -88,6 +88,16 @@ class Proj4Spec extends AnyFunSuite {
       Projection.forEpsg(4088).get, Seq((15.0, 52.0), (-122.4, 37.8)))
     agree(Proj4.parse("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +a=6378137").get,
       Projection.forEpsg(32662).get, Seq((15.0, 52.0), (-74.0, -40.7)))
+    // lat_ts at the pole degenerates the cylinder: must fail at
+    // CONSTRUCTION (loud), never divide by cos 90° = 0 mid-inverse
+    intercept[IllegalArgumentException] {
+      Projection.Equirectangular(1.0, 90.0, 0, 0, 0, 0,
+        graft.core.grid.Bounds(-180, -90, 180, 90))
+    }
+    intercept[IllegalArgumentException] {
+      Projection.Equirectangular(1.0, -90.0, 0, 0, 0, 0,
+        graft.core.grid.Bounds(-180, -90, 180, 90))
+    }
   }
 
   test("+proj=ortho: Snyder §20 worked example + rim clamping") {
@@ -107,6 +117,14 @@ class Proj4Spec extends AnyFunSuite {
     assert(math.abs(cx) < 1e-12 && math.abs(cy) < 1e-12)
     val (clng, clat) = p.inverse(0, 0)
     assert(math.abs(clng - -100.0) < 1e-9 && math.abs(clat - 40.0) < 1e-9)
+    // rim robustness: inverse along (and a ulp outside) the horizon circle
+    // must clamp the asin argument, never yield NaN latitude
+    for (deg <- 0 until 360 by 7; eps <- Seq(0.0, 1e-16, -1e-16)) {
+      val a = math.toRadians(deg)
+      val (lng2, lat2) = p.inverse(math.cos(a) * (1.0 + eps), math.sin(a) * (1.0 + eps))
+      assert(!lng2.isNaN && !lat2.isNaN, s"NaN at rim angle $deg eps $eps")
+      assert(lat2 >= -90.0 - 1e-9 && lat2 <= 90.0 + 1e-9)
+    }
   }
 
   test("+proj=longlat is the identity; +proj=merc spherical is WebMercator") {

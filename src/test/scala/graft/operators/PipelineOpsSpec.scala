@@ -440,6 +440,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("dft bin energy: full-scale 16-bit input fails loudly, never wraps") {
+    val n = 160
+    def pcm(tone: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](tone.length * 2)
+      tone.zipWithIndex.foreach { case (v, j) =>
+        bytes(2 * j) = (v & 0xff).toByte; bytes(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      }
+      bytes
+    }
+    // a FULL-SCALE square wave phase-locked to bin 1: |re| ≈ 32767·Σ|cos·10³|
+    // ≈ 3.3e9 > 2³¹−1, so power = re²+im² would wrap Long — the guard must
+    // throw with the offending frame identified, not emit garbage
+    val hot = Array.tabulate(n) { j =>
+      val c = math.cos(2.0 * math.Pi * j / n)
+      (if (c >= 0) 32767 else -32768).toShort
+    }
+    val bad = Seq((9L, "audio", pcm(hot))).toDF("asset_id", "modality", "payload")
+    val e = intercept[Throwable](Multimodal.dftBinEnergy(bad).collect())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).flatMap(t => Option(t.getMessage)).exists(_.contains("correlator overflow")),
+      s"expected loud overflow, got $e")
+    // full-scale NOISE (not bin-locked) stays within the bound and succeeds:
+    // full-scale alone is not the trigger, amplitude x coherence is
+    val noisy = Array.tabulate(n)(j =>
+      (((j * 2654435761L) % 65536L) - 32768L).toShort)
+    val ok = Seq((10L, "audio", pcm(noisy))).toDF("asset_id", "modality", "payload")
+    val rows = Multimodal.dftBinEnergy(ok).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (re, im, p) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p == re * re + im * im && p >= 0)
+    }
+  }
+
   test("sssp: relaxation finds min-cost paths, not min-hop paths") {
     // 1→2→3 costs 1+1=2 beats the direct 1→3 edge of cost 5;
     // parallel edges collapse to the cheapest; 9 is unreachable → absent

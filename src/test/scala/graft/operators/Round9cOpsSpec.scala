@@ -223,5 +223,13 @@ class Round9cOpsSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(got == brute, s"sweep=${got.size} brute=${brute.size}")
     assert(got.nonEmpty)
+    // the range-partitioned two-pass merge (scale path) returns the SAME
+    // frontier: per-bucket windows + a prefix-max over bucket maxima must
+    // reconstruct the global running max exactly, including at bucket
+    // boundaries and in the first bucket (null prior)
+    val bucketed = Pareto.skyline2d(df, "cost", "gain",
+        bucket = Some(v => org.apache.spark.sql.functions.floor(v / 10)))
+      .select("id").as[Long].collect().toSet
+    assert(bucketed == brute, s"bucketed=${bucketed.size} brute=${brute.size}")
   }
 }
