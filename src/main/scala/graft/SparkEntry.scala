@@ -1678,9 +1678,11 @@ object SparkEntry {
         sequence(lit(1), length(col("word")) - 1),
         i => col("word").substr(i, lit(2)))).as("pair"))
       pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+        // top-15 via orderBy+limit (distributed TakeOrdered), THEN rank
+        // the 15 survivors — never a global window over the pair vocab
+        .orderBy(col("n").desc, col("pair")).limit(15)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n").desc, col("pair"))))
-        .filter(col("rank") <= 15)
         .select("rank", "pair", "n")
         .orderBy("rank")
     }
@@ -3948,14 +3950,18 @@ object SparkEntry {
     /** 2-D skyline (Pareto frontier: minimize price, maximize size) by the
       * SWEEP algorithm: per-price max size (one map-side-combined
       * aggregate over the data), then a running-max window over the
-      * DISTINCT-price relation — O(distinct prices) window rows, never the
+      * DISTINCT-price relation — O(distinct prices) sweep rows, never the
       * O(n²) dominance self-join the oracle's NOT EXISTS formulation runs.
-      * Two different algorithms, hash-identical frontiers. */
+      * The sweep runs the RANGE-PARTITIONED two-pass merge (dollar
+      * buckets): per-bucket windows in parallel, one prefix-max over the
+      * |buckets|-row maxima relation. Two different algorithms,
+      * hash-identical frontiers. */
     def x25_skyline(s: SparkSession, d: String): DataFrame =
       graft.operators.Pareto.skyline2d(
           Tables.part(s, d)
             .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
-          minCol = "p_retailprice", maxCol = "p_size")
+          minCol = "p_retailprice", maxCol = "p_size",
+          bucket = Some(v => floor(v / 100)))
         .orderBy("p_partkey")
 
     /** Exact audience-overlap matrix via 64-bit WORD BITMAPS — the
@@ -4398,7 +4404,11 @@ object SparkEntry {
       * statistics (the x33 rank-⌈p·n⌉ discipline: p50/p90 are true data
       * values, not interpolations). Two argmin folds (map-side combined)
       * + one user-keyed join; the percentile pass ranks the |converters|
-      * relation. The time-to-convert readout every funnel ships with. */
+      * relation via [[graft.operators.Ranks.globalRank]] on hour-of-
+      * latency buckets — parallel per-bucket windows + a broadcast
+      * offset census, NEVER a partition-less window over every
+      * converting user (the r11 scale-killer). The time-to-convert
+      * readout every funnel ships with. */
     def x38_conversion_latency(s: SparkSession, d: String): DataFrame = {
       val ev = Tables.events(s, d)
       val firstView = ev.filter(col("event_type") === "view")
@@ -4411,13 +4421,14 @@ object SparkEntry {
         .agg((unix_micros(min("pts")) - unix_micros(max("vts")))
           .as("__us"))
         .select(col("user_id"), expr("__us div 1000000").as("lat_sec"))
-      val w = Window.orderBy("lat_sec", "user_id")
-      lat
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      val ranked = graft.operators.Ranks.globalRank(lat, col("lat_sec"),
+        Seq(col("user_id")), expr("lat_sec div 3600"))
+      val n = lat.agg(count(lit(1)).as("__n"))
+      ranked
+        .crossJoin(broadcast(n))
         .agg(count(lit(1)).as("n_conversions"),
-          min(when(col("__rn") * 2 >= col("__n"), col("lat_sec"))).as("p50_sec"),
-          min(when(col("__rn") * 10 >= col("__n") * 9, col("lat_sec"))).as("p90_sec"),
+          min(when(col("__rank") * 2 >= col("__n"), col("lat_sec"))).as("p50_sec"),
+          min(when(col("__rank") * 10 >= col("__n") * 9, col("lat_sec"))).as("p90_sec"),
           min("lat_sec").as("min_sec"), max("lat_sec").as("max_sec"))
     }
 
@@ -4804,9 +4815,10 @@ object SparkEntry {
           i => concat(sym(col("seg").substr(i, lit(1))), lit("+"),
             sym(col("seg").substr(i + 1, lit(1)))))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
+        // t19 discipline: TakeOrdered top-15 first, rank the survivors
+        .orderBy(col("n").desc, col("pair")).limit(15)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n").desc, col("pair"))))
-        .filter(col("rank") <= 15)
         .select("rank", "pair", "n")
         .orderBy("rank")
     }

@@ -217,4 +217,79 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p.take(1500))
     graft.core.Caching.release(spark)
   }
+
+  /** Queries whose plans contain a partition-less WindowExec that is
+    * BOUNDED BY CONSTRUCTION — each entry records the relation the window
+    * ranks and why its row count cannot grow with the data. Any ledger
+    * query outside this map that plans a global window FAILS the sweep:
+    * x38 showed the "bounded by convention" discipline is one unreviewed
+    * query away from a single-task global sort at 100×. */
+  private val auditedGlobalWindows: Map[String, String] = Map(
+    // Ranks.globalRank offset census: sum(__c) over the |buckets|-row
+    // per-bucket count relation — bounded by the bucket domain, never by
+    // row count (Ranks.scala:28-32)
+    "x36_gini" -> "globalRank offset census, |buckets| = cents div 1e6 domain",
+    "x38_conversion_latency" -> "globalRank offset census, |buckets| = latency hours",
+    "x42_quantile_binning" -> "globalRank offset census, |buckets| = cents div 1e5 domain",
+    "x50_pareto" -> "globalRank offset census + bucket-sum prefix, |buckets| = cents div 1e6 domain",
+    // Pareto/watermark two-pass merges: prefix max/sum over the
+    // per-bucket maxima relation, |buckets| rows by construction
+    "x25_skyline" -> "bucketed sweep prefix-max, |buckets| = dollar-price domain",
+    "x45_watermark_audit" -> "per-bucket hwm prefix-max, |buckets| = event_id div 1000",
+    // rank-the-survivors: row_number AFTER orderBy().limit(k) (a
+    // distributed TakeOrdered) — the window input is k rows
+    "t19_bpe_pairs" -> "rank after limit(15)",
+    "t31_bpe_round2" -> "rank after limit(15)",
+    "t20_bm25" -> "rank after limit(20)",
+    "t22_bm25_incremental" -> "rank after limit(20)",
+    "t30_sparse_retrieval" -> "rank after limit(20) (TextOps.sparseRetrieval:859-861)",
+    "t33_zipf_slope" -> "rank after limit(100)",
+    "e8_rrf" -> "lexical leg ranks after limit(50); fusion ranks the <=100-row union",
+    "e9_pq_adc" -> "rank after limit(20) (Similarity.pqTopK:282)",
+    "e10_ivf_pq" -> "rank after limit(10) (Similarity.pqTopK:282)",
+    // candidate-set ranking: Misra-Gries nominates <= 2*support = 128
+    // candidates; the window ranks only the confirmed subset
+    "t26_heavy_hitters" -> "rank over <=128 MG candidates (TextOps.scala:777-779)")
+
+  test("ledger-wide: no partition-less WindowExec outside the audited allowlist") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // walk the physical tree INCLUDING the places collect() won't reach:
+    // AQE wrappers, cached-relation child plans, and subquery plans
+    def globalWindows(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          Seq(w.windowExpression.map(_.sql).mkString(", ").take(120))
+        case _ => Nil
+      }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => globalWindows(a.inputPlan)
+        case s: InMemoryTableScanExec => globalWindows(s.relation.cachedPlan)
+        case _ => Nil
+      }
+      self ++ nested ++
+        p.children.flatMap(globalWindows) ++
+        p.subqueries.flatMap(globalWindows)
+    }
+
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val hits =
+        try globalWindows(SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan)
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (hits.nonEmpty && !auditedGlobalWindows.contains(name))
+        offenders += s"$name: ${hits.head}"
+      graft.core.Caching.release(spark)
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows outside the audited allowlist " +
+        s"(rank via Ranks.globalRank or audit + allowlist):\n${offenders.mkString("\n")}")
+    // the allowlist must not rot either: every audited entry still names
+    // a live ledger query
+    val stale = auditedGlobalWindows.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist entries for dead queries: $stale")
+  }
 }
