@@ -2233,10 +2233,13 @@ object SparkEntry {
       * is ENCODED through the real `GeoTiff.Writer` (K1) and re-DECODED
       * through the real IFD parse + tile read (S4/S5), and the decoded
       * pixels fold to position-weighted integer sums the oracle computes
-      * straight from the generating formula. Six legs cover the codec
+      * straight from the generating formula. Ten legs cover the codec
       * matrix: uint16+DEFLATE, uint8 raw, NBITS=4 bit-packing, CCITT-G4
-      * bilevel, float32 (SampleFormat=IEEE, integer-valued ⇒ exact), and
-      * int16 (signed narrow). Encode/decode run inside `mapPartitions`
+      * bilevel, float32 (SampleFormat=IEEE, integer-valued ⇒ exact),
+      * int16 (signed narrow), LZW (the common public-file codec),
+      * PackBits RLE, LZW+predictor-2 horizontal differencing, and a
+      * forced-BigTIFF container (magic 43, 8-byte offsets). Encode/decode
+      * run inside `mapPartitions`
       * (the multimodal discipline — codecs never in expressions); temp
       * files are per-task and deleted in `finally`. Any bit the codec
       * chain drops or shifts breaks the wsum hash. */
@@ -2244,7 +2247,8 @@ object SparkEntry {
       import s.implicits._
       import graft.sources.GeoTiff
       val W = 24; val T = 16
-      val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_deflate", "u8_raw")
+      val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_big", "u16_deflate",
+        "u16_lzw", "u16_lzw_pred2", "u8_packbits", "u8_raw")
       Tables.part(s, d)
         .filter(col("p_partkey") <= 12)
         .select(col("p_partkey").cast("long").as("asset_id")).as[Long]
@@ -2253,28 +2257,38 @@ object SparkEntry {
           ids.flatMap { a =>
             legs.map { leg =>
               def v(x: Int, y: Int): Double = leg match {
-                case "u16_deflate" => ((7 * a + 3 * x + 5 * y) % 60000).toDouble
-                case "u8_raw"      => ((a + x * y) % 256).toDouble
-                case "nbits4"      => ((3 * x + 5 * y + 7 * a) % 16).toDouble
-                case "ccitt1"      => ((x + y + a) % 2).toDouble
-                case "f32"         => (a * 100 + x - y).toDouble
-                case "i16"         => (((x * y + a) % 200) - 100).toDouble
+                case "u16_deflate"   => ((7 * a + 3 * x + 5 * y) % 60000).toDouble
+                case "u8_raw"        => ((a + x * y) % 256).toDouble
+                case "nbits4"        => ((3 * x + 5 * y + 7 * a) % 16).toDouble
+                case "ccitt1"        => ((x + y + a) % 2).toDouble
+                case "f32"           => (a * 100 + x - y).toDouble
+                case "i16"           => (((x * y + a) % 200) - 100).toDouble
+                case "u16_lzw"       => ((11 * a + 3 * x + 7 * y) % 60000).toDouble
+                case "u16_lzw_pred2" => ((5 * a + 2 * x + 3 * y) % 60000).toDouble
+                case "u8_packbits"   => ((a + 2 * x + y) % 256).toDouble
+                case "u16_big"       => ((9 * a + x + 13 * y) % 60000).toDouble
               }
               def prof(dt: String, defl: Boolean = true, nb: Option[Int] = None,
                        cc: Boolean = false) =
                 GeoTiff.Profile(W, W, 1, dt, T, T, None, 4326, 0.0, 0.0, 1.0, 1.0,
                   deflate = defl, nbits = nb, ccitt = cc)
               val p = leg match {
-                case "u16_deflate" => prof("uint16")
-                case "u8_raw"      => prof("uint8", defl = false)
-                case "nbits4"      => prof("uint8", nb = Some(4))
-                case "ccitt1"      => prof("uint8", nb = Some(1), cc = true)
-                case "f32"         => prof("float32")
-                case "i16"         => prof("int16")
+                case "u16_deflate"   => prof("uint16")
+                case "u8_raw"        => prof("uint8", defl = false)
+                case "nbits4"        => prof("uint8", nb = Some(4))
+                case "ccitt1"        => prof("uint8", nb = Some(1), cc = true)
+                case "f32"           => prof("float32")
+                case "i16"           => prof("int16")
+                case "u16_lzw"       => prof("uint16", defl = false).copy(lzw = true)
+                case "u16_lzw_pred2" =>
+                  prof("uint16", defl = false).copy(lzw = true, predictor = 2)
+                case "u8_packbits"   => prof("uint8", defl = false).copy(packbits = true)
+                case "u16_big"       => prof("uint16")
               }
               val f = java.io.File.createTempFile(s"graft_s5_${a}_$leg", ".tif")
               try {
-                val w = new GeoTiff.Writer(f.getAbsolutePath, p)
+                val w = new GeoTiff.Writer(f.getAbsolutePath, p,
+                  bigtiff = leg == "u16_big")
                 for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross)
                   w.writeTile(1, tr, tc, Array.tabulate(T * T) { i =>
                     val gx = tc * T + i % T; val gy = tr * T + i / T
@@ -7018,7 +7032,11 @@ object SparkEntry {
           |  UNION ALL SELECT asset_id, 'i16', ((x * y + asset_id) % 200) - 100, x, y FROM px
           |  UNION ALL SELECT asset_id, 'nbits4', (3*x + 5*y + 7*asset_id) % 16, x, y FROM px
           |  UNION ALL SELECT asset_id, 'u16_deflate', (7*asset_id + 3*x + 5*y) % 60000, x, y FROM px
-          |  UNION ALL SELECT asset_id, 'u8_raw', (asset_id + x*y) % 256, x, y FROM px)
+          |  UNION ALL SELECT asset_id, 'u8_raw', (asset_id + x*y) % 256, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u16_lzw', (11*asset_id + 3*x + 7*y) % 60000, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u16_lzw_pred2', (5*asset_id + 2*x + 3*y) % 60000, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u8_packbits', (asset_id + 2*x + y) % 256, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u16_big', (9*asset_id + x + 13*y) % 60000, x, y FROM px)
           |SELECT asset_id, leg, CAST(sum(v) AS BIGINT) AS sum_v,
           |  CAST(sum(v * (x + 24*y)) AS BIGINT) AS wsum_v
           |FROM legs GROUP BY 1, 2 ORDER BY asset_id, leg""".stripMargin,

@@ -235,13 +235,17 @@ object Dedup {
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // localCheckpoint (not persist) between rounds: an iterative loop's
     // logical plan otherwise doubles per round and Catalyst planning blows
-    // up long before the data does
+    // up long before the data does. LAZY (eager=false): the logical plan
+    // truncates immediately (what keeps planning flat) but materialization
+    // rides the round's convergence action instead of a dedicated
+    // build-time job per round — at toy SF the dropped job submissions
+    // were the dominant plan-time constant (r11 item 6)
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("doc_id"), least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -260,15 +264,18 @@ object Dedup {
       // inside one job (both sides of the self-join) but the round runs ONE
       // action instead of two — at bench scale rounds are job-overhead
       // bound, and at 100 TB the recompute is two scans of the same
-      // shuffle output, not a second shuffle. On the converged round the
-      // jump is an identity map, which costs one no-op join but saves the
-      // separate convergence materialization every earlier round.
+      // shuffle output (exchange reuse), not a second shuffle. On the
+      // converged round the jump is an identity map, which costs one no-op
+      // join but saves the separate convergence materialization every
+      // earlier round. (An extra pre-join checkpoint of `stepped` was
+      // tried in r13 and measured worse: one more planning pass + fill-in
+      // job per round for a recompute the exchange reuse already avoids.)
       val jumped = stepped
         .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"),
           col("__chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // Convergence test: edges are SYMMETRIZED, so "no vertex improved"
       // means every neighbor's label >= the vertex's own — applied to both
       // directions of each edge that forces label equality across every

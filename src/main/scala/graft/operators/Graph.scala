@@ -113,19 +113,25 @@ object Graph {
       }
     val teleport = 1000000L * (dampDen - dampNum) / dampDen
     var r = nodes.select(col("id"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val mass = adj.join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"),
           expr(s"rank * $dampNum div ($dampDen * outdeg)").as("__c"))
         .groupBy("id").agg(sum("__c").as("__mass"))
       val base = nodes.join(mass, Seq("id"), "left")
-      r = (danglingShare match {
+      r = danglingShare match {
         case Some(shareOf) => base.crossJoin(broadcast(shareOf(r)))
           .select(col("id"), (lit(teleport) + coalesce(col("__mass"), lit(0L))
             + col("__share")).as("rank"))
         case None => base.select(col("id"),
           (lit(teleport) + coalesce(col("__mass"), lit(0L))).as("rank"))
-      }).localCheckpoint()
+      }
+      // One LAZY checkpoint per round: the logical plan truncates (flat
+      // planning) while materialization rides the caller's action. Two-
+      // rounds-per-checkpoint was TRIED and MEASURED WORSE (r13): plan
+      // depth doubles, and Catalyst planning + codegen on the doubled
+      // plan costs more than the saved pass (g4 plan_s 1.9 -> 3.3).
+      if (i < iters) r = r.localCheckpoint(eager = false)
     }
     r
   }
@@ -163,7 +169,7 @@ object Graph {
       .select(col("id"), coalesce(col("__s"), lit(0L)).as("__s")))
     val teleport = 1000000L * (dampDen - dampNum) / dampDen
     var r = seedFlags.select(col("id"), (col("__s") * 1000000L).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val mass = adj.join(
           r.filter(col("rank") > 0).withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"),
@@ -172,7 +178,9 @@ object Graph {
       r = seedFlags.join(mass, Seq("id"), "left")
         .select(col("id"),
           (col("__s") * teleport + coalesce(col("__mass"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      // per-round lazy checkpoint (the pagerank discipline); the last
+      // round stays a plan
+      if (i < iters) r = r.localCheckpoint(eager = false)
     }
     r
   }
@@ -249,7 +257,7 @@ object Graph {
         .agg(sum(col("acc") + 1).as("__up"))
       acc = nodes.join(up, Seq("id"), "left")
         .select(col("id"), coalesce(col("__up"), lit(0L)).as("acc"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     acc
   }
@@ -277,7 +285,7 @@ object Graph {
         .select(col("seed"), col("dst").as("id"), (col("dist") + 1).as("dist"))
       dist = dist.union(relax)
         .groupBy("seed", "id").agg(min("dist").as("dist"))
-      if (r < rounds) dist = dist.localCheckpoint()
+      if (r < rounds) dist = dist.localCheckpoint(eager = false)
     }
     dist
   }
@@ -310,13 +318,13 @@ object Graph {
         .select(col("a.id").as("id"), col("b.succ").as("succ"))
     var succ = nodes.join(e, Seq("id"), "left")
       .select(col("id"), coalesce(col("__d"), col("id")).as("succ"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var done = 0
     while (done < rounds) {
       val s2 = compose(succ, succ)
       if (done + 2 <= rounds) { succ = compose(s2, s2); done += 2 }
       else { succ = s2; done += 1 }
-      if (done < rounds) succ = succ.localCheckpoint()
+      if (done < rounds) succ = succ.localCheckpoint(eager = false)
     }
     succ.withColumnRenamed("succ", "basin")
   }
@@ -396,7 +404,7 @@ object Graph {
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     dist
   }
@@ -444,16 +452,16 @@ object Graph {
       .distinct()
     var nbrs = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
       // checkpointed: the survivor set feeds BOTH endpoint probes
       val keep = nbrs.groupBy("src").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select(col("src").as("__id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       nbrs = nbrs
         .join(keep, col("src") === col("__id"), "left_semi")
         .join(keep, col("dst") === col("__id"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     nbrs.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
@@ -516,8 +524,11 @@ object Graph {
       s = hub.join(auth, "id")
       // flatten lineage between rounds; the LAST round stays a plan (the
       // caller's action consumes it — no extra materialization, and plan
-      // contracts can see the per-round shape)
-      if (i < iters) s = s.localCheckpoint()
+      // contracts can see the per-round shape). Skipping alternate
+      // checkpoints was tried in r13 and measured 6x WORSE: the renorm
+      // pins key on the analyzed plan, and cross-round composition
+      // defeats their reuse.
+      if (i < iters) s = s.localCheckpoint(eager = false)
     }
     s.select(col("id"), col("hub"), col("auth"))
   }
@@ -541,7 +552,7 @@ object Graph {
         .groupBy(col("src").as("id"))
         .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
         .select(col("id"), (-col("__m.__nl")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     labels
   }
@@ -585,7 +596,7 @@ object Graph {
         .select(col("id"), col("dim"),
           when(col("__s") < 0, -expr("(-__s) div __n"))
             .otherwise(expr("__s div __n")).as("val"))
-      if (i < hops) comp = comp.localCheckpoint()
+      if (i < hops) comp = comp.localCheckpoint(eager = false)
     }
     comp
   }

@@ -374,7 +374,7 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("__cv")))),
           x => x("__cv")).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     cents
   }
@@ -450,7 +450,7 @@ object Similarity {
         .crossJoin(broadcast(raw.agg(max(abs(col("__r"))).as("__mx"))))
         .withColumn("__unit", greatest(lit(1L), expr(s"__mx div $scale")))
         .select(col("i").as("j"), signSafe("__r", "__unit").as("x"))
-      if (k < iters) x = x.localCheckpoint()
+      if (k < iters) x = x.localCheckpoint(eager = false)
     }
     x.select(col("j").cast("long").as("dim"), col("x").as("eig_micro"))
   }
@@ -543,7 +543,7 @@ object Similarity {
         .groupBy("sub", "cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("__cv")))),
           x => x("__cv")).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     assign(cents)
   }

@@ -9,13 +9,20 @@ import scala.collection.mutable
   * without GDAL (`gfw_pixetl/tiles/utils/window_utils.py:20-79`,
   * `utils/utils.py:99-120`).
   *
-  * Scope: classic TIFF, little-endian, tiled layout, band-separate planes
+  * Scope: classic TIFF and BigTIFF, tiled layout, band-separate planes
   * (PlanarConfiguration=2 — the reference writes INTERLEAVE=BAND,
-  * `tiles/tile.py:66`), DEFLATE (8) or uncompressed, all pixel types of the
-  * lattice (uint8..float64), GDAL_NODATA tag, and the minimal GeoKey set
-  * for EPSG:4326 / EPSG:3857. Tile payloads stream to disk as they arrive
-  * (any order) and the IFD is written last — a 10-Gpx tile never needs more
-  * than one block in memory.
+  * `tiles/tile.py:66`), DEFLATE (8) / LZW (5) / PackBits (32773) /
+  * CCITT-G4 (4, bilevel) or uncompressed, horizontal-differencing
+  * predictor 2 on read, all pixel types of the lattice (uint8..float64),
+  * GDAL_NODATA tag, and the minimal GeoKey set for EPSG:4326 / EPSG:3857.
+  * The reader takes both byte orders ('II' and 'MM' — older public
+  * archives are big-endian); the writer emits little-endian and
+  * auto-switches to BigTIFF when the profile's worst-case size can cross
+  * the classic 4 GB offset limit (the reference's largest declared grid —
+  * 10 Gpx tiles, `gfw_pixetl/grids/grid_factory.py:19` — physically
+  * requires it). Tile payloads stream to disk as they arrive (any order)
+  * and the IFD is written last — a 10-Gpx tile never needs more than one
+  * block in memory.
   */
 object GeoTiff {
 
@@ -30,7 +37,18 @@ object GeoTiff {
       deflate: Boolean = true,
       nbits: Option[Int] = None,  // sub-byte NBITS (data_type.py:112-149)
       photometric: Option[String] = None, // PHOTOMETRIC creation option (tile.py:68-71)
-      ccitt: Boolean = false) { // CCITTFAX4 for bilevel (data_type.py:122-124)
+      ccitt: Boolean = false,     // CCITTFAX4 for bilevel (data_type.py:122-124)
+      lzw: Boolean = false,       // LZW (TIFF 6.0 §13) — the common public-file codec
+      packbits: Boolean = false,  // PackBits RLE (TIFF 6.0 §9)
+      predictor: Int = 1) {       // 1 = none, 2 = horizontal differencing (read path)
+    require(predictor == 1 || predictor == 2,
+      s"unsupported TIFF predictor $predictor (only 1=none, 2=horizontal)")
+    /** TIFF Compression tag (259). Explicit opt-ins (ccitt/lzw/packbits)
+      * take precedence over the `deflate = true` default so a caller
+      * flipping one flag gets that codec. */
+    val compressionCode: Int =
+      if (ccitt) 4 else if (lzw) 5 else if (packbits) 32773
+      else if (deflate) 8 else 1
     /** TIFF PhotometricInterpretation code (tag 262). */
     val photometricCode: Int = photometric.map(_.toUpperCase) match {
       case None | Some("MINISBLACK") => 1
@@ -64,6 +82,8 @@ object GeoTiff {
       nbits.filter(b => b >= 1 && b < 8 && sampleFormat == 1).getOrElse(containerBits)
     require(!ccitt || bitsPerSample == 1,
       s"CCITTFAX4 requires a bilevel profile (NBITS=1), got $bitsPerSample bits")
+    require(predictor == 1 || (sampleFormat != 3 && bitsPerSample >= 8),
+      s"predictor 2 requires >=8-bit integer samples, got $bitsPerSample-bit fmt $sampleFormat")
     /** TIFF packs sub-byte rows MSB-first, each row padded to a byte. */
     def bytesPerRow: Int = (tileWidth * bitsPerSample + 7) / 8
     def tileByteSize: Int =
@@ -110,16 +130,38 @@ object GeoTiff {
   }
 
   // ------------------------------------------------------------------ write
-  /** Incremental writer: feed tiles in ANY order, close() writes the IFD. */
-  final class Writer(path: String, profile: Profile) {
+  /** Incremental writer: feed tiles in ANY order, close() writes the IFD.
+    *
+    * `bigtiff` forces the BigTIFF container (magic 43, 8-byte offsets);
+    * left false, the writer AUTO-SWITCHES when the profile's worst-case
+    * byte size (every tile at its codec's expansion bound) could cross
+    * the classic 4 GB offset limit — the policy GDAL calls BIGTIFF=
+    * IF_SAFER, and the only safe one for a streaming writer that cannot
+    * know compressed sizes up front. */
+  final class Writer(path: String, profile: Profile, bigtiff: Boolean = false) {
+    private val nTiles = profile.tilesPerBand * profile.bands
+    /** Codec worst case ≈ 1.6× raw (LZW's 12-bit-code bound is 1.5×,
+      * DEFLATE's stored-block bound ~1.0003×, PackBits 1.008×) plus
+      * per-tile and IFD slack. */
+    private val big: Boolean = bigtiff ||
+      16L + nTiles.toLong * (profile.tileByteSize.toLong * 8 / 5 + 96) +
+        65536L > 0xFFFFFFFFL
     private val raf = new RandomAccessFile(path, "rw")
     raf.setLength(0)
-    // header: II, 42, IFD offset placeholder (patched on close)
-    raf.write(Array[Byte]('I', 'I', 42, 0))
-    raf.write(Array[Byte](0, 0, 0, 0))
-    private val nTiles = profile.tilesPerBand * profile.bands
+    if (big) {
+      // BigTIFF header: II, 43, offset bytesize 8, pad 0, 8-byte IFD offset
+      raf.write(Array[Byte]('I', 'I', 43, 0, 8, 0, 0, 0))
+      raf.write(new Array[Byte](8))
+    } else {
+      // classic header: II, 42, 4-byte IFD offset placeholder
+      raf.write(Array[Byte]('I', 'I', 42, 0))
+      raf.write(new Array[Byte](4))
+    }
     private val offsets = new Array[Long](nTiles)
     private val counts = new Array[Long](nTiles)
+
+    /** Whether this writer is emitting the BigTIFF container. */
+    def isBigTiff: Boolean = big
 
     /** Write one tile's pixels (row-major, length tileWidth*tileHeight).
       * Values are narrowed to the profile's storage type here — the
@@ -129,15 +171,20 @@ object GeoTiff {
         s"tile must be padded to ${profile.tileWidth}x${profile.tileHeight}")
       val idx = (band - 1) * profile.tilesPerBand + tileRow * profile.tilesAcross + tileCol
       val raw = encode(pixels)
-      val payload =
-        if (profile.ccitt)
+      if (profile.predictor == 2) diffPredictor2(raw, profile)
+      val payload = profile.compressionCode match {
+        case 4 =>
           CcittG4.encode(raw, profile.tileWidth, profile.tileHeight, profile.bytesPerRow)
-        else if (profile.deflate) deflate(raw)
-        else raw
+        case 5     => Lzw.encode(raw)
+        case 8     => deflate(raw)
+        case 32773 => Packbits.encode(raw, profile.bytesPerRow)
+        case _     => raw
+      }
       val at = raf.getFilePointer
       // classic TIFF stores offsets as 32-bit: fail loudly instead of
-      // silently wrapping into a corrupt file (BigTIFF is out of scope)
-      require(at + payload.length <= 0xFFFFFFFFL,
+      // silently wrapping into a corrupt file (the auto-switch should
+      // have chosen BigTIFF long before this fires)
+      require(big || at + payload.length <= 0xFFFFFFFFL,
         s"$path exceeds the classic TIFF 4GB limit at tile ($band,$tileRow,$tileCol)")
       offsets(idx) = at
       counts(idx) = payload.length
@@ -194,23 +241,29 @@ object GeoTiff {
       require(offsets.forall(_ > 0), "not all tiles were written")
       val ifdOffset = raf.getFilePointer
       val ifd = buildIfd(ifdOffset)
-      require(ifdOffset + ifd.length <= 0xFFFFFFFFL,
+      require(big || ifdOffset + ifd.length <= 0xFFFFFFFFL,
         s"$path exceeds the classic TIFF 4GB limit (IFD at $ifdOffset)")
       raf.write(ifd)
-      raf.seek(4)
-      raf.write(leInt(ifdOffset.toInt))
+      if (big) { raf.seek(8); raf.write(leLong(ifdOffset)) }
+      else { raf.seek(4); raf.write(leInt(ifdOffset.toInt)) }
       raf.close()
     }
 
     // --- IFD construction -------------------------------------------------
+    // classic: 2-byte entry count, 12-byte entries (4-byte count + value),
+    // 4-byte next-IFD. BigTIFF: 8-byte count, 20-byte entries (8-byte
+    // count + value), 8-byte next-IFD; offsets/counts use LONG8 (16).
     private case class Entry(tag: Int, typ: Int, count: Int, valueOrOffset: Array[Byte])
     private val TByte = 1; private val TAscii = 2; private val TShort = 3
-    private val TLong = 4; private val TDouble = 12
+    private val TLong = 4; private val TDouble = 12; private val TLong8 = 16
+    private val inlineCap = if (big) 8 else 4
 
     private def leShort(v: Int): Array[Byte] =
       ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
     private def leInt(v: Int): Array[Byte] =
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    private def leLong(v: Long): Array[Byte] =
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
     private def leDouble(v: Double): Array[Byte] =
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
 
@@ -219,33 +272,39 @@ object GeoTiff {
       val entries = mutable.ArrayBuffer.empty[Entry]
       val overflow = new ByteArrayOutputStream() // data blocks after the IFD
 
-      def shortVal(v: Int) = leShort(v) ++ Array[Byte](0, 0)
+      def shortVal(v: Int) = leShort(v)
       def longVal(v: Long) = leInt(v.toInt)
 
       def add(tag: Int, typ: Int, count: Int, inline: Array[Byte]): Unit =
-        entries += Entry(tag, typ, count, inline.padTo(4, 0.toByte))
+        entries += Entry(tag, typ, count, inline.padTo(inlineCap, 0.toByte))
 
-      // data too big for the 4 inline bytes goes to the overflow block;
+      // data too big for the inline bytes goes to the overflow block;
       // its offset is resolved after the entry table size is known
       case class Deferred(tag: Int, typ: Int, count: Int, data: Array[Byte])
       val deferred = mutable.ArrayBuffer.empty[Deferred]
       def addBig(tag: Int, typ: Int, count: Int, data: Array[Byte]): Unit =
-        if (data.length <= 4) add(tag, typ, count, data)
+        if (data.length <= inlineCap) add(tag, typ, count, data)
         else deferred += Deferred(tag, typ, count, data)
 
       add(256, TLong, 1, longVal(p.width))
       add(257, TLong, 1, longVal(p.height))
       val bits = Array.fill(p.bands)(leShort(p.bitsPerSample)).flatten
       addBig(258, TShort, p.bands, bits)
-      add(259, TShort, 1, shortVal(if (p.ccitt) 4 else if (p.deflate) 8 else 1))
+      add(259, TShort, 1, shortVal(p.compressionCode))
       add(262, TShort, 1, shortVal(p.photometricCode))
       add(277, TShort, 1, shortVal(p.bands))
       add(284, TShort, 1, shortVal(2)) // planar = separate (INTERLEAVE=BAND)
       if (p.ccitt) add(293, TLong, 1, longVal(0)) // T6Options: no extensions
+      if (p.predictor != 1) add(317, TShort, 1, shortVal(p.predictor))
       add(322, TLong, 1, longVal(p.tileWidth))
       add(323, TLong, 1, longVal(p.tileHeight))
-      addBig(324, TLong, nTiles, offsets.flatMap(o => leInt(o.toInt)))
-      addBig(325, TLong, nTiles, counts.flatMap(c => leInt(c.toInt)))
+      if (big) {
+        addBig(324, TLong8, nTiles, offsets.flatMap(leLong))
+        addBig(325, TLong8, nTiles, counts.flatMap(leLong))
+      } else {
+        addBig(324, TLong, nTiles, offsets.flatMap(o => leInt(o.toInt)))
+        addBig(325, TLong, nTiles, counts.flatMap(c => leInt(c.toInt)))
+      }
       val fmts = Array.fill(p.bands)(leShort(p.sampleFormat)).flatten
       addBig(339, TShort, p.bands, fmts)
       // ModelPixelScale (33550): (xres, yres, 0)
@@ -269,12 +328,15 @@ object GeoTiff {
       }
 
       // resolve deferred offsets
-      val sorted = (entries.map(e => (e.tag, e)) ++ deferred.map(d => (d.tag, null))).map(_._1)
       val nEntries = entries.length + deferred.length
-      val ifdSize = 2 + nEntries * 12 + 4
+      val ifdSize =
+        if (big) 8 + nEntries * 20 + 8
+        else 2 + nEntries * 12 + 4
       var overflowOffset = ifdOffset + ifdSize
       val resolved = deferred.map { d =>
-        val e = Entry(d.tag, d.typ, d.count, leInt(overflowOffset.toInt))
+        val e = Entry(d.tag, d.typ, d.count,
+          (if (big) leLong(overflowOffset) else leInt(overflowOffset.toInt))
+            .padTo(inlineCap, 0.toByte))
         overflow.write(d.data)
         overflowOffset += d.data.length
         e
@@ -283,12 +345,14 @@ object GeoTiff {
 
       val out = new ByteArrayOutputStream()
       val dos = new DataOutputStream(out)
-      dos.write(leShort(all.length))
+      if (big) dos.write(leLong(all.length.toLong))
+      else dos.write(leShort(all.length))
       all.foreach { e =>
         dos.write(leShort(e.tag)); dos.write(leShort(e.typ))
-        dos.write(leInt(e.count)); dos.write(e.valueOrOffset.take(4))
+        if (big) dos.write(leLong(e.count.toLong)) else dos.write(leInt(e.count))
+        dos.write(e.valueOrOffset.take(inlineCap))
       }
-      dos.write(leInt(0)) // next IFD = none
+      if (big) dos.write(leLong(0L)) else dos.write(leInt(0)) // next IFD = none
       dos.write(overflow.toByteArray)
       out.toByteArray
     }
@@ -342,8 +406,83 @@ object GeoTiff {
     if (path.startsWith("file:") || !path.contains("://")) new LocalRangeReader(localPath(path))
     else new HadoopRangeReader(path)
 
+  /** Apply horizontal differencing (predictor 2) in place — the forward
+    * transform a writer runs before LZW/DEFLATE so runs of similar values
+    * become runs of small deltas. Right-to-left per row, modulo the sample
+    * width (always little-endian: only the writer calls this). */
+  private[sources] def diffPredictor2(raw: Array[Byte], p: Profile): Unit = {
+    val tw = p.tileWidth; val th = p.tileHeight
+    p.bitsPerSample match {
+      case 8 =>
+        var r = 0
+        while (r < th) {
+          val base = r * tw; var c = tw - 1
+          while (c >= 1) { raw(base + c) = (raw(base + c) - raw(base + c - 1)).toByte; c -= 1 }
+          r += 1
+        }
+      case 16 =>
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        var r = 0
+        while (r < th) {
+          val base = r * tw; var c = tw - 1
+          while (c >= 1) { bb.put(base + c, (bb.get(base + c) - bb.get(base + c - 1)).toShort); c -= 1 }
+          r += 1
+        }
+      case 32 =>
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
+        var r = 0
+        while (r < th) {
+          val base = r * tw; var c = tw - 1
+          while (c >= 1) { bb.put(base + c, bb.get(base + c) - bb.get(base + c - 1)); c -= 1 }
+          r += 1
+        }
+      case bits => throw new IllegalArgumentException(
+        s"predictor 2 unsupported at $bits bits per sample")
+    }
+  }
+
+  /** Undo horizontal-differencing (predictor 2) in place: each sample adds
+    * its left neighbor, modulo the sample width, per row — the inverse of
+    * the differencing LZW/DEFLATE writers apply to improve compression.
+    * Integer samples only (predictor 3, floating point, is a different
+    * byte-shuffling scheme and fails loudly at open()). */
+  private[sources] def undiffPredictor2(raw: Array[Byte], p: Profile,
+                                        order: ByteOrder): Unit = {
+    val tw = p.tileWidth; val th = p.tileHeight
+    p.bitsPerSample match {
+      case 8 =>
+        var r = 0
+        while (r < th) {
+          val base = r * tw; var c = 1
+          while (c < tw) { raw(base + c) = (raw(base + c) + raw(base + c - 1)).toByte; c += 1 }
+          r += 1
+        }
+      case 16 =>
+        val bb = ByteBuffer.wrap(raw).order(order).asShortBuffer()
+        var r = 0
+        while (r < th) {
+          val base = r * tw; var c = 1
+          while (c < tw) { bb.put(base + c, (bb.get(base + c) + bb.get(base + c - 1)).toShort); c += 1 }
+          r += 1
+        }
+      case 32 =>
+        val bb = ByteBuffer.wrap(raw).order(order).asIntBuffer()
+        var r = 0
+        while (r < th) {
+          val base = r * tw; var c = 1
+          while (c < tw) { bb.put(base + c, bb.get(base + c) + bb.get(base + c - 1)); c += 1 }
+          r += 1
+        }
+      case bits => throw new IllegalArgumentException(
+        s"predictor 2 unsupported at $bits bits per sample")
+    }
+  }
+
   final case class Tiff(profile: Profile, tileOffsets: Array[Long], tileCounts: Array[Long],
-                        path: String) {
+                        path: String, bigEndian: Boolean = false) {
+    private def order: ByteOrder =
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+
     /** S5: read one tile's pixels as doubles (masked handling upstream). */
     def readTile(band: Int, tileRow: Int, tileCol: Int): Array[Double] = {
       val p = profile
@@ -354,10 +493,14 @@ object GeoTiff {
         val payload = new Array[Byte](tileCounts(idx).toInt)
         raf.readFully(payload)
         val nPx = p.tileWidth * p.tileHeight
-        val raw =
-          if (p.ccitt) CcittG4.decode(payload, p.tileWidth, p.tileHeight, p.bytesPerRow)
-          else if (p.deflate) inflate(payload, p.tileByteSize)
-          else payload
+        val raw = p.compressionCode match {
+          case 4     => CcittG4.decode(payload, p.tileWidth, p.tileHeight, p.bytesPerRow)
+          case 5     => Lzw.decode(payload, p.tileByteSize)
+          case 8     => inflate(payload, p.tileByteSize)
+          case 32773 => Packbits.decode(payload, p.tileByteSize)
+          case _     => payload
+        }
+        if (p.predictor == 2) undiffPredictor2(raw, p, order)
         decode(raw, nPx)
       } finally raf.close()
     }
@@ -387,7 +530,7 @@ object GeoTiff {
         }
         return out
       }
-      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.wrap(raw).order(order)
       var i = 0
       (bits, p.sampleFormat) match {
         case (8, 1)  => while (i < nPx) { out(i) = bb.get() & 0xff; i += 1 }
@@ -411,35 +554,65 @@ object GeoTiff {
   }
 
   /** S4: metadata scan — open the file, parse the IFD into a Profile
-    * (`utils/utils.py:99-120`). */
+    * (`utils/utils.py:99-120`). Accepts classic TIFF (magic 42) and
+    * BigTIFF (magic 43, 8-byte offsets) in either byte order ('II'
+    * little-endian and 'MM' big-endian — older public archives are MM). */
   def open(rawPath: String): Tiff = {
     val path = rawPath
     val raf = rangeReader(path)
     try {
-      val head = new Array[Byte](8); raf.readFully(head)
-      require(head(0) == 'I' && head(1) == 'I' && head(2) == 42, s"not a little-endian TIFF: $path")
-      val ifdOffset = ByteBuffer.wrap(head, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+      val head = new Array[Byte](4); raf.readFully(head)
+      val bigEndian = head(0) == 'M' && head(1) == 'M'
+      require(bigEndian || (head(0) == 'I' && head(1) == 'I'),
+        s"not a TIFF (no II/MM byte-order mark): $path")
+      val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+      def rdShort(): Int = {
+        val b = new Array[Byte](2); raf.readFully(b)
+        ByteBuffer.wrap(b).order(order).getShort & 0xffff
+      }
+      def rdInt(): Long = {
+        val b = new Array[Byte](4); raf.readFully(b)
+        ByteBuffer.wrap(b).order(order).getInt & 0xffffffffL
+      }
+      def rdLong(): Long = {
+        val b = new Array[Byte](8); raf.readFully(b)
+        ByteBuffer.wrap(b).order(order).getLong
+      }
+      val magic = ByteBuffer.wrap(head, 2, 2).order(order).getShort & 0xffff
+      require(magic == 42 || magic == 43, s"not a TIFF (magic $magic): $path")
+      val bigtiff = magic == 43
+      val ifdOffset =
+        if (bigtiff) {
+          val osz = rdShort(); val pad = rdShort()
+          require(osz == 8 && pad == 0,
+            s"unsupported BigTIFF offset size $osz in $path")
+          rdLong()
+        } else rdInt()
       raf.seek(ifdOffset)
-      val nEntries = readShortLE(raf)
-      // tag -> (type, count, raw 4 value bytes): values totalling <= 4 bytes
-      // are stored inline in the entry; larger ones live at the offset those
-      // bytes encode
+      val nEntries = if (bigtiff) rdLong().toInt else rdShort()
+      val inlineCap = if (bigtiff) 8 else 4
+      // tag -> (type, count, raw inline value bytes): values fitting the
+      // inline capacity (4 classic / 8 BigTIFF) are stored in the entry;
+      // larger ones live at the offset those bytes encode
       val tags = mutable.Map.empty[Int, (Int, Int, Array[Byte])]
       for (_ <- 0 until nEntries) {
-        val tag = readShortLE(raf); val typ = readShortLE(raf)
-        val count = readIntLE(raf)
-        val raw = new Array[Byte](4); raf.readFully(raw)
+        val tag = rdShort(); val typ = rdShort()
+        val count = (if (bigtiff) rdLong() else rdInt()).toInt
+        val raw = new Array[Byte](inlineCap); raf.readFully(raw)
         tags(tag) = (typ, count, raw)
       }
       def typeWidth(typ: Int): Int = typ match {
-        case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8
+        case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 => 4
+        case 12 => 8; case 16 | 17 | 18 => 8
         case other => throw new IllegalArgumentException(s"TIFF type $other")
       }
       def rawData(tag: Int): Option[Array[Byte]] = tags.get(tag).map { case (typ, count, raw) =>
         val total = count * typeWidth(typ)
-        if (total <= 4) raw.take(total)
+        if (total <= inlineCap) raw.take(total)
         else {
-          val off = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+          val off =
+            if (bigtiff) ByteBuffer.wrap(raw).order(order).getLong
+            else ByteBuffer.wrap(raw).order(order).getInt & 0xffffffffL
           raf.seek(off)
           val data = new Array[Byte](total); raf.readFully(data)
           data
@@ -448,12 +621,13 @@ object GeoTiff {
       def array(tag: Int): Array[Long] = tags.get(tag) match {
         case None => Array.empty
         case Some((typ, count, _)) =>
-          val bb = ByteBuffer.wrap(rawData(tag).get).order(ByteOrder.LITTLE_ENDIAN)
+          val bb = ByteBuffer.wrap(rawData(tag).get).order(order)
           Array.fill(count)(typ match {
             case 1 => (bb.get() & 0xff).toLong
             case 3 => (bb.getShort & 0xffff).toLong
             case 4 => bb.getInt & 0xffffffffL
             case 12 => java.lang.Double.doubleToLongBits(bb.getDouble)
+            case 16 | 17 => bb.getLong
           })
       }
       def scalar(tag: Int, dflt: Long = -1): Long = array(tag).headOption.getOrElse(dflt)
@@ -473,14 +647,21 @@ object GeoTiff {
         case (32, 3) => "float32"; case (64, 3) => "float64"
         case other => throw new IllegalArgumentException(s"unsupported sample $other")
       }
-      // only NONE (1), CCITT G4 (4, bilevel), and DEFLATE (8) decode here —
-      // anything else (LZW, PackBits, JPEG…) must fail fast instead of
-      // yielding garbage pixels
+      // only NONE (1), CCITT G4 (4, bilevel), LZW (5), DEFLATE (8), and
+      // PackBits (32773) decode here — anything else (JPEG, ZSTD, ...)
+      // must fail fast instead of yielding garbage pixels
       val compression = scalar(259, 1)
-      require(compression == 1 || compression == 8 ||
-          (compression == 4 && bits == 1),
+      require(compression == 1 || compression == 5 || compression == 8 ||
+          compression == 32773 || (compression == 4 && bits == 1),
         s"unsupported TIFF compression $compression in $path " +
-          "(only none=1, ccitt-g4=4 bilevel, deflate=8)")
+          "(only none=1, ccitt-g4=4 bilevel, lzw=5, deflate=8, packbits=32773)")
+      // predictor (317): 2 = horizontal differencing on integer samples;
+      // 3 (floating-point byte shuffling) is a distinct scheme — reject
+      // loudly rather than decode shuffled garbage
+      val predictor = scalar(317, 1)
+      require(predictor == 1 || (predictor == 2 && fmt != 3 && bits >= 8),
+        s"unsupported TIFF predictor $predictor in $path for $bits-bit fmt $fmt " +
+          "(only 1=none, 2=horizontal on >=8-bit integer samples)")
       val scale = doubles(33550)
       val tiepoint = doubles(33922)
       val geoKeys = array(34735)
@@ -504,8 +685,11 @@ object GeoTiff {
           case 0 => Some("MINISWHITE"); case 2 => Some("RGB"); case 3 => Some("PALETTE")
           case 5 => Some("CMYK"); case 6 => Some("YCBCR"); case 8 => Some("CIELAB")
           case 9 => Some("ICCLAB"); case 10 => Some("ITULAB"); case _ => None
-        })
-      Tiff(profile, array(324), array(325), path)
+        },
+        lzw = compression == 5,
+        packbits = compression == 32773,
+        predictor = predictor.toInt)
+      Tiff(profile, array(324), array(325), path, bigEndian)
     } finally raf.close()
   }
 
@@ -513,12 +697,4 @@ object GeoTiff {
   private def localPath(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
-  private def readShortLE(raf: RangeReader): Int = {
-    val b = new Array[Byte](2); raf.readFully(b)
-    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
-  }
-  private def readIntLE(raf: RangeReader): Int = {
-    val b = new Array[Byte](4); raf.readFully(b)
-    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
-  }
 }
