@@ -442,77 +442,104 @@ object GeoTiff {
   }
 
   /** Undo horizontal-differencing (predictor 2) in place: each sample adds
-    * its left neighbor, modulo the sample width, per row — the inverse of
-    * the differencing LZW/DEFLATE writers apply to improve compression.
-    * Integer samples only (predictor 3, floating point, is a different
-    * byte-shuffling scheme and fails loudly at open()). */
-  private[sources] def undiffPredictor2(raw: Array[Byte], p: Profile,
+    * the previous sample OF ITS OWN COMPONENT, modulo the sample width,
+    * per row — the inverse of the differencing LZW/DEFLATE writers apply.
+    * `rowSamples` = samples per row (width x components for chunky rows),
+    * `lag` = component count (1 for planar/band-separate planes, `bands`
+    * for PlanarConfiguration=1 pixel-interleaved rows — the spec
+    * differences each component against the same component of the
+    * previous PIXEL). Integer samples only (predictor 3, floating point,
+    * is a different byte-shuffling scheme and fails loudly at open()). */
+  private[sources] def undiffPredictor2(raw: Array[Byte], bits: Int, rows: Int,
+                                        rowSamples: Int, lag: Int,
                                         order: ByteOrder): Unit = {
-    val tw = p.tileWidth; val th = p.tileHeight
-    p.bitsPerSample match {
+    bits match {
       case 8 =>
         var r = 0
-        while (r < th) {
-          val base = r * tw; var c = 1
-          while (c < tw) { raw(base + c) = (raw(base + c) + raw(base + c - 1)).toByte; c += 1 }
+        while (r < rows) {
+          val base = r * rowSamples; var c = lag
+          while (c < rowSamples) { raw(base + c) = (raw(base + c) + raw(base + c - lag)).toByte; c += 1 }
           r += 1
         }
       case 16 =>
         val bb = ByteBuffer.wrap(raw).order(order).asShortBuffer()
         var r = 0
-        while (r < th) {
-          val base = r * tw; var c = 1
-          while (c < tw) { bb.put(base + c, (bb.get(base + c) + bb.get(base + c - 1)).toShort); c += 1 }
+        while (r < rows) {
+          val base = r * rowSamples; var c = lag
+          while (c < rowSamples) { bb.put(base + c, (bb.get(base + c) + bb.get(base + c - lag)).toShort); c += 1 }
           r += 1
         }
       case 32 =>
         val bb = ByteBuffer.wrap(raw).order(order).asIntBuffer()
         var r = 0
-        while (r < th) {
-          val base = r * tw; var c = 1
-          while (c < tw) { bb.put(base + c, bb.get(base + c) + bb.get(base + c - 1)); c += 1 }
+        while (r < rows) {
+          val base = r * rowSamples; var c = lag
+          while (c < rowSamples) { bb.put(base + c, bb.get(base + c) + bb.get(base + c - lag)); c += 1 }
           r += 1
         }
-      case bits => throw new IllegalArgumentException(
-        s"predictor 2 unsupported at $bits bits per sample")
+      case other => throw new IllegalArgumentException(
+        s"predictor 2 unsupported at $other bits per sample")
     }
   }
 
+  /** `chunky` = PlanarConfiguration 1 (samples pixel-interleaved within
+    * one plane of tiles/strips — what most real-world RGB files use);
+    * `stripped` = classic strip layout (tags 273/278/279) mapped onto the
+    * tile abstraction as full-width tiles of RowsPerStrip rows, with the
+    * LAST strip carrying only the remaining rows (strips, unlike tiles,
+    * are not padded). */
   final case class Tiff(profile: Profile, tileOffsets: Array[Long], tileCounts: Array[Long],
-                        path: String, bigEndian: Boolean = false) {
+                        path: String, bigEndian: Boolean = false,
+                        chunky: Boolean = false, stripped: Boolean = false) {
     private def order: ByteOrder =
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
 
-    /** S5: read one tile's pixels as doubles (masked handling upstream). */
+    /** S5: read one tile's pixels as doubles (masked handling upstream).
+      * Always returns tileWidth x tileHeight values; a final short strip
+      * zero-pads its missing rows (the tiled-padding convention). */
     def readTile(band: Int, tileRow: Int, tileCol: Int): Array[Double] = {
       val p = profile
-      val idx = (band - 1) * p.tilesPerBand + tileRow * p.tilesAcross + tileCol
+      require(band >= 1 && band <= p.bands, s"band $band of ${p.bands}")
+      val stride = if (chunky) p.bands else 1
+      val idx =
+        if (chunky) tileRow * p.tilesAcross + tileCol
+        else (band - 1) * p.tilesPerBand + tileRow * p.tilesAcross + tileCol
       val raf = rangeReader(path)
       try {
         raf.seek(tileOffsets(idx))
         val payload = new Array[Byte](tileCounts(idx).toInt)
         raf.readFully(payload)
-        val nPx = p.tileWidth * p.tileHeight
+        val rowsHere =
+          if (stripped) math.min(p.tileHeight, p.height - tileRow * p.tileHeight)
+          else p.tileHeight
+        val bits = p.bitsPerSample
+        val rowSamples = p.tileWidth * stride
+        val expected =
+          if (bits < 8) p.bytesPerRow * rowsHere
+          else rowSamples * rowsHere * (bits / 8)
         val raw = p.compressionCode match {
-          case 4     => CcittG4.decode(payload, p.tileWidth, p.tileHeight, p.bytesPerRow)
-          case 5     => Lzw.decode(payload, p.tileByteSize)
-          case 8     => inflate(payload, p.tileByteSize)
-          case 32773 => Packbits.decode(payload, p.tileByteSize)
+          case 4     => CcittG4.decode(payload, p.tileWidth, rowsHere, p.bytesPerRow)
+          case 5     => Lzw.decode(payload, expected)
+          case 8     => inflate(payload, expected)
+          case 32773 => Packbits.decode(payload, expected)
           case _     => payload
         }
-        if (p.predictor == 2) undiffPredictor2(raw, p, order)
-        decode(raw, nPx)
+        if (p.predictor == 2)
+          undiffPredictor2(raw, bits, rowsHere, rowSamples, stride, order)
+        decode(raw, rowsHere, stride, band)
       } finally raf.close()
     }
 
-    private def decode(raw: Array[Byte], nPx: Int): Array[Double] = {
+    private def decode(raw: Array[Byte], rows: Int, stride: Int,
+                       band: Int): Array[Double] = {
       val p = profile
-      val out = new Array[Double](nPx)
+      val tw = p.tileWidth
+      val out = new Array[Double](tw * p.tileHeight) // pad rows stay 0.0
       val bits = p.bitsPerSample
       if (bits < 8) { // sub-byte NBITS: MSB-first, byte-padded rows
-        val tw = p.tileWidth; val bpr = p.bytesPerRow
+        val bpr = p.bytesPerRow
         var r = 0
-        while (r < p.tileHeight) {
+        while (r < rows) {
           var c = 0
           while (c < tw) {
             var v = 0L; var remaining = bits; var bit = c * bits
@@ -530,18 +557,21 @@ object GeoTiff {
         }
         return out
       }
+      // chunky planes read the band's samples at `stride` spacing
       val bb = ByteBuffer.wrap(raw).order(order)
+      val n = tw * rows
+      val off0 = if (stride > 1) band - 1 else 0
       var i = 0
       (bits, p.sampleFormat) match {
-        case (8, 1)  => while (i < nPx) { out(i) = bb.get() & 0xff; i += 1 }
-        case (8, 2)  => while (i < nPx) { out(i) = bb.get().toDouble; i += 1 }
-        case (16, 1) => while (i < nPx) { out(i) = bb.getShort() & 0xffff; i += 1 }
-        case (16, 2) => while (i < nPx) { out(i) = bb.getShort().toDouble; i += 1 }
-        case (16, 3) => while (i < nPx) { out(i) = halfToFloat(bb.getShort() & 0xffff).toDouble; i += 1 }
-        case (32, 1) => while (i < nPx) { out(i) = bb.getInt() & 0xffffffffL; i += 1 }
-        case (32, 2) => while (i < nPx) { out(i) = bb.getInt().toDouble; i += 1 }
-        case (32, 3) => while (i < nPx) { out(i) = bb.getFloat().toDouble; i += 1 }
-        case (64, 3) => while (i < nPx) { out(i) = bb.getDouble(); i += 1 }
+        case (8, 1)  => while (i < n) { out(i) = raw(i * stride + off0) & 0xff; i += 1 }
+        case (8, 2)  => while (i < n) { out(i) = raw(i * stride + off0).toDouble; i += 1 }
+        case (16, 1) => while (i < n) { out(i) = bb.getShort((i * stride + off0) * 2) & 0xffff; i += 1 }
+        case (16, 2) => while (i < n) { out(i) = bb.getShort((i * stride + off0) * 2).toDouble; i += 1 }
+        case (16, 3) => while (i < n) { out(i) = halfToFloat(bb.getShort((i * stride + off0) * 2) & 0xffff).toDouble; i += 1 }
+        case (32, 1) => while (i < n) { out(i) = bb.getInt((i * stride + off0) * 4) & 0xffffffffL; i += 1 }
+        case (32, 2) => while (i < n) { out(i) = bb.getInt((i * stride + off0) * 4).toDouble; i += 1 }
+        case (32, 3) => while (i < n) { out(i) = bb.getFloat((i * stride + off0) * 4).toDouble; i += 1 }
+        case (64, 3) => while (i < n) { out(i) = bb.getDouble((i * stride + off0) * 8); i += 1 }
         case other   => throw new IllegalStateException(s"decode $other")
       }
       out
@@ -638,6 +668,27 @@ object GeoTiff {
       val bands = scalar(277, 1).toInt
       val bits = array(258).headOption.getOrElse(8L).toInt
       val fmt = array(339).headOption.getOrElse(1L).toInt
+      val width = scalar(256).toInt
+      val height = scalar(257).toInt
+      // tiled (322-325) or classic stripped (273/278/279) layout: strips
+      // map onto the tile abstraction as full-width tiles of RowsPerStrip
+      // rows (the last strip short, handled at read time)
+      val tiled = tags.contains(322)
+      require(tiled || (tags.contains(273) && tags.contains(279)),
+        s"neither tiled (322) nor stripped (273/279) TIFF: $path")
+      val (tileW, tileH, offs, cnts) =
+        if (tiled) (scalar(322).toInt, scalar(323).toInt, array(324), array(325))
+        else (width, math.max(1, math.min(scalar(278, height).toInt, height)),
+          array(273), array(279))
+      // PlanarConfiguration (284): 2 = band-separate planes (what the
+      // writer emits), 1 = pixel-interleaved (chunky — most real-world
+      // multiband files); chunky multiband needs whole-byte samples
+      val planar = scalar(284, if (bands == 1) 1 else 2).toInt
+      require(planar == 1 || planar == 2,
+        s"unsupported PlanarConfiguration $planar in $path")
+      val chunky = planar == 1 && bands > 1
+      require(!chunky || bits >= 8,
+        s"chunky sub-byte samples unsupported ($bits bits, $bands bands) in $path")
       val dataType = (bits, fmt) match {
         case (b, 1) if b < 8 => "uint8" // sub-byte NBITS container
         case (8, 1) => "uint8";   case (8, 2) => "int8"
@@ -669,9 +720,9 @@ object GeoTiff {
         case Array(k, _, _, v) if k == 2048 || k == 3072 => v.toInt
       }.getOrElse(4326)
       val profile = Profile(
-        width = scalar(256).toInt, height = scalar(257).toInt, bands = bands,
+        width = width, height = height, bands = bands,
         dataType = dataType,
-        tileWidth = scalar(322).toInt, tileHeight = scalar(323).toInt,
+        tileWidth = tileW, tileHeight = tileH,
         noData = ascii(42113).map(_.trim.toDouble),
         epsg = epsg,
         originX = if (tiepoint.length >= 6) tiepoint(3) else 0,
@@ -689,7 +740,8 @@ object GeoTiff {
         lzw = compression == 5,
         packbits = compression == 32773,
         predictor = predictor.toInt)
-      Tiff(profile, array(324), array(325), path, bigEndian)
+      Tiff(profile, offs, cnts, path, bigEndian,
+        chunky = chunky, stripped = !tiled)
     } finally raf.close()
   }
 

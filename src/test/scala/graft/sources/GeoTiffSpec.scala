@@ -321,6 +321,141 @@ class GeoTiffSpec extends SparkSpec {
     assert(!wSmall.isBigTiff)
   }
 
+  /** Hand-assemble a minimal classic little-endian TIFF with arbitrary
+    * layout tags — the fixtures the Writer cannot produce (strips, chunky
+    * interleave). `payloads` are the pre-encoded strip/tile payloads. */
+  private def buildTiff(name: String, width: Int, height: Int, bands: Int,
+                        bits: Int, planar: Int, compression: Int,
+                        predictor: Int, layoutTags: (Int, Int),
+                        payloads: Seq[Array[Byte]]): String = {
+    val bb = java.nio.ByteBuffer.allocate(65536)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42)
+    val ifdOffsetPos = bb.position(); bb.putInt(0) // patched below
+    val offsets = payloads.map { pl => val at = bb.position(); bb.put(pl); at }
+    // offset/count arrays live right after the payloads (pointed to by the
+    // IFD entries when count > 1)
+    val offArrayAt = bb.position(); offsets.foreach(bb.putInt)
+    val cntArrayAt = bb.position(); payloads.foreach(pl => bb.putInt(pl.length))
+    val bitsArrayAt = bb.position()
+    // values totalling <= 4 bytes must be INLINE (2 bands x SHORT fits);
+    // only 3+ bands spill to this array
+    if (bands > 2) (1 to bands).foreach(_ => bb.putShort(bits.toShort))
+    val n = payloads.length
+    val (offTag, cntTag) = layoutTags
+    var entries = Seq[(Int, Int, Int, Long)](
+      (256, 4, 1, width), (257, 4, 1, height),
+      (258, 3, bands, if (bands > 2) bitsArrayAt else bits),
+      (259, 3, 1, compression),
+      (277, 3, 1, bands), (284, 3, 1, planar),
+      (offTag, 4, n, if (n > 1) offArrayAt else offsets.head.toLong),
+      (cntTag, 4, n, if (n > 1) cntArrayAt else payloads.head.length.toLong),
+      (339, 3, 1, 1))
+    if (offTag == 273) entries = entries :+ ((278, 4, 1,
+      ((height + n - 1) / n).toLong)) // RowsPerStrip
+    else entries = entries ++ Seq((322, 4, 1, width.toLong), (323, 4, 1, height.toLong))
+    if (predictor != 1) entries = entries :+ ((317, 3, 1, predictor.toLong))
+    val sorted = entries.sortBy(_._1)
+    val ifdAt = bb.position()
+    bb.putShort(sorted.length.toShort)
+    sorted.foreach { case (tag, typ, count, value) =>
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) bb.putShort(value.toShort).putShort(0)
+      else if (tag == 258 && count == 2) // two inline SHORT bits values
+        bb.putShort(value.toShort).putShort(value.toShort)
+      else bb.putInt(value.toInt)
+    }
+    bb.putInt(0)
+    bb.putInt(ifdOffsetPos, ifdAt)
+    val path = tmp(name)
+    Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+    path
+  }
+
+  test("stripped TIFF reads as full-width tiles; last strip zero-pads") {
+    // 5x8 uint8, RowsPerStrip=3 -> strips of 3,3,2 rows, uncompressed
+    val w = 5; val h = 8; val rps = 3
+    def v(x: Int, y: Int): Int = 10 * y + x
+    val strips = (0 until 3).map { sIdx =>
+      val rows = math.min(rps, h - sIdx * rps)
+      Array.tabulate(rows * w)(i => v(i % w, sIdx * rps + i / w).toByte)
+    }
+    val path = buildTiff("stripped_u8.tif", w, h, 1, 8, 1, 1, 1, (273, 279), strips)
+    val t = GeoTiff.open(path)
+    assert(t.stripped && !t.chunky)
+    assert(t.profile.tileWidth == w && t.profile.tileHeight == rps)
+    assert(t.profile.tilesDown == 3 && t.profile.tilesAcross == 1)
+    for (sIdx <- 0 until 3) {
+      val got = t.readTile(1, sIdx, 0)
+      assert(got.length == w * rps)
+      val rows = math.min(rps, h - sIdx * rps)
+      for (y <- 0 until rps; x <- 0 until w) {
+        val expect = if (y < rows) v(x, sIdx * rps + y).toDouble else 0.0
+        assert(got(y * w + x) == expect, s"strip $sIdx ($x,$y)")
+      }
+    }
+  }
+
+  test("stripped LZW TIFF decodes each strip at its true (unpadded) size") {
+    // 6x7 uint16 LE, RowsPerStrip=4 -> strips of 4 and 3 rows, LZW
+    val w = 6; val h = 7; val rps = 4
+    def v(x: Int, y: Int): Int = 300 * y + x
+    val strips = (0 until 2).map { sIdx =>
+      val rows = math.min(rps, h - sIdx * rps)
+      val raw = java.nio.ByteBuffer.allocate(rows * w * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (y <- 0 until rows; x <- 0 until w)
+        raw.putShort(v(x, sIdx * rps + y).toShort)
+      Lzw.encode(raw.array())
+    }
+    val path = buildTiff("stripped_lzw.tif", w, h, 1, 16, 1, 5, 1, (273, 279), strips)
+    val t = GeoTiff.open(path)
+    assert(t.stripped && t.profile.lzw && t.profile.dataType == "uint16")
+    val s0 = t.readTile(1, 0, 0)
+    for (y <- 0 until 4; x <- 0 until w) assert(s0(y * w + x) == v(x, y).toDouble)
+    val s1 = t.readTile(1, 1, 0)
+    for (y <- 0 until 3; x <- 0 until w) assert(s1(y * w + x) == v(x, 4 + y).toDouble)
+    assert((0 until w).forall(x => s1(3 * w + x) == 0.0), "pad row")
+  }
+
+  test("chunky (PlanarConfiguration=1) multiband reads per-band via stride") {
+    // 4x4 3-band uint8, pixel-interleaved in one tile, uncompressed
+    val w = 4
+    def v(b: Int, i: Int): Int = (b * 50 + i) % 256
+    val payload = Array.tabulate(w * w * 3)(j => v(j % 3 + 1, j / 3).toByte)
+    val path = buildTiff("chunky_u8.tif", w, w, 3, 8, 1, 1, 1, (324, 325), Seq(payload))
+    val t = GeoTiff.open(path)
+    assert(t.chunky && !t.stripped && t.profile.bands == 3)
+    for (b <- 1 to 3) {
+      val got = t.readTile(b, 0, 0)
+      (0 until w * w).foreach(i => assert(got(i) == v(b, i).toDouble, s"band $b px $i"))
+    }
+    intercept[IllegalArgumentException](t.readTile(4, 0, 0))
+  }
+
+  test("chunky + predictor 2 differences per COMPONENT (lag = bands)") {
+    // 4x3 2-band uint8: horizontal differencing with lag 2, then verify
+    // the reader reconstructs the original per-band planes
+    val w = 4; val h = 3; val bands = 2
+    def v(b: Int, x: Int, y: Int): Int = (b * 40 + 7 * x + 11 * y) % 256
+    val raw = Array.tabulate(h * w * bands) { j =>
+      val i = j / bands; val b = j % bands + 1
+      v(b, i % w, i / w).toByte
+    }
+    val diffed = raw.clone()
+    for (y <- 0 until h; c <- (w * bands - 1) to bands by -1)
+      diffed(y * w * bands + c) =
+        (diffed(y * w * bands + c) - raw(y * w * bands + c - bands)).toByte
+    val path = buildTiff("chunky_pred.tif", w, h, bands, 8, 1, 1, 2, (324, 325), Seq(diffed))
+    val t = GeoTiff.open(path)
+    assert(t.chunky && t.profile.predictor == 2)
+    for (b <- 1 to bands) {
+      val got = t.readTile(b, 0, 0)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got(y * w + x) == v(b, x, y).toDouble, s"band $b ($x,$y)")
+    }
+  }
+
   test("big-endian 'MM' classic TIFF decodes bit-identically to its II twin") {
     // hand-build a minimal MM TIFF: one 8x8 uint16 tile, uncompressed
     val W = 8
