@@ -251,42 +251,52 @@ class PlanContractSpec extends SparkSpec {
     // candidates; the window ranks only the confirmed subset
     "t26_heavy_hitters" -> "rank over <=128 MG candidates (TextOps.scala:777-779)")
 
-  test("ledger-wide: no partition-less WindowExec outside the audited allowlist") {
+  test("ledger-wide: no partition-less WindowExec outside the audited " +
+      "allowlist; ZERO CartesianProductExec anywhere") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
 
     // walk the physical tree INCLUDING the places collect() won't reach:
     // AQE wrappers, cached-relation child plans, and subquery plans
-    def globalWindows(p: SparkPlan): Seq[String] = {
+    def walk(p: SparkPlan): (Seq[String], Int) = {
       val self = p match {
         case w: WindowExec if w.partitionSpec.isEmpty =>
-          Seq(w.windowExpression.map(_.sql).mkString(", ").take(120))
-        case _ => Nil
+          (Seq(w.windowExpression.map(_.sql).mkString(", ").take(120)), 0)
+        case _: CartesianProductExec => (Nil, 1)
+        case _ => (Nil, 0)
       }
       val nested = p match {
-        case a: AdaptiveSparkPlanExec => globalWindows(a.inputPlan)
-        case s: InMemoryTableScanExec => globalWindows(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => Seq(walk(a.inputPlan))
+        case s: InMemoryTableScanExec => Seq(walk(s.relation.cachedPlan))
         case _ => Nil
       }
-      self ++ nested ++
-        p.children.flatMap(globalWindows) ++
-        p.subqueries.flatMap(globalWindows)
+      val all = self +: (nested ++ p.children.map(walk) ++ p.subqueries.map(walk))
+      (all.flatMap(_._1), all.map(_._2).sum)
     }
 
-    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val windowOffenders = scala.collection.mutable.ListBuffer.empty[String]
+    val cartesianOffenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val hits =
-        try globalWindows(SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan)
+      val (windows, cartesians) =
+        try walk(SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan)
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
-      if (hits.nonEmpty && !auditedGlobalWindows.contains(name))
-        offenders += s"$name: ${hits.head}"
+      if (windows.nonEmpty && !auditedGlobalWindows.contains(name))
+        windowOffenders += s"$name: ${windows.head}"
+      if (cartesians > 0) cartesianOffenders += s"$name ($cartesians)"
       graft.core.Caching.release(spark)
     }
-    assert(offenders.isEmpty,
+    assert(windowOffenders.isEmpty,
       s"partition-less windows outside the audited allowlist " +
-        s"(rank via Ranks.globalRank or audit + allowlist):\n${offenders.mkString("\n")}")
+        s"(rank via Ranks.globalRank or audit + allowlist):\n${windowOffenders.mkString("\n")}")
+    // a non-broadcast cartesian product is never acceptable at 100 TB —
+    // no allowlist exists for this one (the audited bounded patterns are
+    // all BROADCAST nested-loop joins of 1-row/k-row relations, a
+    // different operator)
+    assert(cartesianOffenders.isEmpty,
+      s"CartesianProductExec in ledger plans: ${cartesianOffenders.mkString(", ")}")
     // the allowlist must not rot either: every audited entry still names
     // a live ledger query
     val stale = auditedGlobalWindows.keySet -- SparkEntry.queries.keySet
