@@ -40,9 +40,9 @@ object GeoTiff {
       ccitt: Boolean = false,     // CCITTFAX4 for bilevel (data_type.py:122-124)
       lzw: Boolean = false,       // LZW (TIFF 6.0 §13) — the common public-file codec
       packbits: Boolean = false,  // PackBits RLE (TIFF 6.0 §9)
-      predictor: Int = 1) {       // 1 = none, 2 = horizontal differencing (read path)
-    require(predictor == 1 || predictor == 2,
-      s"unsupported TIFF predictor $predictor (only 1=none, 2=horizontal)")
+      predictor: Int = 1) {       // 1=none, 2=horizontal, 3=floating-point (TTN3)
+    require(predictor == 1 || predictor == 2 || predictor == 3,
+      s"unsupported TIFF predictor $predictor (only 1=none, 2=horizontal, 3=float)")
     /** TIFF Compression tag (259). Explicit opt-ins (ccitt/lzw/packbits)
       * take precedence over the `deflate = true` default so a caller
       * flipping one flag gets that codec. */
@@ -82,8 +82,10 @@ object GeoTiff {
       nbits.filter(b => b >= 1 && b < 8 && sampleFormat == 1).getOrElse(containerBits)
     require(!ccitt || bitsPerSample == 1,
       s"CCITTFAX4 requires a bilevel profile (NBITS=1), got $bitsPerSample bits")
-    require(predictor == 1 || (sampleFormat != 3 && bitsPerSample >= 8),
+    require(predictor != 2 || (sampleFormat != 3 && bitsPerSample >= 8),
       s"predictor 2 requires >=8-bit integer samples, got $bitsPerSample-bit fmt $sampleFormat")
+    require(predictor != 3 || (sampleFormat == 3 && bitsPerSample >= 16),
+      s"predictor 3 requires floating-point samples, got $bitsPerSample-bit fmt $sampleFormat")
     /** TIFF packs sub-byte rows MSB-first, each row padded to a byte. */
     def bytesPerRow: Int = (tileWidth * bitsPerSample + 7) / 8
     def tileByteSize: Int =
@@ -172,6 +174,9 @@ object GeoTiff {
       val idx = (band - 1) * profile.tilesPerBand + tileRow * profile.tilesAcross + tileCol
       val raw = encode(pixels)
       if (profile.predictor == 2) diffPredictor2(raw, profile)
+      else if (profile.predictor == 3)
+        diffPredictor3(raw, profile.tileHeight, profile.tileWidth,
+          profile.bitsPerSample / 8)
       val payload = profile.compressionCode match {
         case 4 =>
           CcittG4.encode(raw, profile.tileWidth, profile.tileHeight, profile.bytesPerRow)
@@ -441,6 +446,66 @@ object GeoTiff {
     }
   }
 
+  /** TIFF Technical Note 3 floating-point predictor (3), forward: per
+    * row, samples split into byte PLANES most-significant-byte first
+    * (all MSBs, then all second bytes, ...), then plain byte
+    * differencing across the whole row — small float deltas share
+    * exponent/mantissa-prefix bytes, so the planes compress like
+    * predictor-2 integers. Writer-side input is the encoder's
+    * little-endian sample layout. */
+  private[sources] def diffPredictor3(raw: Array[Byte], rows: Int,
+                                      rowSamples: Int, sampleBytes: Int): Unit = {
+    val rowBytes = rowSamples * sampleBytes
+    val tmp = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var i = 0
+      while (i < rowSamples) {
+        var b = 0
+        while (b < sampleBytes) {
+          tmp(b * rowSamples + i) = raw(base + i * sampleBytes + (sampleBytes - 1 - b))
+          b += 1
+        }
+        i += 1
+      }
+      var c = rowBytes - 1
+      while (c >= 1) { tmp(c) = (tmp(c) - tmp(c - 1)).toByte; c -= 1 }
+      System.arraycopy(tmp, 0, raw, base, rowBytes)
+      r += 1
+    }
+  }
+
+  /** Inverse of [[diffPredictor3]]: un-difference the row bytes, then
+    * reassemble each sample from its MSB-first byte planes into `order`
+    * layout for the downstream sample decode. */
+  private[sources] def undiffPredictor3(raw: Array[Byte], rows: Int,
+                                        rowSamples: Int, sampleBytes: Int,
+                                        order: ByteOrder): Unit = {
+    val rowBytes = rowSamples * sampleBytes
+    val tmp = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var c = 1
+      while (c < rowBytes) { raw(base + c) = (raw(base + c) + raw(base + c - 1)).toByte; c += 1 }
+      var i = 0
+      while (i < rowSamples) {
+        var b = 0
+        while (b < sampleBytes) {
+          val pos =
+            if (order == ByteOrder.BIG_ENDIAN) i * sampleBytes + b
+            else i * sampleBytes + (sampleBytes - 1 - b)
+          tmp(pos) = raw(base + b * rowSamples + i)
+          b += 1
+        }
+        i += 1
+      }
+      System.arraycopy(tmp, 0, raw, base, rowBytes)
+      r += 1
+    }
+  }
+
   /** Undo horizontal-differencing (predictor 2) in place: each sample adds
     * the previous sample OF ITS OWN COMPONENT, modulo the sample width,
     * per row — the inverse of the differencing LZW/DEFLATE writers apply.
@@ -448,8 +513,8 @@ object GeoTiff {
     * `lag` = component count (1 for planar/band-separate planes, `bands`
     * for PlanarConfiguration=1 pixel-interleaved rows — the spec
     * differences each component against the same component of the
-    * previous PIXEL). Integer samples only (predictor 3, floating point,
-    * is a different byte-shuffling scheme and fails loudly at open()). */
+    * previous PIXEL). Integer samples only — floating point uses the
+    * TTN3 byte-plane scheme in [[undiffPredictor3]]. */
   private[sources] def undiffPredictor2(raw: Array[Byte], bits: Int, rows: Int,
                                         rowSamples: Int, lag: Int,
                                         order: ByteOrder): Unit = {
@@ -526,6 +591,8 @@ object GeoTiff {
         }
         if (p.predictor == 2)
           undiffPredictor2(raw, bits, rowsHere, rowSamples, stride, order)
+        else if (p.predictor == 3)
+          undiffPredictor3(raw, rowsHere, rowSamples, bits / 8, order)
         decode(raw, rowsHere, stride, band)
       } finally raf.close()
     }
@@ -583,11 +650,18 @@ object GeoTiff {
     }
   }
 
-  /** S4: metadata scan — open the file, parse the IFD into a Profile
-    * (`utils/utils.py:99-120`). Accepts classic TIFF (magic 42) and
-    * BigTIFF (magic 43, 8-byte offsets) in either byte order ('II'
+  /** S4: metadata scan — open the file, parse the FIRST IFD into a
+    * Profile (`utils/utils.py:99-120`). Accepts classic TIFF (magic 42)
+    * and BigTIFF (magic 43, 8-byte offsets) in either byte order ('II'
     * little-endian and 'MM' big-endian — older public archives are MM). */
-  def open(rawPath: String): Tiff = {
+  def open(rawPath: String): Tiff = openAll(rawPath).head
+
+  /** The full IFD CHAIN: the first entry is the full-resolution image,
+    * subsequent entries are whatever further IFDs the file carries — for
+    * GDAL/gdaladdo-style internal overviews, each is a reduced-resolution
+    * pyramid level (the r5 pyramid persisted INSIDE the file). Each level
+    * reads independently through its own [[Tiff]]. */
+  def openAll(rawPath: String): Seq[Tiff] = {
     val path = rawPath
     val raf = rangeReader(path)
     try {
@@ -611,13 +685,15 @@ object GeoTiff {
       val magic = ByteBuffer.wrap(head, 2, 2).order(order).getShort & 0xffff
       require(magic == 42 || magic == 43, s"not a TIFF (magic $magic): $path")
       val bigtiff = magic == 43
-      val ifdOffset =
+      val firstIfdOffset =
         if (bigtiff) {
           val osz = rdShort(); val pad = rdShort()
           require(osz == 8 && pad == 0,
             s"unsupported BigTIFF offset size $osz in $path")
           rdLong()
         } else rdInt()
+
+      def parseIfd(ifdOffset: Long): (Tiff, Long) = {
       raf.seek(ifdOffset)
       val nEntries = if (bigtiff) rdLong().toInt else rdShort()
       val inlineCap = if (bigtiff) 8 else 4
@@ -631,6 +707,9 @@ object GeoTiff {
         val raw = new Array[Byte](inlineCap); raf.readFully(raw)
         tags(tag) = (typ, count, raw)
       }
+      // the next-IFD pointer sits right after the entry table — read it
+      // BEFORE any out-of-line tag data moves the file position
+      val nextIfd = if (bigtiff) rdLong() else rdInt()
       def typeWidth(typ: Int): Int = typ match {
         case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 => 4
         case 12 => 8; case 16 | 17 | 18 => 8
@@ -710,9 +789,10 @@ object GeoTiff {
       // 3 (floating-point byte shuffling) is a distinct scheme — reject
       // loudly rather than decode shuffled garbage
       val predictor = scalar(317, 1)
-      require(predictor == 1 || (predictor == 2 && fmt != 3 && bits >= 8),
+      require(predictor == 1 || (predictor == 2 && fmt != 3 && bits >= 8) ||
+          (predictor == 3 && fmt == 3 && bits >= 16),
         s"unsupported TIFF predictor $predictor in $path for $bits-bit fmt $fmt " +
-          "(only 1=none, 2=horizontal on >=8-bit integer samples)")
+          "(1=none, 2=horizontal on integer samples, 3=float TTN3)")
       val scale = doubles(33550)
       val tiepoint = doubles(33922)
       val geoKeys = array(34735)
@@ -740,8 +820,22 @@ object GeoTiff {
         lzw = compression == 5,
         packbits = compression == 32773,
         predictor = predictor.toInt)
-      Tiff(profile, offs, cnts, path, bigEndian,
-        chunky = chunky, stripped = !tiled)
+      (Tiff(profile, offs, cnts, path, bigEndian,
+        chunky = chunky, stripped = !tiled), nextIfd)
+      }
+
+      // follow the chain; a corrupt circular chain must not loop forever
+      val out = mutable.ArrayBuffer.empty[Tiff]
+      val seen = mutable.Set.empty[Long]
+      var at = firstIfdOffset
+      while (at != 0 && !seen(at) && out.length < 64) {
+        seen += at
+        val (t, next) = parseIfd(at)
+        out += t
+        at = next
+      }
+      require(out.nonEmpty, s"no IFDs in $path")
+      out.toSeq
     } finally raf.close()
   }
 

@@ -456,6 +456,123 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("codec x dtype x predictor matrix round-trips exactly") {
+    val rng = new java.util.Random(99)
+    def values(dt: String): Array[Double] = Array.tabulate(256)(_ => dt match {
+      case "uint8"   => rng.nextInt(256).toDouble
+      case "int8"    => (rng.nextInt(256) - 128).toDouble
+      case "uint16"  => rng.nextInt(65536).toDouble
+      case "int16"   => (rng.nextInt(65536) - 32768).toDouble
+      case "uint32"  => (rng.nextLong() & 0xFFFFFFFFL).toDouble
+      case "int32"   => rng.nextInt().toDouble
+      case "float32" => rng.nextInt(1 << 20).toDouble // integer-valued ⇒ exact
+      case "float64" => rng.nextDouble() * 1e9
+    })
+    val codecs = Seq[(String, GeoTiff.Profile => GeoTiff.Profile)](
+      ("raw", _.copy(deflate = false)),
+      ("deflate", identity),
+      ("lzw", _.copy(deflate = false, lzw = true)),
+      ("packbits", _.copy(deflate = false, packbits = true)))
+    for {
+      dt <- Seq("uint8", "int8", "uint16", "int16", "uint32", "int32",
+        "float32", "float64")
+      (cname, mk) <- codecs
+      pred <- Seq(1, 2, 3)
+      // predictor 2 is integer-only; predictor 3 (TTN3) is float-only
+      if pred == 1 || (pred == 2 && !dt.startsWith("float")) ||
+        (pred == 3 && dt.startsWith("float"))
+    } {
+      val v = values(dt)
+      val path = tmp(s"mx_${dt}_${cname}_p$pred.tif")
+      val w = new GeoTiff.Writer(path, mk(profile(dt)).copy(predictor = pred))
+      for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, v)
+      w.close()
+      val t = GeoTiff.open(path)
+      assert(t.profile.predictor == pred, s"$dt/$cname/p$pred tag")
+      assert(t.readTile(1, 0, 0).sameElements(v), s"$dt/$cname/p$pred px")
+    }
+  }
+
+  test("predictor 3 (TTN3 float) round-trips and compresses smooth float ramps") {
+    // a smooth f32 ramp: byte-plane split + differencing turns the shared
+    // exponent/mantissa prefixes into long zero runs
+    val ramp = Array.tabulate(256)(i => 1000.0 + i * 0.125)
+    val plain = tmp("f32_plain.tif"); val pred3 = tmp("f32_pred3.tif")
+    for ((path, pr) <- Seq((plain, 1), (pred3, 3))) {
+      val w = new GeoTiff.Writer(path, profile("float32").copy(predictor = pr))
+      for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, ramp)
+      w.close()
+    }
+    val t = GeoTiff.open(pred3)
+    assert(t.profile.predictor == 3)
+    assert(t.readTile(1, 0, 0).sameElements(ramp))
+    assert(Files.size(Paths.get(pred3)) < Files.size(Paths.get(plain)),
+      s"pred3 ${Files.size(Paths.get(pred3))} !< plain ${Files.size(Paths.get(plain))}")
+    // float16 and float64 sample widths run the same plane logic
+    for (dt <- Seq("float16", "float64")) {
+      val v = Array.tabulate(256)(i => (i % 64) * 0.5)
+      val path = tmp(s"pred3_$dt.tif")
+      val w = new GeoTiff.Writer(path, profile(dt).copy(predictor = 3))
+      for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, v)
+      w.close()
+      assert(GeoTiff.open(path).readTile(1, 1, 0).sameElements(v), dt)
+    }
+    // integer profiles reject predictor 3 at construction
+    intercept[IllegalArgumentException](profile("uint16").copy(predictor = 3))
+  }
+
+  test("IFD chain: internal overviews read as pyramid levels via openAll") {
+    // hand-build a 2-level file: 8x8 full-res + 4x4 overview (gdaladdo
+    // layout: chained IFDs, each with its own tile data)
+    val bb = java.nio.ByteBuffer.allocate(8192)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42)
+    val hdrPatch = bb.position(); bb.putInt(0)
+    def image(w: Int, f: Int => Int): (Int, Int) = {
+      val at = bb.position()
+      (0 until w * w).foreach(i => bb.put(f(i).toByte))
+      (at, w * w)
+    }
+    val (full, fullLen) = image(8, i => i)
+    val (ovr, ovrLen) = image(4, i => 100 + i)
+    def ifd(w: Int, dataAt: Int, dataLen: Int): Int = {
+      val entries = Seq[(Int, Int, Int, Long)](
+        (256, 4, 1, w), (257, 4, 1, w), (258, 3, 1, 8), (259, 3, 1, 1),
+        (277, 3, 1, 1), (284, 3, 1, 1),
+        (322, 4, 1, w), (323, 4, 1, w),
+        (324, 4, 1, dataAt), (325, 4, 1, dataLen), (339, 3, 1, 1))
+      val at = bb.position()
+      bb.putShort(entries.length.toShort)
+      entries.foreach { case (tag, typ, count, value) =>
+        bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        if (typ == 3) bb.putShort(value.toShort).putShort(0) else bb.putInt(value.toInt)
+      }
+      val nextPatch = bb.position(); bb.putInt(0)
+      (nextPatch)
+    }
+    val ifd0At = bb.position()
+    val next0Patch = ifd(8, full, fullLen)
+    val ifd1At = bb.position()
+    ifd(4, ovr, ovrLen)
+    bb.putInt(hdrPatch, ifd0At)
+    bb.putInt(next0Patch, ifd1At)
+    val path = tmp("pyramid.tif")
+    Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+
+    val levels = GeoTiff.openAll(path)
+    assert(levels.length == 2)
+    assert(levels(0).profile.width == 8 && levels(1).profile.width == 4)
+    assert(levels(0).readTile(1, 0, 0).sameElements(Array.tabulate(64)(_.toDouble)))
+    assert(levels(1).readTile(1, 0, 0)
+      .sameElements(Array.tabulate(16)(i => (100 + i).toDouble)))
+    // open() = the full-resolution head of the chain
+    assert(GeoTiff.open(path).profile.width == 8)
+    // a circular chain terminates instead of looping forever
+    bb.putInt(next0Patch, ifd0At)
+    Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(GeoTiff.openAll(path).length >= 1) // must return, not hang
+  }
+
   test("big-endian 'MM' classic TIFF decodes bit-identically to its II twin") {
     // hand-build a minimal MM TIFF: one 8x8 uint16 tile, uncompressed
     val W = 8
