@@ -2233,13 +2233,17 @@ object SparkEntry {
       * is ENCODED through the real `GeoTiff.Writer` (K1) and re-DECODED
       * through the real IFD parse + tile read (S4/S5), and the decoded
       * pixels fold to position-weighted integer sums the oracle computes
-      * straight from the generating formula. Ten legs cover the codec
-      * matrix: uint16+DEFLATE, uint8 raw, NBITS=4 bit-packing, CCITT-G4
-      * bilevel, float32 (SampleFormat=IEEE, integer-valued ⇒ exact),
-      * int16 (signed narrow), LZW (the common public-file codec),
-      * PackBits RLE, LZW+predictor-2 horizontal differencing, and a
-      * forced-BigTIFF container (magic 43, 8-byte offsets). Encode/decode
-      * run inside `mapPartitions`
+      * straight from the generating formula. Thirteen legs cover the
+      * codec matrix: uint16+DEFLATE, uint8 raw, NBITS=4 bit-packing,
+      * CCITT-G4 bilevel, float32 (SampleFormat=IEEE, integer-valued ⇒
+      * exact), int16 (signed narrow), LZW (the common public-file codec),
+      * PackBits RLE, LZW+predictor-2 horizontal differencing, a
+      * forced-BigTIFF container (magic 43, 8-byte offsets), a STRIPPED
+      * layout (unpadded last strip) through the strip writer, a 2-band
+      * PIXEL-INTERLEAVED (chunky, PlanarConfiguration=1) plane with
+      * predictor 2 (per-component lag), and a SPARSE_OK file
+      * (tile.py:65) whose 3 all-nodata tiles become unallocated holes
+      * the reader refills. Encode/decode run inside `mapPartitions`
       * (the multimodal discipline — codecs never in expressions); temp
       * files are per-task and deleted in `finally`. Any bit the codec
       * chain drops or shifts breaks the wsum hash. */
@@ -2247,8 +2251,9 @@ object SparkEntry {
       import s.implicits._
       import graft.sources.GeoTiff
       val W = 24; val T = 16
-      val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_big", "u16_deflate",
-        "u16_lzw", "u16_lzw_pred2", "u8_packbits", "u8_raw")
+      val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_big", "u16_chunky2",
+        "u16_deflate", "u16_lzw", "u16_lzw_pred2", "u16_sparse", "u8_packbits",
+        "u8_raw", "u8_stripped")
       Tables.part(s, d)
         .filter(col("p_partkey") <= 12)
         .select(col("p_partkey").cast("long").as("asset_id")).as[Long]
@@ -2256,7 +2261,7 @@ object SparkEntry {
         .mapPartitions { ids =>
           ids.flatMap { a =>
             legs.map { leg =>
-              def v(x: Int, y: Int): Double = leg match {
+              def v(b: Int, x: Int, y: Int): Double = leg match {
                 case "u16_deflate"   => ((7 * a + 3 * x + 5 * y) % 60000).toDouble
                 case "u8_raw"        => ((a + x * y) % 256).toDouble
                 case "nbits4"        => ((3 * x + 5 * y + 7 * a) % 16).toDouble
@@ -2267,6 +2272,13 @@ object SparkEntry {
                 case "u16_lzw_pred2" => ((5 * a + 2 * x + 3 * y) % 60000).toDouble
                 case "u8_packbits"   => ((a + 2 * x + y) % 256).toDouble
                 case "u16_big"       => ((9 * a + x + 13 * y) % 60000).toDouble
+                case "u8_stripped"   => ((3 * a + x + 2 * y) % 256).toDouble
+                case "u16_chunky2"   => ((b * 1000 + 5 * a + 2 * x + 3 * y) % 60000).toDouble
+                // data only in the (0,0) tile quadrant; everything else is
+                // the nodata 42 -> 3 of 4 tiles become SPARSE_OK holes
+                case "u16_sparse"    =>
+                  if (x < 16 && y < 16) ((13 * a + 4 * x + 9 * y) % 60000).toDouble
+                  else 42.0
               }
               def prof(dt: String, defl: Boolean = true, nb: Option[Int] = None,
                        cc: Boolean = false) =
@@ -2284,25 +2296,50 @@ object SparkEntry {
                   prof("uint16", defl = false).copy(lzw = true, predictor = 2)
                 case "u8_packbits"   => prof("uint8", defl = false).copy(packbits = true)
                 case "u16_big"       => prof("uint16")
+                // stripped: full-width strips of T rows, last strip short
+                case "u8_stripped"   =>
+                  prof("uint8", defl = false).copy(tileWidth = W, lzw = true)
+                // chunky: 2 bands pixel-interleaved + predictor 2
+                case "u16_chunky2"   => prof("uint16").copy(bands = 2, predictor = 2)
+                case "u16_sparse"    => prof("uint16").copy(noData = Some(42.0))
               }
               val f = java.io.File.createTempFile(s"graft_s5_${a}_$leg", ".tif")
               try {
                 val w = new GeoTiff.Writer(f.getAbsolutePath, p,
-                  bigtiff = leg == "u16_big")
+                  bigtiff = leg == "u16_big",
+                  stripped = leg == "u8_stripped",
+                  pixelInterleave = leg == "u16_chunky2",
+                  sparse = leg == "u16_sparse")
+                val tw = p.tileWidth; val th = p.tileHeight
+                // tile pad (gx/gy >= W) stores the leg's fill: 42 for the
+                // sparse leg (so all-nodata tiles stay holes), else 0
+                val pad = if (leg == "u16_sparse") 42.0 else 0.0
+                def plane(b: Int, tr: Int, tc: Int): Array[Double] =
+                  Array.tabulate(tw * th) { i =>
+                    val gx = tc * tw + i % tw; val gy = tr * th + i / tw
+                    if (gx < W && gy < W) v(b, gx, gy) else pad
+                  }
                 for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross)
-                  w.writeTile(1, tr, tc, Array.tabulate(T * T) { i =>
-                    val gx = tc * T + i % T; val gy = tr * T + i / T
-                    if (gx < W && gy < W) v(gx, gy) else 0.0
-                  })
+                  if (leg == "u16_chunky2")
+                    w.writeTileInterleaved(tr, tc,
+                      (1 to p.bands).map(b => plane(b, tr, tc)))
+                  else w.writeTile(1, tr, tc, plane(1, tr, tc))
                 w.close()
                 val t = GeoTiff.open(f.getAbsolutePath)
+                // the sparse leg must actually produce holes — 3 of the 4
+                // tiles are all-42; a silent dense write would still hash
+                // right, so assert the layout too
+                if (leg == "u16_sparse")
+                  require(t.tileCounts.count(_ == 0L) == 3,
+                    s"expected 3 sparse holes, got ${t.tileCounts.toSeq}")
                 var sum = 0L; var wsum = 0L
-                for (tr <- 0 until t.profile.tilesDown;
+                for (band <- 1 to t.profile.bands;
+                     tr <- 0 until t.profile.tilesDown;
                      tc <- 0 until t.profile.tilesAcross) {
-                  val px = t.readTile(1, tr, tc)
+                  val px = t.readTile(band, tr, tc)
                   var i = 0
                   while (i < px.length) {
-                    val gx = tc * T + i % T; val gy = tr * T + i / T
+                    val gx = tc * tw + i % tw; val gy = tr * th + i / tw
                     if (gx < W && gy < W) {
                       val lv = px(i).toLong
                       sum += lv; wsum += lv * (gx + W.toLong * gy)
@@ -7036,7 +7073,12 @@ object SparkEntry {
           |  UNION ALL SELECT asset_id, 'u16_lzw', (11*asset_id + 3*x + 7*y) % 60000, x, y FROM px
           |  UNION ALL SELECT asset_id, 'u16_lzw_pred2', (5*asset_id + 2*x + 3*y) % 60000, x, y FROM px
           |  UNION ALL SELECT asset_id, 'u8_packbits', (asset_id + 2*x + y) % 256, x, y FROM px
-          |  UNION ALL SELECT asset_id, 'u16_big', (9*asset_id + x + 13*y) % 60000, x, y FROM px)
+          |  UNION ALL SELECT asset_id, 'u16_big', (9*asset_id + x + 13*y) % 60000, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u8_stripped', (3*asset_id + x + 2*y) % 256, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u16_chunky2', (bt.b*1000 + 5*asset_id + 2*x + 3*y) % 60000, x, y
+          |    FROM px, (VALUES (1), (2)) AS bt(b)
+          |  UNION ALL SELECT asset_id, 'u16_sparse',
+          |    CASE WHEN x < 16 AND y < 16 THEN (13*asset_id + 4*x + 9*y) % 60000 ELSE 42 END, x, y FROM px)
           |SELECT asset_id, leg, CAST(sum(v) AS BIGINT) AS sum_v,
           |  CAST(sum(v * (x + 24*y)) AS BIGINT) AS wsum_v
           |FROM legs GROUP BY 1, 2 ORDER BY asset_id, leg""".stripMargin,

@@ -139,14 +139,41 @@ object GeoTiff {
     * byte size (every tile at its codec's expansion bound) could cross
     * the classic 4 GB offset limit — the policy GDAL calls BIGTIFF=
     * IF_SAFER, and the only safe one for a streaming writer that cannot
-    * know compressed sizes up front. */
-  final class Writer(path: String, profile: Profile, bigtiff: Boolean = false) {
-    private val nTiles = profile.tilesPerBand * profile.bands
+    * know compressed sizes up front.
+    *
+    * `stripped` emits the classic strip layout (tags 273/278/279,
+    * RowsPerStrip = profile.tileHeight, full-width rows, last strip
+    * UNPADDED — GDAL's own default without TILED=YES); `pixelInterleave`
+    * emits PlanarConfiguration=1 chunky planes (GDAL's INTERLEAVE=PIXEL
+    * default) via [[writeTileInterleaved]].
+    *
+    * `sparse` is GDAL's SPARSE_OK=TRUE — the creation option the
+    * reference sets on every gdal-geotiff destination
+    * (`gfw_pixetl/tiles/tile.py:65`): a tile whose samples are ALL the
+    * nodata value (0 when the profile has none) is not allocated at all;
+    * its offset/count entries stay 0 and a reader materializes the fill.
+    * For the mostly-empty tiles a global grid produces, this is the
+    * difference between a ~KB file and a full-size one. */
+  final class Writer(path: String, profile: Profile, bigtiff: Boolean = false,
+                     stripped: Boolean = false, pixelInterleave: Boolean = false,
+                     sparse: Boolean = false) {
+    require(!stripped || profile.tileWidth == profile.width,
+      s"stripped layout needs full-width rows: tileWidth ${profile.tileWidth} != width ${profile.width}")
+    require(!pixelInterleave || (profile.bitsPerSample >= 8 && !profile.ccitt),
+      "pixel interleave needs whole-byte non-CCITT samples")
+    private val nPlanes = if (pixelInterleave) 1 else profile.bands
+    private val sampleStride = if (pixelInterleave) profile.bands else 1
+    private val nTiles = profile.tilesPerBand * nPlanes
+    /** Rows actually stored at this tile row: strips do not pad the tail. */
+    private def rowsAt(tileRow: Int): Int =
+      if (stripped) math.min(profile.tileHeight,
+        profile.height - tileRow * profile.tileHeight)
+      else profile.tileHeight
     /** Codec worst case ≈ 1.6× raw (LZW's 12-bit-code bound is 1.5×,
       * DEFLATE's stored-block bound ~1.0003×, PackBits 1.008×) plus
       * per-tile and IFD slack. */
     private val big: Boolean = bigtiff ||
-      16L + nTiles.toLong * (profile.tileByteSize.toLong * 8 / 5 + 96) +
+      16L + nTiles.toLong * (profile.tileByteSize.toLong * sampleStride * 8 / 5 + 96) +
         65536L > 0xFFFFFFFFL
     private val raf = new RandomAccessFile(path, "rw")
     raf.setLength(0)
@@ -165,24 +192,66 @@ object GeoTiff {
     /** Whether this writer is emitting the BigTIFF container. */
     def isBigTiff: Boolean = big
 
-    /** Write one tile's pixels (row-major, length tileWidth*tileHeight).
-      * Values are narrowed to the profile's storage type here — the
-      * widen-compute/narrow-store boundary (SURVEY §1.2). */
+    /** Write one tile's pixels (row-major, length tileWidth*tileHeight —
+      * always the PADDED tile shape; a stripped writer stores only the
+      * strip's real rows). Values are narrowed to the profile's storage
+      * type here — the widen-compute/narrow-store boundary (SURVEY §1.2). */
     def writeTile(band: Int, tileRow: Int, tileCol: Int, pixels: Array[Double]): Unit = {
+      require(!pixelInterleave || profile.bands == 1,
+        "multiband pixel-interleaved files write via writeTileInterleaved")
       require(pixels.length == profile.tileWidth * profile.tileHeight,
         s"tile must be padded to ${profile.tileWidth}x${profile.tileHeight}")
-      val idx = (band - 1) * profile.tilesPerBand + tileRow * profile.tilesAcross + tileCol
-      val raw = encode(pixels)
-      if (profile.predictor == 2) diffPredictor2(raw, profile)
+      writePlane((band - 1) * profile.tilesPerBand +
+          tileRow * profile.tilesAcross + tileCol,
+        tileRow, pixels, 1)
+    }
+
+    /** Chunky (PlanarConfiguration=1) write: ALL bands of one tile at
+      * once, each the padded row-major plane; samples interleave
+      * per pixel on disk. */
+    def writeTileInterleaved(tileRow: Int, tileCol: Int,
+                             bands: Seq[Array[Double]]): Unit = {
+      require(pixelInterleave, "writeTileInterleaved needs pixelInterleave=true")
+      require(bands.length == profile.bands,
+        s"expected ${profile.bands} band planes, got ${bands.length}")
+      bands.foreach(b => require(b.length == profile.tileWidth * profile.tileHeight,
+        s"each plane must be padded to ${profile.tileWidth}x${profile.tileHeight}"))
+      val nb = profile.bands
+      val merged = new Array[Double](profile.tileWidth * profile.tileHeight * nb)
+      var j = 0
+      while (j < merged.length) { merged(j) = bands(j % nb)(j / nb); j += 1 }
+      writePlane(tileRow * profile.tilesAcross + tileCol, tileRow, merged, nb)
+    }
+
+    private def writePlane(idx: Int, tileRow: Int, pixels: Array[Double],
+                           stride: Int): Unit = {
+      val rows = rowsAt(tileRow)
+      val rowSamples = profile.tileWidth * stride
+      if (sparse) {
+        // SPARSE_OK: an all-nodata plane leaves its offset/count at 0 —
+        // only the STORED samples matter (a short last strip's virtual
+        // pad rows sit past rows*rowSamples and are never on disk)
+        val nd = profile.noData.getOrElse(0.0)
+        var i = 0; var hole = true
+        while (hole && i < rows * rowSamples) {
+          if (pixels(i) != nd) hole = false
+          i += 1
+        }
+        if (hole) return
+      }
+      val raw = encode(pixels, rows, rowSamples)
+      if (profile.predictor == 2)
+        diffPredictor2(raw, profile.bitsPerSample, rows, rowSamples, stride)
       else if (profile.predictor == 3)
-        diffPredictor3(raw, profile.tileHeight, profile.tileWidth,
-          profile.bitsPerSample / 8)
+        diffPredictor3(raw, rows, rowSamples, profile.bitsPerSample / 8)
+      val rowBytes =
+        if (profile.bitsPerSample < 8) profile.bytesPerRow
+        else rowSamples * (profile.bitsPerSample / 8)
       val payload = profile.compressionCode match {
-        case 4 =>
-          CcittG4.encode(raw, profile.tileWidth, profile.tileHeight, profile.bytesPerRow)
+        case 4     => CcittG4.encode(raw, profile.tileWidth, rows, profile.bytesPerRow)
         case 5     => Lzw.encode(raw)
         case 8     => deflate(raw)
-        case 32773 => Packbits.encode(raw, profile.bytesPerRow)
+        case 32773 => Packbits.encode(raw, rowBytes)
         case _     => raw
       }
       val at = raf.getFilePointer
@@ -190,24 +259,25 @@ object GeoTiff {
       // silently wrapping into a corrupt file (the auto-switch should
       // have chosen BigTIFF long before this fires)
       require(big || at + payload.length <= 0xFFFFFFFFL,
-        s"$path exceeds the classic TIFF 4GB limit at tile ($band,$tileRow,$tileCol)")
+        s"$path exceeds the classic TIFF 4GB limit at plane $idx")
       offsets(idx) = at
       counts(idx) = payload.length
       raf.write(payload)
     }
 
-    private def encode(px: Array[Double]): Array[Byte] = {
+    private def encode(px: Array[Double], rows: Int, rowSamples: Int): Array[Byte] = {
       // out-of-range values CLAMP to the storage range (GDAL semantics);
       // Java's narrowing casts would silently wrap instead
       def cl(v: Double, lo: Long, hi: Long): Long =
         math.max(lo, math.min(hi, math.rint(v).toLong))
       val bits = profile.bitsPerSample
+      val n = rows * rowSamples
       if (bits < 8) { // sub-byte NBITS: MSB-first packing, byte-padded rows
         val tw = profile.tileWidth; val bpr = profile.bytesPerRow
-        val out = new Array[Byte](profile.tileByteSize)
+        val out = new Array[Byte](bpr * rows)
         val maxV = (1L << bits) - 1
         var r = 0
-        while (r < profile.tileHeight) {
+        while (r < rows) {
           var c = 0
           while (c < tw) {
             val v = cl(px(r * tw + c), 0, maxV)
@@ -226,24 +296,27 @@ object GeoTiff {
         }
         return out
       }
-      val bb = ByteBuffer.allocate(profile.tileByteSize).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.allocate(n * (bits / 8)).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
       (bits, profile.sampleFormat) match {
-        case (8, 1)  => px.foreach(v => bb.put(cl(v, 0, 255).toByte))
-        case (8, 2)  => px.foreach(v => bb.put(cl(v, -128, 127).toByte))
-        case (16, 1) => px.foreach(v => bb.putShort(cl(v, 0, 65535).toShort))
-        case (16, 2) => px.foreach(v => bb.putShort(cl(v, -32768, 32767).toShort))
-        case (16, 3) => px.foreach(v => bb.putShort(floatToHalf(v.toFloat)))
-        case (32, 1) => px.foreach(v => bb.putInt(cl(v, 0, 4294967295L).toInt))
-        case (32, 2) => px.foreach(v => bb.putInt(cl(v, Int.MinValue, Int.MaxValue).toInt))
-        case (32, 3) => px.foreach(v => bb.putFloat(v.toFloat))
-        case (64, 3) => px.foreach(bb.putDouble)
+        case (8, 1)  => while (i < n) { bb.put(cl(px(i), 0, 255).toByte); i += 1 }
+        case (8, 2)  => while (i < n) { bb.put(cl(px(i), -128, 127).toByte); i += 1 }
+        case (16, 1) => while (i < n) { bb.putShort(cl(px(i), 0, 65535).toShort); i += 1 }
+        case (16, 2) => while (i < n) { bb.putShort(cl(px(i), -32768, 32767).toShort); i += 1 }
+        case (16, 3) => while (i < n) { bb.putShort(floatToHalf(px(i).toFloat)); i += 1 }
+        case (32, 1) => while (i < n) { bb.putInt(cl(px(i), 0, 4294967295L).toInt); i += 1 }
+        case (32, 2) => while (i < n) { bb.putInt(cl(px(i), Int.MinValue, Int.MaxValue).toInt); i += 1 }
+        case (32, 3) => while (i < n) { bb.putFloat(px(i).toFloat); i += 1 }
+        case (64, 3) => while (i < n) { bb.putDouble(px(i)); i += 1 }
         case other   => throw new IllegalStateException(s"encode $other")
       }
       bb.array()
     }
 
     def close(): Unit = {
-      require(offsets.forall(_ > 0), "not all tiles were written")
+      // a sparse writer's zero entries are deliberate holes (implicit
+      // nodata fill — GDAL SPARSE_OK), including tiles never written
+      require(sparse || offsets.forall(_ > 0), "not all tiles were written")
       val ifdOffset = raf.getFilePointer
       val ifd = buildIfd(ifdOffset)
       require(big || ifdOffset + ifd.length <= 0xFFFFFFFFL,
@@ -298,17 +371,24 @@ object GeoTiff {
       add(259, TShort, 1, shortVal(p.compressionCode))
       add(262, TShort, 1, shortVal(p.photometricCode))
       add(277, TShort, 1, shortVal(p.bands))
-      add(284, TShort, 1, shortVal(2)) // planar = separate (INTERLEAVE=BAND)
+      // planar: separate (INTERLEAVE=BAND, the reference default) or
+      // chunky (INTERLEAVE=PIXEL)
+      add(284, TShort, 1, shortVal(if (pixelInterleave) 1 else 2))
       if (p.ccitt) add(293, TLong, 1, longVal(0)) // T6Options: no extensions
       if (p.predictor != 1) add(317, TShort, 1, shortVal(p.predictor))
-      add(322, TLong, 1, longVal(p.tileWidth))
-      add(323, TLong, 1, longVal(p.tileHeight))
+      val (offTag, cntTag) =
+        if (stripped) { add(278, TLong, 1, longVal(p.tileHeight)); (273, 279) }
+        else {
+          add(322, TLong, 1, longVal(p.tileWidth))
+          add(323, TLong, 1, longVal(p.tileHeight))
+          (324, 325)
+        }
       if (big) {
-        addBig(324, TLong8, nTiles, offsets.flatMap(leLong))
-        addBig(325, TLong8, nTiles, counts.flatMap(leLong))
+        addBig(offTag, TLong8, nTiles, offsets.flatMap(leLong))
+        addBig(cntTag, TLong8, nTiles, counts.flatMap(leLong))
       } else {
-        addBig(324, TLong, nTiles, offsets.flatMap(o => leInt(o.toInt)))
-        addBig(325, TLong, nTiles, counts.flatMap(c => leInt(c.toInt)))
+        addBig(offTag, TLong, nTiles, offsets.flatMap(o => leInt(o.toInt)))
+        addBig(cntTag, TLong, nTiles, counts.flatMap(c => leInt(c.toInt)))
       }
       val fmts = Array.fill(p.bands)(leShort(p.sampleFormat)).flatten
       addBig(339, TShort, p.bands, fmts)
@@ -414,35 +494,36 @@ object GeoTiff {
   /** Apply horizontal differencing (predictor 2) in place — the forward
     * transform a writer runs before LZW/DEFLATE so runs of similar values
     * become runs of small deltas. Right-to-left per row, modulo the sample
-    * width (always little-endian: only the writer calls this). */
-  private[sources] def diffPredictor2(raw: Array[Byte], p: Profile): Unit = {
-    val tw = p.tileWidth; val th = p.tileHeight
-    p.bitsPerSample match {
+    * width; `lag` = component count for pixel-interleaved rows (always
+    * little-endian: only the writer calls this). */
+  private[sources] def diffPredictor2(raw: Array[Byte], bits: Int, rows: Int,
+                                      rowSamples: Int, lag: Int): Unit = {
+    bits match {
       case 8 =>
         var r = 0
-        while (r < th) {
-          val base = r * tw; var c = tw - 1
-          while (c >= 1) { raw(base + c) = (raw(base + c) - raw(base + c - 1)).toByte; c -= 1 }
+        while (r < rows) {
+          val base = r * rowSamples; var c = rowSamples - 1
+          while (c >= lag) { raw(base + c) = (raw(base + c) - raw(base + c - lag)).toByte; c -= 1 }
           r += 1
         }
       case 16 =>
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asShortBuffer()
         var r = 0
-        while (r < th) {
-          val base = r * tw; var c = tw - 1
-          while (c >= 1) { bb.put(base + c, (bb.get(base + c) - bb.get(base + c - 1)).toShort); c -= 1 }
+        while (r < rows) {
+          val base = r * rowSamples; var c = rowSamples - 1
+          while (c >= lag) { bb.put(base + c, (bb.get(base + c) - bb.get(base + c - lag)).toShort); c -= 1 }
           r += 1
         }
       case 32 =>
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
         var r = 0
-        while (r < th) {
-          val base = r * tw; var c = tw - 1
-          while (c >= 1) { bb.put(base + c, bb.get(base + c) - bb.get(base + c - 1)); c -= 1 }
+        while (r < rows) {
+          val base = r * rowSamples; var c = rowSamples - 1
+          while (c >= lag) { bb.put(base + c, bb.get(base + c) - bb.get(base + c - lag)); c -= 1 }
           r += 1
         }
-      case bits => throw new IllegalArgumentException(
-        s"predictor 2 unsupported at $bits bits per sample")
+      case other => throw new IllegalArgumentException(
+        s"predictor 2 unsupported at $other bits per sample")
     }
   }
 
@@ -569,6 +650,18 @@ object GeoTiff {
       val idx =
         if (chunky) tileRow * p.tilesAcross + tileCol
         else (band - 1) * p.tilesPerBand + tileRow * p.tilesAcross + tileCol
+      if (tileCounts(idx) == 0L) {
+        // SPARSE_OK hole (tile.py:65): unallocated block reads as the
+        // nodata fill (0 when the profile has none); a short last
+        // strip's pad rows keep the 0.0 zero-pad convention
+        val fill = p.noData.getOrElse(0.0)
+        val out = new Array[Double](p.tileWidth * p.tileHeight)
+        val rowsHere =
+          if (stripped) math.min(p.tileHeight, p.height - tileRow * p.tileHeight)
+          else p.tileHeight
+        java.util.Arrays.fill(out, 0, rowsHere * p.tileWidth, fill)
+        return out
+      }
       val raf = rangeReader(path)
       try {
         raf.seek(tileOffsets(idx))

@@ -573,6 +573,105 @@ class GeoTiffSpec extends SparkSpec {
     assert(GeoTiff.openAll(path).length >= 1) // must return, not hang
   }
 
+  test("stripped WRITER emits unpadded last strip; round-trips via own reader") {
+    // 24 wide x 20 high uint16, RowsPerStrip 16 -> strips of 16 and 4 rows
+    val W = 24; val H = 20; val rps = 16
+    def v(x: Int, y: Int): Double = (31 * x + 7 * y).toDouble
+    val p = GeoTiff.Profile(W, H, 1, "uint16", W, rps, Some(0.0), 4326,
+      0, 0, 1, 1, deflate = false, lzw = true)
+    val path = tmp("w_stripped.tif")
+    val w = new GeoTiff.Writer(path, p, stripped = true)
+    for (tr <- 0 until p.tilesDown)
+      w.writeTile(1, tr, 0, Array.tabulate(W * rps) { i =>
+        val gy = tr * rps + i / W
+        if (gy < H) v(i % W, gy) else 0.0
+      })
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.stripped && t.profile.lzw && t.profile.tileHeight == rps)
+    for (tr <- 0 until 2; y <- 0 until rps; x <- 0 until W) {
+      val gy = tr * rps + y
+      val expect = if (gy < H) v(x, gy) else 0.0
+      assert(t.readTile(1, tr, 0)(y * W + x) == expect, s"($x,$gy)")
+    }
+    // the second strip's payload covers only 4 real rows: its LZW stream
+    // must be far smaller than the full strip's
+    assert(t.tileCounts(1) < t.tileCounts(0), s"${t.tileCounts.toSeq}")
+    // full-width invariant enforced at construction
+    intercept[IllegalArgumentException](
+      new GeoTiff.Writer(tmp("w_badstrip.tif"),
+        p.copy(tileWidth = 16), stripped = true))
+  }
+
+  test("chunky WRITER interleaves bands; reader de-interleaves them back") {
+    val W = 16
+    def v(b: Int, i: Int): Double = ((b * 1000 + i * 3) % 60000).toDouble
+    val p = GeoTiff.Profile(W, W, 3, "uint16", W, W, None, 4326,
+      0, 0, 1, 1, deflate = true, predictor = 2)
+    val path = tmp("w_chunky.tif")
+    val w = new GeoTiff.Writer(path, p, pixelInterleave = true)
+    w.writeTileInterleaved(0, 0,
+      (1 to 3).map(b => Array.tabulate(W * W)(i => v(b, i))))
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.chunky && t.profile.bands == 3 && t.profile.predictor == 2)
+    for (b <- 1 to 3) {
+      val got = t.readTile(b, 0, 0)
+      (0 until W * W).foreach(i => assert(got(i) == v(b, i), s"band $b px $i"))
+    }
+    // writeTile on a multiband chunky writer is a loud error
+    intercept[IllegalArgumentException](
+      w.writeTile(1, 0, 0, Array.fill(W * W)(0.0)))
+  }
+
+  test("sparse WRITER (SPARSE_OK) skips all-nodata tiles; reader fills holes") {
+    // 32x32 uint16, 16px tiles -> 4 tiles, nodata 42 (tile.py:65 SPARSE_OK)
+    val T = 16
+    def v(x: Int, y: Int): Double = ((13 * x + 7 * y) % 60000).toDouble
+    val p = GeoTiff.Profile(2 * T, 2 * T, 1, "uint16", T, T, Some(42.0), 4326,
+      0, 0, 1, 1, deflate = true)
+    val path = tmp("w_sparse.tif")
+    val w = new GeoTiff.Writer(path, p, sparse = true)
+    w.writeTile(1, 0, 0, Array.tabulate(T * T)(i => v(i % T, i / T)))
+    w.writeTile(1, 0, 1, Array.fill(T * T)(42.0)) // explicit all-nodata -> hole
+    // tiles (1,0) and (1,1) never written -> holes too
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.tileCounts.toSeq.map(_ > 0) == Seq(true, false, false, false))
+    assert(t.tileOffsets.toSeq.drop(1) == Seq(0L, 0L, 0L))
+    (0 until T * T).foreach(i => assert(t.readTile(1, 0, 0)(i) == v(i % T, i / T)))
+    for ((tr, tc) <- Seq((0, 1), (1, 0), (1, 1)))
+      assert(t.readTile(1, tr, tc).forall(_ == 42.0), s"hole ($tr,$tc)")
+    // the dense twin stores all four tiles and is strictly larger
+    val dense = tmp("w_dense.tif")
+    val wd = new GeoTiff.Writer(dense, p)
+    for (tr <- 0 until 2; tc <- 0 until 2)
+      wd.writeTile(1, tr, tc,
+        if (tr == 0 && tc == 0) Array.tabulate(T * T)(i => v(i % T, i / T))
+        else Array.fill(T * T)(42.0))
+    wd.close()
+    assert(new java.io.File(path).length < new java.io.File(dense).length)
+    val td = GeoTiff.open(dense)
+    assert(td.tileCounts.forall(_ > 0))
+    // without sparse, an unwritten tile is still a loud close() error
+    val part = new GeoTiff.Writer(tmp("w_partial.tif"), p)
+    part.writeTile(1, 0, 0, Array.fill(T * T)(1.0))
+    intercept[IllegalArgumentException](part.close())
+  }
+
+  test("sparse hole fill uses 0 when the profile declares no nodata") {
+    val T = 8
+    val p = GeoTiff.Profile(T, 2 * T, 1, "uint8", T, T, None, 4326,
+      0, 0, 1, 1, deflate = false)
+    val path = tmp("w_sparse0.tif")
+    val w = new GeoTiff.Writer(path, p, sparse = true)
+    w.writeTile(1, 1, 0, Array.tabulate(T * T)(i => (i % 251).toDouble))
+    w.close() // tile (0,0) never written
+    val t = GeoTiff.open(path)
+    assert(t.readTile(1, 0, 0).forall(_ == 0.0))
+    assert(t.readTile(1, 1, 0)(17) == 17.0)
+  }
+
   test("big-endian 'MM' classic TIFF decodes bit-identically to its II twin") {
     // hand-build a minimal MM TIFF: one 8x8 uint16 tile, uncompressed
     val W = 8
