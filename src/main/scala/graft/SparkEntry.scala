@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
     "s5_tiff_roundtrip"   -> (Q.s5_tiff_roundtrip(_, _)),
+    "k5_pyramid_sink"     -> (Q.k5_pyramid_sink(_, _)),
     "s2_manifest_chain"   -> (Q.s2_manifest_chain(_, _)),
     "p5_reproject"        -> (Q.p5_reproject(_, _)),
     "s3_listing_scan"     -> (Q.s3_listing_scan(_, _)),
@@ -2233,7 +2234,7 @@ object SparkEntry {
       * is ENCODED through the real `GeoTiff.Writer` (K1) and re-DECODED
       * through the real IFD parse + tile read (S4/S5), and the decoded
       * pixels fold to position-weighted integer sums the oracle computes
-      * straight from the generating formula. Thirteen legs cover the
+      * straight from the generating formula. Fifteen legs cover the
       * codec matrix: uint16+DEFLATE, uint8 raw, NBITS=4 bit-packing,
       * CCITT-G4 bilevel, float32 (SampleFormat=IEEE, integer-valued ⇒
       * exact), int16 (signed narrow), LZW (the common public-file codec),
@@ -2241,9 +2242,13 @@ object SparkEntry {
       * forced-BigTIFF container (magic 43, 8-byte offsets), a STRIPPED
       * layout (unpadded last strip) through the strip writer, a 2-band
       * PIXEL-INTERLEAVED (chunky, PlanarConfiguration=1) plane with
-      * predictor 2 (per-component lag), and a SPARSE_OK file
+      * predictor 2 (per-component lag), a SPARSE_OK file
       * (tile.py:65) whose 3 all-nodata tiles become unallocated holes
-      * the reader refills. Encode/decode run inside `mapPartitions`
+      * the reader refills, ZSTD (tag 50000, via Spark's own zstd-jni),
+      * and new-style JPEG (tag 7) with per-8×8-block-constant pixels —
+      * flat DCT blocks are DC-only at quantization step 1, so even the
+      * lossy codec round-trips bit-exactly and stays hash-checkable.
+      * Encode/decode run inside `mapPartitions`
       * (the multimodal discipline — codecs never in expressions); temp
       * files are per-task and deleted in `finally`. Any bit the codec
       * chain drops or shifts breaks the wsum hash. */
@@ -2252,8 +2257,8 @@ object SparkEntry {
       import graft.sources.GeoTiff
       val W = 24; val T = 16
       val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_big", "u16_chunky2",
-        "u16_deflate", "u16_lzw", "u16_lzw_pred2", "u16_sparse", "u8_packbits",
-        "u8_raw", "u8_stripped")
+        "u16_deflate", "u16_lzw", "u16_lzw_pred2", "u16_sparse", "u16_zstd",
+        "u8_jpeg", "u8_packbits", "u8_raw", "u8_stripped")
       Tables.part(s, d)
         .filter(col("p_partkey") <= 12)
         .select(col("p_partkey").cast("long").as("asset_id")).as[Long]
@@ -2279,6 +2284,10 @@ object SparkEntry {
                 case "u16_sparse"    =>
                   if (x < 16 && y < 16) ((13 * a + 4 * x + 9 * y) % 60000).toDouble
                   else 42.0
+                case "u16_zstd"      => ((17 * a + 6 * x + 11 * y) % 60000).toDouble
+                // constant per 8x8 DCT block ⇒ baseline JPEG at max quality
+                // round-trips EXACTLY (flat blocks are DC-only, q-step 1)
+                case "u8_jpeg"       => ((31 * a + 5 * (x / 8) + 11 * (y / 8)) % 256).toDouble
               }
               def prof(dt: String, defl: Boolean = true, nb: Option[Int] = None,
                        cc: Boolean = false) =
@@ -2302,6 +2311,8 @@ object SparkEntry {
                 // chunky: 2 bands pixel-interleaved + predictor 2
                 case "u16_chunky2"   => prof("uint16").copy(bands = 2, predictor = 2)
                 case "u16_sparse"    => prof("uint16").copy(noData = Some(42.0))
+                case "u16_zstd"      => prof("uint16", defl = false).copy(zstd = true)
+                case "u8_jpeg"       => prof("uint8", defl = false).copy(jpeg = true)
               }
               val f = java.io.File.createTempFile(s"graft_s5_${a}_$leg", ".tif")
               try {
@@ -2354,6 +2365,101 @@ object SparkEntry {
         }
         .toDF("asset_id", "leg", "sum_v", "wsum_v")
         .orderBy("asset_id", "leg")
+    }
+
+    /** K1 + §2.9 OVERVIEW PYRAMID sink — the distributed overview build,
+      * end to end, at the dataflow shape that survives 100 TB: base
+      * blocks → per-block factor-2 [[graft.operators.Resample.downsample]]
+      * (map-side, 4× data reduction, NO shuffle; `nearest` and masked
+      * mean-floor `average` legs) → [[graft.operators.Resample.regroup2x]]
+      * (the ONE keyed exchange of the build, moving only the reduced
+      * quarters) → per-(asset, mode) [[graft.sources.GeoTiff.Writer]]
+      * with a DECLARED factor-2 overview (chained IFDs, gdaladdo layout,
+      * NewSubfileType=1) → `openAll` readback of BOTH pyramid levels from
+      * the file. The oracle replays the generating formula, the nearest
+      * decimation, and the nodata-excluded floor-mean in closed form, so
+      * the whole chain — downsample arithmetic, quarter assembly, IFD
+      * chaining, per-level offsets — is hash-checked. The `average` leg's
+      * floor(mean of non-nodata) is the deterministic twin of GDAL's
+      * nodata-excluding average (both engines floor the same IEEE double,
+      * sums < 4000 ⇒ exact). Nodata pixels ((x·y) % 7 = 0 → 0) thread
+      * the masked-pixel convention through every stage. */
+    def k5_pyramid_sink(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import graft.operators.Resample
+      import graft.sources.GeoTiff
+      val B = 16 // block = tile size; base image 32×32 = 2×2 blocks
+      val assets = Tables.part(s, d).filter(col("p_partkey") <= 6)
+        .select(col("p_partkey").cast("long").as("asset_id"))
+      val blockIdx = s.range(4).select(
+        (col("id") / 2).cast("int").as("block_row"),
+        (col("id") % 2).cast("int").as("block_col"))
+      // stored base: nodata 0 where (gx·gy)%7=0, else 1 + (7a+5x+3y)%997
+      val base = assets.crossJoin(broadcast(blockIdx))
+        .withColumn("band_1", transform(sequence(lit(0), lit(B * B - 1)), i => {
+          val gx = col("block_col") * B + pmod(i, lit(B))
+          val gy = col("block_row") * B + (i / B).cast("int")
+          when(pmod(gx * gy, lit(7)) === 0, lit(0.0))
+            .otherwise((pmod(lit(7) * col("asset_id") + lit(5) * gx + lit(3) * gy,
+              lit(997)) + 1).cast("double"))
+        }))
+      // masked-pixel convention: nodata → null through the kernels
+      val masked = base.withColumn("band_1",
+        transform(col("band_1"), v => when(v =!= 0.0, v)))
+      def halves(method: String) = masked.withColumn("band_1",
+        Resample.downsample(col("band_1"), B, B, 2, method))
+      val ovrN = Resample.regroup2x(halves("nearest"), B, Seq("band_1"), Seq("asset_id"))
+        .withColumn("mode", lit("nearest"))
+      // deterministic floor-mean: floor map-side, BEFORE the exchange
+      val ovrA = Resample.regroup2x(
+          halves("average").withColumn("band_1",
+            transform(col("band_1"), v => floor(v))),
+          B, Seq("band_1"), Seq("asset_id"))
+        .withColumn("mode", lit("average"))
+      val modes = s.range(2).select(
+        when(col("id") === 0, "nearest").otherwise("average").as("mode"))
+      val lvl0 = base.crossJoin(broadcast(modes)).withColumn("level", lit(0))
+      val lvl1 = ovrN.unionByName(ovrA)
+        .withColumn("band_1", transform(col("band_1"), v => coalesce(v, lit(0.0))))
+        .withColumn("level", lit(1))
+      val cols5 = Seq("asset_id", "mode", "level", "block_row", "block_col", "band_1")
+      lvl0.select(cols5.map(col): _*).unionByName(lvl1.select(cols5.map(col): _*))
+        .as[(Long, String, Int, Int, Int, Seq[Double])]
+        .groupByKey { case (a, m, _, _, _, _) => (a, m) }
+        .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Int, Int, Int, Seq[Double])]) =>
+          val (a, m) = key
+          val f = java.io.File.createTempFile(s"graft_k5_${a}_$m", ".tif")
+          try {
+            val p = GeoTiff.Profile(2 * B, 2 * B, 1, "uint16", B, B, Some(0.0),
+              4326, 0.0, 0.0, 1.0, 1.0, deflate = true)
+            val w = new GeoTiff.Writer(f.getAbsolutePath, p, overviewFactors = Seq(2))
+            it.foreach { case (_, _, lvl, br, bc, px) =>
+              if (lvl == 0) w.writeTile(1, br, bc, px.toArray)
+              else w.writeOverviewTile(1, 1, br, bc, px.toArray)
+            }
+            w.close()
+            GeoTiff.openAll(f.getAbsolutePath).zipWithIndex.map { case (t, lvl) =>
+              val wd = t.profile.width
+              var sum = 0L; var wsum = 0L
+              for (tr <- 0 until t.profile.tilesDown;
+                   tc <- 0 until t.profile.tilesAcross) {
+                val px = t.readTile(1, tr, tc)
+                var i = 0
+                while (i < px.length) {
+                  val gx = tc * B + i % B; val gy = tr * B + i / B
+                  if (gx < wd && gy < wd) {
+                    val lv = px(i).toLong
+                    sum += lv; wsum += lv * (gx + wd.toLong * gy)
+                  }
+                  i += 1
+                }
+              }
+              (a, m, lvl, sum, wsum)
+            }
+          } finally f.delete()
+        }
+        .toDF("asset_id", "mode", "level", "sum_v", "wsum_v")
+        .orderBy("asset_id", "mode", "level")
     }
 
     /** S2/S8/K2 manifest CHAIN — the control-plane round trip a chained
@@ -7078,10 +7184,41 @@ object SparkEntry {
           |  UNION ALL SELECT asset_id, 'u16_chunky2', (bt.b*1000 + 5*asset_id + 2*x + 3*y) % 60000, x, y
           |    FROM px, (VALUES (1), (2)) AS bt(b)
           |  UNION ALL SELECT asset_id, 'u16_sparse',
-          |    CASE WHEN x < 16 AND y < 16 THEN (13*asset_id + 4*x + 9*y) % 60000 ELSE 42 END, x, y FROM px)
+          |    CASE WHEN x < 16 AND y < 16 THEN (13*asset_id + 4*x + 9*y) % 60000 ELSE 42 END, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u16_zstd', (17*asset_id + 6*x + 11*y) % 60000, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u8_jpeg',
+          |    (31*asset_id + 5*(x // 8) + 11*(y // 8)) % 256, x, y FROM px)
           |SELECT asset_id, leg, CAST(sum(v) AS BIGINT) AS sum_v,
           |  CAST(sum(v * (x + 24*y)) AS BIGINT) AS wsum_v
           |FROM legs GROUP BY 1, 2 ORDER BY asset_id, leg""".stripMargin,
+
+      // distributed overview pyramid: base 32×32 per asset, nodata 0 where
+      // (x·y)%7=0; level 1 = nearest decimation (base at 2x,2y) and the
+      // nodata-excluded floor-mean — both replayed in closed form, weights
+      // use each level's own width (32 base, 16 overview)
+      "k5_pyramid_sink" ->
+        """WITH ids AS (SELECT CAST(p_partkey AS BIGINT) AS a FROM part
+          |             WHERE p_partkey <= 6),
+          |px AS (SELECT a, x, y,
+          |         CASE WHEN (x*y) % 7 = 0 THEN 0
+          |              ELSE (7*a + 5*x + 3*y) % 997 + 1 END AS v
+          |       FROM ids CROSS JOIN generate_series(0, 31) gx(x)
+          |                CROSS JOIN generate_series(0, 31) gy(y)),
+          |ovn AS (SELECT a, x // 2 AS ox, y // 2 AS oy, v FROM px
+          |        WHERE x % 2 = 0 AND y % 2 = 0),
+          |ova AS (SELECT a, x // 2 AS ox, y // 2 AS oy,
+          |          CASE WHEN COUNT(*) FILTER (WHERE v <> 0) = 0 THEN 0
+          |               ELSE CAST(FLOOR(SUM(v) FILTER (WHERE v <> 0)
+          |                    / COUNT(*) FILTER (WHERE v <> 0)) AS BIGINT) END AS v
+          |        FROM px GROUP BY 1, 2, 3),
+          |legs AS (
+          |  SELECT a, m, 0 AS lvl, v, x + 32*y AS wt
+          |  FROM px CROSS JOIN (VALUES ('nearest'), ('average')) mm(m)
+          |  UNION ALL SELECT a, 'nearest', 1, v, ox + 16*oy FROM ovn
+          |  UNION ALL SELECT a, 'average', 1, v, ox + 16*oy FROM ova)
+          |SELECT a AS asset_id, m AS mode, lvl AS level,
+          |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(SUM(v*wt) AS BIGINT) AS wsum_v
+          |FROM legs GROUP BY 1, 2, 3 ORDER BY asset_id, mode, level""".stripMargin,
 
       // resized-raster sums from the generating formula; Spark decodes the
       // real PNGs and floor-samples — src = (dst · srcDim) // out

@@ -122,4 +122,52 @@ object Resample {
       case other => throw new IllegalArgumentException(s"Unknown resampling method: $other")
     }
   }
+
+  /** Merge 2×2 neighbouring HALF-size blocks into full-size blocks of the
+    * overview's own block grid — the step between [[downsample]] (per
+    * block, map-side, 4× data reduction, NO shuffle) and a tiled sink
+    * that wants constant block size at every pyramid level. This is where
+    * the one keyed exchange of an overview build happens, and it moves
+    * only the already-reduced data: at 100 TB the shuffle is 1/4 of the
+    * base scan, and deeper levels shrink geometrically.
+    *
+    * `halfBlocks` carries `keyCols`, `block_row`, `block_col` and
+    * `bandCols` packed arrays of (blockSize/2)² pixels (the output shape
+    * of a factor-2 [[downsample]] at base block coordinates). Output rows
+    * are parent blocks (`block_row/2`, `block_col/2`) with assembled
+    * blockSize² arrays; quarters missing at the image edge fill with
+    * null (the masked-pixel convention — the sink's nodata pad applies
+    * downstream). Assembly is pure Catalyst (first-of-quarter aggregates
+    * + one transform), so it partial-aggregates map-side and stays off
+    * the interpreted path. */
+  def regroup2x(halfBlocks: DataFrame, blockSize: Int,
+                bandCols: Seq[String], keyCols: Seq[String]): DataFrame = {
+    require(blockSize % 2 == 0, s"blockSize $blockSize must be even")
+    val half = blockSize / 2
+    def q(b: String, r: Int, c: Int) = s"__${b}_q$r$c"
+    val tagged = halfBlocks
+      .withColumn("__qr", pmod(col("block_row"), lit(2)))
+      .withColumn("__qc", pmod(col("block_col"), lit(2)))
+    val quadAggs = for (b <- bandCols; r <- 0 to 1; c <- 0 to 1) yield
+      first(when(col("__qr") === r && col("__qc") === c, col(b)),
+        ignoreNulls = true).as(q(b, r, c))
+    val grouped = tagged
+      .groupBy((keyCols.map(col) :+
+        (col("block_row") / 2).cast("int").as("block_row") :+
+        (col("block_col") / 2).cast("int").as("block_col")): _*)
+      .agg(quadAggs.head, quadAggs.tail: _*)
+    val assembled = bandCols.map { b =>
+      transform(sequence(lit(0), lit(blockSize * blockSize - 1)), j => {
+        val r = (j / blockSize).cast("int"); val c = (j % blockSize).cast("int")
+        val quarter = when(r < half && c < half, col(q(b, 0, 0)))
+          .when(r < half, col(q(b, 0, 1)))
+          .when(c < half, col(q(b, 1, 0)))
+          .otherwise(col(q(b, 1, 1)))
+        // element_at on a missing (null) quarter is null = masked
+        element_at(quarter, (r % half) * half + (c % half) + 1)
+      }).as(b)
+    }
+    grouped.select((keyCols.map(col) :+ col("block_row") :+ col("block_col"))
+      ++ assembled: _*)
+  }
 }

@@ -40,14 +40,19 @@ object GeoTiff {
       ccitt: Boolean = false,     // CCITTFAX4 for bilevel (data_type.py:122-124)
       lzw: Boolean = false,       // LZW (TIFF 6.0 §13) — the common public-file codec
       packbits: Boolean = false,  // PackBits RLE (TIFF 6.0 §9)
+      zstd: Boolean = false,      // ZSTD (tag 50000, GDAL COMPRESS=ZSTD)
+      jpeg: Boolean = false,      // new-style JPEG (tag 7, TTN2) — lossy
       predictor: Int = 1) {       // 1=none, 2=horizontal, 3=floating-point (TTN3)
     require(predictor == 1 || predictor == 2 || predictor == 3,
       s"unsupported TIFF predictor $predictor (only 1=none, 2=horizontal, 3=float)")
-    /** TIFF Compression tag (259). Explicit opt-ins (ccitt/lzw/packbits)
-      * take precedence over the `deflate = true` default so a caller
-      * flipping one flag gets that codec. */
+    require(!jpeg || (predictor == 1 && !ccitt && !lzw && !packbits && !zstd),
+      "JPEG compression excludes every other codec and predictor")
+    /** TIFF Compression tag (259). Explicit opt-ins (ccitt/lzw/packbits/
+      * zstd/jpeg) take precedence over the `deflate = true` default so a
+      * caller flipping one flag gets that codec. */
     val compressionCode: Int =
-      if (ccitt) 4 else if (lzw) 5 else if (packbits) 32773
+      if (ccitt) 4 else if (jpeg) 7 else if (lzw) 5 else if (packbits) 32773
+      else if (zstd) 50000
       else if (deflate) 8 else 1
     /** TIFF PhotometricInterpretation code (tag 262). */
     val photometricCode: Int = photometric.map(_.toUpperCase) match {
@@ -82,6 +87,8 @@ object GeoTiff {
       nbits.filter(b => b >= 1 && b < 8 && sampleFormat == 1).getOrElse(containerBits)
     require(!ccitt || bitsPerSample == 1,
       s"CCITTFAX4 requires a bilevel profile (NBITS=1), got $bitsPerSample bits")
+    require(!jpeg || (bitsPerSample == 8 && sampleFormat == 1),
+      s"JPEG requires 8-bit unsigned samples, got $bitsPerSample-bit fmt $sampleFormat")
     require(predictor != 2 || (sampleFormat != 3 && bitsPerSample >= 8),
       s"predictor 2 requires >=8-bit integer samples, got $bitsPerSample-bit fmt $sampleFormat")
     require(predictor != 3 || (sampleFormat == 3 && bitsPerSample >= 16),
@@ -156,14 +163,33 @@ object GeoTiff {
     * difference between a ~KB file and a full-size one. */
   final class Writer(path: String, profile: Profile, bigtiff: Boolean = false,
                      stripped: Boolean = false, pixelInterleave: Boolean = false,
-                     sparse: Boolean = false) {
+                     sparse: Boolean = false, overviewFactors: Seq[Int] = Nil) {
     require(!stripped || profile.tileWidth == profile.width,
       s"stripped layout needs full-width rows: tileWidth ${profile.tileWidth} != width ${profile.width}")
     require(!pixelInterleave || (profile.bitsPerSample >= 8 && !profile.ccitt),
       "pixel interleave needs whole-byte non-CCITT samples")
+    require(!profile.jpeg || !pixelInterleave || profile.bands == 1,
+      "JPEG tiles are grayscale per-plane: use the band-separate layout")
+    require(overviewFactors.forall(_ >= 2) &&
+      overviewFactors == overviewFactors.sorted.distinct,
+      s"overview factors must be distinct, ascending, >= 2: $overviewFactors")
+    require(overviewFactors.isEmpty || (!stripped && !pixelInterleave),
+      "internal overviews need the tiled band-separate layout")
+    private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+    /** Level 0 = the full-resolution profile; level i = the factor-f
+      * reduced image (gdaladdo layout): ceil-scaled dims, same tile
+      * size/codec/nodata, f× coarser resolution. */
+    private[sources] val levelProfiles: Array[Profile] =
+      (profile +: overviewFactors.map(f => profile.copy(
+        width = ceilDiv(profile.width, f), height = ceilDiv(profile.height, f),
+        xres = profile.xres * f, yres = profile.yres * f))).toArray
     private val nPlanes = if (pixelInterleave) 1 else profile.bands
     private val sampleStride = if (pixelInterleave) profile.bands else 1
-    private val nTiles = profile.tilesPerBand * nPlanes
+    private val lvlOffsets = levelProfiles.map(p => new Array[Long](p.tilesPerBand * nPlanes))
+    private val lvlCounts = levelProfiles.map(p => new Array[Long](p.tilesPerBand * nPlanes))
+    private val nTiles = lvlOffsets.map(_.length).sum
+    private def offsets = lvlOffsets(0)
+    private def counts = lvlCounts(0)
     /** Rows actually stored at this tile row: strips do not pad the tail. */
     private def rowsAt(tileRow: Int): Int =
       if (stripped) math.min(profile.tileHeight,
@@ -174,7 +200,7 @@ object GeoTiff {
       * per-tile and IFD slack. */
     private val big: Boolean = bigtiff ||
       16L + nTiles.toLong * (profile.tileByteSize.toLong * sampleStride * 8 / 5 + 96) +
-        65536L > 0xFFFFFFFFL
+        65536L * levelProfiles.length > 0xFFFFFFFFL
     private val raf = new RandomAccessFile(path, "rw")
     raf.setLength(0)
     if (big) {
@@ -186,9 +212,6 @@ object GeoTiff {
       raf.write(Array[Byte]('I', 'I', 42, 0))
       raf.write(new Array[Byte](4))
     }
-    private val offsets = new Array[Long](nTiles)
-    private val counts = new Array[Long](nTiles)
-
     /** Whether this writer is emitting the BigTIFF container. */
     def isBigTiff: Boolean = big
 
@@ -201,8 +224,26 @@ object GeoTiff {
         "multiband pixel-interleaved files write via writeTileInterleaved")
       require(pixels.length == profile.tileWidth * profile.tileHeight,
         s"tile must be padded to ${profile.tileWidth}x${profile.tileHeight}")
-      writePlane((band - 1) * profile.tilesPerBand +
+      writePlane(0, (band - 1) * profile.tilesPerBand +
           tileRow * profile.tilesAcross + tileCol,
+        tileRow, pixels, 1)
+    }
+
+    /** Write one tile of the `ovr`-th declared overview level (1-based
+      * into `overviewFactors`). Same padded row-major shape and same tile
+      * size as the base — only the tile GRID is smaller. */
+    def writeOverviewTile(ovr: Int, band: Int, tileRow: Int, tileCol: Int,
+                          pixels: Array[Double]): Unit = {
+      require(ovr >= 1 && ovr <= overviewFactors.length,
+        s"overview $ovr of ${overviewFactors.length} declared")
+      require(pixels.length == profile.tileWidth * profile.tileHeight,
+        s"tile must be padded to ${profile.tileWidth}x${profile.tileHeight}")
+      val lp = levelProfiles(ovr)
+      require(tileRow >= 0 && tileRow < lp.tilesDown &&
+        tileCol >= 0 && tileCol < lp.tilesAcross,
+        s"overview $ovr tile ($tileRow,$tileCol) outside ${lp.tilesDown}x${lp.tilesAcross}")
+      writePlane(ovr, (band - 1) * lp.tilesPerBand +
+          tileRow * lp.tilesAcross + tileCol,
         tileRow, pixels, 1)
     }
 
@@ -220,11 +261,11 @@ object GeoTiff {
       val merged = new Array[Double](profile.tileWidth * profile.tileHeight * nb)
       var j = 0
       while (j < merged.length) { merged(j) = bands(j % nb)(j / nb); j += 1 }
-      writePlane(tileRow * profile.tilesAcross + tileCol, tileRow, merged, nb)
+      writePlane(0, tileRow * profile.tilesAcross + tileCol, tileRow, merged, nb)
     }
 
-    private def writePlane(idx: Int, tileRow: Int, pixels: Array[Double],
-                           stride: Int): Unit = {
+    private def writePlane(level: Int, idx: Int, tileRow: Int,
+                           pixels: Array[Double], stride: Int): Unit = {
       val rows = rowsAt(tileRow)
       val rowSamples = profile.tileWidth * stride
       if (sparse) {
@@ -250,8 +291,12 @@ object GeoTiff {
       val payload = profile.compressionCode match {
         case 4     => CcittG4.encode(raw, profile.tileWidth, rows, profile.bytesPerRow)
         case 5     => Lzw.encode(raw)
+        case 7 =>
+          require(stride == 1, "JPEG writes band-separate grayscale planes only")
+          jpegEncode(raw, profile.tileWidth, rows)
         case 8     => deflate(raw)
         case 32773 => Packbits.encode(raw, rowBytes)
+        case 50000 => zstdCompress(raw)
         case _     => raw
       }
       val at = raf.getFilePointer
@@ -260,8 +305,8 @@ object GeoTiff {
       // have chosen BigTIFF long before this fires)
       require(big || at + payload.length <= 0xFFFFFFFFL,
         s"$path exceeds the classic TIFF 4GB limit at plane $idx")
-      offsets(idx) = at
-      counts(idx) = payload.length
+      lvlOffsets(level)(idx) = at
+      lvlCounts(level)(idx) = payload.length
       raf.write(payload)
     }
 
@@ -316,14 +361,24 @@ object GeoTiff {
     def close(): Unit = {
       // a sparse writer's zero entries are deliberate holes (implicit
       // nodata fill — GDAL SPARSE_OK), including tiles never written
-      require(sparse || offsets.forall(_ > 0), "not all tiles were written")
-      val ifdOffset = raf.getFilePointer
-      val ifd = buildIfd(ifdOffset)
-      require(big || ifdOffset + ifd.length <= 0xFFFFFFFFL,
-        s"$path exceeds the classic TIFF 4GB limit (IFD at $ifdOffset)")
-      raf.write(ifd)
-      if (big) { raf.seek(8); raf.write(leLong(ifdOffset)) }
-      else { raf.seek(4); raf.write(leInt(ifdOffset.toInt)) }
+      require(sparse || lvlOffsets.forall(_.forall(_ > 0)),
+        "not all tiles were written")
+      // IFDs chain base → overviews (gdaladdo layout, read back by
+      // openAll). An IFD's byte length is content-deterministic and
+      // independent of its next-pointer, so a dry build sizes the chain
+      // and the real build links it.
+      val first = raf.getFilePointer
+      val lens = levelProfiles.indices.map(l => buildIfd(l, first, 0L).length)
+      val pos = lens.scanLeft(first)(_ + _.toLong)
+      require(big || pos.last <= 0xFFFFFFFFL,
+        s"$path exceeds the classic TIFF 4GB limit (IFD chain at $first)")
+      for (l <- levelProfiles.indices) {
+        val next = if (l == levelProfiles.length - 1) 0L else pos(l + 1)
+        raf.seek(pos(l))
+        raf.write(buildIfd(l, pos(l), next))
+      }
+      if (big) { raf.seek(8); raf.write(leLong(first)) }
+      else { raf.seek(4); raf.write(leInt(first.toInt)) }
       raf.close()
     }
 
@@ -345,8 +400,10 @@ object GeoTiff {
     private def leDouble(v: Double): Array[Byte] =
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
 
-    private def buildIfd(ifdOffset: Long): Array[Byte] = {
-      val p = profile
+    private def buildIfd(level: Int, ifdOffset: Long, nextIfd: Long): Array[Byte] = {
+      val p = levelProfiles(level)
+      val offs = lvlOffsets(level); val cnts = lvlCounts(level)
+      val nT = offs.length
       val entries = mutable.ArrayBuffer.empty[Entry]
       val overflow = new ByteArrayOutputStream() // data blocks after the IFD
 
@@ -364,6 +421,9 @@ object GeoTiff {
         if (data.length <= inlineCap) add(tag, typ, count, data)
         else deferred += Deferred(tag, typ, count, data)
 
+      // overview IFDs mark themselves reduced-resolution (NewSubfileType
+      // bit 0), as gdaladdo does for internal overviews
+      if (level > 0) add(254, TLong, 1, longVal(1))
       add(256, TLong, 1, longVal(p.width))
       add(257, TLong, 1, longVal(p.height))
       val bits = Array.fill(p.bands)(leShort(p.bitsPerSample)).flatten
@@ -384,11 +444,11 @@ object GeoTiff {
           (324, 325)
         }
       if (big) {
-        addBig(offTag, TLong8, nTiles, offsets.flatMap(leLong))
-        addBig(cntTag, TLong8, nTiles, counts.flatMap(leLong))
+        addBig(offTag, TLong8, nT, offs.flatMap(leLong))
+        addBig(cntTag, TLong8, nT, cnts.flatMap(leLong))
       } else {
-        addBig(offTag, TLong, nTiles, offsets.flatMap(o => leInt(o.toInt)))
-        addBig(cntTag, TLong, nTiles, counts.flatMap(c => leInt(c.toInt)))
+        addBig(offTag, TLong, nT, offs.flatMap(o => leInt(o.toInt)))
+        addBig(cntTag, TLong, nT, cnts.flatMap(c => leInt(c.toInt)))
       }
       val fmts = Array.fill(p.bands)(leShort(p.sampleFormat)).flatten
       addBig(339, TShort, p.bands, fmts)
@@ -437,7 +497,8 @@ object GeoTiff {
         if (big) dos.write(leLong(e.count.toLong)) else dos.write(leInt(e.count))
         dos.write(e.valueOrOffset.take(inlineCap))
       }
-      if (big) dos.write(leLong(0L)) else dos.write(leInt(0)) // next IFD = none
+      // next-IFD pointer: 0 terminates, else links the overview chain
+      if (big) dos.write(leLong(nextIfd)) else dos.write(leInt(nextIfd.toInt))
       dos.write(overflow.toByteArray)
       out.toByteArray
     }
@@ -460,6 +521,56 @@ object GeoTiff {
     var off = 0
     while (!inf.finished() && off < expected) off += inf.inflate(out, off, expected - off)
     inf.end()
+    out
+  }
+
+  // ZSTD (compression 50000, GDAL COMPRESS=ZSTD) rides Spark's own
+  // zstd-jni — the same native codec GDAL links, so streams interoperate.
+  private def zstdCompress(data: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data)
+
+  private def zstdDecompress(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = com.github.luben.zstd.Zstd.decompress(data, expected)
+    require(out.length == expected,
+      s"ZSTD tile inflated to ${out.length} bytes, expected $expected")
+    out
+  }
+
+  /** New-style JPEG (compression 7, TIFF TTN2): each tile payload is a
+    * complete JFIF stream — GDAL/libtiff's layout for COMPRESS=JPEG
+    * without shared JPEGTables. Grayscale per-plane 8-bit only; the JDK
+    * encoder at explicit max quality keeps the loss to the DCT rounding
+    * this codec inherently has. */
+  private def jpegEncode(raw: Array[Byte], width: Int, rows: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, rows, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, rows, raw)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val prm = w.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream(raw.length / 2 + 1024)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def jpegDecode(data: Array[Byte], width: Int, rows: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    require(img != null && img.getWidth == width && img.getHeight == rows,
+      s"JPEG tile decoded to ${if (img == null) "nothing"
+        else s"${img.getWidth}x${img.getHeight}"}, expected ${width}x$rows")
+    val out = new Array[Byte](width * rows)
+    val r = img.getRaster
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < width) { out(y * width + x) = r.getSample(x, y, 0).toByte; x += 1 }
+      y += 1
+    }
     out
   }
 
@@ -678,8 +789,12 @@ object GeoTiff {
         val raw = p.compressionCode match {
           case 4     => CcittG4.decode(payload, p.tileWidth, rowsHere, p.bytesPerRow)
           case 5     => Lzw.decode(payload, expected)
+          case 7 =>
+            require(stride == 1, "JPEG read supports band-separate grayscale only")
+            jpegDecode(payload, p.tileWidth, rowsHere)
           case 8     => inflate(payload, expected)
           case 32773 => Packbits.decode(payload, expected)
+          case 50000 => zstdDecompress(payload, expected)
           case _     => payload
         }
         if (p.predictor == 2)
@@ -870,14 +985,18 @@ object GeoTiff {
         case (32, 3) => "float32"; case (64, 3) => "float64"
         case other => throw new IllegalArgumentException(s"unsupported sample $other")
       }
-      // only NONE (1), CCITT G4 (4, bilevel), LZW (5), DEFLATE (8), and
-      // PackBits (32773) decode here — anything else (JPEG, ZSTD, ...)
-      // must fail fast instead of yielding garbage pixels
+      // only NONE (1), CCITT G4 (4, bilevel), LZW (5), new-style JPEG
+      // (7, 8-bit grayscale), DEFLATE (8), PackBits (32773), and ZSTD
+      // (50000) decode here — anything else must fail fast instead of
+      // yielding garbage pixels
       val compression = scalar(259, 1)
       require(compression == 1 || compression == 5 || compression == 8 ||
-          compression == 32773 || (compression == 4 && bits == 1),
+          compression == 32773 || compression == 50000 ||
+          (compression == 4 && bits == 1) ||
+          (compression == 7 && bits == 8 && fmt == 1),
         s"unsupported TIFF compression $compression in $path " +
-          "(only none=1, ccitt-g4=4 bilevel, lzw=5, deflate=8, packbits=32773)")
+          "(none=1, ccitt-g4=4 bilevel, lzw=5, jpeg=7 8-bit, deflate=8, " +
+          "packbits=32773, zstd=50000)")
       // predictor (317): 2 = horizontal differencing on integer samples;
       // 3 (floating-point byte shuffling) is a distinct scheme — reject
       // loudly rather than decode shuffled garbage
@@ -912,6 +1031,8 @@ object GeoTiff {
         },
         lzw = compression == 5,
         packbits = compression == 32773,
+        zstd = compression == 50000,
+        jpeg = compression == 7,
         predictor = predictor.toInt)
       (Tiff(profile, offs, cnts, path, bigEndian,
         chunky = chunky, stripped = !tiled), nextIfd)

@@ -64,6 +64,56 @@ class ResampleSpec extends SparkSpec {
       df.select(Resample.downsample(col("values"), 4, 4, 2, "fancy")))
   }
 
+  test("regroup2x merges 2x2 half-blocks; edge quarters fill with null") {
+    // base grid 3x3 blocks of HALF-size (2x2) arrays -> parents 2x2, the
+    // right/bottom parents missing their q01/q10/q11 quarters
+    val half = 2; val bs = 4
+    val rows = for (br <- 0 until 3; bc <- 0 until 3) yield
+      ("t1", br, bc,
+        Seq.tabulate(half * half)(i => Some((br * 100 + bc * 10 + i).toDouble)))
+    val df3 = rows.toDF("tile_id", "block_row", "block_col", "band_1")
+    val out = Resample.regroup2x(df3, bs, Seq("band_1"), Seq("tile_id"))
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        r.getSeq[Any](3).map(Option(_).map(_.toString.toDouble)))).toMap
+    assert(out.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    // full parent (0,0): quarters (0,0),(0,1),(1,0),(1,1) interleave row-wise
+    assert(out((0, 0)) == Seq(
+      Some(0.0), Some(1.0), Some(10.0), Some(11.0),
+      Some(2.0), Some(3.0), Some(12.0), Some(13.0),
+      Some(100.0), Some(101.0), Some(110.0), Some(111.0),
+      Some(102.0), Some(103.0), Some(112.0), Some(113.0)))
+    // right-edge parent (0,1): only q00 (base 0,2) and q10 (base 1,2)
+    assert(out((0, 1)) == Seq(
+      Some(20.0), Some(21.0), None, None,
+      Some(22.0), Some(23.0), None, None,
+      Some(120.0), Some(121.0), None, None,
+      Some(122.0), Some(123.0), None, None))
+    // corner parent (1,1): only q00 (base 2,2)
+    assert(out((1, 1)).count(_.isDefined) == 4 &&
+      out((1, 1)).take(2) == Seq(Some(220.0), Some(221.0)))
+  }
+
+  test("downsample2x then regroup2x round-trips a 2-level pyramid block") {
+    // one 4x4 base block per corner of a 2x2 block grid; nearest overview
+    // of the 8x8 image is one 4x4 parent assembled from 4 half-blocks
+    val bs = 4
+    def base(br: Int, bc: Int): Seq[Double] =
+      Seq.tabulate(bs * bs) { i =>
+        val gx = bc * bs + i % bs; val gy = br * bs + i / bs
+        (gy * 8 + gx).toDouble
+      }
+    val df4 = (for (br <- 0 to 1; bc <- 0 to 1)
+      yield ("t", br, bc, base(br, bc))).toDF("tile_id", "block_row", "block_col", "band_1")
+    val halfBlocks = df4.withColumn("band_1",
+      Resample.downsample(col("band_1"), bs, bs, 2, "nearest"))
+    val parent = Resample.regroup2x(halfBlocks, bs, Seq("band_1"), Seq("tile_id"))
+      .collect()
+    assert(parent.length == 1)
+    val arr = parent(0).getSeq[Any](3).map(_.toString.toDouble)
+    // overview pixel (x,y) = base (2x, 2y) = (2y)*8 + 2x
+    assert(arr == Seq.tabulate(bs * bs)(i => ((i / bs) * 2 * 8 + (i % bs) * 2).toDouble))
+  }
+
   test("pyramid: factor-2 sum levels reaggregate exactly") {
     // 4×2 grid of ones → level 1: 2×1 cells of 4 → level 2: one cell of 8
     val base = spark.range(8).select((col("id") % 4).as("px"),

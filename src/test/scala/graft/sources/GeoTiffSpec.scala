@@ -472,7 +472,8 @@ class GeoTiffSpec extends SparkSpec {
       ("raw", _.copy(deflate = false)),
       ("deflate", identity),
       ("lzw", _.copy(deflate = false, lzw = true)),
-      ("packbits", _.copy(deflate = false, packbits = true)))
+      ("packbits", _.copy(deflate = false, packbits = true)),
+      ("zstd", _.copy(deflate = false, zstd = true)))
     for {
       dt <- Seq("uint8", "int8", "uint16", "int16", "uint32", "int32",
         "float32", "float64")
@@ -491,6 +492,50 @@ class GeoTiffSpec extends SparkSpec {
       assert(t.profile.predictor == pred, s"$dt/$cname/p$pred tag")
       assert(t.readTile(1, 0, 0).sameElements(v), s"$dt/$cname/p$pred px")
     }
+  }
+
+  test("ZSTD tags compression=50000 and compresses constant tiles") {
+    val path = tmp("zstd_const.tif")
+    val w = new GeoTiff.Writer(path,
+      profile("uint16").copy(deflate = false, zstd = true))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, Array.fill(256)(7.0))
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.compressionCode == 50000)
+    assert(t.readTile(1, 0, 1).forall(_ == 7.0))
+    // 4 x 512 raw bytes collapse to ~20-byte zstd frames; the IFD dominates
+    assert(Files.size(Paths.get(path)) < 800, s"size ${Files.size(Paths.get(path))}")
+  }
+
+  test("JPEG (compression 7) round-trips 8-bit grayscale within DCT tolerance") {
+    // smooth field: max-quality baseline JPEG keeps DCT rounding tiny
+    val v = Array.tabulate(256) { i =>
+      val x = i % 16; val y = i / 16
+      math.rint(120.0 + 40.0 * math.sin(x * 0.3) * math.cos(y * 0.3))
+    }
+    val path = tmp("jpeg_u8.tif")
+    val w = new GeoTiff.Writer(path,
+      profile("uint8").copy(deflate = false, jpeg = true))
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, v)
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.compressionCode == 7 && t.profile.jpeg)
+    val got = t.readTile(1, 1, 0)
+    val maxErr = got.zip(v).map { case (g, e) => math.abs(g - e) }.max
+    assert(maxErr <= 3.0, s"max JPEG error $maxErr")
+    // flat tiles are DCT-exact
+    val w2 = new GeoTiff.Writer(tmp("jpeg_flat.tif"),
+      profile("uint8").copy(deflate = false, jpeg = true))
+    for (tr <- 0 to 1; tc <- 0 to 1) w2.writeTile(1, tr, tc, Array.fill(256)(200.0))
+    w2.close()
+    assert(GeoTiff.open(tmp("jpeg_flat.tif")).readTile(1, 0, 0).forall(_ == 200.0))
+    // only 8-bit unsigned samples; no codec/predictor stacking
+    intercept[IllegalArgumentException](
+      profile("uint16").copy(deflate = false, jpeg = true))
+    intercept[IllegalArgumentException](
+      profile("uint8").copy(deflate = false, jpeg = true, lzw = true))
+    intercept[IllegalArgumentException](
+      profile("uint8").copy(deflate = false, jpeg = true, predictor = 2))
   }
 
   test("predictor 3 (TTN3 float) round-trips and compresses smooth float ramps") {
@@ -622,6 +667,51 @@ class GeoTiffSpec extends SparkSpec {
     // writeTile on a multiband chunky writer is a loud error
     intercept[IllegalArgumentException](
       w.writeTile(1, 0, 0, Array.fill(W * W)(0.0)))
+  }
+
+  test("pyramid WRITER chains overview IFDs that openAll reads back") {
+    // 32x32 uint16 base (4 16px tiles) + factor-2 and factor-4 overviews
+    val T = 16; val W = 32
+    def v(x: Int, y: Int): Double = ((11 * x + 3 * y) % 60000).toDouble
+    val p = GeoTiff.Profile(W, W, 1, "uint16", T, T, Some(0.0), 4326,
+      10.0, 20.0, 0.25, 0.25, deflate = true)
+    val path = tmp("w_pyramid.tif")
+    val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2, 4))
+    for (tr <- 0 until 2; tc <- 0 until 2)
+      w.writeTile(1, tr, tc, Array.tabulate(T * T) { i =>
+        v(tc * T + i % T, tr * T + i / T)
+      })
+    // nearest-neighbor levels: ovr k pixel (x,y) = base (f*x, f*y)
+    for ((f, ovr) <- Seq((2, 1), (4, 2))) {
+      val ow = W / f
+      w.writeOverviewTile(ovr, 1, 0, 0, Array.tabulate(T * T) { i =>
+        val x = i % T; val y = i / T
+        if (x < ow && y < ow) v(f * x, f * y) else 0.0
+      })
+    }
+    w.close()
+    val levels = GeoTiff.openAll(path)
+    assert(levels.length == 3)
+    assert(levels.map(_.profile.width) == Seq(32, 16, 8))
+    // overview resolution scales with the factor; origin is unchanged
+    assert(levels(1).profile.xres == 0.5 && levels(2).profile.xres == 1.0)
+    assert(levels.forall(t => t.profile.originX == 10.0 && t.profile.noData.contains(0.0)))
+    assert(levels(0).readTile(1, 1, 1)(0) == v(16, 16))
+    for ((f, l) <- Seq((2, 1), (4, 2)); i <- 0 until T * T) {
+      val x = i % T; val y = i / T
+      val expect = if (x < W / f && y < W / f) v(f * x, f * y) else 0.0
+      assert(levels(l).readTile(1, 0, 0)(i) == expect, s"level $l px ($x,$y)")
+    }
+    // an unwritten overview tile is a loud close() error (non-sparse)
+    val part = new GeoTiff.Writer(tmp("w_pyr_partial.tif"), p,
+      overviewFactors = Seq(2))
+    for (tr <- 0 until 2; tc <- 0 until 2)
+      part.writeTile(1, tr, tc, Array.fill(T * T)(1.0))
+    intercept[IllegalArgumentException](part.close())
+    // overviews need the tiled band-separate layout
+    intercept[IllegalArgumentException](
+      new GeoTiff.Writer(tmp("w_pyr_bad.tif"), p.copy(tileWidth = W),
+        stripped = true, overviewFactors = Seq(2)))
   }
 
   test("sparse WRITER (SPARSE_OK) skips all-nodata tiles; reader fills holes") {
