@@ -163,7 +163,10 @@ object GeoTiff {
     * difference between a ~KB file and a full-size one. */
   final class Writer(path: String, profile: Profile, bigtiff: Boolean = false,
                      stripped: Boolean = false, pixelInterleave: Boolean = false,
-                     sparse: Boolean = false, overviewFactors: Seq[Int] = Nil) {
+                     sparse: Boolean = false, overviewFactors: Seq[Int] = Nil,
+                     sharedJpegTables: Boolean = false) {
+    require(!sharedJpegTables || profile.jpeg,
+      "sharedJpegTables (tag 347) only applies to JPEG compression")
     require(!stripped || profile.tileWidth == profile.width,
       s"stripped layout needs full-width rows: tileWidth ${profile.tileWidth} != width ${profile.width}")
     require(!pixelInterleave || (profile.bitsPerSample >= 8 && !profile.ccitt),
@@ -214,6 +217,10 @@ object GeoTiff {
     }
     /** Whether this writer is emitting the BigTIFF container. */
     def isBigTiff: Boolean = big
+
+    // captured from the first JPEG tile when sharedJpegTables is on;
+    // emitted as tag 347 in every level's IFD
+    private var jpegTablesBytes: Option[Array[Byte]] = None
 
     /** Write one tile's pixels (row-major, length tileWidth*tileHeight —
       * always the PADDED tile shape; a stripped writer stores only the
@@ -293,7 +300,19 @@ object GeoTiff {
         case 5     => Lzw.encode(raw)
         case 7 =>
           require(stride == 1, "JPEG writes band-separate grayscale planes only")
-          jpegEncode(raw, profile.tileWidth, rows)
+          val full = jpegEncode(raw, profile.tileWidth, rows)
+          if (!sharedJpegTables) full
+          else {
+            // factor DQT/DHT out into tag 347 (GDAL's default layout);
+            // identical encoder settings ⇒ identical tables every tile
+            val (tables, tile) = splitJpegTables(full)
+            jpegTablesBytes match {
+              case None => jpegTablesBytes = Some(tables)
+              case Some(prev) => require(java.util.Arrays.equals(prev, tables),
+                "JPEG table segments changed between tiles")
+            }
+            tile
+          }
         case 8     => deflate(raw)
         case 32773 => Packbits.encode(raw, rowBytes)
         case 50000 => zstdCompress(raw)
@@ -388,7 +407,8 @@ object GeoTiff {
     // count + value), 8-byte next-IFD; offsets/counts use LONG8 (16).
     private case class Entry(tag: Int, typ: Int, count: Int, valueOrOffset: Array[Byte])
     private val TByte = 1; private val TAscii = 2; private val TShort = 3
-    private val TLong = 4; private val TDouble = 12; private val TLong8 = 16
+    private val TLong = 4; private val TUndef = 7
+    private val TDouble = 12; private val TLong8 = 16
     private val inlineCap = if (big) 8 else 4
 
     private def leShort(v: Int): Array[Byte] =
@@ -452,6 +472,9 @@ object GeoTiff {
       }
       val fmts = Array.fill(p.bands)(leShort(p.sampleFormat)).flatten
       addBig(339, TShort, p.bands, fmts)
+      // JPEGTables (347, UNDEFINED): the shared DQT/DHT stream the
+      // abbreviated per-tile payloads splice against on read
+      jpegTablesBytes.foreach(tb => addBig(347, TUndef, tb.length, tb))
       // ModelPixelScale (33550): (xres, yres, 0)
       addBig(33550, TDouble, 3,
         leDouble(p.xres) ++ leDouble(p.yres) ++ leDouble(0))
@@ -556,6 +579,52 @@ object GeoTiff {
       w.write(null, new javax.imageio.IIOImage(img, null, null), prm)
     } finally { w.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** Split a full JFIF stream into (tables, abbreviated tile): DQT/DHT
+    * segments move to a standalone SOI+tables+EOI stream (the tag-347
+    * JPEGTables payload, TIFF-EP §; GDAL's default JPEGTABLESMODE=3
+    * layout) and the tile keeps everything else. Baseline JPEG puts all
+    * table segments before SOS, so the scan stops there. */
+  private def splitJpegTables(full: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require(full.length > 4 && (full(0) & 0xff) == 0xff && (full(1) & 0xff) == 0xd8,
+      "not a JFIF stream (no SOI)")
+    val tables = new ByteArrayOutputStream(128)
+    val tile = new ByteArrayOutputStream(full.length)
+    tables.write(0xff); tables.write(0xd8)
+    tile.write(0xff); tile.write(0xd8)
+    var i = 2
+    var inScan = false
+    while (!inScan) {
+      require(i + 4 <= full.length && (full(i) & 0xff) == 0xff,
+        s"bad JPEG marker at $i")
+      val m = full(i + 1) & 0xff
+      if (m == 0xda) { // SOS: entropy data through EOI stays with the tile
+        tile.write(full, i, full.length - i); inScan = true
+      } else {
+        val segLen = 2 + (((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff))
+        if (m == 0xdb || m == 0xc4) tables.write(full, i, segLen)
+        else tile.write(full, i, segLen)
+        i += segLen
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, tile.toByteArray)
+  }
+
+  /** Rebuild a decodable stream from a JPEGTables payload and an
+    * abbreviated tile: tables' SOI + table segments (its EOI dropped)
+    * prepend the tile minus its SOI. */
+  private def mergeJpegTables(tables: Array[Byte], tile: Array[Byte]): Array[Byte] = {
+    require(tables.length >= 2 && tile.length >= 2, "truncated JPEG streams")
+    val tEnd =
+      if ((tables(tables.length - 2) & 0xff) == 0xff &&
+          (tables(tables.length - 1) & 0xff) == 0xd9) tables.length - 2
+      else tables.length
+    val out = new Array[Byte](tEnd + tile.length - 2)
+    System.arraycopy(tables, 0, out, 0, tEnd)
+    System.arraycopy(tile, 2, out, tEnd, tile.length - 2)
+    out
   }
 
   private def jpegDecode(data: Array[Byte], width: Int, rows: Int): Array[Byte] = {
@@ -747,7 +816,8 @@ object GeoTiff {
     * are not padded). */
   final case class Tiff(profile: Profile, tileOffsets: Array[Long], tileCounts: Array[Long],
                         path: String, bigEndian: Boolean = false,
-                        chunky: Boolean = false, stripped: Boolean = false) {
+                        chunky: Boolean = false, stripped: Boolean = false,
+                        jpegTables: Option[Array[Byte]] = None) {
     private def order: ByteOrder =
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
 
@@ -791,7 +861,10 @@ object GeoTiff {
           case 5     => Lzw.decode(payload, expected)
           case 7 =>
             require(stride == 1, "JPEG read supports band-separate grayscale only")
-            jpegDecode(payload, p.tileWidth, rowsHere)
+            // tag 347 present ⇒ abbreviated per-tile stream: splice the
+            // shared DQT/DHT tables back in before handing to the decoder
+            jpegDecode(jpegTables.fold(payload)(mergeJpegTables(_, payload)),
+              p.tileWidth, rowsHere)
           case 8     => inflate(payload, expected)
           case 32773 => Packbits.decode(payload, expected)
           case 50000 => zstdDecompress(payload, expected)
@@ -1035,7 +1108,8 @@ object GeoTiff {
         jpeg = compression == 7,
         predictor = predictor.toInt)
       (Tiff(profile, offs, cnts, path, bigEndian,
-        chunky = chunky, stripped = !tiled), nextIfd)
+        chunky = chunky, stripped = !tiled,
+        jpegTables = if (compression == 7) rawData(347) else None), nextIfd)
       }
 
       // follow the chain; a corrupt circular chain must not loop forever
@@ -1051,6 +1125,22 @@ object GeoTiff {
       require(out.nonEmpty, s"no IFDs in $path")
       out.toSeq
     } finally raf.close()
+  }
+
+  /** [[openAll]] plus GDAL EXTERNAL overviews: `gdaladdo -ro` can't touch
+    * a read-only dataset, so it writes a sibling `<path>.ovr` — itself a
+    * bare TIFF whose IFD chain holds the reduced levels. If that sidecar
+    * exists its levels append after the file's own chain, giving one
+    * pyramid regardless of where the overviews live. Probing is one
+    * open attempt through [[rangeReader]], so s3a/gs/hdfs paths probe
+    * the same way local ones do. */
+  def openWithOverviews(rawPath: String): Seq[Tiff] = {
+    val main = openAll(rawPath)
+    val sidecar = rawPath + ".ovr"
+    val present =
+      try { rangeReader(sidecar).close(); true }
+      catch { case _: Exception => false }
+    if (present) main ++ openAll(sidecar) else main
   }
 
   /** Accept plain paths and file: URIs (Hadoop listings yield the latter). */

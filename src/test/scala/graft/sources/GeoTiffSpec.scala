@@ -538,6 +538,64 @@ class GeoTiffSpec extends SparkSpec {
       profile("uint8").copy(deflate = false, jpeg = true, predictor = 2))
   }
 
+  test("shared JPEGTables (tag 347) dedupes DQT/DHT; abbreviated tiles decode") {
+    // per-8x8-flat pixels => DCT-exact: shared-tables file must decode
+    // BIT-identically to the full-stream twin
+    def v(x: Int, y: Int): Double = ((5 * (x / 8) + 11 * (y / 8) + 3) % 256).toDouble
+    val p = profile("uint8").copy(deflate = false, jpeg = true)
+    def write(path: String, shared: Boolean): Unit = {
+      val w = new GeoTiff.Writer(path, p, sharedJpegTables = shared)
+      for (tr <- 0 to 1; tc <- 0 to 1)
+        w.writeTile(1, tr, tc, Array.tabulate(256) { i =>
+          v(tc * 16 + i % 16, tr * 16 + i / 16)
+        })
+      w.close()
+    }
+    write(tmp("jt_full.tif"), shared = false)
+    write(tmp("jt_shared.tif"), shared = true)
+    val full = GeoTiff.open(tmp("jt_full.tif"))
+    val shared = GeoTiff.open(tmp("jt_shared.tif"))
+    assert(shared.jpegTables.isDefined && full.jpegTables.isEmpty)
+    // the shared tables stream is SOI + DQT/DHT + EOI
+    val tb = shared.jpegTables.get
+    assert((tb(0) & 0xff) == 0xff && (tb(1) & 0xff) == 0xd8 &&
+      (tb(tb.length - 2) & 0xff) == 0xff && (tb(tb.length - 1) & 0xff) == 0xd9)
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      assert(shared.readTile(1, tr, tc).sameElements(full.readTile(1, tr, tc)),
+        s"tile ($tr,$tc)")
+    // 4 tiles each shed their ~100+ bytes of tables; one copy remains
+    assert(Files.size(Paths.get(tmp("jt_shared.tif"))) <
+      Files.size(Paths.get(tmp("jt_full.tif"))))
+    // tag 347 is JPEG-only
+    intercept[IllegalArgumentException](
+      new GeoTiff.Writer(tmp("jt_bad.tif"), profile("uint8"), sharedJpegTables = true))
+  }
+
+  test("external .ovr sidecar levels append after the file's own chain") {
+    val T = 16; val W = 32
+    def v(x: Int, y: Int): Double = ((7 * x + 13 * y) % 60000).toDouble
+    val base = tmp("ext_ovr.tif")
+    val p = GeoTiff.Profile(W, W, 1, "uint16", T, T, Some(0.0), 4326,
+      10.0, 20.0, 0.25, 0.25, deflate = true)
+    val w = new GeoTiff.Writer(base, p)
+    for (tr <- 0 until 2; tc <- 0 until 2)
+      w.writeTile(1, tr, tc, Array.tabulate(T * T) { i =>
+        v(tc * T + i % T, tr * T + i / T)
+      })
+    w.close()
+    // no sidecar: just the base level
+    assert(GeoTiff.openWithOverviews(base).length == 1)
+    // gdaladdo -ro layout: <path>.ovr is a bare TIFF carrying the levels
+    val op = p.copy(width = W / 2, height = W / 2, xres = 0.5, yres = 0.5)
+    val ow = new GeoTiff.Writer(base + ".ovr", op)
+    ow.writeTile(1, 0, 0, Array.tabulate(T * T)(i => v(2 * (i % T), 2 * (i / T))))
+    ow.close()
+    val levels = GeoTiff.openWithOverviews(base)
+    assert(levels.length == 2)
+    assert(levels.map(_.profile.width) == Seq(32, 16))
+    assert(levels(1).readTile(1, 0, 0)(T + 1) == v(2, 2)) // ovr (1,1) = base (2,2)
+  }
+
   test("predictor 3 (TTN3 float) round-trips and compresses smooth float ramps") {
     // a smooth f32 ramp: byte-plane split + differencing turns the shared
     // exponent/mantissa prefixes into long zero runs
