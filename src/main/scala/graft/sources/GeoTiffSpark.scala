@@ -26,8 +26,22 @@ object GeoTiffSpark {
     * each tile through a local temp file then a Hadoop-FS
     * `copyFromLocalFile` INSIDE the same task — the reference's
     * write-local-then-upload step (`tiles/tile.py:143-172`) without a
-    * driver round-trip. Plain paths keep the direct POSIX writer. */
-  def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String): DataFrame = {
+    * driver round-trip. Plain paths keep the direct POSIX writer.
+    *
+    * `overviewFactors` (ascending powers of 2) adds INTERNAL overview
+    * levels (chained IFDs, the gdaladdo layout) — a step beyond the
+    * reference, whose COGs ship without overviews (README.md:6). The
+    * build is the k5 dataflow: per-block map-side
+    * [[graft.operators.Resample.downsample]] (4× data reduction, no
+    * shuffle) then [[graft.operators.Resample.regroup2x]] (ONE keyed
+    * exchange per halving, moving only reduced quarters), unioned into
+    * the same single-pass-per-tile writer — task memory stays one block
+    * even for the 10-Gpx tile. `overviewMethod` is any [[Resample]]
+    * kernel; nodata masks to null so kernels exclude it, and nulls
+    * write back as nodata. */
+  def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String,
+                 overviewFactors: Seq[Int] = Nil,
+                 overviewMethod: String = "average"): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
     val grid = spec.gridDef
@@ -51,7 +65,36 @@ object GeoTiffSpark {
 
     val cols0 = Seq("tile_id", "left", "top", "block_row", "block_col") ++
       (1 to bandCount).map(i => s"band_$i")
-    blocks.select(cols0.map(col): _*)
+    require(overviewFactors.forall(f => f >= 2 && (f & (f - 1)) == 0) &&
+      overviewFactors == overviewFactors.sorted.distinct,
+      s"overview factors must be distinct ascending powers of 2: $overviewFactors")
+    val bandCols = (1 to bandCount).map(i => s"band_$i")
+    val keyCols = Seq("tile_id", "left", "top")
+    val base = blocks.select(cols0.map(col): _*).withColumn("level", lit(0))
+    val leveled =
+      if (overviewFactors.isEmpty) base
+      else {
+        import graft.operators.Resample
+        var cur = blocks.select(cols0.map(col): _*)
+        var curFactor = 1
+        val levels = scala.collection.mutable.ArrayBuffer[DataFrame](base)
+        for ((f, li) <- overviewFactors.zipWithIndex) {
+          while (curFactor < f) {
+            var m = cur
+            // masked-pixel convention through the kernels: nodata → null
+            for (b <- bandCols; nd <- noData)
+              m = m.withColumn(b, transform(col(b), v => when(v =!= nd, v)))
+            for (b <- bandCols)
+              m = m.withColumn(b,
+                Resample.downsample(col(b), block, block, 2, overviewMethod))
+            cur = Resample.regroup2x(m, block, bandCols, keyCols)
+            curFactor *= 2
+          }
+          levels += cur.withColumn("level", lit(li + 1))
+        }
+        levels.reduce(_ unionByName _)
+      }
+    leveled
       .groupByKey((r: Row) => r.getString(0))
       .mapGroups { (tileId: String, rows: Iterator[Row]) =>
         var writer: GeoTiff.Writer = null
@@ -61,7 +104,8 @@ object GeoTiffSpark {
         val localPath =
           if (viaFs) java.nio.file.Files.createTempFile(s"graft_$tileId", ".tif").toString
           else path
-        val written = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+        val lvlIdx = 5 + bandCount
+        val written = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
         rows.foreach { r =>
           if (writer == null) {
             left = r.getDouble(1); top = r.getDouble(2)
@@ -70,9 +114,11 @@ object GeoTiffSpark {
               tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
               originX = left, originY = top, xres = xres, yres = yres,
               nbits = ptNbits, photometric = photometric, ccitt = ccitt)
-            writer = new GeoTiff.Writer(localPath, profile)
+            writer = new GeoTiff.Writer(localPath, profile,
+              overviewFactors = overviewFactors)
           }
           val br = r.getInt(3); val bc = r.getInt(4)
+          val lvl = r.getInt(lvlIdx)
           for (b <- 1 to bandCount) {
             val arr = r.getSeq[Any](5 + b - 1)
             val px = new Array[Double](arr.length)
@@ -84,17 +130,26 @@ object GeoTiffSpark {
               }
               i += 1
             }
-            writer.writeTile(b, br, bc, px)
-            written += ((b, br, bc))
+            if (lvl == 0) writer.writeTile(b, br, bc, px)
+            else writer.writeOverviewTile(lvl, b, br, bc, px)
+            written += ((lvl, b, br, bc))
           }
-          n += 1
+          if (lvl == 0) n += 1
         }
-        // K4-style padding: blocks never emitted (empty) become nodata tiles
+        // K4-style padding: blocks never emitted (empty) become nodata
+        // tiles, at the base AND at every declared overview level
         if (writer != null) {
           val nPerSide = cols / block
           val empty = Array.fill(block * block)(noData.getOrElse(0.0))
           for (b <- 1 to bandCount; br <- 0 until nPerSide; bc <- 0 until nPerSide)
-            if (!written.contains((b, br, bc))) writer.writeTile(b, br, bc, empty)
+            if (!written.contains((0, b, br, bc))) writer.writeTile(b, br, bc, empty)
+          for (lvl <- 1 to overviewFactors.length) {
+            val lp = writer.levelProfiles(lvl)
+            for (b <- 1 to bandCount; br <- 0 until lp.tilesDown;
+                 bc <- 0 until lp.tilesAcross)
+              if (!written.contains((lvl, b, br, bc)))
+                writer.writeOverviewTile(lvl, b, br, bc, empty)
+          }
           writer.close()
           if (viaFs) {
             val dst = new org.apache.hadoop.fs.Path(path)

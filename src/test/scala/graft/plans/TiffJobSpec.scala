@@ -147,6 +147,36 @@ class TiffJobSpec extends SparkSpec {
     assert(result.tileStats.count() == 3) // stats per output band
   }
 
+  test("writeTiles overviewFactors=Seq(2) sinks an internal pyramid per tile") {
+    import spark.implicits._
+    // custom 2x2-block grid (90/768 -> blockSize 384) so the overview
+    // regroup exercises a full 4-quarter parent
+    val ovSpec = spec.copy(grid = "90/768", calc = None)
+    val g = ovSpec.gridDef
+    val B = g.blockSize; val id = g.tileId(0); val b0 = g.tileBounds(id)
+    assert(g.cols == 768 && B == 384)
+    def v(gx: Int, gy: Int): Double =
+      if ((gx * gy) % 13 == 0) 0.0 else ((gx + 2 * gy) % 997 + 1).toDouble
+    val rows = for (br <- 0 until 2; bc <- 0 until 2) yield
+      (id, b0.left, b0.top, br, bc,
+        Seq.tabulate(B * B)(i => v(bc * B + i % B, br * B + i / B)))
+    val blocks = rows.toDF("tile_id", "left", "top", "block_row", "block_col", "band_1")
+    val outDir = dir("outOvr")
+    val written = GeoTiffSpark.writeTiles(blocks, ovSpec, outDir,
+      overviewFactors = Seq(2), overviewMethod = "nearest").collect()
+    assert(written.length == 1 && written(0).getInt(2) == 4) // n_blocks = base only
+    val levels = GeoTiff.openAll(s"$outDir/$id.tif")
+    assert(levels.map(_.profile.width) == Seq(768, 384))
+    assert(levels(1).profile.xres == 2 * g.xres)
+    // level 1 = nearest decimation; masked base pixels stay nodata 0
+    val ovr = levels(1).readTile(1, 0, 0)
+    for (y <- 0 until 384 by 17; x <- 0 until 384 by 13)
+      assert(ovr(y * 384 + x) == v(2 * x, 2 * y), s"ovr ($x,$y)")
+    // base level reads back untouched
+    val base = levels(0).readTile(1, 1, 1)
+    assert(base(0) == v(384, 384))
+  }
+
   test("harvested catalog carries footprints usable by the spatial joins") {
     val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
     val cat = GeoTiffSpark.harvestCatalog(spark, srcs).collect()(0)

@@ -575,6 +575,7 @@ class GeoTiffSpec extends SparkSpec {
     val T = 16; val W = 32
     def v(x: Int, y: Int): Double = ((7 * x + 13 * y) % 60000).toDouble
     val base = tmp("ext_ovr.tif")
+    Files.deleteIfExists(Paths.get(base + ".ovr")) // stale sidecar from a prior run
     val p = GeoTiff.Profile(W, W, 1, "uint16", T, T, Some(0.0), 4326,
       10.0, 20.0, 0.25, 0.25, deflate = true)
     val w = new GeoTiff.Writer(base, p)
