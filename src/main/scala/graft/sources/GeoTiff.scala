@@ -164,7 +164,8 @@ object GeoTiff {
   final class Writer(path: String, profile: Profile, bigtiff: Boolean = false,
                      stripped: Boolean = false, pixelInterleave: Boolean = false,
                      sparse: Boolean = false, overviewFactors: Seq[Int] = Nil,
-                     sharedJpegTables: Boolean = false) {
+                     sharedJpegTables: Boolean = false,
+                     cogLayout: Boolean = false) {
     require(!sharedJpegTables || profile.jpeg,
       "sharedJpegTables (tag 347) only applies to JPEG compression")
     require(!stripped || profile.tileWidth == profile.width,
@@ -384,12 +385,37 @@ object GeoTiff {
         "not all tiles were written")
       // IFDs chain base → overviews (gdaladdo layout, read back by
       // openAll). An IFD's byte length is content-deterministic and
-      // independent of its next-pointer, so a dry build sizes the chain
-      // and the real build links it.
-      val first = raf.getFilePointer
+      // independent of its next-pointer/position, so a dry build sizes
+      // the chain and the real build links it.
+      //
+      // cogLayout moves the whole chain to the FRONT of the file (the
+      // Cloud-Optimized GeoTIFF property: one ranged head read gets every
+      // offset, no seek to EOF) by shifting the streamed payload block up
+      // once — the same single extra pass GDAL's COG driver pays.
+      val dataEnd = raf.getFilePointer
+      val first =
+        if (!cogLayout) dataEnd
+        else if (big) 16L else 8L
       val lens = levelProfiles.indices.map(l => buildIfd(l, first, 0L).length)
+      val chain = lens.sum.toLong
+      if (cogLayout) {
+        val start = first
+        var remaining = dataEnd - start
+        val buf = new Array[Byte](math.min(8L << 20, math.max(1L, remaining)).toInt)
+        while (remaining > 0) {
+          val chunk = math.min(buf.length.toLong, remaining).toInt
+          val at = start + remaining - chunk
+          raf.seek(at); raf.readFully(buf, 0, chunk)
+          raf.seek(at + chain); raf.write(buf, 0, chunk)
+          remaining -= chunk
+        }
+        // sparse holes stay offset 0; everything real moves up with the data
+        for (offs <- lvlOffsets; i <- offs.indices if offs(i) > 0)
+          offs(i) += chain
+      }
       val pos = lens.scanLeft(first)(_ + _.toLong)
-      require(big || pos.last <= 0xFFFFFFFFL,
+      val fileEnd = if (cogLayout) dataEnd + chain else pos.last
+      require(big || fileEnd <= 0xFFFFFFFFL,
         s"$path exceeds the classic TIFF 4GB limit (IFD chain at $first)")
       for (l <- levelProfiles.indices) {
         val next = if (l == levelProfiles.length - 1) 0L else pos(l + 1)

@@ -41,7 +41,8 @@ object GeoTiffSpark {
     * write back as nodata. */
   def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String,
                  overviewFactors: Seq[Int] = Nil,
-                 overviewMethod: String = "average"): DataFrame = {
+                 overviewMethod: String = "average",
+                 cogLayout: Boolean = false): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
     val grid = spec.gridDef
@@ -115,7 +116,7 @@ object GeoTiffSpark {
               originX = left, originY = top, xres = xres, yres = yres,
               nbits = ptNbits, photometric = photometric, ccitt = ccitt)
             writer = new GeoTiff.Writer(localPath, profile,
-              overviewFactors = overviewFactors)
+              overviewFactors = overviewFactors, cogLayout = cogLayout)
           }
           val br = r.getInt(3); val bc = r.getInt(4)
           val lvl = r.getInt(lvlIdx)

@@ -597,6 +597,61 @@ class GeoTiffSpec extends SparkSpec {
     assert(levels(1).readTile(1, 0, 0)(T + 1) == v(2, 2)) // ovr (1,1) = base (2,2)
   }
 
+  test("COG layout puts the IFD chain at the head; pixels and pyramid intact") {
+    val T = 16; val W = 32
+    def v(x: Int, y: Int): Double = ((11 * x + 3 * y) % 60000).toDouble
+    val p = GeoTiff.Profile(W, W, 1, "uint16", T, T, Some(0.0), 4326,
+      10.0, 20.0, 0.25, 0.25, deflate = true)
+    def write(path: String, cog: Boolean): Unit = {
+      val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2), cogLayout = cog)
+      for (tr <- 0 until 2; tc <- 0 until 2)
+        w.writeTile(1, tr, tc, Array.tabulate(T * T) { i =>
+          v(tc * T + i % T, tr * T + i / T)
+        })
+      w.writeOverviewTile(1, 1, 0, 0, Array.tabulate(T * T)(i => v(2 * (i % T), 2 * (i / T))))
+      w.close()
+    }
+    write(tmp("cog.tif"), cog = true)
+    write(tmp("nocog.tif"), cog = false)
+    // classic header: first-IFD pointer at byte 4 must be 8 (head-first)
+    val head = Files.readAllBytes(Paths.get(tmp("cog.tif"))).take(8)
+    val firstIfd = java.nio.ByteBuffer.wrap(head, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+    assert(firstIfd == 8, s"COG first IFD at $firstIfd")
+    // every tile payload sits AFTER the whole IFD chain
+    val cog = GeoTiff.openAll(tmp("cog.tif"))
+    val minOff = cog.flatMap(_.tileOffsets).filter(_ > 0).min
+    assert(minOff > 8, s"payloads start at $minOff")
+    // and decodes bit-identically to the IFD-last twin, both levels
+    val plain = GeoTiff.openAll(tmp("nocog.tif"))
+    assert(cog.length == 2 && cog.map(_.profile) == plain.map(_.profile))
+    for (l <- 0 to 1; tr <- 0 until cog(l).profile.tilesDown;
+         tc <- 0 until cog(l).profile.tilesAcross)
+      assert(cog(l).readTile(1, tr, tc).sameElements(plain(l).readTile(1, tr, tc)),
+        s"level $l tile ($tr,$tc)")
+    // BigTIFF + COG: pointer at byte 8 → 16
+    val bw = new GeoTiff.Writer(tmp("cog_big.tif"), p, bigtiff = true, cogLayout = true)
+    for (tr <- 0 until 2; tc <- 0 until 2)
+      bw.writeTile(1, tr, tc, Array.fill(T * T)(7.0))
+    bw.close()
+    val bh = Files.readAllBytes(Paths.get(tmp("cog_big.tif"))).take(16)
+    val bFirst = java.nio.ByteBuffer.wrap(bh, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(bFirst == 16L, s"BigTIFF COG first IFD at $bFirst")
+    assert(GeoTiff.open(tmp("cog_big.tif")).readTile(1, 1, 1).forall(_ == 7.0))
+    // sparse + COG: holes stay offset 0, filled tiles shift with the data
+    val sp = p.copy(noData = Some(42.0))
+    val sw = new GeoTiff.Writer(tmp("cog_sparse.tif"), sp, sparse = true, cogLayout = true)
+    sw.writeTile(1, 0, 0, Array.tabulate(T * T)(i => if (i % 3 == 0) 42.0 else 5.0))
+    for ((tr, tc) <- Seq((0, 1), (1, 0), (1, 1)))
+      sw.writeTile(1, tr, tc, Array.fill(T * T)(42.0))
+    sw.close()
+    val st = GeoTiff.open(tmp("cog_sparse.tif"))
+    assert(st.tileCounts.count(_ == 0L) == 3)
+    assert(st.readTile(1, 1, 1).forall(_ == 42.0))
+    assert(st.readTile(1, 0, 0).count(_ == 5.0) == (T * T) - (T * T + 2) / 3)
+  }
+
   test("predictor 3 (TTN3 float) round-trips and compresses smooth float ramps") {
     // a smooth f32 ramp: byte-plane split + differencing turns the shared
     // exponent/mantissa prefixes into long zero runs
