@@ -2234,7 +2234,7 @@ object SparkEntry {
       * is ENCODED through the real `GeoTiff.Writer` (K1) and re-DECODED
       * through the real IFD parse + tile read (S4/S5), and the decoded
       * pixels fold to position-weighted integer sums the oracle computes
-      * straight from the generating formula. Fifteen legs cover the
+      * straight from the generating formula. Sixteen legs cover the
       * codec matrix: uint16+DEFLATE, uint8 raw, NBITS=4 bit-packing,
       * CCITT-G4 bilevel, float32 (SampleFormat=IEEE, integer-valued ⇒
       * exact), int16 (signed narrow), LZW (the common public-file codec),
@@ -2244,7 +2244,8 @@ object SparkEntry {
       * PIXEL-INTERLEAVED (chunky, PlanarConfiguration=1) plane with
       * predictor 2 (per-component lag), a SPARSE_OK file
       * (tile.py:65) whose 3 all-nodata tiles become unallocated holes
-      * the reader refills, ZSTD (tag 50000, via Spark's own zstd-jni),
+      * the reader refills, a COG (head-first IFD chain, asserted on the
+      * raw header bytes), ZSTD (tag 50000, via Spark's own zstd-jni),
       * and new-style JPEG (tag 7) with per-8×8-block-constant pixels —
       * flat DCT blocks are DC-only at quantization step 1, so even the
       * lossy codec round-trips bit-exactly and stays hash-checkable.
@@ -2257,8 +2258,8 @@ object SparkEntry {
       import graft.sources.GeoTiff
       val W = 24; val T = 16
       val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_big", "u16_chunky2",
-        "u16_deflate", "u16_lzw", "u16_lzw_pred2", "u16_sparse", "u16_zstd",
-        "u8_jpeg", "u8_packbits", "u8_raw", "u8_stripped")
+        "u16_cog", "u16_deflate", "u16_lzw", "u16_lzw_pred2", "u16_sparse",
+        "u16_zstd", "u8_jpeg", "u8_packbits", "u8_raw", "u8_stripped")
       Tables.part(s, d)
         .filter(col("p_partkey") <= 12)
         .select(col("p_partkey").cast("long").as("asset_id")).as[Long]
@@ -2285,6 +2286,7 @@ object SparkEntry {
                   if (x < 16 && y < 16) ((13 * a + 4 * x + 9 * y) % 60000).toDouble
                   else 42.0
                 case "u16_zstd"      => ((17 * a + 6 * x + 11 * y) % 60000).toDouble
+                case "u16_cog"       => ((19 * a + 8 * x + 5 * y) % 60000).toDouble
                 // constant per 8x8 DCT block ⇒ baseline JPEG at max quality
                 // round-trips EXACTLY (flat blocks are DC-only, q-step 1)
                 case "u8_jpeg"       => ((31 * a + 5 * (x / 8) + 11 * (y / 8)) % 256).toDouble
@@ -2312,6 +2314,7 @@ object SparkEntry {
                 case "u16_chunky2"   => prof("uint16").copy(bands = 2, predictor = 2)
                 case "u16_sparse"    => prof("uint16").copy(noData = Some(42.0))
                 case "u16_zstd"      => prof("uint16", defl = false).copy(zstd = true)
+                case "u16_cog"       => prof("uint16")
                 case "u8_jpeg"       => prof("uint8", defl = false).copy(jpeg = true)
               }
               val f = java.io.File.createTempFile(s"graft_s5_${a}_$leg", ".tif")
@@ -2320,7 +2323,8 @@ object SparkEntry {
                   bigtiff = leg == "u16_big",
                   stripped = leg == "u8_stripped",
                   pixelInterleave = leg == "u16_chunky2",
-                  sparse = leg == "u16_sparse")
+                  sparse = leg == "u16_sparse",
+                  cogLayout = leg == "u16_cog")
                 val tw = p.tileWidth; val th = p.tileHeight
                 // tile pad (gx/gy >= W) stores the leg's fill: 42 for the
                 // sparse leg (so all-nodata tiles stay holes), else 0
@@ -2343,6 +2347,15 @@ object SparkEntry {
                 if (leg == "u16_sparse")
                   require(t.tileCounts.count(_ == 0L) == 3,
                     s"expected 3 sparse holes, got ${t.tileCounts.toSeq}")
+                // the COG leg must actually be head-first — a plain
+                // IFD-last file would still hash right
+                if (leg == "u16_cog") {
+                  val hraf = new java.io.RandomAccessFile(f, "r")
+                  val hd = new Array[Byte](8); hraf.readFully(hd); hraf.close()
+                  val fi = java.nio.ByteBuffer.wrap(hd, 4, 4)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+                  require(fi == 8L, s"COG leg first IFD at $fi, expected 8")
+                }
                 var sum = 0L; var wsum = 0L
                 for (band <- 1 to t.profile.bands;
                      tr <- 0 until t.profile.tilesDown;
@@ -7186,6 +7199,7 @@ object SparkEntry {
           |  UNION ALL SELECT asset_id, 'u16_sparse',
           |    CASE WHEN x < 16 AND y < 16 THEN (13*asset_id + 4*x + 9*y) % 60000 ELSE 42 END, x, y FROM px
           |  UNION ALL SELECT asset_id, 'u16_zstd', (17*asset_id + 6*x + 11*y) % 60000, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'u16_cog', (19*asset_id + 8*x + 5*y) % 60000, x, y FROM px
           |  UNION ALL SELECT asset_id, 'u8_jpeg',
           |    (31*asset_id + 5*(x // 8) + 11*(y // 8)) % 256, x, y FROM px)
           |SELECT asset_id, leg, CAST(sum(v) AS BIGINT) AS sum_v,
