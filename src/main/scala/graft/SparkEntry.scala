@@ -43,6 +43,7 @@ object SparkEntry {
     "p2_cast_fill"        -> (Q.p2_cast_fill(_, _)),
     "p3_vector_calc"      -> (Q.p3_vector_calc(_, _)),
     "p6_snap"             -> (Q.p6_snap(_, _)),
+    "p7_symbology"        -> (Q.p7_symbology(_, _)),
     "j1_spatial_semijoin" -> (Q.j1_spatial_semijoin(_, _)),
     "j2_file_catalog_join" -> (Q.j2_file_catalog_join(_, _)),
     "j4_band_align_join"  -> (Q.j4_band_align_join(_, _)),
@@ -548,6 +549,54 @@ object SparkEntry {
         .select(col("event_id"),
           (floor(col("value") / 0.25) * 0.25).as("snapped"))
         .orderBy("event_id")
+
+    /** P7: the SYMBOLOGY bake — value band → RGBA channel bands through
+      * [[graft.functions.ColorMaps.applyColormap]], both reference
+      * colormap types (`models/pydantic.py:30-33`, `enums.py:19-24`):
+      * `discrete` exact-key lookup (unmapped keys → transparent 0s) and
+      * `gradient` piecewise-linear interpolation with end-clamping (the
+      * gdaldem color-relief rule). Per pixel the interp is
+      * floor(c0 + (c1-c0)·(v-k0)/(k1-k0) + 0.5) in a fixed association,
+      * so DuckDB replays the same IEEE doubles bit-for-bit. Nodata pixels
+      * ((i % 11) = 0 → null) must come out (0,0,0,0) — fully transparent,
+      * never a phantom color. All channels are codegen'd when-ladders
+      * inside one `transform`; no UDF, no shuffle, one partial-agg fold
+      * per asset. */
+    def p7_symbology(s: SparkSession, d: String): DataFrame = {
+      import graft.core.{RGBA, Symbology}
+      import graft.functions.ColorMaps
+      val N = 576
+      val discrete = Symbology("discrete", Map(
+        0.0 -> RGBA(12, 34, 56), 1.0 -> RGBA(200, 10, 0),
+        2.0 -> RGBA(0, 128, 64, 128), 3.0 -> RGBA(255, 255, 0, 64),
+        4.0 -> RGBA(7, 7, 7, 7))) // dv = 5 stays unmapped → transparent
+      val gradient = Symbology("gradient", Map(
+        0.0 -> RGBA(10, 0, 200), 250.0 -> RGBA(255, 40, 0),
+        600.0 -> RGBA(20, 255, 60, 180), 1000.0 -> RGBA(0, 12, 255, 90)))
+      val base = Tables.part(s, d).filter(col("p_partkey") <= 8)
+        .select(col("p_partkey").cast("long").as("asset_id"))
+        .withColumn("band_1", transform(sequence(lit(0), lit(N - 1)), i =>
+          when(pmod(i, lit(11)) === 0, lit(null).cast("double"))
+            .otherwise(pmod(lit(37) * col("asset_id") + lit(13) * i, lit(1001))
+              .cast("double"))))
+      def leg(df: DataFrame, bandCol: String, sym: Symbology, mode: String) = {
+        val withC = ColorMaps.applyColormap(col(bandCol), sym)
+          .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(s"ch_$n", c) }
+        def total(n: String) = aggregate(col(s"ch_$n"), lit(0L),
+          (acc, x) => acc + x.cast("long")).as(s"sum_$n")
+        val wsumR = aggregate(
+          zip_with(col("ch_r"), sequence(lit(0), lit(N - 1)),
+            (c, i) => c.cast("long") * i),
+          lit(0L), (acc, x) => acc + x).as("wsum_r")
+        withC.select(col("asset_id"), lit(mode).as("mode"),
+          total("r"), total("g"), total("b"), total("a"), wsumR)
+      }
+      val disc = leg(base.withColumn("band_d",
+          transform(col("band_1"), v => pmod(v, lit(6.0)))),
+        "band_d", discrete, "discrete")
+      val grad = leg(base, "band_1", gradient, "gradient")
+      disc.unionByName(grad).orderBy("asset_id", "mode")
+    }
 
     /** Synthetic file-catalog footprints: rectangles derived from part —
       * stands in for the raster source manifest (layers.py:114-128). */
@@ -5538,6 +5587,57 @@ object SparkEntry {
       "p6_snap" ->
         """SELECT event_id, floor(value / 0.25) * 0.25 AS snapped
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // symbology bake: discrete exact-key lookup (dv=5 unmapped -> 0s,
+      // null -> 0s) and gradient piecewise-linear interp replayed with the
+      // SAME association floor(c0 + dc*(v-k0)/dk + 0.5) -> identical IEEE
+      // doubles in both engines
+      "p7_symbology" ->
+        """WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS asset_id FROM part
+          |           WHERE p_partkey <= 8),
+          |px AS (SELECT asset_id, i,
+          |         CASE WHEN i % 11 = 0 THEN NULL
+          |              ELSE (37*asset_id + 13*i) % 1001 END AS v
+          |       FROM a CROSS JOIN generate_series(0, 575) gs(i)),
+          |d AS (SELECT asset_id, 'discrete' AS mode, i, v % 6 AS dv FROM px),
+          |dch AS (SELECT asset_id, mode, i,
+          |  CASE WHEN dv IS NULL THEN 0 WHEN dv=0 THEN 12 WHEN dv=1 THEN 200
+          |       WHEN dv=2 THEN 0 WHEN dv=3 THEN 255 WHEN dv=4 THEN 7 ELSE 0 END AS r,
+          |  CASE WHEN dv IS NULL THEN 0 WHEN dv=0 THEN 34 WHEN dv=1 THEN 10
+          |       WHEN dv=2 THEN 128 WHEN dv=3 THEN 255 WHEN dv=4 THEN 7 ELSE 0 END AS g,
+          |  CASE WHEN dv IS NULL THEN 0 WHEN dv=0 THEN 56 WHEN dv=1 THEN 0
+          |       WHEN dv=2 THEN 64 WHEN dv=3 THEN 0 WHEN dv=4 THEN 7 ELSE 0 END AS b,
+          |  CASE WHEN dv IS NULL THEN 0 WHEN dv=0 THEN 255 WHEN dv=1 THEN 255
+          |       WHEN dv=2 THEN 128 WHEN dv=3 THEN 64 WHEN dv=4 THEN 7 ELSE 0 END AS al
+          |  FROM d),
+          |gch AS (SELECT asset_id, 'gradient' AS mode, i,
+          |  CASE WHEN v IS NULL THEN 0 WHEN v <= 0 THEN 10
+          |       WHEN v <= 250 THEN CAST(FLOOR(10 + 245*(v-0)/250 + 0.5) AS INT)
+          |       WHEN v <= 600 THEN CAST(FLOOR(255 + -235*(v-250)/350 + 0.5) AS INT)
+          |       WHEN v <= 1000 THEN CAST(FLOOR(20 + -20*(v-600)/400 + 0.5) AS INT)
+          |       ELSE 0 END AS r,
+          |  CASE WHEN v IS NULL THEN 0 WHEN v <= 0 THEN 0
+          |       WHEN v <= 250 THEN CAST(FLOOR(0 + 40*(v-0)/250 + 0.5) AS INT)
+          |       WHEN v <= 600 THEN CAST(FLOOR(40 + 215*(v-250)/350 + 0.5) AS INT)
+          |       WHEN v <= 1000 THEN CAST(FLOOR(255 + -243*(v-600)/400 + 0.5) AS INT)
+          |       ELSE 12 END AS g,
+          |  CASE WHEN v IS NULL THEN 0 WHEN v <= 0 THEN 200
+          |       WHEN v <= 250 THEN CAST(FLOOR(200 + -200*(v-0)/250 + 0.5) AS INT)
+          |       WHEN v <= 600 THEN CAST(FLOOR(0 + 60*(v-250)/350 + 0.5) AS INT)
+          |       WHEN v <= 1000 THEN CAST(FLOOR(60 + 195*(v-600)/400 + 0.5) AS INT)
+          |       ELSE 255 END AS b,
+          |  CASE WHEN v IS NULL THEN 0 WHEN v <= 0 THEN 255
+          |       WHEN v <= 250 THEN CAST(FLOOR(255 + 0*(v-0)/250 + 0.5) AS INT)
+          |       WHEN v <= 600 THEN CAST(FLOOR(255 + -75*(v-250)/350 + 0.5) AS INT)
+          |       WHEN v <= 1000 THEN CAST(FLOOR(180 + -90*(v-600)/400 + 0.5) AS INT)
+          |       ELSE 90 END AS al
+          |  FROM px),
+          |legs AS (SELECT * FROM dch UNION ALL SELECT * FROM gch)
+          |SELECT asset_id, mode,
+          |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+          |  CAST(SUM(b) AS BIGINT) AS sum_b, CAST(SUM(al) AS BIGINT) AS sum_a,
+          |  CAST(SUM(r*i) AS BIGINT) AS wsum_r
+          |FROM legs GROUP BY 1, 2 ORDER BY asset_id, mode""".stripMargin,
 
       "j1_spatial_semijoin" ->
         """WITH tiles AS (
