@@ -70,4 +70,23 @@ object ColorMaps {
         when(valid, channel(v, sym, pick)).otherwise(lit(0))
       })
     }
+
+  /** Bake a 1-band block relation into the 4-band RGBA relation the K1
+    * sink writes directly: `band_1` is replaced by `band_1..band_4` =
+    * (r, g, b, a) double arrays — pair with a `uint8`, `bandCount = 4`,
+    * `photometric = RGB` profile in
+    * [[graft.sources.GeoTiffSpark.writeTiles]] for a render-ready RGBA
+    * tiff. Purely columnar: the bake stays in the same codegen span as
+    * the block read; no extra shuffle enters the write plan. */
+  def bakeBlocks(blocks: org.apache.spark.sql.DataFrame, sym: Symbology,
+                 noData: Option[Double] = None): org.apache.spark.sql.DataFrame = {
+    val baked = applyColormap(col("band_1"), sym, noData).zipWithIndex
+      .foldLeft(blocks) { case (df, ((_, c), i)) =>
+        df.withColumn(s"__band_${i + 1}",
+          transform(c, x => x.cast("double")))
+      }
+    (1 to 4).foldLeft(baked.drop("band_1")) { case (df, i) =>
+      df.withColumnRenamed(s"__band_$i", s"band_$i")
+    }
+  }
 }

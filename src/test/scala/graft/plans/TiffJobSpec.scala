@@ -177,6 +177,36 @@ class TiffJobSpec extends SparkSpec {
     assert(base(0) == v(384, 384))
   }
 
+  test("symbology bake -> 4-band RGBA tiff: gradient colors land on disk") {
+    import spark.implicits._
+    import graft.core.{RGBA, Symbology}
+    val ovSpec = spec.copy(grid = "90/768", calc = None, dataType = "uint8",
+      bandCount = 4, photometric = Some("RGB"), noData = Some(Seq(0.0)))
+    val g = ovSpec.gridDef
+    val B = g.blockSize; val id = g.tileId(0); val b0 = g.tileBounds(id)
+    // value ramp 0..100 by column; nodata 0 rows bake transparent
+    val rows = for (br <- 0 until 2; bc <- 0 until 2) yield
+      (id, b0.left, b0.top, br, bc,
+        Seq.tabulate(B * B)(i => if (i / B == 3) 0.0 else ((i % B) % 101).toDouble))
+    val oneBand = rows.toDF("tile_id", "left", "top", "block_row", "block_col", "band_1")
+    val sym = Symbology("gradient", Map(
+      0.0 -> RGBA(0, 200, 255), 100.0 -> RGBA(100, 0, 55)))
+    val baked = graft.functions.ColorMaps.bakeBlocks(oneBand, sym, noData = Some(0.0))
+    val outDir = dir("outRgba")
+    GeoTiffSpark.writeTiles(baked, ovSpec, outDir).collect()
+    val t = GeoTiff.open(s"$outDir/$id.tif")
+    assert(t.profile.bands == 4 && t.profile.dataType == "uint8")
+    assert(t.profile.photometric.contains("RGB"))
+    val r = t.readTile(1, 0, 0); val gg = t.readTile(2, 0, 0)
+    val b = t.readTile(3, 0, 0); val a = t.readTile(4, 0, 0)
+    // column x in 0..100: r = x, g = 200-2x, b = 255-2x, a = 255
+    val x = 40; val px = 5 * B + x
+    assert(r(px) == 40.0 && gg(px) == 120.0 && b(px) == 175.0 && a(px) == 255.0)
+    // the nodata row (y=3) baked fully transparent
+    val hole = 3 * B + x
+    assert(r(hole) == 0.0 && a(hole) == 0.0)
+  }
+
   test("harvested catalog carries footprints usable by the spatial joins") {
     val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
     val cat = GeoTiffSpark.harvestCatalog(spark, srcs).collect()(0)
