@@ -42,6 +42,9 @@ object GeoTiff {
       packbits: Boolean = false,  // PackBits RLE (TIFF 6.0 §9)
       zstd: Boolean = false,      // ZSTD (tag 50000, GDAL COMPRESS=ZSTD)
       jpeg: Boolean = false,      // new-style JPEG (tag 7, TTN2) — lossy
+      // ColorMap (tag 320): index → (r, g, b) in 0-255, the GDAL color
+      // table of a categorical/palette raster; padded to 2^bits entries
+      palette: Option[Seq[(Int, Int, Int)]] = None,
       predictor: Int = 1) {       // 1=none, 2=horizontal, 3=floating-point (TTN3)
     require(predictor == 1 || predictor == 2 || predictor == 3,
       s"unsupported TIFF predictor $predictor (only 1=none, 2=horizontal, 3=float)")
@@ -89,6 +92,17 @@ object GeoTiff {
       s"CCITTFAX4 requires a bilevel profile (NBITS=1), got $bitsPerSample bits")
     require(!jpeg || (bitsPerSample == 8 && sampleFormat == 1),
       s"JPEG requires 8-bit unsigned samples, got $bitsPerSample-bit fmt $sampleFormat")
+    palette.foreach { pal =>
+      require(photometricCode == 3,
+        "a palette (ColorMap tag 320) requires photometric = PALETTE")
+      require(sampleFormat == 1 && bitsPerSample <= 16,
+        s"palette indices must be unsigned <=16-bit, got $bitsPerSample-bit fmt $sampleFormat")
+      require(pal.nonEmpty && pal.length <= (1 << bitsPerSample),
+        s"palette has ${pal.length} entries, max ${1 << bitsPerSample} at $bitsPerSample bits")
+      require(pal.forall { case (r, g, b) =>
+        Seq(r, g, b).forall(c => c >= 0 && c <= 255) },
+        "palette components must be in [0, 255]")
+    }
     require(predictor != 2 || (sampleFormat != 3 && bitsPerSample >= 8),
       s"predictor 2 requires >=8-bit integer samples, got $bitsPerSample-bit fmt $sampleFormat")
     require(predictor != 3 || (sampleFormat == 3 && bitsPerSample >= 16),
@@ -498,6 +512,15 @@ object GeoTiff {
       }
       val fmts = Array.fill(p.bands)(leShort(p.sampleFormat)).flatten
       addBig(339, TShort, p.bands, fmts)
+      // ColorMap (320): 3 planes of 2^bits SHORTs (all reds, greens,
+      // blues), 8-bit colors widened as c*257 — the GDAL convention
+      p.palette.foreach { pal =>
+        val n = 1 << p.bitsPerSample
+        val full = pal.padTo(n, (0, 0, 0))
+        val data = (full.map(_._1) ++ full.map(_._2) ++ full.map(_._3))
+          .flatMap(c => leShort(c * 257)).toArray
+        addBig(320, TShort, 3 * n, data)
+      }
       // JPEGTables (347, UNDEFINED): the shared DQT/DHT stream the
       // abbreviated per-tile payloads splice against on read
       jpegTablesBytes.foreach(tb => addBig(347, TUndef, tb.length, tb))
@@ -1132,6 +1155,18 @@ object GeoTiff {
         packbits = compression == 32773,
         zstd = compression == 50000,
         jpeg = compression == 7,
+        // ColorMap (320): three 2^bits-long SHORT planes, 16-bit colors
+        // narrowed back to 0-255 (the c*257 widening is exactly >> 8)
+        palette = {
+          val cm = array(320)
+          if (cm.isEmpty) None
+          else {
+            val n = cm.length / 3
+            Some((0 until n).map(i =>
+              ((cm(i) >> 8).toInt, (cm(n + i) >> 8).toInt,
+                (cm(2 * n + i) >> 8).toInt)))
+          }
+        },
         predictor = predictor.toInt)
       (Tiff(profile, offs, cnts, path, bigEndian,
         chunky = chunky, stripped = !tiled,

@@ -652,6 +652,36 @@ class GeoTiffSpec extends SparkSpec {
     assert(st.readTile(1, 0, 0).count(_ == 5.0) == (T * T) - (T * T + 2) / 3)
   }
 
+  test("palette (ColorMap tag 320) round-trips the GDAL color table") {
+    val pal = Seq((230, 25, 75), (60, 180, 75), (255, 225, 25),
+      (0, 130, 200), (245, 130, 48))
+    val p = profile("uint8").copy(deflate = false,
+      photometric = Some("PALETTE"), palette = Some(pal))
+    val path = tmp("pal.tif")
+    val w = new GeoTiff.Writer(path, p)
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      w.writeTile(1, tr, tc, Array.tabulate(256)(i => (i % 5).toDouble))
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.photometric.contains("PALETTE"))
+    // writer pads to 2^bits entries; colors narrow back exactly (c*257 >> 8)
+    val got = t.profile.palette.get
+    assert(got.length == 256 && got.take(5) == pal && got(200) == ((0, 0, 0)))
+    assert(t.readTile(1, 0, 0).take(5).sameElements(Array(0.0, 1.0, 2.0, 3.0, 4.0)))
+    // NBITS=4 indices carry a 16-entry table
+    val p4 = profile("uint8").copy(nbits = Some(4),
+      photometric = Some("PALETTE"), palette = Some(pal))
+    val w4 = new GeoTiff.Writer(tmp("pal4.tif"), p4)
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      w4.writeTile(1, tr, tc, Array.tabulate(256)(i => (i % 5).toDouble))
+    w4.close()
+    assert(GeoTiff.open(tmp("pal4.tif")).profile.palette.get.length == 16)
+    // a palette demands PALETTE photometric and unsigned integer indices
+    intercept[IllegalArgumentException](profile("uint8").copy(palette = Some(pal)))
+    intercept[IllegalArgumentException](profile("float32")
+      .copy(photometric = Some("PALETTE"), palette = Some(pal)))
+  }
+
   test("predictor 3 (TTN3 float) round-trips and compresses smooth float ramps") {
     // a smooth f32 ramp: byte-plane split + differencing turns the shared
     // exponent/mantissa prefixes into long zero runs
