@@ -143,7 +143,10 @@ object Pixetl {
           val existing = Catalog.existingTiles(spark, outDir)
           val result = LayerJob.run(spark, spec, catalog, reader,
             subset = sub, existing = Some(existing), overwrite = overwrite)
-          GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
+          GeoTiffSpark.writeTiles(result.blocks, spec, outDir,
+            overviewFactors = spec.overviewFactors,
+            overviewMethod = spec.overviewResampling,
+            cogLayout = spec.cog).count()
           // dual destination profiles (tiles/tile.py:54-97): the
           // `gdal-geotiff` variant differs only in creation options the
           // codec normalizes away, so it materializes as a copy —
@@ -201,7 +204,10 @@ object Pixetl {
               s"$dest/features.parquet"))
           }
           val result = VectorJob.run(spark, spec, features, subset = sub)
-          GeoTiffSpark.writeTiles(result.blocks, spec, outDir).count()
+          GeoTiffSpark.writeTiles(result.blocks, spec, outDir,
+            overviewFactors = spec.overviewFactors,
+            overviewMethod = spec.overviewResampling,
+            cogLayout = spec.cog).count()
           LayerJob.writeTilesGeojson(result.manifest, s"$outDir/tiles.geojson")
           Files.writeString(Paths.get(s"$outDir/extent.geojson"),
             LayerJob.renderExtentGeojson(result.extent))

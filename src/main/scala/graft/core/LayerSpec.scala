@@ -37,7 +37,16 @@ final case class LayerSpec(
     symbology: Option[Symbology] = None,
     computeStats: Boolean = false,
     computeHistogram: Boolean = false,
-    photometric: Option[String] = None) {
+    photometric: Option[String] = None,
+    // COG-driver-style destination options — a step beyond the reference,
+    // whose COGs ship WITHOUT overviews (README.md:6): `overviews` declares
+    // internal pyramid factors explicitly, `autoOverviews` derives the
+    // GDAL-COG default chain (halve until a level fits one block), and
+    // `cog` front-loads the IFD chain so one ranged head read plans a tile
+    overviews: Seq[Int] = Nil,
+    autoOverviews: Boolean = false,
+    overviewResampling: String = "average",
+    cog: Boolean = false) {
 
   import LayerSpec._
 
@@ -61,7 +70,27 @@ final case class LayerSpec(
     case other => throw new IllegalArgumentException(s"Unknown resampling method: $other")
   }
 
+  require(overviews.forall(f => f >= 2 && (f & (f - 1)) == 0) &&
+    overviews == overviews.sorted.distinct,
+    s"overviews must be distinct ascending powers of 2: $overviews")
+  require(overviews.isEmpty || !autoOverviews,
+    "give explicit overview factors OR auto_overviews, not both")
+  overviewResampling match {
+    case "nearest" | "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "average" |
+         "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
+    case other => throw new IllegalArgumentException(s"Unknown overview resampling method: $other")
+  }
+
   lazy val gridDef: Grid = GridFactory(grid)
+
+  /** Resolved internal-overview factor chain: explicit `overviews`, or the
+    * GDAL COG driver's default under `autoOverviews` — halve until the
+    * reduced tile fits in one block (gdaladdo's `-minsize` rule). */
+  lazy val overviewFactors: Seq[Int] =
+    if (!autoOverviews) overviews
+    else Iterator.iterate(2)(_ * 2)
+      .takeWhile(f => gridDef.cols / f >= gridDef.blockSize)
+      .toSeq
   lazy val pixelType: PixelType = PixelType.of(dataType, nbits, noData.flatMap(_.headOption))
 
   /** Destination prefix scheme, preserved verbatim from
@@ -141,6 +170,19 @@ object LayerSpec {
       symbology = symbology,
       computeStats = bool("compute_stats").getOrElse(false),
       computeHistogram = bool("compute_histogram").getOrElse(false),
-      photometric = str("photometric"))
+      photometric = str("photometric"),
+      // "overviews": [2, 4, 8] = explicit factors; true = the GDAL COG
+      // driver's auto chain (halve until a level fits one block)
+      overviews = (jv \ "overviews") match {
+        case JArray(xs) => xs.collect {
+          case JInt(i) => i.toInt; case JLong(l) => l.toInt
+        }
+        case _ => Nil
+      },
+      autoOverviews = (jv \ "overviews") match {
+        case JBool(b) => b; case _ => false
+      },
+      overviewResampling = str("overview_resampling").getOrElse("average"),
+      cog = bool("cog").getOrElse(false))
   }
 }

@@ -207,6 +207,45 @@ class TiffJobSpec extends SparkSpec {
     assert(r(hole) == 0.0 && a(hole) == 0.0)
   }
 
+  test("spec-driven COG + overviews: JSON spec → Pixetl.run → pyramided head-first tiff") {
+    writeSource(0) // ensure the tile-0 source exists
+    val json =
+      s"""{"dataset": "d", "version": "v1", "source_type": "raster",
+         |"pixel_meaning": "x", "data_type": "uint16", "calc": "A * 2",
+         |"grid": "90/1008", "no_data": 0,
+         |"source_uri": ["${dir("src")}"],
+         |"overviews": [2], "overview_resampling": "average",
+         |"cog": true}""".stripMargin
+    val parsed = LayerSpec.fromJson(json)
+    assert(parsed.overviewFactors == Seq(2) && parsed.cog)
+    assert(parsed.overviewResampling == "average")
+    // auto mode: true resolves the GDAL-COG default chain (halve until a
+    // level fits one block: 1008 → 504 >= 336, 252 < 336 stops)
+    val auto = LayerSpec.fromJson(json.replace("[2]", "true"))
+    assert(auto.autoOverviews && auto.overviewFactors == Seq(2))
+
+    val dest = dir("cogdest")
+    graft.Pixetl.run(spark, parsed, dest, overwrite = true,
+      sub = Some(Seq(grid.tileId(0))))
+    val path = s"$dest/${parsed.prefix()}/${grid.tileId(0)}.tif"
+    val levels = GeoTiff.openAll(path)
+    assert(levels.length == 2, s"expected base + 1 overview, got ${levels.length}")
+    assert(levels(1).profile.width == grid.cols / 2 &&
+      levels(1).profile.xres == grid.xres * 2)
+    // COG property: the IFD chain sits at the file head (classic header's
+    // 4-byte pointer at offset 4 reads 8 — no seek to EOF to plan a read)
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)).take(8)
+    val firstIfd = java.nio.ByteBuffer.wrap(head, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(firstIfd == 8, s"COG layout must put the first IFD at 8, got $firstIfd")
+    // overview pixels: averages of valid (non-nodata) base pixels — the
+    // base is constant 2.0 outside the masked stripe, so every quad with
+    // at least one valid pixel reduces to exactly 2.0
+    val ov = levels(1).readTile(1, 0, 0)
+    assert(ov.forall(v => v == 2.0 || v == 0.0), s"unexpected overview values")
+    assert(ov.count(_ == 2.0) > ov.length / 2)
+  }
+
   test("harvested catalog carries footprints usable by the spatial joins") {
     val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
     val cat = GeoTiffSpark.harvestCatalog(spark, srcs).collect()(0)
