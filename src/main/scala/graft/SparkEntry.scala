@@ -2306,9 +2306,10 @@ object SparkEntry {
       import s.implicits._
       import graft.sources.GeoTiff
       val W = 24; val T = 16
-      val legs = Seq("ccitt1", "f32", "i16", "nbits4", "u16_big", "u16_chunky2",
-        "u16_cog", "u16_deflate", "u16_lzw", "u16_lzw_pred2", "u16_sparse",
-        "u16_zstd", "u8_jpeg", "u8_packbits", "u8_raw", "u8_stripped")
+      val legs = Seq("ccitt1", "f32", "i16", "nbits4", "rgb_jpeg", "u16_big",
+        "u16_chunky2", "u16_cog", "u16_deflate", "u16_lzw", "u16_lzw_pred2",
+        "u16_sparse", "u16_zstd", "u8_jpeg", "u8_packbits", "u8_raw",
+        "u8_stripped")
       Tables.part(s, d)
         .filter(col("p_partkey") <= 12)
         .select(col("p_partkey").cast("long").as("asset_id")).as[Long]
@@ -2339,6 +2340,9 @@ object SparkEntry {
                 // constant per 8x8 DCT block ⇒ baseline JPEG at max quality
                 // round-trips EXACTLY (flat blocks are DC-only, q-step 1)
                 case "u8_jpeg"       => ((31 * a + 5 * (x / 8) + 11 * (y / 8)) % 256).toDouble
+                // 3-band YCbCr color JPEG: GRAY flat blocks (r=g=b) are
+                // exact — Cb=Cr=128 survives the color transform
+                case "rgb_jpeg"      => ((29 * a + 5 * (x / 8) + 7 * (y / 8)) % 256).toDouble
               }
               def prof(dt: String, defl: Boolean = true, nb: Option[Int] = None,
                        cc: Boolean = false) =
@@ -2365,13 +2369,15 @@ object SparkEntry {
                 case "u16_zstd"      => prof("uint16", defl = false).copy(zstd = true)
                 case "u16_cog"       => prof("uint16")
                 case "u8_jpeg"       => prof("uint8", defl = false).copy(jpeg = true)
+                case "rgb_jpeg"      => prof("uint8", defl = false)
+                  .copy(jpeg = true, bands = 3, photometric = Some("YCBCR"))
               }
               val f = java.io.File.createTempFile(s"graft_s5_${a}_$leg", ".tif")
               try {
                 val w = new GeoTiff.Writer(f.getAbsolutePath, p,
                   bigtiff = leg == "u16_big",
                   stripped = leg == "u8_stripped",
-                  pixelInterleave = leg == "u16_chunky2",
+                  pixelInterleave = leg == "u16_chunky2" || leg == "rgb_jpeg",
                   sparse = leg == "u16_sparse",
                   cogLayout = leg == "u16_cog")
                 val tw = p.tileWidth; val th = p.tileHeight
@@ -2384,7 +2390,7 @@ object SparkEntry {
                     if (gx < W && gy < W) v(b, gx, gy) else pad
                   }
                 for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross)
-                  if (leg == "u16_chunky2")
+                  if (leg == "u16_chunky2" || leg == "rgb_jpeg")
                     w.writeTileInterleaved(tr, tc,
                       (1 to p.bands).map(b => plane(b, tr, tc)))
                   else w.writeTile(1, tr, tc, plane(1, tr, tc))
@@ -7301,7 +7307,10 @@ object SparkEntry {
           |  UNION ALL SELECT asset_id, 'u16_zstd', (17*asset_id + 6*x + 11*y) % 60000, x, y FROM px
           |  UNION ALL SELECT asset_id, 'u16_cog', (19*asset_id + 8*x + 5*y) % 60000, x, y FROM px
           |  UNION ALL SELECT asset_id, 'u8_jpeg',
-          |    (31*asset_id + 5*(x // 8) + 11*(y // 8)) % 256, x, y FROM px)
+          |    (31*asset_id + 5*(x // 8) + 11*(y // 8)) % 256, x, y FROM px
+          |  UNION ALL SELECT asset_id, 'rgb_jpeg',
+          |    (29*asset_id + 5*(x // 8) + 7*(y // 8)) % 256, x, y
+          |    FROM px, (VALUES (1), (2), (3)) AS bt(b))
           |SELECT asset_id, leg, CAST(sum(v) AS BIGINT) AS sum_v,
           |  CAST(sum(v * (x + 24*y)) AS BIGINT) AS wsum_v
           |FROM legs GROUP BY 1, 2 ORDER BY asset_id, leg""".stripMargin,

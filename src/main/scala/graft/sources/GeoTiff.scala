@@ -186,8 +186,10 @@ object GeoTiff {
       s"stripped layout needs full-width rows: tileWidth ${profile.tileWidth} != width ${profile.width}")
     require(!pixelInterleave || (profile.bitsPerSample >= 8 && !profile.ccitt),
       "pixel interleave needs whole-byte non-CCITT samples")
-    require(!profile.jpeg || !pixelInterleave || profile.bands == 1,
-      "JPEG tiles are grayscale per-plane: use the band-separate layout")
+    require(!profile.jpeg || profile.bands == 1 ||
+      (pixelInterleave && profile.bands == 3),
+      "JPEG writes 1-band grayscale planes (band-separate) or 3-band " +
+        "pixel-interleaved color (the YCbCr layout real aerial imagery uses)")
     require(overviewFactors.forall(_ >= 2) &&
       overviewFactors == overviewFactors.sorted.distinct,
       s"overview factors must be distinct, ascending, >= 2: $overviewFactors")
@@ -314,8 +316,11 @@ object GeoTiff {
         case 4     => CcittG4.encode(raw, profile.tileWidth, rows, profile.bytesPerRow)
         case 5     => Lzw.encode(raw)
         case 7 =>
-          require(stride == 1, "JPEG writes band-separate grayscale planes only")
-          val full = jpegEncode(raw, profile.tileWidth, rows)
+          require(stride == 1 || stride == 3,
+            "JPEG writes 1-band grayscale or 3-band interleaved color")
+          val full =
+            if (stride == 3) jpegEncodeRgb(raw, profile.tileWidth, rows)
+            else jpegEncode(raw, profile.tileWidth, rows)
           if (!sharedJpegTables) full
           else {
             // factor DQT/DHT out into tag 347 (GDAL's default layout);
@@ -630,6 +635,71 @@ object GeoTiff {
     bos.toByteArray
   }
 
+  /** 3-band color JPEG (the PHOTOMETRIC=YCBCR + COMPRESS=JPEG layout of
+    * real-world aerial/satellite ortho imagery): `raw` is the chunky
+    * pixel-interleaved R,G,B byte stream; the JDK encoder converts to
+    * YCbCr and writes a standard color JFIF at the encoder's default
+    * 4:2:0 chroma subsampling — the same default GDAL's JPEG-in-TIFF
+    * driver uses with PHOTOMETRIC=YCBCR. Flat-chroma content (including
+    * any r=g=b gray) is unaffected by the subsampling; the decoder
+    * honours whatever sampling factors a foreign stream declares. */
+  private def jpegEncodeRgb(raw: Array[Byte], width: Int, rows: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, rows, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < width) {
+        val base = (y * width + x) * 3
+        r.setSample(x, y, 0, raw(base) & 0xff)     // R
+        r.setSample(x, y, 1, raw(base + 1) & 0xff) // G
+        r.setSample(x, y, 2, raw(base + 2) & 0xff) // B
+        x += 1
+      }
+      y += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val prm = w.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream(raw.length / 2 + 1024)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode a color JFIF tile back to the chunky R,G,B interleaved byte
+    * stream (the inverse of [[jpegEncodeRgb]]); the JDK decoder performs
+    * the YCbCr→RGB conversion and any chroma upsampling the stream
+    * declares, so subsampled foreign files decode too. */
+  private def jpegDecodeRgb(data: Array[Byte], width: Int, rows: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    require(img != null && img.getWidth == width && img.getHeight == rows,
+      s"JPEG tile decoded to ${if (img == null) "nothing"
+        else s"${img.getWidth}x${img.getHeight}"}, expected ${width}x$rows")
+    require(img.getRaster.getNumBands >= 3,
+      s"expected a 3-component color JPEG, got ${img.getRaster.getNumBands}")
+    val out = new Array[Byte](width * rows * 3)
+    val r = img.getRaster
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < width) {
+        val base = (y * width + x) * 3
+        out(base) = r.getSample(x, y, 0).toByte
+        out(base + 1) = r.getSample(x, y, 1).toByte
+        out(base + 2) = r.getSample(x, y, 2).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Split a full JFIF stream into (tables, abbreviated tile): DQT/DHT
     * segments move to a standalone SOI+tables+EOI stream (the tag-347
     * JPEGTables payload, TIFF-EP §; GDAL's default JPEGTABLESMODE=3
@@ -909,11 +979,13 @@ object GeoTiff {
           case 4     => CcittG4.decode(payload, p.tileWidth, rowsHere, p.bytesPerRow)
           case 5     => Lzw.decode(payload, expected)
           case 7 =>
-            require(stride == 1, "JPEG read supports band-separate grayscale only")
+            require(stride == 1 || stride == 3,
+              "JPEG read supports 1-band grayscale or 3-band interleaved color")
             // tag 347 present ⇒ abbreviated per-tile stream: splice the
             // shared DQT/DHT tables back in before handing to the decoder
-            jpegDecode(jpegTables.fold(payload)(mergeJpegTables(_, payload)),
-              p.tileWidth, rowsHere)
+            val stream = jpegTables.fold(payload)(mergeJpegTables(_, payload))
+            if (stride == 3) jpegDecodeRgb(stream, p.tileWidth, rowsHere)
+            else jpegDecode(stream, p.tileWidth, rowsHere)
           case 8     => inflate(payload, expected)
           case 32773 => Packbits.decode(payload, expected)
           case 50000 => zstdDecompress(payload, expected)

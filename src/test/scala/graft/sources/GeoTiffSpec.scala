@@ -538,6 +538,56 @@ class GeoTiffSpec extends SparkSpec {
       profile("uint8").copy(deflate = false, jpeg = true, predictor = 2))
   }
 
+  test("3-band color JPEG (YCbCr) writes interleaved and reads per band") {
+    val p = profile("uint8").copy(deflate = false, jpeg = true, bands = 3,
+      photometric = Some("YCBCR"))
+    // colored smooth field: bands differ, so band routing is observable
+    def plane(b: Int): Array[Double] = Array.tabulate(256) { i =>
+      val x = i % 16; val y = i / 16
+      math.rint(60.0 * b + 30.0 * math.sin((x + b) * 0.25) * math.cos(y * 0.25))
+    }
+    val path = tmp("jpeg_rgb.tif")
+    val w = new GeoTiff.Writer(path, p, pixelInterleave = true)
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      w.writeTileInterleaved(tr, tc, (1 to 3).map(plane))
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.bands == 3 && t.profile.jpeg && t.chunky)
+    assert(t.profile.photometricCode == 6) // YCbCr on disk
+    for (b <- 1 to 3) {
+      val got = t.readTile(b, 1, 1)
+      val exp = plane(b)
+      val maxErr = got.zip(exp).map { case (g, e) => math.abs(g - e) }.max
+      // YCbCr forward+inverse + DCT at max quality: small but nonzero
+      assert(maxErr <= 4.0, s"band $b max color-JPEG error $maxErr")
+    }
+    // GRAY values (r=g=b, constant per 8x8 block) are YCbCr-EXACT:
+    // Cb=Cr=128 survives the color transform and flat blocks are DC-only
+    def gv(x: Int, y: Int): Double = ((5 * (x / 8) + 11 * (y / 8) + 40) % 256).toDouble
+    val path2 = tmp("jpeg_rgb_gray.tif")
+    val w2 = new GeoTiff.Writer(path2, p, pixelInterleave = true)
+    val g = Array.tabulate(256)(i => gv(i % 16, i / 16))
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      w2.writeTileInterleaved(tr, tc, Seq(g, g, g))
+    w2.close()
+    val t2 = GeoTiff.open(path2)
+    for (b <- 1 to 3)
+      assert(t2.readTile(b, 0, 0).sameElements(g), s"band $b gray not exact")
+    // shared JPEGTables compose with color tiles
+    val path3 = tmp("jpeg_rgb_shared.tif")
+    val w3 = new GeoTiff.Writer(path3, p, pixelInterleave = true,
+      sharedJpegTables = true)
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      w3.writeTileInterleaved(tr, tc, Seq(g, g, g))
+    w3.close()
+    val t3 = GeoTiff.open(path3)
+    assert(t3.jpegTables.isDefined)
+    assert(t3.readTile(2, 1, 0).sameElements(g))
+    // 2-band JPEG has no JFIF layout — reject loudly
+    intercept[IllegalArgumentException](new GeoTiff.Writer(
+      tmp("jpeg_2band.tif"), p.copy(bands = 2), pixelInterleave = true))
+  }
+
   test("shared JPEGTables (tag 347) dedupes DQT/DHT; abbreviated tiles decode") {
     // per-8x8-flat pixels => DCT-exact: shared-tables file must decode
     // BIT-identically to the full-stream twin
