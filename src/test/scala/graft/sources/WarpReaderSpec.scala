@@ -267,6 +267,40 @@ class WarpReaderSpec extends SparkSpec {
     blocks.unpersist()
   }
 
+  test("downsampling warp reads the matched overview level, 1:1 reads base") {
+    // overview content is DELIBERATELY not the true downsample of the base
+    // (base 7, overview 9) so which level fed the gather is observable
+    def writeSrc(name: String, widthPx: Int): String = {
+      val path = s"${dir()}/$name.tif"
+      val p = GeoTiff.Profile(
+        width = widthPx, height = widthPx, bands = 1, dataType = "uint16",
+        tileWidth = 336, tileHeight = 336, noData = Some(0.0), epsg = 4326,
+        originX = -180.0, originY = 90.0,
+        xres = 90.0 / widthPx, yres = 90.0 / widthPx)
+      val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2))
+      for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross)
+        w.writeTile(1, tr, tc, Array.fill(336 * 336)(7.0))
+      val lp = w.levelProfiles(1)
+      for (tr <- 0 until lp.tilesDown; tc <- 0 until lp.tilesAcross)
+        w.writeOverviewTile(1, 1, tr, tc, Array.fill(336 * 336)(9.0))
+      w.close()
+      path
+    }
+    def gathered(src: String): Set[Int] = {
+      val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(src))
+        .selectExpr("uri", "band", "footprint")
+      val reader = WarpReader.reader(grid.xres, grid.yres, grid.blockSize)
+      LayerJob.run(spark, spec, catalog, reader,
+          subset = Some(Seq("90N_180W"))).blocks
+        .select(explode(col("band_1")).as("v"))
+        .groupBy("v").count().collect().map(_.getInt(0)).toSet
+    }
+    // 2x finer source: the factor-2 overview matches the target exactly
+    assert(gathered(writeSrc("pyr_fine", 2016)) == Set(9))
+    // grid-resolution source: 1:1 demand keeps the base level
+    assert(gathered(writeSrc("pyr_same", 1008)) == Set(7))
+  }
+
   test("per-partition tile cache keeps re-decoding bounded (same values twice)") {
     val src = s"${dir()}/fine.tif"
     val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(src))
