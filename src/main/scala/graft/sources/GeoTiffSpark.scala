@@ -39,6 +39,35 @@ object GeoTiffSpark {
     * even for the 10-Gpx tile. `overviewMethod` is any [[Resample]]
     * kernel; nodata masks to null so kernels exclude it, and nulls
     * write back as nodata. */
+  /** The k5 overview dataflow, one DataFrame per declared factor (with a
+    * 1-based `level` column): per-halving map-side
+    * [[graft.operators.Resample.downsample]] (4× data reduction, no
+    * shuffle) then [[graft.operators.Resample.regroup2x]] (ONE keyed
+    * exchange, moving only the reduced quarters); nodata masks to null so
+    * kernels exclude it. Shared by the internal-overview sink
+    * ([[writeTiles]]) and the external-sidecar builder
+    * ([[addOverviewSidecars]]). */
+  private def overviewLevels(blocks: DataFrame, block: Int,
+      bandCols: Seq[String], keyCols: Seq[String], noData: Option[Double],
+      factors: Seq[Int], method: String): Seq[DataFrame] = {
+    import graft.operators.Resample
+    var cur = blocks
+    var curFactor = 1
+    factors.zipWithIndex.map { case (f, li) =>
+      while (curFactor < f) {
+        var m = cur
+        // masked-pixel convention through the kernels: nodata → null
+        for (b <- bandCols; nd <- noData)
+          m = m.withColumn(b, transform(col(b), v => when(v =!= nd, v)))
+        for (b <- bandCols)
+          m = m.withColumn(b, Resample.downsample(col(b), block, block, 2, method))
+        cur = Resample.regroup2x(m, block, bandCols, keyCols)
+        curFactor *= 2
+      }
+      cur.withColumn("level", lit(li + 1))
+    }
+  }
+
   def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String,
                  overviewFactors: Seq[Int] = Nil,
                  overviewMethod: String = "average",
@@ -74,27 +103,9 @@ object GeoTiffSpark {
     val base = blocks.select(cols0.map(col): _*).withColumn("level", lit(0))
     val leveled =
       if (overviewFactors.isEmpty) base
-      else {
-        import graft.operators.Resample
-        var cur = blocks.select(cols0.map(col): _*)
-        var curFactor = 1
-        val levels = scala.collection.mutable.ArrayBuffer[DataFrame](base)
-        for ((f, li) <- overviewFactors.zipWithIndex) {
-          while (curFactor < f) {
-            var m = cur
-            // masked-pixel convention through the kernels: nodata → null
-            for (b <- bandCols; nd <- noData)
-              m = m.withColumn(b, transform(col(b), v => when(v =!= nd, v)))
-            for (b <- bandCols)
-              m = m.withColumn(b,
-                Resample.downsample(col(b), block, block, 2, overviewMethod))
-            cur = Resample.regroup2x(m, block, bandCols, keyCols)
-            curFactor *= 2
-          }
-          levels += cur.withColumn("level", lit(li + 1))
-        }
-        levels.reduce(_ unionByName _)
-      }
+      else (base +: overviewLevels(blocks.select(cols0.map(col): _*), block,
+        bandCols, keyCols, noData, overviewFactors, overviewMethod))
+        .reduce(_ unionByName _)
     leveled
       .groupByKey((r: Row) => r.getString(0))
       .mapGroups { (tileId: String, rows: Iterator[Row]) =>
@@ -163,6 +174,141 @@ object GeoTiffSpark {
         (tileId, path, n)
       }
       .toDF("tile_id", "path", "n_blocks")
+  }
+
+  /** `gdaladdo -ro` twin: build EXTERNAL `.ovr` overview sidecars for an
+    * ALREADY-PUBLISHED tile directory without rewriting the tiles — the
+    * step consumers of the reference's overview-less COGs (README.md:6)
+    * run through GDAL today. Distributed end to end: base blocks read
+    * back one task per block (ranged tile reads; SPARSE_OK holes
+    * materialize their nodata fill), the pyramid builds through the same
+    * k5 dataflow as the internal sink (map-side [[graft.operators
+    * .Resample.downsample]] + ONE keyed exchange per halving via
+    * `regroup2x`), and each `<tile>.tif.ovr` — a bare TIFF whose IFD
+    * chain holds the reduced levels, already consumed by
+    * [[GeoTiff.openWithOverviews]] and the warp reader — writes one task
+    * per tile. `factors` are distinct ascending powers of 2; `method` is
+    * any [[graft.operators.Resample]] kernel. */
+  def addOverviewSidecars(spark: SparkSession, dir: String, spec: LayerSpec,
+                          factors: Seq[Int],
+                          method: String = "average"): DataFrame = {
+    import spark.implicits._
+    require(factors.nonEmpty && factors.forall(f => f >= 2 && (f & (f - 1)) == 0) &&
+      factors == factors.sorted.distinct,
+      s"overview factors must be distinct ascending powers of 2: $factors")
+    val grid = spec.gridDef
+    val pt = spec.pixelType
+    val bandCount = spec.bandCount
+    val noData = pt.noData
+    val epsg = if (grid.crs == "EPSG:3857") 3857 else 4326
+    val (cols, rows_, block) = (grid.cols, grid.rows, grid.blockSize)
+    val nPerSide = cols / block
+    val viaFs = dir.contains("://")
+    // the published tiles (one `<id>.tif` each; sidecars/manifests in the
+    // same prefix don't match the glob)
+    val tifGlob = new org.apache.hadoop.fs.Path(s"$dir/*.tif")
+    val fs0 = tifGlob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = Option(fs0.globStatus(tifGlob)).getOrElse(Array.empty)
+      .map(_.getPath.getName.stripSuffix(".tif")).toSeq
+    // distributed block work-list: never materializes tiles×blocks on the
+    // driver (a 10-Gpx grid is ~38k blocks per tile)
+    val blockIdx = spark.range(nPerSide.toLong * nPerSide)
+      .select((col("id") / nPerSide).cast("int").as("block_row"),
+        (col("id") % nPerSide).cast("int").as("block_col"))
+    val blocks0 = blockIdx.crossJoin(broadcast(ids.toDF("tile_id")))
+      .select(col("tile_id"), col("block_row"), col("block_col"))
+      .as[(String, Int, Int)]
+      .mapPartitions { it =>
+        val open = scala.collection.mutable.Map.empty[String, GeoTiff.Tiff]
+        it.map { case (id, br, bc) =>
+          val t = open.getOrElseUpdate(id, GeoTiff.open(s"$dir/$id.tif"))
+          (id, t.profile.originX, t.profile.originY, br, bc,
+            (1 to t.profile.bands).map(b => t.readTile(b, br, bc)))
+        }
+      }
+      .toDF("tile_id", "left", "top", "block_row", "block_col", "__bands")
+    val bandCols = (1 to bandCount).map(i => s"band_$i")
+    val blocks = bandCols.zipWithIndex.foldLeft(blocks0) { case (df, (b, i)) =>
+      df.withColumn(b, element_at(col("__bands"), i + 1))
+    }.drop("__bands")
+    val leveled = overviewLevels(blocks, block, bandCols,
+      Seq("tile_id", "left", "top"), noData, factors, method)
+      .reduce(_ unionByName _)
+    val f1 = factors.head
+    val relFactors = factors.tail.map(_ / f1)
+    def ceilDiv(a: Int, f: Int): Int = (a + f - 1) / f
+    val lvlPos = 5 + bandCount
+    leveled
+      .groupByKey((r: Row) => r.getString(0))
+      .mapGroups { (tileId: String, rows: Iterator[Row]) =>
+        var writer: GeoTiff.Writer = null
+        var localPath: String = null
+        var path: String = null
+        val written = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
+        rows.foreach { r =>
+          if (writer == null) {
+            val left = r.getDouble(1); val top = r.getDouble(2)
+            path = s"$dir/$tileId.tif.ovr"
+            localPath =
+              if (viaFs) java.nio.file.Files
+                .createTempFile(s"graft_ovr_$tileId", ".ovr").toString
+              else path
+            // the sidecar's BASE image is the first reduced level; deeper
+            // declared levels chain as its own internal overviews
+            val p1 = GeoTiff.Profile(
+              width = ceilDiv(cols, f1), height = ceilDiv(rows_, f1),
+              bands = bandCount, dataType = pt.name,
+              tileWidth = block, tileHeight = block, noData = noData,
+              epsg = epsg, originX = left, originY = top,
+              xres = grid.xres * f1, yres = grid.yres * f1,
+              nbits = pt.nbits, photometric = spec.photometric,
+              ccitt = pt.compression == "CCITTFAX4")
+            writer = new GeoTiff.Writer(localPath, p1,
+              overviewFactors = relFactors)
+          }
+          val br = r.getInt(3); val bc = r.getInt(4)
+          val lvl = r.getInt(lvlPos) // 1-based into `factors`
+          for (b <- 1 to bandCount) {
+            val arr = r.getSeq[Any](5 + b - 1)
+            val px = new Array[Double](arr.length)
+            var i = 0
+            while (i < px.length) {
+              px(i) = arr(i) match {
+                case null => noData.getOrElse(0.0)
+                case x: java.lang.Number => x.doubleValue()
+              }
+              i += 1
+            }
+            if (lvl == 1) writer.writeTile(b, br, bc, px)
+            else writer.writeOverviewTile(lvl - 1, b, br, bc, px)
+            written += ((lvl, b, br, bc))
+          }
+        }
+        if (writer != null) {
+          // defensive nodata pad (mirrors writeTiles; a complete base
+          // read-back leaves nothing to fill)
+          val empty = Array.fill(block * block)(noData.getOrElse(0.0))
+          for (lvl <- 1 to factors.length) {
+            val lp = writer.levelProfiles(lvl - 1)
+            for (b <- 1 to bandCount; br <- 0 until lp.tilesDown;
+                 bc <- 0 until lp.tilesAcross)
+              if (!written.contains((lvl, b, br, bc))) {
+                if (lvl == 1) writer.writeTile(b, br, bc, empty)
+                else writer.writeOverviewTile(lvl - 1, b, br, bc, empty)
+              }
+          }
+          writer.close()
+          if (viaFs) {
+            val dst = new org.apache.hadoop.fs.Path(path)
+            val dfs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            dfs.setWriteChecksum(false)
+            dfs.copyFromLocalFile(true, true,
+              new org.apache.hadoop.fs.Path(localPath), dst)
+          }
+        }
+        (tileId, path)
+      }
+      .toDF("tile_id", "path")
   }
 
   /** K1 stats sidecar: one `<tile_id>.tif.aux.xml` per tile next to the

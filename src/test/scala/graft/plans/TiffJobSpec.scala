@@ -207,6 +207,34 @@ class TiffJobSpec extends SparkSpec {
     assert(r(hole) == 0.0 && a(hole) == 0.0)
   }
 
+  test("gdaladdo twin: .ovr sidecars build distributed for a published dir") {
+    writeSource(0)
+    val catalog = GeoTiffSpark.harvestCatalog(spark,
+        Seq(s"${dir("src")}/${grid.tileId(0)}.tif"))
+      .selectExpr("uri", "band", "footprint")
+    val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader,
+      subset = Some(Seq(grid.tileId(0))))
+    val outDir = dir("ovrout")
+    GeoTiffSpark.writeTiles(result.blocks, spec, outDir).collect()
+    // plain published tile: one IFD, no pyramid
+    val tifPath = s"$outDir/${grid.tileId(0)}.tif"
+    assert(GeoTiff.openWithOverviews(tifPath).length == 1)
+
+    val written = GeoTiffSpark.addOverviewSidecars(spark, outDir, spec,
+      factors = Seq(2, 4), method = "average").collect()
+    assert(written.length == 1 && written(0).getString(1).endsWith(".tif.ovr"))
+    val levels = GeoTiff.openWithOverviews(tifPath)
+    assert(levels.length == 3, s"expected base + 2 sidecar levels, got ${levels.length}")
+    assert(levels(1).profile.width == grid.cols / 2 &&
+      levels(2).profile.width == grid.cols / 4)
+    assert(levels(1).profile.xres == grid.xres * 2)
+    // base is calc(input) = 2*(0*7+1) = 2 outside the nodata stripe; the
+    // nodata-excluding average of a constant field is the constant
+    val ov = levels(2).readTile(1, 0, 0)
+    assert(ov.forall(v => v == 2.0 || v == 0.0))
+    assert(ov.count(_ == 2.0) > ov.length / 2, s"valid=${ov.count(_ == 2.0)}")
+  }
+
   test("spec-driven COG + overviews: JSON spec → Pixetl.run → pyramided head-first tiff") {
     writeSource(0) // ensure the tile-0 source exists
     val json =
