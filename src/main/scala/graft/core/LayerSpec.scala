@@ -84,12 +84,15 @@ final case class LayerSpec(
   lazy val gridDef: Grid = GridFactory(grid)
 
   /** Resolved internal-overview factor chain: explicit `overviews`, or the
-    * GDAL COG driver's default under `autoOverviews` — halve until the
-    * reduced tile fits in one block (gdaladdo's `-minsize` rule). */
+    * GDAL COG driver's default under `autoOverviews` — keep halving WHILE
+    * the previous level is still bigger than one block, so the chain ends
+    * with the first level that fits a single block (gdaladdo's `-minsize`
+    * rule; a chain stopping one level early leaves zoomed-out consumers
+    * on multi-tile reads). */
   lazy val overviewFactors: Seq[Int] =
     if (!autoOverviews) overviews
     else Iterator.iterate(2)(_ * 2)
-      .takeWhile(f => gridDef.cols / f >= gridDef.blockSize)
+      .takeWhile(f => gridDef.cols / (f / 2) > gridDef.blockSize)
       .toSeq
   lazy val pixelType: PixelType = PixelType.of(dataType, nbits, noData.flatMap(_.headOption))
 
@@ -172,12 +175,19 @@ object LayerSpec {
       computeHistogram = bool("compute_histogram").getOrElse(false),
       photometric = str("photometric"),
       // "overviews": [2, 4, 8] = explicit factors; true = the GDAL COG
-      // driver's auto chain (halve until a level fits one block)
+      // driver's auto chain (halve until a level fits one block). Any
+      // other shape fails LOUDLY — a silently-dropped value would publish
+      // a full corpus with no pyramid and no error.
       overviews = (jv \ "overviews") match {
-        case JArray(xs) => xs.collect {
-          case JInt(i) => i.toInt; case JLong(l) => l.toInt
+        case JArray(xs) => xs.map {
+          case JInt(i) => i.toInt
+          case JLong(l) => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"overviews array must hold integers, got $other")
         }
-        case _ => Nil
+        case JBool(_) | JNothing | JNull => Nil
+        case other => throw new IllegalArgumentException(
+          s"overviews must be an integer array or true (auto), got $other")
       },
       autoOverviews = (jv \ "overviews") match {
         case JBool(b) => b; case _ => false

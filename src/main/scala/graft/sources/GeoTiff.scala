@@ -179,7 +179,13 @@ object GeoTiff {
                      stripped: Boolean = false, pixelInterleave: Boolean = false,
                      sparse: Boolean = false, overviewFactors: Seq[Int] = Nil,
                      sharedJpegTables: Boolean = false,
-                     cogLayout: Boolean = false) {
+                     cogLayout: Boolean = false,
+                     // GDAL writes its overview IFDs BARE (no geo tags /
+                     // GeoKeys / GDAL_NODATA — the level is georeferenced
+                     // by its size ratio); flip this off for byte parity
+                     // with that layout. Readers derive the missing tags
+                     // either way (inheritGeo).
+                     geoTagsOnOverviews: Boolean = true) {
     require(!sharedJpegTables || profile.jpeg,
       "sharedJpegTables (tag 347) only applies to JPEG compression")
     require(!stripped || profile.tileWidth == profile.width,
@@ -529,24 +535,26 @@ object GeoTiff {
       // JPEGTables (347, UNDEFINED): the shared DQT/DHT stream the
       // abbreviated per-tile payloads splice against on read
       jpegTablesBytes.foreach(tb => addBig(347, TUndef, tb.length, tb))
-      // ModelPixelScale (33550): (xres, yres, 0)
-      addBig(33550, TDouble, 3,
-        leDouble(p.xres) ++ leDouble(p.yres) ++ leDouble(0))
-      // ModelTiepoint (33922): raster (0,0,0) → model (originX, originY, 0)
-      addBig(33922, TDouble, 6,
-        leDouble(0) ++ leDouble(0) ++ leDouble(0) ++
-          leDouble(p.originX) ++ leDouble(p.originY) ++ leDouble(0))
-      // GeoKeyDirectory (34735): version, rev, minor, nkeys + keys
-      val geographic = p.epsg == 4326
-      val keys: Array[Int] =
-        Array(1, 1, 0, 3,
-          1024, 0, 1, if (geographic) 2 else 1,          // GTModelType
-          1025, 0, 1, 1,                                  // RasterPixelIsArea
-          if (geographic) 2048 else 3072, 0, 1, p.epsg)   // CS key
-      addBig(34735, TShort, keys.length, keys.flatMap(leShort))
-      p.noData.foreach { nd =>
-        val s = (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString) + " "
-        addBig(42113, TAscii, s.length, s.getBytes("ASCII"))
+      if (level == 0 || geoTagsOnOverviews) {
+        // ModelPixelScale (33550): (xres, yres, 0)
+        addBig(33550, TDouble, 3,
+          leDouble(p.xres) ++ leDouble(p.yres) ++ leDouble(0))
+        // ModelTiepoint (33922): raster (0,0,0) → model (originX, originY, 0)
+        addBig(33922, TDouble, 6,
+          leDouble(0) ++ leDouble(0) ++ leDouble(0) ++
+            leDouble(p.originX) ++ leDouble(p.originY) ++ leDouble(0))
+        // GeoKeyDirectory (34735): version, rev, minor, nkeys + keys
+        val geographic = p.epsg == 4326
+        val keys: Array[Int] =
+          Array(1, 1, 0, 3,
+            1024, 0, 1, if (geographic) 2 else 1,          // GTModelType
+            1025, 0, 1, 1,                                  // RasterPixelIsArea
+            if (geographic) 2048 else 3072, 0, 1, p.epsg)   // CS key
+        addBig(34735, TShort, keys.length, keys.flatMap(leShort))
+        p.noData.foreach { nd =>
+          val s = (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString) + " "
+          addBig(42113, TAscii, s.length, s.getBytes("ASCII"))
+        }
       }
 
       // resolve deferred offsets
@@ -646,18 +654,14 @@ object GeoTiff {
   private def jpegEncodeRgb(raw: Array[Byte], width: Int, rows: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, rows, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val r = img.getRaster
-    var y = 0
-    while (y < rows) {
-      var x = 0
-      while (x < width) {
-        val base = (y * width + x) * 3
-        r.setSample(x, y, 0, raw(base) & 0xff)     // R
-        r.setSample(x, y, 1, raw(base + 1) & 0xff) // G
-        r.setSample(x, y, 2, raw(base + 2) & 0xff) // B
-        x += 1
-      }
-      y += 1
+    // our own TYPE_3BYTE_BGR raster is backed by a plain byte[] in B,G,R
+    // pixel order: one swap pass beats 3·w·h bounds-checked setSample calls
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < raw.length) {
+      buf(i) = raw(i + 2); buf(i + 1) = raw(i + 1); buf(i + 2) = raw(i)
+      i += 3
     }
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val prm = w.getDefaultWriteParam
@@ -684,18 +688,30 @@ object GeoTiff {
     require(img.getRaster.getNumBands >= 3,
       s"expected a 3-component color JPEG, got ${img.getRaster.getNumBands}")
     val out = new Array[Byte](width * rows * 3)
-    val r = img.getRaster
-    var y = 0
-    while (y < rows) {
-      var x = 0
-      while (x < width) {
-        val base = (y * width + x) * 3
-        out(base) = r.getSample(x, y, 0).toByte
-        out(base + 1) = r.getSample(x, y, 1).toByte
-        out(base + 2) = r.getSample(x, y, 2).toByte
-        x += 1
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+        img.getRaster.getNumBands == 3) {
+      // the JDK decoder's standard output: B,G,R byte triplets — swap back
+      val buf = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      while (i < out.length) {
+        out(i) = buf(i + 2); out(i + 1) = buf(i + 1); out(i + 2) = buf(i)
+        i += 3
       }
-      y += 1
+    } else { // any other decoded layout: per-sample fallback
+      val r = img.getRaster
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < width) {
+          val base = (y * width + x) * 3
+          out(base) = r.getSample(x, y, 0).toByte
+          out(base + 1) = r.getSample(x, y, 1).toByte
+          out(base + 2) = r.getSample(x, y, 2).toByte
+          x += 1
+        }
+        y += 1
+      }
     }
     out
   }
@@ -1062,8 +1078,14 @@ object GeoTiff {
     * subsequent entries are whatever further IFDs the file carries — for
     * GDAL/gdaladdo-style internal overviews, each is a reduced-resolution
     * pyramid level (the r5 pyramid persisted INSIDE the file). Each level
-    * reads independently through its own [[Tiff]]. */
-  def openAll(rawPath: String): Seq[Tiff] = {
+    * reads independently through its own [[Tiff]]; geo-tag-less reduced
+    * levels (GDAL's own overview layout) inherit derived georeferencing
+    * from the chain head via [[inheritGeo]]. */
+  def openAll(rawPath: String): Seq[Tiff] = inheritGeo(openAllFlags(rawPath))
+
+  /** [[openAll]] before geo inheritance: each level paired with whether
+    * its IFD carried its OWN geo tags. */
+  private def openAllFlags(rawPath: String): Seq[(Tiff, Boolean)] = {
     val path = rawPath
     val raf = rangeReader(path)
     try {
@@ -1095,7 +1117,7 @@ object GeoTiff {
           rdLong()
         } else rdInt()
 
-      def parseIfd(ifdOffset: Long): (Tiff, Long) = {
+      def parseIfd(ifdOffset: Long): ((Tiff, Boolean), Long) = {
       raf.seek(ifdOffset)
       val nEntries = if (bigtiff) rdLong().toInt else rdShort()
       val inlineCap = if (bigtiff) 8 else 4
@@ -1240,13 +1262,18 @@ object GeoTiff {
           }
         },
         predictor = predictor.toInt)
-      (Tiff(profile, offs, cnts, path, bigEndian,
+      // GDAL-written overview IFDs carry NO geo tags (no ModelPixelScale/
+      // Tiepoint, no GeoKeys, no GDAL_NODATA) — the level is georeferenced
+      // implicitly by its size ratio to the base. Track whether THIS IFD
+      // had its own geo tags so the chain walk can derive the missing ones.
+      val hasGeo = tags.contains(33550) || tags.contains(33922)
+      ((Tiff(profile, offs, cnts, path, bigEndian,
         chunky = chunky, stripped = !tiled,
-        jpegTables = if (compression == 7) rawData(347) else None), nextIfd)
+        jpegTables = if (compression == 7) rawData(347) else None), hasGeo), nextIfd)
       }
 
       // follow the chain; a corrupt circular chain must not loop forever
-      val out = mutable.ArrayBuffer.empty[Tiff]
+      val out = mutable.ArrayBuffer.empty[(Tiff, Boolean)]
       val seen = mutable.Set.empty[Long]
       var at = firstIfdOffset
       while (at != 0 && !seen(at) && out.length < 64) {
@@ -1260,6 +1287,25 @@ object GeoTiff {
     } finally raf.close()
   }
 
+  /** Derive georeferencing for geo-tag-less reduced levels from the chain
+    * head: same extent, resolution scaled by the width/height ratio — how
+    * GDAL treats its own overview IFDs (which carry no ModelPixelScale /
+    * Tiepoint / GeoKeys / GDAL_NODATA). The head itself is never patched. */
+  private def inheritGeo(levels: Seq[(Tiff, Boolean)]): Seq[Tiff] = {
+    val base = levels.head._1.profile
+    levels.head._1 +: levels.tail.map {
+      case (t, true) => t
+      case (t, false) =>
+        val p = t.profile
+        t.copy(profile = p.copy(
+          originX = base.originX, originY = base.originY,
+          xres = base.xres * base.width / p.width,
+          yres = base.yres * base.height / p.height,
+          epsg = base.epsg,
+          noData = p.noData.orElse(base.noData)))
+    }
+  }
+
   /** [[openAll]] plus GDAL EXTERNAL overviews: `gdaladdo -ro` can't touch
     * a read-only dataset, so it writes a sibling `<path>.ovr` — itself a
     * bare TIFF whose IFD chain holds the reduced levels. If that sidecar
@@ -1268,12 +1314,15 @@ object GeoTiff {
     * open attempt through [[rangeReader]], so s3a/gs/hdfs paths probe
     * the same way local ones do. */
   def openWithOverviews(rawPath: String): Seq[Tiff] = {
-    val main = openAll(rawPath)
+    val main = openAllFlags(rawPath)
     val sidecar = rawPath + ".ovr"
     val present =
       try { rangeReader(sidecar).close(); true }
       catch { case _: Exception => false }
-    if (present) main ++ openAll(sidecar) else main
+    // inherit across the COMBINED chain: a foreign gdaladdo .ovr carries
+    // no geo tags on ANY of its levels, so they must derive from the MAIN
+    // file's base, not from the sidecar's own (equally bare) head
+    if (present) inheritGeo(main ++ openAllFlags(sidecar)) else inheritGeo(main)
   }
 
   /** Accept plain paths and file: URIs (Hadoop listings yield the latter). */

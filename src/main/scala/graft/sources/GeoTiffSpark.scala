@@ -68,6 +68,56 @@ object GeoTiffSpark {
     }
   }
 
+  /** Null-safe row array → pixel array (null = masked → nodata fill). */
+  private def rowPixels(arr: Seq[Any], noData: Option[Double]): Array[Double] = {
+    val px = new Array[Double](arr.length)
+    var i = 0
+    arr.foreach { v =>
+      px(i) = v match {
+        case null => noData.getOrElse(0.0)
+        case x: java.lang.Number => x.doubleValue()
+      }
+      i += 1
+    }
+    px
+  }
+
+  /** Write one plane at a WRITER level (0 = base IFD, k = k-th declared
+    * overview of that writer). */
+  private def writeAt(writer: GeoTiff.Writer, wl: Int, b: Int,
+                      br: Int, bc: Int, px: Array[Double]): Unit =
+    if (wl == 0) writer.writeTile(b, br, bc, px)
+    else writer.writeOverviewTile(wl, b, br, bc, px)
+
+  /** K4-style padding + close + optional remote upload — the shared tail
+    * of every streaming tile sink: never-emitted blocks become nodata
+    * tiles at EVERY level of the writer, then the finished file uploads
+    * through the Hadoop FS when the destination is scheme-qualified.
+    * `written` carries WRITER-level keys (level, band, row, col). */
+  private def padCloseUpload(writer: GeoTiff.Writer, bandCount: Int,
+      block: Int, noData: Option[Double],
+      written: scala.collection.mutable.Set[(Int, Int, Int, Int)],
+      viaFs: Boolean, localPath: String, path: String): Unit = {
+    if (writer != null) {
+      val empty = Array.fill(block * block)(noData.getOrElse(0.0))
+      for (wl <- writer.levelProfiles.indices) {
+        val lp = writer.levelProfiles(wl)
+        for (b <- 1 to bandCount; br <- 0 until lp.tilesDown;
+             bc <- 0 until lp.tilesAcross)
+          if (!written.contains((wl, b, br, bc))) writeAt(writer, wl, b, br, bc, empty)
+      }
+      writer.close()
+      if (viaFs) {
+        val dst = new org.apache.hadoop.fs.Path(path)
+        val dfs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        dfs.setWriteChecksum(false)
+        dfs.copyFromLocalFile(true /* delete temp */,
+          true /* overwrite */, new org.apache.hadoop.fs.Path(localPath), dst)
+      }
+    } else if (viaFs && localPath != null)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(localPath))
+  }
+
   def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String,
                  overviewFactors: Seq[Int] = Nil,
                  overviewMethod: String = "average",
@@ -130,47 +180,16 @@ object GeoTiffSpark {
               overviewFactors = overviewFactors, cogLayout = cogLayout)
           }
           val br = r.getInt(3); val bc = r.getInt(4)
-          val lvl = r.getInt(lvlIdx)
+          val lvl = r.getInt(lvlIdx) // row level == writer level here
           for (b <- 1 to bandCount) {
-            val arr = r.getSeq[Any](5 + b - 1)
-            val px = new Array[Double](arr.length)
-            var i = 0
-            arr.foreach { v =>
-              px(i) = v match {
-                case null => noData.getOrElse(0.0)
-                case x: java.lang.Number => x.doubleValue()
-              }
-              i += 1
-            }
-            if (lvl == 0) writer.writeTile(b, br, bc, px)
-            else writer.writeOverviewTile(lvl, b, br, bc, px)
+            writeAt(writer, lvl, b, br, bc,
+              rowPixels(r.getSeq[Any](5 + b - 1), noData))
             written += ((lvl, b, br, bc))
           }
           if (lvl == 0) n += 1
         }
-        // K4-style padding: blocks never emitted (empty) become nodata
-        // tiles, at the base AND at every declared overview level
-        if (writer != null) {
-          val nPerSide = cols / block
-          val empty = Array.fill(block * block)(noData.getOrElse(0.0))
-          for (b <- 1 to bandCount; br <- 0 until nPerSide; bc <- 0 until nPerSide)
-            if (!written.contains((0, b, br, bc))) writer.writeTile(b, br, bc, empty)
-          for (lvl <- 1 to overviewFactors.length) {
-            val lp = writer.levelProfiles(lvl)
-            for (b <- 1 to bandCount; br <- 0 until lp.tilesDown;
-                 bc <- 0 until lp.tilesAcross)
-              if (!written.contains((lvl, b, br, bc)))
-                writer.writeOverviewTile(lvl, b, br, bc, empty)
-          }
-          writer.close()
-          if (viaFs) {
-            val dst = new org.apache.hadoop.fs.Path(path)
-            val dfs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            dfs.setWriteChecksum(false)
-            dfs.copyFromLocalFile(true /* delete temp */,
-              true /* overwrite */, new org.apache.hadoop.fs.Path(localPath), dst)
-          }
-        } else if (viaFs) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(localPath))
+        padCloseUpload(writer, bandCount, block, noData, written,
+          viaFs, localPath, path)
         (tileId, path, n)
       }
       .toDF("tile_id", "path", "n_blocks")
@@ -267,45 +286,17 @@ object GeoTiffSpark {
               overviewFactors = relFactors)
           }
           val br = r.getInt(3); val bc = r.getInt(4)
-          val lvl = r.getInt(lvlPos) // 1-based into `factors`
+          // row levels are 1-based into `factors`; the sidecar writer's
+          // level 0 IS the first reduced level
+          val wl = r.getInt(lvlPos) - 1
           for (b <- 1 to bandCount) {
-            val arr = r.getSeq[Any](5 + b - 1)
-            val px = new Array[Double](arr.length)
-            var i = 0
-            while (i < px.length) {
-              px(i) = arr(i) match {
-                case null => noData.getOrElse(0.0)
-                case x: java.lang.Number => x.doubleValue()
-              }
-              i += 1
-            }
-            if (lvl == 1) writer.writeTile(b, br, bc, px)
-            else writer.writeOverviewTile(lvl - 1, b, br, bc, px)
-            written += ((lvl, b, br, bc))
+            writeAt(writer, wl, b, br, bc,
+              rowPixels(r.getSeq[Any](5 + b - 1), noData))
+            written += ((wl, b, br, bc))
           }
         }
-        if (writer != null) {
-          // defensive nodata pad (mirrors writeTiles; a complete base
-          // read-back leaves nothing to fill)
-          val empty = Array.fill(block * block)(noData.getOrElse(0.0))
-          for (lvl <- 1 to factors.length) {
-            val lp = writer.levelProfiles(lvl - 1)
-            for (b <- 1 to bandCount; br <- 0 until lp.tilesDown;
-                 bc <- 0 until lp.tilesAcross)
-              if (!written.contains((lvl, b, br, bc))) {
-                if (lvl == 1) writer.writeTile(b, br, bc, empty)
-                else writer.writeOverviewTile(lvl - 1, b, br, bc, empty)
-              }
-          }
-          writer.close()
-          if (viaFs) {
-            val dst = new org.apache.hadoop.fs.Path(path)
-            val dfs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            dfs.setWriteChecksum(false)
-            dfs.copyFromLocalFile(true, true,
-              new org.apache.hadoop.fs.Path(localPath), dst)
-          }
-        }
+        padCloseUpload(writer, bandCount, block, noData, written,
+          viaFs, localPath, path)
         (tileId, path)
       }
       .toDF("tile_id", "path")

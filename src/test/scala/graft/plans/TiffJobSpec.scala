@@ -215,6 +215,7 @@ class TiffJobSpec extends SparkSpec {
     val result = LayerJob.run(spark, spec, catalog, GeoTiffSpark.reader,
       subset = Some(Seq(grid.tileId(0))))
     val outDir = dir("ovrout")
+    org.apache.commons.io.FileUtils.cleanDirectory(new java.io.File(outDir))
     GeoTiffSpark.writeTiles(result.blocks, spec, outDir).collect()
     // plain published tile: one IFD, no pyramid
     val tifPath = s"$outDir/${grid.tileId(0)}.tif"
@@ -247,10 +248,16 @@ class TiffJobSpec extends SparkSpec {
     val parsed = LayerSpec.fromJson(json)
     assert(parsed.overviewFactors == Seq(2) && parsed.cog)
     assert(parsed.overviewResampling == "average")
-    // auto mode: true resolves the GDAL-COG default chain (halve until a
-    // level fits one block: 1008 → 504 >= 336, 252 < 336 stops)
+    // auto mode: true resolves the GDAL-COG default chain — halve WHILE
+    // the previous level exceeds one block, ending at the first level
+    // that fits: 1008 > 336 → add 2; 504 > 336 → add 4; 252 fits → stop
     val auto = LayerSpec.fromJson(json.replace("[2]", "true"))
-    assert(auto.autoOverviews && auto.overviewFactors == Seq(2))
+    assert(auto.autoOverviews && auto.overviewFactors == Seq(2, 4))
+    // malformed overviews fail LOUDLY, never a silent no-pyramid publish
+    intercept[IllegalArgumentException](
+      LayerSpec.fromJson(json.replace("[2]", "[2.5]")))
+    intercept[IllegalArgumentException](
+      LayerSpec.fromJson(json.replace("[2]", "\"auto\"")))
 
     val dest = dir("cogdest")
     graft.Pixetl.run(spark, parsed, dest, overwrite = true,

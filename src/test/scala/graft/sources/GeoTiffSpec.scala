@@ -538,6 +538,35 @@ class GeoTiffSpec extends SparkSpec {
       profile("uint8").copy(deflate = false, jpeg = true, predictor = 2))
   }
 
+  test("bare GDAL-style overview IFDs inherit derived georeferencing") {
+    // GDAL writes overview IFDs with NO ModelPixelScale/Tiepoint/GeoKeys/
+    // GDAL_NODATA; a reader trusting per-IFD tags would see xres=1,
+    // origin=(0,0) and index garbage. Emulate that layout and prove the
+    // open path derives the level's geo from the base.
+    val p = profile("uint16")
+    val path = tmp("bare_ovr.tif")
+    val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2),
+      geoTagsOnOverviews = false)
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, Array.fill(256)(7.0))
+    w.writeOverviewTile(1, 1, 0, 0, Array.fill(256)(9.0))
+    w.close()
+    val levels = GeoTiff.openAll(path)
+    assert(levels.length == 2)
+    val l1 = levels(1).profile
+    assert(l1.xres == p.xres * 2 && l1.yres == p.yres * 2,
+      s"derived res (${l1.xres}, ${l1.yres})")
+    assert(l1.originX == p.originX && l1.originY == p.originY)
+    assert(l1.epsg == p.epsg && l1.noData == p.noData)
+    assert(levels(1).readTile(1, 0, 0).take(16).forall(_ == 9.0))
+    // geo-tagged overviews (our default layout) keep their own tags
+    val path2 = tmp("tagged_ovr.tif")
+    val w2 = new GeoTiff.Writer(path2, p, overviewFactors = Seq(2))
+    for (tr <- 0 to 1; tc <- 0 to 1) w2.writeTile(1, tr, tc, Array.fill(256)(7.0))
+    w2.writeOverviewTile(1, 1, 0, 0, Array.fill(256)(9.0))
+    w2.close()
+    assert(GeoTiff.openAll(path2)(1).profile.xres == p.xres * 2)
+  }
+
   test("3-band color JPEG (YCbCr) writes interleaved and reads per band") {
     val p = profile("uint8").copy(deflate = false, jpeg = true, bands = 3,
       photometric = Some("YCBCR"))

@@ -270,14 +270,15 @@ class WarpReaderSpec extends SparkSpec {
   test("downsampling warp reads the matched overview level, 1:1 reads base") {
     // overview content is DELIBERATELY not the true downsample of the base
     // (base 7, overview 9) so which level fed the gather is observable
-    def writeSrc(name: String, widthPx: Int): String = {
+    def writeSrc(name: String, widthPx: Int, bareOvr: Boolean = false): String = {
       val path = s"${dir()}/$name.tif"
       val p = GeoTiff.Profile(
         width = widthPx, height = widthPx, bands = 1, dataType = "uint16",
         tileWidth = 336, tileHeight = 336, noData = Some(0.0), epsg = 4326,
         originX = -180.0, originY = 90.0,
         xres = 90.0 / widthPx, yres = 90.0 / widthPx)
-      val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2))
+      val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2),
+        geoTagsOnOverviews = !bareOvr)
       for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross)
         w.writeTile(1, tr, tc, Array.fill(336 * 336)(7.0))
       val lp = w.levelProfiles(1)
@@ -299,6 +300,9 @@ class WarpReaderSpec extends SparkSpec {
     assert(gathered(writeSrc("pyr_fine", 2016)) == Set(9))
     // grid-resolution source: 1:1 demand keeps the base level
     assert(gathered(writeSrc("pyr_same", 1008)) == Set(7))
+    // GDAL-layout pyramid (BARE overview IFDs — no geo tags): selection
+    // must still find and correctly index the overview via derived geo
+    assert(gathered(writeSrc("pyr_bare", 2016, bareOvr = true)) == Set(9))
   }
 
   test("per-partition tile cache keeps re-decoding bounded (same values twice)") {
