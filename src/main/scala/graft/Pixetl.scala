@@ -53,6 +53,23 @@ object Pixetl {
     } finally spark.stop()
   }
 
+  /** Tile sink + the spec's pyramid choice: internal overviews (chained
+    * IFDs, optionally COG head-first) ride the SAME write; the external
+    * layout publishes plain tiles then builds `.ovr` sidecars next to
+    * them (gdaladdo -ro semantics — the tiles stay byte-stable). */
+  private def writeWithPyramid(spark: org.apache.spark.sql.SparkSession,
+      blocks: org.apache.spark.sql.DataFrame, spec: LayerSpec,
+      outDir: String): Unit =
+    if (spec.overviewLayout == "external" && spec.overviewFactors.nonEmpty) {
+      GeoTiffSpark.writeTiles(blocks, spec, outDir).count()
+      GeoTiffSpark.addOverviewSidecars(spark, outDir, spec,
+        spec.overviewFactors, spec.overviewResampling).count()
+    } else
+      GeoTiffSpark.writeTiles(blocks, spec, outDir,
+        overviewFactors = spec.overviewFactors,
+        overviewMethod = spec.overviewResampling,
+        cogLayout = spec.cog).count()
+
   /** Resolve `pixetl://dataset/attr/grid/tiles.geojson` source uris (emitted
     * by [[SubmitJob]] for resampled `depends_on` grids) to the upstream
     * job's manifest under the same dest prefix — the reference's data-lake
@@ -143,10 +160,7 @@ object Pixetl {
           val existing = Catalog.existingTiles(spark, outDir)
           val result = LayerJob.run(spark, spec, catalog, reader,
             subset = sub, existing = Some(existing), overwrite = overwrite)
-          GeoTiffSpark.writeTiles(result.blocks, spec, outDir,
-            overviewFactors = spec.overviewFactors,
-            overviewMethod = spec.overviewResampling,
-            cogLayout = spec.cog).count()
+          writeWithPyramid(spark, result.blocks, spec, outDir)
           // dual destination profiles (tiles/tile.py:54-97): the
           // `gdal-geotiff` variant differs only in creation options the
           // codec normalizes away, so it materializes as a copy —
@@ -204,10 +218,7 @@ object Pixetl {
               s"$dest/features.parquet"))
           }
           val result = VectorJob.run(spark, spec, features, subset = sub)
-          GeoTiffSpark.writeTiles(result.blocks, spec, outDir,
-            overviewFactors = spec.overviewFactors,
-            overviewMethod = spec.overviewResampling,
-            cogLayout = spec.cog).count()
+          writeWithPyramid(spark, result.blocks, spec, outDir)
           LayerJob.writeTilesGeojson(result.manifest, s"$outDir/tiles.geojson")
           Files.writeString(Paths.get(s"$outDir/extent.geojson"),
             LayerJob.renderExtentGeojson(result.extent))
@@ -216,6 +227,57 @@ object Pixetl {
 
       val _ = blocks // per-branch writes already materialized above
       status.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+}
+
+/** `gdaladdo -ro` twin CLI: build EXTERNAL `.ovr` overview sidecars for an
+  * already-published destination without rewriting the tiles — the step
+  * consumers of the reference's overview-less COGs run through GDAL today.
+  *
+  *   addo [--dest DIR] [--method KERNEL] [--factors 2,4,8] '<layer json>'
+  *
+  * The layer json is the SAME spec the publish ran with (it carries the
+  * grid/data-type/prefix); factors default to the spec's own
+  * `overviews`/auto chain. Exit 0 on success, 1 on failure. */
+object Addo {
+  def main(args: Array[String]): Unit = {
+    var dest = "out"
+    var method = "average"
+    var factors = Seq.empty[Int]
+    var json: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--dest" | "-d" => dest = args(i + 1); i += 2
+        case "--method"      => method = args(i + 1); i += 2
+        case "--factors"     =>
+          factors = args(i + 1).split(",").map(_.trim.toInt).toSeq; i += 2
+        case other if other.startsWith("@") =>
+          json = Some(Files.readString(Paths.get(other.drop(1)))); i += 1
+        case other           => json = Some(other); i += 1
+      }
+    }
+    val spec = LayerSpec.fromJson(json.getOrElse {
+      System.err.println(
+        "usage: addo [--dest DIR] [--method KERNEL] [--factors 2,4,…] '<layer json>'")
+      sys.exit(2)
+    })
+    val resolved =
+      if (factors.nonEmpty) factors
+      else if (spec.overviewFactors.nonEmpty) spec.overviewFactors
+      else spec.copy(autoOverviews = true, overviews = Nil).overviewFactors
+    val spark = GraftSession.local(s"addo ${spec.dataset}/${spec.version}")
+    try {
+      val written = GeoTiffSpark.addOverviewSidecars(spark,
+        s"$dest/${spec.prefix()}", spec, resolved, method).collect()
+      written.foreach(r => println(s"${r.getString(0)}: ${r.getString(1)}"))
+      println(s"overviews: ${written.length} sidecars, factors ${resolved.mkString(",")}")
+      sys.exit(0)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"addo failed: ${e.getMessage}")
+        sys.exit(1)
+    } finally spark.stop()
   }
 }
 

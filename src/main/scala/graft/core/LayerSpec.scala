@@ -46,6 +46,10 @@ final case class LayerSpec(
     overviews: Seq[Int] = Nil,
     autoOverviews: Boolean = false,
     overviewResampling: String = "average",
+    // "internal" = chained IFDs in the tile itself (the COG/gdaladdo
+    // default); "external" = a .ovr sidecar per tile (gdaladdo -ro), the
+    // choice for destinations whose tiles must stay byte-stable
+    overviewLayout: String = "internal",
     cog: Boolean = false) {
 
   import LayerSpec._
@@ -80,6 +84,10 @@ final case class LayerSpec(
          "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
     case other => throw new IllegalArgumentException(s"Unknown overview resampling method: $other")
   }
+  require(overviewLayout == "internal" || overviewLayout == "external",
+    s"overview_layout must be internal or external, got $overviewLayout")
+  require(!cog || overviewLayout == "internal",
+    "a COG carries its pyramid internally: cog=true excludes overview_layout=external")
 
   lazy val gridDef: Grid = GridFactory(grid)
 
@@ -193,6 +201,7 @@ object LayerSpec {
         case JBool(b) => b; case _ => false
       },
       overviewResampling = str("overview_resampling").getOrElse("average"),
+      overviewLayout = str("overview_layout").getOrElse("internal"),
       cog = bool("cog").getOrElse(false))
   }
 }

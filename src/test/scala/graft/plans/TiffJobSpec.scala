@@ -281,6 +281,31 @@ class TiffJobSpec extends SparkSpec {
     assert(ov.count(_ == 2.0) > ov.length / 2)
   }
 
+  test("overview_layout=external: Pixetl publishes plain tiles + .ovr sidecars") {
+    writeSource(0)
+    val json =
+      s"""{"dataset": "dx", "version": "v1", "source_type": "raster",
+         |"pixel_meaning": "x", "data_type": "uint16", "calc": "A * 2",
+         |"grid": "90/1008", "no_data": 0,
+         |"source_uri": ["${dir("src")}"],
+         |"overviews": [2], "overview_layout": "external"}""".stripMargin
+    val parsed = LayerSpec.fromJson(json)
+    assert(parsed.overviewLayout == "external" && !parsed.cog)
+    // a COG carries its pyramid internally — the combination is rejected
+    intercept[IllegalArgumentException](parsed.copy(cog = true))
+
+    val dest = dir("extdest")
+    graft.Pixetl.run(spark, parsed, dest, overwrite = true,
+      sub = Some(Seq(grid.tileId(0))))
+    val path = s"$dest/${parsed.prefix()}/${grid.tileId(0)}.tif"
+    // the tile itself stays a plain single-IFD file (byte-stable publish)
+    assert(GeoTiff.openAll(path).length == 1)
+    // ...but the pyramid is there through the sidecar
+    val levels = GeoTiff.openWithOverviews(path)
+    assert(levels.length == 2 && levels(1).profile.width == grid.cols / 2)
+    assert(levels(1).profile.xres == grid.xres * 2)
+  }
+
   test("harvested catalog carries footprints usable by the spatial joins") {
     val srcs = Seq(s"${dir("src")}/${grid.tileId(0)}.tif")
     val cat = GeoTiffSpark.harvestCatalog(spark, srcs).collect()(0)

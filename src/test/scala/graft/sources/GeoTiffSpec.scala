@@ -538,6 +538,41 @@ class GeoTiffSpec extends SparkSpec {
       profile("uint8").copy(deflate = false, jpeg = true, predictor = 2))
   }
 
+  test("4-band RGB declares ExtraSamples (tag 338) = unassociated alpha") {
+    val p = profile("uint8").copy(bands = 4, photometric = Some("RGB"))
+    val path = tmp("rgba_extra.tif")
+    val w = new GeoTiff.Writer(path, p)
+    for (b <- 1 to 4; tr <- 0 to 1; tc <- 0 to 1)
+      w.writeTile(b, tr, tc, Array.fill(256)(b * 10.0))
+    w.close()
+    // walk the classic IFD entry table for tag 338 (SHORT, count 1, value 2)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    val ifd = le32(4)
+    val n = le16(ifd)
+    val entries = (0 until n).map(k => ifd + 2 + 12 * k)
+    val e338 = entries.find(e => le16(e) == 338)
+    assert(e338.isDefined, "tag 338 missing")
+    assert(le16(e338.get + 2) == 3 && le32(e338.get + 4) == 1) // SHORT x1
+    assert(le16(e338.get + 8) == 2) // unassociated alpha
+    // 3-band RGB and 1-band gray files carry no ExtraSamples
+    val p3 = tmp("rgb_noextra.tif")
+    val w3 = new GeoTiff.Writer(p3, profile("uint8").copy(bands = 3,
+      photometric = Some("RGB")))
+    for (b <- 1 to 3; tr <- 0 to 1; tc <- 0 to 1)
+      w3.writeTile(b, tr, tc, Array.fill(256)(1.0))
+    w3.close()
+    val b3 = Files.readAllBytes(Paths.get(p3))
+    def le16b(i: Int) = (b3(i) & 0xff) | ((b3(i + 1) & 0xff) << 8)
+    def le32b(i: Int) = le16b(i) | (le16b(i + 2) << 16)
+    val ifd3 = le32b(4); val n3 = le16b(ifd3)
+    assert(!(0 until n3).exists(k => le16b(ifd3 + 2 + 12 * k) == 338))
+    // round-trip unaffected
+    val t = GeoTiff.open(path)
+    assert(t.profile.bands == 4 && t.readTile(4, 0, 0).forall(_ == 40.0))
+  }
+
   test("bare GDAL-style overview IFDs inherit derived georeferencing") {
     // GDAL writes overview IFDs with NO ModelPixelScale/Tiepoint/GeoKeys/
     // GDAL_NODATA; a reader trusting per-IFD tags would see xres=1,
