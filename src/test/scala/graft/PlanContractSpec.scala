@@ -211,6 +211,25 @@ class PlanContractSpec extends SparkSpec {
     graft.core.Caching.release(spark)
   }
 
+  test("k5 dataflow: one exchange per halving, quarters combine map-side") {
+    import org.apache.spark.sql.functions._
+    // the overview build's contract: downsample is a pure projection (no
+    // exchange), regroup2x exchanges ONCE on the parent-block key with
+    // first-of-quarter partials combining map-side before it
+    val blocks = spark.range(64).select(
+      lit("t").as("tile_id"), lit(0.0).as("left"), lit(0.0).as("top"),
+      (col("id") / 8).cast("int").as("block_row"),
+      (col("id") % 8).cast("int").as("block_col"),
+      transform(sequence(lit(1), lit(64)), _.cast("double")).as("band_1"))
+    val half = blocks.withColumn("band_1",
+      graft.operators.Resample.downsample(col("band_1"), 8, 8, 2, "average"))
+    val parent = graft.operators.Resample.regroup2x(half, 8, Seq("band_1"),
+      Seq("tile_id", "left", "top"))
+    val p = parent.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("partial_first"), p.take(1500))
+  }
+
   test("g13: per-hop aggregate combines map-side; no cartesian message join") {
     val p = plan("g13_neigh_agg")
     assert(!p.contains("CartesianProduct"), p.take(1500))
