@@ -180,6 +180,10 @@ object GeoTiff {
                      sparse: Boolean = false, overviewFactors: Seq[Int] = Nil,
                      sharedJpegTables: Boolean = false,
                      cogLayout: Boolean = false,
+                     // emit declared overviews as a SubIFD tree (tag 330,
+                     // the TIFF-EP layout) instead of the chained-IFD
+                     // default; read back identically by openAll
+                     subIfdOverviews: Boolean = false,
                      // GDAL writes its overview IFDs BARE (no geo tags /
                      // GeoKeys / GDAL_NODATA — the level is georeferenced
                      // by its size ratio); flip this off for byte parity
@@ -421,7 +425,10 @@ object GeoTiff {
       val first =
         if (!cogLayout) dataEnd
         else if (big) 16L else 8L
-      val lens = levelProfiles.indices.map(l => buildIfd(l, first, 0L).length)
+      val lens = levelProfiles.indices.map(l => buildIfd(l, first, 0L,
+        if (subIfdOverviews && l == 0)
+          Seq.fill(levelProfiles.length - 1)(0L) // placeholder: length-only
+        else Nil).length)
       val chain = lens.sum.toLong
       if (cogLayout) {
         val start = first
@@ -443,9 +450,14 @@ object GeoTiff {
       require(big || fileEnd <= 0xFFFFFFFFL,
         s"$path exceeds the classic TIFF 4GB limit (IFD chain at $first)")
       for (l <- levelProfiles.indices) {
-        val next = if (l == levelProfiles.length - 1) 0L else pos(l + 1)
+        // subIfdOverviews: base points at the levels via tag 330 (TIFF-EP
+        // SubIFD tree) and NOTHING chains; default: next-IFD chain
+        val next =
+          if (subIfdOverviews) 0L
+          else if (l == levelProfiles.length - 1) 0L else pos(l + 1)
+        val subs = if (subIfdOverviews && l == 0) pos.slice(1, levelProfiles.length) else Nil
         raf.seek(pos(l))
-        raf.write(buildIfd(l, pos(l), next))
+        raf.write(buildIfd(l, pos(l), next, subs))
       }
       if (big) { raf.seek(8); raf.write(leLong(first)) }
       else { raf.seek(4); raf.write(leInt(first.toInt)) }
@@ -471,7 +483,8 @@ object GeoTiff {
     private def leDouble(v: Double): Array[Byte] =
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
 
-    private def buildIfd(level: Int, ifdOffset: Long, nextIfd: Long): Array[Byte] = {
+    private def buildIfd(level: Int, ifdOffset: Long, nextIfd: Long,
+                         subIfds: Seq[Long] = Nil): Array[Byte] = {
       val p = levelProfiles(level)
       val offs = lvlOffsets(level); val cnts = lvlCounts(level)
       val nT = offs.length
@@ -495,6 +508,13 @@ object GeoTiff {
       // overview IFDs mark themselves reduced-resolution (NewSubfileType
       // bit 0), as gdaladdo does for internal overviews
       if (level > 0) add(254, TLong, 1, longVal(1))
+      // SubIFDs (330, TIFF-EP): the overview tree layout some products use
+      // instead of chained IFDs; type IFD (13) classic, IFD8 (18) BigTIFF
+      if (subIfds.nonEmpty) {
+        if (big) addBig(330, 18, subIfds.length, subIfds.flatMap(leLong).toArray)
+        else addBig(330, 13, subIfds.length,
+          subIfds.flatMap(o => leInt(o.toInt)).toArray)
+      }
       add(256, TLong, 1, longVal(p.width))
       add(257, TLong, 1, longVal(p.height))
       val bits = Array.fill(p.bands)(leShort(p.bitsPerSample)).flatten
@@ -1123,7 +1143,7 @@ object GeoTiff {
           rdLong()
         } else rdInt()
 
-      def parseIfd(ifdOffset: Long): ((Tiff, Boolean), Long) = {
+      def parseIfd(ifdOffset: Long): ((Tiff, Boolean), Long, Seq[Long]) = {
       raf.seek(ifdOffset)
       val nEntries = if (bigtiff) rdLong().toInt else rdShort()
       val inlineCap = if (bigtiff) 8 else 4
@@ -1141,7 +1161,7 @@ object GeoTiff {
       // BEFORE any out-of-line tag data moves the file position
       val nextIfd = if (bigtiff) rdLong() else rdInt()
       def typeWidth(typ: Int): Int = typ match {
-        case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 => 4
+        case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 13 => 4
         case 12 => 8; case 16 | 17 | 18 => 8
         case other => throw new IllegalArgumentException(s"TIFF type $other")
       }
@@ -1164,9 +1184,9 @@ object GeoTiff {
           Array.fill(count)(typ match {
             case 1 => (bb.get() & 0xff).toLong
             case 3 => (bb.getShort & 0xffff).toLong
-            case 4 => bb.getInt & 0xffffffffL
+            case 4 | 13 => bb.getInt & 0xffffffffL // LONG / IFD offset
             case 12 => java.lang.Double.doubleToLongBits(bb.getDouble)
-            case 16 | 17 => bb.getLong
+            case 16 | 17 | 18 => bb.getLong // LONG8 / SLONG8 / IFD8
           })
       }
       def scalar(tag: Int, dflt: Long = -1): Long = array(tag).headOption.getOrElse(dflt)
@@ -1275,18 +1295,34 @@ object GeoTiff {
       val hasGeo = tags.contains(33550) || tags.contains(33922)
       ((Tiff(profile, offs, cnts, path, bigEndian,
         chunky = chunky, stripped = !tiled,
-        jpegTables = if (compression == 7) rawData(347) else None), hasGeo), nextIfd)
+        jpegTables = if (compression == 7) rawData(347) else None), hasGeo),
+        nextIfd, array(330).toSeq)
       }
 
-      // follow the chain; a corrupt circular chain must not loop forever
+      // follow the chain; a corrupt circular chain must not loop forever.
+      // SubIFD trees (tag 330 — the TIFF-EP overview layout some products
+      // use instead of chained IFDs) queue up and parse after the chain.
       val out = mutable.ArrayBuffer.empty[(Tiff, Boolean)]
       val seen = mutable.Set.empty[Long]
+      val subQueue = mutable.Queue.empty[Long]
       var at = firstIfdOffset
       while (at != 0 && !seen(at) && out.length < 64) {
         seen += at
-        val (t, next) = parseIfd(at)
+        val (t, next, subs) = parseIfd(at)
         out += t
+        subQueue ++= subs
         at = next
+      }
+      while (subQueue.nonEmpty && out.length < 64) {
+        val s0 = subQueue.dequeue()
+        if (s0 != 0 && !seen(s0)) {
+          seen += s0
+          val (t, next, subs) = parseIfd(s0)
+          out += t
+          // a SubIFD may itself chain (rare) or nest further SubIFDs
+          if (next != 0) subQueue += next
+          subQueue ++= subs
+        }
       }
       require(out.nonEmpty, s"no IFDs in $path")
       out.toSeq

@@ -573,6 +573,31 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.profile.bands == 4 && t.readTile(4, 0, 0).forall(_ == 40.0))
   }
 
+  test("SubIFD overviews (tag 330, TIFF-EP tree) write and read back") {
+    val p = profile("uint16")
+    val path = tmp("subifd_ovr.tif")
+    // bare SubIFD levels (no geo tags) — both real-world conventions at once
+    val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2),
+      subIfdOverviews = true, geoTagsOnOverviews = false)
+    for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, Array.fill(256)(7.0))
+    w.writeOverviewTile(1, 1, 0, 0, Array.fill(256)(9.0))
+    w.close()
+    // the base IFD must NOT chain — the pyramid hangs off tag 330
+    val bytes = Files.readAllBytes(Paths.get(path))
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    val ifd = le32(4)
+    val n = le16(ifd)
+    assert(le32(ifd + 2 + 12 * n) == 0, "base next-IFD pointer must be 0")
+    assert((0 until n).exists(k => le16(ifd + 2 + 12 * k) == 330), "tag 330 missing")
+    // openAll traverses the tree: 2 levels, derived geo, right pixels
+    val levels = GeoTiff.openAll(path)
+    assert(levels.length == 2, s"got ${levels.length} levels")
+    assert(levels(1).profile.width == 16 && levels(1).profile.xres == p.xres * 2)
+    assert(levels(1).readTile(1, 0, 0).take(16).forall(_ == 9.0))
+    assert(levels(0).readTile(1, 0, 0).forall(_ == 7.0))
+  }
+
   test("bare GDAL-style overview IFDs inherit derived georeferencing") {
     // GDAL writes overview IFDs with NO ModelPixelScale/Tiepoint/GeoKeys/
     // GDAL_NODATA; a reader trusting per-IFD tags would see xres=1,
