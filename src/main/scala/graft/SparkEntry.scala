@@ -27,6 +27,7 @@ object SparkEntry {
     "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
     "s5_tiff_roundtrip"   -> (Q.s5_tiff_roundtrip(_, _)),
     "k5_pyramid_sink"     -> (Q.k5_pyramid_sink(_, _)),
+    "k6_ovr_sidecar"      -> (Q.k6_ovr_sidecar(_, _)),
     "s2_manifest_chain"   -> (Q.s2_manifest_chain(_, _)),
     "p5_reproject"        -> (Q.p5_reproject(_, _)),
     "s3_listing_scan"     -> (Q.s3_listing_scan(_, _)),
@@ -2528,6 +2529,75 @@ object SparkEntry {
         }
         .toDF("asset_id", "mode", "level", "sum_v", "wsum_v")
         .orderBy("asset_id", "mode", "level")
+    }
+
+    /** K1+`addo` — the gdaladdo -ro twin oracle-checked END TO END through
+      * the PRODUCTION surfaces: publish plain tiles with
+      * [[graft.sources.GeoTiffSpark.writeTiles]] (3 real grid tiles of the
+      * custom 90/544 lattice, 2×2 blocks each), build external `.ovr`
+      * sidecars with the distributed
+      * [[graft.sources.GeoTiffSpark.addOverviewSidecars]] job (masked
+      * `max` kernel — integer-exact, no rounding ambiguity cross-engine),
+      * then read BOTH pyramid levels back through
+      * [[graft.sources.GeoTiff.openWithOverviews]] and fold
+      * sum/weighted-sum per level. The oracle replays the base formula
+      * and the nodata-excluded 2×2 max in closed form, so the published
+      * bytes, the sidecar build's one-exchange dataflow, and the
+      * combined-chain open are all hash-checked. */
+    def k6_ovr_sidecar(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import graft.sources.{GeoTiff, GeoTiffSpark}
+      val grid = graft.core.grid.GridFactory("90/544")
+      val B = grid.blockSize // 272: 2x2 blocks per 544-px tile
+      require(B * 2 == grid.cols, s"k6 expects a 2x2-block tile, got block $B of ${grid.cols}")
+      val spec = graft.core.LayerSpec(dataset = "k6", version = "v1",
+        sourceType = "raster", pixelMeaning = "x", dataType = "uint16",
+        grid = "90/544", sourceUri = Some(Seq("mem")), noData = Some(Seq(0.0)))
+      val dir = tempFixtureDir("graft_k6_addo").resolve("tiles")
+      java.nio.file.Files.createDirectories(dir)
+      val ids = (0 until 3).map(grid.tileId(_))
+      val tiles = ids.zipWithIndex.map { case (id, i) =>
+        val b = grid.tileBounds(id); (i, id, b.left, b.top)
+      }
+      val blockIdx = s.range(4).select(
+        (col("id") / 2).cast("int").as("block_row"),
+        (col("id") % 2).cast("int").as("block_col"))
+      // base: nodata 0 where (gx·gy)%7=0, else 1 + (7i + 5gx + 3gy) % 997
+      val base = s.createDataset(tiles).toDF("i", "tile_id", "left", "top")
+        .crossJoin(broadcast(blockIdx))
+        .withColumn("band_1", transform(sequence(lit(0), lit(B * B - 1)), j => {
+          val gx = col("block_col") * B + pmod(j, lit(B)).cast("int")
+          val gy = col("block_row") * B + (j / B).cast("int")
+          when(pmod(gx * gy, lit(7)) === 0, lit(0.0))
+            .otherwise((lit(1) +
+              pmod(col("i") * 7 + gx * 5 + gy * 3, lit(997))).cast("double"))
+        }))
+      val dirS = dir.toString // Path itself is not serializable
+      GeoTiffSpark.writeTiles(base.drop("i"), spec, dirS).count()
+      GeoTiffSpark.addOverviewSidecars(s, dirS, spec,
+        factors = Seq(2), method = "max").count()
+      s.createDataset(ids).repartition(3).flatMap { id =>
+        GeoTiff.openWithOverviews(s"$dirS/$id.tif").zipWithIndex.map {
+          case (t, lvl) =>
+            val wd = t.profile.width; val bs = t.profile.tileWidth
+            var sum = 0L; var wsum = 0L
+            for (tr <- 0 until t.profile.tilesDown;
+                 tc <- 0 until t.profile.tilesAcross) {
+              val px = t.readTile(1, tr, tc)
+              var k = 0
+              while (k < px.length) {
+                val gx = tc * bs + k % bs; val gy = tr * bs + k / bs
+                if (gx < wd && gy < t.profile.height) {
+                  val lv = px(k).toLong
+                  sum += lv; wsum += lv * (gx + wd.toLong * gy)
+                }
+                k += 1
+              }
+            }
+            (id, lvl, sum, wsum)
+        }
+      }.toDF("tile_id", "level", "sum_v", "wsum_v")
+        .orderBy("tile_id", "level")
     }
 
     /** S2/S8/K2 manifest CHAIN — the control-plane round trip a chained
@@ -7342,6 +7412,29 @@ object SparkEntry {
           |SELECT a AS asset_id, m AS mode, lvl AS level,
           |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(SUM(v*wt) AS BIGINT) AS wsum_v
           |FROM legs GROUP BY 1, 2, 3 ORDER BY asset_id, mode, level""".stripMargin,
+
+      // the gdaladdo twin: base formula + nodata-excluded 2x2 max replayed
+      // in closed form over the 3 published 544-px tiles and their .ovr
+      // level (272 px, one block)
+      "k6_ovr_sidecar" ->
+        """WITH ids(i, tile_id) AS (VALUES (0, '90N_180W'), (1, '90N_090W'),
+          |                                (2, '90N_000E')),
+          |base AS (SELECT i, tile_id, x, y,
+          |    CASE WHEN (x*y) % 7 = 0 THEN 0
+          |         ELSE 1 + (7*i + 5*x + 3*y) % 997 END AS v
+          |  FROM ids CROSS JOIN generate_series(0, 543) gx(x)
+          |           CROSS JOIN generate_series(0, 543) gy(y)),
+          |l0 AS (SELECT tile_id, 0 AS level, SUM(v) AS s,
+          |         SUM(v * (x + 544*y)) AS ws FROM base GROUP BY 1),
+          |q AS (SELECT tile_id, x // 2 AS qx, y // 2 AS qy,
+          |        COALESCE(MAX(CASE WHEN v = 0 THEN NULL ELSE v END), 0) AS m
+          |      FROM base GROUP BY 1, 2, 3),
+          |l1 AS (SELECT tile_id, 1 AS level, SUM(m) AS s,
+          |         SUM(m * (qx + 272*qy)) AS ws FROM q GROUP BY 1)
+          |SELECT tile_id, level, CAST(s AS BIGINT) AS sum_v,
+          |  CAST(ws AS BIGINT) AS wsum_v
+          |FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1) u
+          |ORDER BY tile_id, level""".stripMargin,
 
       // resized-raster sums from the generating formula; Spark decodes the
       // real PNGs and floor-samples — src = (dst · srcDim) // out
