@@ -281,6 +281,47 @@ class TiffJobSpec extends SparkSpec {
     assert(ov.count(_ == 2.0) > ov.length / 2)
   }
 
+  test(".ovr build on an ODD block grid (3x3): ceil-halved level pads edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 90/528 resolves blockSize 176 (the largest multiple-of-16 divisor in
+    // [128,512]) => 3x3 blocks; the halved level is ceil(3/2) = 2x2 blocks
+    // of a 264-px image, edge quarters missing -> nodata pad
+    val oddSpec = LayerSpec(dataset = "odd", version = "v1",
+      sourceType = "raster", pixelMeaning = "x", dataType = "uint16",
+      grid = "90/528", sourceUri = Some(Seq("mem")), noData = Some(Seq(0.0)))
+    val g = oddSpec.gridDef
+    assert(g.blockSize == 176 && g.cols / g.blockSize == 3)
+    val id = g.tileId(0); val b0 = g.tileBounds(id)
+    val blockIdx = spark.range(9).select(
+      (col("id") / 3).cast("int").as("block_row"),
+      (col("id") % 3).cast("int").as("block_col"))
+    val blocks = spark.createDataset(Seq((id, b0.left, b0.top)))
+      .toDF("tile_id", "left", "top")
+      .crossJoin(broadcast(blockIdx))
+      .withColumn("band_1",
+        transform(sequence(lit(1), lit(176 * 176)), _ => lit(4.0)))
+    val outDir = dir("oddout")
+    org.apache.commons.io.FileUtils.cleanDirectory(new java.io.File(outDir))
+    GeoTiffSpark.writeTiles(blocks, oddSpec, outDir).collect()
+    GeoTiffSpark.addOverviewSidecars(spark, outDir, oddSpec,
+      factors = Seq(2), method = "average").collect()
+    val levels = GeoTiff.openWithOverviews(s"$outDir/$id.tif")
+    assert(levels.length == 2)
+    val l1 = levels(1)
+    assert(l1.profile.width == 264 && l1.profile.tilesAcross == 2)
+    // interior: average of constant 4s; the pad beyond 264 px stays 0
+    assert(l1.readTile(1, 0, 0).forall(_ == 4.0))
+    val edge = l1.readTile(1, 0, 1) // covers x 176..351, real data to 263
+    val tw = 176
+    val realCols = 264 - 176
+    for (r <- 0 until 3; c <- 0 until tw) {
+      val v = edge(r * tw + c)
+      assert(if (c < realCols) v == 4.0 else v == 0.0,
+        s"edge ($r,$c) = $v")
+    }
+  }
+
   test("overview_layout=external: Pixetl publishes plain tiles + .ovr sidecars") {
     writeSource(0)
     val json =
