@@ -42,6 +42,9 @@ object GeoTiff {
       packbits: Boolean = false,  // PackBits RLE (TIFF 6.0 §9)
       zstd: Boolean = false,      // ZSTD (tag 50000, GDAL COMPRESS=ZSTD)
       jpeg: Boolean = false,      // new-style JPEG (tag 7, TTN2) — lossy
+      // JPEG_QUALITY creation option (GDAL parity): 1.0 = max quality
+      // (DC-exact on flat 8x8 blocks); lower trades size for DCT loss
+      jpegQuality: Float = 1.0f,
       // ColorMap (tag 320): index → (r, g, b) in 0-255, the GDAL color
       // table of a categorical/palette raster; padded to 2^bits entries
       palette: Option[Seq[(Int, Int, Int)]] = None,
@@ -50,6 +53,8 @@ object GeoTiff {
       s"unsupported TIFF predictor $predictor (only 1=none, 2=horizontal, 3=float)")
     require(!jpeg || (predictor == 1 && !ccitt && !lzw && !packbits && !zstd),
       "JPEG compression excludes every other codec and predictor")
+    require(jpegQuality > 0f && jpegQuality <= 1f,
+      s"JPEG quality must be in (0, 1], got $jpegQuality")
     /** TIFF Compression tag (259). Explicit opt-ins (ccitt/lzw/packbits/
       * zstd/jpeg) take precedence over the `deflate = true` default so a
       * caller flipping one flag gets that codec. */
@@ -329,8 +334,9 @@ object GeoTiff {
           require(stride == 1 || stride == 3,
             "JPEG writes 1-band grayscale or 3-band interleaved color")
           val full =
-            if (stride == 3) jpegEncodeRgb(raw, profile.tileWidth, rows)
-            else jpegEncode(raw, profile.tileWidth, rows)
+            if (stride == 3) jpegEncodeRgb(raw, profile.tileWidth, rows,
+              profile.jpegQuality)
+            else jpegEncode(raw, profile.tileWidth, rows, profile.jpegQuality)
           if (!sharedJpegTables) full
           else {
             // factor DQT/DHT out into tag 347 (GDAL's default layout);
@@ -652,14 +658,15 @@ object GeoTiff {
     * without shared JPEGTables. Grayscale per-plane 8-bit only; the JDK
     * encoder at explicit max quality keeps the loss to the DCT rounding
     * this codec inherently has. */
-  private def jpegEncode(raw: Array[Byte], width: Int, rows: Int): Array[Byte] = {
+  private def jpegEncode(raw: Array[Byte], width: Int, rows: Int,
+                         quality: Float = 1.0f): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, rows, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, rows, raw)
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val prm = w.getDefaultWriteParam
     prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    prm.setCompressionQuality(1.0f)
+    prm.setCompressionQuality(quality)
     val bos = new ByteArrayOutputStream(raw.length / 2 + 1024)
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -677,7 +684,8 @@ object GeoTiff {
     * driver uses with PHOTOMETRIC=YCBCR. Flat-chroma content (including
     * any r=g=b gray) is unaffected by the subsampling; the decoder
     * honours whatever sampling factors a foreign stream declares. */
-  private def jpegEncodeRgb(raw: Array[Byte], width: Int, rows: Int): Array[Byte] = {
+  private def jpegEncodeRgb(raw: Array[Byte], width: Int, rows: Int,
+                            quality: Float = 1.0f): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, rows, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     // our own TYPE_3BYTE_BGR raster is backed by a plain byte[] in B,G,R
@@ -692,7 +700,7 @@ object GeoTiff {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val prm = w.getDefaultWriteParam
     prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    prm.setCompressionQuality(1.0f)
+    prm.setCompressionQuality(quality)
     val bos = new ByteArrayOutputStream(raw.length / 2 + 1024)
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {

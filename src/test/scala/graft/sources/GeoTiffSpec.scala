@@ -677,6 +677,31 @@ class GeoTiffSpec extends SparkSpec {
       tmp("jpeg_2band.tif"), p.copy(bands = 2), pixelInterleave = true))
   }
 
+  test("JPEG_QUALITY creation option trades size for bounded DCT loss") {
+    val v = Array.tabulate(256) { i =>
+      val x = i % 16; val y = i / 16
+      math.rint(120.0 + 40.0 * math.sin(x * 0.3) * math.cos(y * 0.3))
+    }
+    def write(q: Float): String = {
+      val path = tmp(f"jpeg_q$q%.2f.tif")
+      val w = new GeoTiff.Writer(path,
+        profile("uint8").copy(deflate = false, jpeg = true, jpegQuality = q))
+      for (tr <- 0 to 1; tc <- 0 to 1) w.writeTile(1, tr, tc, v)
+      w.close()
+      path
+    }
+    val hi = write(1.0f); val lo = write(0.5f)
+    assert(Files.size(Paths.get(lo)) < Files.size(Paths.get(hi)),
+      "lower quality must shrink the file")
+    def maxErr(p: String): Double =
+      GeoTiff.open(p).readTile(1, 0, 0).zip(v).map { case (g, e) =>
+        math.abs(g - e) }.max
+    assert(maxErr(hi) <= 3.0 && maxErr(lo) <= 20.0,
+      s"errors ${maxErr(hi)} / ${maxErr(lo)}")
+    intercept[IllegalArgumentException](
+      profile("uint8").copy(deflate = false, jpeg = true, jpegQuality = 0f))
+  }
+
   test("shared JPEGTables (tag 347) dedupes DQT/DHT; abbreviated tiles decode") {
     // per-8x8-flat pixels => DCT-exact: shared-tables file must decode
     // BIT-identically to the full-stream twin
