@@ -179,13 +179,17 @@ object Pixetl {
             Catalog.existingTiles(spark, outDir).as[String].mapPartitions { ids =>
               val conf = new org.apache.hadoop.conf.Configuration()
               ids.map { id =>
-                val src = new org.apache.hadoop.fs.Path(s"$srcRoot/$id.tif")
-                val dst = new org.apache.hadoop.fs.Path(s"$dstRoot/$id.tif")
-                val sfs = src.getFileSystem(conf)
-                val dfs = dst.getFileSystem(conf)
-                dfs.setWriteChecksum(false)
-                if (sfs.exists(src))
-                  org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, true, conf)
+                // the tile AND any external .ovr sidecar — a dual profile
+                // must not silently drop the pyramid the primary one has
+                for (name <- Seq(s"$id.tif", s"$id.tif.ovr")) {
+                  val src = new org.apache.hadoop.fs.Path(s"$srcRoot/$name")
+                  val dst = new org.apache.hadoop.fs.Path(s"$dstRoot/$name")
+                  val sfs = src.getFileSystem(conf)
+                  val dfs = dst.getFileSystem(conf)
+                  dfs.setWriteChecksum(false)
+                  if (sfs.exists(src))
+                    org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, true, conf)
+                }
                 id
               }
             }.count()
@@ -242,14 +246,14 @@ object Pixetl {
 object Addo {
   def main(args: Array[String]): Unit = {
     var dest = "out"
-    var method = "average"
+    var method: Option[String] = None // default: the spec's own kernel
     var factors = Seq.empty[Int]
     var json: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--dest" | "-d" => dest = args(i + 1); i += 2
-        case "--method"      => method = args(i + 1); i += 2
+        case "--method"      => method = Some(args(i + 1)); i += 2
         case "--factors"     =>
           factors = args(i + 1).split(",").map(_.trim.toInt).toSeq; i += 2
         case other if other.startsWith("@") =>
@@ -269,7 +273,10 @@ object Addo {
     val spark = GraftSession.local(s"addo ${spec.dataset}/${spec.version}")
     try {
       val written = GeoTiffSpark.addOverviewSidecars(spark,
-        s"$dest/${spec.prefix()}", spec, resolved, method).collect()
+        s"$dest/${spec.prefix()}", spec, resolved,
+        // the SAME kernel the spec publishes with, unless overridden —
+        // an 'average' default would corrupt categorical (mode) pyramids
+        method.getOrElse(spec.overviewResampling)).collect()
       written.foreach(r => println(s"${r.getString(0)}: ${r.getString(1)}"))
       println(s"overviews: ${written.length} sidecars, factors ${resolved.mkString(",")}")
       sys.exit(0)

@@ -229,6 +229,9 @@ object GeoTiffSpark {
     val fs0 = tifGlob.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = Option(fs0.globStatus(tifGlob)).getOrElse(Array.empty)
       .map(_.getPath.getName.stripSuffix(".tif")).toSeq
+    // a typo'd dest or wrong prefix must fail LOUDLY, not exit green with
+    // zero sidecars — the silent-no-pyramid mode the spec parsing also bans
+    require(ids.nonEmpty, s"addOverviewSidecars: no *.tif tiles under $dir")
     // distributed block work-list: never materializes tiles×blocks on the
     // driver (a 10-Gpx grid is ~38k blocks per tile)
     val blockIdx = spark.range(nPerSide.toLong * nPerSide)
@@ -240,7 +243,19 @@ object GeoTiffSpark {
       .mapPartitions { it =>
         val open = scala.collection.mutable.Map.empty[String, GeoTiff.Tiff]
         it.map { case (id, br, bc) =>
-          val t = open.getOrElseUpdate(id, GeoTiff.open(s"$dir/$id.tif"))
+          val t = open.getOrElseUpdate(id, {
+            val o = GeoTiff.open(s"$dir/$id.tif")
+            // block coordinates are derived from the SPEC's grid: a tile
+            // whose internal tiling or dims disagree (a foreign/retiled
+            // file in the prefix, or a spec that doesn't match the
+            // publish) must fail loudly, not read sheared windows
+            require(o.profile.tileWidth == block && o.profile.tileHeight == block &&
+                o.profile.width == cols && o.profile.bands == bandCount,
+              s"$id.tif does not match the spec's grid: " +
+                s"${o.profile.width}px/${o.profile.tileWidth}-blocks/" +
+                s"${o.profile.bands} bands vs ${cols}px/$block-blocks/$bandCount")
+            o
+          })
           (id, t.profile.originX, t.profile.originY, br, bc,
             (1 to t.profile.bands).map(b => t.readTile(b, br, bc)))
         }

@@ -134,7 +134,13 @@ object WarpReader {
             // how many BASE source pixels one target pixel spans, projected
             // at the block center (4326↔3857 is axis-separable, so the
             // center ratio holds across the block)
-            val lvlIdx = if (levels.length == 1) 0 else {
+            // 'sum' is NOT scale-free: an overview pixel holds a resampled
+            // (typically averaged) value, so folding overview pixels into a
+            // sum changes the magnitude ~factor² vs the base — always
+            // gather sums from the base level (every other kernel estimates
+            // a scale-free statistic the pyramid approximates, the same
+            // trade GDAL's warper makes when it reads overviews)
+            val lvlIdx = if (levels.length == 1 || resampling == "sum") 0 else {
               val ctx = bLeft + 0.5 * w * targetXres
               val cty = bTop - 0.5 * h * targetYres
               val (c1x, c1y) = toSrc(ctx, cty)

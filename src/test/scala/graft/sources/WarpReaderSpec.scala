@@ -287,10 +287,11 @@ class WarpReaderSpec extends SparkSpec {
       w.close()
       path
     }
-    def gathered(src: String): Set[Int] = {
+    def gathered(src: String, kernel: String = "nearest"): Set[Int] = {
       val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(src))
         .selectExpr("uri", "band", "footprint")
-      val reader = WarpReader.reader(grid.xres, grid.yres, grid.blockSize)
+      val reader = WarpReader.reader(grid.xres, grid.yres, grid.blockSize,
+        "EPSG:4326", "EPSG:4326", kernel)
       LayerJob.run(spark, spec, catalog, reader,
           subset = Some(Seq("90N_180W"))).blocks
         .select(explode(col("band_1")).as("v"))
@@ -303,6 +304,10 @@ class WarpReaderSpec extends SparkSpec {
     // GDAL-layout pyramid (BARE overview IFDs — no geo tags): selection
     // must still find and correctly index the overview via derived geo
     assert(gathered(writeSrc("pyr_bare", 2016, bareOvr = true)) == Set(9))
+    // 'sum' is not scale-free: it must ALWAYS fold base pixels (2x2 of 7
+    // = 28), never the overview's resampled 9s
+    val sums = gathered(s"${dir()}/pyr_fine.tif", kernel = "sum")
+    assert(sums.contains(28) && !sums.contains(9), s"sum kernel read $sums")
   }
 
   test("per-partition tile cache keeps re-decoding bounded (same values twice)") {
