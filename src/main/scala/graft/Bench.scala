@@ -73,6 +73,36 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line. Loadavg
+    * is BLIND to hypervisor steal: the r13 session saw a uniform 1.4×
+    * slowdown at loadavg 0.44 with ~15%% of demanded cycles stolen by a
+    * noisy neighbor — only the steal counter exposes it. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Deterministic single-thread spin (200M xorshift rounds), milliseconds.
+    * A machine-speed normalizer for cross-round comparisons: the r13
+    * session measured a UNIFORM 1.35× day-vs-night swing on an identical
+    * binary with loadavg AND steal both green — per-query ratios against a
+    * record from a different host state are meaningless without a
+    * calibration constant to divide out. */
+  private def calibSpinMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42) System.err.println("") // keep the loop alive past JIT DCE
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -193,6 +223,9 @@ object Bench {
       (tot(med), tot(all.head), tot(all.last), med._1, med._2)
     }
     val loadStart = loadavg()
+    val (steal0, jiffies0) = cpuJiffies()
+    // calibration BEFORE the timed queries (JIT-warmed by a throwaway run)
+    val calibMs = { calibSpinMs(); calibSpinMs() }
     val results = toRun.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         name -> measure { () =>
@@ -225,31 +258,39 @@ object Bench {
     val qsExec = render(_._2._5)
     val total = results.map(_._2._1).sum
     val loadEnd = loadavg()
+    val (steal1, jiffies1) = cpuJiffies()
+    // share of ALL cpu time the hypervisor stole across the run — the
+    // contention axis loadavg cannot see (steal shows up only under load,
+    // and a stolen-cycle run is uniformly slower with a quiet loadavg)
+    val stealPct =
+      if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+      else 0.0
+    val maxSteal = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXSTEAL", "2.0").toDouble
     // Filtered (partial) runs are a different artifact class: they go to
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
     // as a 93% total drop across rounds (ADVICE r10).
-    val contended = only.isEmpty && loadStart > maxLoad
+    val contended = only.isEmpty && (loadStart > maxLoad || stealPct > maxSteal)
     val partialTag =
       (if (contended) ""","contended":true""" else "") +
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
     // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
     // cap together with sbt's trailing [success] line.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f$partialTag,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f$partialTag,"queries":$qs,"sf":"$sfDir"}"""
     // a contended full run must NOT become the canonical baseline: r12's
     // contended record overwrote BENCH_LATEST and poisoned a round of
     // regression detection (ADVICE r12 medium)
     val outFile =
       if (!only.isEmpty) "BENCH_PARTIAL.json"
       else if (contended) { System.err.println(
-        f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f: contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
+        f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f or steal $stealPct%.1f%% > $maxSteal%.1f%%: contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
         "BENCH_CONTENDED.json" }
       else "BENCH_LATEST.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
