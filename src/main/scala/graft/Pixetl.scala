@@ -248,12 +248,14 @@ object Addo {
     var dest = "out"
     var method: Option[String] = None // default: the spec's own kernel
     var factors = Seq.empty[Int]
+    var subset = Vector.empty[String]
     var json: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--dest" | "-d" => dest = args(i + 1); i += 2
         case "--method"      => method = Some(args(i + 1)); i += 2
+        case "--subset"      => subset :+= args(i + 1); i += 2
         case "--factors"     =>
           factors = args(i + 1).split(",").map(_.trim.toInt).toSeq; i += 2
         case other if other.startsWith("@") =>
@@ -276,7 +278,8 @@ object Addo {
         s"$dest/${spec.prefix()}", spec, resolved,
         // the SAME kernel the spec publishes with, unless overridden —
         // an 'average' default would corrupt categorical (mode) pyramids
-        method.getOrElse(spec.overviewResampling)).collect()
+        method.getOrElse(spec.overviewResampling),
+        subset = if (subset.nonEmpty) Some(subset.toSet) else None).collect()
       written.foreach(r => println(s"${r.getString(0)}: ${r.getString(1)}"))
       println(s"overviews: ${written.length} sidecars, factors ${resolved.mkString(",")}")
       sys.exit(0)

@@ -210,7 +210,8 @@ object GeoTiffSpark {
     * any [[graft.operators.Resample]] kernel. */
   def addOverviewSidecars(spark: SparkSession, dir: String, spec: LayerSpec,
                           factors: Seq[Int],
-                          method: String = "average"): DataFrame = {
+                          method: String = "average",
+                          subset: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
     require(factors.nonEmpty && factors.forall(f => f >= 2 && (f & (f - 1)) == 0) &&
       factors == factors.sorted.distinct,
@@ -227,11 +228,14 @@ object GeoTiffSpark {
     // same prefix don't match the glob)
     val tifGlob = new org.apache.hadoop.fs.Path(s"$dir/*.tif")
     val fs0 = tifGlob.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = Option(fs0.globStatus(tifGlob)).getOrElse(Array.empty)
+    val all = Option(fs0.globStatus(tifGlob)).getOrElse(Array.empty)
       .map(_.getPath.getName.stripSuffix(".tif")).toSeq
-    // a typo'd dest or wrong prefix must fail LOUDLY, not exit green with
-    // zero sidecars — the silent-no-pyramid mode the spec parsing also bans
-    require(ids.nonEmpty, s"addOverviewSidecars: no *.tif tiles under $dir")
+    val ids = subset.fold(all)(keep => all.filter(keep))
+    // a typo'd dest, wrong prefix, or subset matching nothing must fail
+    // LOUDLY, not exit green with zero sidecars — the silent-no-pyramid
+    // mode the spec parsing also bans
+    require(ids.nonEmpty, s"addOverviewSidecars: no matching *.tif tiles " +
+      s"under $dir${subset.fold("")(k => s" for subset ${k.toSeq.sorted.mkString(",")}")}")
     // distributed block work-list: never materializes tiles×blocks on the
     // driver (a 10-Gpx grid is ~38k blocks per tile)
     val blockIdx = spark.range(nPerSide.toLong * nPerSide)
