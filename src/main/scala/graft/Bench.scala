@@ -270,7 +270,11 @@ object Bench {
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
     // as a 93% total drop across rounds (ADVICE r10).
-    val contended = only.isEmpty && (loadStart > maxLoad || stealPct > maxSteal)
+    // loadEnd too: a host that becomes loaded MID-RUN must not overwrite
+    // the canonical record either (the start-only gate would readmit the
+    // r12 incident through the back door)
+    val contended = only.isEmpty &&
+      (loadStart > maxLoad || loadEnd > maxLoad || stealPct > maxSteal)
     val partialTag =
       (if (contended) ""","contended":true""" else "") +
       (if (only.isEmpty) ""

@@ -63,11 +63,15 @@ object ColorMaps {
     * the input length. Null / nodata pixels map to (0,0,0,0) — fully
     * transparent, never a phantom color. */
   def applyColormap(band: Column, sym: Symbology,
-                    noData: Option[Double] = None): Seq[(String, Column)] =
+                    noData: Option[Double] = None,
+                    castTo: Option[String] = None): Seq[(String, Column)] =
     channels.map { case (name, pick) =>
       name -> transform(band, v => {
         val valid = noData.fold(v.isNotNull)(nd => v.isNotNull && v =!= nd)
-        when(valid, channel(v, sym, pick)).otherwise(lit(0))
+        val c = when(valid, channel(v, sym, pick)).otherwise(lit(0))
+        // cast INSIDE the one transform — a second transform per channel
+        // would walk and re-allocate every block array twice
+        castTo.fold(c)(c.cast)
       })
     }
 
@@ -80,10 +84,10 @@ object ColorMaps {
     * the block read; no extra shuffle enters the write plan. */
   def bakeBlocks(blocks: org.apache.spark.sql.DataFrame, sym: Symbology,
                  noData: Option[Double] = None): org.apache.spark.sql.DataFrame = {
-    val baked = applyColormap(col("band_1"), sym, noData).zipWithIndex
+    val baked = applyColormap(col("band_1"), sym, noData,
+        castTo = Some("double")).zipWithIndex
       .foldLeft(blocks) { case (df, ((_, c), i)) =>
-        df.withColumn(s"__band_${i + 1}",
-          transform(c, x => x.cast("double")))
+        df.withColumn(s"__band_${i + 1}", c)
       }
     (1 to 4).foldLeft(baked.drop("band_1")) { case (df, i) =>
       df.withColumnRenamed(s"__band_$i", s"band_$i")

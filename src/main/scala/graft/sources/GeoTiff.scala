@@ -230,11 +230,21 @@ object GeoTiff {
       if (stripped) math.min(profile.tileHeight,
         profile.height - tileRow * profile.tileHeight)
       else profile.tileHeight
-    /** Codec worst case ≈ 1.6× raw (LZW's 12-bit-code bound is 1.5×,
-      * DEFLATE's stored-block bound ~1.0003×, PackBits 1.008×) plus
-      * per-tile and IFD slack. */
+    /** PER-CODEC worst-case expansion over raw, plus per-tile and IFD
+      * slack: LZW's 12-bit-code bound is 1.5×, DEFLATE's stored-block
+      * bound ~1.0003×, PackBits 1.008× (all ≤ 8/5); JPEG at max quality
+      * on high-entropy tiles can exceed 2× raw (worst-case entropy coding
+      * ~2–3 B/px) → 4×; CCITT-G4 on noise expands well past the packed
+      * 1-bit raw (vertical-mode codes per pixel transition) → 6×. An
+      * over-eager switch to BigTIFF is harmless; a mid-write 4 GB abort
+      * after hours of streaming is what IF_SAFER exists to prevent. */
+    private val worstCase: Long = {
+      val mult: (Long, Long) =
+        if (profile.jpeg) (4L, 1L) else if (profile.ccitt) (6L, 1L) else (8L, 5L)
+      profile.tileByteSize.toLong * sampleStride * mult._1 / mult._2 + 96
+    }
     private val big: Boolean = bigtiff ||
-      16L + nTiles.toLong * (profile.tileByteSize.toLong * sampleStride * 8 / 5 + 96) +
+      16L + nTiles.toLong * worstCase +
         65536L * levelProfiles.length > 0xFFFFFFFFL
     private val raf = new RandomAccessFile(path, "rw")
     raf.setLength(0)
@@ -323,7 +333,7 @@ object GeoTiff {
       if (profile.predictor == 2)
         diffPredictor2(raw, profile.bitsPerSample, rows, rowSamples, stride)
       else if (profile.predictor == 3)
-        diffPredictor3(raw, rows, rowSamples, profile.bitsPerSample / 8)
+        diffPredictor3(raw, rows, rowSamples, profile.bitsPerSample / 8, stride)
       val rowBytes =
         if (profile.bitsPerSample < 8) profile.bytesPerRow
         else rowSamples * (profile.bitsPerSample / 8)
@@ -884,7 +894,8 @@ object GeoTiff {
     * predictor-2 integers. Writer-side input is the encoder's
     * little-endian sample layout. */
   private[sources] def diffPredictor3(raw: Array[Byte], rows: Int,
-                                      rowSamples: Int, sampleBytes: Int): Unit = {
+                                      rowSamples: Int, sampleBytes: Int,
+                                      lag: Int = 1): Unit = {
     val rowBytes = rowSamples * sampleBytes
     val tmp = new Array[Byte](rowBytes)
     var r = 0
@@ -899,8 +910,11 @@ object GeoTiff {
         }
         i += 1
       }
+      // byte differencing at lag = samples-per-pixel (libtiff fpDiff's
+      // stride): within a byte plane, interleaved samples of OTHER bands
+      // sit between same-band neighbours on chunky rows
       var c = rowBytes - 1
-      while (c >= 1) { tmp(c) = (tmp(c) - tmp(c - 1)).toByte; c -= 1 }
+      while (c >= lag) { tmp(c) = (tmp(c) - tmp(c - lag)).toByte; c -= 1 }
       System.arraycopy(tmp, 0, raw, base, rowBytes)
       r += 1
     }
@@ -911,14 +925,14 @@ object GeoTiff {
     * layout for the downstream sample decode. */
   private[sources] def undiffPredictor3(raw: Array[Byte], rows: Int,
                                         rowSamples: Int, sampleBytes: Int,
-                                        order: ByteOrder): Unit = {
+                                        order: ByteOrder, lag: Int = 1): Unit = {
     val rowBytes = rowSamples * sampleBytes
     val tmp = new Array[Byte](rowBytes)
     var r = 0
     while (r < rows) {
       val base = r * rowBytes
-      var c = 1
-      while (c < rowBytes) { raw(base + c) = (raw(base + c) + raw(base + c - 1)).toByte; c += 1 }
+      var c = lag
+      while (c < rowBytes) { raw(base + c) = (raw(base + c) + raw(base + c - lag)).toByte; c += 1 }
       var i = 0
       while (i < rowSamples) {
         var b = 0
@@ -1044,7 +1058,7 @@ object GeoTiff {
         if (p.predictor == 2)
           undiffPredictor2(raw, bits, rowsHere, rowSamples, stride, order)
         else if (p.predictor == 3)
-          undiffPredictor3(raw, rowsHere, rowSamples, bits / 8, order)
+          undiffPredictor3(raw, rowsHere, rowSamples, bits / 8, order, stride)
         decode(raw, rowsHere, stride, band)
       } finally raf.close()
     }

@@ -93,7 +93,18 @@ object Lzw {
       }
       i += 1
     }
-    if (prefix >= 0) bw.write(prefix, width)
+    if (prefix >= 0) {
+      bw.write(prefix, width)
+      // The flush code makes the DECODER create one more table entry
+      // before it reads EOI, and its width switch fires one entry earlier
+      // than the encoder's (510/1022/2046 vs 511/1023/2047). When the
+      // entry count lands exactly on a decoder boundary, EOI must be
+      // written one bit wider — libtiff's LZWPostEncode does the same
+      // free_ent++/nbits++ before EOI. Without this, ~1 tile in 1365
+      // (flush landing on a boundary) is written UNDECODABLE by every
+      // conforming reader including this file's own decoder.
+      if (nextCode == 510 || nextCode == 1022 || nextCode == 2046) width += 1
+    }
     bw.write(EoiCode, width)
     bw.finish()
   }

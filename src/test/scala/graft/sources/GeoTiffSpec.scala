@@ -573,6 +573,26 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.profile.bands == 4 && t.readTile(4, 0, 0).forall(_ == 40.0))
   }
 
+  test("TTN3 float predictor on CHUNKY rows differences at the sample stride") {
+    // libtiff's fpDiff/fpAcc use stride = samples-per-pixel on
+    // PlanarConfiguration=1 rows: within a byte plane, other bands'
+    // samples sit between same-band neighbours. Lag-1 differencing there
+    // is NOT the TTN3 transform and decodes to garbage in GDAL.
+    val p = profile("float32").copy(bands = 2, predictor = 3)
+    val path = tmp("chunky_pred3.tif")
+    val w = new GeoTiff.Writer(path, p, pixelInterleave = true)
+    def plane(b: Int): Array[Double] = Array.tabulate(256) { i =>
+      b * 1000.0 + (i % 16) * 0.25 - (i / 16) * 0.125
+    }
+    for (tr <- 0 to 1; tc <- 0 to 1)
+      w.writeTileInterleaved(tr, tc, Seq(plane(1), plane(2)))
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.predictor == 3 && t.chunky)
+    for (b <- 1 to 2)
+      assert(t.readTile(b, 1, 0).sameElements(plane(b)), s"band $b")
+  }
+
   test("SubIFD overviews (tag 330, TIFF-EP tree) write and read back") {
     val p = profile("uint16")
     val path = tmp("subifd_ovr.tif")

@@ -32,6 +32,29 @@ class LzwSpec extends AnyFunSuite {
     }
   }
 
+  test("LZW flush on a width boundary: EOI written one bit wider (libtiff parity)") {
+    // When the table-entry count at flush lands exactly on a DECODER
+    // width boundary (510/1022/2046), the decoder bumps before reading
+    // EOI — the encoder must write EOI one bit wider (libtiff's
+    // LZWPostEncode free_ent++/nbits++). Pre-fix, 253 distinct bytes
+    // (= 252 entries + the flush entry = 510) threw 'premature code 514'.
+    assert(Lzw.decode(Lzw.encode(Array.tabulate(253)(_.toByte)), 253)
+      .sameElements(Array.tabulate(253)(_.toByte)))
+    // sweep EVERY length 1..4000 of a cycling ramp: the flush entry count
+    // takes all values through both the 510 and 1022 boundaries and the
+    // mid-stream bumps, so any width-accounting regression lands on some n
+    for (n <- 1 to 4000) {
+      val d = Array.tabulate(n)(i => (i % 256).toByte)
+      assert(Lzw.decode(Lzw.encode(d), n).sameElements(d), s"length $n")
+    }
+    // and across the 2046 boundary / 4094 reset with higher-entropy data
+    val rng = new java.util.Random(7)
+    for (n <- 3950 to 4150) {
+      val d = Array.tabulate(n)(_ => rng.nextInt(256).toByte)
+      assert(Lzw.decode(Lzw.encode(d), n).sameElements(d), s"noise length $n")
+    }
+  }
+
   test("LZW width grows EARLY (511/1023/2047) and resets at table cap") {
     // incompressible data forces one table entry per input byte: by byte
     // ~253 the table passes 511 and codes go 10-bit; a long enough stream
