@@ -176,8 +176,11 @@ object Pixetl {
           val (srcRoot, dstRoot) = (abs(outDir), abs(gdalDir))
           locally {
             import spark.implicits._
+            val confBytes = graft.sources.HadoopConfs.capture(
+              spark.sparkContext.hadoopConfiguration)
             Catalog.existingTiles(spark, outDir).as[String].mapPartitions { ids =>
-              val conf = new org.apache.hadoop.conf.Configuration()
+              graft.sources.HadoopConfs.install(confBytes)
+              val conf = graft.sources.HadoopConfs.get
               ids.map { id =>
                 // the tile AND any external .ovr sidecar — a dual profile
                 // must not silently drop the pyramid the primary one has

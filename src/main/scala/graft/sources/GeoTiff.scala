@@ -133,7 +133,7 @@ object GeoTiff {
       if ((fbits & 0x7fffffff) >= 0x47800000) {
         if ((fbits & 0x7fffffff) <= 0x7f800000) (sign | 0x7c00).toShort // overflow / ±inf
         else (sign | 0x7c00 | ((fbits & 0x007fffff) >>> 13) | 1).toShort // NaN (mantissa kept non-zero)
-      } else (sign | 0x7bff).toShort // rounded up to max half
+      } else (sign | 0x7c00).toShort // [65520, 65536) rounds to ±inf (IEEE RN)
     }
     else if (v >= 0x38800000) (sign | ((v - 0x38000000) >>> 13)).toShort // normal
     else if (v < 0x33000000) sign.toShort // underflow → ±0
@@ -322,9 +322,11 @@ object GeoTiff {
         // only the STORED samples matter (a short last strip's virtual
         // pad rows sit past rows*rowSamples and are never on disk)
         val nd = profile.noData.getOrElse(0.0)
+        val ndIsNaN = nd.isNaN // NaN != NaN, so a NaN sentinel needs its own test
         var i = 0; var hole = true
         while (hole && i < rows * rowSamples) {
-          if (pixels(i) != nd) hole = false
+          val v = pixels(i)
+          if (if (ndIsNaN) !v.isNaN else v != nd) hole = false
           i += 1
         }
         if (hole) return
@@ -840,7 +842,7 @@ object GeoTiff {
 
   private[sources] final class HadoopRangeReader(path: String) extends RangeReader {
     private val hp = new org.apache.hadoop.fs.Path(path)
-    private val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    private val in = hp.getFileSystem(HadoopConfs.get).open(hp)
     override def seek(pos: Long): Unit = in.seek(pos)
     override def readFully(buf: Array[Byte]): Unit = in.readFully(buf, 0, buf.length)
     override def close(): Unit = in.close()
@@ -1272,14 +1274,26 @@ object GeoTiff {
       val scale = doubles(33550)
       val tiepoint = doubles(33922)
       val geoKeys = array(34735)
-      val epsg = geoKeys.grouped(4).collectFirst {
-        case Array(k, _, _, v) if k == 2048 || k == 3072 => v.toInt
-      }.getOrElse(4326)
+      // PREFER ProjectedCSType (3072): key directories sort ascending, and
+      // projected files routinely ALSO carry GeographicTypeGeoKey (2048)
+      // for the datum — first-match would misread a web-mercator file as
+      // 4326 and treat meter origins as degrees
+      val keyMap = geoKeys.grouped(4).collect {
+        case Array(k, _, _, v) => k.toInt -> v.toInt
+      }.toMap
+      val epsg = keyMap.get(3072).orElse(keyMap.get(2048)).getOrElse(4326)
       val profile = Profile(
         width = width, height = height, bands = bands,
         dataType = dataType,
         tileWidth = tileW, tileHeight = tileH,
-        noData = ascii(42113).map(_.trim.toDouble),
+        // GDAL prints the nodata tag with %.18g: glibc renders NaN as
+        // lowercase "nan" (± "inf"), which Double.parseDouble rejects
+        noData = ascii(42113).map(_.trim.toLowerCase match {
+          case "nan" | "-nan" => Double.NaN
+          case "inf" | "infinity" => Double.PositiveInfinity
+          case "-inf" | "-infinity" => Double.NegativeInfinity
+          case other => other.toDouble
+        }),
         epsg = epsg,
         originX = if (tiepoint.length >= 6) tiepoint(3) else 0,
         originY = if (tiepoint.length >= 6) tiepoint(4) else 0,
@@ -1380,9 +1394,12 @@ object GeoTiff {
   def openWithOverviews(rawPath: String): Seq[Tiff] = {
     val main = openAllFlags(rawPath)
     val sidecar = rawPath + ".ovr"
+    // ONLY a missing file means "no sidecar" — swallowing auth/throttle
+    // errors here would silently hide an existing pyramid and fall back
+    // to full-resolution reads
     val present =
       try { rangeReader(sidecar).close(); true }
-      catch { case _: Exception => false }
+      catch { case _: java.io.FileNotFoundException => false }
     // inherit across the COMBINED chain: a foreign gdaladdo .ovr carries
     // no geo tags on ANY of its levels, so they must derive from the MAIN
     // file's base, not from the sidecar's own (equally bare) head

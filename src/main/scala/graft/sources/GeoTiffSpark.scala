@@ -109,7 +109,7 @@ object GeoTiffSpark {
       writer.close()
       if (viaFs) {
         val dst = new org.apache.hadoop.fs.Path(path)
-        val dfs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val dfs = dst.getFileSystem(HadoopConfs.get)
         dfs.setWriteChecksum(false)
         dfs.copyFromLocalFile(true /* delete temp */,
           true /* overwrite */, new org.apache.hadoop.fs.Path(localPath), dst)
@@ -156,9 +156,11 @@ object GeoTiffSpark {
       else (base +: overviewLevels(blocks.select(cols0.map(col): _*), block,
         bandCols, keyCols, noData, overviewFactors, overviewMethod))
         .reduce(_ unionByName _)
+    val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     leveled
       .groupByKey((r: Row) => r.getString(0))
       .mapGroups { (tileId: String, rows: Iterator[Row]) =>
+        HadoopConfs.install(confBytes)
         var writer: GeoTiff.Writer = null
         var left = 0.0; var top = 0.0
         var n = 0
@@ -236,6 +238,7 @@ object GeoTiffSpark {
     // mode the spec parsing also bans
     require(ids.nonEmpty, s"addOverviewSidecars: no matching *.tif tiles " +
       s"under $dir${subset.fold("")(k => s" for subset ${k.toSeq.sorted.mkString(",")}")}")
+    val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     // distributed block work-list: never materializes tiles×blocks on the
     // driver (a 10-Gpx grid is ~38k blocks per tile)
     val blockIdx = spark.range(nPerSide.toLong * nPerSide)
@@ -245,6 +248,7 @@ object GeoTiffSpark {
       .select(col("tile_id"), col("block_row"), col("block_col"))
       .as[(String, Int, Int)]
       .mapPartitions { it =>
+        HadoopConfs.install(confBytes)
         val open = scala.collection.mutable.Map.empty[String, GeoTiff.Tiff]
         it.map { case (id, br, bc) =>
           val t = open.getOrElseUpdate(id, {
@@ -279,6 +283,7 @@ object GeoTiffSpark {
     leveled
       .groupByKey((r: Row) => r.getString(0))
       .mapGroups { (tileId: String, rows: Iterator[Row]) =>
+        HadoopConfs.install(confBytes)
         var writer: GeoTiff.Writer = null
         var localPath: String = null
         var path: String = null
@@ -331,28 +336,35 @@ object GeoTiffSpark {
     import spark.implicits._
     val root = if (outDir.contains("://")) outDir
       else java.nio.file.Paths.get(outDir).toAbsolutePath.toString
+    val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     tileStats
       .select(col("tile_id"), col("band"), col("stat_min"), col("stat_max"),
         col("stat_mean"), col("stat_std"), col("n"))
       .as[(String, Int, Double, Double, Double, Double, Long)]
       .groupByKey(_._1)
       .mapGroups { (tileId, rows) =>
+        HadoopConfs.install(confBytes)
         val bands = rows.toSeq.sortBy(_._2).map { case (_, b, mn, mx, mean, std, n) =>
-          def num(v: Double) = if (v.isNaN || v.isInfinite) "0" else v.toString
+          // an all-nodata tile has NO stats (NaN folds): omit the MDI
+          // entries like GDAL does rather than fabricate min=max=mean=0
+          def mdi(key: String, v: Double): Option[String] =
+            if (v.isNaN || v.isInfinite) None
+            else Some(s"""      <MDI key="$key">$v</MDI>""")
           val pct = if (totalPixels <= 0) 100.0 else 100.0 * n / totalPixels
+          val stats = Seq(mdi("STATISTICS_MINIMUM", mn),
+            mdi("STATISTICS_MAXIMUM", mx), mdi("STATISTICS_MEAN", mean),
+            mdi("STATISTICS_STDDEV", std),
+            Some(s"""      <MDI key="STATISTICS_VALID_PERCENT">$pct</MDI>"""))
+            .flatten.mkString("\n")
           s"""  <PAMRasterBand band="$b">
              |    <Metadata>
-             |      <MDI key="STATISTICS_MINIMUM">${num(mn)}</MDI>
-             |      <MDI key="STATISTICS_MAXIMUM">${num(mx)}</MDI>
-             |      <MDI key="STATISTICS_MEAN">${num(mean)}</MDI>
-             |      <MDI key="STATISTICS_STDDEV">${num(std)}</MDI>
-             |      <MDI key="STATISTICS_VALID_PERCENT">$pct</MDI>
+             |$stats
              |    </Metadata>
              |  </PAMRasterBand>""".stripMargin
         }
         val xml = s"<PAMDataset>\n${bands.mkString("\n")}\n</PAMDataset>\n"
         val path = new org.apache.hadoop.fs.Path(s"$root/$tileId.tif.aux.xml")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(HadoopConfs.get)
         fs.setWriteChecksum(false)
         val out = fs.create(path, true)
         try out.write(xml.getBytes("UTF-8")) finally out.close()
@@ -366,8 +378,10 @@ object GeoTiffSpark {
   def harvestCatalog(spark: SparkSession, uris: Seq[String]): DataFrame = {
     import graft.functions.GeoFunctions
     import spark.implicits._
+    val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     spark.sparkContext.parallelize(uris, math.max(1, uris.length / 16))
       .flatMap { uri =>
+        HadoopConfs.install(confBytes)
         val t = GeoTiff.open(uri)
         val (l, b, r, tp) = t.bounds
         (1 to t.profile.bands).map { band =>
@@ -385,8 +399,10 @@ object GeoTiffSpark {
     * (the reference opens every source, sources.py:179-210). */
   def harvestResolutions(spark: SparkSession, uris: Seq[String]): Seq[(Double, Double)] = {
     import spark.implicits._
+    val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     spark.sparkContext.parallelize(uris, math.max(1, uris.length / 16))
       .map { uri =>
+        HadoopConfs.install(confBytes)
         val p = GeoTiff.open(uri).profile
         (p.xres, p.yres)
       }
@@ -402,16 +418,20 @@ object GeoTiffSpark {
     import spark.implicits._
     val cols0 = Seq("tile_id", "band", "file_band", "block_row", "block_col",
       "width", "height", "uri", "priority")
+    val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     blockWork.select(cols0.map(col): _*)
       .as[(String, Int, Int, Int, Int, Int, Int, String, Int)]
       .mapPartitions { rows =>
+        HadoopConfs.install(confBytes)
         // one open Tiff per uri per partition (metadata cached)
         val open = scala.collection.mutable.Map.empty[String, GeoTiff.Tiff]
         rows.map { case (tileId, band, fileBand, br, bc, w, h, uri, priority) =>
           val t = open.getOrElseUpdate(uri, GeoTiff.open(uri))
           val px = t.readTile(fileBand, br, bc)
           val nd = t.profile.noData
-          val valid = px.map(v => nd.forall(_ != v))
+          // NaN != NaN is true, so a NaN nodata sentinel needs its own test
+          val valid = px.map(v => nd.forall(x =>
+            if (x.isNaN) !v.isNaN else x != v))
           (tileId, band, br, bc, w, h, uri, priority, px, valid)
         }
       }

@@ -104,6 +104,7 @@ object WarpReader {
           s"q1/q3/rms) kernels, got $resampling")
       val spark = blockWork.sparkSession
       import spark.implicits._
+      val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
       blockWork
         .select(col("tile_id"), col("band"), col("file_band"),
           col("block_row"), col("block_col"),
@@ -111,6 +112,7 @@ object WarpReader {
           col("left"), col("top"))
         .as[(String, Int, Int, Int, Int, Int, Int, String, Int, Double, Double)]
         .mapPartitions { rows =>
+          HadoopConfs.install(confBytes)
           // pyramid per source (base + internal/sidecar overviews, sorted
           // finest-first); a downsampling warp then reads the overview
           // level matched to the target resolution instead of the base —
@@ -170,7 +172,7 @@ object WarpReader {
                   cache.put(key, tile)
                 }
                 val v = tile((sy % p.tileHeight) * p.tileWidth + (sx % p.tileWidth))
-                if (nd.exists(_ == v)) Double.NaN else v
+                if (nd.exists(x => if (x.isNaN) v.isNaN else x == v)) Double.NaN else v
               }
             // kernel over continuous source coords (pixel-center registered):
             // separable taps at radius 1 (bilinear), 2 (cubic/cubic_spline),

@@ -79,6 +79,12 @@ class GeoTiffSpec extends SparkSpec {
       else assert(h2 == h, f"h=0x$h%04x f=$f h2=0x$h2%04x")
       h += 1
     }
+    // overflow boundary (IEEE round-to-nearest-even, C-cast/GDAL parity):
+    // [65520, 65536) rounds to ±inf, just below keeps max finite 0x7bff
+    assert((GeoTiff.floatToHalf(65520.0f) & 0xffff) == 0x7c00)
+    assert((GeoTiff.floatToHalf(65535.9f) & 0xffff) == 0x7c00)
+    assert((GeoTiff.floatToHalf(-65520.0f) & 0xffff) == 0xfc00)
+    assert((GeoTiff.floatToHalf(65519.96f) & 0xffff) == 0x7bff)
   }
 
   test("NBITS sub-byte packing: 1-bit boolean and 4-bit uint8 round-trip") {
@@ -571,6 +577,25 @@ class GeoTiffSpec extends SparkSpec {
     // round-trip unaffected
     val t = GeoTiff.open(path)
     assert(t.profile.bands == 4 && t.readTile(4, 0, 0).forall(_ == 40.0))
+  }
+
+  test("NaN nodata: tag round-trips (incl. glibc 'nan'), sparse holes fire") {
+    val p = profile("float32", nd = Some(Double.NaN))
+    val path = tmp("nan_nodata.tif")
+    val w = new GeoTiff.Writer(path, p, sparse = true)
+    // tile (0,0) carries data; the other three are all-NaN → SPARSE holes
+    // (NaN != NaN would make the hole scan see every pixel as data)
+    w.writeTile(1, 0, 0, Array.tabulate(256)(i => if (i % 7 == 0) Double.NaN else i.toDouble))
+    for ((tr, tc) <- Seq((0, 1), (1, 0), (1, 1)))
+      w.writeTile(1, tr, tc, Array.fill(256)(Double.NaN))
+    w.close()
+    val t = GeoTiff.open(path)
+    assert(t.profile.noData.exists(_.isNaN), s"nodata ${t.profile.noData}")
+    assert(t.tileCounts.count(_ == 0L) == 3, "all-NaN tiles must be sparse holes")
+    val px = t.readTile(1, 0, 0)
+    assert(px(0).isNaN && px(1) == 1.0)
+    // a hole reads back as the NaN fill
+    assert(t.readTile(1, 1, 1).forall(_.isNaN))
   }
 
   test("TTN3 float predictor on CHUNKY rows differences at the sample stride") {
