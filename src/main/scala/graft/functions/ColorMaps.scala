@@ -67,7 +67,12 @@ object ColorMaps {
                     castTo: Option[String] = None): Seq[(String, Column)] =
     channels.map { case (name, pick) =>
       name -> transform(band, v => {
-        val valid = noData.fold(v.isNotNull)(nd => v.isNotNull && v =!= nd)
+        // NaN must bake transparent too: Spark orders NaN above every
+        // number, so an unguarded gradient ladder would fall through to
+        // the TOP-of-ramp color at full alpha for NaN holes
+        val notNan = !isnan(v.cast("double"))
+        val valid = noData.fold(v.isNotNull && notNan)(nd =>
+          v.isNotNull && notNan && v =!= nd)
         val c = when(valid, channel(v, sym, pick)).otherwise(lit(0))
         // cast INSIDE the one transform — a second transform per channel
         // would walk and re-allocate every block array twice

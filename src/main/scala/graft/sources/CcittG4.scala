@@ -134,7 +134,12 @@ private[sources] object CcittG4 {
   private def b1Index(ref: Array[Int], a0: Int, color: Int, w: Int): Int = {
     var j = 0
     while (j < ref.length && ref(j) <= a0) j += 1
-    if ((j & 1) != color) j else j + 1 // want to-!color: even j iff color white
+    // want the to-!color transition: even j starts a BLACK run, so keep j
+    // when (j & 1) == color (a0 white → even j). The inverted comparison
+    // shipped rounds 11-13: self-roundtrip hid it (encoder and decoder
+    // shared the helper) — caught by cross-decoding against the JDK's
+    // independent T.6 codec, which misread 186/200 random bitmaps.
+    if ((j & 1) == color) j else j + 1
   }
 
   private def writeRun(bw: BitWriter, runIn: Int, color: Int): Unit = {

@@ -183,8 +183,10 @@ object WarpReader {
             // nearest sample instead (itself NaN if the window is all-masked).
             val kRadius = kernelRadius.getOrElse(resampling, 0)
             val kWeight = if (kRadius > 0) kernelWeight(resampling) else null
+            val isBox = boxKernels.contains(resampling)
+            val isNearest = resampling == "nearest"
             def interpolate(gx: Double, gy: Double): Double =
-              if (resampling == "nearest")
+              if (isNearest)
                 sample(math.floor(gx + 0.5).toInt, math.floor(gy + 0.5).toInt)
               else {
                 val x0 = math.floor(gx).toInt; val y0 = math.floor(gy).toInt
@@ -214,6 +216,11 @@ object WarpReader {
             // sum/min/max/mode/med/q1/q3/rms — valid at ANY ratio incl.
             // non-integer); falls back to the nearest center when the
             // footprint covers none (upsampling)
+            // rank kernels (mode/med/q1/q3) must materialize the footprint;
+            // streaming kernels fold incrementally, so extreme decimation
+            // ratios cost no allocation at all
+            val rankKernel = resampling == "mode" || resampling == "med" ||
+              resampling == "q1" || resampling == "q3"
             var scratch = new Array[Double](64)
             def boxAgg(x0: Double, x1: Double, y0: Double, y1: Double,
                        cgx: Double, cgy: Double): Double = {
@@ -221,48 +228,53 @@ object WarpReader {
               var sy0 = math.ceil(y0).toInt; var sy1 = math.floor(y1).toInt
               if (sx0 > sx1) { sx0 = math.round(cgx).toInt; sx1 = sx0 }
               if (sy0 > sy1) { sy0 = math.round(cgy).toInt; sy1 = sy0 }
-              val cap = (sx1 - sx0 + 1) * (sy1 - sy0 + 1)
-              if (cap > scratch.length) scratch = new Array[Double](cap)
-              var n = 0
+              // Long math: at extreme decimation (no pyramid, 'sum' forced
+              // to base) an Int cap overflows and writes past the array
+              val capL = (sx1 - sx0 + 1).toLong * (sy1 - sy0 + 1)
+              if (rankKernel) {
+                require(capL <= (1L << 24),
+                  s"$resampling footprint of $capL source pixels per target " +
+                    "pixel needs materialization: build overviews (addo) or " +
+                    "use a streaming kernel (average/sum/min/max/rms)")
+                if (capL > scratch.length) scratch = new Array[Double](capL.toInt)
+              }
+              var n = 0L
+              var acc = 0.0   // sum / sum-of-squares
+              var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
               var sy = sy0
               while (sy <= sy1) {
                 var sx = sx0
                 while (sx <= sx1) {
                   val v = sample(sx, sy)
-                  if (!v.isNaN) { scratch(n) = v; n += 1 }
+                  if (!v.isNaN) {
+                    if (rankKernel) scratch(n.toInt) = v
+                    else resampling match {
+                      case "average" | "sum" => acc += v
+                      case "rms" => acc += v * v
+                      case "min" => if (v < mn) mn = v
+                      case "max" => if (v > mx) mx = v
+                    }
+                    n += 1
+                  }
                   sx += 1
                 }
                 sy += 1
               }
               if (n == 0) return Double.NaN
               resampling match {
-                case "average" =>
-                  var s = 0.0; var i = 0
-                  while (i < n) { s += scratch(i); i += 1 }
-                  s / n
-                case "sum" =>
-                  var s = 0.0; var i = 0
-                  while (i < n) { s += scratch(i); i += 1 }
-                  s
-                case "rms" =>
-                  var s = 0.0; var i = 0
-                  while (i < n) { s += scratch(i) * scratch(i); i += 1 }
-                  math.sqrt(s / n)
-                case "min" =>
-                  var m = scratch(0); var i = 1
-                  while (i < n) { if (scratch(i) < m) m = scratch(i); i += 1 }
-                  m
-                case "max" =>
-                  var m = scratch(0); var i = 1
-                  while (i < n) { if (scratch(i) > m) m = scratch(i); i += 1 }
-                  m
+                case "average" => acc / n
+                case "sum"     => acc
+                case "rms"     => math.sqrt(acc / n)
+                case "min"     => mn
+                case "max"     => mx
                 case "mode" =>
                   // most frequent; ties → smallest value (deterministic,
                   // matching operators/Resample)
-                  java.util.Arrays.sort(scratch, 0, n)
+                  val nn = n.toInt
+                  java.util.Arrays.sort(scratch, 0, nn)
                   var best = scratch(0); var bestRun = 1
                   var run = 1; var i = 1
-                  while (i < n) {
+                  while (i < nn) {
                     run = if (scratch(i) == scratch(i - 1)) run + 1 else 1
                     if (run > bestRun) { bestRun = run; best = scratch(i) }
                     i += 1
@@ -272,8 +284,9 @@ object WarpReader {
                   val q = resampling match {
                     case "med" => 0.5; case "q1" => 0.25; case _ => 0.75
                   }
-                  java.util.Arrays.sort(scratch, 0, n)
-                  scratch(math.max(1, math.ceil(n * q).toInt) - 1)
+                  val nn = n.toInt
+                  java.util.Arrays.sort(scratch, 0, nn)
+                  scratch(math.max(1, math.ceil(nn * q).toInt) - 1)
               }
             }
             var j = 0
@@ -289,16 +302,26 @@ object WarpReader {
                 val gy = (p.originY - cy) / p.yres - 0.5
                 val idx = j * w + i
                 val v =
-                  if (boxKernels.contains(resampling)) {
-                    // footprint corners project separately (4326↔3857 is
-                    // axis-separable, so the projected box stays a box)
+                  if (isBox) {
+                    // ALL FOUR footprint corners project: under a rotated
+                    // transform (UTM grid convergence, conic parallels) the
+                    // projected pixel is a quadrilateral whose bounding box
+                    // two diagonal corners under-cover; for the separable
+                    // 4326↔3857 pair the extra two projections are exact
+                    // no-ops on the envelope
                     val (ax, ay) = toSrc(tx - targetXres / 2, ty + targetYres / 2)
                     val (bx, by) = toSrc(tx + targetXres / 2, ty - targetYres / 2)
+                    val (ex, ey) = toSrc(tx + targetXres / 2, ty + targetYres / 2)
+                    val (fx, fy) = toSrc(tx - targetXres / 2, ty - targetYres / 2)
+                    val lo = math.min(math.min(ax, bx), math.min(ex, fx))
+                    val hi = math.max(math.max(ax, bx), math.max(ex, fx))
+                    val tp = math.max(math.max(ay, by), math.max(ey, fy))
+                    val bt = math.min(math.min(ay, by), math.min(ey, fy))
                     boxAgg(
-                      (math.min(ax, bx) - p.originX) / p.xres - 0.5,
-                      (math.max(ax, bx) - p.originX) / p.xres - 0.5,
-                      (p.originY - math.max(ay, by)) / p.yres - 0.5,
-                      (p.originY - math.min(ay, by)) / p.yres - 0.5,
+                      (lo - p.originX) / p.xres - 0.5,
+                      (hi - p.originX) / p.xres - 0.5,
+                      (p.originY - tp) / p.yres - 0.5,
+                      (p.originY - bt) / p.yres - 0.5,
                       gx, gy)
                   } else interpolate(gx, gy)
                 if (v.isNaN) {

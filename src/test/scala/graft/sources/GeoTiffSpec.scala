@@ -579,6 +579,72 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.profile.bands == 4 && t.readTile(4, 0, 0).forall(_ == 40.0))
   }
 
+  test("CCITT G4 cross-decodes against the JDK's independent T.6 codec") {
+    // A self round-trip is BLIND to symmetric defects (encoder and decoder
+    // share every helper) — the b1 parity inversion shipped three rounds
+    // that way. Both directions against javax.imageio's own T.6 codec:
+    val rng = new java.util.Random(11)
+    val w = 24; val h = 8; val bpr = (w + 7) / 8
+    for (trial <- 0 until 50) {
+      val bits = Array.tabulate(h, w)((_, _) => rng.nextInt(2))
+      val packed = new Array[Byte](bpr * h)
+      for (y <- 0 until h; x <- 0 until w if bits(y)(x) == 1)
+        packed(y * bpr + x / 8) = (packed(y * bpr + x / 8) | (1 << (7 - x % 8))).toByte
+      // direction 1: ImageIO encodes, we decode
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (bits(y)(x) == 1) 0x000000 else 0xFFFFFF)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("TIFF").next()
+      val prm = wr.getDefaultWriteParam
+      prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      prm.setCompressionType("CCITT T.6")
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try { wr.setOutput(ios); wr.write(null,
+        new javax.imageio.IIOImage(img, null, null), prm) }
+      finally { wr.dispose(); ios.close() }
+      val tif = bos.toByteArray
+      // minimal IFD walk for the single-strip payload
+      val bb = java.nio.ByteBuffer.wrap(tif).order(
+        if (tif(0) == 'I') java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      val ifd = bb.getInt(4); val n = bb.getShort(ifd) & 0xffff
+      var off = -1L; var cnt = -1L
+      for (i <- 0 until n) {
+        val e = ifd + 2 + i * 12
+        val id = bb.getShort(e) & 0xffff; val typ = bb.getShort(e + 2) & 0xffff
+        val v = if (typ == 3) (bb.getShort(e + 8) & 0xffff).toLong
+          else bb.getInt(e + 8) & 0xffffffffL
+        if (id == 273) off = v; if (id == 279) cnt = v
+      }
+      val payload = java.util.Arrays.copyOfRange(tif, off.toInt, (off + cnt).toInt)
+      assert(CcittG4.decode(payload, w, h, bpr).sameElements(packed),
+        s"trial $trial: JDK-encoded stream misread")
+      // direction 2: we encode, ImageIO decodes (splice our payload into
+      // the JDK's own container so only the codec differs)
+      val ours = CcittG4.encode(packed, w, h, bpr)
+      val spliced = java.util.Arrays.copyOf(tif, off.toInt + ours.length)
+      System.arraycopy(ours, 0, spliced, off.toInt, ours.length)
+      // patch StripByteCounts
+      for (i <- 0 until n) {
+        val e = ifd + 2 + i * 12
+        if ((bb.getShort(e) & 0xffff) == 279) {
+          val nb = java.nio.ByteBuffer.wrap(spliced).order(bb.order())
+          if ((bb.getShort(e + 2) & 0xffff) == 3) nb.putShort(e + 8, ours.length.toShort)
+          else nb.putInt(e + 8, ours.length)
+        }
+      }
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("TIFF").next()
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(spliced)))
+      val back = try rd.read(0) finally rd.dispose()
+      for (y <- 0 until h; x <- 0 until w)
+        assert((if ((back.getRGB(x, y) & 0xffffff) == 0) 1 else 0) == bits(y)(x),
+          s"trial $trial: JDK misreads our stream at ($x,$y)")
+    }
+  }
+
   test("NaN nodata: tag round-trips (incl. glibc 'nan'), sparse holes fire") {
     val p = profile("float32", nd = Some(Double.NaN))
     val path = tmp("nan_nodata.tif")
