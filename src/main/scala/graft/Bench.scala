@@ -103,6 +103,26 @@ object Bench {
     ms
   }
 
+  /** The contention predicate, extracted so a unit test can feed synthetic
+    * (start, steal, calibStart, calibEnd) tuples through it (VERDICT r13 #1).
+    *
+    * Round 13's `loadEnd > maxLoad` term SELF-TRIGGERED: the 1-minute
+    * loadavg sampled right after the bench's own 32-way run always reflects
+    * the bench's own work, so every full run on a quiet host got tagged
+    * contended (the driver's r13 record was quarantined at loadavg_start
+    * 1.42 / steal 0.23%, both green, purely on loadavg_end 1.81) and
+    * BENCH_LATEST could never legitimately update. Mid-run contention is
+    * instead detected by re-running the calibration spin AFTER the last
+    * query — Spark is idle by then, so the single-thread spin measures the
+    * machine, not the bench: a slowed end spin (ratio > maxCalibDrift)
+    * means something else was eating cycles mid-run. This also catches the
+    * steal-at-low-loadavg case the calibSpinMs scaladoc documents. */
+  def contendedGate(loadStart: Double, stealPct: Double,
+      calibStartMs: Double, calibEndMs: Double,
+      maxLoad: Double, maxSteal: Double, maxCalibDrift: Double): Boolean =
+    loadStart > maxLoad || stealPct > maxSteal ||
+      (calibStartMs > 0 && calibEndMs / calibStartMs > maxCalibDrift)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -266,40 +286,64 @@ object Bench {
       if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
       else 0.0
     val maxSteal = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXSTEAL", "2.0").toDouble
+    val maxCalibDrift = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXDRIFT", "1.2").toDouble
+    // post-run calibration spin: Spark is idle now, so a slowed spin vs the
+    // pre-run constant exposes MID-RUN contention without the self-trigger
+    // of sampling loadavg right after our own 32-way work (VERDICT r13 #1).
+    // min of two spins = "how fast can this machine go right now".
+    val calibEndMs = math.min(calibSpinMs(), calibSpinMs())
     // Filtered (partial) runs are a different artifact class: they go to
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
     // as a 93% total drop across rounds (ADVICE r10).
-    // loadEnd too: a host that becomes loaded MID-RUN must not overwrite
-    // the canonical record either (the start-only gate would readmit the
-    // r12 incident through the back door)
     val contended = only.isEmpty &&
-      (loadStart > maxLoad || loadEnd > maxLoad || stealPct > maxSteal)
+      contendedGate(loadStart, stealPct, calibMs, calibEndMs,
+        maxLoad, maxSteal, maxCalibDrift)
     val partialTag =
       (if (contended) ""","contended":true""" else "") +
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
     // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
     // cap together with sbt's trailing [success] line.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f$partialTag,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"sf":"$sfDir"}"""
     // a contended full run must NOT become the canonical baseline: r12's
     // contended record overwrote BENCH_LATEST and poisoned a round of
     // regression detection (ADVICE r12 medium)
     val outFile =
       if (!only.isEmpty) "BENCH_PARTIAL.json"
       else if (contended) { System.err.println(
-        f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f or steal $stealPct%.1f%% > $maxSteal%.1f%%: contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
+        f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f or steal $stealPct%.1f%% > $maxSteal%.1f%% or calib drift ${calibEndMs / math.max(calibMs, 1e-9)}%.2f > $maxCalibDrift%.2f: contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
         "BENCH_CONTENDED.json" }
       else "BENCH_LATEST.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
+    def writeLine(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] file write $path: $e") }
+    writeLine(outFile)
+    // Self-archive the FULL record per round: the driver's per-round parser
+    // keeps only the stdout medians map (ADVICE r12-low, still true of
+    // BENCH_r13.json), losing the min/max/plan/exec split that plan audits
+    // need. Round N = latest CORRECTNESS_r{N-1} artifact + 1 (the driver
+    // writes CORRECTNESS before the next round starts). Full runs only —
+    // a partial iteration run must not stamp a round archive.
+    if (only.isEmpty) {
+      val round = try {
+        import scala.jdk.CollectionConverters._
+        val rs = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.matches("CORRECTNESS_r\\d+\\.json") =>
+            s.stripPrefix("CORRECTNESS_r").stripSuffix(".json").toInt }
+          .toSeq
+        if (rs.isEmpty) 1 else rs.max + 1
+      } catch { case _: Throwable => 0 }
+      writeLine(f"BENCH_FULL_r$round%02d.json")
+    }
     println(compact)
     spark.stop()
   }

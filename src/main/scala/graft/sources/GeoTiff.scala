@@ -561,12 +561,19 @@ object GeoTiff {
       }
       val fmts = Array.fill(p.bands)(leShort(p.sampleFormat)).flatten
       addBig(339, TShort, p.bands, fmts)
-      // ExtraSamples (338): bands beyond an RGB triple must be declared
-      // (TIFF 6.0 §18) or foreign readers reject/warn on the file; 2 =
-      // unassociated alpha — what a baked RGBA tile's 4th band is
-      if (p.photometricCode == 2 && p.bands > 3)
-        addBig(338, TShort, p.bands - 3,
-          Array.fill(p.bands - 3)(leShort(2)).flatten)
+      // ExtraSamples (338): bands beyond the photometric interpretation's
+      // expected sample count must be declared (TIFF 6.0 §18) or strict
+      // foreign readers warn/reject — for EVERY photometric, not just RGB
+      // (ADVICE r13: a 2-band MINISBLACK chunky file shipped without it).
+      // RGB extras = 2 (unassociated alpha — what a baked RGBA tile's 4th
+      // band is); grayscale/palette extras = 0 (unspecified: a data band,
+      // not alpha).
+      val expectedSamples = if (p.photometricCode == 2 || p.photometricCode == 6) 3 else 1
+      if (p.bands > expectedSamples) {
+        val mark = if (p.photometricCode == 2) 2 else 0
+        addBig(338, TShort, p.bands - expectedSamples,
+          Array.fill(p.bands - expectedSamples)(leShort(mark)).flatten)
+      }
       // ColorMap (320): 3 planes of 2^bits SHORTs (all reds, greens,
       // blues), 8-bit colors widened as c*257 — the GDAL convention
       p.palette.foreach { pal =>

@@ -28,12 +28,20 @@ object HadoopConfs {
     bos.toByteArray
   }
 
-  /** Install the driver's packed configuration in this JVM (idempotent;
-    * call at the top of every task closure that touches a FileSystem). */
+  /** Install the driver's packed configuration in this JVM (idempotent for
+    * identical bytes; call at the top of every task closure that touches a
+    * FileSystem). NOT first-wins: a long-lived executor serving a LATER job
+    * with different driver settings — rotated credentials, a second
+    * SparkSession with other `spark.hadoop.*` values — must not keep the
+    * stale configuration (ADVICE r13), so changed bytes reinstall and
+    * invalidate the cached Configuration. Cheap in the hot path: the
+    * common per-task call compares a reference then array equality on a
+    * few-KB buffer, no parsing. */
   def install(bytes: Array[Byte]): Unit =
-    if (bytes != null && (packed eq null)) synchronized {
-      if (packed eq null) { packed = bytes; cached = null }
-    }
+    if (bytes != null && (packed ne bytes) && !java.util.Arrays.equals(packed, bytes))
+      synchronized {
+        if (!java.util.Arrays.equals(packed, bytes)) { packed = bytes; cached = null }
+      }
 
   /** The effective configuration: the installed driver conf if present,
     * else a plain classpath Configuration — built ONCE per JVM either way

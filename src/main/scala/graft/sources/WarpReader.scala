@@ -69,6 +69,12 @@ object WarpReader {
   private val boxKernels: Set[String] =
     Set("average", "sum", "min", "max", "mode", "med", "q1", "q3", "rms")
 
+  /** Per-task cap on parsed source handles (pyramids). 16 distinct URIs is
+    * generous for a block run (mosaic inputs overlapping one tile), and at
+    * ~O(blocks) strile longs per handle it bounds the worst case — a
+    * partition that touches thousands of catalog files — to a few MB. */
+  private[sources] val handleCacheCap: Int = 16
+
   private def kernelWeight(kernel: String): Double => Double = kernel match {
     case "bilinear"     => t => { val a = math.abs(t); if (a < 1) 1 - a else 0.0 }
     case "cubic"        => cubicW
@@ -118,7 +124,20 @@ object WarpReader {
           // level matched to the target resolution instead of the base —
           // at a factor-2^k reduction this cuts the source I/O 4^k×, the
           // reason GDAL's warper does the same (GDALBandGetBestOverviewLevel2)
-          val open = scala.collection.mutable.Map.empty[String, Seq[GeoTiff.Tiff]]
+          // LRU of parsed pyramids, capped like the pixel cache below: one
+          // entry per distinct source URI, but each holds IFD/strile arrays
+          // for EVERY overview level (O(blocks) longs), and a partition over
+          // a large catalog would otherwise grow it without bound — the one
+          // unbounded per-task structure the r13 audit found in the read
+          // path. Tiff is a pure metadata value (readTile opens and closes
+          // its own range reader per call), so eviction frees memory only —
+          // a re-touched URI just re-parses its ~KB header on a ranged read.
+          val open = new java.util.LinkedHashMap[String, Seq[GeoTiff.Tiff]](
+            32, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Seq[GeoTiff.Tiff]]): Boolean =
+              size() > handleCacheCap
+          }
           // LRU of decoded source tiles: (uri, band, level, tr, tc) → pixels
           val cache = new java.util.LinkedHashMap[(String, Int, Int, Int, Int), Array[Double]](
             64, 0.75f, true) {
@@ -127,8 +146,14 @@ object WarpReader {
               size() > 48
           }
           rows.map { case (tileId, band, fileBand, br, bc, w, h, uri, priority, tileLeft, tileTop) =>
-            val levels = open.getOrElseUpdate(uri,
-              GeoTiff.openWithOverviews(uri).sortBy(_.profile.xres))
+            val levels = {
+              val hit = open.get(uri)
+              if (hit != null) hit else {
+                val parsed = GeoTiff.openWithOverviews(uri).sortBy(_.profile.xres)
+                open.put(uri, parsed)
+                parsed
+              }
+            }
             val baseP = levels.head.profile
             // geo origin of this target block (also used by the pixel loop)
             val bLeft = tileLeft + bc * blockSize * targetXres

@@ -579,6 +579,32 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.profile.bands == 4 && t.readTile(4, 0, 0).forall(_ == 40.0))
   }
 
+  test("multi-band grayscale declares ExtraSamples (tag 338) = unspecified") {
+    // ADVICE r13: a 2-band MINISBLACK file shipped without tag 338, which
+    // TIFF 6.0 §18 requires whenever bands exceed the photometric's
+    // expected sample count (1 for grayscale). Extras here are data bands,
+    // not alpha → marked 0 (unspecified).
+    val p = profile("uint16").copy(bands = 2)
+    val path = tmp("gray2_extra.tif")
+    val w = new GeoTiff.Writer(path, p)
+    for (b <- 1 to 2; tr <- 0 to 1; tc <- 0 to 1)
+      w.writeTile(b, tr, tc, Array.fill(256)(b * 5.0))
+    w.close()
+    val bytes = Files.readAllBytes(Paths.get(path))
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    val ifd = le32(4)
+    val n = le16(ifd)
+    val entries = (0 until n).map(k => ifd + 2 + 12 * k)
+    val e338 = entries.find(e => le16(e) == 338)
+    assert(e338.isDefined, "tag 338 missing on 2-band grayscale")
+    assert(le16(e338.get + 2) == 3 && le32(e338.get + 4) == 1) // SHORT x1
+    assert(le16(e338.get + 8) == 0) // unspecified, not alpha
+    // round-trip unaffected
+    val t = GeoTiff.open(path)
+    assert(t.profile.bands == 2 && t.readTile(2, 0, 0).forall(_ == 10.0))
+  }
+
   test("CCITT G4 cross-decodes against the JDK's independent T.6 codec") {
     // A self round-trip is BLIND to symmetric defects (encoder and decoder
     // share every helper) — the b1 parity inversion shipped three rounds

