@@ -292,6 +292,59 @@ object Bench {
     // of sampling loadavg right after our own 32-way work (VERDICT r13 #1).
     // min of two spins = "how fast can this machine go right now".
     val calibEndMs = math.min(calibSpinMs(), calibSpinMs())
+
+    // sf1 section (VERDICT r13 #3): one decade up, where exec dominates the
+    // plan constants that are ≥80% of the most expensive sf0.1 entries and
+    // the 2× throughput gate is tested where it matters. The dataset is
+    // ScaleData's key-shifted 10× replication of the driver's sf0.1 (built
+    // once, cached under .benchdata/sf1 — join fan-outs and distinct-key
+    // counts scale exactly 10×, dims stay fixed). ONE timed run per query —
+    // the sf0.1 medians keep the round-over-round continuity role; sf1 is
+    // the scaling evidence — bounded by a wall budget so the driver's
+    // per-round invocation stays safe; queries past the budget are recorded
+    // in sf1_skipped, never silently dropped. Runs AFTER the post-run
+    // calibration spin so the sf0.1 contention verdict is unaffected.
+    // layer_pipeline is excluded (synthetic raster — SF-independent).
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SECS", "600").toDouble
+    val sf1Enabled = only.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_SF1").contains("off")
+    val (sf1Results, sf1Skipped) = if (!sf1Enabled) (Nil, Nil) else {
+      val sf1Dir = try ScaleData.ensure(spark)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 build failed: $e"); null }
+      if (sf1Dir == null) (Nil, Seq("<build-failed>")) else {
+        val t0 = System.nanoTime()
+        val names = headline.filter(SparkEntry.queries.contains)
+        val done = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+        val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+        names.foreach { name =>
+          if ((System.nanoTime() - t0) / 1e9 > sf1Budget) skipped += name
+          else {
+            val q0 = System.nanoTime()
+            try {
+              val df = SparkEntry.queries(name)(spark, sf1Dir)
+              df.queryExecution.executedPlan
+              val q1 = System.nanoTime()
+              df.count()
+              done += name -> (((q1 - q0) / 1e9, (System.nanoTime() - q1) / 1e9))
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 $name: $e")
+              done += name -> (((System.nanoTime() - q0) / 1e9, 0.0))
+            }
+            graft.core.Caching.release(spark)
+          }
+        }
+        (done.toSeq, skipped.toSeq)
+      }
+    }
+    val sf1Total = sf1Results.map { case (_, (p, e)) => p + e }.sum
+    def sf1Render(f: ((Double, Double)) => Double): String =
+      sf1Results.map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
+        .mkString("{", ",", "}")
+    val sf1Tag = if (!sf1Enabled) "" else
+      f""","sf1_total":$sf1Total%.3f,"sf1_n":${sf1Results.size},"sf1_skipped":[${sf1Skipped.map("\"" + _ + "\"").mkString(",")}]"""
+    val sf1Full = if (!sf1Enabled) "" else
+      s"""$sf1Tag,"sf1_queries":${sf1Render(t => t._1 + t._2)},"sf1_queries_plan":${sf1Render(_._1)},"sf1_queries_exec":${sf1Render(_._2)}"""
     // Filtered (partial) runs are a different artifact class: they go to
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
@@ -304,14 +357,14 @@ object Bench {
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
     // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
     // cap together with sbt's trailing [success] line.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag$sf1Tag,"queries":$qs,"sf":"$sfDir"}"""
     // a contended full run must NOT become the canonical baseline: r12's
     // contended record overwrote BENCH_LATEST and poisoned a round of
     // regression detection (ADVICE r12 medium)

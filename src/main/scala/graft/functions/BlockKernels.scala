@@ -1,0 +1,296 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Per-BLOCK primitive-loop kernels for the packed pixel plane.
+  *
+  * Why these exist: Spark's higher-order functions (`transform`,
+  * `zip_with`, `aggregate`) have NO codegen — `ArrayTransform.eval`
+  * interprets the lambda per element (megamorphic `Expression.eval` calls,
+  * `CaseWhen.eval` walking a `List` per pixel — observed directly in stack
+  * samples of the 2.62-Gpx sink soak, which spent 10+ minutes in
+  * `BinaryArithmetic.eval` under `ArrayTransform.nullSafeEval`). At
+  * ~100-200 ns/element that caps every HOF-built pixel operator near
+  * 5-10 M px/s/core — two orders of magnitude under a JIT'd loop, and the
+  * difference between a pyramid build that keeps up with the scan and one
+  * that IS the job at 100 TB.
+  *
+  * The fix is altitude, not cleverness: evaluate per BLOCK, not per
+  * element. Each kernel is a Catalyst expression whose `eval` runs a tight
+  * primitive loop over the block's `ArrayData` (260 k pixels per call at a
+  * 512-px block), so the interpreted-dispatch cost is paid once per block
+  * — `CodegenFallback` is free at that granularity — while the loop body
+  * JITs like hand-written Scala. Semantics replicate the HOF forms they
+  * replace BIT-FOR-BIT (window enumeration order, IEEE accumulation order,
+  * Spark's double ordering where NaN is largest and ±0.0 compare equal),
+  * so every oracle hash is unchanged.
+  */
+object BlockKernels {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Spark SQL double comparison (SQLOrderingUtil semantics): ±0.0 equal,
+    * NaN equal to itself and larger than everything else. */
+  @inline private[functions] def cmp(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  def downsampleColumn(values: Column, width: Int, height: Int, k: Int,
+      method: String, noData: Option[Double]): Column =
+    ColumnBridge.column(BlockDownsample(
+      ColumnBridge.expression(values), width, height, k, method, noData))
+
+  def assembleQuarters(q00: Column, q01: Column, q10: Column, q11: Column,
+      size: Int): Column =
+    ColumnBridge.column(AssembleQuarters(
+      ColumnBridge.expression(q00), ColumnBridge.expression(q01),
+      ColumnBridge.expression(q10), ColumnBridge.expression(q11), size))
+}
+
+/** Factor-k box downsample of one packed row-major (width×height) block
+  * band — the primitive-loop twin of the HOF form [[graft.operators
+  * .Resample.downsample]] builds semantics from. Masked pixels are null
+  * elements; `noData` additionally masks pixels equal to the nodata value
+  * (Spark `=!=` semantics: NaN equals NaN, ±0.0 equal), FUSING the
+  * nodata→null masking pass the overview dataflow used to run as a
+  * separate interpreted `transform` over every base pixel. A window with
+  * no valid pixel yields null. */
+case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
+    k: Int, method: String, noData: Option[Double])
+  extends UnaryExpression with CodegenFallback {
+  require(blockW % k == 0 && blockH % k == 0,
+    s"block $blockW x $blockH not divisible by $k")
+
+  override def prettyName: String = "block_downsample"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"block_downsample expects array<double>, got $other")
+  }
+
+  private val ow = blockW / k
+  private val oh = blockH / k
+  private val hasNd = noData.isDefined
+  private val nd = noData.getOrElse(0.0)
+  import BlockKernels.cmp
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    @inline def masked(idx: Int): Boolean =
+      a.isNullAt(idx) || (hasNd && cmp(a.getDouble(idx), nd) == 0)
+    val out = new Array[Double](ow * oh)
+    var nulls: Array[Boolean] = null
+    @inline def setNull(o: Int): Unit = {
+      if (nulls == null) nulls = new Array[Boolean](ow * oh)
+      nulls(o) = true
+    }
+    val q = method match {
+      case "med" => 0.5
+      case "q1" => 0.25
+      case "q3" => 0.75
+      case _ => 0.0
+    }
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val o = oy * ow + ox
+        val base = (oy * k) * blockW + ox * k
+        method match {
+          case "nearest" =>
+            if (masked(base)) setNull(o) else out(o) = a.getDouble(base)
+          case "sum" =>
+            // first-valid seeds the accumulator (the HOF fold's null-init),
+            // additions in window enumeration order — IEEE-identical
+            var s = 0.0; var seen = false
+            var dy = 0
+            while (dy < k) {
+              var dx = 0
+              while (dx < k) {
+                val idx = base + dy * blockW + dx
+                if (!masked(idx)) {
+                  s = if (seen) s + a.getDouble(idx) else a.getDouble(idx)
+                  seen = true
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (seen) out(o) = s else setNull(o)
+          case "average" | "rms" =>
+            val sq = method == "rms"
+            var s = 0.0; var n = 0
+            var dy = 0
+            while (dy < k) {
+              var dx = 0
+              while (dx < k) {
+                val idx = base + dy * blockW + dx
+                if (!masked(idx)) {
+                  val v = a.getDouble(idx)
+                  s += (if (sq) v * v else v); n += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (n > 0) out(o) = { val m = s / n; if (sq) math.sqrt(m) else m }
+            else setNull(o)
+          case "min" | "max" =>
+            val wantMin = method == "min"
+            var best = 0.0; var seen = false
+            var dy = 0
+            while (dy < k) {
+              var dx = 0
+              while (dx < k) {
+                val idx = base + dy * blockW + dx
+                if (!masked(idx)) {
+                  val v = a.getDouble(idx)
+                  if (!seen || (if (wantMin) cmp(v, best) < 0 else cmp(v, best) > 0))
+                    best = v
+                  seen = true
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (seen) out(o) = best else setNull(o)
+          case "mode" =>
+            // most frequent valid value; ties break like the HOF's
+            // array_max over (count, -v) structs: max count, then max -v
+            // (= min v under Spark's ordering, NaN caveat preserved)
+            val vals = new Array[Double](k * k)
+            var n = 0
+            var dy = 0
+            while (dy < k) {
+              var dx = 0
+              while (dx < k) {
+                val idx = base + dy * blockW + dx
+                if (!masked(idx)) { vals(n) = a.getDouble(idx); n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (n == 0) setNull(o)
+            else {
+              var bestV = 0.0; var bestN = -1
+              var i = 0
+              while (i < n) {
+                val v = vals(i)
+                var c = 0; var j = 0
+                while (j < n) { if (cmp(vals(j), v) == 0) c += 1; j += 1 }
+                if (c > bestN || (c == bestN && cmp(-v, -bestV) > 0)) {
+                  bestN = c; bestV = v
+                }
+                i += 1
+              }
+              out(o) = bestV
+            }
+          case "med" | "q1" | "q3" =>
+            val vals = new Array[Double](k * k)
+            var n = 0
+            var dy = 0
+            while (dy < k) {
+              var dx = 0
+              while (dx < k) {
+                val idx = base + dy * blockW + dx
+                if (!masked(idx)) { vals(n) = a.getDouble(idx); n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (n == 0) setNull(o)
+            else {
+              val valid = java.util.Arrays.copyOf(vals, n)
+              // Spark array_sort ascending = SQL double ordering; for the
+              // finite values of a pixel window java.util.Arrays.sort
+              // matches (NaN sorts last, -0.0 before 0.0 — same order)
+              java.util.Arrays.sort(valid)
+              val rank = math.max(1, math.ceil(n * q).toInt)
+              out(o) = valid(rank - 1)
+            }
+          case other =>
+            throw new IllegalArgumentException(s"Unknown resampling method: $other")
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
+    else {
+      val boxed = new Array[Any](out.length)
+      var i = 0
+      while (i < out.length) {
+        if (!nulls(i)) boxed(i) = out(i)
+        i += 1
+      }
+      new GenericArrayData(boxed)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Assemble four (half×half) quarter blocks into one (size×size) block —
+  * the gather step of [[graft.operators.Resample.regroup2x]]. A null
+  * (missing, image-edge) quarter fills its quadrant with nulls, the
+  * masked-pixel convention. Primitive row-copy loops per quadrant instead
+  * of an interpreted per-element transform with a 4-way CaseWhen. */
+case class AssembleQuarters(q00: Expression, q01: Expression,
+    q10: Expression, q11: Expression, size: Int)
+  extends Expression with CodegenFallback {
+  require(size % 2 == 0, s"blockSize $size must be even")
+
+  override def prettyName: String = "assemble_quarters"
+  override def children: Seq[Expression] = Seq(q00, q01, q10, q11)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"assemble_quarters expects four array<double>, got ${children.map(_.dataType)}")
+
+  private val half = size / 2
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val qs = Array(q00.eval(input), q01.eval(input),
+      q10.eval(input), q11.eval(input))
+    val boxed = new Array[Any](size * size)
+    var quad = 0
+    while (quad < 4) {
+      val qr = quad / 2; val qc = quad % 2
+      val src = qs(quad)
+      if (src != null) {
+        val a = src.asInstanceOf[ArrayData]
+        var r = 0
+        while (r < half) {
+          var c = 0
+          val dstBase = (qr * half + r) * size + qc * half
+          val srcBase = r * half
+          while (c < half) {
+            if (!a.isNullAt(srcBase + c)) boxed(dstBase + c) = a.getDouble(srcBase + c)
+            c += 1
+          }
+          r += 1
+        }
+      }
+      quad += 1
+    }
+    new GenericArrayData(boxed)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(q00 = newChildren(0), q01 = newChildren(1),
+      q10 = newChildren(2), q11 = newChildren(3))
+}

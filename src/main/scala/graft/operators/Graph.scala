@@ -80,18 +80,64 @@ object Graph {
     * ranking use.
     *
     * Scale shape: one shuffle per iteration (contribution aggregate keyed
-    * on dst) plus the vertex-keyed join back; the adjacency relation with
-    * its outdeg column is pinned once and re-read every round;
-    * localCheckpoint between rounds keeps the logical plan flat (the
-    * [[graft.operators.Dedup.components]] discipline). High-degree hubs
-    * are ordinary aggregate skew — map-side combine absorbs them. */
+    * on dst, map-side combined) plus narrow co-partitioned joins against
+    * the adjacency and vertex relations, which are hash-partitioned once
+    * and reused every round. The default variant drives the rounds at the
+    * RDD level (see the in-body note — the round body is expression-only,
+    * so per-round Catalyst work buys nothing); the dangling variant keeps
+    * the declarative loop because its per-round share is a 1-row aggregate
+    * that plan-fuses into the rank update (an RDD form would add one
+    * driver action per round). High-degree hubs are ordinary aggregate
+    * skew — map-side combine absorbs them. */
   def pagerank(edges: DataFrame, iters: Int = 5,
                dampNum: Long = 7, dampDen: Long = 8,
                redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0, 1)")
+    val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
+    val teleportM = 1000000L * (dampDen - dampNum) / dampDen
+    if (!redistributeDangling) {
+      // RDD-driven fixpoint (VERDICT r13 #5): the setup relations (distinct
+      // edges, out-degrees, vertex set) are built declaratively — Catalyst
+      // pushdown and partial aggregation apply where they help — then the k
+      // rounds run at the RDD level on the ONE analyzed plan's output.
+      // The round body is pure integer arithmetic, so per-round Catalyst
+      // analysis/optimization/codegen and the lazy-checkpoint fill-in jobs
+      // (≥95% of g4's toy-SF cost; plan 1.40 s vs exec 0.05 s in the r13
+      // quiet record) buy nothing — the RDD loop pays them ONCE. The
+      // dataflow is unchanged and scale-identical: adjacency and vertex
+      // set hash-partitioned once and co-located, each round ONE dst-keyed
+      // shuffle (map-side combine via reduceByKey) and two narrow
+      // co-partitioned joins; shuffle outputs persist across jobs, so the
+      // setup never recomputes. Long sums are order-independent, so the
+      // result is bit-identical to the declarative form (both replay the
+      // same floor-division recurrence).
+      import spark.implicits._
+      val p = new org.apache.spark.HashPartitioner(
+        spark.sessionState.conf.numShufflePartitions)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val adjRdd = e.join(deg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .as[(Long, Long, Long)].rdd
+        .map { case (s, d, o) => (s, (d, o)) }
+        .partitionBy(p)
+      val nodeRdd = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .as[Long].rdd.map((_, ())).partitionBy(p)
+      var ranks = nodeRdd.mapValues(_ => 1000000L)
+      for (_ <- 1 to iters) {
+        val mass = adjRdd.join(ranks, p) // narrow: co-partitioned by p
+          .map { case (_, ((dst, outdeg), rank)) =>
+            // non-negative operands: Long / == SQL div (floor)
+            (dst, rank * dampNum / (dampDen * outdeg)) }
+          .reduceByKey(p, _ + _) // the round's ONE shuffle
+        ranks = nodeRdd.leftOuterJoin(mass, p) // narrow
+          .mapValues { case (_, m) => teleportM + m.getOrElse(0L) }
+      }
+      return ranks.toDF("id", "rank")
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val adj = graft.core.Caching.shared(e.join(deg, "src"))
     val nodes = graft.core.Caching.shared(
@@ -298,35 +344,48 @@ object Graph {
     *
     * Pointer doubling: succ₀(v) = its out-neighbor (v itself at sinks);
     * each composition succ ← succ∘succ doubles covered path length, so
-    * `rounds` compositions cover 2^rounds — log₂(depth) total. TWO
-    * compositions fuse into each materialization stage (4 cached scans
-    * per plan — still flat, half the sequential jobs of one-per-stage;
-    * job latency, not data volume, dominates doubling on all but the
-    * largest graphs), with localCheckpoint between stages. Sinks are
-    * fixed points, so over-iterating is harmless — callers bound depth
-    * structurally and round up. All integer ids — replayable in any
-    * engine. Output: (id, basin) for every vertex incl. sinks (basin =
-    * own id). */
+    * `rounds` compositions cover 2^rounds — log₂(depth) total. The
+    * compositions run at the RDD level on a fixed hash partitioning and
+    * stay fully lazy — the caller's one action runs the whole chain as a
+    * single job (see the in-body note). Sinks are fixed points, so
+    * over-iterating is harmless — callers bound depth structurally and
+    * round up. All integer ids — replayable in any engine. Output:
+    * (id, basin) for every vertex incl. sinks (basin = own id). */
   def terminalLabel(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "terminalLabel needs at least one doubling round")
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("src").cast("long").as("id"),
       col("dst").cast("long").as("__d")).distinct()
-    val nodes = e.select(col("id"))
-      .union(e.select(col("__d").as("id"))).distinct()
-    def compose(a: DataFrame, b: DataFrame): DataFrame =
-      a.as("a").join(b.as("b"), col("a.succ") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.succ").as("succ"))
-    var succ = nodes.join(e, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__d"), col("id")).as("succ"))
-      .localCheckpoint(eager = false)
+    // RDD-driven doubling (VERDICT r13 #5): the round body is a pure
+    // id→id composition, so after the declarative setup (distinct edges,
+    // vertex seed) the log₂(depth) compositions run at the RDD level —
+    // zero Catalyst re-analysis, zero lazy-checkpoint fill-in jobs, and
+    // the whole chain stays LAZY: construction submits nothing, the
+    // caller's one action runs every doubling stage in a single job
+    // (r13 quiet record: r16 plan 2.35 s vs exec 0.28 s — the plan side
+    // was per-stage planning, not dataflow). Each composition inverts
+    // succ (one shuffle) and joins the co-partitioned succ relation
+    // (narrow), then re-keys (one shuffle) — integer ids only, so the
+    // result is bit-identical to the declarative form.
+    val p = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    val eRdd = e.as[(Long, Long)].rdd.partitionBy(p)
+    val nodeRdd = e.select(col("id")).union(e.select(col("__d").as("id")))
+      .distinct().as[Long].rdd.map((_, ())).partitionBy(p)
+    // functional graph: at most one out-edge, so the left join is 1:1
+    var succ = nodeRdd.leftOuterJoin(eRdd, p).mapPartitions(
+      _.map { case (id, (_, d)) => (id, d.getOrElse(id)) },
+      preservesPartitioning = true)
     var done = 0
     while (done < rounds) {
-      val s2 = compose(succ, succ)
-      if (done + 2 <= rounds) { succ = compose(s2, s2); done += 2 }
-      else { succ = s2; done += 1 }
-      if (done < rounds) succ = succ.localCheckpoint(eager = false)
+      succ = succ.map { case (id, s) => (s, id) }
+        .join(succ, p) // succ side narrow; inverted side shuffles
+        .map { case (_, (id, ss)) => (id, ss) }
+        .partitionBy(p)
+      done += 1
     }
-    succ.withColumnRenamed("succ", "basin")
+    succ.toDF("id", "basin")
   }
 
   /** Newman modularity per community — the quality score that tells a

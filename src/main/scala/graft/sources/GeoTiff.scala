@@ -448,7 +448,27 @@ object GeoTiff {
           Seq.fill(levelProfiles.length - 1)(0L) // placeholder: length-only
         else Nil).length)
       val chain = lens.sum.toLong
-      if (cogLayout) {
+      // COG data ordering (gdal validate_cloud_optimized_geotiff.py): the
+      // first data block of each overview must precede the next-larger
+      // level's, base-resolution data LAST — so a progressive renderer
+      // reads header + smallest overview in one short ranged read. The
+      // streaming sinks write base tiles first (overviews are downsampled
+      // FROM them), so with a pyramid present the payload block must be
+      // REORDERED, not just shifted: one sequential re-write through a
+      // sibling temp file (the same extra pass GDAL's COG driver pays).
+      // Without overviews the order is trivially conformant and the
+      // cheaper in-place up-shift suffices.
+      val cogOrderOk = {
+        // full conformant sequence: every written payload ascending when
+        // walked smallest level → base, tile index ascending within level
+        val walk = for (l <- levelProfiles.indices.reverse.toSeq;
+                        off <- lvlOffsets(l) if off > 0) yield off
+        walk == walk.sorted
+      }
+      var dst = raf
+      var tmpPath: String = null
+      var dataEndEff = dataEnd
+      if (cogLayout && cogOrderOk) {
         val start = first
         var remaining = dataEnd - start
         val buf = new Array[Byte](math.min(8L << 20, math.max(1L, remaining)).toInt)
@@ -462,9 +482,33 @@ object GeoTiff {
         // sparse holes stay offset 0; everything real moves up with the data
         for (offs <- lvlOffsets; i <- offs.indices if offs(i) > 0)
           offs(i) += chain
+        dataEndEff = dataEnd + chain
+      } else if (cogLayout) {
+        tmpPath = path + ".cogtmp"
+        val out = new RandomAccessFile(tmpPath, "rw")
+        out.setLength(0)
+        val hdr = new Array[Byte](first.toInt)
+        raf.seek(0); raf.readFully(hdr); out.write(hdr)
+        out.seek(first + chain)
+        val buf = new Array[Byte](8 << 20)
+        for (l <- levelProfiles.indices.reverse;
+             i <- lvlOffsets(l).indices if lvlOffsets(l)(i) > 0) {
+          val len = lvlCounts(l)(i)
+          val newOff = out.getFilePointer
+          var copied = 0L
+          while (copied < len) {
+            val chunk = math.min(buf.length.toLong, len - copied).toInt
+            raf.seek(lvlOffsets(l)(i) + copied); raf.readFully(buf, 0, chunk)
+            out.write(buf, 0, chunk)
+            copied += chunk
+          }
+          lvlOffsets(l)(i) = newOff
+        }
+        dataEndEff = math.max(out.getFilePointer, first + chain)
+        dst = out
       }
       val pos = lens.scanLeft(first)(_ + _.toLong)
-      val fileEnd = if (cogLayout) dataEnd + chain else pos.last
+      val fileEnd = if (cogLayout) dataEndEff else pos.last
       require(big || fileEnd <= 0xFFFFFFFFL,
         s"$path exceeds the classic TIFF 4GB limit (IFD chain at $first)")
       for (l <- levelProfiles.indices) {
@@ -474,12 +518,18 @@ object GeoTiff {
           if (subIfdOverviews) 0L
           else if (l == levelProfiles.length - 1) 0L else pos(l + 1)
         val subs = if (subIfdOverviews && l == 0) pos.slice(1, levelProfiles.length) else Nil
-        raf.seek(pos(l))
-        raf.write(buildIfd(l, pos(l), next, subs))
+        dst.seek(pos(l))
+        dst.write(buildIfd(l, pos(l), next, subs))
       }
-      if (big) { raf.seek(8); raf.write(leLong(first)) }
-      else { raf.seek(4); raf.write(leInt(first.toInt)) }
+      if (big) { dst.seek(8); dst.write(leLong(first)) }
+      else { dst.seek(4); dst.write(leInt(first.toInt)) }
       raf.close()
+      if (tmpPath != null) {
+        dst.close()
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmpPath),
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
     // --- IFD construction -------------------------------------------------

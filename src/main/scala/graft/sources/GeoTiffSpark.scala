@@ -56,11 +56,12 @@ object GeoTiffSpark {
     factors.zipWithIndex.map { case (f, li) =>
       while (curFactor < f) {
         var m = cur
-        // masked-pixel convention through the kernels: nodata → null
-        for (b <- bandCols; nd <- noData)
-          m = m.withColumn(b, transform(col(b), v => when(v =!= nd, v)))
+        // masked-pixel convention through the kernels: nodata → null,
+        // FUSED into the downsample's primitive loop (a separate masking
+        // transform would re-walk every base pixel interpreted)
         for (b <- bandCols)
-          m = m.withColumn(b, Resample.downsample(col(b), block, block, 2, method))
+          m = m.withColumn(b,
+            Resample.downsample(col(b), block, block, 2, method, noData))
         cur = Resample.regroup2x(m, block, bandCols, keyCols)
         curFactor *= 2
       }

@@ -953,6 +953,79 @@ class GeoTiffSpec extends SparkSpec {
     assert(st.readTile(1, 0, 0).count(_ == 5.0) == (T * T) - (T * T + 2) / 3)
   }
 
+  test("COG + overviews combined: GDAL-validator layout conformance") {
+    // the two features landed in separate r13 changes; this pins their
+    // COMBINED invariants, the checks gdal's
+    // validate_cloud_optimized_geotiff.py reports as errors (VERDICT r13
+    // #8): (1) head-first IFD chain — main IFD first, then overviews in
+    // decreasing resolution, ALL before any image data; (2) tile-data
+    // ordering — each overview's first data block precedes the
+    // next-larger level's, base-resolution data last; (3) within an IFD,
+    // written tile offsets ascend (row-major streaming order).
+    val T = 16; val W = 64
+    def v(x: Int, y: Int): Double = ((7 * x + 13 * y) % 60000).toDouble
+    val p = GeoTiff.Profile(W, W, 1, "uint16", T, T, Some(0.0), 4326,
+      10.0, 20.0, 0.25, 0.25, deflate = true)
+    val path = tmp("cog_conform.tif")
+    val w = new GeoTiff.Writer(path, p, overviewFactors = Seq(2, 4),
+      cogLayout = true)
+    // sink order: base first (overviews are downsampled from it) — the
+    // writer must still emit overview DATA first
+    for (tr <- 0 until 4; tc <- 0 until 4)
+      w.writeTile(1, tr, tc, Array.tabulate(T * T)(i => v(tc * T + i % T, tr * T + i / T)))
+    for (tr <- 0 until 2; tc <- 0 until 2)
+      w.writeOverviewTile(1, 1, tr, tc,
+        Array.tabulate(T * T)(i => v(2 * (tc * T + i % T), 2 * (tr * T + i / T))))
+    w.writeOverviewTile(2, 1, 0, 0, Array.tabulate(T * T)(i => v(4 * (i % T), 4 * (i / T))))
+    w.close()
+
+    val bytes = Files.readAllBytes(Paths.get(path))
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (le16(i).toLong | (le16(i + 2).toLong << 16)) & 0xffffffffL
+    // rule 1a: first IFD directly after the 8-byte classic header
+    assert(le32(4) == 8L, s"first IFD at ${le32(4)}")
+    // walk the chain: collect each IFD's span and next pointer
+    var ifdAt = le32(4)
+    var spans = Vector.empty[(Long, Long)] // (start, end)
+    while (ifdAt != 0L) {
+      val n = le16(ifdAt.toInt)
+      val end = ifdAt + 2 + 12L * n + 4
+      spans :+= (ifdAt, end)
+      ifdAt = le32((ifdAt + 2 + 12 * n).toInt)
+    }
+    assert(spans.length == 3, s"chain of ${spans.length} IFDs")
+    // rule 1b: main, then overviews in decreasing resolution, contiguous
+    val levels = GeoTiff.openAll(path)
+    assert(levels.map(_.profile.width) == Seq(64, 32, 16))
+    assert(spans.map(_._1) == spans.map(_._1).sorted, "IFD chain must descend the file")
+    // rule 1c: every IFD (incl. out-of-line tag values) before all data.
+    // Out-of-line values land between the entry tables, so the practical
+    // check is: all data offsets after the LAST IFD's end.
+    val chainEnd = spans.last._2
+    val allOffsets = levels.flatMap(_.tileOffsets).filter(_ > 0)
+    assert(allOffsets.forall(_ >= chainEnd),
+      s"data before IFD-chain end $chainEnd: ${allOffsets.min}")
+    // rule 2: smallest overview's data first, base data last
+    val firstOff = levels.map(_.tileOffsets.filter(_ > 0).min)
+    assert(firstOff(2) < firstOff(1) && firstOff(1) < firstOff(0),
+      s"level first-offsets $firstOff must descend resolution ascending file")
+    // rule 3: within each IFD, offsets ascend in tile-index order
+    levels.foreach(t => assert(
+      t.tileOffsets.filter(_ > 0).toSeq == t.tileOffsets.filter(_ > 0).sorted.toSeq,
+      "within-IFD tile data must ascend"))
+    // and the reorder kept every pixel: all three levels decode exactly
+    for (tr <- 0 until 4; tc <- 0 until 4; i <- Seq(0, 17, 255))
+      assert(levels(0).readTile(1, tr, tc)(i) ==
+        v(tc * T + i % T, tr * T + i / T))
+    for (tr <- 0 until 2; tc <- 0 until 2; i <- Seq(0, 17, 255))
+      assert(levels(1).readTile(1, tr, tc)(i) ==
+        v(2 * (tc * T + i % T), 2 * (tr * T + i / T)))
+    for (i <- Seq(0, 17, 255))
+      assert(levels(2).readTile(1, 0, 0)(i) == v(4 * (i % T), 4 * (i / T)))
+    // no temp residue from the reorder pass
+    assert(!Files.exists(Paths.get(path + ".cogtmp")))
+  }
+
   test("palette (ColorMap tag 320) round-trips the GDAL color table") {
     val pal = Seq((230, 25, 75), (60, 180, 75), (255, 225, 25),
       (0, 130, 200), (245, 130, 48))
