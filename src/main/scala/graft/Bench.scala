@@ -191,7 +191,7 @@ object Bench {
     // 90/9984 grid with the synthetic reader — ~199 Mpx end to end, the
     // shape the reference's 648-tile envelope is quoted against. Counts
     // blocks AND folds stats so every stage executes.
-    def layerPipeline(): (Double, Double) = {
+    def layerPipeline(): (Double, Double, Double) = {
       val spec = LayerSpec(dataset = "bench", version = "v1", sourceType = "raster",
         pixelMeaning = "x", dataType = "uint16", calc = Some("A * 2 + 1"),
         grid = "90/9984", sourceUri = Some(Seq("mem")), noData = Some(Seq(0.0)))
@@ -206,11 +206,12 @@ object Bench {
       val t0 = System.nanoTime()
       val r = LayerJob.run(spark, spec, catalog, reader,
         subset = Some(Seq("90N_180W", "90N_090W")))
-      r.blocks.queryExecution.executedPlan // plan = job build + optimization
+      val tb = System.nanoTime()
+      r.blocks.queryExecution.executedPlan // plan = analysis + optimization
       val t1 = System.nanoTime()
       r.blocks.count()
       r.tileStats.count()
-      ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+      ((tb - t0) / 1e9, (t1 - tb) / 1e9, (System.nanoTime() - t1) / 1e9)
     }
 
     /** Dispersion-guarded measurement: 3 timed runs, each COLD (graft-
@@ -222,25 +223,29 @@ object Bench {
       * take one extra run so the reported median sheds the outlier, and
       * report (median, min, max) so the driver can SEE the spread.
       *
-      * Each run yields (plan_s, exec_s): plan = DataFrame construction +
-      * analysis/optimization (plus any eager control-plane jobs the query
-      * runs at build time — honest: that cost repeats every submission),
-      * exec = the counting action. The split is what located the focal
-      * family's plan-constant bottleneck in round 10; now every headline
-      * query records it, so a "slow" toy-SF query whose cost is all plan
+      * Each run yields (build_s, plan_s, exec_s): build = DataFrame
+      * construction, including any eager control-plane or RDD-fixpoint
+      * jobs the query runs at build time (honest: that cost repeats every
+      * submission — and for RDD-driven queries like d6 it IS the work, so
+      * it gets its OWN bucket instead of polluting "plan", VERDICT r14 #4);
+      * plan = analysis + optimization of the returned DataFrame; exec = the
+      * counting action. The split is what located the focal family's
+      * plan-constant bottleneck in round 10; now every headline query
+      * records it, so a "slow" toy-SF query whose cost is all plan
       * constant identifies itself in the record. */
-    def measure(once: () => (Double, Double)): (Double, Double, Double, Double, Double) = {
-      def run(): (Double, Double) = {
+    def measure(once: () => (Double, Double, Double))
+        : (Double, Double, Double, Double, Double, Double) = {
+      def run(): (Double, Double, Double) = {
         val t = once()
         graft.core.Caching.release(spark)
         t
       }
       val first = Seq(run(), run(), run())
-      def tot(t: (Double, Double)) = t._1 + t._2
+      def tot(t: (Double, Double, Double)) = t._1 + t._2 + t._3
       val all = (if (first.map(tot).max / first.map(tot).min > 3.0) first :+ run()
         else first).sortBy(tot)
       val med = all((all.size - 1) / 2)
-      (tot(med), tot(all.head), tot(all.last), med._1, med._2)
+      (tot(med), tot(all.head), tot(all.last), med._1, med._2, med._3)
     }
     val loadStart = loadavg()
     val (steal0, jiffies0) = cpuJiffies()
@@ -252,30 +257,32 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
+            val tb = System.nanoTime()
             df.queryExecution.executedPlan // force analysis + optimization
             val t1 = System.nanoTime()
             df.count()
             val t2 = System.nanoTime()
-            ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+            ((tb - t0) / 1e9, (t1 - tb) / 1e9, (t2 - t1) / 1e9)
           } catch { case e: Throwable =>
             // record REAL elapsed-to-failure: a sentinel like -1 would
             // SUBTRACT from the headline total and read as a speedup —
             // the exact failure mode the partial-run guard exists for
             System.err.println(s"[bench] $name: $e")
-            ((System.nanoTime() - t0) / 1e9, 0.0)
+            ((System.nanoTime() - t0) / 1e9, 0.0, 0.0)
           }
         }
       }
     } ++ (if (only.isEmpty || only("layer_pipeline_199mpx"))
       Seq("layer_pipeline_199mpx" -> measure(() => layerPipeline())) else Nil)
-    def render(f: ((String, (Double, Double, Double, Double, Double))) => Double): String =
+    def render(f: ((String, (Double, Double, Double, Double, Double, Double))) => Double): String =
       results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f(kv)}%.3f" }
         .mkString("{", ",", "}")
     val qs = render(_._2._1)
     val qsMin = render(_._2._2)
     val qsMax = render(_._2._3)
-    val qsPlan = render(_._2._4)
-    val qsExec = render(_._2._5)
+    val qsBuild = render(_._2._4)
+    val qsPlan = render(_._2._5)
+    val qsExec = render(_._2._6)
     val total = results.map(_._2._1).sum
     val loadEnd = loadavg()
     val (steal1, jiffies1) = cpuJiffies()
@@ -308,43 +315,53 @@ object Bench {
     val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SECS", "600").toDouble
     val sf1Enabled = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_SF1").contains("off")
-    val (sf1Results, sf1Skipped) = if (!sf1Enabled) (Nil, Nil) else {
-      val sf1Dir = try ScaleData.ensure(spark)
+    val (sf1Results, sf1Skipped, sf1Failed) = if (!sf1Enabled) (Nil, Nil, Nil) else {
+      // derive sf1 from the SAME source dir this run benches (ADVICE r14:
+      // a hardcoded DefaultFrom silently ignored SPARK_GRAFT_SF_DIR, and a
+      // stale .benchdata/sf1 built from different source data was reused)
+      val sf1Dir = try ScaleData.ensure(spark, from = sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] sf1 build failed: $e"); null }
-      if (sf1Dir == null) (Nil, Seq("<build-failed>")) else {
+      if (sf1Dir == null) (Nil, Seq("<build-failed>"), Nil) else {
         val t0 = System.nanoTime()
         val names = headline.filter(SparkEntry.queries.contains)
-        val done = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+        val done = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double))]
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+        val failed = scala.collection.mutable.ArrayBuffer.empty[String]
         names.foreach { name =>
           if ((System.nanoTime() - t0) / 1e9 > sf1Budget) skipped += name
           else {
             val q0 = System.nanoTime()
             try {
               val df = SparkEntry.queries(name)(spark, sf1Dir)
+              val qb = System.nanoTime()
               df.queryExecution.executedPlan
               val q1 = System.nanoTime()
               df.count()
-              done += name -> (((q1 - q0) / 1e9, (System.nanoTime() - q1) / 1e9))
+              done += name -> (((qb - q0) / 1e9, (q1 - qb) / 1e9,
+                (System.nanoTime() - q1) / 1e9))
             } catch { case e: Throwable =>
-              System.err.println(s"[bench] sf1 $name: $e")
-              done += name -> (((System.nanoTime() - q0) / 1e9, 0.0))
+              // a failed query must not masquerade as a timing (ADVICE r14
+              // medium: it corrupted the scaling evidence) — record it in
+              // its own list, excluded from sf1_queries/sf1_total/sf1_n
+              System.err.println(s"[bench] sf1 $name FAILED: $e")
+              failed += name
             }
             graft.core.Caching.release(spark)
           }
         }
-        (done.toSeq, skipped.toSeq)
+        (done.toSeq, skipped.toSeq, failed.toSeq)
       }
     }
-    val sf1Total = sf1Results.map { case (_, (p, e)) => p + e }.sum
-    def sf1Render(f: ((Double, Double)) => Double): String =
+    val sf1Total = sf1Results.map { case (_, (b, p, e)) => b + p + e }.sum
+    def sf1Render(f: ((Double, Double, Double)) => Double): String =
       sf1Results.map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
         .mkString("{", ",", "}")
+    def sf1List(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf1Tag = if (!sf1Enabled) "" else
-      f""","sf1_total":$sf1Total%.3f,"sf1_n":${sf1Results.size},"sf1_skipped":[${sf1Skipped.map("\"" + _ + "\"").mkString(",")}]"""
+      f""","sf1_total":$sf1Total%.3f,"sf1_n":${sf1Results.size},"sf1_skipped":${sf1List(sf1Skipped)},"sf1_failed":${sf1List(sf1Failed)}"""
     val sf1Full = if (!sf1Enabled) "" else
-      s"""$sf1Tag,"sf1_queries":${sf1Render(t => t._1 + t._2)},"sf1_queries_plan":${sf1Render(_._1)},"sf1_queries_exec":${sf1Render(_._2)}"""
+      s"""$sf1Tag,"sf1_queries":${sf1Render(t => t._1 + t._2 + t._3)},"sf1_queries_build":${sf1Render(_._1)},"sf1_queries_plan":${sf1Render(_._2)},"sf1_queries_exec":${sf1Render(_._3)}"""
     // Filtered (partial) runs are a different artifact class: they go to
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
@@ -357,7 +374,7 @@ object Bench {
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
@@ -382,9 +399,13 @@ object Bench {
     // Self-archive the FULL record per round: the driver's per-round parser
     // keeps only the stdout medians map (ADVICE r12-low, still true of
     // BENCH_r13.json), losing the min/max/plan/exec split that plan audits
-    // need. Round N = latest CORRECTNESS_r{N-1} artifact + 1 (the driver
-    // writes CORRECTNESS before the next round starts). Full runs only —
-    // a partial iteration run must not stamp a round archive.
+    // need. Round stamping: the driver's round-end sequence writes
+    // CORRECTNESS_rN minutes before it runs bench, so a FRESH latest
+    // CORRECTNESS file (<30 min) means this bench run belongs to the SAME
+    // round N; a stale one means a mid-round local run of round N+1. (The
+    // old unconditional max+1 stamped the driver's r14 run as r15 —
+    // VERDICT r14 minor.) Full runs only — a partial iteration run must
+    // not stamp a round archive.
     if (only.isEmpty) {
       val round = try {
         import scala.jdk.CollectionConverters._
@@ -393,7 +414,12 @@ object Bench {
           .collect { case s if s.matches("CORRECTNESS_r\\d+\\.json") =>
             s.stripPrefix("CORRECTNESS_r").stripSuffix(".json").toInt }
           .toSeq
-        if (rs.isEmpty) 1 else rs.max + 1
+        if (rs.isEmpty) 1 else {
+          val latest = java.nio.file.Paths.get(f"CORRECTNESS_r${rs.max}%d.json")
+          val ageMin = (System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(latest).toMillis) / 60000.0
+          if (ageMin < 30.0) rs.max else rs.max + 1
+        }
       } catch { case _: Throwable => 0 }
       writeLine(f"BENCH_FULL_r$round%02d.json")
     }

@@ -42,14 +42,19 @@ object ScaleData {
 
   /** Materialize the derived sf1 directory if absent; returns the dir.
     * A `_GRAFT_SF1_OK` marker gates completeness — a partially-written
-    * build (killed JVM) rebuilds rather than benching on half a dataset. */
+    * build (killed JVM) rebuilds rather than benching on half a dataset —
+    * AND provenance: a marker recording a different `from` or `copies`
+    * (stale build from other source data) triggers a rebuild instead of
+    * being reused silently (ADVICE r14). */
   def ensure(spark: SparkSession, from: String = DefaultFrom,
              to: String = DefaultTo): String = {
     val marker = java.nio.file.Paths.get(to, "_GRAFT_SF1_OK")
-    if (java.nio.file.Files.exists(marker)) return to
+    val stamp = s"from=$from copies=$Copies\n"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp)
+      return to
     build(spark, from, to)
-    java.nio.file.Files.write(marker,
-      s"from=$from copies=$Copies\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
     to
   }
 

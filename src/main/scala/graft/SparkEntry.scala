@@ -2482,7 +2482,7 @@ object SparkEntry {
       // deterministic floor-mean: floor map-side, BEFORE the exchange
       val ovrA = Resample.regroup2x(
           halves("average").withColumn("band_1",
-            transform(col("band_1"), v => floor(v))),
+            transform(col("band_1"), v => floor(v).cast("double"))),
           B, Seq("band_1"), Seq("asset_id"))
         .withColumn("mode", lit("average"))
       val modes = s.range(2).select(

@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.DataFrame
+
+/** Partitioner sizing for the RDD-level fixpoint loops (Dedup.components,
+  * Graph.pagerank, Graph.terminalLabel).
+  *
+  * Those loops run every round on ONE fixed HashPartitioner — correct (the
+  * fixed partitioning is what keeps every round's joins narrow), but the
+  * count must come from the DATA, not the session default: a 100-TB edge
+  * relation must not run its rounds on 32 partitions just because the
+  * session was tuned for a 32-core local mode (VERDICT r14 #6). Sizing uses
+  * Catalyst's pre-execution size estimate of the edge relation — the same
+  * statistic AQE coalescing would consult — targeting ~64 MB per partition,
+  * never LESS than the session's shuffle partitions (toy relations keep the
+  * session's parallelism; plans at test SF are unchanged), clamped to a
+  * sanity ceiling. Unknown statistics (Catalyst's Long.MaxValue-ish
+  * sentinel for sourceless leaves) fall back to the session default rather
+  * than exploding the round's task count.
+  */
+object Fixpoint {
+  /** Shuffle-partition target: matches Spark's own 64 MB advisory scale. */
+  val BytesPerPartition: Long = 64L << 20
+  /** Sanity ceiling — far above any real cluster's useful round width. */
+  val MaxPartitions: Int = 65536
+
+  /** Pure sizing rule, unit-testable over synthetic sizes. */
+  def partitionsForBytes(sizeInBytes: BigInt, default: Int): Int = {
+    if (sizeInBytes <= 0) default
+    else {
+      val want = (sizeInBytes + BytesPerPartition - 1) / BytesPerPartition
+      math.max(default, want.min(MaxPartitions).toInt)
+    }
+  }
+
+  /** Partitioner for a fixpoint over relation `rel`; `replication` scales
+    * the estimate for loops that blow the relation up by a constant factor
+    * (e.g. edge symmetrization = 2×). */
+  def partitioner(rel: DataFrame, replication: Int = 1): HashPartitioner = {
+    val spark = rel.sparkSession
+    val default = spark.sessionState.conf.numShufflePartitions
+    val stats: BigInt = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    // defaultSizeInBytes (Long.MaxValue unless tuned) marks "unknown";
+    // anything at or above it — joins can push estimates past Long.Max —
+    // is sentinel propagation, not a real size
+    val unknown = stats >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val n = if (unknown) default
+      else partitionsForBytes(stats * replication, default)
+    new HashPartitioner(n)
+  }
+}

@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.ImplicitDoubleArrayInputs
 import org.apache.spark.sql.types._
 
 /** Per-BLOCK primitive-loop kernels for the packed pixel plane.
@@ -61,18 +61,16 @@ object BlockKernels {
   * no valid pixel yields null. */
 case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
     k: Int, method: String, noData: Option[Double])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with ImplicitDoubleArrayInputs with CodegenFallback {
   require(blockW % k == 0 && blockH % k == 0,
     s"block $blockW x $blockH not divisible by $k")
 
   override def prettyName: String = "block_downsample"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"block_downsample expects array<double>, got $other")
-  }
+  // Integer band arrays (uint8/uint16 rasters are the COMMON case —
+  // gfw_pixetl/data_type.py:14-27) coerce like the type-generic HOF forms
+  // this kernel replaced: ImplicitDoubleArrayInputs makes the analyzer
+  // insert array<numeric>→array<double> casts instead of failing.
 
   private val ow = blockW / k
   private val oh = blockH / k
@@ -199,7 +197,17 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
               var dx = 0
               while (dx < k) {
                 val idx = base + dy * blockW + dx
-                if (!masked(idx)) { vals(n) = a.getDouble(idx); n += 1 }
+                if (!masked(idx)) {
+                  // canonicalize -0.0 → 0.0: Arrays.sort orders -0.0 before
+                  // 0.0 while Spark's array_sort treats them equal (stable,
+                  // input order) — a mixed-zero window at the rank boundary
+                  // would otherwise return the OTHER zero than the HOF form
+                  // (ADVICE r14). Ranks/counts are unaffected; the oracle
+                  // hash treats the zeros as equal either way.
+                  val v = a.getDouble(idx)
+                  vals(n) = if (v == 0.0) 0.0 else v
+                  n += 1
+                }
                 dx += 1
               }
               dy += 1
@@ -207,9 +215,9 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             if (n == 0) setNull(o)
             else {
               val valid = java.util.Arrays.copyOf(vals, n)
-              // Spark array_sort ascending = SQL double ordering; for the
-              // finite values of a pixel window java.util.Arrays.sort
-              // matches (NaN sorts last, -0.0 before 0.0 — same order)
+              // Spark array_sort ascending = SQL double ordering; with
+              // zeros canonicalized, java.util.Arrays.sort matches (NaN
+              // sorts last — same order)
               java.util.Arrays.sort(valid)
               val rank = math.max(1, math.ceil(n * q).toInt)
               out(o) = valid(rank - 1)
@@ -244,7 +252,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
   * of an interpreted per-element transform with a 4-way CaseWhen. */
 case class AssembleQuarters(q00: Expression, q01: Expression,
     q10: Expression, q11: Expression, size: Int)
-  extends Expression with CodegenFallback {
+  extends Expression with ImplicitDoubleArrayInputs with CodegenFallback {
   require(size % 2 == 0, s"blockSize $size must be even")
 
   override def prettyName: String = "assemble_quarters"
@@ -252,13 +260,8 @@ case class AssembleQuarters(q00: Expression, q01: Expression,
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = false
   override def foldable: Boolean = false
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (children.forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true; case _ => false
-    })) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"assemble_quarters expects four array<double>, got ${children.map(_.dataType)}")
+  // Same coercion contract as BlockDownsample: integer quarter arrays
+  // widen to array<double> at analysis instead of failing.
 
   private val half = size / 2
 

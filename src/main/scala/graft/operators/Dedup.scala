@@ -249,10 +249,12 @@ object Dedup {
     // the labeling is bit-identical to the declarative form.
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p = new org.apache.spark.HashPartitioner(
-      spark.sessionState.conf.numShufflePartitions)
-    val edges = pairs
+    val pairRel = pairs
       .select(col("doc1").cast("long"), col("doc2").cast("long"))
+    // partition count from the EDGE RELATION's size estimate (×2 for
+    // symmetrization), not the session default — see graft.core.Fixpoint
+    val p = graft.core.Fixpoint.partitioner(pairRel, replication = 2)
+    val edges = pairRel
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(p)
@@ -284,10 +286,21 @@ object Dedup {
       // means every neighbor's label >= the vertex's own in both directions
       // of each edge — the global fixpoint. The action materializes the
       // round's shuffles, which every later consumer then reuses.
-      converged = jumped.filter(_._2._2).isEmpty()
+      //
+      // Probed in BATCHES (VERDICT r14 #7): each isEmpty is one driver
+      // round-trip per iteration — at toy SF it dominated d6, on a cluster
+      // it serializes rounds against driver latency. Labels only ever
+      // shrink, so over-iterating past the fixpoint is a no-op; probe the
+      // first two rounds (the clique-ish clusters LSH emits converge in
+      // 1-2) then every 2nd round, and always at the iteration cap so the
+      // loud non-convergence guarantee is exact. Skipped rounds' shuffles
+      // are not lost — the next probe's job materializes them and every
+      // later round reuses the completed stages.
+      iter += 1
+      if (iter <= 2 || (iter & 1) == 1 || iter >= maxIters)
+        converged = jumped.filter(_._2._2).isEmpty()
       labels = jumped.mapPartitions(_.map { case (v, (l, _)) => (v, l) },
         preservesPartitioning = true)
-      iter += 1
     }
     require(converged, s"components did not converge in $maxIters rounds")
     labels.toDF("doc_id", "group_id")

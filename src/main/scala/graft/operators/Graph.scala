@@ -115,8 +115,9 @@ object Graph {
       // result is bit-identical to the declarative form (both replay the
       // same floor-division recurrence).
       import spark.implicits._
-      val p = new org.apache.spark.HashPartitioner(
-        spark.sessionState.conf.numShufflePartitions)
+      // partition count from the edge relation's size estimate, not the
+      // session default (graft.core.Fixpoint — VERDICT r14 #6)
+      val p = graft.core.Fixpoint.partitioner(e)
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val adjRdd = e.join(deg, "src")
         .select(col("src"), col("dst"), col("outdeg"))
@@ -368,8 +369,9 @@ object Graph {
     // succ (one shuffle) and joins the co-partitioned succ relation
     // (narrow), then re-keys (one shuffle) — integer ids only, so the
     // result is bit-identical to the declarative form.
-    val p = new org.apache.spark.HashPartitioner(
-      spark.sessionState.conf.numShufflePartitions)
+    // partition count from the edge relation's size estimate, not the
+    // session default (graft.core.Fixpoint — VERDICT r14 #6)
+    val p = graft.core.Fixpoint.partitioner(e)
     val eRdd = e.as[(Long, Long)].rdd.partitionBy(p)
     val nodeRdd = e.select(col("id")).union(e.select(col("__d").as("id")))
       .distinct().as[Long].rdd.map((_, ())).partitionBy(p)

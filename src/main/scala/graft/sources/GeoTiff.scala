@@ -468,6 +468,10 @@ object GeoTiff {
       var dst = raf
       var tmpPath: String = null
       var dataEndEff = dataEnd
+      // any IO failure mid-reorder must close the sibling-tmp handle and
+      // remove the residue next to the half-finalized original (ADVICE r14
+      // — previously only the success path cleaned up)
+      try {
       if (cogLayout && cogOrderOk) {
         val start = first
         var remaining = dataEnd - start
@@ -529,6 +533,15 @@ object GeoTiff {
         java.nio.file.Files.move(java.nio.file.Paths.get(tmpPath),
           java.nio.file.Paths.get(path),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmpPath = null // moved — nothing to clean up
+      }
+      } catch { case e: Throwable =>
+        if (tmpPath != null) {
+          if (dst ne raf) { try dst.close() catch { case _: Throwable => } }
+          try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmpPath))
+          catch { case _: Throwable => }
+        }
+        throw e
       }
     }
 
@@ -653,7 +666,7 @@ object GeoTiff {
             if (geographic) 2048 else 3072, 0, 1, p.epsg)   // CS key
         addBig(34735, TShort, keys.length, keys.flatMap(leShort))
         p.noData.foreach { nd =>
-          val s = (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString) + " "
+          val s = (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString) + "\u0000"
           addBig(42113, TAscii, s.length, s.getBytes("ASCII"))
         }
       }

@@ -13,13 +13,46 @@ import org.apache.hadoop.conf.Configuration
   * this is the same mechanism in public API: the driver packs its
   * `sparkContext.hadoopConfiguration` (Configuration is a Writable) into
   * bytes the closure captures, and each executor JVM rebuilds + caches it
-  * once. `get` falls back to a plain Configuration when nothing was
-  * installed (driver-side use, unit tests), so every call site stays a
-  * drop-in replacement for `new Configuration()`.
+  * per distinct byte payload. `get` falls back to a plain Configuration
+  * when nothing was installed (driver-side use, unit tests), so every call
+  * site stays a drop-in replacement for `new Configuration()`.
+  *
+  * Concurrency contract (ADVICE r14): configurations are cached KEYED BY
+  * the packed bytes — not one global slot — and `install` binds the
+  * calling task's THREAD to its own configuration. Two SparkSessions with
+  * different hadoop confs sharing one executor no longer thrash a single
+  * slot, and a task of job A that calls install-then-get around job B's
+  * install still reads A's endpoint/credentials.
   */
 object HadoopConfs {
-  @volatile private var packed: Array[Byte] = _
-  @volatile private var cached: Configuration = _
+  private final class Key(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+
+  /** Small LRU keyed by packed bytes: one entry per distinct driver conf
+    * this JVM has seen; bounded so sessions churning credentials over a
+    * long-lived executor can't grow it unboundedly. */
+  private val MaxCached = 8
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Key, Configuration](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Key, Configuration]): Boolean =
+        size > MaxCached
+    })
+
+  /** The configuration the CURRENT task thread installed — the authoritative
+    * binding (task closures call install() at their top, and the read path
+    * runs on the same thread). */
+  private val current = new ThreadLocal[Configuration]
+  /** JVM-wide most-recent install: fallback for helper threads that never
+    * installed (e.g. lazily-opened shared reader handles). */
+  @volatile private var lastInstalled: Configuration = _
+  /** Lazily-built classpath default for driver-side / test use. */
+  @volatile private var classpathDefault: Configuration = _
 
   /** Serialize the driver's configuration for closure capture. */
   def capture(conf: Configuration): Array[Byte] = {
@@ -28,38 +61,43 @@ object HadoopConfs {
     bos.toByteArray
   }
 
-  /** Install the driver's packed configuration in this JVM (idempotent for
-    * identical bytes; call at the top of every task closure that touches a
-    * FileSystem). NOT first-wins: a long-lived executor serving a LATER job
-    * with different driver settings — rotated credentials, a second
-    * SparkSession with other `spark.hadoop.*` values — must not keep the
-    * stale configuration (ADVICE r13), so changed bytes reinstall and
-    * invalidate the cached Configuration. Cheap in the hot path: the
-    * common per-task call compares a reference then array equality on a
-    * few-KB buffer, no parsing. */
-  def install(bytes: Array[Byte]): Unit =
-    if (bytes != null && (packed ne bytes) && !java.util.Arrays.equals(packed, bytes))
-      synchronized {
-        if (!java.util.Arrays.equals(packed, bytes)) { packed = bytes; cached = null }
-      }
+  /** Install the driver's packed configuration for this task: parse-once
+    * per distinct payload (keyed cache), then bind to the calling thread.
+    * Cheap in the hot path: a hash + array-equality lookup on a few-KB
+    * buffer, no XML parse after the first task of a job. */
+  def install(bytes: Array[Byte]): Unit = if (bytes != null) {
+    val k = new Key(bytes)
+    var c = cache.get(k)
+    if (c == null) {
+      val conf = new Configuration(false)
+      conf.readFields(new DataInputStream(new ByteArrayInputStream(bytes)))
+      // benign race: two first-tasks may both parse; last put wins and both
+      // keep a valid Configuration for their own thread binding
+      cache.put(k, conf)
+      c = conf
+    }
+    current.set(c)
+    lastInstalled = c
+  }
 
-  /** The effective configuration: the installed driver conf if present,
-    * else a plain classpath Configuration — built ONCE per JVM either way
+  /** The effective configuration: the one THIS thread installed, else the
+    * JVM's most recent install, else a classpath Configuration built once
     * (the per-call `new Configuration()` XML parse was itself a per-block
     * cost on object-store reads). */
   def get: Configuration = {
-    var c = cached
-    if (c == null) synchronized {
-      c = cached
-      if (c == null) {
-        c = if (packed != null) {
-          val conf = new Configuration(false)
-          conf.readFields(new DataInputStream(new ByteArrayInputStream(packed)))
-          conf
-        } else new Configuration()
-        cached = c
+    val mine = current.get()
+    if (mine != null) mine
+    else {
+      val last = lastInstalled
+      if (last != null) last
+      else {
+        var d = classpathDefault
+        if (d == null) synchronized {
+          d = classpathDefault
+          if (d == null) { d = new Configuration(); classpathDefault = d }
+        }
+        d
       }
     }
-    c
   }
 }

@@ -1,0 +1,35 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** Partitioner sizing for the RDD fixpoint loops (VERDICT r14 #6): the
+  * round partition count must come from the edge relation's size, so a
+  * 100-TB edge set doesn't run its rounds on the session's 32. */
+class FixpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitionsForBytes: session default floors, data scales, ceiling clamps") {
+    val d = 32
+    // unknown / empty → session default
+    assert(Fixpoint.partitionsForBytes(BigInt(0), d) == d)
+    assert(Fixpoint.partitionsForBytes(BigInt(-1), d) == d)
+    // toy relations stay at the session's parallelism
+    assert(Fixpoint.partitionsForBytes(BigInt(1L << 20), d) == d)
+    assert(Fixpoint.partitionsForBytes(BigInt(Fixpoint.BytesPerPartition), d) == d)
+    // 10 GB @ 64 MB/partition → 160 rounds-width
+    assert(Fixpoint.partitionsForBytes(BigInt(10L << 30), d) == 160)
+    // 100 TB → ceiling, not 1.6 M tasks per round
+    assert(Fixpoint.partitionsForBytes(BigInt(100L << 40), d) == Fixpoint.MaxPartitions)
+    // exact-boundary rounding up
+    assert(Fixpoint.partitionsForBytes(BigInt(Fixpoint.BytesPerPartition * 33L + 1), d) == 34)
+  }
+
+  test("partitioner: toy relation uses the session default; sentinel stats fall back") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Fixpoint.partitioner(e)
+    assert(p.numPartitions == spark.sessionState.conf.numShufflePartitions)
+    // replication multiplies the estimate but can't drop below the default
+    assert(Fixpoint.partitioner(e, replication = 2).numPartitions ==
+      p.numPartitions)
+  }
+}

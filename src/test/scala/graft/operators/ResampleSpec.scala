@@ -64,6 +64,32 @@ class ResampleSpec extends SparkSpec {
       df.select(Resample.downsample(col("values"), 4, 4, 2, "fancy")))
   }
 
+  test("integer and long array inputs coerce like the HOF forms did") {
+    // uint8/uint16 rasters are the reference's common case
+    // (gfw_pixetl/data_type.py:14-27): the P2 cast-to-sink-dtype and
+    // floor() legs hand the kernels array<int>/array<bigint>. Regression
+    // guard for the r14 strict-type break (k5 + integer TiffJob path).
+    def asTyped(t: String) = df.select(col("values").cast(s"array<$t>").as("values"))
+    for (t <- Seq("int", "bigint", "float")) {
+      val out = asTyped(t)
+        .select(Resample.downsample(col("values"), 4, 4, 2, "average").as("o"))
+        .collect()(0).getSeq[Any](0).map(Option(_).map(_.toString.toDouble))
+      assert(out == Seq(Some(3.5), Some(5.5), Some(1.5), Some(2.0)), s"dtype $t")
+    }
+    // regroup2x (AssembleQuarters) over integer quarters
+    val half = 2; val bs = 4
+    val rows = for (br <- 0 until 2; bc <- 0 until 2) yield
+      ("t1", br, bc, Seq.tabulate(half * half)(i => br * 100 + bc * 10 + i))
+    val df2 = rows.toDF("tile_id", "block_row", "block_col", "band_1")
+    val out = Resample.regroup2x(df2, bs, Seq("band_1"), Seq("tile_id"))
+      .collect().map(r => r.getSeq[Any](3).map(Option(_).map(_.toString.toDouble)))
+    assert(out.length == 1 && out(0) == Seq(
+      Some(0.0), Some(1.0), Some(10.0), Some(11.0),
+      Some(2.0), Some(3.0), Some(12.0), Some(13.0),
+      Some(100.0), Some(101.0), Some(110.0), Some(111.0),
+      Some(102.0), Some(103.0), Some(112.0), Some(113.0)))
+  }
+
   test("regroup2x merges 2x2 half-blocks; edge quarters fill with null") {
     // base grid 3x3 blocks of HALF-size (2x2) arrays -> parents 2x2, the
     // right/bottom parents missing their q01/q10/q11 quarters

@@ -1,91 +1,138 @@
 package graft.sources
 
-import graft.SparkSpec
 import graft.core.LayerSpec
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
 
-/** Multi-Gpx streaming-sink soak (VERDICT r13 #2): proves the K1 sink's
-  * "memory per task is one block regardless of tile size" claim
-  * (GeoTiffSpark.scala:10-12, SURVEY §7.4.6) at a scale where an
-  * accidental full-tile buffer or an O(tile) intermediate would surface
-  * as an OOM, not a slow test. The reference's largest declared grid is
-  * 10 Gpx/tile (`gfw_pixetl/grids/grid_factory.py:19`); this writes a
-  * 2.62-Gpx tile (51200² px = 10,000 blocks of 512², uint16 ≈ 5.2 GB
-  * raw, ≈ 21 GB as the double arrays the dataflow carries) through
-  * `writeTiles` with internal overviews AND the COG head-first reorder,
-  * under the test JVM's 8 GB heap — success is impossible if any stage
-  * materializes a tile, and the asserted peak heap (< 3.5 GB) bounds the
-  * real footprint far below one tile. All three pyramid levels decode
-  * exactly afterwards.
+/** Payload of the multi-Gpx soak, run in its OWN JVM under a small -Xmx so
+  * that COMPLETION is the memory proof (see [[GpxSoakSpec]]). Prints one
+  * `SOAK_OK …` line on success and exits non-zero on any failed check. */
+object GpxSoakMain {
+  val HeapMb = 3500
+  val B = 512; val N = 100 // 100×100 blocks of 512² = 2.62 Gpx
+
+  // deterministic, codec-friendly pattern: constant down columns, so
+  // every value is spot-checkable at every pyramid level (nearest picks
+  // the top-left source pixel) and deflate stays off the critical path
+  def v(br: Long, bc: Long, colInBlock: Long): Double =
+    ((br * 131 + bc * 17 + colInBlock) % 250 + 1).toDouble
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_soak").toString)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val spec = LayerSpec(dataset = "soak", version = "v1",
+        sourceType = "raster", pixelMeaning = "x", dataType = "uint16",
+        grid = "10/51200", noData = Some(Seq(0.0)),
+        sourceUri = Some(Seq("mem://soak")))
+      // generation is TEST scaffolding — a typed map with a primitive
+      // tabulate, not a Catalyst `transform` (Spark HOFs evaluate
+      // interpreted per element; generating 2.6 Gpx that way took longer
+      // than the sink under test)
+      import spark.implicits._
+      val blocks = spark.range(N.toLong * N)
+        .select((col("id") / N).cast("int").as("br"),
+          pmod(col("id"), lit(N)).cast("int").as("bc"))
+        .as[(Int, Int)]
+        .map { case (br, bc) => ("10N_010E", 10.0, 10.0, br, bc,
+          Array.tabulate(B * B)(i => v(br, bc, i % B))) }
+        .toDF("tile_id", "left", "top", "block_row", "block_col", "band_1")
+
+      val t0 = System.nanoTime()
+      val res = GeoTiffSpark.writeTiles(blocks, spec, outDir,
+        overviewFactors = Seq(2, 4), overviewMethod = "nearest",
+        cogLayout = true).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(res.length == 1 && res(0).getInt(2) == N * N,
+        s"unexpected writeTiles result: ${res.toSeq}")
+
+      val path = s"$outDir/10N_010E.tif"
+      val levels = GeoTiff.openAll(path)
+      require(levels.map(_.profile.width) == Seq(51200, 25600, 12800),
+        s"pyramid widths ${levels.map(_.profile.width)}")
+      require(levels.head.profile.dataType == "uint16")
+      // exact decode at every pyramid level: level-f pixel (X,Y) = base
+      // (f·X, f·Y) under the nearest kernel's top-left pick
+      for ((lvl, f) <- levels.zip(Seq(1, 2, 4)); (tr, tc) <- Seq((0, 0), (17, 43));
+           idx <- Seq(0, B - 1, B * B - 1)) {
+        val gx = (tc.toLong * B + idx % B) * f
+        val gy = (tr.toLong * B + idx / B) * f
+        require(lvl.readTile(1, tr, tc)(idx) == v(gy / B, gx / B, gx % B),
+          s"level f=$f block ($tr,$tc) idx $idx")
+      }
+      // COG invariants survived the multi-GB reorder pass: IFDs head-first,
+      // smallest overview's data first, base data last, no temp residue
+      val firstOff = levels.map(_.tileOffsets.filter(_ > 0).min)
+      require(firstOff(2) < firstOff(1) && firstOff(1) < firstOff(0),
+        s"COG data order violated: $firstOff")
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".cogtmp")),
+        "reorder temp residue left on disk")
+      val sizeGb = java.nio.file.Files.size(java.nio.file.Paths.get(path)) / 1e9
+      val xmxGb = Runtime.getRuntime.maxMemory / 1e9
+      println(f"SOAK_OK secs=$secs%.1f file_gb=$sizeGb%.2f xmx_gb=$xmxGb%.2f")
+    } finally spark.stop()
+  }
+}
+
+/** Multi-Gpx streaming-sink soak (VERDICT r13 #2, gauge fixed per r14 #3):
+  * proves the K1 sink's "memory per task is one block regardless of tile
+  * size" claim (GeoTiffSpark.scala:10-12, SURVEY §7.4.6) at a scale where
+  * an accidental full-tile buffer or an O(tile) intermediate would surface
+  * as an OOM. The reference's largest declared grid is 10 Gpx/tile
+  * (`gfw_pixetl/grids/grid_factory.py:19`); this writes a 2.62-Gpx tile
+  * (51200² px = 10,000 blocks of 512², uint16 ≈ 5.2 GB raw, ≈ 21 GB as
+  * the double arrays the dataflow carries) through `writeTiles` with
+  * internal overviews AND the COG head-first reorder — in a FORKED JVM
+  * capped at -Xmx3500m, where COMPLETION IS THE PROOF: a single
+  * materialized tile (21 GB of doubles, or even the 5.2 GB raw form)
+  * cannot fit, so the run finishing green bounds the live set below one
+  * block times the task count. (The previous in-JVM gauge summed per-pool
+  * heap PEAKS, which double-counts non-simultaneous Eden/Old peaks and
+  * counts garbage churn — it read 10.91 GB on an 8 GB heap, physically
+  * impossible as a live set; a gauge that can fail on a correct engine
+  * and pass on a broken one proves nothing.) All three pyramid levels
+  * decode exactly inside the capped JVM.
   *
-  * Opt-in (`GRAFT_SOAK=1`): minutes of wall clock. The measured
-  * time/peak-heap figures are recorded in COVERAGE.md.
+  * Opt-in (`GRAFT_SOAK=1`): minutes of wall clock. Measured wall/heap
+  * figures are recorded in COVERAGE.md ("Gigapixel soak" row).
   */
-class GpxSoakSpec extends SparkSpec {
-  test("2.62-Gpx tile streams through writeTiles + overviews + COG at one-block memory") {
+class GpxSoakSpec extends AnyFunSuite {
+  test("2.62-Gpx tile streams through writeTiles + overviews + COG inside a 3.5 GB heap") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "multi-Gpx soak is opt-in: set GRAFT_SOAK=1 (measured figures in COVERAGE.md)")
-    val B = 512; val n = 100 // 100×100 blocks of 512² = 2.62 Gpx
-    // deterministic, codec-friendly pattern: constant down columns, so
-    // every value is spot-checkable at every pyramid level (nearest picks
-    // the top-left source pixel) and deflate stays off the critical path
-    def v(br: Long, bc: Long, colInBlock: Long): Double =
-      ((br * 131 + bc * 17 + colInBlock) % 250 + 1).toDouble
-    val spec = LayerSpec(dataset = "soak", version = "v1",
-      sourceType = "raster", pixelMeaning = "x", dataType = "uint16",
-      grid = "10/51200", noData = Some(Seq(0.0)),
-      sourceUri = Some(Seq("mem://soak")))
     val outDir = java.nio.file.Files.createTempDirectory("graft_soak").toString
-    // generation is TEST scaffolding — a typed map with a primitive
-    // tabulate, not a Catalyst `transform` (Spark HOFs evaluate
-    // interpreted per element; generating 2.6 Gpx that way took longer
-    // than the sink under test)
-    import spark.implicits._
-    val blocks = spark.range(n.toLong * n)
-      .select((col("id") / n).cast("int").as("br"),
-        pmod(col("id"), lit(n)).cast("int").as("bc"))
-      .as[(Int, Int)]
-      .map { case (br, bc) => ("10N_010E", 10.0, 10.0, br, bc,
-        Array.tabulate(B * B)(i => v(br, bc, i % B))) }
-      .toDF("tile_id", "left", "top", "block_row", "block_col", "band_1")
-
-    import scala.jdk.CollectionConverters._
-    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-    System.gc(); Thread.sleep(200)
-    pools.foreach(_.resetPeakUsage())
-    val t0 = System.nanoTime()
-    val res = GeoTiffSpark.writeTiles(blocks, spec, outDir,
-      overviewFactors = Seq(2, 4), overviewMethod = "nearest",
-      cogLayout = true).collect()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val peakGb = pools.map(_.getPeakUsage.getUsed).sum / 1e9
-    info(f"soak: $secs%.1f s wall, peak heap $peakGb%.2f GB " +
-      f"(raw tile 5.24 GB uint16 / 21.0 GB as doubles)")
-    assert(res.length == 1 && res(0).getInt(2) == n * n)
-    // one-block-memory claim: peak heap far below the raw tile size
-    assert(peakGb < 3.5, f"peak heap $peakGb%.2f GB — a tile-sized buffer leaked in")
-
-    val path = s"$outDir/10N_010E.tif"
-    val levels = GeoTiff.openAll(path)
-    assert(levels.map(_.profile.width) == Seq(51200, 25600, 12800))
-    assert(levels.head.profile.dataType == "uint16")
-    // exact decode at every pyramid level: level-f pixel (X,Y) = base
-    // (f·X, f·Y) under the nearest kernel's top-left pick
-    for ((lvl, f) <- levels.zip(Seq(1, 2, 4)); (tr, tc) <- Seq((0, 0), (17, 43));
-         idx <- Seq(0, B - 1, B * B - 1)) {
-      val gx = (tc.toLong * B + idx % B) * f
-      val gy = (tr.toLong * B + idx / B) * f
-      assert(lvl.readTile(1, tr, tc)(idx) == v(gy / B, gx / B, gx % B),
-        s"level f=$f block ($tr,$tc) idx $idx")
-    }
-    // COG invariants survived the multi-GB reorder pass: IFDs head-first,
-    // smallest overview's data first, base data last, no temp residue
-    val firstOff = levels.map(_.tileOffsets.filter(_ > 0).min)
-    assert(firstOff(2) < firstOff(1) && firstOff(1) < firstOff(0),
-      s"COG data order violated: $firstOff")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".cogtmp")))
-    val sizeGb = java.nio.file.Files.size(java.nio.file.Paths.get(path)) / 1e9
-    info(f"soak artifact: $sizeGb%.2f GB on disk at $path")
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin, s"-Xmx${GpxSoakMain.HeapMb}m",
+      "-cp", sys.props("java.class.path")) ++ addOpens ++
+      Seq("graft.sources.GpxSoakMain", outDir)
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = rd.readLine()
+    while (line != null) { out.append(line).append('\n'); line = rd.readLine() }
+    val exit = proc.waitFor()
+    val okLine = out.toString.linesIterator.find(_.startsWith("SOAK_OK"))
+    assert(exit == 0 && okLine.isDefined,
+      s"soak JVM exited $exit\n${out.toString.linesIterator.toSeq.takeRight(40).mkString("\n")}")
+    info(s"${okLine.get} (completion under -Xmx${GpxSoakMain.HeapMb}m IS the one-block-memory proof)")
   }
 }

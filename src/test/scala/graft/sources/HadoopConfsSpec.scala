@@ -5,9 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver→executor Hadoop-conf propagation. The r13 ADVICE defect: install()
   * was first-wins per JVM, so a later job's rotated credentials (different
-  * packed bytes) were silently ignored by a long-lived executor. Now changed
-  * bytes reinstall and invalidate the cached Configuration; identical bytes
-  * stay a cheap no-op that does NOT rebuild the cache.
+  * packed bytes) were silently ignored by a long-lived executor. The r14
+  * ADVICE defect: the last-wins fix used ONE global slot, so two concurrent
+  * jobs with different confs on a shared executor could thrash it and a
+  * task could read the OTHER job's credentials mid-task. Now configurations
+  * are cached keyed by the packed bytes and install() binds the calling
+  * thread to its own configuration.
   */
 class HadoopConfsSpec extends AnyFunSuite {
 
@@ -22,12 +25,12 @@ class HadoopConfsSpec extends AnyFunSuite {
     val c1 = HadoopConfs.get
     assert(c1.get("graft.test.key") == "v1")
     // identical content (fresh array, so reference-equality alone can't
-    // short-circuit): no reinstall, cached Configuration is reused
+    // short-circuit): keyed cache hit, Configuration instance is reused
     HadoopConfs.install(pack("graft.test.key" -> "v1"))
     assert(HadoopConfs.get eq c1)
   }
 
-  test("changed bytes reinstall and invalidate the cache (rotated credentials)") {
+  test("changed bytes reinstall (rotated credentials)") {
     HadoopConfs.install(pack("graft.test.key" -> "v1"))
     val before = HadoopConfs.get
     HadoopConfs.install(pack("graft.test.key" -> "v2", "graft.test.extra" -> "e"))
@@ -35,5 +38,28 @@ class HadoopConfsSpec extends AnyFunSuite {
     assert(after ne before)
     assert(after.get("graft.test.key") == "v2")
     assert(after.get("graft.test.extra") == "e")
+  }
+
+  test("a concurrent install on another thread does not hijack this task's conf") {
+    HadoopConfs.install(pack("graft.test.job" -> "A"))
+    // job B installs a different conf from another executor thread,
+    // mid-task relative to job A's install/get window
+    var bSees: String = null
+    val t = new Thread(() => {
+      HadoopConfs.install(pack("graft.test.job" -> "B"))
+      bSees = HadoopConfs.get.get("graft.test.job")
+    })
+    t.start(); t.join()
+    assert(bSees == "B")
+    // this thread still reads its OWN binding, not B's
+    assert(HadoopConfs.get.get("graft.test.job") == "A")
+  }
+
+  test("helper threads that never installed fall back to the latest install") {
+    HadoopConfs.install(pack("graft.test.job" -> "solo"))
+    var seen: String = null
+    val t = new Thread(() => { seen = HadoopConfs.get.get("graft.test.job") })
+    t.start(); t.join()
+    assert(seen == "solo")
   }
 }
