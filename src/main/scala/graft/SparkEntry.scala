@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_grid_seed"        -> (Q.s1_grid_seed(_, _)),
     "s5_tiff_roundtrip"   -> (Q.s5_tiff_roundtrip(_, _)),
+    "s4_gdalinfo_meta"    -> (Q.s4_gdalinfo_meta(_, _)),
     "k5_pyramid_sink"     -> (Q.k5_pyramid_sink(_, _)),
     "k6_ovr_sidecar"      -> (Q.k6_ovr_sidecar(_, _)),
     "s2_manifest_chain"   -> (Q.s2_manifest_chain(_, _)),
@@ -2434,6 +2435,64 @@ object SparkEntry {
         }
         .toDF("asset_id", "leg", "sum_v", "wsum_v")
         .orderBy("asset_id", "leg")
+    }
+
+    /** S4 gdalinfo-JSON twin (`utils/gdal.py:170-238`): write one
+      * deterministic uint16 raster per asset inside executor tasks, run
+      * [[graft.sources.GeoTiffSpark.fetchMetadata]] with `-stats -mm` and
+      * `-hist`, and extract the fields the reference's `get_metadata`
+      * parses — size, band dtype (GDAL spelling), exact nodata-excluded
+      * min/max, valid count and exact sum (recovered from mean·n), the
+      * 256-bucket histogram envelope and its occupied-bucket count — all
+      * replayed by the oracle in closed form from the generating formula.
+      * The JSON itself is pulled apart with Spark's native
+      * `get_json_object`/`from_json`, so the document SHAPE is also under
+      * test, not just the numbers. */
+    def s4_gdalinfo_meta(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import graft.sources.{GeoTiff, GeoTiffSpark}
+      val W = 32; val T = 16
+      val dir = java.nio.file.Files.createTempDirectory("graft_s4meta").toString
+      // control-plane file build: 6 tiny rasters, written inside tasks,
+      // collected as a 6-row path list (same class as a manifest collect)
+      val paths = Tables.part(s, d).filter(col("p_partkey") <= 6)
+        .select(col("p_partkey").cast("long").as("asset_id")).as[Long]
+        .repartition(3)
+        .map { a =>
+          val p = GeoTiff.Profile(W, W, 1, "uint16", T, T, Some(0.0), 4326,
+            0.0, 0.0, 1.0, 1.0, deflate = true)
+          val path = s"$dir/asset_$a.tif"
+          val w = new GeoTiff.Writer(path, p)
+          for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross)
+            w.writeTile(1, tr, tc, Array.tabulate(T * T) { i =>
+              val gx = tc * T + i % T; val gy = tr * T + i / T
+              ((3 * a + 5 * gx + 7 * gy) % 97).toDouble // 0 = nodata
+            })
+          w.close()
+          path
+        }
+        .collect().toSeq.sorted
+      val meta = GeoTiffSpark.fetchMetadata(s, paths,
+        computeStats = true, computeHistogram = true)
+      def j(p: String) = get_json_object(col("metadata_json"), p)
+      val buckets = from_json(j("$.bands[0].histogram.buckets"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+      meta.select(
+        regexp_extract(col("uri"), "asset_(\\d+)\\.tif", 1).cast("long").as("asset_id"),
+        j("$.size[0]").cast("int").as("width"),
+        j("$.size[1]").cast("int").as("height"),
+        j("$.bands[0].type").as("dtype"),
+        j("$.bands[0].minimum").cast("double").as("mn"),
+        j("$.bands[0].maximum").cast("double").as("mx"),
+        aggregate(buckets, lit(0L), (acc, x) => acc + x).as("valid_n"),
+        // mean·n rounds back to the exact integer sum (sum ≪ 2^53)
+        round(j("$.bands[0].mean").cast("double") *
+          aggregate(buckets, lit(0L), (acc, x) => acc + x)).cast("long").as("sum_v"),
+        j("$.bands[0].histogram.min").cast("double").as("hist_lo"),
+        j("$.bands[0].histogram.max").cast("double").as("hist_hi"),
+        j("$.bands[0].histogram.count").cast("int").as("hist_n"),
+        size(filter(buckets, x => x > 0)).cast("long").as("nz_buckets"))
+        .orderBy("asset_id")
     }
 
     /** K1 + §2.9 OVERVIEW PYRAMID sink — the distributed overview build,
@@ -7348,6 +7407,34 @@ object SparkEntry {
           |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes,
           |  CAST(count(*) > 1 AS INT) AS needs_rewrite
           |FROM b GROUP BY 1, 2 ORDER BY dir, bin""".stripMargin,
+
+      // gdalinfo -json twin: Spark writes the raster, runs fetchMetadata
+      // (-stats -mm -hist), and pulls the document apart with
+      // get_json_object; the oracle replays every figure — including the
+      // 256-bucket occupancy under GDAL's integer [min-0.5, max+0.5]
+      // envelope — in closed form from the generating formula
+      "s4_gdalinfo_meta" ->
+        """WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS asset_id FROM part
+          |  WHERE p_partkey <= 6),
+          |xs AS (SELECT unnest(range(0, 32)) AS x),
+          |ys AS (SELECT unnest(range(0, 32)) AS y),
+          |px AS (SELECT asset_id, (3*asset_id + 5*x + 7*y) % 97 AS v
+          |  FROM a, xs, ys),
+          |valid AS (SELECT asset_id, v FROM px WHERE v <> 0),
+          |g AS (SELECT asset_id, MIN(v) AS mnv, MAX(v) AS mxv,
+          |  COUNT(*) AS valid_n, SUM(v) AS sum_v FROM valid GROUP BY 1),
+          |nz AS (SELECT v.asset_id, COUNT(DISTINCT LEAST(255, GREATEST(0,
+          |    CAST(FLOOR((v.v - (g.mnv - 0.5)) / (g.mxv - g.mnv + 1.0) * 256)
+          |      AS INTEGER)))) AS nz_buckets
+          |  FROM valid v JOIN g ON v.asset_id = g.asset_id GROUP BY 1)
+          |SELECT g.asset_id, 32 AS width, 32 AS height, 'UInt16' AS dtype,
+          |  CAST(g.mnv AS DOUBLE) AS mn, CAST(g.mxv AS DOUBLE) AS mx,
+          |  g.valid_n, g.sum_v,
+          |  CAST(g.mnv AS DOUBLE) - 0.5 AS hist_lo,
+          |  CAST(g.mxv AS DOUBLE) + 0.5 AS hist_hi,
+          |  256 AS hist_n, nz.nz_buckets
+          |FROM g JOIN nz ON g.asset_id = nz.asset_id
+          |ORDER BY g.asset_id""".stripMargin,
 
       // decoded-pixel sums from the generating formula; Spark runs the
       // REAL GeoTIFF encode (Writer: DEFLATE/NBITS/CCITT-G4/raw) then the

@@ -24,13 +24,23 @@ object Fixpoint {
   val BytesPerPartition: Long = 64L << 20
   /** Sanity ceiling — far above any real cluster's useful round width. */
   val MaxPartitions: Int = 65536
+  /** Growth cap over the session default. Catalyst size estimates for
+    * JOIN-derived relations (LSH candidate pairs, verified edges) multiply
+    * selectivity guesses and routinely land orders of magnitude high — an
+    * uncapped estimate turned a 60 kB toy edge set into a 14k-task round
+    * (observed r15: the task flood's shuffle files filled the disk). The
+    * session's shuffle-partition setting encodes the deployment's real
+    * scale intent (32 local, thousands on a 100-TB cluster), so data-driven
+    * growth beyond 32× of it is always estimate noise, not information. */
+  val MaxGrowth: Int = 32
 
   /** Pure sizing rule, unit-testable over synthetic sizes. */
   def partitionsForBytes(sizeInBytes: BigInt, default: Int): Int = {
     if (sizeInBytes <= 0) default
     else {
       val want = (sizeInBytes + BytesPerPartition - 1) / BytesPerPartition
-      math.max(default, want.min(MaxPartitions).toInt)
+      val cap = math.min(MaxPartitions.toLong, default.toLong * MaxGrowth)
+      math.max(default, want.min(cap).toInt)
     }
   }
 

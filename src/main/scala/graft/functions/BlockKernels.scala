@@ -49,6 +49,43 @@ object BlockKernels {
     ColumnBridge.column(AssembleQuarters(
       ColumnBridge.expression(q00), ColumnBridge.expression(q01),
       ColumnBridge.expression(q10), ColumnBridge.expression(q11), size))
+
+  def fillNulls(values: Column, fill: Double): Column =
+    ColumnBridge.column(FillNulls(ColumnBridge.expression(values), fill))
+}
+
+/** Masked-pixel (null) → fill-value resolution over one packed block, with
+  * a NON-NULLABLE `array<double>` output type. This is what lets the tile
+  * sink's shuffle decode band arrays as primitive `toDoubleArray` copies:
+  * a nullable element type forces Catalyst's object deserializer through
+  * per-element `MapObjects` boxing — 260k `java.lang.Double`s per 512²
+  * block, measured as the allocation wall in the 2.62-Gpx sink soak. The
+  * no-null fast path returns the input array untouched. */
+case class FillNulls(child: Expression, fill: Double)
+  extends UnaryExpression with ImplicitDoubleArrayInputs with CodegenFallback {
+  override def prettyName: String = "fill_nulls"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = a.isNullAt(i); i += 1 }
+    if (!hasNull && a.isInstanceOf[UnsafeArrayData]) a
+    else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (a.isNullAt(i)) fill else a.getDouble(i)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Factor-k box downsample of one packed row-major (width×height) block
@@ -268,12 +305,31 @@ case class AssembleQuarters(q00: Expression, q01: Expression,
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val qs = Array(q00.eval(input), q01.eval(input),
       q10.eval(input), q11.eval(input))
-    val boxed = new Array[Any](size * size)
+    // primitive accumulation with a LAZY null plane: the common interior
+    // block (all four quarters present, no masked pixels) returns an
+    // UnsafeArrayData straight from the double[] — the always-boxed form
+    // allocated 260k java.lang.Doubles per 512² block, which is what
+    // OOM'd the 2.62-Gpx soak's regroup stage under a 3.5 GB heap
+    val out = new Array[Double](size * size)
+    var nulls: Array[Boolean] = null
+    @inline def nullPlane(): Array[Boolean] = {
+      if (nulls == null) nulls = new Array[Boolean](size * size)
+      nulls
+    }
     var quad = 0
     while (quad < 4) {
       val qr = quad / 2; val qc = quad % 2
       val src = qs(quad)
-      if (src != null) {
+      if (src == null) {
+        // missing (image-edge) quarter fills its quadrant with nulls
+        val np = nullPlane()
+        var r = 0
+        while (r < half) {
+          val dstBase = (qr * half + r) * size + qc * half
+          java.util.Arrays.fill(np, dstBase, dstBase + half, true)
+          r += 1
+        }
+      } else {
         val a = src.asInstanceOf[ArrayData]
         var r = 0
         while (r < half) {
@@ -281,7 +337,8 @@ case class AssembleQuarters(q00: Expression, q01: Expression,
           val dstBase = (qr * half + r) * size + qc * half
           val srcBase = r * half
           while (c < half) {
-            if (!a.isNullAt(srcBase + c)) boxed(dstBase + c) = a.getDouble(srcBase + c)
+            if (a.isNullAt(srcBase + c)) nullPlane()(dstBase + c) = true
+            else out(dstBase + c) = a.getDouble(srcBase + c)
             c += 1
           }
           r += 1
@@ -289,7 +346,16 @@ case class AssembleQuarters(q00: Expression, q01: Expression,
       }
       quad += 1
     }
-    new GenericArrayData(boxed)
+    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
+    else {
+      val boxed = new Array[Any](out.length)
+      var i = 0
+      while (i < out.length) {
+        if (!nulls(i)) boxed(i) = out(i)
+        i += 1
+      }
+      new GenericArrayData(boxed)
+    }
   }
 
   override protected def withNewChildrenInternal(

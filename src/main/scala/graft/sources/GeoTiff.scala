@@ -1082,6 +1082,11 @@ object GeoTiff {
     def readTile(band: Int, tileRow: Int, tileCol: Int): Array[Double] = {
       val p = profile
       require(band >= 1 && band <= p.bands, s"band $band of ${p.bands}")
+      // loud range check: an out-of-range (row, col) would otherwise
+      // alias a DIFFERENT tile's flat index and read its pixels silently
+      require(tileRow >= 0 && tileRow < p.tilesDown &&
+        tileCol >= 0 && tileCol < p.tilesAcross,
+        s"tile ($tileRow,$tileCol) outside ${p.tilesDown}x${p.tilesAcross}")
       val stride = if (chunky) p.bands else 1
       val idx =
         if (chunky) tileRow * p.tilesAcross + tileCol

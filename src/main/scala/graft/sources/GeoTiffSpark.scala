@@ -69,20 +69,6 @@ object GeoTiffSpark {
     }
   }
 
-  /** Null-safe row array → pixel array (null = masked → nodata fill). */
-  private def rowPixels(arr: Seq[Any], noData: Option[Double]): Array[Double] = {
-    val px = new Array[Double](arr.length)
-    var i = 0
-    arr.foreach { v =>
-      px(i) = v match {
-        case null => noData.getOrElse(0.0)
-        case x: java.lang.Number => x.doubleValue()
-      }
-      i += 1
-    }
-    px
-  }
-
   /** Write one plane at a WRITER level (0 = base IFD, k = k-th declared
     * overview of that writer). */
   private def writeAt(writer: GeoTiff.Writer, wl: Int, b: Int,
@@ -158,42 +144,67 @@ object GeoTiffSpark {
         bandCols, keyCols, noData, overviewFactors, overviewMethod))
         .reduce(_ unionByName _)
     val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
-    leveled
-      .groupByKey((r: Row) => r.getString(0))
-      .mapGroups { (tileId: String, rows: Iterator[Row]) =>
+    // Sink shuffle WITHOUT per-pixel boxing: the old Row-typed
+    // groupByKey/mapGroups deserialized every band array through a
+    // MapObjects SafeProjection — one java.lang.Double per pixel, twice
+    // (key extraction map-side, group values reduce-side) — the allocation
+    // wall the 2.62-Gpx soak hit. Instead: (1) resolve masked nulls to the
+    // nodata fill per BLOCK ([[graft.functions.FillNulls]] primitive loop
+    // — the writer padded the same value per PIXEL anyway), which makes
+    // the element type non-nullable so the typed decode below is a
+    // primitive toDoubleArray copy; (2) hash-repartition on tile_id (pure
+    // UnsafeRow exchange, no map-side decode at all) + an in-partition
+    // sort on tile_id — the same sort mapGroups ran internally — and
+    // stream tile runs through the writer with one decode per row. */
+    val ndFill = noData.getOrElse(0.0)
+    val bandCols0 = (1 to bandCount).map(i => s"band_$i")
+    val packed = leveled
+      .select((Seq(col("tile_id"), col("left"), col("top"),
+        col("block_row"), col("block_col"), col("level")) ++
+        bandCols0.map(b => graft.functions.BlockKernels.fillNulls(col(b), ndFill).as(b))): _*)
+      .repartition(col("tile_id"))
+      .sortWithinPartitions("tile_id")
+      .select(col("tile_id"), col("left"), col("top"), col("block_row"),
+        col("block_col"), col("level"),
+        array(bandCols0.map(col): _*).as("bands"))
+      .as[(String, Double, Double, Int, Int, Int, Seq[Array[Double]])]
+    packed
+      .mapPartitions { it0 =>
         HadoopConfs.install(confBytes)
-        var writer: GeoTiff.Writer = null
-        var left = 0.0; var top = 0.0
-        var n = 0
-        val path = s"$outDir/$tileId.tif"
-        val localPath =
-          if (viaFs) java.nio.file.Files.createTempFile(s"graft_$tileId", ".tif").toString
-          else path
-        val lvlIdx = 5 + bandCount
-        val written = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
-        rows.foreach { r =>
-          if (writer == null) {
-            left = r.getDouble(1); top = r.getDouble(2)
-            val profile = GeoTiff.Profile(
-              width = cols, height = cols, bands = bandCount, dataType = dataType,
-              tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
-              originX = left, originY = top, xres = xres, yres = yres,
-              nbits = ptNbits, photometric = photometric, ccitt = ccitt)
-            writer = new GeoTiff.Writer(localPath, profile,
-              overviewFactors = overviewFactors, cogLayout = cogLayout)
+        val it = it0.buffered
+        new Iterator[(String, String, Int)] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (String, String, Int) = {
+            val tileId = it.head._1
+            var writer: GeoTiff.Writer = null
+            var n = 0
+            val path = s"$outDir/$tileId.tif"
+            val localPath =
+              if (viaFs) java.nio.file.Files.createTempFile(s"graft_$tileId", ".tif").toString
+              else path
+            val written = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
+            while (it.hasNext && it.head._1 == tileId) {
+              val (_, left, top, br, bc, lvl, bands) = it.next()
+              if (writer == null) {
+                val profile = GeoTiff.Profile(
+                  width = cols, height = cols, bands = bandCount, dataType = dataType,
+                  tileWidth = block, tileHeight = block, noData = noData, epsg = epsg,
+                  originX = left, originY = top, xres = xres, yres = yres,
+                  nbits = ptNbits, photometric = photometric, ccitt = ccitt)
+                writer = new GeoTiff.Writer(localPath, profile,
+                  overviewFactors = overviewFactors, cogLayout = cogLayout)
+              }
+              for (b <- 1 to bandCount) {
+                writeAt(writer, lvl, b, br, bc, bands(b - 1))
+                written += ((lvl, b, br, bc))
+              }
+              if (lvl == 0) n += 1
+            }
+            padCloseUpload(writer, bandCount, block, noData, written,
+              viaFs, localPath, path)
+            (tileId, path, n)
           }
-          val br = r.getInt(3); val bc = r.getInt(4)
-          val lvl = r.getInt(lvlIdx) // row level == writer level here
-          for (b <- 1 to bandCount) {
-            writeAt(writer, lvl, b, br, bc,
-              rowPixels(r.getSeq[Any](5 + b - 1), noData))
-            written += ((lvl, b, br, bc))
-          }
-          if (lvl == 0) n += 1
         }
-        padCloseUpload(writer, bandCount, block, noData, written,
-          viaFs, localPath, path)
-        (tileId, path, n)
       }
       .toDF("tile_id", "path", "n_blocks")
   }
@@ -280,49 +291,68 @@ object GeoTiffSpark {
     val f1 = factors.head
     val relFactors = factors.tail.map(_ / f1)
     def ceilDiv(a: Int, f: Int): Int = (a + f - 1) / f
-    val lvlPos = 5 + bandCount
-    leveled
-      .groupByKey((r: Row) => r.getString(0))
-      .mapGroups { (tileId: String, rows: Iterator[Row]) =>
+    // same boxing-free sink shuffle as writeTiles: per-block null→nodata
+    // resolution (non-nullable element type ⇒ primitive array decode),
+    // pure UnsafeRow repartition on tile_id, in-partition key sort,
+    // streamed tile runs
+    val ndFill = noData.getOrElse(0.0)
+    val packed = leveled
+      .select((Seq(col("tile_id"), col("left"), col("top"),
+        col("block_row"), col("block_col"), col("level")) ++
+        bandCols.map(b => graft.functions.BlockKernels.fillNulls(col(b), ndFill).as(b))): _*)
+      .repartition(col("tile_id"))
+      .sortWithinPartitions("tile_id")
+      .select(col("tile_id"), col("left"), col("top"), col("block_row"),
+        col("block_col"), col("level"),
+        array(bandCols.map(col): _*).as("bands"))
+      .as[(String, Double, Double, Int, Int, Int, Seq[Array[Double]])]
+    packed
+      .mapPartitions { it0 =>
         HadoopConfs.install(confBytes)
-        var writer: GeoTiff.Writer = null
-        var localPath: String = null
-        var path: String = null
-        val written = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
-        rows.foreach { r =>
-          if (writer == null) {
-            val left = r.getDouble(1); val top = r.getDouble(2)
-            path = s"$dir/$tileId.tif.ovr"
-            localPath =
-              if (viaFs) java.nio.file.Files
-                .createTempFile(s"graft_ovr_$tileId", ".ovr").toString
-              else path
-            // the sidecar's BASE image is the first reduced level; deeper
-            // declared levels chain as its own internal overviews
-            val p1 = GeoTiff.Profile(
-              width = ceilDiv(cols, f1), height = ceilDiv(rows_, f1),
-              bands = bandCount, dataType = pt.name,
-              tileWidth = block, tileHeight = block, noData = noData,
-              epsg = epsg, originX = left, originY = top,
-              xres = grid.xres * f1, yres = grid.yres * f1,
-              nbits = pt.nbits, photometric = spec.photometric,
-              ccitt = pt.compression == "CCITTFAX4")
-            writer = new GeoTiff.Writer(localPath, p1,
-              overviewFactors = relFactors)
-          }
-          val br = r.getInt(3); val bc = r.getInt(4)
-          // row levels are 1-based into `factors`; the sidecar writer's
-          // level 0 IS the first reduced level
-          val wl = r.getInt(lvlPos) - 1
-          for (b <- 1 to bandCount) {
-            writeAt(writer, wl, b, br, bc,
-              rowPixels(r.getSeq[Any](5 + b - 1), noData))
-            written += ((wl, b, br, bc))
+        val it = it0.buffered
+        new Iterator[(String, String)] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (String, String) = {
+            val tileId = it.head._1
+            var writer: GeoTiff.Writer = null
+            var localPath: String = null
+            var path: String = null
+            val written = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
+            while (it.hasNext && it.head._1 == tileId) {
+              val (_, left, top, br, bc, rowLvl, bands) = it.next()
+              if (writer == null) {
+                path = s"$dir/$tileId.tif.ovr"
+                localPath =
+                  if (viaFs) java.nio.file.Files
+                    .createTempFile(s"graft_ovr_$tileId", ".ovr").toString
+                  else path
+                // the sidecar's BASE image is the first reduced level;
+                // deeper declared levels chain as its own internal
+                // overviews
+                val p1 = GeoTiff.Profile(
+                  width = ceilDiv(cols, f1), height = ceilDiv(rows_, f1),
+                  bands = bandCount, dataType = pt.name,
+                  tileWidth = block, tileHeight = block, noData = noData,
+                  epsg = epsg, originX = left, originY = top,
+                  xres = grid.xres * f1, yres = grid.yres * f1,
+                  nbits = pt.nbits, photometric = spec.photometric,
+                  ccitt = pt.compression == "CCITTFAX4")
+                writer = new GeoTiff.Writer(localPath, p1,
+                  overviewFactors = relFactors)
+              }
+              // row levels are 1-based into `factors`; the sidecar
+              // writer's level 0 IS the first reduced level
+              val wl = rowLvl - 1
+              for (b <- 1 to bandCount) {
+                writeAt(writer, wl, b, br, bc, bands(b - 1))
+                written += ((wl, b, br, bc))
+              }
+            }
+            padCloseUpload(writer, bandCount, block, noData, written,
+              viaFs, localPath, path)
+            (tileId, path)
           }
         }
-        padCloseUpload(writer, bandCount, block, noData, written,
-          viaFs, localPath, path)
-        (tileId, path)
       }
       .toDF("tile_id", "path")
   }
@@ -372,6 +402,158 @@ object GeoTiffSpark {
         (tileId, path.toString)
       }
       .toDF("tile_id", "sidecar")
+  }
+
+  /** PAM sidecar read-back: parse a `<tile>.tif.aux.xml` written by
+    * [[writeStatsSidecars]] (or by GDAL — same PAMDataset/PAMRasterBand/MDI
+    * schema) into per-band stats maps. A pipeline resuming over an
+    * already-published tile set reads these instead of recomputing A3
+    * (`tiles/tile.py:143-172` uploads them for exactly that reason). */
+  def readStatsSidecar(path: String): Map[Int, Map[String, Double]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(HadoopConfs.get).open(p)
+    try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(in)
+      val bands = doc.getElementsByTagName("PAMRasterBand")
+      (0 until bands.getLength).map { i =>
+        val el = bands.item(i).asInstanceOf[org.w3c.dom.Element]
+        val band = el.getAttribute("band").toInt
+        val mdis = el.getElementsByTagName("MDI")
+        band -> (0 until mdis.getLength).map { j =>
+          val m = mdis.item(j).asInstanceOf[org.w3c.dom.Element]
+          m.getAttribute("key") -> m.getTextContent.toDouble
+        }.toMap
+      }.toMap
+    } finally in.close()
+  }
+
+  /** S4 gdalinfo-JSON twin: one `gdalinfo -json`-shaped document per uri —
+    * the exact structure the reference's `get_metadata` parses
+    * (`utils/gdal.py:170-238`): `size`, `geoTransform`, `cornerCoordinates
+    * .lowerLeft/.upperRight`, `coordinateSystem.wkt`, `driverShortName`,
+    * `metadata.IMAGE_STRUCTURE.COMPRESSION`, and per band `type` (GDAL
+    * spelling, `data_type.py:163-167` reversed), `block`, `noDataValue`,
+    * optional `minimum/maximum/mean/stdDev` (`-stats -mm`: exact, nodata
+    * and NaN excluded) and optional `histogram` (`-hist`: 256 buckets over
+    * [min−0.5, max+0.5] like GDAL's integer default). Distributed one task
+    * per file — the reference's own parallelism (one gdalinfo subprocess
+    * per tile); whole-tile stats at larger-than-task scale are LayerJob's
+    * A3/A4 path. */
+  def fetchMetadata(spark: SparkSession, uris: Seq[String],
+                    computeStats: Boolean = false,
+                    computeHistogram: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext.parallelize(uris, math.max(1, uris.length / 16))
+      .map { uri =>
+        HadoopConfs.install(confBytes)
+        val t = GeoTiff.open(uri)
+        val p = t.profile
+        val (l, b, r, tp) = t.bounds
+        def esc(s: String): String = s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        def num(d: Double): String =
+          if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+          else d.toString
+        // reverse of the reference's from_gdal_data_type (Byte→uint8,
+        // else lowercase — data_type.py:163-167)
+        val gdalType = p.dataType match {
+          case "uint8" => "Byte"
+          case "uint16" => "UInt16"
+          case "uint32" => "UInt32"
+          case "int8" => "Int8"
+          case "int16" => "Int16"
+          case "int32" => "Int32"
+          case "float32" => "Float32"
+          case "float64" => "Float64"
+          case dt => dt
+        }
+        val compression =
+          if (p.ccitt) Some("CCITTFAX4") else if (p.jpeg) Some("JPEG")
+          else if (p.zstd) Some("ZSTD") else if (p.lzw) Some("LZW")
+          else if (p.packbits) Some("PACKBITS")
+          else if (p.deflate) Some("DEFLATE") else None
+        val wkt = p.epsg match {
+          case 3857 => """PROJCRS["WGS 84 / Pseudo-Mercator",ID["EPSG",3857]]"""
+          case e => s"""GEOGCRS["WGS 84",ID["EPSG",$e]]"""
+        }
+        val bandsJson = (1 to p.bands).map { band =>
+          val sb = new StringBuilder
+          sb.append(s"""{"band":$band,"type":"$gdalType","block":[${p.tileWidth},${p.tileHeight}]""")
+          p.noData.foreach(nd => sb.append(s""","noDataValue":${num(nd)}"""))
+          p.nbits.foreach(nb =>
+            sb.append(s""","metadata":{"IMAGE_STRUCTURE":{"NBITS":"$nb"}}"""))
+          if (computeStats || computeHistogram) {
+            // exact fold over every block window of this band — nodata and
+            // NaN excluded, matching gdalinfo -stats -mm (exact, not
+            // approx_ok) on a PAM-less file
+            var n = 0L; var sum = 0.0; var sumSq = 0.0
+            var mn = Double.NaN; var mx = Double.NaN
+            for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross) {
+              val px = t.readTile(band, tr, tc)
+              var i = 0
+              while (i < px.length) {
+                val x = tc * p.tileWidth + i % p.tileWidth
+                val y = tr * p.tileHeight + i / p.tileWidth
+                if (x < p.width && y < p.height) {
+                  val v = px(i)
+                  if (!v.isNaN && !p.noData.exists(_ == v)) {
+                    n += 1; sum += v; sumSq += v * v
+                    if (mn.isNaN || v < mn) mn = v
+                    if (mx.isNaN || v > mx) mx = v
+                  }
+                }
+                i += 1
+              }
+            }
+            if (computeStats && n > 0) {
+              val mean = sum / n
+              val std = math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+              sb.append(s""","minimum":${num(mn)},"maximum":${num(mx)}""")
+              sb.append(s""","mean":$mean,"stdDev":$std""")
+            }
+            if (computeHistogram && n > 0) {
+              val isInt = p.dataType.startsWith("uint") || p.dataType.startsWith("int")
+              val lo = if (isInt) mn - 0.5 else mn
+              val hi = if (isInt) mx + 0.5 else mx
+              val nb = 256
+              val counts = new Array[Long](nb)
+              val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+              for (tr <- 0 until p.tilesDown; tc <- 0 until p.tilesAcross) {
+                val px = t.readTile(band, tr, tc)
+                var i = 0
+                while (i < px.length) {
+                  val x = tc * p.tileWidth + i % p.tileWidth
+                  val y = tr * p.tileHeight + i / p.tileWidth
+                  if (x < p.width && y < p.height) {
+                    val v = px(i)
+                    if (!v.isNaN && !p.noData.exists(_ == v)) {
+                      val bucket = math.min(nb - 1,
+                        math.max(0, ((v - lo) / span * nb).toInt))
+                      counts(bucket) += 1
+                    }
+                  }
+                  i += 1
+                }
+              }
+              sb.append(s""","histogram":{"count":$nb,"min":${num(lo)},"max":${num(hi)},"buckets":[${counts.mkString(",")}]}""")
+            }
+          }
+          sb.append("}").toString
+        }
+        val json = new StringBuilder
+        json.append(s"""{"driverShortName":"GTiff","size":[${p.width},${p.height}],""")
+        json.append(s""""geoTransform":[${num(p.originX)},${num(p.xres)},0,${num(p.originY)},0,${num(-p.yres)}],""")
+        json.append(s""""cornerCoordinates":{"lowerLeft":[${num(l)},${num(b)}],"upperRight":[${num(r)},${num(tp)}]},""")
+        json.append(s""""coordinateSystem":{"wkt":"${esc(wkt)}"},""")
+        json.append(s""""metadata":{"IMAGE_STRUCTURE":{${compression.map(c => s""""COMPRESSION":"$c"""").getOrElse("")}}},""")
+        json.append(s""""bands":[${bandsJson.mkString(",")}]}""")
+        (uri, json.toString)
+      }
+      .toDF("uri", "metadata_json")
   }
 
   /** S4: harvest (uri, band, footprint, profile) catalog rows from files —

@@ -18,8 +18,12 @@ class FixpointSpec extends SparkSpec {
     assert(Fixpoint.partitionsForBytes(BigInt(Fixpoint.BytesPerPartition), d) == d)
     // 10 GB @ 64 MB/partition → 160 rounds-width
     assert(Fixpoint.partitionsForBytes(BigInt(10L << 30), d) == 160)
-    // 100 TB → ceiling, not 1.6 M tasks per round
-    assert(Fixpoint.partitionsForBytes(BigInt(100L << 40), d) == Fixpoint.MaxPartitions)
+    // join-inflated estimates can't flood a session: growth caps at 32×
+    // the session default (a 440 GB estimate over a 60 kB toy relation
+    // produced a 14k-task round and filled the disk with shuffle files)
+    assert(Fixpoint.partitionsForBytes(BigInt(440L << 30), d) == d * Fixpoint.MaxGrowth)
+    // 100 TB on a real cluster default (4096) → the absolute ceiling wins
+    assert(Fixpoint.partitionsForBytes(BigInt(100L << 40), 4096) == Fixpoint.MaxPartitions)
     // exact-boundary rounding up
     assert(Fixpoint.partitionsForBytes(BigInt(Fixpoint.BytesPerPartition * 33L + 1), d) == 34)
   }
