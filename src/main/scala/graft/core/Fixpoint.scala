@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.HashPartitioner
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 
 /** Partitioner sizing for the RDD-level fixpoint loops (Dedup.components,
   * Graph.pagerank, Graph.terminalLabel).
@@ -46,17 +46,44 @@ object Fixpoint {
 
   /** Partitioner for a fixpoint over relation `rel`; `replication` scales
     * the estimate for loops that blow the relation up by a constant factor
-    * (e.g. edge symmetrization = 2×). */
-  def partitioner(rel: DataFrame, replication: Int = 1): HashPartitioner = {
+    * (e.g. edge symmetrization = 2×).
+    *
+    * Estimates are trusted only for JOIN-FREE plans: scan-derived sizes
+    * come from file statistics and are real (the realistic huge-fixpoint
+    * input — a 100-TB edge list read from parquet — grows correctly), but
+    * any join in the lineage multiplies selectivity guesses and lands
+    * orders of magnitude high (measured r15: d6's LSH-pair relation,
+    * ~60 kB actual, estimated its way to the growth cap and ran every
+    * round 32× too wide — 2× slower end to end at toy SF). Join-derived
+    * relations fall back to the session default, which on a real cluster
+    * is the deployment's own scale setting.
+    *
+    * Pass the SAME Dataset whose `.rdd` the loop consumes — reading
+    * `optimizedPlan` off a sibling Dataset would run Catalyst optimization
+    * of the (possibly expensive) input plan a second time (measured r15:
+    * +2 s on d6's LSH plan). */
+  def partitioner(rel: Dataset[_], replication: Int = 1): HashPartitioner = {
     val spark = rel.sparkSession
     val default = spark.sessionState.conf.numShufflePartitions
-    val stats: BigInt = rel.queryExecution.optimizedPlan.stats.sizeInBytes
-    // defaultSizeInBytes (Long.MaxValue unless tuned) marks "unknown";
-    // anything at or above it — joins can push estimates past Long.Max —
-    // is sentinel propagation, not a real size
-    val unknown = stats >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    val n = if (unknown) default
-      else partitionsForBytes(stats * replication, default)
+    val plan = rel.queryExecution.optimizedPlan
+    // Joins multiply selectivity guesses; Generate (explode) multiplies by
+    // a fixed fudge; an InMemoryRelation that has not materialized yet
+    // reports its CHILD's estimate while hiding the child's joins from
+    // this very check (measured r15: d6's pinned LSH-pair cache slipped a
+    // join-inflated size past the Join guard — 4× wall-time at toy SF).
+    val untrusted = plan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }.isDefined
+    val n = if (untrusted) default // short-circuit: stats walk itself costs
+      else {                       // ~0.2 s on a big cached plan (measured)
+        val stats: BigInt = plan.stats.sizeInBytes
+        // defaultSizeInBytes (Long.MaxValue unless tuned) marks "unknown";
+        // anything at or above it is sentinel propagation, not a real size
+        if (stats >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) default
+        else partitionsForBytes(stats * replication, default)
+      }
     new HashPartitioner(n)
   }
 }

@@ -251,11 +251,12 @@ object Dedup {
     import spark.implicits._
     val pairRel = pairs
       .select(col("doc1").cast("long"), col("doc2").cast("long"))
+      .as[(Long, Long)]
     // partition count from the EDGE RELATION's size estimate (×2 for
-    // symmetrization), not the session default — see graft.core.Fixpoint
+    // symmetrization), not the session default — see graft.core.Fixpoint;
+    // sized off the SAME Dataset `.rdd` consumes (one optimization pass)
     val p = graft.core.Fixpoint.partitioner(pairRel, replication = 2)
-    val edges = pairRel
-      .as[(Long, Long)].rdd
+    val edges = pairRel.rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(p)
     var labels = edges.reduceByKey(p, math.min(_: Long, _: Long)) // narrow: pre-partitioned

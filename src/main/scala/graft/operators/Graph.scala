@@ -370,9 +370,11 @@ object Graph {
     // (narrow), then re-keys (one shuffle) — integer ids only, so the
     // result is bit-identical to the declarative form.
     // partition count from the edge relation's size estimate, not the
-    // session default (graft.core.Fixpoint — VERDICT r14 #6)
-    val p = graft.core.Fixpoint.partitioner(e)
-    val eRdd = e.as[(Long, Long)].rdd.partitionBy(p)
+    // session default (graft.core.Fixpoint — VERDICT r14 #6); sized off
+    // the SAME Dataset `.rdd` consumes (one optimization pass)
+    val eTyped = e.as[(Long, Long)]
+    val p = graft.core.Fixpoint.partitioner(eTyped)
+    val eRdd = eTyped.rdd.partitionBy(p)
     val nodeRdd = e.select(col("id")).union(e.select(col("__d").as("id")))
       .distinct().as[Long].rdd.map((_, ())).partitionBy(p)
     // functional graph: at most one out-edge, so the left join is 1:1

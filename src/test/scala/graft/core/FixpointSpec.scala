@@ -36,4 +36,17 @@ class FixpointSpec extends SparkSpec {
     assert(Fixpoint.partitioner(e, replication = 2).numPartitions ==
       p.numPartitions)
   }
+
+  test("partitioner: join-derived estimates are not trusted (selectivity noise)") {
+    // a self-join's size estimate multiplies guesses far past reality; the
+    // partitioner must fall back to the session default rather than run
+    // every fixpoint round estimate-wide (r15: d6's LSH pairs, ~60 kB
+    // actual, hit the growth cap and doubled the query's wall time)
+    val a = Seq.tabulate(64)(i => (i.toLong, (i % 8).toLong)).toDF("src", "dst")
+    val joined = a.as("l").join(a.as("r"), "dst")
+      .select(org.apache.spark.sql.functions.col("l.src").as("doc1"),
+        org.apache.spark.sql.functions.col("r.src").as("doc2"))
+    assert(Fixpoint.partitioner(joined, replication = 2).numPartitions ==
+      spark.sessionState.conf.numShufflePartitions)
+  }
 }
