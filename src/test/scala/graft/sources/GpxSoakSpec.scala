@@ -98,9 +98,41 @@ object GpxSoakMain {
         s"COG data order violated: $firstOff")
       require(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".cogtmp")),
         "reorder temp residue left on disk")
+      // READ-path soak: the production S5 reader (GeoTiffSpark.reader,
+      // one block per work row, per-partition handle cache) streams the
+      // whole 2.62-Gpx file back inside the SAME capped heap, checksummed
+      // exactly against the generating formula (pixel values are small
+      // integers, so the global double sum is exact in any order)
+      val bw = spark.range(N.toLong * N).select(
+        lit("10N_010E").as("tile_id"), lit(1).as("band"), lit(1).as("file_band"),
+        (col("id") / N).cast("int").as("block_row"),
+        pmod(col("id"), lit(N)).cast("int").as("block_col"),
+        lit(B).as("width"), lit(B).as("height"),
+        lit(path).as("uri"), lit(0).as("priority"))
+      val tR = System.nanoTime()
+      val readSum = GeoTiffSpark.reader(bw).select("values").as[Array[Double]]
+        .mapPartitions(_.map { a =>
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i); i += 1 }
+          s
+        })
+        .reduce(_ + _)
+      val readSecs = (System.nanoTime() - tR) / 1e9
+      var want = 0.0
+      var br = 0
+      while (br < N) {
+        var bc = 0
+        while (bc < N) {
+          var cc = 0
+          while (cc < B) { want += B * v(br, bc, cc); cc += 1 }
+          bc += 1
+        }
+        br += 1
+      }
+      require(readSum == want, s"distributed read checksum $readSum != $want")
       val sizeGb = java.nio.file.Files.size(java.nio.file.Paths.get(path)) / 1e9
       val xmxGb = Runtime.getRuntime.maxMemory / 1e9
-      println(f"SOAK_OK secs=$secs%.1f file_gb=$sizeGb%.2f xmx_gb=$xmxGb%.2f")
+      println(f"SOAK_OK secs=$secs%.1f read_secs=$readSecs%.1f file_gb=$sizeGb%.2f xmx_gb=$xmxGb%.2f")
     } finally spark.stop()
   }
 }
