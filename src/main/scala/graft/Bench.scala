@@ -209,8 +209,15 @@ object Bench {
       val tb = System.nanoTime()
       r.blocks.queryExecution.executedPlan // plan = analysis + optimization
       val t1 = System.nanoTime()
-      r.blocks.count()
-      r.tileStats.count()
+      // FORCE the pixel plane: count() lets Catalyst column-prune every
+      // band computation (generation, mask, calc, cast — the aggregate's
+      // unused value expressions too), so a count-driven "199 Mpx" run
+      // measured shuffle bookkeeping, not pixels (discovered r15 — the
+      // earlier per-core MB/s figures overstate real pixel throughput).
+      // size() forces each band array to materialize (computing every
+      // element); the stats fold is forced by consuming its aggregates.
+      r.blocks.agg(sum(size(col("band_1")))).collect()
+      r.tileStats.agg(sum(col("n") + col("stat_min") + col("stat_max"))).collect()
       ((tb - t0) / 1e9, (t1 - tb) / 1e9, (System.nanoTime() - t1) / 1e9)
     }
 

@@ -43,12 +43,27 @@ object Raster {
     * `tests/conftest.py:37-68`). `nodataEvery` masks every n-th pixel to
     * exercise masked semantics. */
   def synthesizeBand(blocks: DataFrame, band: Int, nodataEvery: Int = 0): DataFrame = {
+    import graft.functions.BlockEval
+    import org.apache.spark.sql.types.{BooleanType, LongType}
     val seed = xxhash64(col("tile_id"), col("block_row"), col("block_col"), lit(band))
-    val idx = sequence(lit(0), (col("width") * col("height") - 1).cast("int"))
-    val value = transform(idx, i => pmod(abs(seed + i * lit(2654435761L)), lit(255)).cast("double"))
+    val n = (col("width") * col("height")).cast("int")
+    // index-generator form of the compiled block kernel: the seed is a
+    // per-BLOCK scalar slot, the pixel index drives the formula — the
+    // interpreted `transform(sequence(...))` was itself a visible slice of
+    // the 199-Mpx bench pipeline
+    val value = BlockEval.zip(Nil, Seq(seed -> LongType), Some(n)) {
+      case Seq(s, i) => pmod(abs(s + i * lit(2654435761L)), lit(255)).cast("double")
+    }
     val masked =
-      if (nodataEvery <= 0) transform(idx, _ => lit(true))
-      else transform(idx, i => pmod(abs(seed + i), lit(nodataEvery)) =!= 0)
+      // all-true also goes through the kernel: a foldable array_repeat
+      // constant-folds a 173k-element literal INTO THE PLAN, which then
+      // rides every task binary and every mosaic shuffle row
+      if (nodataEvery <= 0) BlockEval.zip(Nil, Seq(seed -> LongType), Some(n)) {
+        case Seq(_, _) => lit(true)
+      }
+      else BlockEval.zip(Nil, Seq(seed -> LongType), Some(n)) {
+        case Seq(s, i) => pmod(abs(s + i), lit(nodataEvery)) =!= 0
+      }
     blocks
       .withColumn("band", lit(band))
       .withColumn("values", value)
@@ -59,76 +74,99 @@ object Raster {
   def maskedMap(values: Column, valid: Column)(f: Column => Column): (Column, Column) =
     (zip_with(values, valid, (v, ok) => when(ok, f(v))), valid)
 
+  /** Null masked pixels out of a value array (`when(ok, v)` per pixel) —
+    * compiled block kernel. */
+  def maskValues(values: Column, valid: Column): Column = {
+    import graft.functions.BlockEval
+    import org.apache.spark.sql.types.{BooleanType, DoubleType}
+    BlockEval.zip(Seq(values -> DoubleType, valid -> BooleanType)) {
+      case Seq(v, ok, _) => when(ok, v)
+    }
+  }
+
+  /** The nodata validity mask of a band array (`v.isNotNull && v =!= nd`
+    * per pixel) — compiled block kernel. `elemType` is the band's element
+    * type (sink dtype after P2). */
+  def validMask(band: Column, elemType: org.apache.spark.sql.types.DataType,
+                noData: Option[Double]): Column = {
+    import graft.functions.BlockEval
+    BlockEval.zip(Seq(band -> elemType)) { case Seq(v, _) =>
+      noData.map(nd => v.isNotNull && v =!= lit(nd)).getOrElse(v.isNotNull)
+    }
+  }
+
   /** Per-pixel calc over aligned band columns (operator P1 on the block
     * plane). `bandValues`/`bandValid` are the per-band value/mask arrays of
     * one block, already zip-joined (J4). The calc compiles once to a scalar
-    * Column tree, then runs elementwise via zip_with over the band arrays —
-    * masked pixels are nulls, matching `array_utils.py:61-85`. */
-  def blockCalc(calc: String, bandValues: Seq[Column], bandValid: Seq[Column]): Seq[Column] = {
+    * Catalyst tree — masked pixels are nulls, matching
+    * `array_utils.py:61-85` — and runs as ONE compiled block kernel per
+    * output band ([[graft.functions.BlockEval]]): the nulling of masked
+    * pixels fuses into the same pass, and the per-pixel cost is a single
+    * call into a codegen'd projection instead of an interpreted
+    * lambda-tree walk (~20× at the 199-Mpx pipeline scale). */
+  def blockCalc(calc: String, bandValues: Seq[Column], bandValid: Seq[Column]): Seq[Column] =
+    blockCalcThen(calc, bandValues, bandValid)(identity)
+
+  /** [[blockCalc]] with a scalar POST-STAGE fused into the same kernel
+    * pass — P2's `cast(coalesce(v, nd), dtype)` composes here so calc +
+    * cast + fill is ONE array materialization per band instead of two
+    * (each intermediate array is a full block write + read). */
+  def blockCalcThen(calc: String, bandValues: Seq[Column], bandValid: Seq[Column])
+                   (post: Column => Column): Seq[Column] = {
     require(bandValues.nonEmpty && bandValues.length == bandValid.length)
+    import graft.functions.BlockEval
+    import org.apache.spark.sql.types.{BooleanType, DoubleType}
+    val n = bandValues.length
     val names = bandValues.indices.map(i => ('A' + i).toChar.toString)
-    // Null out masked pixels so the scalar tree sees numpy-masked semantics.
-    val masked = bandValues.zip(bandValid).map { case (v, ok) =>
-      zip_with(v, ok, (x, o) => when(o, x))
-    }
     // How many output bands does this calc produce? (compile once with dummies)
     val nOut = Calc.compile(calc, names.map(_ -> lit(0)).toMap).length
-    // ONE pass over the pixel arrays per output band. The lambda-bound
-    // element variables keep this O(pixels): never index a computed array
-    // with element_at inside a transform — that re-evaluates the whole
-    // array per element (O(pixels²) per block).
+    val arrays = bandValues.map(_ -> (DoubleType: org.apache.spark.sql.types.DataType)) ++
+      bandValid.map(_ -> (BooleanType: org.apache.spark.sql.types.DataType))
     (0 until nOut).map { b =>
-      masked match {
-        case Seq(a) =>
-          transform(a, x => Calc.compile(calc, Map(names(0) -> x))(b))
-        case Seq(a, bb) =>
-          zip_with(a, bb, (x, y) =>
-            Calc.compile(calc, Map(names(0) -> x, names(1) -> y))(b))
-        case many =>
-          // N>2: zip into array<struct> once, then map elementwise
-          val zipped = arrays_zip(many.zipWithIndex.map { case (m, i) => m.as(s"b$i") }: _*)
-          transform(zipped, s => {
-            val bands = names.zipWithIndex.map { case (nm, i) => nm -> s.getField(s"b$i") }.toMap
-            Calc.compile(calc, bands)(b)
-          })
+      BlockEval.zip(arrays) { slots =>
+        val bands = names.zipWithIndex.map { case (nm, i) =>
+          nm -> when(slots(n + i), slots(i)) // numpy-masked: null when invalid
+        }.toMap
+        post(Calc.compile(calc, bands)(b))
       }
     }
   }
 
   /** Cast + nodata fill (operator P2): masked → sentinel, then cast
-    * (`array_utils.py:12-41`). */
-  def castFill(values: Column, noData: Option[Double], sparkType: String): Column = {
-    val filled = noData match {
-      case Some(nd) => transform(values, v => coalesce(v, lit(nd)))
-      case None     => values
+    * (`array_utils.py:12-41`) — compiled block kernel. `elemType` is the
+    * input's element type (the calc's output type; double for raw reads). */
+  def castFill(values: Column, noData: Option[Double], sparkType: String,
+               elemType: org.apache.spark.sql.types.DataType =
+                 org.apache.spark.sql.types.DoubleType): Column = {
+    import graft.functions.BlockEval
+    BlockEval.zip(Seq(values -> elemType)) { case Seq(v, _) =>
+      val filled = noData match {
+        case Some(nd) => coalesce(v, lit(nd))
+        case None     => v
+      }
+      filled.cast(sparkType)
     }
-    transform(filled, _.cast(sparkType))
   }
 
   /** Valid-pixel count per block (A5) — drives the empty-block filter F5
-    * (`array_utils.py:44-58`). Pure `aggregate` over the mask array. */
-  def validCount(valid: Column): Column =
-    aggregate(valid, lit(0), (acc, ok) => acc + when(ok, 1).otherwise(0))
+    * (`array_utils.py:44-58`). Primitive block kernel over the mask. */
+  def validCount(valid: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.BlockValidCount(
+      ColumnBridge.expression(valid)))
+  }
 
   /** Per-block partial stats (min/max/sum/sumsq/count) in ONE array pass.
     * This is the map-side combine of operator A3: per-band stats over a
     * 10-Gpx tile never explode pixels into rows — blocks fold to 5 numbers
     * each, then an ordinary groupBy combines ~10k partials per tile.
     * At 100 TB this is the difference between a shuffle of 10^13 pixel rows
-    * and 10^7 partial rows. */
+    * and 10^7 partial rows. Primitive fold kernel ([[graft.functions
+    * .BlockStats]]), bit-identical to the HOF `aggregate` it replaced. */
   def blockPartialStats(values: Column, valid: Column): Column = {
-    val vals = zip_with(values, valid, (v, ok) => when(ok, v))
-    aggregate(
-      vals,
-      struct(
-        lit(Double.MaxValue).as("mn"), lit(Double.MinValue).as("mx"),
-        lit(0.0).as("sum"), lit(0.0).as("sumsq"), lit(0L).as("cnt")),
-      (acc, v) => struct(
-        when(v.isNotNull && v < acc("mn"), v).otherwise(acc("mn")).as("mn"),
-        when(v.isNotNull && v > acc("mx"), v).otherwise(acc("mx")).as("mx"),
-        (acc("sum") + coalesce(v, lit(0.0))).as("sum"),
-        (acc("sumsq") + coalesce(v * v, lit(0.0))).as("sumsq"),
-        (acc("cnt") + when(v.isNotNull, 1L).otherwise(0L)).as("cnt")))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.BlockStats(
+      ColumnBridge.expression(values), ColumnBridge.expression(valid)))
   }
 
   /** Combine block partials into per-(tile, band) statistics (A3 final). */
@@ -158,10 +196,14 @@ object Raster {
     * (de)serializing a 100k-element Seq[java.lang.Double] than its
     * imperative fill ever saved. */
   def bucketIndex(values: Column, valid: Column, lo: Double, hi: Double, n: Int): Column = {
+    import graft.functions.BlockEval
+    import org.apache.spark.sql.types.{BooleanType, DoubleType}
     val width = (hi - lo) / n
-    zip_with(values, valid, (v, ok) =>
-      when(ok && v.isNotNull,
-        least(greatest(floor((v - lo) / width), lit(0.0)),
-          lit((n - 1).toDouble)).cast("int")))
+    BlockEval.zip(Seq(values -> DoubleType, valid -> BooleanType)) {
+      case Seq(v, ok, _) =>
+        when(ok && v.isNotNull,
+          least(greatest(floor((v - lo) / width), lit(0.0)),
+            lit((n - 1).toDouble)).cast("int"))
+    }
   }
 }

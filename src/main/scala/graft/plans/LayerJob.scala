@@ -106,10 +106,17 @@ object LayerJob {
       GeoFunctions.st_intersectsInterior(tileEnv, col("footprint")))
 
     // --- blocks: expand, read, mosaic, zip ------------------------------
+    // Spread the block grid across the session's full parallelism BEFORE
+    // the read: the exploded work list inherits the tile seed's partition
+    // count, so a 2-tile subset job would otherwise read + compute its
+    // ~200 Mpx on TWO cores (measured r15 — the bench pipeline ran at 2/32
+    // occupancy). The shuffled rows are narrow work descriptors (ids +
+    // uri), not pixels.
     val blockWork = Raster.tilesToBlocks(
       work.select("tile_id", "left", "bottom", "right", "top", "uri", "band",
           "file_band", "priority")
         .dropDuplicates("tile_id", "uri", "band"), grid)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val readBlocks = reader(blockWork)
 
     // J3: mosaic overlap — per pixel, the first layer in priority order
@@ -118,19 +125,36 @@ object LayerJob {
     // signaled only in `valid`, so invalid pixels are nulled out BEFORE the
     // fold — a nodata hole in the top file falls through to lower files
     // instead of leaking its sentinel as real data.
-    val masked = readBlocks.withColumn("values",
-      zip_with(col("values"), col("valid"), (v, ok) => when(ok, v)))
-    val mosaicked = masked
-      .groupBy("tile_id", "band", "block_row", "block_col", "width", "height")
-      .agg(sort_array(collect_list(struct(col("priority"), col("values"), col("valid"))))
-        .as("layers"))
-      .withColumn("values", col("layers")(0)("values")) // seed fold with top layer
-      .withColumn("valid", col("layers")(0)("valid"))
-      .withColumn("values", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
-        col("values"), (acc, l) => zip_with(acc, l("values"), (a, v) => coalesce(a, v))))
-      .withColumn("valid", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
-        col("valid"), (acc, l) => zip_with(acc, l("valid"), (a, v) => a || v)))
-      .drop("layers")
+    //
+    // SINGLE-SOURCE BYPASS: when every band has exactly one source layer
+    // (the overwhelmingly common shape — the catalog is plan-time-small by
+    // construction, so the count is a control-plane lookup), each block has
+    // exactly one (uri, priority) row and the overlay is the identity. The
+    // groupBy would shuffle EVERY pixel array just to wrap and unwrap it —
+    // at 100 TB that is the single largest avoidable exchange of the job —
+    // and the downstream calc re-derives the masking from `valid`, so the
+    // pre-fold null-out is unnecessary too: the whole pixel plane stays
+    // NARROW from read to sink.
+    val multiSource = prioritized.groupBy("band").count()
+      .filter(col("count") > 1).limit(1).count() > 0
+    val mosaicked = if (!multiSource) {
+      readBlocks.select(col("tile_id"), col("band"), col("block_row"),
+        col("block_col"), col("width"), col("height"), col("values"), col("valid"))
+    } else {
+      val masked = readBlocks.withColumn("values",
+        Raster.maskValues(col("values"), col("valid")))
+      masked
+        .groupBy("tile_id", "band", "block_row", "block_col", "width", "height")
+        .agg(sort_array(collect_list(struct(col("priority"), col("values"), col("valid"))))
+          .as("layers"))
+        .withColumn("values", col("layers")(0)("values")) // seed fold with top layer
+        .withColumn("valid", col("layers")(0)("valid"))
+        .withColumn("values", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
+          col("values"), (acc, l) => zip_with(acc, l("values"), (a, v) => coalesce(a, v))))
+        .withColumn("valid", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
+          col("valid"), (acc, l) => zip_with(acc, l("valid"), (a, v) => a || v)))
+        .drop("layers")
+    }
 
     // J4: band alignment zip — full outer join across bands on the block
     // key; a band with no coverage contributes null pixels (K4 padding).
@@ -142,19 +166,23 @@ object LayerJob {
     }
     val zipped = perBand.reduce((l, r) => l.join(r, key, "full_outer"))
 
-    // P1: calc over band arrays (defaults to identity on band A)
+    // P1 + P2 in ONE kernel pass per band: calc over band arrays (defaults
+    // to identity on band A) with the cast + nodata fill fused into the
+    // same per-pixel formula — the intermediate calc-typed array never
+    // materializes (it was a full block write + read per band).
     val calcExpr = spec.calc.getOrElse("A")
     val bandVals = (1 to bandCount).map(b => col(s"v$b"))
     val bandOks  = (1 to bandCount).map(b => col(s"k$b"))
-    val outBands = Raster.blockCalc(calcExpr, bandVals, bandOks)
+    val pt = spec.pixelType
+    val outBands = Raster.blockCalcThen(calcExpr, bandVals, bandOks) { v =>
+      (pt.noData match {
+        case Some(nd) => coalesce(v, lit(nd))
+        case None     => v
+      }).cast(pt.sparkType.simpleString)
+    }
     require(outBands.length == spec.bandCount,
       s"calc produced ${outBands.length} bands, spec declares ${spec.bandCount} (array_utils.py:74-80)")
-
-    // P2: cast + nodata fill per output band
-    val pt = spec.pixelType
-    val outCols = outBands.zipWithIndex.map { case (b, i) =>
-      Raster.castFill(b, pt.noData, pt.sparkType.simpleString).as(s"band_${i + 1}")
-    }
+    val outCols = outBands.zipWithIndex.map { case (b, i) => b.as(s"band_${i + 1}") }
     val computed = zipped.select(key.map(col) ++ outCols: _*)
 
     // F5/F6: drop empty blocks (null-only arrays)
@@ -175,8 +203,7 @@ object LayerJob {
       computed.select(col("tile_id"), lit(i).as("band"),
         Raster.blockPartialStats(
           col(s"band_$i").cast("array<double>"),
-          transform(col(s"band_$i"), v =>
-            pt.noData.map(nd => v.isNotNull && v =!= nd).getOrElse(v.isNotNull))).as("partial"))
+          Raster.validMask(col(s"band_$i"), pt.sparkType, pt.noData)).as("partial"))
     }.reduce(_ unionByName _)
     val tileStats = Raster.combineStats(statsIn, Seq("tile_id", "band"))
 
@@ -206,8 +233,7 @@ object LayerJob {
           computed.select(col("tile_id"), lit(i).as("band"),
             explode(Raster.bucketIndex(
               col(s"band_$i").cast("array<double>"),
-              transform(col(s"band_$i"), v =>
-                pt.noData.map(nd => v.isNotNull && v =!= nd).getOrElse(v.isNotNull)),
+              Raster.validMask(col(s"band_$i"), pt.sparkType, pt.noData),
               lo, math.min(hi, 65536.0), nb)).as("pos"))
             .where(col("pos").isNotNull)
         }.reduce(_ unionByName _)
