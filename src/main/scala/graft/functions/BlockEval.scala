@@ -176,63 +176,57 @@ case class BlockZipEval(arrays: IndexedSeq[Expression],
       row.setLong(idxSlot, j.toLong)
     }
 
-    // specialized primitive output paths; anything else via the generic box
+    // specialized primitive output paths writing the Unsafe wire format
+    // DIRECTLY ([[UnsafeArrayBuilders]]): null-carrying blocks used to box
+    // every pixel into a GenericArrayData and then pay an element-wise
+    // copy into every downstream UnsafeRow — now they memcpy like the
+    // null-free ones. Anything exotic falls back to the generic box.
     result.dataType match {
       case DoubleType =>
-        val out = new Array[Double](n); var nulls: Array[Boolean] = null
+        val out = new UnsafeArrayBuilders.Doubles(n)
         var j = 0
         while (j < n) {
           fill(j); val r = proj(row)
-          if (r.isNullAt(0)) {
-            if (nulls == null) nulls = new Array[Boolean](n); nulls(j) = true
-          } else out(j) = r.getDouble(0)
+          if (r.isNullAt(0)) out.setNull(j) else out.set(j, r.getDouble(0))
           j += 1
         }
-        finish(out.length, nulls, UnsafeArrayData.fromPrimitiveArray(out), i => out(i))
+        out.build()
       case LongType =>
-        val out = new Array[Long](n); var nulls: Array[Boolean] = null
+        val out = new UnsafeArrayBuilders.Longs(n)
         var j = 0
         while (j < n) {
           fill(j); val r = proj(row)
-          if (r.isNullAt(0)) {
-            if (nulls == null) nulls = new Array[Boolean](n); nulls(j) = true
-          } else out(j) = r.getLong(0)
+          if (r.isNullAt(0)) out.setNull(j) else out.set(j, r.getLong(0))
           j += 1
         }
-        finish(out.length, nulls, UnsafeArrayData.fromPrimitiveArray(out), i => out(i))
+        out.build()
       case IntegerType =>
-        val out = new Array[Int](n); var nulls: Array[Boolean] = null
+        val out = new UnsafeArrayBuilders.Ints(n)
         var j = 0
         while (j < n) {
           fill(j); val r = proj(row)
-          if (r.isNullAt(0)) {
-            if (nulls == null) nulls = new Array[Boolean](n); nulls(j) = true
-          } else out(j) = r.getInt(0)
+          if (r.isNullAt(0)) out.setNull(j) else out.set(j, r.getInt(0))
           j += 1
         }
-        finish(out.length, nulls, UnsafeArrayData.fromPrimitiveArray(out), i => out(i))
+        out.build()
       case BooleanType =>
-        val out = new Array[Boolean](n); var nulls: Array[Boolean] = null
+        val out = new UnsafeArrayBuilders.Booleans(n)
         var j = 0
         while (j < n) {
           fill(j); val r = proj(row)
-          if (r.isNullAt(0)) {
-            if (nulls == null) nulls = new Array[Boolean](n); nulls(j) = true
-          } else out(j) = r.getBoolean(0)
+          if (r.isNullAt(0)) out.setNull(j) else out.set(j, r.getBoolean(0))
           j += 1
         }
-        finish(out.length, nulls, UnsafeArrayData.fromPrimitiveArray(out), i => out(i))
+        out.build()
       case FloatType =>
-        val out = new Array[Float](n); var nulls: Array[Boolean] = null
+        val out = new UnsafeArrayBuilders.Floats(n)
         var j = 0
         while (j < n) {
           fill(j); val r = proj(row)
-          if (r.isNullAt(0)) {
-            if (nulls == null) nulls = new Array[Boolean](n); nulls(j) = true
-          } else out(j) = r.getFloat(0)
+          if (r.isNullAt(0)) out.setNull(j) else out.set(j, r.getFloat(0))
           j += 1
         }
-        finish(out.length, nulls, UnsafeArrayData.fromPrimitiveArray(out), i => out(i))
+        out.build()
       case dt =>
         val out = new Array[Any](n)
         var j = 0
@@ -244,16 +238,6 @@ case class BlockZipEval(arrays: IndexedSeq[Expression],
         new GenericArrayData(out)
     }
   }
-
-  private def finish(n: Int, nulls: Array[Boolean], dense: ArrayData,
-                     get: Int => Any): ArrayData =
-    if (nulls == null) dense
-    else {
-      val boxed = new Array[Any](n)
-      var i = 0
-      while (i < n) { if (!nulls(i)) boxed(i) = get(i); i += 1 }
-      new GenericArrayData(boxed)
-    }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = {

@@ -52,6 +52,116 @@ object BlockKernels {
 
   def fillNulls(values: Column, fill: Double): Column =
     ColumnBridge.column(FillNulls(ColumnBridge.expression(values), fill))
+
+  def mosaicFold(layers: Column): Column =
+    ColumnBridge.column(MosaicFold(ColumnBridge.expression(layers)))
+}
+
+/** J3 mosaic overlay fold over the priority-sorted layer list of one block
+  * — the primitive twin of the HOF pair it replaces:
+  *   values = aggregate(rest, layers[0].values, zip_with(coalesce))
+  *   valid  = aggregate(rest, layers[0].valid,  zip_with(or))
+  * i.e. per pixel the FIRST layer (in sort order) with a non-null value
+  * wins, and validity is the 3-valued OR across layers. One pass over the
+  * layers per pixel, both output arrays built together in Unsafe wire
+  * format. Null-array poisoning matches zip_with: any layer with a null
+  * values (valid) array nulls the whole values (valid) result. After the
+  * shuffle that co-locates a block's layers, this fold is the CPU wall of
+  * a multi-source overlay at 100 TB — interpreted it cost 100-200 ns per
+  * pixel PER LAYER. */
+case class MosaicFold(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "mosaic_fold"
+  override def dataType: DataType = StructType(Seq(
+    StructField("values", ArrayType(DoubleType, containsNull = true)),
+    StructField("valid", ArrayType(BooleanType, containsNull = true))))
+
+  private lazy val layerType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val vIdx = layerType.fieldIndex("values")
+  private lazy val kIdx = layerType.fieldIndex("valid")
+
+  override def nullSafeEval(input: Any): Any = {
+    val ls = input.asInstanceOf[ArrayData]
+    val nL = ls.numElements()
+    require(nL > 0, "mosaic_fold over zero layers")
+    val width = layerType.length
+    val vArrs = new Array[ArrayData](nL)
+    val kArrs = new Array[ArrayData](nL)
+    var l = 0
+    while (l < nL) {
+      val row = ls.getStruct(l, width)
+      vArrs(l) = if (row.isNullAt(vIdx)) null else row.getArray(vIdx)
+      kArrs(l) = if (row.isNullAt(kIdx)) null else row.getArray(kIdx)
+      l += 1
+    }
+    // zip_with poisoning: one null layer array nulls that whole result leg
+    val vNull = vArrs.exists(_ == null)
+    val kNull = kArrs.exists(_ == null)
+    val n =
+      if (!vNull) vArrs(0).numElements()
+      else if (!kNull) kArrs(0).numElements()
+      else 0
+    if (!vNull) {
+      var i = 1
+      while (i < nL) {
+        require(vArrs(i).numElements() == n,
+          s"mosaic_fold: layer $i has ${vArrs(i).numElements()} values, expected $n")
+        i += 1
+      }
+    }
+    if (!kNull) {
+      var i = 1
+      while (i < nL) {
+        require(kArrs(i).numElements() == n,
+          s"mosaic_fold: layer $i has ${kArrs(i).numElements()} valids, expected $n")
+        i += 1
+      }
+    }
+    val values =
+      if (vNull) null
+      else {
+        val b = new UnsafeArrayBuilders.Doubles(n)
+        var j = 0
+        while (j < n) {
+          var l2 = 0; var done = false
+          while (l2 < nL && !done) {
+            if (!vArrs(l2).isNullAt(j)) { b.set(j, vArrs(l2).getDouble(j)); done = true }
+            l2 += 1
+          }
+          if (!done) b.setNull(j)
+          j += 1
+        }
+        b.build()
+      }
+    val valid =
+      if (kNull) null
+      else {
+        val b = new UnsafeArrayBuilders.Booleans(n)
+        var j = 0
+        while (j < n) {
+          // 3-valued OR in layer order: TRUE dominates, else null if any
+          // null, else FALSE
+          var anyTrue = false; var anyNull = false
+          var l2 = 0
+          while (l2 < nL && !anyTrue) {
+            if (kArrs(l2).isNullAt(j)) anyNull = true
+            else if (kArrs(l2).getBoolean(j)) anyTrue = true
+            l2 += 1
+          }
+          if (anyTrue) b.set(j, true)
+          else if (anyNull) b.setNull(j)
+          else b.set(j, false)
+          j += 1
+        }
+        b.build()
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](values, valid))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Masked-pixel (null) → fill-value resolution over one packed block, with
@@ -268,13 +378,15 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
     }
     if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
     else {
-      val boxed = new Array[Any](out.length)
+      // null-carrying result: write the Unsafe wire format directly —
+      // no boxing, and downstream row writers memcpy the block
+      val b = new UnsafeArrayBuilders.Doubles(out.length)
       var i = 0
       while (i < out.length) {
-        if (!nulls(i)) boxed(i) = out(i)
+        if (nulls(i)) b.setNull(i) else b.set(i, out(i))
         i += 1
       }
-      new GenericArrayData(boxed)
+      b.build()
     }
   }
 
@@ -348,13 +460,14 @@ case class AssembleQuarters(q00: Expression, q01: Expression,
     }
     if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
     else {
-      val boxed = new Array[Any](out.length)
+      // same no-boxing wire-format write as BlockDownsample's null path
+      val b = new UnsafeArrayBuilders.Doubles(out.length)
       var i = 0
       while (i < out.length) {
-        if (!nulls(i)) boxed(i) = out(i)
+        if (nulls(i)) b.setNull(i) else b.set(i, out(i))
         i += 1
       }
-      new GenericArrayData(boxed)
+      b.build()
     }
   }
 

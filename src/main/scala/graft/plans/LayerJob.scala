@@ -147,13 +147,13 @@ object LayerJob {
         .groupBy("tile_id", "band", "block_row", "block_col", "width", "height")
         .agg(sort_array(collect_list(struct(col("priority"), col("values"), col("valid"))))
           .as("layers"))
-        .withColumn("values", col("layers")(0)("values")) // seed fold with top layer
-        .withColumn("valid", col("layers")(0)("valid"))
-        .withColumn("values", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
-          col("values"), (acc, l) => zip_with(acc, l("values"), (a, v) => coalesce(a, v))))
-        .withColumn("valid", aggregate(expr("slice(layers, 2, size(layers) - 1)"),
-          col("valid"), (acc, l) => zip_with(acc, l("valid"), (a, v) => a || v)))
-        .drop("layers")
+        // primitive overlay fold (graft.functions.MosaicFold): first
+        // non-null value per pixel in priority order + 3VL OR of validity,
+        // one pass over the layer list, both arrays built together
+        .withColumn("__m", graft.functions.BlockKernels.mosaicFold(col("layers")))
+        .withColumn("values", col("__m")("values"))
+        .withColumn("valid", col("__m")("valid"))
+        .drop("layers", "__m")
     }
 
     // J4: band alignment zip — full outer join across bands on the block
