@@ -98,12 +98,23 @@ object Sketch {
     * ([[graft.functions.PortableHash]]) — no RNG, replayable anywhere.
     *
     * Input: one row per token occurrence. Output: (row, cell, cnt) — only
-    * touched cells; absent cells are zero. */
+    * touched cells; absent cells are zero.
+    *
+    * The md5-affine hash runs per DISTINCT TERM, not per token: the token
+    * stream pre-aggregates to (term, weight) first — a map-side-combined
+    * exchange bounded by the vocabulary — and the sketch cells sum the
+    * weights. Bit-identical sketch (Σ over tokens of cell increments =
+    * Σ over terms of weight · increments), but the portable hash — ~300 ns
+    * and a string allocation per call — prices once per term instead of
+    * once per occurrence (measured r15: 7.3 s → the explode cost alone on
+    * the sf1 token stream). */
   def countMin(terms: DataFrame, termCol: String,
                depth: Int = 4, width: Int = 512): DataFrame = {
     require(depth >= 1 && width >= 2, "count-min needs depth ≥ 1, width ≥ 2")
-    terms.select(posexplode(cmCells(col(termCol), depth, width)).as(Seq("row", "cell")))
-      .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
+    terms.groupBy(termCol).agg(count(lit(1)).as("__w"))
+      .select(col("__w"),
+        posexplode(cmCells(col(termCol), depth, width)).as(Seq("row", "cell")))
+      .groupBy("row", "cell").agg(sum("__w").as("cnt"))
   }
 
   /** HyperLogLog register table under the PORTABLE hash — the

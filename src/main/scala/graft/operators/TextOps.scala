@@ -875,9 +875,15 @@ object TextOps {
     docs
       .select(col("doc_id"),
         explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+      // pre-aggregate (doc, term) so the md5-affine portable hash prices
+      // once per distinct term per doc, not once per occurrence (same
+      // discipline as Sketch.countMin); collision folding is unchanged —
+      // Σ over occurrences of bucket increments = Σ over terms of tf
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__w"))
       .select(col("doc_id"),
-        (graft.functions.PortableHash.hash32(col("tok")) % dim).as("idx"))
+        (graft.functions.PortableHash.hash32(col("tok")) % dim).as("idx"),
+        col("__w"))
       .groupBy("doc_id", "idx")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("__w").as("cnt"))
   }
 }
