@@ -7429,7 +7429,7 @@ object SparkEntry {
           |  FROM valid v JOIN g ON v.asset_id = g.asset_id GROUP BY 1)
           |SELECT g.asset_id, 32 AS width, 32 AS height, 'UInt16' AS dtype,
           |  CAST(g.mnv AS DOUBLE) AS mn, CAST(g.mxv AS DOUBLE) AS mx,
-          |  g.valid_n, g.sum_v,
+          |  g.valid_n, CAST(g.sum_v AS BIGINT) AS sum_v,
           |  CAST(g.mnv AS DOUBLE) - 0.5 AS hist_lo,
           |  CAST(g.mxv AS DOUBLE) + 0.5 AS hist_hi,
           |  256 AS hist_n, nz.nz_buckets
