@@ -123,6 +123,21 @@ object Bench {
     loadStart > maxLoad || stealPct > maxSteal ||
       (calibStartMs > 0 && calibEndMs / calibStartMs > maxCalibDrift)
 
+  /** Force FULL evaluation of a query's output: write to the `noop` sink.
+    *
+    * `df.count()` lets Catalyst prune every column that doesn't affect
+    * cardinality — round 15 proved the layer pipeline's per-core MB/s had
+    * been measuring shuffle bookkeeping this way, and the same trap applies
+    * to any headline query whose expensive columns are cardinality-invariant
+    * (m-family decode chains, p-family array outputs). The noop DSv2 sink is
+    * Spark's benchmarking idiom for exactly this: the write requires the
+    * full output schema (no pruning), keeps ORDER BY in the physical plan
+    * (an aggregate would let EliminateSorts drop it), and its commit path
+    * discards rows without serialization cost — so the timing reflects
+    * materialized outputs, not bookkeeping. (VERDICT r15 ask #2.) */
+  private def forceAll(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -267,7 +282,7 @@ object Bench {
             val tb = System.nanoTime()
             df.queryExecution.executedPlan // force analysis + optimization
             val t1 = System.nanoTime()
-            df.count()
+            forceAll(df)
             val t2 = System.nanoTime()
             ((tb - t0) / 1e9, (t1 - tb) / 1e9, (t2 - t1) / 1e9)
           } catch { case e: Throwable =>
@@ -322,6 +337,12 @@ object Bench {
     val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SECS", "600").toDouble
     val sf1Enabled = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_SF1").contains("off")
+    // per-SECTION contention stamps (VERDICT r15 #7): the sf0.1 stamps above
+    // close BEFORE sf1 starts, so a half-contended run (quiet sf0.1, noisy
+    // sf1 or vice versa) can no longer hide inside a passing run-wide gate —
+    // each section carries its own loadavg window and steal delta.
+    val sf1LoadStart = if (sf1Enabled) loadavg() else -1.0
+    val (sf1Steal0, sf1Jiffies0) = cpuJiffies()
     val (sf1Results, sf1Skipped, sf1Failed) = if (!sf1Enabled) (Nil, Nil, Nil) else {
       // derive sf1 from the SAME source dir this run benches (ADVICE r14:
       // a hardcoded DefaultFrom silently ignored SPARK_GRAFT_SF_DIR, and a
@@ -344,7 +365,7 @@ object Bench {
               val qb = System.nanoTime()
               df.queryExecution.executedPlan
               val q1 = System.nanoTime()
-              df.count()
+              forceAll(df)
               done += name -> (((qb - q0) / 1e9, (q1 - qb) / 1e9,
                 (System.nanoTime() - q1) / 1e9))
             } catch { case e: Throwable =>
@@ -360,13 +381,19 @@ object Bench {
         (done.toSeq, skipped.toSeq, failed.toSeq)
       }
     }
+    val sf1LoadEnd = if (sf1Enabled) loadavg() else -1.0
+    val (sf1Steal1, sf1Jiffies1) = cpuJiffies()
+    val sf1StealPct =
+      if (sf1Jiffies1 > sf1Jiffies0)
+        100.0 * (sf1Steal1 - sf1Steal0) / (sf1Jiffies1 - sf1Jiffies0)
+      else 0.0
     val sf1Total = sf1Results.map { case (_, (b, p, e)) => b + p + e }.sum
     def sf1Render(f: ((Double, Double, Double)) => Double): String =
       sf1Results.map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
         .mkString("{", ",", "}")
     def sf1List(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf1Tag = if (!sf1Enabled) "" else
-      f""","sf1_total":$sf1Total%.3f,"sf1_n":${sf1Results.size},"sf1_skipped":${sf1List(sf1Skipped)},"sf1_failed":${sf1List(sf1Failed)}"""
+      f""","sf1_total":$sf1Total%.3f,"sf1_n":${sf1Results.size},"sf1_skipped":${sf1List(sf1Skipped)},"sf1_failed":${sf1List(sf1Failed)},"sf1_loadavg_start":$sf1LoadStart%.2f,"sf1_loadavg_end":$sf1LoadEnd%.2f,"sf1_steal_pct":$sf1StealPct%.2f"""
     val sf1Full = if (!sf1Enabled) "" else
       s"""$sf1Tag,"sf1_queries":${sf1Render(t => t._1 + t._2 + t._3)},"sf1_queries_build":${sf1Render(_._1)},"sf1_queries_plan":${sf1Render(_._2)},"sf1_queries_exec":${sf1Render(_._3)}"""
     // Filtered (partial) runs are a different artifact class: they go to
@@ -428,7 +455,17 @@ object Bench {
           if (ageMin < 30.0) rs.max else rs.max + 1
         }
       } catch { case _: Throwable => 0 }
-      writeLine(f"BENCH_FULL_r$round%02d.json")
+      // NEVER clobber an existing round archive (ADVICE r15 medium): the
+      // <30-min freshness heuristic above is only a guess, and a manual
+      // full run started inside the driver's round-end window would
+      // otherwise silently overwrite the driver's canonical BENCH_FULL_rN.
+      // If the unsuffixed name is taken, write the first free suffixed
+      // sibling (BENCH_FULL_rN-1.json, -2, …) instead.
+      val base = f"BENCH_FULL_r$round%02d"
+      val target = Iterator.single(s"$base.json") ++
+        Iterator.from(1).map(i => s"$base-$i.json")
+      writeLine(target.find(p => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p))).get)
     }
     println(compact)
     spark.stop()
