@@ -55,6 +55,7 @@ object SparkEntry {
     "r3_warp_3857"        -> (Q.r3_warp_3857(_, _)),
     "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
     "r5_pyramid"          -> (Q.r5_pyramid(_, _)),
+    "r17_resample_bilinear" -> (Q.r17_resample_bilinear(_, _)),
     "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
     "r7_convolve"         -> (Q.r7_convolve(_, _)),
     "r8_slope"            -> (Q.r8_slope(_, _)),
@@ -780,6 +781,38 @@ object SparkEntry {
           element_at(col("vs"),
             greatest(lit(1), ceil(size(col("vs")) * 0.5).cast("int"))).as("med"))
         .orderBy("cx", "cy")
+    }
+
+    /** R17: TRUE interpolating decimation (round 16 — closes the r15 alias
+      * where bilinear/cubic decimation silently ran as box average,
+      * `resampling.py:9-25` exposes the full rasterio enum). Three legs of
+      * the real [[graft.operators.Resample.downsample]] tap kernel over
+      * deterministic 8×8 blocks with a nodata mask: `bilinear4` (k=4 —
+      * phase-0.5 taps select the central 2×2, provably ≠ box average),
+      * `cubic2` (k=2 cubic convolution, half-phase taps ∓0.0625/±0.5625
+      * with negative lobes), `bspline2` (k=2 B-spline smoothing, 1/48 and
+      * 23/48). Masked taps drop out and renormalize; the oracle replays
+      * the exact tap weights in closed form. The mask pattern guarantees
+      * ≥3 valid bilinear taps per window (adjacent formula values differ
+      * by 5 mod 19), so no leg exercises the nearest-fallback here — that
+      * path is unit-tested in ResampleSpec. */
+    def r17_resample_bilinear(s: SparkSession, d: String): DataFrame = {
+      val blocks = Tables.part(s, d).filter(col("p_partkey") <= 4)
+        .select(col("p_partkey").cast("long").as("asset_id"))
+        .withColumn("values", transform(sequence(lit(0), lit(63)),
+          i => ((lit(3) * col("asset_id") + lit(5) * (i % lit(8)) +
+            lit(7) * (i / lit(8)).cast("int")) % 19).cast("double")))
+      def leg(k: Int, m: String, name: String, outW: Int): DataFrame =
+        blocks.select(col("asset_id"), posexplode(
+            graft.operators.Resample.downsample(col("values"), 8, 8, k, m,
+              noData = Some(0.0))))
+          .select(col("asset_id"), lit(name).as("kernel"),
+            (col("pos") % outW).as("ox"), (col("pos") / outW).cast("int").as("oy"),
+            round(col("col") + lit(5e-7), 4).as("val"))
+      leg(4, "bilinear", "bilinear4", 2)
+        .unionAll(leg(2, "cubic", "cubic2", 4))
+        .unionAll(leg(2, "cubic_spline", "bspline2", 4))
+        .orderBy("asset_id", "kernel", "oy", "ox")
     }
 
     /** §2.9 overview pyramid: 3 factor-2 SUM reductions of the count
@@ -5864,6 +5897,48 @@ object SparkEntry {
           |r AS (SELECT cx, cy, v,
           |  row_number() OVER (PARTITION BY cx, cy ORDER BY cnt DESC, v ASC) AS rn FROM counted)
           |SELECT cx, cy, v AS value FROM r WHERE rn = 1 ORDER BY cx, cy""".stripMargin,
+
+      // closed-form replay of the interpolating decimation taps: bilinear
+      // k=4 = renormalized mean of the valid central 2×2 (phase 0.5);
+      // cubic/bspline k=2 = the exact half-phase tap weights (dyadic
+      // -0.0625/0.5625; 1/48 and 23/48 — correctly-rounded division gives
+      // the same doubles the JVM kernel computes), out-of-block and masked
+      // taps dropped by the inner join, renormalized by sum(w)
+      "r17_resample_bilinear" ->
+        """WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS asset_id FROM part
+          |  WHERE p_partkey <= 4),
+          |xs AS (SELECT unnest(range(0, 8)) AS x),
+          |ys AS (SELECT unnest(range(0, 8)) AS y),
+          |px AS (SELECT asset_id, x, y,
+          |    CAST((3*asset_id + 5*x + 7*y) % 19 AS DOUBLE) AS v FROM a, xs, ys),
+          |valid AS (SELECT * FROM px WHERE v <> 0),
+          |o2 AS (SELECT asset_id, ox.o AS ox, oy.o AS oy FROM a,
+          |  (SELECT unnest(range(0, 2)) AS o) ox, (SELECT unnest(range(0, 2)) AS o) oy),
+          |o4 AS (SELECT asset_id, ox.o AS ox, oy.o AS oy FROM a,
+          |  (SELECT unnest(range(0, 4)) AS o) ox, (SELECT unnest(range(0, 4)) AS o) oy),
+          |w AS (SELECT * FROM (VALUES
+          |  ('cubic2', -1, -0.0625), ('cubic2', 0, 0.5625),
+          |  ('cubic2', 1, 0.5625),  ('cubic2', 2, -0.0625),
+          |  ('bspline2', -1, 1.0/48), ('bspline2', 0, 23.0/48),
+          |  ('bspline2', 1, 23.0/48), ('bspline2', 2, 1.0/48)) t(kernel, d, w)),
+          |bl AS (SELECT o.asset_id, 'bilinear4' AS kernel, o.ox, o.oy,
+          |    avg(v.v) AS val
+          |  FROM o2 o JOIN valid v ON v.asset_id = o.asset_id
+          |    AND v.x BETWEEN 4*o.ox + 1 AND 4*o.ox + 2
+          |    AND v.y BETWEEN 4*o.oy + 1 AND 4*o.oy + 2
+          |  GROUP BY 1, 2, 3, 4),
+          |cu AS (SELECT o.asset_id, wx.kernel, o.ox, o.oy,
+          |    sum(wx.w * wy.w * v.v) / sum(wx.w * wy.w) AS val
+          |  FROM o4 o
+          |  CROSS JOIN w wx
+          |  JOIN w wy ON wy.kernel = wx.kernel
+          |  JOIN valid v ON v.asset_id = o.asset_id
+          |    AND v.x = 2*o.ox + wx.d AND v.y = 2*o.oy + wy.d
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT asset_id, kernel, CAST(ox AS INTEGER) AS ox,
+          |  CAST(oy AS INTEGER) AS oy, round(val + 5e-7, 4) AS val
+          |FROM (SELECT * FROM bl UNION ALL SELECT * FROM cu)
+          |ORDER BY asset_id, kernel, oy, ox""".stripMargin,
 
       "r5_pyramid" ->
         """WITH b AS (SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value

@@ -225,6 +225,32 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
   private val nd = noData.getOrElse(0.0)
   import BlockKernels.cmp
 
+  // Interpolating kernels (bilinear/cubic/cubic_spline/lanczos): phase-
+  // correct integer decimation with the SAME separable taps as the warp
+  // path (ResampleTaps, shared with WarpReader). Output pixel (ox, oy)
+  // centers at source coords g = (o + 0.5)·k − 0.5, so x0 = floor(g) =
+  // o·k + (k−1)/2 and the phase is 0.5 for even k, 0 for odd k — the tap
+  // weight vector is CONSTANT across the block and precomputed here. At
+  // k = 2 the bilinear taps are four equal 0.25s (exactly the 2×2 box
+  // average the old alias used); at k ≥ 3 the kernels genuinely differ
+  // from `average` (odd k bilinear = center sample; cubic/lanczos have
+  // negative lobes). Masked and out-of-BLOCK taps drop out and the
+  // remaining weights renormalize — the warp path's masked-resampling
+  // rule, with the block boundary playing the raster edge (a block-local
+  // kernel has no halo; for seam-exact interpolating decimation across
+  // block borders use WarpReader at the target resolution).
+  private val kRadius = graft.functions.ResampleTaps.radius.getOrElse(method, 0)
+  private val tapW: Array[Double] =
+    if (kRadius == 0) null
+    else {
+      val wf = graft.functions.ResampleTaps.weight(method)
+      val frac = if (k % 2 == 0) 0.5 else 0.0
+      Array.tabulate(2 * kRadius)(i => wf((1 - kRadius + i) - frac))
+    }
+  // floor(g) offset and the nearest-fallback offset (floor(g + 0.5))
+  private val tapBase = (k - 1) >> 1
+  private val nearOff = tapBase + (if (k % 2 == 0) 1 else 0)
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     @inline def masked(idx: Int): Boolean =
@@ -250,6 +276,40 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
         method match {
           case "nearest" =>
             if (masked(base)) setNull(o) else out(o) = a.getDouble(base)
+          case "bilinear" | "cubic" | "cubic_spline" | "lanczos" =>
+            val x0 = ox * k + tapBase
+            val y0 = oy * k + tapBase
+            var acc = 0.0; var wsum = 0.0
+            var ti = 0
+            while (ti < 2 * kRadius) {
+              val sy = y0 + 1 - kRadius + ti
+              val wy = tapW(ti)
+              if (wy != 0.0 && sy >= 0 && sy < blockH) {
+                var tj = 0
+                while (tj < 2 * kRadius) {
+                  val sx = x0 + 1 - kRadius + tj
+                  val wx = tapW(tj)
+                  if (wx != 0.0 && sx >= 0 && sx < blockW) {
+                    val idx = sy * blockW + sx
+                    if (!masked(idx)) {
+                      val wt = wx * wy
+                      acc += wt * a.getDouble(idx); wsum += wt
+                    }
+                  }
+                  tj += 1
+                }
+              }
+              ti += 1
+            }
+            // negative-lobe kernels on a heavily masked window can sum
+            // their VALID weights to ~0 or negative, where renormalizing
+            // would explode/flip sign — degrade to the nearest sample,
+            // itself null if masked (WarpReader.interpolate's rule)
+            if (wsum > 1e-12) out(o) = acc / wsum
+            else {
+              val ni = (oy * k + nearOff) * blockW + ox * k + nearOff
+              if (masked(ni)) setNull(o) else out(o) = a.getDouble(ni)
+            }
           case "sum" =>
             // first-valid seeds the accumulator (the HOF fold's null-init),
             // additions in window enumeration order — IEEE-identical

@@ -65,16 +65,16 @@ object Resample {
   def downsample(values: Column, width: Int, height: Int, k: Int,
                  method: String, noData: Option[Double] = None): Column = {
     require(width % k == 0 && height % k == 0, s"block $width x $height not divisible by $k")
-    val m = method match {
-      case "bilinear" | "cubic" | "cubic_spline" | "lanczos" =>
-        // interpolating kernels degrade to average on integer decimation
-        // (GDAL's behavior at exact factor-of-k shrink is a box filter);
-        // fractional-warp variants live with the raster reader (SURVEY §7.4.2)
-        "average"
-      case known if methods.contains(known) => known
-      case other => throw new IllegalArgumentException(s"Unknown resampling method: $other")
-    }
-    graft.functions.BlockKernels.downsampleColumn(values, width, height, k, m, noData)
+    // Interpolating kernels (bilinear/cubic/cubic_spline/lanczos) run TRUE
+    // phase-correct taps (shared with the warp path via ResampleTaps) — no
+    // longer the box-average alias of rounds ≤15. At k=2 bilinear is still
+    // exactly the 2×2 box average (four equal 0.25 taps); at k≥3 the
+    // kernels differ. Taps beyond the block edge drop out and renormalize
+    // (the block is its own raster; seam-exact cross-block interpolation is
+    // the WarpReader's job). Reference enum: gfw_pixetl/resampling.py:9-25.
+    if (!methods.contains(method))
+      throw new IllegalArgumentException(s"Unknown resampling method: $method")
+    graft.functions.BlockKernels.downsampleColumn(values, width, height, k, method, noData)
   }
 
   /** Merge 2×2 neighbouring HALF-size blocks into full-size blocks of the

@@ -31,39 +31,10 @@ object WarpReader {
   def reader(targetXres: Double, targetYres: Double, blockSize: Int): LayerJob.BlockReader =
     reader(targetXres, targetYres, blockSize, "EPSG:4326", "EPSG:4326")
 
-  /** GDAL cubic-convolution kernel weight (a = -0.5, the `cubic` default). */
-  private def cubicW(tIn: Double): Double = {
-    val a = -0.5
-    val t = math.abs(tIn)
-    if (t <= 1) (a + 2) * t * t * t - (a + 3) * t * t + 1
-    else if (t < 2) a * t * t * t - 5 * a * t * t + 8 * a * t - 4 * a
-    else 0.0
-  }
-
-  /** Cubic B-spline weight (GDAL `cubicspline`, radius 2). Non-negative,
-    * smoothing rather than interpolating — like GDAL, no prefilter is
-    * applied, so grid-aligned output is the smoothed (1/6, 4/6, 1/6) blend,
-    * not the original sample. Linear fields still reproduce exactly. */
-  private def bsplineW(tIn: Double): Double = {
-    val t = math.abs(tIn)
-    if (t <= 1) (4.0 + t * t * (3.0 * t - 6.0)) / 6.0
-    else if (t < 2) { val u = 2.0 - t; u * u * u / 6.0 }
-    else 0.0
-  }
-
-  /** Lanczos windowed-sinc weight (GDAL `lanczos`, 3 lobes, radius 3). */
-  private def lanczosW(tIn: Double): Double = {
-    val t = math.abs(tIn)
-    if (t < 1e-12) 1.0
-    else if (t < 3.0) {
-      val pt = math.Pi * t
-      3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
-    } else 0.0
-  }
-
-  /** Tap radius per interpolating kernel (taps run 1-r .. r). */
-  private val kernelRadius: Map[String, Int] =
-    Map("bilinear" -> 1, "cubic" -> 2, "cubic_spline" -> 2, "lanczos" -> 3)
+  /** Tap radius per interpolating kernel — shared with the integer-
+    * decimation block kernel so both resampling paths blend identical
+    * weights (see [[graft.functions.ResampleTaps]]). */
+  private val kernelRadius: Map[String, Int] = graft.functions.ResampleTaps.radius
 
   /** Footprint-box aggregate kernels (valid at any ratio). */
   private val boxKernels: Set[String] =
@@ -75,12 +46,8 @@ object WarpReader {
     * partition that touches thousands of catalog files — to a few MB. */
   private[sources] val handleCacheCap: Int = 16
 
-  private def kernelWeight(kernel: String): Double => Double = kernel match {
-    case "bilinear"     => t => { val a = math.abs(t); if (a < 1) 1 - a else 0.0 }
-    case "cubic"        => cubicW
-    case "cubic_spline" => bsplineW
-    case "lanczos"      => lanczosW
-  }
+  private def kernelWeight(kernel: String): Double => Double =
+    graft.functions.ResampleTaps.weight(kernel)
 
   /** A `LayerJob.BlockReader` gathering from sources in `sourceCrs` onto a
     * target grid in `targetCrs` (e.g. a 4326 source feeding a `zoom_N`

@@ -48,8 +48,91 @@ class ResampleSpec extends SparkSpec {
     assert(q3(0) == Some(5.0)) // rank ceil(4*.75)=3 → 5
   }
 
-  test("interpolating kernels fall back to box average on integer decimation") {
+  test("bilinear at k=2 IS the 2x2 box average (four equal 0.25 taps)") {
+    // phase 0.5 at even k puts both taps inside the window with weight 0.5
+    // each axis — so the r15 alias was exact at k=2; at k>=3 it was not
     assert(run("bilinear") == run("average"))
+  }
+
+  // ---- true interpolating decimation (round 16): phase-correct taps ----
+
+  /** w×h ramp v = x + 10y — linear fields are reproduced EXACTLY by
+    * bilinear and by cubic convolution (a = -0.5 has linear precision),
+    * giving hand-computable expectations independent of the kernel code. */
+  private def ramp(w: Int, h: Int): org.apache.spark.sql.DataFrame =
+    Seq(Tuple1(Seq.tabulate(w * h)(i => (i % w + 10.0 * (i / w))))).toDF("values")
+
+  private def runOn(df: org.apache.spark.sql.DataFrame, w: Int, h: Int, k: Int,
+      method: String, noData: Option[Double] = None): Seq[Option[Double]] =
+    df.select(Resample.downsample(col("values"), w, h, k, method, noData).as("out"))
+      .collect()(0).getSeq[Any](0).map(Option(_).map(_.toString.toDouble))
+
+  test("bilinear k=4 samples the window center: exact on a linear ramp") {
+    // output (ox,oy) centers at source g = 4*o + 1.5 → expect gx + 10*gy
+    val out = runOn(ramp(8, 8), 8, 8, 4, "bilinear")
+    val exp = for (oy <- 0 until 2; ox <- 0 until 2)
+      yield Some((4 * ox + 1.5) + 10.0 * (4 * oy + 1.5))
+    assert(out == exp)
+  }
+
+  test("bilinear at odd k is the exact center sample (phase 0)") {
+    // k=3: g = 3*o + 1.0 exactly on a source center → weight 1 tap
+    val out = runOn(ramp(6, 6), 6, 6, 3, "bilinear")
+    val exp = for (oy <- 0 until 2; ox <- 0 until 2)
+      yield Some((3.0 * ox + 1) + 10.0 * (3 * oy + 1))
+    assert(out == exp)
+  }
+
+  test("cubic k=2 has linear precision on interior pixels") {
+    // interior outputs (full 4×4 taps in-block): exact gx + 10*gy at
+    // g = 2*o + 0.5; border outputs lose taps past the block edge and
+    // renormalize, so only ox,oy ∈ {1,2} of the 4×4 output are checked
+    val out = runOn(ramp(8, 8), 8, 8, 2, "cubic")
+    for (oy <- 1 to 2; ox <- 1 to 2) {
+      val got = out(oy * 4 + ox).get
+      val exp = (2 * ox + 0.5) + 10.0 * (2 * oy + 0.5)
+      assert(math.abs(got - exp) < 1e-9, s"cubic ($ox,$oy): $got vs $exp")
+    }
+  }
+
+  test("interpolating kernels reproduce constants exactly (renormalized)") {
+    // lanczos/cubic_spline taps need not sum to 1, and border pixels drop
+    // taps — renormalization makes every kernel constant-preserving anyway
+    // up to fp rounding of acc/wsum (the weights are irrational for
+    // lanczos and non-dyadic for cubic_spline)
+    val const = Seq(Tuple1(Seq.fill(36)(7.25))).toDF("values")
+    for (m <- Seq("bilinear", "cubic", "cubic_spline", "lanczos")) {
+      val out = runOn(const, 6, 6, 2, m)
+      assert(out.forall(o => math.abs(o.get - 7.25) < 1e-12), s"$m: $out")
+    }
+  }
+
+  test("masked taps drop out and the remaining weights renormalize") {
+    // k=4 bilinear = mean of the central 2×2; mask one of them via noData
+    // → mean of the remaining 3 (equal weights renormalize to thirds)
+    val vals = Seq.tabulate(16)(i => if (i == 5) 99.0 else i.toDouble)
+    val df1 = Seq(Tuple1(vals)).toDF("values")
+    // central 2×2 of the single 4×4 window = idx 5,6,9,10; 5 is nodata
+    val out = runOn(df1, 4, 4, 4, "bilinear", noData = Some(99.0))
+    assert(out == Seq(Some((6.0 + 9 + 10) / 3)))
+    // all four central taps masked → nearest fallback (idx 10) also masked?
+    // here nearest = idx 10 which we leave valid → falls back to it
+    val vals2 = Seq.tabulate(16)(i =>
+      if (i == 5 || i == 6 || i == 9) 99.0 else i.toDouble)
+    val out2 = runOn(Seq(Tuple1(vals2)).toDF("values"), 4, 4, 4, "bilinear",
+      noData = Some(99.0))
+    assert(out2 == Seq(Some(10.0)))
+  }
+
+  test("block-kernel taps match the warp path's (shared ResampleTaps)") {
+    // the decimation kernel and WarpReader must blend identical weights:
+    // spot-check the canonical half-phase vectors
+    val cub = graft.functions.ResampleTaps.weight("cubic")
+    assert(Seq(-1.5, -0.5, 0.5, 1.5).map(cub) ==
+      Seq(-0.0625, 0.5625, 0.5625, -0.0625))
+    val bsp = graft.functions.ResampleTaps.weight("cubic_spline")
+    assert(math.abs(bsp(0.5) - 23.0 / 48) < 1e-15 &&
+      math.abs(bsp(1.5) - 1.0 / 48) < 1e-15)
   }
 
   test("all-masked input stays masked") {
