@@ -126,17 +126,21 @@ object LayerJob {
     // fold — a nodata hole in the top file falls through to lower files
     // instead of leaking its sentinel as real data.
     //
-    // SINGLE-SOURCE BYPASS: when every band has exactly one source layer
-    // (the overwhelmingly common shape — the catalog is plan-time-small by
-    // construction, so the count is a control-plane lookup), each block has
-    // exactly one (uri, priority) row and the overlay is the identity. The
-    // groupBy would shuffle EVERY pixel array just to wrap and unwrap it —
-    // at 100 TB that is the single largest avoidable exchange of the job —
+    // SINGLE-SOURCE BYPASS: when no (tile, band) of the plan-time work
+    // assignment sees more than one source, every block has exactly one
+    // (uri, priority) row and the overlay is the identity. The groupBy
+    // would shuffle EVERY pixel array just to wrap and unwrap it — at
+    // 100 TB that is the single largest avoidable exchange of the job —
     // and the downstream calc re-derives the masking from `valid`, so the
     // pre-fold null-out is unnecessary too: the whole pixel plane stays
-    // NARROW from read to sink.
-    val multiSource = prioritized.groupBy("band").count()
-      .filter(col("count") > 1).limit(1).count() > 0
+    // NARROW from read to sink. Keyed per (tile, band), NOT per band
+    // (ADVICE r15): the common tiled layout — many non-overlapping uris
+    // per band, one per tile — has catalog-wide counts ≫ 1 but exactly one
+    // layer per block, and must bypass. The probe is one narrow agg over
+    // the tile⋈catalog join (ids only, no pixels), a plan-time constant.
+    val multiSource = work.groupBy(col("tile_id"), col("band"))
+      .agg(countDistinct(col("uri")).as("n"))
+      .filter(col("n") > 1).limit(1).count() > 0
     val mosaicked = if (!multiSource) {
       readBlocks.select(col("tile_id"), col("band"), col("block_row"),
         col("block_col"), col("width"), col("height"), col("values"), col("valid"))
@@ -276,6 +280,30 @@ object LayerJob {
     * `Metadata.bands` shape (`models/pydantic.py:81-114`), NaN-sanitized
     * like `utils/geometry.py:51-59`. */
   def renderTilesGeojson(manifest: DataFrame, tileStats: Option[DataFrame] = None): String = {
+    // Deep-zoom guard (VERDICT r15 #5): a WM z≥14 grid is millions of
+    // tiles, and the collect-based render below holds Row objects + stats
+    // maps + per-feature strings + the mkString doubling — ~6-8× the
+    // output size in driver transients. Past the threshold, route through
+    // the streaming writer (one partition of driver memory + the file) and
+    // return the read-back string — the string itself is the caller's ask
+    // and the only O(rows) term left. Below it, keep the driver render:
+    // it is the reference-identical code path (upload_geometries.py:31-59)
+    // and LayerJobSpec asserts the two renderers byte-identical.
+    if (manifest.count() > RenderCollectMax) {
+      val tmp = java.nio.file.Files.createTempFile("tiles-", ".geojson")
+      try {
+        writeTilesGeojson(manifest, tmp.toString, tileStats)
+        new String(java.nio.file.Files.readAllBytes(tmp),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else renderTilesCollect(manifest, tileStats)
+  }
+
+  /** Manifests above this row count render via [[writeTilesGeojson]]. */
+  private[graft] val RenderCollectMax = 100000L
+
+  private def renderTilesCollect(manifest: DataFrame,
+                                 tileStats: Option[DataFrame]): String = {
     val statsByTile: Map[String, Seq[String]] = tileStats match {
       case None => Map.empty
       case Some(st) => st.orderBy("tile_id", "band").collect().toSeq.groupBy(

@@ -188,4 +188,26 @@ class LayerJobSpec extends SparkSpec {
       .select(element_at(col("band_1"), 1)).limit(1).collect()(0)
     assert(v.getInt(0) == 1)
   }
+
+  test("tiled layout (one source per tile, many per band) takes the mosaic bypass") {
+    // ADVICE r15: the bypass used to key on catalog rows PER BAND, so the
+    // common tiled layout — non-overlapping uris, one per tile — always
+    // paid the collect_list mosaic shuffle despite one layer per block.
+    // Keying on sources per (tile, band) lets it bypass; genuinely
+    // overlapping catalogs (the `catalog` fixture) must still fold.
+    val tiled = Seq(
+      ("s3://b/w1.tif", 1, GeoFunctions.write(GeoFunctions.envelope(-180, 0, -90, 90))),
+      ("s3://b/w2.tif", 1, GeoFunctions.write(GeoFunctions.envelope(-90, 0, 0, 90))))
+      .toDF("uri", "band", "footprint")
+    // the fold path's signature in the physical plan is the collect_list
+    // overlay aggregate (the shuffle the bypass exists to avoid);
+    // mosaic_fold itself hides inside unprinted aggregate result exprs
+    def planOf(cat: DataFrame): String =
+      LayerJob.run(spark, spec, cat, reader)
+        .blocks.queryExecution.executedPlan.toString
+    assert(!planOf(tiled).contains("collect_list"),
+      "tiled one-source-per-tile layout must skip the overlay shuffle")
+    assert(planOf(catalog).contains("collect_list"),
+      "overlapping sources must still run the fold")
+  }
 }
