@@ -413,8 +413,17 @@ object GeoTiffSpark {
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(HadoopConfs.get).open(p)
     try {
-      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder().parse(in)
+      // .aux.xml sidecars may come from shared object stores — hard-disable
+      // DTDs and external entities so a hostile PAM file can't XXE-read
+      // local files or billion-laughs the executor (ADVICE r15)
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      dbf.setXIncludeAware(false)
+      dbf.setExpandEntityReferences(false)
+      val doc = dbf.newDocumentBuilder().parse(in)
       val bands = doc.getElementsByTagName("PAMRasterBand")
       (0 until bands.getLength).map { i =>
         val el = bands.item(i).asInstanceOf[org.w3c.dom.Element]
@@ -445,7 +454,12 @@ object GeoTiffSpark {
                     computeHistogram: Boolean = false): DataFrame = {
     import spark.implicits._
     val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
-    spark.sparkContext.parallelize(uris, math.max(1, uris.length / 16))
+    // ONE task per file (ADVICE r15): -stats/-mm/-hist folds read every
+    // pixel of a raster, so the /16 batching the header-only harvesters
+    // use would serialize 16 exact folds inside one task. Header-only
+    // probes (harvestCatalog/harvestResolutions) keep the batching —
+    // their per-file cost is a ~KB ranged read where scheduling dominates.
+    spark.sparkContext.parallelize(uris, math.max(1, uris.length))
       .map { uri =>
         HadoopConfs.install(confBytes)
         val t = GeoTiff.open(uri)

@@ -22,7 +22,10 @@ import org.apache.hadoop.conf.Configuration
   * calling task's THREAD to its own configuration. Two SparkSessions with
   * different hadoop confs sharing one executor no longer thrash a single
   * slot, and a task of job A that calls install-then-get around job B's
-  * install still reads A's endpoint/credentials.
+  * install still reads A's endpoint/credentials. Helper threads inherit
+  * their spawning task thread's binding (InheritableThreadLocal, ADVICE
+  * r15); a thread with no inherited binding falls back to the JVM-wide
+  * last install only while it is unambiguous (one distinct conf seen).
   */
 object HadoopConfs {
   private final class Key(val bytes: Array[Byte]) {
@@ -46,13 +49,25 @@ object HadoopConfs {
 
   /** The configuration the CURRENT task thread installed — the authoritative
     * binding (task closures call install() at their top, and the read path
-    * runs on the same thread). */
-  private val current = new ThreadLocal[Configuration]
-  /** JVM-wide most-recent install: fallback for helper threads that never
-    * installed (e.g. lazily-opened shared reader handles). */
+    * runs on the same thread). INHERITABLE (ADVICE r15): a helper/IO thread
+    * spawned by a bound task thread gets its PARENT's binding at creation,
+    * so job A's helpers keep reading A's endpoint/credentials even after a
+    * concurrent job B installs — the last-wins slot is no longer their
+    * fallback. */
+  private val current = new InheritableThreadLocal[Configuration]
+  /** JVM-wide most-recent install: fallback ONLY while this JVM has seen a
+    * single distinct configuration (single-session executors — the common
+    * case — where it is unambiguous). Once a second distinct conf installs,
+    * an unbound thread gets the classpath default instead: failing loudly
+    * (missing credentials) beats silently borrowing another job's. */
   @volatile private var lastInstalled: Configuration = _
+  @volatile private var distinctSeen: Int = 0
   /** Lazily-built classpath default for driver-side / test use. */
   @volatile private var classpathDefault: Configuration = _
+
+  /** Clear the calling thread's binding (test hook: lets a spec construct
+    * a thread lineage with no inherited configuration). */
+  private[sources] def unbind(): Unit = current.remove()
 
   /** Serialize the driver's configuration for closure capture. */
   def capture(conf: Configuration): Array[Byte] = {
@@ -75,6 +90,7 @@ object HadoopConfs {
       // keep a valid Configuration for their own thread binding
       cache.put(k, conf)
       c = conf
+      distinctSeen += 1 // racy increment is fine: only the 1-vs-many bit matters
     }
     current.set(c)
     lastInstalled = c
@@ -88,7 +104,10 @@ object HadoopConfs {
     val mine = current.get()
     if (mine != null) mine
     else {
-      val last = lastInstalled
+      // unambiguous only while ONE distinct conf has ever installed here;
+      // under concurrent multi-session executors an unbound thread must
+      // not guess between jobs' credentials (ADVICE r15)
+      val last = if (distinctSeen <= 1) lastInstalled else null
       if (last != null) last
       else {
         var d = classpathDefault

@@ -62,4 +62,39 @@ class HadoopConfsSpec extends AnyFunSuite {
     t.start(); t.join()
     assert(seen == "solo")
   }
+
+  test("helper threads INHERIT their spawner's binding, immune to later installs") {
+    // the r15 ADVICE defect: a helper/IO thread spawned by job A's task
+    // fell back to the JVM-wide last install, so job B installing later
+    // flipped A's helper onto B's credentials. InheritableThreadLocal
+    // copies A's binding at thread creation.
+    HadoopConfs.install(pack("graft.test.job" -> "A2"))
+    var seen: String = null
+    val helper = new Thread(() => {
+      val b = new Thread(() =>
+        HadoopConfs.install(pack("graft.test.job" -> "B2")))
+      b.start(); b.join() // B's install lands BEFORE the helper reads
+      seen = HadoopConfs.get.get("graft.test.job")
+    })
+    helper.start(); helper.join()
+    assert(seen == "A2")
+  }
+
+  test("an unbound thread refuses to guess between multiple jobs' confs") {
+    // once two distinct confs have installed in this JVM, a thread with no
+    // binding anywhere in its lineage gets the classpath default (missing
+    // credentials fail loudly) instead of whichever job installed last
+    HadoopConfs.install(pack("graft.test.job" -> "X"))
+    HadoopConfs.install(pack("graft.test.job" -> "Y"))
+    var seen: String = "unset"
+    val parent = new Thread(() => {
+      HadoopConfs.unbind() // sever the lineage before spawning
+      val child = new Thread(() => {
+        seen = HadoopConfs.get.get("graft.test.job")
+      })
+      child.start(); child.join()
+    })
+    parent.start(); parent.join()
+    assert(seen == null)
+  }
 }
