@@ -49,21 +49,25 @@ object Dedup {
     * never saw them). */
   def minhashSignatures(docs: DataFrame, k: Int, keep: Seq[String] = Nil): DataFrame = {
     val carried = ("doc_id" +: keep).map(col)
-    // bind the distinct-token array to an attribute ONCE; the filter and the
-    // fold both read `__toks`, so the regex split is not re-planned into
-    // every consumer (the split is the most expensive scalar here)
-    val toks = docs
-      .select(carried :+ array_distinct(tokens(col("text"))).as("__toks"): _*)
-      .filter(size(col("__toks")) > 0)
-    val hashed = transform(col("__toks"), t => hash32(t))
-    val mins = aggregate(hashed, array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc,
-        array((0 until k).map(i => minhashTerm(h, i)): _*),
-        (a, m) => least(a, m)))
-    toks
-      .select(carried :+ mins.as("__mins"): _*)
-      .select(carried ++
-        (0 until k).map(i => element_at(col("__mins"), i + 1).as(s"mh$i")): _*)
+    // ONE primitive-loop kernel call per document (TextKernels.MinHashSig,
+    // round 16): per token, one MD5 over raw bytes + k fused multiply-min
+    // updates in a JIT'd loop. The HOF fold this replaces ran interpreted
+    // per token per permutation (zip_with allocating the accumulator each
+    // step, the md5 hex string re-parsed through conv) — the dominant
+    // scalar cost of signature building once the bench stopped letting
+    // count() prune it. Bit-identical output (TextKernelsSpec asserts the
+    // kernel against the HOF form); duplicate tokens need no distinct —
+    // min is idempotent. The split stays in Catalyst (codegen'd); docs
+    // with no surviving token yield a null signature and are dropped,
+    // exactly the rows the old size(__toks) > 0 filter removed.
+    val sigs = docs
+      .select(carried :+ graft.functions.TextKernels
+        .minhashSig(split(lower(col("text")), "\\s+"), k).as("__mins"): _*)
+      .filter(col("__mins").isNotNull)
+    // __mins is a multi-referenced non-cheap alias: CollapseProject keeps
+    // the barrier, so the kernel runs once per row, not k times
+    sigs.select(carried ++
+      (0 until k).map(i => element_at(col("__mins"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH band buckets: rows of (band, bucket, doc_id). Docs sharing a
@@ -341,27 +345,19 @@ object Dedup {
     * per position (votes > 0 ⟺ 2·ones > n), and the count array crosses a
     * projection barrier before the per-bit select so the fold runs once,
     * not `bits` times. */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    // same single-binding discipline as minhashSignatures: the distinct-token
-    // array becomes an attribute, and the filter, the fold, and __n all read
-    // it — the regex split plans once instead of three times per row
-    val toks = docs
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("__toks"))
-      .filter(size(col("__toks")) > 0)
-    val hashed = transform(col("__toks"), t => hash32(t))
-    val ones = aggregate(hashed, array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc,
-        array((0 until bits).map(b => shiftright(h, b) % 2): _*),
-        (a, o) => a + o))
-    val sig = (0 until bits).map { b =>
-      when(element_at(col("__ones"), b + 1) * 2 > col("__n"), lit(1L << b))
-        .otherwise(0L)
-    }.reduce(_ + _)
-    toks
-      .select(col("doc_id"), ones.as("__ones"),
-        size(col("__toks")).cast("long").as("__n"))
-      .select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame =
+    // one primitive kernel call per document (TextKernels.SimHashSig,
+    // round 16 — same altitude move as minhashSignatures above): dedupe
+    // tokens in a per-row hash set (distinctness matters here: each
+    // distinct token votes once per bit), one MD5 per distinct token,
+    // `bits` add-bit updates, sign fold. Replaces an interpreted HOF fold
+    // PLUS a bits-wide CaseWhen chain per row. Bit-identical
+    // (TextKernelsSpec); null-signature rows are the empty-token docs the
+    // old size filter dropped.
+    docs
+      .select(col("doc_id"), graft.functions.TextKernels
+        .simhashSig(split(lower(col("text")), "\\s+"), bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Span-level duplicate statistics — the paragraph-dedup analog
     * (RefinedWeb/CCNet strip duplicated *lines* across a corpus; for

@@ -552,14 +552,15 @@ object TextOps {
     * portable token hashes mod p — a rolling-hash-class fingerprint that
     * both Spark and the DuckDB oracle can compute exactly.
     * fp = Σ h(tokᵢ)·(2i+1) mod p. */
-  def fingerprint(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val hashed = transform(toks, t => PortableHash.hash32(t))
-    aggregate(
-      zip_with(hashed, sequence(lit(0), greatest(size(hashed) - 1, lit(0))),
-        (h, i) => h * (i * 2 + 1)),
-      lit(0L), (acc, v) => (acc + v) % lit(PortableHash.prime))
-  }
+  def fingerprint(text: Column): Column =
+    // one primitive kernel call per document (TextKernels.TokenFingerprint,
+    // round 16): per non-empty token, one MD5 + one fused multiply-add-mod
+    // in a JIT'd loop, position counting kept tokens exactly like the old
+    // filter→sequence→zip_with→aggregate HOF chain did — which ran
+    // interpreted per token and was 3.7× under-measured under the old
+    // count() bench action. Bit-identical (TextKernelsSpec), including the
+    // null result for docs with no tokens.
+    graft.functions.TextKernels.fingerprint(split(lower(text), "\\s+"))
 
   /** Bigram-LM surprisal — the CCNet-class perplexity filter: score each
     * document by the mean negative log-likelihood of its token bigrams
