@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is FILE-backed: every decode/encode of
+  // an in-memory payload creates and deletes a temp file — at corpus scale
+  // that is one filesystem round-trip PER IMAGE and dominated the m6 aHash
+  // pass (tiny PNGs: the codec work is microseconds, the temp file is
+  // hundreds). Memory-cached streams are the correct mode for byte-array
+  // payloads; set once when this decoder class loads in the executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media-asset schema: one row per asset. The binary payload is
     * last so column pruning can drop it when only metadata is queried. */
   val mediaSchema: StructType = StructType(Seq(
@@ -49,11 +57,36 @@ object Multimodal {
     * not a decodable image; luminance is the ITU-R BT.601 integer
     * approximation ((299 R + 587 G + 114 B) / 1000) for color rasters,
     * the sample itself for grayscale. */
+  /** Per-thread pinned PNG reader: `ImageIO.read` re-runs service-registry
+    * format discovery and reader construction on EVERY call — at tiny-image
+    * corpus scale that housekeeping costs more than the actual inflate.
+    * Payloads carrying the PNG magic go through the pinned reader (reset
+    * via setInput per image, the codec-context-per-partition pattern the
+    * mapInPandas twin would use); everything else (BMP/GIF/corrupt) falls
+    * back to the stock discovery path. */
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    }
+  }
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && java.util.Arrays.equals(p, 0, 8, PngMagic, 0, 8)
+
   def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (payload == null) return None
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      try {
+        val pinned = if (isPng(payload)) pngReader.get() else null
+        if (pinned != null) {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try { pinned.setInput(iis, true, true); pinned.read(0) }
+          finally iis.close()
+        } else
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      } catch { case _: java.io.IOException => null }
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     val gray = img.getColorModel.getNumComponents == 1
@@ -145,8 +178,23 @@ object Multimodal {
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, height, pixels)
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    // pinned per-thread writer, same rationale as the pinned reader: the
+    // corpus builder encodes one PNG per row and ImageIO.write's per-call
+    // writer discovery dwarfs the deflate of a tiny image
+    val w = pngWriter.get()
+    if (w != null) {
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try { w.setOutput(ios); w.write(img); ios.flush() }
+      finally ios.close()
+    } else javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    }
   }
 
   /** Deterministic synthetic PNG corpus keyed by an id column: asset i is a
