@@ -321,4 +321,20 @@ class PlanContractSpec extends SparkSpec {
     val stale = auditedGlobalWindows.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist entries for dead queries: $stale")
   }
+
+  test("signature builders run the primitive kernels, not interpreted HOF folds") {
+    // round 16 moved minhash/simhash/fingerprint to per-document
+    // primitive-loop expressions (TextKernels); a regression to the HOF
+    // forms (transform/zip_with/aggregate — no codegen, interpreted per
+    // token per permutation) would re-open the dedup pipeline's dominant
+    // scalar cost at corpus scale
+    Seq("d2_minhash_sig" -> "minhash_sig",
+        "d4_simhash" -> "simhash_sig",
+        "t4_fingerprint" -> "token_fingerprint").foreach { case (q, kernel) =>
+      val p = plan(q)
+      assert(p.contains(kernel), s"$q must call $kernel: ${p.take(1200)}")
+      assert(!p.contains("zip_with") && !p.contains("aggregate(lambda"),
+        s"$q must not fold signatures through HOFs: ${p.take(1200)}")
+    }
+  }
 }

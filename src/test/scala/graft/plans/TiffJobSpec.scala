@@ -177,6 +177,55 @@ class TiffJobSpec extends SparkSpec {
     assert(base(0) == v(384, 384))
   }
 
+  test("writeTiles overviewMethod=cubic sinks TRUE cubic pixels (round 16)") {
+    import spark.implicits._
+    // an impulse field discriminates cubic from nearest AND average (a
+    // linear ramp cannot: box average == bilinear == cubic on linear
+    // fields at k=2). Background 256, +256 impulses on a sparse lattice;
+    // the half-phase cubic taps are ±1/16 and 9/16, so every weighted sum
+    // is an exact integer — byte-stable through the uint16 sink.
+    val ovSpec = spec.copy(grid = "90/768", calc = None, noData = None)
+    val g = ovSpec.gridDef
+    val B = g.blockSize; val id = g.tileId(0); val b0 = g.tileBounds(id)
+    def v(gx: Int, gy: Int): Double =
+      if (gx % 7 == 3 && gy % 5 == 2) 512.0 else 256.0
+    val rows = for (br <- 0 until 2; bc <- 0 until 2) yield
+      (id, b0.left, b0.top, br, bc,
+        Seq.tabulate(B * B)(i => v(bc * B + i % B, br * B + i / B)))
+    val blocks = rows.toDF("tile_id", "left", "top", "block_row", "block_col", "band_1")
+    val outDir = dir("outOvrCubic")
+    GeoTiffSpark.writeTiles(blocks, ovSpec, outDir,
+      overviewFactors = Seq(2), overviewMethod = "cubic").collect()
+    val levels = GeoTiff.openAll(s"$outDir/$id.tif")
+    assert(levels.map(_.profile.width) == Seq(768, 384))
+    val ovr = levels(1).readTile(1, 0, 0)
+    // independent tap reference (hardcoded — NOT ResampleTaps): output
+    // (X, Y) gathers base (2X+dx, 2Y+dy), dx,dy in -1..2, w = cubicW(d-.5)
+    val w = Array(-1.0 / 16, 9.0 / 16, 9.0 / 16, -1.0 / 16)
+    var checked = 0
+    for (y <- 0 until 384 by 11; x <- 0 until 384 by 13
+         // interior to the generating quarter: the per-block kernel has no
+         // halo, so taps must not cross the 192-px quarter seam
+         if x % 192 >= 1 && x % 192 <= 190 && y % 192 >= 1 && y % 192 <= 190) {
+      var exp = 0.0
+      for (dy <- -1 to 2; dx <- -1 to 2)
+        exp += w(dx + 1) * w(dy + 1) * v(2 * x + dx, 2 * y + dy)
+      assert(ovr(y * 384 + x) == exp, s"cubic ovr ($x,$y)")
+      checked += 1
+    }
+    assert(checked > 900) // the sparse sample still covers every quarter
+    // and it is genuinely cubic: some sampled pixel must differ from both
+    // the nearest pick and the 2x2 box average
+    val differs = (0 until 384).exists { x =>
+      val y = 1 // source rows 1..4 include impulse row gy=2 (gy%5==2)
+      val near = v(2 * x, 2 * y)
+      val avg = (v(2 * x, 2 * y) + v(2 * x + 1, 2 * y) +
+        v(2 * x, 2 * y + 1) + v(2 * x + 1, 2 * y + 1)) / 4
+      ovr(y * 384 + x) != near && ovr(y * 384 + x) != avg
+    }
+    assert(differs, "cubic output indistinguishable from nearest/average")
+  }
+
   test("symbology bake -> 4-band RGBA tiff: gradient colors land on disk") {
     import spark.implicits._
     import graft.core.{RGBA, Symbology}
