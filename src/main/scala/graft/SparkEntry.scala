@@ -696,13 +696,33 @@ object SparkEntry {
         .orderBy("tile_id")
     }
 
-    /** J2: tile ⋈ source-files inner spatial join → (tile, file) work list. */
+    /** J2: tile ⋈ source-files inner spatial join → (tile, file) work list.
+      *
+      * Cell-keyed equi-join (round 16 — was a broadcast nested-loop bbox
+      * join, O(tiles × files) predicate evals: 130M at sf1 and the wrong
+      * curve entirely for a 100-TB catalog): each footprint explodes to
+      * the 10°-lattice cells its bbox overlaps (bounded fan-out — a
+      * footprint spans ⌈w/10⌉+1 × ⌈h/10⌉+1 cells), each tile lives in
+      * exactly ONE cell, so candidate pairs meet in precisely one cell
+      * (no dedup) and the exact bbox predicate runs only on candidates.
+      * Work drops from |tiles|·|files| to |files|·cells + |candidates|,
+      * and both sides shuffle-join on the cell key at any scale. Strict
+      * (<) overlap semantics preserved by the residual predicate —
+      * touching-only footprints land in a cell but never match. */
     def j2_file_catalog_join(s: SparkSession, d: String): DataFrame = {
       val tiles = LatLngGrid(10, 40000).tilesDF(s)
-      val fp = broadcast(footprints(s, d))
-      tiles.join(fp,
-          col("left") < col("f_right") && col("f_left") < col("right") &&
-            col("bottom") < col("f_top") && col("f_bottom") < col("top"))
+        .withColumn("cx", floor((col("left") + 180) / 10).cast("int"))
+        .withColumn("cy", floor((col("bottom") + 90) / 10).cast("int"))
+      val fp = footprints(s, d)
+        .withColumn("cx", explode(sequence(
+          greatest(floor((col("f_left") + 180) / 10).cast("int"), lit(0)),
+          least(floor((col("f_right") + 180) / 10).cast("int"), lit(35)))))
+        .withColumn("cy", explode(sequence(
+          greatest(floor((col("f_bottom") + 90) / 10).cast("int"), lit(0)),
+          least(floor((col("f_top") + 90) / 10).cast("int"), lit(17)))))
+      tiles.join(fp, Seq("cx", "cy"))
+        .filter(col("left") < col("f_right") && col("f_left") < col("right") &&
+          col("bottom") < col("f_top") && col("f_bottom") < col("top"))
         .groupBy("tile_id")
         .agg(count(lit(1)).as("n_files"))
         .orderBy("tile_id")
@@ -3904,24 +3924,31 @@ object SparkEntry {
       * (NOT EXISTS → left-anti). The late relation is pinned: it feeds
       * the probe side and both correlated legs. */
     def q21_waiting_supplier(s: SparkSession, d: String): DataFrame = {
-      val late = graft.core.Caching.shared(
-        li(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
-            col("o_orderkey") === col("l_orderkey"))
-          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select(col("l_orderkey"), col("l_suppkey")).distinct())
-      // no distinct: the left_semi probe only checks existence, so the
-      // dedup aggregate over the full fact table is pure wasted shuffle
-      val allSupp = li(s, d)
-        .select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk"))
-      late
-        .join(allSupp,
-          col("__ok") === col("l_orderkey") && col("__sk") =!= col("l_suppkey"),
-          "left_semi")
-        .join(late.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2")),
-          col("__ok2") === col("l_orderkey") && col("__sk2") =!= col("l_suppkey"),
-          "left_anti")
-        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      // The EXISTS/NOT-EXISTS pair is ONE per-order aggregate in disguise
+      // (round 16 — was a triple self-join paying two extra full-fact
+      // probe shuffles, the slowest honest sf1 entry): a (supplier, order)
+      // wins iff the supplier is late on the order, the order has ≥2
+      // distinct suppliers, and exactly ONE distinct supplier is late —
+      // and with nlate = 1 the winning supplier is recoverable from the
+      // same aggregate as max(late supplier). Shape: fact ⋈ orders (the
+      // join the late set always needed) → distinct (order, supplier,
+      // any-line-late) pairs [the one full-fact exchange] → per-order
+      // counts [pairs only] → broadcast supplier dim. Row-for-row
+      // identical to the correlated form; the oracle is unchanged.
+      val pairs = li(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("is_late"))
+      val perOrder = pairs.groupBy("l_orderkey").agg(
+        count(lit(1)).as("nsupp"),
+        count(when(col("is_late"), lit(1))).as("nlate"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_sk"))
+      perOrder
+        .filter(col("nsupp") > 1 && col("nlate") === 1)
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("late_sk"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     }

@@ -48,6 +48,13 @@ object TextKernels {
   def simhashSig(tokens: Column, bits: Int): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(tokens), bits))
 
+  /** Per-document term frequencies: array<struct<tok,tf>> (null if no
+    * tokens). Term counting is doc-LOCAL — as a kernel it needs no
+    * exchange at all, where the explode→groupBy(doc, tok) form it
+    * replaces shuffled one row per corpus token occurrence. */
+  def termCounts(tokens: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(tokens)))
+
   /** MessageDigest is stateful — one per thread, reset per token. */
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -136,6 +143,56 @@ case class TokenFingerprint(child: Expression)
       i += 1
     }
     if (idx == 0) null else java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Term-frequency fold of one document: (token → occurrence count) over
+  * non-empty tokens, emitted as array<struct<tok string, tf bigint>> in
+  * first-seen order (deterministic; consumers aggregate or join, so order
+  * carries no semantics). Null when no token survives — explode() then
+  * drops the row exactly like the old empty explode did. */
+case class TermCounts(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "term_counts"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          val slot = counts.get(t)
+          if (slot != null) slot(0) += 1
+          // defensive copy: the array element may be a view over a shared
+          // buffer that later elements overwrite
+          else counts.put(t.clone(), Array(1L))
+        }
+      }
+      i += 1
+    }
+    if (counts.isEmpty) null
+    else {
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](e.getKey, e.getValue()(0)))
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

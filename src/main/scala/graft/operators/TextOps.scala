@@ -278,19 +278,24 @@ object TextOps {
     * 1-row broadcast total, and a token-keyed equi-join back (the
     * frequency table is vocabulary-sized — broadcastable in practice). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    // per-doc kernel tf (see termFreqs): the per-token micro quantization
+    // happens BEFORE the per-doc sum, so Σ over occurrences ≡ Σ tf·micro
+    // over distinct terms — exact integer equality, and the pinned
+    // relation shrinks from corpus occurrences to distinct (doc, term)
+    // pairs built with no exchange
+    val tok = graft.core.Caching.shared(termFreqs(docs))
     // the frequency table feeds the total AND the join probe; without the
-    // persist the second consumer re-runs the whole corpus explode+aggregate.
+    // persist the second consumer re-runs the whole corpus tokenize.
     // It is vocabulary-sized — the cheap thing to pin at 100 TB.
     val freq = graft.core.Caching.shared(
-      tok.groupBy("tok").agg(count(lit(1)).as("__tf")))
+      tok.groupBy("tok").agg(sum(col("tf")).as("__tf")))
     val total = freq.agg(sum(col("__tf")).as("__total"))
     tok.join(freq, "tok")
       .crossJoin(broadcast(total))
       .withColumn("__micro",
         floor(-log(col("__tf").cast("double") / col("__total")) * 1e6 + 0.5).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("__micro").as("__sum"))
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("__micro")).as("__sum"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("__sum").cast("double") / col("n_tokens") / 1e6, 4).as("surprisal"))
   }
@@ -308,13 +313,20 @@ object TextOps {
     * model census and the scoring join; both model tables are
     * vocabulary-sized; totals ride as a 1-row broadcast. */
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    // per-doc kernel tf (see termFreqs): per-token micro-nats quantize
+    // before the doc sum, so Σ over occurrences ≡ Σ tf·micro over
+    // distinct terms — exact; the pinned relation shrinks to distinct
+    // (doc, term, tf) pairs built with no exchange
     val tok = graft.core.Caching.shared(
       docs.select(col("doc_id"), isTarget.as("__tgt"),
-        explode(Dedup.tokens(col("text"))).as("tok")))
+        explode(graft.functions.TextKernels
+          .termCounts(split(lower(col("text")), "\\s+"))).as("__tc"))
+        .select(col("doc_id"), col("__tgt"),
+          col("__tc.tok").as("tok"), col("__tc.tf").as("tf")))
     // vocabulary-sized; feeds the totals AND the scoring join
     val freq = graft.core.Caching.shared(tok.groupBy("tok").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
-      count(lit(1)).as("__call")))
+      sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("__ct"),
+      sum(col("tf")).as("__call")))
     val totals = freq.agg(sum("__ct").as("__nt"), sum("__call").as("__nc"),
       count(lit(1)).as("__v"))
     tok.join(freq, "tok")
@@ -324,15 +336,25 @@ object TextOps {
           log((col("__call") + 1).cast("double") / (col("__nc") + col("__v"))))
           * 1e6 + 0.5).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("__micro").as("logweight_micro"))
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("__micro")).as("logweight_micro"))
   }
 
+  /** The (doc_id, tok, tf) relation every sparse-text scorer starts from,
+    * via the per-document kernel fold (TextKernels.termCounts, round 16):
+    * term counting is doc-LOCAL, so as a kernel it needs NO exchange,
+    * where the old explode→groupBy(doc_id, tok) shuffled one row per
+    * corpus token occurrence — at 100 TB the largest exchange of every
+    * tf-consuming pipeline. Identical rows; downstream df/dl aggregates
+    * keep their (distinct-pair-sized) exchanges. */
+  private[operators] def termFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(graft.functions.TextKernels
+        .termCounts(split(lower(col("text")), "\\s+"))).as("__tc"))
+      .select(col("doc_id"), col("__tc.tok").as("tok"), col("__tc.tf").as("tf"))
+
   def tfidf(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     // tf feeds both the weight projection and the df aggregate; persist so
-    // the corpus explode+combine runs once (PLANS.md flagged the re-derive)
-    val tf = graft.core.Caching.shared(
-      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    // the corpus tokenize+count runs once (PLANS.md flagged the re-derive)
+    val tf = graft.core.Caching.shared(termFreqs(docs))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
     tf.join(dfreq, "tok")
@@ -364,11 +386,10 @@ object TextOps {
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     // tf feeds doc lengths, document frequencies, AND the scored relation —
-    // pin it once (vocabulary × doc sized, the cheap thing at 100 TB)
-    val tf = graft.core.Caching.shared(
-      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    // pin it once (vocabulary × doc sized, the cheap thing at 100 TB);
+    // built shuffle-free by the per-doc kernel (see termFreqs)
+    val tf = graft.core.Caching.shared(termFreqs(docs))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     // df is only ever consumed for the query terms — filter BEFORE the
@@ -402,9 +423,7 @@ object TextOps {
     * score time as dl_total / n_docs — exact-integer division to double,
     * immune to float-accumulation order). */
   def bm25Stats(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-    val tf = graft.core.Caching.shared(
-      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val tf = graft.core.Caching.shared(termFreqs(docs))
     val terms = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"), col("df"), lit(0L).as("dl_total"), lit(0L).as("n_docs"))
     val corpus = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -442,9 +461,7 @@ object TextOps {
   def bm25WithStats(docs: DataFrame, stats: DataFrame, queryTerms: Seq[String],
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-    val tf = graft.core.Caching.shared(
-      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val tf = graft.core.Caching.shared(termFreqs(docs))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = stats.filter(col("tok") === "").select(col("n_docs"),
       (col("dl_total").cast("double") / col("n_docs")).as("avgdl"))
@@ -839,9 +856,7 @@ object TextOps {
     * query term (the posting-list prune); top-k is TakeOrdered, never a
     * global sort. */
   def sparseRetrieval(docs: DataFrame, queryDocId: Long, k: Int = 20): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-    val tf = graft.core.Caching.shared(
-      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val tf = graft.core.Caching.shared(termFreqs(docs))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
     val w = graft.core.Caching.shared(
@@ -873,17 +888,15 @@ object TextOps {
     * (the standard hashing-trick tradeoff, dialed by `dim`). */
   def featureHash(docs: DataFrame, dim: Int = 64): DataFrame = {
     require(dim >= 2, "dim must be >= 2")
-    docs
-      .select(col("doc_id"),
-        explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
-      // pre-aggregate (doc, term) so the md5-affine portable hash prices
-      // once per distinct term per doc, not once per occurrence (same
-      // discipline as Sketch.countMin); collision folding is unchanged —
-      // Σ over occurrences of bucket increments = Σ over terms of tf
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__w"))
+    // per-doc kernel tf (no exchange — see termFreqs) so the md5-affine
+    // portable hash prices once per distinct term per doc, not once per
+    // occurrence (same discipline as Sketch.countMin); collision folding
+    // is unchanged — Σ over occurrences of bucket increments = Σ over
+    // terms of tf
+    termFreqs(docs)
       .select(col("doc_id"),
         (graft.functions.PortableHash.hash32(col("tok")) % dim).as("idx"),
-        col("__w"))
+        col("tf").as("__w"))
       .groupBy("doc_id", "idx")
       .agg(sum("__w").as("cnt"))
   }
