@@ -55,6 +55,12 @@ object TextKernels {
   def termCounts(tokens: Column): Column =
     ColumnBridge.column(TermCounts(ColumnBridge.expression(tokens)))
 
+  /** |a ∩ b| over two string arrays (exact count of distinct matches —
+    * duplicates in either side count once). */
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(IntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** MessageDigest is stateful — one per thread, reset per token. */
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -197,6 +203,44 @@ case class TermCounts(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Distinct-intersection size of two token-set arrays — the pair-local
+  * half of an exact Jaccard verify: hash-set build over the smaller side,
+  * probe from the larger, each distinct match counted once. One kernel
+  * call per candidate PAIR replaces a token-keyed join + count aggregate
+  * (an O(pairs·tokens) exchange) in the candidates-verify pipeline. */
+case class IntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+  override def prettyName: String = "intersect_count"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var a = l.asInstanceOf[ArrayData]
+    var b = r.asInstanceOf[ArrayData]
+    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
+    val small = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (!a.isNullAt(i)) small.add(a.getUTF8String(i).clone())
+      i += 1
+    }
+    var n = 0L
+    val nb = b.numElements()
+    var j = 0
+    while (j < nb) {
+      // remove-on-match: duplicates on the probe side count once
+      if (!b.isNullAt(j) && small.remove(b.getUTF8String(j))) n += 1
+      j += 1
+    }
+    java.lang.Long.valueOf(n)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SimHash of one document: per bit b < bits, count DISTINCT tokens whose

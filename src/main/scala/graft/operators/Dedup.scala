@@ -532,23 +532,26 @@ object Dedup {
         val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
         transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
       })
-    // both sides of the intersection join read this relation; persist so
-    // the corpus shingle explode runs once, not once per side
-    val shingled = graft.core.Caching.shared(
-      docs.select(col("doc_id"), explode(shingles).as("tok")))
-    // set size per doc is a narrow map over the doc row — NOT an
-    // explode + groupBy re-shuffle of the whole token relation
-    val sizes = docs.select(col("doc_id"), size(shingles).as("sz"))
-    // intersection via token-keyed join:
-    val t1 = shingled.select(col("doc_id").as("doc1"), col("tok"))
-    val t2 = shingled.select(col("doc_id").as("doc2"), col("tok"))
-    val interCnt = pairs.join(t1, "doc1").join(t2, Seq("doc2", "tok"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    // pair-LOCAL intersection (round 16): attach each side's distinct
+    // shingle SET to the pair (two doc-keyed joins of ~word-sized arrays)
+    // and count the overlap in one primitive kernel call per pair
+    // (TextKernels.IntersectCount, hash-set build + probe). The
+    // token-keyed join + count aggregate this replaces exchanged
+    // O(pairs · tokens) rows and re-aggregated them per pair — same
+    // bytes moved as the set arrays, but two extra shuffle stages and
+    // the chain that made d5's wall time swing 2× between quiet runs.
+    // Both joins read this relation; persist so the corpus shingle
+    // build runs once, not once per side.
+    val docSets = graft.core.Caching.shared(
+      docs.select(col("doc_id"), shingles.as("__set")))
     pairs
-      .join(interCnt, Seq("doc1", "doc2"), "left")
-      .na.fill(0, Seq("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
-      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+      .join(docSets.select(col("doc_id").as("doc1"), col("__set").as("__s1")), "doc1")
+      .join(docSets.select(col("doc_id").as("doc2"), col("__set").as("__s2")), "doc2")
+      .withColumn("inter",
+        graft.functions.TextKernels.intersectCount(col("__s1"), col("__s2")))
+      .withColumn("sz1", size(col("__s1")))
+      .withColumn("sz2", size(col("__s2")))
+      .drop("__s1", "__s2")
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }

@@ -102,6 +102,38 @@ class TextKernelsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
   }
 
+  test("TermCounts matches explode+groupBy term frequencies exactly") {
+    val kern = docs.select(col("doc_id"),
+        explode(TextKernels.termCounts(splitCol)).as("tc"))
+      .select(col("doc_id"), col("tc.tok"), col("tc.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val hof = docs.select(col("doc_id"), explode(hofTokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(kern == hof)
+  }
+
+  test("IntersectCount: distinct matches, duplicates count once, nulls skip") {
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d"), 2L),
+      (Seq("a", "a", "b"), Seq("a"), 1L),            // dup on build side
+      (Seq("a"), Seq("a", "a"), 1L),                 // dup on probe side
+      (Seq.empty[String], Seq("a"), 0L),
+      (Seq("x"), Seq.empty[String], 0L),
+      (Seq("中文", "café"), Seq("café", "x"), 1L))
+    rows.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(TextKernels.intersectCount(col("a"), col("b")))
+        .as[Long].collect()(0)
+      assert(got == want, s"$a ∩ $b")
+    }
+    // null input array → null out
+    val r = Seq((Option.empty[Seq[String]], Option(Seq("a"))))
+      .toDF("a", "b")
+      .select(TextKernels.intersectCount(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("kernel hash32 equals the portable column hash on unicode tokens") {
     val toks = Seq("the", "café", "中文", "x").map(t => Tuple1(t))
     val got = toks.toDF("t")
