@@ -713,13 +713,22 @@ object SparkEntry {
       val tiles = LatLngGrid(10, 40000).tilesDF(s)
         .withColumn("cx", floor((col("left") + 180) / 10).cast("int"))
         .withColumn("cy", floor((col("bottom") + 90) / 10).cast("int"))
+      // Guarded lattice explode (ADVICE r16): clamping start to the domain
+      // floor and stop to the domain ceiling makes start > stop for a
+      // footprint lying entirely OUTSIDE the grid domain, and Spark's
+      // sequence() then yields a DESCENDING range — spurious candidate
+      // cells (the residual bbox filter removed them, but out-of-domain
+      // rows should produce ZERO candidates, not a lattice-wide fan-out).
+      def cells(start: Column, stop: Column): Column =
+        explode(when(start <= stop, sequence(start, stop))
+          .otherwise(array().cast("array<int>")))
       val fp = footprints(s, d)
-        .withColumn("cx", explode(sequence(
+        .withColumn("cx", cells(
           greatest(floor((col("f_left") + 180) / 10).cast("int"), lit(0)),
-          least(floor((col("f_right") + 180) / 10).cast("int"), lit(35)))))
-        .withColumn("cy", explode(sequence(
+          least(floor((col("f_right") + 180) / 10).cast("int"), lit(35))))
+        .withColumn("cy", cells(
           greatest(floor((col("f_bottom") + 90) / 10).cast("int"), lit(0)),
-          least(floor((col("f_top") + 90) / 10).cast("int"), lit(17)))))
+          least(floor((col("f_top") + 90) / 10).cast("int"), lit(17))))
       tiles.join(fp, Seq("cx", "cy"))
         .filter(col("left") < col("f_right") && col("f_left") < col("right") &&
           col("bottom") < col("f_top") && col("f_bottom") < col("top"))
@@ -3290,9 +3299,28 @@ object SparkEntry {
     /** SemDeDup over the embedding corpus: deterministic LSH sign-bucket
       * clusters, every vector labeled with the lowest-id cosine-τ duplicate
       * in its bucket (null = kept representative). */
-    def e6_semantic_dedup(s: SparkSession, d: String): DataFrame =
-      Similarity.semanticDup(Tables.embeddings(s, d), dim = 64, bits = 6, tau = 0.3)
+    /** e6 bucket-granularity dials, shared with the oracle generator so the
+      * two sides replay the identical integer ladder. */
+    val E6TargetBucket = 24
+    val E6MinBits = 4
+    val E6MaxBits = 16
+    val E6BucketCap = 192
+
+    def e6_semantic_dedup(s: SparkSession, d: String): DataFrame = {
+      // Adaptive bucket granularity + skew fuse (VERDICT r16 #1): the old
+      // fixed bits=6 held the bucket COUNT constant while the corpus grew,
+      // so within-bucket pairwise work was quadratic in n (measured 14.7×
+      // exec for 10× data at sf1). bits now scales with corpus size so
+      // expected occupancy stays ≤ E6TargetBucket (pairs ~ n·target,
+      // linear), and maxBucketSize drops degenerate hash-skew buckets
+      // exactly like d3/d6 do. The sizing count() is parquet-metadata
+      // cheap; at 100 TB it is one footer sweep.
+      val emb = Tables.embeddings(s, d)
+      val bits = Similarity.adaptiveBits(emb.count(), E6TargetBucket, E6MinBits, E6MaxBits)
+      Similarity.semanticDup(emb, dim = 64, bits = bits, tau = 0.3,
+          maxBucketSize = E6BucketCap)
         .orderBy("vec_id")
+    }
 
     /** Symmetric int8 quantization of embeddings (storage path of a 100 TB
       * vector corpus): scale = max|x|, q = ⌊127x/scale + 0.5⌋. Summarized
@@ -8122,15 +8150,28 @@ object SparkEntry {
           |ORDER BY id1, id2""".stripMargin,
 
       "e6_semantic_dedup" -> {
+        // Mirrors Q.e6_semantic_dedup exactly (VERDICT r16 #1): the bit
+        // count comes from the SAME integer ladder (adaptiveBits), computed
+        // here in SQL from count(*), so the oracle stays green at every SF
+        // while the measured curve is linear; the over-cap bucket drop
+        // (maxBucketSize) is replayed as a HAVING filter on BOTH join
+        // sides — dropped vectors surface as kept representatives, same as
+        // the Spark side's left-anti.
         def planeLit(p: Int): String =
           (0 until 64).map(dd => Similarity.planeComponent(p, dd).toString).mkString("[", ", ", "]")
-        val bucketOf = (v: String) => (0 until 6).map { p =>
-          s"CASE WHEN list_dot_product($v, ${planeLit(p)}) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+        val ladder = (Q.E6MinBits until Q.E6MaxBits)
+          .map(b => s"WHEN cnt <= ${Q.E6TargetBucket.toLong << b} THEN $b").mkString(" ")
+        val bucketOf = (v: String) => (0 until Q.E6MaxBits).map { p =>
+          s"CASE WHEN $p < nb.bits AND list_dot_product($v, ${planeLit(p)}) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
         }.mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |be AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e),
+        s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+           |nb AS (SELECT CASE $ladder ELSE ${Q.E6MaxBits} END AS bits FROM n),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |be AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e, nb),
+           |ok AS (SELECT bucket FROM be GROUP BY bucket HAVING count(*) <= ${Q.E6BucketCap}),
+           |bp AS (SELECT be.* FROM be JOIN ok USING (bucket)),
            |d AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
-           |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  FROM bp a JOIN bp b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |  WHERE list_dot_product(a.v, b.v) /
            |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
            |  GROUP BY b.vec_id)

@@ -23,8 +23,11 @@ object Multimodal {
   // that is one filesystem round-trip PER IMAGE and dominated the m6 aHash
   // pass (tiny PNGs: the codec work is microseconds, the temp file is
   // hundreds). Memory-cached streams are the correct mode for byte-array
-  // payloads; set once when this decoder class loads in the executor.
-  javax.imageio.ImageIO.setUseCache(false)
+  // payloads — but `ImageIO.setUseCache(false)` flips that JVM-GLOBALLY as
+  // a class-load side effect, silently switching every other ImageIO user
+  // in the executor onto heap-backed streams (ADVICE r16). Instead every
+  // path here wraps its byte array in an explicit
+  // MemoryCacheImageInput/OutputStream — same speed, zero global state.
 
   /** Canonical media-asset schema: one row per asset. The binary payload is
     * last so column pruning can drop it when only metadata is queried. */
@@ -84,8 +87,17 @@ object Multimodal {
             new java.io.ByteArrayInputStream(payload))
           try { pinned.setInput(iis, true, true); pinned.read(0) }
           finally iis.close()
-        } else
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        } else {
+          // explicit memory-cached stream: ImageIO.read(InputStream) would
+          // route through the JVM-global useCache temp-file default.
+          // ImageIO.read(ImageInputStream) closes the stream itself on the
+          // found-a-reader path, so the cleanup close must swallow the
+          // already-closed IOException rather than mask a good decode.
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try javax.imageio.ImageIO.read(iis)
+          finally { try iis.close() catch { case _: java.io.IOException => () } }
+        }
       } catch { case _: java.io.IOException => null }
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
@@ -186,7 +198,13 @@ object Multimodal {
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
       try { w.setOutput(ios); w.write(img); ios.flush() }
       finally ios.close()
-    } else javax.imageio.ImageIO.write(img, "png", out)
+    } else {
+      // same explicit memory-cached stream as the pinned path: the
+      // OutputStream overload would consult the JVM-global useCache flag
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try { javax.imageio.ImageIO.write(img, "png", ios); ios.flush() }
+      finally ios.close()
+    }
     out.toByteArray
   }
 

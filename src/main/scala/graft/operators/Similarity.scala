@@ -53,6 +53,20 @@ object Similarity {
   def planeComponent(p: Int, d: Int): Double =
     (((p * 1000003L + d) * 2654435761L % 1000L).toDouble / 1000.0 + 1.0) % 1.0 - 0.5
 
+  /** Smallest bit count b in [minBits, maxBits] with n ≤ targetBucket·2^b —
+    * the SemDeDup cluster-count dial expressed for the sign-LSH stand-in:
+    * bucket count tracks corpus size so EXPECTED occupancy stays ≤
+    * targetBucket and within-bucket pairwise work is ~n·targetBucket
+    * (linear in n), never the fixed-bits n²/2^b quadratic that a 10×
+    * corpus turns into ~100× pair evals (VERDICT r16 #1). Pure integer
+    * ladder — no float log2 edge cases — so an oracle replays the exact
+    * same comparisons. */
+  def adaptiveBits(n: Long, targetBucket: Int, minBits: Int, maxBits: Int): Int = {
+    var b = minBits
+    while (b < maxBits && n > (targetBucket.toLong << b)) b += 1
+    b
+  }
+
   /** b-bit LSH bucket id from sign bits of hyperplane dot products. */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column =
     (0 until bits).map { p =>

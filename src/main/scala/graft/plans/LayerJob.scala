@@ -289,7 +289,14 @@ object LayerJob {
     // and the only O(rows) term left. Below it, keep the driver render:
     // it is the reference-identical code path (upload_geometries.py:31-59)
     // and LayerJobSpec asserts the two renderers byte-identical.
-    if (manifest.count() > RenderCollectMax) {
+    //
+    // NOTE (ADVICE r16): even the streamed branch returns one driver-side
+    // String — the API's contract. Callers with multi-GB manifests (WM
+    // z≥14) should call [[writeTilesGeojson]] directly and keep a path;
+    // this method's String result is bounded only by driver heap. The
+    // threshold probe is a LIMIT count (stops scanning at the threshold),
+    // not a full count over millions of rows on every small render.
+    if (manifest.limit(RenderCollectMax.toInt + 1).count() > RenderCollectMax) {
       val tmp = java.nio.file.Files.createTempFile("tiles-", ".geojson")
       try {
         writeTilesGeojson(manifest, tmp.toString, tileStats)

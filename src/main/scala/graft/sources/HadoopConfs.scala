@@ -69,6 +69,11 @@ object HadoopConfs {
     * a thread lineage with no inherited configuration). */
   private[sources] def unbind(): Unit = current.remove()
 
+  /** Test hook: distinct conf payloads ever installed in this JVM — lets a
+    * spec assert the stampede/race accounting without resetting the
+    * JVM-global state other suites share. */
+  private[sources] def distinctCount: Int = distinctSeen
+
   /** Serialize the driver's configuration for closure capture. */
   def capture(conf: Configuration): Array[Byte] = {
     val bos = new ByteArrayOutputStream(8192)
@@ -84,13 +89,29 @@ object HadoopConfs {
     val k = new Key(bytes)
     var c = cache.get(k)
     if (c == null) {
-      val conf = new Configuration(false)
-      conf.readFields(new DataInputStream(new ByteArrayInputStream(bytes)))
-      // benign race: two first-tasks may both parse; last put wins and both
-      // keep a valid Configuration for their own thread binding
-      cache.put(k, conf)
-      c = conf
-      distinctSeen += 1 // racy increment is fine: only the 1-vs-many bit matters
+      // Distinct-conf accounting must be ATOMIC with the cache insert
+      // (ADVICE r16): a first-stage stampede of one job's tasks racing the
+      // unsynchronized path could each see a miss and over-count
+      // distinctSeen past 1 (permanently disabling the lastInstalled
+      // fallback for a single-session JVM), while two genuinely different
+      // confs racing could both read 0 and land on 1 (silently re-enabling
+      // the ambiguous credential-borrowing the counter exists to close).
+      // Collections.synchronizedMap guards on the wrapper itself, so this
+      // block shares the map's own mutex; double-checked get means only
+      // the true first task of a payload parses (no double-parse either).
+      cache.synchronized {
+        c = cache.get(k)
+        if (c == null) {
+          val conf = new Configuration(false)
+          conf.readFields(new DataInputStream(new ByteArrayInputStream(bytes)))
+          cache.put(k, conf)
+          c = conf
+          // monotone "ever seen" count: re-install after LRU eviction can
+          // double-count, but eviction needs >MaxCached distinct confs, so
+          // the only bit read (1-vs-many) is already settled by then
+          distinctSeen += 1
+        }
+      }
     }
     current.set(c)
     lastInstalled = c

@@ -55,6 +55,39 @@ class HadoopConfsSpec extends AnyFunSuite {
     assert(HadoopConfs.get.get("graft.test.job") == "A")
   }
 
+  test("first-task stampede on ONE payload counts exactly one distinct conf (ADVICE r16)") {
+    // the r16 ADVICE defect (a): many tasks of one job installing identical
+    // bytes concurrently could each see a cache miss and over-count
+    // distinctSeen past 1, permanently disabling the lastInstalled fallback
+    // for a single-session JVM
+    val bytes = pack("graft.test.stampede" -> ("s-" + System.nanoTime()))
+    val before = HadoopConfs.distinctCount
+    val n = 16
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val threads = (1 to n).map(_ => new Thread(() => {
+      barrier.await(); HadoopConfs.install(bytes)
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(HadoopConfs.distinctCount == before + 1)
+  }
+
+  test("two DIFFERENT payloads racing count two distinct confs (ADVICE r16)") {
+    // the r16 ADVICE defect (b): two different confs racing the
+    // unsynchronized read-increment could both read k and write k+1,
+    // under-counting and silently re-enabling the ambiguous
+    // credential-borrowing fallback the counter exists to close
+    val b1 = pack("graft.test.race" -> ("p1-" + System.nanoTime()))
+    val b2 = pack("graft.test.race" -> ("p2-" + System.nanoTime()))
+    val before = HadoopConfs.distinctCount
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val threads = (0 until n).map(i => new Thread(() => {
+      barrier.await(); HadoopConfs.install(if (i % 2 == 0) b1 else b2)
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(HadoopConfs.distinctCount == before + 2)
+  }
+
   test("helper threads that never installed fall back to the latest install") {
     HadoopConfs.install(pack("graft.test.job" -> "solo"))
     var seen: String = null
