@@ -64,6 +64,18 @@ object Bench {
     "e22_rerank", "t34_importance_weights", "x39_rolling_wau",
     "x36_gini", "r16_watershed", "t35_token_entropy")
 
+  /** The RDD-fixpoint / iterative family whose single-run sf1 numbers swing
+    * ±30-100% between quiet runs (VERDICT r16 #4, COVERAGE.md caveat):
+    * eager build-time fixpoint jobs dominate these, and one sample makes
+    * their per-query sf1 regressions unfalsifiable. These entries get a
+    * SECOND sf1 run (budget permitting); the record carries the min (what
+    * a warmed cluster job sees) plus the max/min spread per entry, so a
+    * reader can tell a real regression from run-to-run variance. */
+  val sf1MinOf2: Set[String] = Set(
+    "d5_jaccard_pairs", "d6_dedup_groups", "r16_watershed", "g9_hits",
+    "g7_label_prop", "g8_kcore", "g10_ppr", "g12_modularity",
+    "g4_pagerank", "g13_neigh_agg", "e12_kmeans_exact", "e13_pq_train")
+
   /** 1-minute load average from /proc/loadavg — recorded at start and end
     * so a contention-polluted run identifies itself in the record (the
     * round-9 driver run read 87.8 s against 58.9 s quiet purely from host
@@ -343,6 +355,23 @@ object Bench {
     // each section carries its own loadavg window and steal delta.
     val sf1LoadStart = if (sf1Enabled) loadavg() else -1.0
     val (sf1Steal0, sf1Jiffies0) = cpuJiffies()
+    /** One timed (build, plan, exec) run of a ledger query against `dir`,
+      * cache-released afterwards; None on failure (shared by the sf1 and
+      * sf10 sections — a failed query never masquerades as a timing). */
+    def timedOne(dir: String, name: String): Option[(Double, Double, Double)] =
+      try {
+        val q0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        val qb = System.nanoTime()
+        df.queryExecution.executedPlan
+        val q1 = System.nanoTime()
+        forceAll(df)
+        Some(((qb - q0) / 1e9, (q1 - qb) / 1e9, (System.nanoTime() - q1) / 1e9))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $dir $name FAILED: $e"); None
+      } finally graft.core.Caching.release(spark)
+    def tot3(t: (Double, Double, Double)): Double = t._1 + t._2 + t._3
+    val sf1Spread = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val (sf1Results, sf1Skipped, sf1Failed) = if (!sf1Enabled) (Nil, Nil, Nil) else {
       // derive sf1 from the SAME source dir this run benches (ADVICE r14:
       // a hardcoded DefaultFrom silently ignored SPARK_GRAFT_SF_DIR, and a
@@ -356,26 +385,26 @@ object Bench {
         val done = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double))]
         val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
         val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+        def withinBudget = (System.nanoTime() - t0) / 1e9 <= sf1Budget
         names.foreach { name =>
-          if ((System.nanoTime() - t0) / 1e9 > sf1Budget) skipped += name
-          else {
-            val q0 = System.nanoTime()
-            try {
-              val df = SparkEntry.queries(name)(spark, sf1Dir)
-              val qb = System.nanoTime()
-              df.queryExecution.executedPlan
-              val q1 = System.nanoTime()
-              forceAll(df)
-              done += name -> (((qb - q0) / 1e9, (q1 - qb) / 1e9,
-                (System.nanoTime() - q1) / 1e9))
-            } catch { case e: Throwable =>
-              // a failed query must not masquerade as a timing (ADVICE r14
-              // medium: it corrupted the scaling evidence) — record it in
-              // its own list, excluded from sf1_queries/sf1_total/sf1_n
-              System.err.println(s"[bench] sf1 $name FAILED: $e")
-              failed += name
-            }
-            graft.core.Caching.release(spark)
+          if (!withinBudget) skipped += name
+          else timedOne(sf1Dir, name) match {
+            // a failed query must not masquerade as a timing (ADVICE r14
+            // medium: it corrupted the scaling evidence) — record it in
+            // its own list, excluded from sf1_queries/sf1_total/sf1_n
+            case None => failed += name
+            case Some(t1) =>
+              // min-of-2 for the high-variance fixpoint family (VERDICT
+              // r16 #3): record the better run and the max/min spread
+              val best =
+                if (sf1MinOf2(name) && withinBudget) timedOne(sf1Dir, name) match {
+                  case Some(t2) =>
+                    sf1Spread(name) = math.max(tot3(t1), tot3(t2)) /
+                      math.max(1e-9, math.min(tot3(t1), tot3(t2)))
+                    if (tot3(t2) < tot3(t1)) t2 else t1
+                  case None => t1
+                } else t1
+              done += name -> best
           }
         }
         (done.toSeq, skipped.toSeq, failed.toSeq)
@@ -387,15 +416,72 @@ object Bench {
       if (sf1Jiffies1 > sf1Jiffies0)
         100.0 * (sf1Steal1 - sf1Steal0) / (sf1Jiffies1 - sf1Jiffies0)
       else 0.0
+    // sf10 section (VERDICT r16 #7): opt-in (SPARK_GRAFT_SF10=on) third
+    // decade of scaling evidence over the 10 most expensive sf1 entries of
+    // THIS run — the curve that only bends at the third decade (e6's
+    // fixed-bits quadratic would have) shows up here a round earlier. The
+    // dataset is ScaleData's 100-copy derivation of the same source dir
+    // (distinct affine ciphers / reversal-decorrelated embeddings, so dup
+    // and candidate structure scales linearly like the corpus). One timed
+    // run per query, budget-guarded, own contention stamps.
+    val sf10Enabled = sf1Enabled && sf1Results.nonEmpty &&
+      sys.env.get("SPARK_GRAFT_SF10").contains("on")
+    val sf10Budget = sys.env.getOrElse("SPARK_GRAFT_SF10_BUDGET_SECS", "1800").toDouble
+    val sf10LoadStart = if (sf10Enabled) loadavg() else -1.0
+    val (sf10Steal0, sf10Jiffies0) = cpuJiffies()
+    val (sf10Results, sf10Skipped, sf10Failed) = if (!sf10Enabled) (Nil, Nil, Nil) else {
+      val sf10Dir = try ScaleData.ensure(spark, from = sfDir,
+          to = ScaleData.Sf10To, copies = ScaleData.Sf10Copies)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sf10 build failed: $e"); null }
+      if (sf10Dir == null) (Nil, Seq("<build-failed>"), Nil) else {
+        val names = sf1Results.sortBy { case (_, t) => -tot3(t) }.take(10).map(_._1)
+        val t0 = System.nanoTime()
+        val done = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double))]
+        val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+        val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+        names.foreach { name =>
+          if ((System.nanoTime() - t0) / 1e9 > sf10Budget) skipped += name
+          else timedOne(sf10Dir, name) match {
+            case Some(t) => done += name -> t
+            case None => failed += name
+          }
+        }
+        (done.toSeq, skipped.toSeq, failed.toSeq)
+      }
+    }
+    val sf10LoadEnd = if (sf10Enabled) loadavg() else -1.0
+    val (sf10Steal1, sf10Jiffies1) = cpuJiffies()
+    val sf10StealPct =
+      if (sf10Jiffies1 > sf10Jiffies0)
+        100.0 * (sf10Steal1 - sf10Steal0) / (sf10Jiffies1 - sf10Jiffies0)
+      else 0.0
+
     val sf1Total = sf1Results.map { case (_, (b, p, e)) => b + p + e }.sum
     def sf1Render(f: ((Double, Double, Double)) => Double): String =
       sf1Results.map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
         .mkString("{", ",", "}")
     def sf1List(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sf1SpreadJson = sf1Spread
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val sf1Tag = if (!sf1Enabled) "" else
       f""","sf1_total":$sf1Total%.3f,"sf1_n":${sf1Results.size},"sf1_skipped":${sf1List(sf1Skipped)},"sf1_failed":${sf1List(sf1Failed)},"sf1_loadavg_start":$sf1LoadStart%.2f,"sf1_loadavg_end":$sf1LoadEnd%.2f,"sf1_steal_pct":$sf1StealPct%.2f"""
     val sf1Full = if (!sf1Enabled) "" else
-      s"""$sf1Tag,"sf1_queries":${sf1Render(t => t._1 + t._2 + t._3)},"sf1_queries_build":${sf1Render(_._1)},"sf1_queries_plan":${sf1Render(_._2)},"sf1_queries_exec":${sf1Render(_._3)}"""
+      s"""$sf1Tag,"sf1_queries":${sf1Render(t => t._1 + t._2 + t._3)},"sf1_queries_build":${sf1Render(_._1)},"sf1_queries_plan":${sf1Render(_._2)},"sf1_queries_exec":${sf1Render(_._3)},"sf1_spread":$sf1SpreadJson"""
+    val sf10Total = sf10Results.map { case (_, t) => tot3(t) }.sum
+    def sf10Render(f: ((Double, Double, Double)) => Double): String =
+      sf10Results.map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
+        .mkString("{", ",", "}")
+    // per-query sf10/sf1 total ratio: 10× data, so ~10 ≈ linear scaling
+    val sf1ByName = sf1Results.toMap
+    val sf10RatioJson = sf10Results.map { case (k, t) =>
+      val r = sf1ByName.get(k).map(s => tot3(t) / math.max(1e-9, tot3(s)))
+      "\"" + k + "\":" + f"${r.getOrElse(-1.0)}%.2f"
+    }.mkString("{", ",", "}")
+    val sf10Tag = if (!sf10Enabled) "" else
+      f""","sf10_total":$sf10Total%.3f,"sf10_n":${sf10Results.size},"sf10_skipped":${sf1List(sf10Skipped)},"sf10_failed":${sf1List(sf10Failed)},"sf10_loadavg_start":$sf10LoadStart%.2f,"sf10_loadavg_end":$sf10LoadEnd%.2f,"sf10_steal_pct":$sf10StealPct%.2f"""
+    val sf10Full = if (!sf10Enabled) "" else
+      s"""$sf10Tag,"sf10_queries":${sf10Render(tot3)},"sf10_queries_build":${sf10Render(_._1)},"sf10_queries_plan":${sf10Render(_._2)},"sf10_queries_exec":${sf10Render(_._3)},"sf10_ratio_vs_sf1":$sf10RatioJson"""
     // Filtered (partial) runs are a different artifact class: they go to
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
@@ -403,19 +489,37 @@ object Bench {
     val contended = only.isEmpty &&
       contendedGate(loadStart, stealPct, calibMs, calibEndMs,
         maxLoad, maxSteal, maxCalibDrift)
+    // Contended-record redirect (VERDICT r16 #8): the driver archives
+    // whatever this run produces as BENCH_rN, so a contended canonical
+    // record is a standing trap for round-over-round tooling (r16's
+    // BENCH_r16.json was diffed at face value). Stamp a contended record
+    // with the path of the newest QUIET full sibling so any reader can
+    // machine-route itself to comparable numbers.
+    val quietRecordTag = if (!contended) "" else
+      (try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
+          .filter(_.getFileName.toString.matches("BENCH_FULL_r\\d+(-\\d+)?\\.json"))
+          .toSeq
+          .sortBy(p => -java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .find(p => !new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .contains("\"contended\":true"))
+          .map(p => s""","quiet_record":"${p.getFileName}"""")
+          .getOrElse("")
+      } catch { case _: Throwable => "" })
     val partialTag =
-      (if (contended) ""","contended":true""" else "") +
+      (if (contended) ""","contended":true""" + quietRecordTag else "") +
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full$sf10Full,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
     // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
     // cap together with sbt's trailing [success] line.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag$sf1Tag,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag$sf1Tag$sf10Tag,"queries":$qs,"sf":"$sfDir"}"""
     // a contended full run must NOT become the canonical baseline: r12's
     // contended record overwrote BENCH_LATEST and poisoned a round of
     // regression detection (ADVICE r12 medium)

@@ -37,28 +37,50 @@ object ScaleData {
   val DefaultFrom = "/root/testdata/sf0.1"
   val DefaultTo = ".benchdata/sf1"
   val Copies = 10
+  /** sf10 = 100 key-shifted copies of sf0.1 (VERDICT r16 #7: a third
+    * decade of scaling evidence — e6's quadratic curve would have been
+    * caught a round earlier with it). */
+  val Sf10To = ".benchdata/sf10"
+  val Sf10Copies = 100
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Materialize the derived sf1 directory if absent; returns the dir.
+  /** Cipher alphabet for replica k: the affine permutation p → a·p + b
+    * (mod 26), a coprime to 26. Row a=1 (k < 26) is exactly the rot-k of
+    * the original sf1 builds — sf1 content stays bit-identical — and each
+    * higher row contributes 26 fresh permutations, so up to 104 replicas
+    * carry pairwise-DISTINCT ciphers. Composing rot ciphers instead (sf10
+    * from sf1) would collide: rot_i∘rot_j = rot_{i+j}, so 100 replicas
+    * collapse to 19 distinct texts with up to 10 EXACT dups each, turning
+    * every doc into a dup group and quadratically inflating the d-family
+    * pair counts — not what "10× the corpus" means. */
+  private def perm(k: Int): String = {
+    val a = Seq(1, 3, 5, 7)(k / 26)
+    val b = k % 26
+    (0 until 26).map(p => alpha((a * p + b) % 26)).mkString
+  }
+
+  /** Materialize a derived scale directory if absent; returns the dir.
     * A `_GRAFT_SF1_OK` marker gates completeness — a partially-written
     * build (killed JVM) rebuilds rather than benching on half a dataset —
     * AND provenance: a marker recording a different `from` or `copies`
     * (stale build from other source data) triggers a rebuild instead of
     * being reused silently (ADVICE r14). */
   def ensure(spark: SparkSession, from: String = DefaultFrom,
-             to: String = DefaultTo): String = {
+             to: String = DefaultTo, copies: Int = Copies): String = {
     val marker = java.nio.file.Paths.get(to, "_GRAFT_SF1_OK")
-    val stamp = s"from=$from copies=$Copies\n"
+    val stamp = s"from=$from copies=$copies\n"
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp)
       return to
-    build(spark, from, to)
+    build(spark, from, to, copies)
     java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
     to
   }
 
-  def build(spark: SparkSession, from: String, to: String): Unit = {
+  def build(spark: SparkSession, from: String, to: String,
+            copies: Int = Copies): Unit = {
+    require(copies >= 1 && copies <= 104, s"copies $copies outside [1, 104]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(to))
     def read(t: String) = spark.read.parquet(s"$from/$t.parquet")
     // key strides: max(key)+1 so shifted replicas can never collide even
@@ -81,7 +103,7 @@ object ScaleData {
     def replicate(df: DataFrame, shifts: (String, Long)*)(
         extra: (DataFrame, org.apache.spark.sql.Column) => DataFrame = (d, _) => d): DataFrame = {
       val withI = df.select(col("*"),
-        explode(sequence(lit(0L), lit(Copies - 1L))).as("_replica"))
+        explode(sequence(lit(0L), lit(copies - 1L))).as("_replica"))
       val shifted = shifts.foldLeft(withI) { case (d, (k, s)) =>
         d.withColumn(k, col(k) + col("_replica") * s)
       }
@@ -110,27 +132,37 @@ object ScaleData {
     // translate() takes literal alphabets, so the rotation is a CASE over
     // the replica index — 10 literal branches, all codegen'd.
     write(replicate(read("documents"), "doc_id" -> sDoc) { (d, i) =>
-      def rot(k: Int) = alpha.drop(k) + alpha.take(k)
-      val ciphered = (1 until Copies).foldLeft(when(i === 0, col("text"))) {
+      val ciphered = (1 until copies).foldLeft(when(i === 0, col("text"))) {
         (acc, k) => acc.when(i === k,
-          translate(translate(col("text"), alpha, rot(k)),
-            alpha.toUpperCase, rot(k).toUpperCase))
+          translate(translate(col("text"), alpha, perm(k)),
+            alpha.toUpperCase, perm(k).toUpperCase))
       }.otherwise(col("text"))
       d.withColumn("text", ciphered)
     }, "documents")
 
-    // embeddings: cyclic rotation by replica index
+    // embeddings: cyclic rotation by replica index mod dim; replicas past
+    // one full rotation cycle (k ≥ dim, reached only at sf10's 100 copies
+    // over 64 dims) REVERSE the array before rotating — reversal is a
+    // fixed permutation, so norms and within-replica pairwise distances
+    // are preserved, while k and k+dim stop being exact duplicates (a
+    // bare k%dim rotation would hand the e-family ~36 exact-dup vectors
+    // per base at 100 copies and superlinearly inflate candidate pairs)
     write(replicate(read("embeddings"), "vec_id" -> sVec) { (d, i) =>
+      val n = size(col("embedding"))
+      val base = when(i >= n.cast("long"), reverse(col("embedding")))
+        .otherwise(col("embedding"))
+      val r = pmod(i, n.cast("long")).cast("int")
       d.withColumn("embedding",
-        when(i === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), (i + 1).cast("int"), size(col("embedding"))),
-          slice(col("embedding"), lit(1), i.cast("int")))))
+        when(i === 0, col("embedding")).otherwise(
+          when(r === 0, base).otherwise(concat(
+            slice(base, r + lit(1), n), slice(base, lit(1), r)))))
     }, "embeddings")
   }
 
   def main(args: Array[String]): Unit = {
     val from = args.headOption.getOrElse(DefaultFrom)
     val to = args.drop(1).headOption.getOrElse(DefaultTo)
+    val copies = args.drop(2).headOption.map(_.toInt).getOrElse(Copies)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -138,10 +170,10 @@ object ScaleData {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, from, to)
+    build(spark, from, to, copies)
     java.nio.file.Files.write(java.nio.file.Paths.get(to, "_GRAFT_SF1_OK"),
-      s"from=$from copies=$Copies\n".getBytes("UTF-8"))
-    println(s"[scaledata] built $to from $from ×$Copies")
+      s"from=$from copies=$copies\n".getBytes("UTF-8"))
+    println(s"[scaledata] built $to from $from ×$copies")
     spark.stop()
   }
 }

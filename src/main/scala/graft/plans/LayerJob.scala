@@ -136,11 +136,20 @@ object LayerJob {
     // NARROW from read to sink. Keyed per (tile, band), NOT per band
     // (ADVICE r15): the common tiled layout — many non-overlapping uris
     // per band, one per tile — has catalog-wide counts ≫ 1 but exactly one
-    // layer per block, and must bypass. The probe is one narrow agg over
-    // the tile⋈catalog join (ids only, no pixels), a plan-time constant.
-    val multiSource = work.groupBy(col("tile_id"), col("band"))
-      .agg(countDistinct(col("uri")).as("n"))
-      .filter(col("n") > 1).limit(1).count() > 0
+    // layer per block, and must bypass. TWO-TIER probe (VERDICT r16 #2):
+    // a band with ≤1 uri catalog-wide can never overlay, so the cheap
+    // catalog-only count (no tile join, no window fan-out — the job that
+    // r15 ran) settles the common single-source case outright; only a
+    // multi-uri band escalates to the exact per-(tile,band) probe over the
+    // tile⋈catalog join (ids only, no pixels). Run unconditionally, that
+    // exact probe's extra Spark job doubled the bench pipeline's build
+    // constant — the r15→r16 drift, bisected via tools/PipeAB.
+    val anyBandMulti = prioritized.groupBy("band").count()
+      .filter(col("count") > 1).limit(1).count() > 0
+    val multiSource = anyBandMulti &&
+      work.groupBy(col("tile_id"), col("band"))
+        .agg(countDistinct(col("uri")).as("n"))
+        .filter(col("n") > 1).limit(1).count() > 0
     val mosaicked = if (!multiSource) {
       readBlocks.select(col("tile_id"), col("band"), col("block_row"),
         col("block_col"), col("width"), col("height"), col("values"), col("valid"))

@@ -18,9 +18,20 @@ object GpxSoakMain {
   def v(br: Long, bc: Long, colInBlock: Long): Double =
     ((br * 131 + bc * 17 + colInBlock) % 250 + 1).toDouble
 
+  /** args: [outDir] [mode] — mode "10gpx" runs the reference's LARGEST
+    * declared grid, 10/100000 (`grid_factory.py:19`): one 100000² px tile
+    * = 10 Gpx, 62,500 blocks of 400² (the grid's own block rule), factor-2
+    * internal overview (50000 is 400-divisible; a factor-4 level would
+    * need partial edge blocks, out of this leg's scope), same 3.5 GB cap —
+    * the VERDICT r16 #4 end-to-end proof at the reference's extreme.
+    * Default mode is the 2.62-Gpx 10/51200 leg. */
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_soak").toString)
+    val tenGpx = args.drop(1).headOption.contains("10gpx")
+    val (gridName, tileId, b, n, factors) =
+      if (tenGpx) ("10/100000", "10N_010E", 400, 250, Seq(2))
+      else ("10/51200", "10N_010E", B, N, Seq(2, 4))
     val spark = SparkSession.builder()
       // 16 workers, not the bench's 32: the claim under test is per-TASK
       // memory (one block each, any tile size), and 3.5 GB / 32 ways left
@@ -53,48 +64,50 @@ object GpxSoakMain {
     try {
       val spec = LayerSpec(dataset = "soak", version = "v1",
         sourceType = "raster", pixelMeaning = "x", dataType = "uint16",
-        grid = "10/51200", noData = Some(Seq(0.0)),
+        grid = gridName, noData = Some(Seq(0.0)),
         sourceUri = Some(Seq("mem://soak")))
       // generation is TEST scaffolding — a typed map with a primitive
       // tabulate, not a Catalyst `transform` (Spark HOFs evaluate
       // interpreted per element; generating 2.6 Gpx that way took longer
       // than the sink under test)
       import spark.implicits._
-      val blocks = spark.range(N.toLong * N)
-        .select((col("id") / N).cast("int").as("br"),
-          pmod(col("id"), lit(N)).cast("int").as("bc"))
+      val blocks = spark.range(n.toLong * n)
+        .select((col("id") / n).cast("int").as("br"),
+          pmod(col("id"), lit(n)).cast("int").as("bc"))
         .as[(Int, Int)]
-        .map { case (br, bc) => ("10N_010E", 10.0, 10.0, br, bc,
-          Array.tabulate(B * B)(i => v(br, bc, i % B))) }
+        .map { case (br, bc) => (tileId, 10.0, 10.0, br, bc,
+          Array.tabulate(b * b)(i => v(br, bc, i % b))) }
         .toDF("tile_id", "left", "top", "block_row", "block_col", "band_1")
 
       val t0 = System.nanoTime()
       val res = GeoTiffSpark.writeTiles(blocks, spec, outDir,
-        overviewFactors = Seq(2, 4), overviewMethod = "nearest",
+        overviewFactors = factors, overviewMethod = "nearest",
         cogLayout = true).collect()
       val secs = (System.nanoTime() - t0) / 1e9
-      require(res.length == 1 && res(0).getInt(2) == N * N,
+      require(res.length == 1 && res(0).getInt(2) == n * n,
         s"unexpected writeTiles result: ${res.toSeq}")
 
-      val path = s"$outDir/10N_010E.tif"
+      val path = s"$outDir/$tileId.tif"
       val levels = GeoTiff.openAll(path)
-      require(levels.map(_.profile.width) == Seq(51200, 25600, 12800),
+      require(levels.map(_.profile.width) == (1 +: factors).map(n * b / _),
         s"pyramid widths ${levels.map(_.profile.width)}")
       require(levels.head.profile.dataType == "uint16")
       // exact decode at every pyramid level: level-f pixel (X,Y) = base
       // (f·X, f·Y) under the nearest kernel's top-left pick
-      // probe blocks must exist at EVERY level: the f=4 grid is 25×25
-      for ((lvl, f) <- levels.zip(Seq(1, 2, 4)); (tr, tc) <- Seq((0, 0), (17, 23));
-           idx <- Seq(0, B - 1, B * B - 1)) {
-        val gx = (tc.toLong * B + idx % B) * f
-        val gy = (tr.toLong * B + idx / B) * f
-        require(lvl.readTile(1, tr, tc)(idx) == v(gy / B, gx / B, gx % B),
+      // probe blocks must exist at EVERY level: the deepest grid is
+      // (n / max-factor)² blocks, comfortably past (17, 23) in both legs
+      for ((lvl, f) <- levels.zip(1 +: factors); (tr, tc) <- Seq((0, 0), (17, 23));
+           idx <- Seq(0, b - 1, b * b - 1)) {
+        val gx = (tc.toLong * b + idx % b) * f
+        val gy = (tr.toLong * b + idx / b) * f
+        require(lvl.readTile(1, tr, tc)(idx) == v(gy / b, gx / b, gx % b),
           s"level f=$f block ($tr,$tc) idx $idx")
       }
       // COG invariants survived the multi-GB reorder pass: IFDs head-first,
       // smallest overview's data first, base data last, no temp residue
       val firstOff = levels.map(_.tileOffsets.filter(_ > 0).min)
-      require(firstOff(2) < firstOff(1) && firstOff(1) < firstOff(0),
+      require(firstOff.reverse == firstOff.reverse.sorted &&
+        firstOff.distinct.length == firstOff.length,
         s"COG data order violated: $firstOff")
       require(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".cogtmp")),
         "reorder temp residue left on disk")
@@ -103,11 +116,11 @@ object GpxSoakMain {
       // whole 2.62-Gpx file back inside the SAME capped heap, checksummed
       // exactly against the generating formula (pixel values are small
       // integers, so the global double sum is exact in any order)
-      val bw = spark.range(N.toLong * N).select(
-        lit("10N_010E").as("tile_id"), lit(1).as("band"), lit(1).as("file_band"),
-        (col("id") / N).cast("int").as("block_row"),
-        pmod(col("id"), lit(N)).cast("int").as("block_col"),
-        lit(B).as("width"), lit(B).as("height"),
+      val bw = spark.range(n.toLong * n).select(
+        lit(tileId).as("tile_id"), lit(1).as("band"), lit(1).as("file_band"),
+        (col("id") / n).cast("int").as("block_row"),
+        pmod(col("id"), lit(n)).cast("int").as("block_col"),
+        lit(b).as("width"), lit(b).as("height"),
         lit(path).as("uri"), lit(0).as("priority"))
       val tR = System.nanoTime()
       val readSum = GeoTiffSpark.reader(bw).select("values").as[Array[Double]]
@@ -120,11 +133,11 @@ object GpxSoakMain {
       val readSecs = (System.nanoTime() - tR) / 1e9
       var want = 0.0
       var br = 0
-      while (br < N) {
+      while (br < n) {
         var bc = 0
-        while (bc < N) {
+        while (bc < n) {
           var cc = 0
-          while (cc < B) { want += B * v(br, bc, cc); cc += 1 }
+          while (cc < b) { want += b * v(br, bc, cc); cc += 1 }
           bc += 1
         }
         br += 1
@@ -132,7 +145,8 @@ object GpxSoakMain {
       require(readSum == want, s"distributed read checksum $readSum != $want")
       val sizeGb = java.nio.file.Files.size(java.nio.file.Paths.get(path)) / 1e9
       val xmxGb = Runtime.getRuntime.maxMemory / 1e9
-      println(f"SOAK_OK secs=$secs%.1f read_secs=$readSecs%.1f file_gb=$sizeGb%.2f xmx_gb=$xmxGb%.2f")
+      val gpx = n.toLong * n * b * b / 1e9
+      println(f"SOAK_OK gpx=$gpx%.2f secs=$secs%.1f read_secs=$readSecs%.1f file_gb=$sizeGb%.2f xmx_gb=$xmxGb%.2f")
     } finally spark.stop()
   }
 }
@@ -160,9 +174,8 @@ object GpxSoakMain {
   * figures are recorded in COVERAGE.md ("Gigapixel soak" row).
   */
 class GpxSoakSpec extends AnyFunSuite {
-  test("2.62-Gpx tile streams through writeTiles + overviews + COG inside a 3.5 GB heap") {
-    assume(sys.env.get("GRAFT_SOAK").contains("1"),
-      "multi-Gpx soak is opt-in: set GRAFT_SOAK=1 (measured figures in COVERAGE.md)")
+
+  private def runForked(mode: Seq[String]): Unit = {
     val outDir = java.nio.file.Files.createTempDirectory("graft_soak").toString
     val javaBin = java.nio.file.Paths.get(
       sys.props("java.home"), "bin", "java").toString
@@ -183,7 +196,7 @@ class GpxSoakSpec extends AnyFunSuite {
     val cmd = Seq(javaBin, s"-Xmx${GpxSoakMain.HeapMb}m",
       "-XX:G1HeapRegionSize=16m",
       "-cp", sys.props("java.class.path")) ++ addOpens ++
-      Seq("graft.sources.GpxSoakMain", outDir)
+      (Seq("graft.sources.GpxSoakMain", outDir) ++ mode)
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val rd = new java.io.BufferedReader(
@@ -195,5 +208,22 @@ class GpxSoakSpec extends AnyFunSuite {
     assert(exit == 0 && okLine.isDefined,
       s"soak JVM exited $exit\n${out.toString.linesIterator.toSeq.takeRight(40).mkString("\n")}")
     info(s"${okLine.get} (completion under -Xmx${GpxSoakMain.HeapMb}m IS the one-block-memory proof)")
+  }
+
+  test("2.62-Gpx tile streams through writeTiles + overviews + COG inside a 3.5 GB heap") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "multi-Gpx soak is opt-in: set GRAFT_SOAK=1 (measured figures in COVERAGE.md)")
+    runForked(Nil)
+  }
+
+  test("10-Gpx tile (reference grid 10/100000) streams through writeTiles inside the same 3.5 GB heap") {
+    // VERDICT r16 #4: the memory-bound claim proven at the reference's
+    // LARGEST declared grid (grid_factory.py:19) — 100000² px, 62,500
+    // blocks of 400², ~20 GB raw uint16 / ~80 GB as dataflow doubles,
+    // written + factor-2 overview + COG reorder + full distributed
+    // read-back, all under the unchanged 3.5 GB cap.
+    assume(sys.env.get("GRAFT_SOAK10").contains("1"),
+      "10-Gpx soak is opt-in: set GRAFT_SOAK10=1 (~10-20 min; figures in COVERAGE.md)")
+    runForked(Seq("10gpx"))
   }
 }
