@@ -63,12 +63,14 @@ object Pixetl {
     if (spec.overviewLayout == "external" && spec.overviewFactors.nonEmpty) {
       GeoTiffSpark.writeTiles(blocks, spec, outDir).count()
       GeoTiffSpark.addOverviewSidecars(spark, outDir, spec,
-        spec.overviewFactors, spec.overviewResampling).count()
+        spec.overviewFactors, spec.overviewResampling,
+        seamExact = spec.overviewSeamExact).count()
     } else
       GeoTiffSpark.writeTiles(blocks, spec, outDir,
         overviewFactors = spec.overviewFactors,
         overviewMethod = spec.overviewResampling,
-        cogLayout = spec.cog).count()
+        cogLayout = spec.cog,
+        overviewSeamExact = spec.overviewSeamExact).count()
 
   /** Resolve `pixetl://dataset/attr/grid/tiles.geojson` source uris (emitted
     * by [[SubmitJob]] for resampled `depends_on` grids) to the upstream

@@ -56,6 +56,7 @@ object SparkEntry {
     "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
     "r5_pyramid"          -> (Q.r5_pyramid(_, _)),
     "r17_resample_bilinear" -> (Q.r17_resample_bilinear(_, _)),
+    "r18_resample_seam"   -> (Q.r18_resample_seam(_, _)),
     "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
     "r7_convolve"         -> (Q.r7_convolve(_, _)),
     "r8_slope"            -> (Q.r8_slope(_, _)),
@@ -842,6 +843,37 @@ object SparkEntry {
         .unionAll(leg(2, "cubic", "cubic2", 4))
         .unionAll(leg(2, "cubic_spline", "bspline2", 4))
         .orderBy("asset_id", "kernel", "oy", "ox")
+    }
+
+    /** §2.9 SEAM-EXACT interpolating decimation (VERDICT r16 #5): a 16×16
+      * raster split into four 8×8 blocks on a 2×2 lattice decimates ×2
+      * under cubic and lanczos with a REAL cross-block halo
+      * ([[graft.operators.Resample.downsampleSeamExact]]), and the oracle
+      * computes the WHOLE-raster convolution — the two agree
+      * pixel-for-pixel including the band within kernel radius of every
+      * block seam, which the block-local contract (r17) renormalizes
+      * differently by design. Raster edges drop-and-renormalize
+      * identically on both sides; the formula keeps every pixel ≥ 1 so no
+      * leg exercises masking (unit-tested in ResampleSpec instead). */
+    def r18_resample_seam(s: SparkSession, d: String): DataFrame = {
+      val blocks = Tables.part(s, d)
+        .filter(col("p_partkey") >= 1 && col("p_partkey") <= 4)
+        .select(((col("p_partkey") - 1) % 2).cast("int").as("block_x"),
+          floor((col("p_partkey") - 1) / 2).cast("int").as("block_y"))
+      val withV = blocks.withColumn("values",
+        transform(sequence(lit(0), lit(63)), i => {
+          val gx = col("block_x") * 8 + (i % lit(8))
+          val gy = col("block_y") * 8 + (i / lit(8)).cast("int")
+          ((lit(3) + lit(5) * gx + lit(7) * gy + gx * gy) % 19 + 1).cast("double")
+        }))
+      def leg(m: String): DataFrame =
+        graft.operators.Resample.downsampleSeamExact(withV, 8, 8, 2, m)
+          .select(col("block_x"), col("block_y"), posexplode(col("values")))
+          .select(lit(m).as("kernel"),
+            (col("block_x") * 4 + col("pos") % 4).cast("int").as("ox"),
+            (col("block_y") * 4 + (col("pos") / 4).cast("int")).cast("int").as("oy"),
+            round(col("col") + lit(5e-7), 4).as("val"))
+      leg("cubic").unionAll(leg("lanczos")).orderBy("kernel", "oy", "ox")
     }
 
     /** §2.9 overview pyramid: 3 factor-2 SUM reductions of the count
@@ -5994,6 +6026,45 @@ object SparkEntry {
           |  CAST(oy AS INTEGER) AS oy, round(val + 5e-7, 4) AS val
           |FROM (SELECT * FROM bl UNION ALL SELECT * FROM cu)
           |ORDER BY asset_id, kernel, oy, ox""".stripMargin,
+
+      "r18_resample_seam" -> {
+        // Whole-raster convolution mirror of Q.r18_resample_seam: pixels
+        // exist only for blocks PRESENT in `part` (a missing block is a
+        // masked region on both sides), taps come from the SAME
+        // ResampleTaps the kernel runs (shortest-repr double literals
+        // round-trip exactly), k = 2 ⇒ phase 0.5, offsets d = 1-R..R
+        // relative to 2·ox. Out-of-raster taps drop out of the join and
+        // the sum renormalizes — the identical raster-edge rule.
+        val tapRows = Seq("cubic", "lanczos").flatMap { m =>
+          val r = graft.functions.ResampleTaps.radius(m)
+          val wf = graft.functions.ResampleTaps.weight(m)
+          (0 until 2 * r).map { i =>
+            val d0 = 1 - r + i
+            s"('$m', $d0, ${wf(d0 - 0.5)})"
+          }
+        }.mkString(", ")
+        s"""WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+           |  WHERE p_partkey BETWEEN 1 AND 4),
+           |blk AS (SELECT CAST((id-1) % 2 AS INT) AS bx,
+           |  CAST((id-1) // 2 AS INT) AS by FROM a),
+           |px AS (SELECT bx*8 + xs.x AS gx, by*8 + ys.y AS gy,
+           |    CAST((3 + 5*(bx*8 + xs.x) + 7*(by*8 + ys.y)
+           |      + (bx*8 + xs.x)*(by*8 + ys.y)) % 19 + 1 AS DOUBLE) AS v
+           |  FROM blk, (SELECT unnest(range(0, 8)) AS x) xs,
+           |       (SELECT unnest(range(0, 8)) AS y) ys),
+           |o AS (SELECT bx*4 + i.i AS ox, by*4 + j.j AS oy FROM blk,
+           |  (SELECT unnest(range(0, 4)) AS i) i,
+           |  (SELECT unnest(range(0, 4)) AS j) j),
+           |w AS (SELECT * FROM (VALUES $tapRows) t(kernel, d, w)),
+           |t AS (SELECT o.ox, o.oy, wx.kernel,
+           |    sum(wx.w * wy.w * px.v) AS acc, sum(wx.w * wy.w) AS wsum
+           |  FROM o CROSS JOIN w wx JOIN w wy ON wy.kernel = wx.kernel
+           |  JOIN px ON px.gx = 2*o.ox + wx.d AND px.gy = 2*o.oy + wy.d
+           |  GROUP BY 1, 2, 3)
+           |SELECT kernel, CAST(ox AS INTEGER) AS ox, CAST(oy AS INTEGER) AS oy,
+           |  round(acc / wsum + 5e-7, 4) AS val
+           |FROM t ORDER BY kernel, oy, ox""".stripMargin
+      },
 
       "r5_pyramid" ->
         """WITH b AS (SELECT l_partkey % 40 AS px, l_suppkey % 10 AS py, count(*) AS value

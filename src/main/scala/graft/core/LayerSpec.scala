@@ -46,6 +46,11 @@ final case class LayerSpec(
     overviews: Seq[Int] = Nil,
     autoOverviews: Boolean = false,
     overviewResampling: String = "average",
+    // seam-exact interpolating pyramids (round 17): pad each block with
+    // its neighbor halo before the taps run, so cubic/lanczos overviews
+    // are the WHOLE-tile convolution GDAL's gdaladdo computes (one extra
+    // keyed exchange per halving); no-op for aligned-window kernels
+    overviewSeamExact: Boolean = false,
     // "internal" = chained IFDs in the tile itself (the COG/gdaladdo
     // default); "external" = a .ovr sidecar per tile (gdaladdo -ro), the
     // choice for destinations whose tiles must stay byte-stable
@@ -201,6 +206,7 @@ object LayerSpec {
         case JBool(b) => b; case _ => false
       },
       overviewResampling = str("overview_resampling").getOrElse("average"),
+      overviewSeamExact = bool("overview_seam_exact").getOrElse(false),
       overviewLayout = str("overview_layout").getOrElse("internal"),
       cog = bool("cog").getOrElse(false))
   }

@@ -40,9 +40,9 @@ object BlockKernels {
     if (x == y) 0 else java.lang.Double.compare(x, y)
 
   def downsampleColumn(values: Column, width: Int, height: Int, k: Int,
-      method: String, noData: Option[Double]): Column =
+      method: String, noData: Option[Double], pad: Int = 0): Column =
     ColumnBridge.column(BlockDownsample(
-      ColumnBridge.expression(values), width, height, k, method, noData))
+      ColumnBridge.expression(values), width, height, k, method, noData, pad))
 
   def assembleQuarters(q00: Column, q01: Column, q10: Column, q11: Column,
       size: Int): Column =
@@ -207,10 +207,19 @@ case class FillNulls(child: Expression, fill: Double)
   * separate interpreted `transform` over every base pixel. A window with
   * no valid pixel yields null. */
 case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
-    k: Int, method: String, noData: Option[Double])
+    k: Int, method: String, noData: Option[Double], pad: Int = 0)
   extends UnaryExpression with ImplicitDoubleArrayInputs with CodegenFallback {
   require(blockW % k == 0 && blockH % k == 0,
     s"block $blockW x $blockH not divisible by $k")
+  // pad > 0 = SEAM-EXACT mode (VERDICT r16 #5): the input array is the
+  // (blockW+2·pad)×(blockH+2·pad) halo-padded plane assembled by
+  // [[graft.operators.Resample.downsampleSeamExact]], so interpolating
+  // taps within kernel radius of a block edge read REAL neighbor pixels —
+  // exactly the whole-raster convolution of GDAL's gdaladdo. Halo cells
+  // with no emitting neighbor (the true raster edge) are null and fall
+  // under the same drop-and-renormalize rule as masked pixels. The output
+  // stays the core's (blockW/k)×(blockH/k).
+  require(pad >= 0, s"pad $pad must be >= 0")
 
   override def prettyName: String = "block_downsample"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
@@ -234,11 +243,13 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
   // k = 2 the bilinear taps are four equal 0.25s (exactly the 2×2 box
   // average the old alias used); at k ≥ 3 the kernels genuinely differ
   // from `average` (odd k bilinear = center sample; cubic/lanczos have
-  // negative lobes). Masked and out-of-BLOCK taps drop out and the
+  // negative lobes). Masked and out-of-PLANE taps drop out and the
   // remaining weights renormalize — the warp path's masked-resampling
-  // rule, with the block boundary playing the raster edge (a block-local
-  // kernel has no halo; for seam-exact interpolating decimation across
-  // block borders use WarpReader at the target resolution).
+  // rule, with the input-plane boundary playing the raster edge. With
+  // pad = 0 the plane IS the block (block-local contract, r17 ledger
+  // leg); with pad > 0 the plane carries a real neighbor halo and the
+  // same taps become the whole-raster convolution (downsampleSeamExact,
+  // r18 ledger leg).
   private val kRadius = graft.functions.ResampleTaps.radius.getOrElse(method, 0)
   private val tapW: Array[Double] =
     if (kRadius == 0) null
@@ -250,6 +261,8 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
   // floor(g) offset and the nearest-fallback offset (floor(g + 0.5))
   private val tapBase = (k - 1) >> 1
   private val nearOff = tapBase + (if (k % 2 == 0) 1 else 0)
+  // input-plane stride; with pad = 0 this is exactly blockW
+  private val inW = blockW + 2 * pad
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -272,7 +285,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
       var ox = 0
       while (ox < ow) {
         val o = oy * ow + ox
-        val base = (oy * k) * blockW + ox * k
+        val base = (oy * k + pad) * inW + ox * k + pad
         method match {
           case "nearest" =>
             if (masked(base)) setNull(o) else out(o) = a.getDouble(base)
@@ -284,13 +297,15 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             while (ti < 2 * kRadius) {
               val sy = y0 + 1 - kRadius + ti
               val wy = tapW(ti)
-              if (wy != 0.0 && sy >= 0 && sy < blockH) {
+              // tap bounds extend into the halo when pad > 0 (seam-exact);
+              // with pad = 0 this is exactly the old block-edge rule
+              if (wy != 0.0 && sy >= -pad && sy < blockH + pad) {
                 var tj = 0
                 while (tj < 2 * kRadius) {
                   val sx = x0 + 1 - kRadius + tj
                   val wx = tapW(tj)
-                  if (wx != 0.0 && sx >= 0 && sx < blockW) {
-                    val idx = sy * blockW + sx
+                  if (wx != 0.0 && sx >= -pad && sx < blockW + pad) {
+                    val idx = (sy + pad) * inW + sx + pad
                     if (!masked(idx)) {
                       val wt = wx * wy
                       acc += wt * a.getDouble(idx); wsum += wt
@@ -307,7 +322,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             // itself null if masked (WarpReader.interpolate's rule)
             if (wsum > 1e-12) out(o) = acc / wsum
             else {
-              val ni = (oy * k + nearOff) * blockW + ox * k + nearOff
+              val ni = (oy * k + nearOff + pad) * inW + ox * k + nearOff + pad
               if (masked(ni)) setNull(o) else out(o) = a.getDouble(ni)
             }
           case "sum" =>
@@ -318,7 +333,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             while (dy < k) {
               var dx = 0
               while (dx < k) {
-                val idx = base + dy * blockW + dx
+                val idx = base + dy * inW + dx
                 if (!masked(idx)) {
                   s = if (seen) s + a.getDouble(idx) else a.getDouble(idx)
                   seen = true
@@ -335,7 +350,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             while (dy < k) {
               var dx = 0
               while (dx < k) {
-                val idx = base + dy * blockW + dx
+                val idx = base + dy * inW + dx
                 if (!masked(idx)) {
                   val v = a.getDouble(idx)
                   s += (if (sq) v * v else v); n += 1
@@ -353,7 +368,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             while (dy < k) {
               var dx = 0
               while (dx < k) {
-                val idx = base + dy * blockW + dx
+                val idx = base + dy * inW + dx
                 if (!masked(idx)) {
                   val v = a.getDouble(idx)
                   if (!seen || (if (wantMin) cmp(v, best) < 0 else cmp(v, best) > 0))
@@ -375,7 +390,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             while (dy < k) {
               var dx = 0
               while (dx < k) {
-                val idx = base + dy * blockW + dx
+                val idx = base + dy * inW + dx
                 if (!masked(idx)) { vals(n) = a.getDouble(idx); n += 1 }
                 dx += 1
               }
@@ -403,7 +418,7 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
             while (dy < k) {
               var dx = 0
               while (dx < k) {
-                val idx = base + dy * blockW + dx
+                val idx = base + dy * inW + dx
                 if (!masked(idx)) {
                   // canonicalize -0.0 → 0.0: Arrays.sort orders -0.0 before
                   // 0.0 while Spark's array_sort treats them equal (stable,

@@ -49,19 +49,32 @@ object GeoTiffSpark {
     * ([[addOverviewSidecars]]). */
   private def overviewLevels(blocks: DataFrame, block: Int,
       bandCols: Seq[String], keyCols: Seq[String], noData: Option[Double],
-      factors: Seq[Int], method: String): Seq[DataFrame] = {
+      factors: Seq[Int], method: String,
+      seamExact: Boolean = false): Seq[DataFrame] = {
     import graft.operators.Resample
     var cur = blocks
     var curFactor = 1
     factors.zipWithIndex.map { case (f, li) =>
       while (curFactor < f) {
-        var m = cur
-        // masked-pixel convention through the kernels: nodata → null,
-        // FUSED into the downsample's primitive loop (a separate masking
-        // transform would re-walk every base pixel interpreted)
-        for (b <- bandCols)
-          m = m.withColumn(b,
-            Resample.downsample(col(b), block, block, 2, method, noData))
+        val m =
+          // seam-exact interpolating pyramid (VERDICT r16 #5): pad each
+          // block with its neighbor halo within the tile before the taps
+          // run, so the level is the WHOLE-tile convolution GDAL's
+          // gdaladdo computes — one extra keyed exchange per halving, on
+          // a level that is already 1/curFactor² of the base. Non-
+          // interpolating kernels have aligned windows (never cross a
+          // block edge) and skip the halo regardless of the flag.
+          if (seamExact && graft.functions.ResampleTaps.radius.contains(method))
+            Resample.downsampleSeamExact(cur, block, block, 2, method, noData,
+              keyCols = keyCols, xCol = "block_col", yCol = "block_row",
+              bandCols = bandCols)
+          else {
+            // masked-pixel convention through the kernels: nodata → null,
+            // FUSED into the downsample's primitive loop (a separate
+            // masking transform would re-walk every base pixel interpreted)
+            bandCols.foldLeft(cur)((d, b) => d.withColumn(b,
+              Resample.downsample(col(b), block, block, 2, method, noData)))
+          }
         cur = Resample.regroup2x(m, block, bandCols, keyCols)
         curFactor *= 2
       }
@@ -108,7 +121,8 @@ object GeoTiffSpark {
   def writeTiles(blocks: DataFrame, spec: LayerSpec, outDir: String,
                  overviewFactors: Seq[Int] = Nil,
                  overviewMethod: String = "average",
-                 cogLayout: Boolean = false): DataFrame = {
+                 cogLayout: Boolean = false,
+                 overviewSeamExact: Boolean = false): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
     val grid = spec.gridDef
@@ -141,7 +155,8 @@ object GeoTiffSpark {
     val leveled =
       if (overviewFactors.isEmpty) base
       else (base +: overviewLevels(blocks.select(cols0.map(col): _*), block,
-        bandCols, keyCols, noData, overviewFactors, overviewMethod))
+        bandCols, keyCols, noData, overviewFactors, overviewMethod,
+        overviewSeamExact))
         .reduce(_ unionByName _)
     val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     // Sink shuffle WITHOUT per-pixel boxing: the old Row-typed
@@ -225,7 +240,8 @@ object GeoTiffSpark {
   def addOverviewSidecars(spark: SparkSession, dir: String, spec: LayerSpec,
                           factors: Seq[Int],
                           method: String = "average",
-                          subset: Option[Set[String]] = None): DataFrame = {
+                          subset: Option[Set[String]] = None,
+                          seamExact: Boolean = false): DataFrame = {
     import spark.implicits._
     require(factors.nonEmpty && factors.forall(f => f >= 2 && (f & (f - 1)) == 0) &&
       factors == factors.sorted.distinct,
@@ -286,7 +302,7 @@ object GeoTiffSpark {
       df.withColumn(b, element_at(col("__bands"), i + 1))
     }.drop("__bands")
     val leveled = overviewLevels(blocks, block, bandCols,
-      Seq("tile_id", "left", "top"), noData, factors, method)
+      Seq("tile_id", "left", "top"), noData, factors, method, seamExact)
       .reduce(_ unionByName _)
     val f1 = factors.head
     val relFactors = factors.tail.map(_ / f1)

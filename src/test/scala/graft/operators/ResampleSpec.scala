@@ -233,4 +233,81 @@ class ResampleSpec extends SparkSpec {
     assert(r.filter(_._1 == 1) == Set((1, 0L, 0L, 4L), (1, 1L, 0L, 4L)))
     assert(r.filter(_._1 == 2) == Set((2, 0L, 0L, 8L)))
   }
+
+  // ---- seam-exact interpolating decimation (VERDICT r16 #5) --------------
+
+  private def seamV(gx: Int, gy: Int): Double =
+    ((3 + 5 * gx + 7 * gy + gx * gy) % 19 + 1).toDouble
+
+  private lazy val seamBlocks = {
+    val rows = for (by <- 0 until 2; bx <- 0 until 2) yield
+      (bx, by, Seq.tabulate(64)(i => seamV(bx * 8 + i % 8, by * 8 + i / 8)))
+    rows.toDF("block_x", "block_y", "values")
+  }
+
+  /** Direct whole-raster convolution with the kernel's own taps — the
+    * GDAL-semantics reference the seam-exact path must reproduce. */
+  private def seamRef(rasterW: Int, rasterH: Int, k: Int, m: String,
+      v: (Int, Int) => Double)(ox: Int, oy: Int): Double = {
+    val r = graft.functions.ResampleTaps.radius(m)
+    val wf = graft.functions.ResampleTaps.weight(m)
+    val frac = if (k % 2 == 0) 0.5 else 0.0
+    val taps = Array.tabulate(2 * r)(i => wf((1 - r + i) - frac))
+    val tapBase = (k - 1) >> 1
+    val x0 = ox * k + tapBase; val y0 = oy * k + tapBase
+    var acc = 0.0; var ws = 0.0
+    for (ti <- 0 until 2 * r; tj <- 0 until 2 * r) {
+      val sy = y0 + 1 - r + ti; val sx = x0 + 1 - r + tj
+      if (sy >= 0 && sy < rasterH && sx >= 0 && sx < rasterW) {
+        val wt = taps(ti) * taps(tj)
+        acc += wt * v(sx, sy); ws += wt
+      }
+    }
+    acc / ws
+  }
+
+  test("seam-exact decimation equals the whole-raster convolution, every kernel") {
+    for (m <- Seq("bilinear", "cubic", "cubic_spline", "lanczos")) {
+      val out = Resample.downsampleSeamExact(seamBlocks, 8, 8, 2, m)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Any](2).map(_.toString.toDouble))).toMap
+      assert(out.size == 4)
+      for (by <- 0 until 2; bx <- 0 until 2; j <- 0 until 4; i <- 0 until 4) {
+        val got = out((bx, by))(j * 4 + i)
+        val want = seamRef(16, 16, 2, m, seamV)(bx * 4 + i, by * 4 + j)
+        assert(math.abs(got - want) < 1e-9,
+          s"$m block ($bx,$by) out ($i,$j): $got != $want")
+      }
+    }
+  }
+
+  test("block-local cubic diverges from seam-exact exactly in the seam band") {
+    // the r17 contract: block-local drop-and-renormalize differs from the
+    // whole-raster convolution ONLY for output pixels whose taps cross a
+    // block boundary WITH a neighbor on the other side (k=2 cubic taps span
+    // [2ox-1, 2ox+2]: in-block for ox,oy ∈ {1, 2}; raster edges — seams
+    // with NO neighbor — renormalize identically in both modes)
+    val local = seamBlocks.select(col("block_x"), col("block_y"),
+        Resample.downsample(col("values"), 8, 8, 2, "cubic").as("values"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Any](2).map(_.toString.toDouble))).toMap
+    val exact = Resample.downsampleSeamExact(seamBlocks, 8, 8, 2, "cubic")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Any](2).map(_.toString.toDouble))).toMap
+    var seamDiffs = 0
+    for (by <- 0 until 2; bx <- 0 until 2; j <- 0 until 4; i <- 0 until 4) {
+      val d = math.abs(local((bx, by))(j * 4 + i) - exact((bx, by))(j * 4 + i))
+      val tapsInBlock = i >= 1 && i <= 2 && j >= 1 && j <= 2
+      // seam side with a neighbor: the low edge of blocks at lattice
+      // position 1, the high edge of blocks at position 0
+      val crossesSeam =
+        (i == 0 && bx == 1) || (i == 3 && bx == 0) ||
+        (j == 0 && by == 1) || (j == 3 && by == 0)
+      if (tapsInBlock) assert(d < 1e-12, s"interior ($bx,$by)($i,$j) moved")
+      if (!crossesSeam && !tapsInBlock) assert(d < 1e-12,
+        s"raster-edge ($bx,$by)($i,$j) should renormalize identically")
+      if (crossesSeam && d > 1e-9) seamDiffs += 1
+    }
+    assert(seamDiffs > 0, "no seam pixel differed — the halo did nothing")
+  }
 }
