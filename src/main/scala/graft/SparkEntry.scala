@@ -251,6 +251,7 @@ object SparkEntry {
     "x36_gini"            -> (Q.x36_gini(_, _)),
     "t34_importance_weights" -> (Q.t34_importance_weights(_, _)),
     "st6_latest_event"    -> (Q.st6_latest_event(_, _)),
+    "st7_stream_neardup"  -> (Q.st7_stream_neardup(_, _)),
     "x37_rollup_topk"     -> (Q.x37_rollup_topk(_, _)),
     "r16_watershed"       -> (Q.r16_watershed(_, _)),
     "m8_image_dup_groups" -> (Q.m8_image_dup_groups(_, _)),
@@ -3174,6 +3175,17 @@ object SparkEntry {
         .select(col("user_id"), col("__m.ts").as("ts"),
           col("__m.event_id").as("event_id"), col("__m.event_type").as("event_type"))
         .orderBy("user_id")
+
+    /** Within-stream near-dup verdicts — the BATCH twin of
+      * [[graft.streaming.StreamJob.streamingNearDup]]'s stateful
+      * (band, bucket)-keyed filter: every signed doc gets the smallest-id
+      * EARLIER doc (doc_id = arrival order) sharing an LSH bucket and
+      * agreeing on ≥3 of 4 minhash components, NULL = kept. In-order
+      * streaming converges to this exact relation (StreamingSpec). */
+    def st7_stream_neardup(s: SparkSession, d: String): DataFrame =
+      graft.operators.Dedup.nearDupVerdicts(Tables.documents(s, d),
+          k = 4, rowsPerBand = 2, minMatch = 3, maxBucketSize = lshCap)
+        .orderBy("doc_id")
 
     // ---------------------------------------- similarity search (north star)
     def e1_knn_brute(s: SparkSession, d: String): DataFrame = {
@@ -6836,6 +6848,34 @@ object SparkEntry {
            |FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
            |  AND a.doc_id < b2.doc_id
            |ORDER BY doc1, doc2""".stripMargin,
+
+      "st7_stream_neardup" -> {
+        // Mirrors Q.st7_stream_neardup / Dedup.nearDupVerdicts: the d3
+        // bucket chain (same cap), then per candidate pair a 4-component
+        // signature agreement count ≥ 3, min earlier doc per doc, every
+        // signed doc kept with nullable dup_of.
+        val simSum = (0 until 4).map(i =>
+          s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokExpr)) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${h("tok")} AS h FROM tok),
+           |sigs AS (SELECT doc_id, ${minhashTerms(4)} FROM hashed GROUP BY doc_id),
+           |b AS (
+           |  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sigs
+           |  UNION ALL
+           |  SELECT doc_id, 1, mh2, mh3 FROM sigs),
+           |keep AS (SELECT band, v0, v1 FROM b GROUP BY 1, 2, 3 HAVING count(*) <= ${Q.lshCap}),
+           |bk AS (SELECT b.* FROM b JOIN keep USING (band, v0, v1)),
+           |p AS (SELECT DISTINCT a.doc_id AS cand, b2.doc_id AS doc_id
+           |  FROM bk a JOIN bk b2 ON a.band = b2.band AND a.v0 = b2.v0 AND a.v1 = b2.v1
+           |    AND a.doc_id < b2.doc_id),
+           |q AS (SELECT p.doc_id, p.cand FROM p
+           |  JOIN sigs sa ON sa.doc_id = p.cand
+           |  JOIN sigs sb ON sb.doc_id = p.doc_id
+           |  WHERE ($simSum) >= 3),
+           |d AS (SELECT doc_id, min(cand) AS dup_of FROM q GROUP BY doc_id)
+           |SELECT s.doc_id, d.dup_of FROM sigs s LEFT JOIN d USING (doc_id)
+           |ORDER BY s.doc_id""".stripMargin
+      },
 
       "d7_simhash_pairs" -> {
         val votes = (0 until 16).map(b =>

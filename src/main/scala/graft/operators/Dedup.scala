@@ -128,6 +128,46 @@ object Dedup {
     * bands. Dropped bucket/row counts are logged — note the logging runs
     * the bucket-count aggregate EAGERLY at plan construction (one small
     * extra job); pass 0 to disable the cap and stay fully lazy. */
+  /** Arrival-ordered near-dup verdicts — the batch twin of
+    * [[graft.streaming.StreamJob.streamingNearDup]] (st7): doc D is a
+    * near-dup of the SMALLEST-id EARLIER doc E (doc_id = arrival order)
+    * that shares an LSH band bucket with D and agrees on ≥ `minMatch` of
+    * the k minhash components. Output: one row per signed doc with a
+    * nullable `dup_of` — `NULL` = kept (novel) — i.e. the verdict column
+    * a dedup-at-ingest pipeline writes next to every accepted document.
+    *
+    * Scale shape: bucket-keyed self-join only (degenerate buckets above
+    * `maxBucketSize` dropped — d3's guard), the similarity check is a
+    * fixed k-component compare per CANDIDATE pair (doc-keyed signature
+    * joins, pair-local), then one min aggregate per doc. Never all-pairs. */
+  def nearDupVerdicts(docs: DataFrame, k: Int = 4, rowsPerBand: Int = 2,
+                      minMatch: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    require(minMatch >= rowsPerBand && minMatch <= k,
+      s"minMatch $minMatch outside [$rowsPerBand, $k]")
+    val sigs = graft.core.Caching.shared(minhashSignatures(docs, k))
+    val buckets = lshBuckets(sigs, k, rowsPerBand)
+    val kept =
+      if (maxBucketSize <= 0) buckets
+      else dropOversized(graft.core.Caching.shared(buckets),
+        maxBucketSize, "nearDupVerdicts")
+    val pairs = kept.as("ka").join(kept.as("kb"),
+        col("ka.band") === col("kb.band") && col("ka.bucket") === col("kb.bucket") &&
+          col("ka.doc_id") < col("kb.doc_id"))
+      .select(col("ka.doc_id").as("cand"), col("kb.doc_id").as("doc_id"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("cand") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val sb = sigs.select(col("doc_id") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val sim = (0 until k).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0)).reduce(_ + _)
+    val dups = pairs.join(sa, "cand").join(sb, "doc_id")
+      .filter(sim >= minMatch)
+      .groupBy("doc_id").agg(min("cand").as("dup_of"))
+    sigs.select("doc_id").join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"))
+  }
+
   def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 0): DataFrame = {
     val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
     // the bucket relation is consumed up to three times below (cap count +

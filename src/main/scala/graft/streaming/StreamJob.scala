@@ -99,6 +99,89 @@ object StreamJob {
       .select(col("doc_id"), col("corpus_id"))
   }
 
+  case class NearDupState(reps: List[(Long, Long, Seq[Long])]) // (tsMs, docId, sig)
+  case class BandVerdict(doc_id: Long, band: Int, dup_of: Option[Long])
+
+  private def simCount(a: Seq[Long], b: Seq[Long]): Int = {
+    var n = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** Streaming WITHIN-STREAM near-dup filter (st7) — the missing third of
+    * the dedup-at-ingest ladder: [[streamingDedup]] kills exact repeats,
+    * [[streamingDedupProbe]] checks arrivals against a STATIC curated
+    * corpus, and this op checks arrivals against EACH OTHER — the
+    * SemDeDup-at-ingest shape a crawl pipeline needs when near-dups
+    * cluster in time (mirror bursts, retry storms).
+    *
+    * Dataflow: minhash signatures (narrow per-row kernel) → LSH band
+    * buckets → `flatMapGroupsWithState` keyed (band, bucket). Per-bucket
+    * state is the (tsMs, docId, signature) of previous arrivals still
+    * inside the event-time horizon — k+2 longs per doc, NOT documents —
+    * pruned against the watermark on every invocation, timed out (and
+    * freed) once the watermark passes its newest member + horizon, and
+    * capped at `maxReps` as the degenerate-bucket fuse (the streaming
+    * analogue of d3's bucket-size guard; overflow keeps the NEWEST reps —
+    * near-dups cluster in time). An arriving doc is a dup of the
+    * smallest-id in-horizon rep agreeing on ≥ `minMatch` of the k minhash
+    * components; it then joins the reps itself. Emits one verdict per
+    * (doc, band) — the SINK takes the per-doc min over bands (a per-micro-
+    * batch groupBy; regrouping here would add a second stateful stage).
+    *
+    * Determinism: within a micro-batch the bucket's slice replays in
+    * (event-time, doc_id) order, so a replayed batch emits identical
+    * verdicts, and in-order arrival reproduces the batch twin
+    * [[graft.operators.Dedup.nearDupVerdicts]] exactly (StreamingSpec
+    * asserts it). `docs` needs (doc_id, text, ts). */
+  def streamingNearDup(docs: DataFrame, k: Int = 4, rowsPerBand: Int = 2,
+                       minMatch: Int = 3, horizonSec: Long = 3600L,
+                       maxReps: Int = 256): Dataset[BandVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sigs = Dedup.minhashSignatures(
+      docs.withWatermark("ts", s"$horizonSec seconds"), k, keep = Seq("ts"))
+    val arrivals = Dedup.lshBuckets(sigs, k, rowsPerBand,
+        keep = "ts" +: (0 until k).map("mh" + _))
+      .select(col("doc_id"), col("ts"), col("band"),
+        concat_ws(":", (0 until rowsPerBand).map(j => col(s"bucket.v$j")): _*).as("bkey"),
+        array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
+      .as[(Long, java.sql.Timestamp, Int, String, Seq[Long])]
+    arrivals
+      .groupByKey { case (_, _, band, bkey, _) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, String), it: Iterator[(Long, java.sql.Timestamp, Int, String, Seq[Long])],
+         state: GroupState[NearDupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var reps = state.getOption.map(_.reps).getOrElse(Nil)
+              .filter(_._1 >= wm - horizonSec * 1000) // expired reps evict
+            val out = it.toIndexedSeq
+              .sortBy { case (id, ts, _, _, _) => (ts.getTime, id) }
+              .map { case (id, ts, band, _, sig) =>
+                var dup = Long.MaxValue
+                val horizonFloor = ts.getTime - horizonSec * 1000
+                reps.foreach { case (rts, rid, rsig) =>
+                  if (rts >= horizonFloor && rid < dup && rid != id &&
+                    simCount(rsig, sig) >= minMatch) dup = rid
+                }
+                reps = ((ts.getTime, id, sig) :: reps).take(maxReps)
+                BandVerdict(id, band, if (dup == Long.MaxValue) None else Some(dup))
+              }
+            if (reps.nonEmpty) {
+              state.update(NearDupState(reps))
+              state.setTimeoutTimestamp(math.max(
+                reps.iterator.map(_._1).max + horizonSec * 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
+          })
+  }
+
   /** Stream-stream interval join (the streaming twin of
     * [[graft.operators.RangeJoin.intervalJoin]], x7's batch shape): left
     * events matched to right events on `keys` within `[l.ts, l.ts + gap)`.

@@ -833,6 +833,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped.length == 3)
   }
 
+  test("adaptiveBits: exact integer ladder, boundary-stable (VERDICT r16 #1)") {
+    import graft.operators.Similarity.adaptiveBits
+    // smallest b in [min, max] with n ≤ target·2^b — the e6 sizing rule
+    assert(adaptiveBits(0, 24, 4, 16) == 4)
+    assert(adaptiveBits(1, 24, 4, 16) == 4)
+    assert(adaptiveBits(24L << 4, 24, 4, 16) == 4)      // exact boundary stays
+    assert(adaptiveBits((24L << 4) + 1, 24, 4, 16) == 5) // one past it steps
+    assert(adaptiveBits(500, 24, 4, 16) == 5)   // sf0.01 embeddings
+    assert(adaptiveBits(2000, 24, 4, 16) == 7)  // sf0.1
+    assert(adaptiveBits(20000, 24, 4, 16) == 10) // sf1
+    assert(adaptiveBits(200000, 24, 4, 16) == 14) // sf10
+    assert(adaptiveBits(Long.MaxValue, 24, 4, 16) == 16) // clamped at max
+    // oracle-ladder identity: the SQL CASE the e6 oracle generates makes
+    // the same comparisons (cnt <= target << b ascending, ELSE max)
+    for (n <- Seq(1L, 383L, 384L, 385L, 6144L, 6145L, 999999L)) {
+      val sqlLadder = (4 until 16).find(b => n <= (24L << b)).getOrElse(16)
+      assert(adaptiveBits(n, 24, 4, 16) == sqlLadder, s"n=$n")
+    }
+  }
+
   test("multimodal: frame-sample plan from metadata only") {
     val media = Seq((1L, "video", 2500L)).toDF("asset_id", "modality", "duration_ms")
       .select(col("asset_id"), col("modality"),

@@ -281,6 +281,77 @@ class ResampleSpec extends SparkSpec {
     }
   }
 
+  test("multi-band seam-exact: one exchange, per-band planes, null plane stays masked-block") {
+    // two bands ride the SAME halo exchange; band_b of block (1, 0) is a
+    // null plane (K4 padding convention) — it must still GATHER (the
+    // center marker, not band-nullness, decides block existence), its own
+    // outputs derive from neighbor halos only (whole-raster masked-region
+    // semantics), and it must not perturb band_a
+    val rows = for (by <- 0 until 2; bx <- 0 until 2) yield {
+      val a = Seq.tabulate(64)(i => seamV(bx * 8 + i % 8, by * 8 + i / 8))
+      val b = if ((bx, by) == ((1, 0))) null
+        else Seq.tabulate(64)(i => seamV(bx * 8 + i % 8, by * 8 + i / 8) + 100.0)
+      (bx, by, a, b)
+    }
+    val blocks = rows.toDF("block_x", "block_y", "band_a", "band_b")
+    val out = Resample.downsampleSeamExact(blocks, 8, 8, 2, "cubic",
+        bandCols = Seq("band_a", "band_b"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (Option(r.get(2)).map(_.asInstanceOf[scala.collection.Seq[Any]].map(x =>
+           Option(x).map(_.toString.toDouble))),
+         Option(r.get(3)).map(_.asInstanceOf[scala.collection.Seq[Any]].map(x =>
+           Option(x).map(_.toString.toDouble)))))).toMap
+    assert(out.size == 4, "every block must gather, null plane included")
+    // band_a matches the whole-raster reference everywhere
+    for (by <- 0 until 2; bx <- 0 until 2; j <- 0 until 4; i <- 0 until 4) {
+      val got = out((bx, by))._1.get(j * 4 + i).get
+      val want = seamRef(16, 16, 2, "cubic", seamV)(bx * 4 + i, by * 4 + j)
+      assert(math.abs(got - want) < 1e-9, s"band_a ($bx,$by)($i,$j)")
+    }
+    // band_b: reference over the PARTIAL raster (block (1,0) contributes
+    // nothing), replicating the kernel's full masked rule — valid taps
+    // renormalize; when the surviving weights sum ≤ ~0 (cubic's negative
+    // outer lobes are all a halo-only window keeps) the kernel degrades
+    // to the nearest sample, masked here → None. Covers the null-plane
+    // block itself (its windows see only negative-lobe halo cells → all
+    // None) AND its neighbors' seam bands (drop the masked region,
+    // renormalize the rest).
+    def vb(gx: Int, gy: Int): Double = seamV(gx, gy) + 100.0
+    def refPartial(ox: Int, oy: Int): Option[Double] = {
+      val r = graft.functions.ResampleTaps.radius("cubic")
+      val wf = graft.functions.ResampleTaps.weight("cubic")
+      val taps = Array.tabulate(2 * r)(i => wf((1 - r + i) - 0.5))
+      var acc = 0.0; var ws = 0.0
+      for (ti <- 0 until 2 * r; tj <- 0 until 2 * r) {
+        val sy = oy * 2 + 1 - r + ti; val sx = ox * 2 + 1 - r + tj
+        val inNullBlock = sx >= 8 && sy < 8 // block (1, 0)'s region
+        if (sy >= 0 && sy < 16 && sx >= 0 && sx < 16 && !inNullBlock) {
+          val wt = taps(ti) * taps(tj)
+          acc += wt * vb(sx, sy); ws += wt
+        }
+      }
+      if (ws > 1e-12) Some(acc / ws)
+      else { // nearest fallback: (2ox+1, 2oy+1), masked in the null block
+        val nx = 2 * ox + 1; val ny = 2 * oy + 1
+        if (nx >= 8 && ny < 8) None else Some(vb(nx, ny))
+      }
+    }
+    for (by <- 0 until 2; bx <- 0 until 2; j <- 0 until 4; i <- 0 until 4) {
+      val got = out((bx, by))._2.get(j * 4 + i)
+      val want = refPartial(bx * 4 + i, by * 4 + j)
+      (got, want) match {
+        case (Some(g), Some(w)) =>
+          assert(math.abs(g - w) < 1e-9, s"band_b ($bx,$by)($i,$j): $g != $w")
+        case (g, w) =>
+          assert(g == w, s"band_b ($bx,$by)($i,$j): $g vs $w")
+      }
+    }
+    // the masked block's interior is genuinely all-None (not silently
+    // renormalized from nothing)
+    val nb = out((1, 0))._2.get
+    assert(nb.count(_.isEmpty) == 16, "null-plane block must stay fully masked")
+  }
+
   test("block-local cubic diverges from seam-exact exactly in the seam band") {
     // the r17 contract: block-local drop-and-renormalize differs from the
     // whole-raster convolution ONLY for output pixels whose taps cross a

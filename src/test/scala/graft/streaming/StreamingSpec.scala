@@ -448,4 +448,66 @@ class StreamingSpec extends SparkSpec {
     assert(finalView.exceptAll(expected).isEmpty &&
       expected.exceptAll(finalView).isEmpty)
   }
+
+  test("streaming within-stream near-dup == batch nearDupVerdicts (st7); horizon evicts") {
+    import spark.implicits._
+
+    // leg 1: the whole sf0.001 corpus in ONE micro-batch, arrival order =
+    // doc_id (ts strictly increasing, all inside one horizon) — the
+    // per-bucket event-time sort makes the stateful replay reproduce the
+    // batch twin's verdict relation EXACTLY
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000).as("ts"))
+    val dir = new java.io.File("target/tmp/stream_neardup").getAbsolutePath
+    docs.write.mode("overwrite").parquet(dir)
+    val q = StreamJob.streamingNearDup(
+        spark.readStream.schema(docs.schema).parquet(dir), maxReps = 100000)
+      .writeStream.outputMode("append").format("memory").queryName("st_neardup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // the sink-side per-doc fold: min dup_of over the per-band verdicts
+    val streamed = spark.table("st_neardup")
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val batch = graft.operators.Dedup.nearDupVerdicts(
+        Tables.documents(spark, sf()), k = 4, rowsPerBand = 2, minMatch = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch)
+    assert(batch.values.exists(_.isDefined), "corpus should contain near-dups")
+
+    // leg 2: the event-time horizon is load-bearing — an identical doc
+    // arriving 2 h later is NOVEL (its twin's state expired), while one
+    // arriving 10 s after that dups against the fresh rep
+    import StreamJob.BandVerdict
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val text = "alpha beta gamma delta epsilon"
+    val b0 = Seq((1L, text, t(0)))
+    val b1 = Seq((2L, text, t(7200L * 1000)), (3L, text, t(7200L * 1000 + 10000)))
+    val dir2 = new java.io.File("target/tmp/stream_neardup2")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir2); dir2.mkdirs()
+    Seq(b0, b1).zipWithIndex.foreach { case (ds, i) =>
+      val stage = new java.io.File(dir2, s".stage$i")
+      ds.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir2, f"batch$i%03d.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    }
+    val stream2 = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir2.getAbsolutePath)
+    val q2 = StreamJob.streamingNearDup(stream2)
+      .writeStream.outputMode("append").format("memory").queryName("st_neardup2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("st_neardup2").as[BandVerdict].collect()
+      .groupBy(_.doc_id).view.mapValues(_.flatMap(_.dup_of).minOption).toMap
+    assert(got(1L).isEmpty, "first arrival is novel")
+    assert(got(2L).isEmpty, "identical doc past the horizon must be novel again")
+    assert(got(3L).contains(2L), "in-horizon twin dups against the FRESH rep")
+  }
 }
