@@ -69,7 +69,9 @@ object ScaleData {
   def ensure(spark: SparkSession, from: String = DefaultFrom,
              to: String = DefaultTo, copies: Int = Copies): String = {
     val marker = java.nio.file.Paths.get(to, "_GRAFT_SF1_OK")
-    val stamp = s"from=$from copies=$copies\n"
+    // layout=par32 invalidates pre-round-17 single-file builds (their
+    // 1-task map phases mismeasured every derived-scale bench section)
+    val stamp = s"from=$from copies=$copies layout=par\n"
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp)
       return to
@@ -110,12 +112,24 @@ object ScaleData {
       extra(shifted, col("_replica")).drop("_replica")
     }
 
+    // Derived tables must carry a CLUSTER-SHAPED file layout (round 17):
+    // the replica explode rides the source's scan partitioning, so a
+    // single-file sf0.1 input produced ONE ~87 MB (documents) / ~860 MB
+    // (lineitem) output file — and every derived-scale map phase then ran
+    // on the 1-7 partitions maxPartitionBytes carves from one file
+    // instead of 32 cores. That core-starvation read as superlinear
+    // scaling for the pure-map entries (d2 measured 12.7× for 10× data
+    // with a 1-task kernel phase). Round-robin repartition before write:
+    // content-identical (multiset), deterministic, 32-way parallel reads.
+    val parts = spark.sessionState.conf.numShufflePartitions
     def write(df: DataFrame, t: String): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$to/$t.parquet")
+    def writeVerbatim(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$to/$t.parquet")
 
-    // fixed dimensions: verbatim
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    // fixed dimensions: verbatim (tiny)
+    writeVerbatim(read("region"), "region")
+    writeVerbatim(read("nation"), "nation")
 
     write(replicate(read("customer"), "c_custkey" -> sCust)(), "customer")
     write(replicate(read("supplier"), "s_suppkey" -> sSupp)(), "supplier")
@@ -172,7 +186,7 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
     build(spark, from, to, copies)
     java.nio.file.Files.write(java.nio.file.Paths.get(to, "_GRAFT_SF1_OK"),
-      s"from=$from copies=$copies\n".getBytes("UTF-8"))
+      s"from=$from copies=$copies layout=par\n".getBytes("UTF-8"))
     println(s"[scaledata] built $to from $from ×$copies")
     spark.stop()
   }
