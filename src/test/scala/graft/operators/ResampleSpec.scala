@@ -267,16 +267,17 @@ class ResampleSpec extends SparkSpec {
   }
 
   test("seam-exact decimation equals the whole-raster convolution, every kernel") {
-    for (m <- Seq("bilinear", "cubic", "cubic_spline", "lanczos")) {
-      val out = Resample.downsampleSeamExact(seamBlocks, 8, 8, 2, m)
+    for (m <- Seq("bilinear", "cubic", "cubic_spline", "lanczos"); k <- Seq(2, 4)) {
+      val ow = 8 / k
+      val out = Resample.downsampleSeamExact(seamBlocks, 8, 8, k, m)
         .collect().map(r => ((r.getInt(0), r.getInt(1)),
           r.getSeq[Any](2).map(_.toString.toDouble))).toMap
       assert(out.size == 4)
-      for (by <- 0 until 2; bx <- 0 until 2; j <- 0 until 4; i <- 0 until 4) {
-        val got = out((bx, by))(j * 4 + i)
-        val want = seamRef(16, 16, 2, m, seamV)(bx * 4 + i, by * 4 + j)
+      for (by <- 0 until 2; bx <- 0 until 2; j <- 0 until ow; i <- 0 until ow) {
+        val got = out((bx, by))(j * ow + i)
+        val want = seamRef(16, 16, k, m, seamV)(bx * ow + i, by * ow + j)
         assert(math.abs(got - want) < 1e-9,
-          s"$m block ($bx,$by) out ($i,$j): $got != $want")
+          s"$m k=$k block ($bx,$by) out ($i,$j): $got != $want")
       }
     }
   }
