@@ -498,14 +498,19 @@ object Bench {
     val quietRecordTag = if (!contended) "" else
       (try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
-          .filter(_.getFileName.toString.matches("BENCH_FULL_r\\d+(-\\d+)?\\.json"))
-          .toSeq
-          .sortBy(p => -java.nio.file.Files.getLastModifiedTime(p).toMillis)
-          .find(p => !new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            .contains("\"contended\":true"))
-          .map(p => s""","quiet_record":"${p.getFileName}"""")
-          .getOrElse("")
+        // Files.list streams hold a directory fd until closed (its javadoc
+        // mandates try-with-resources) — ADVICE r17
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        try {
+          ls.iterator().asScala
+            .filter(_.getFileName.toString.matches("BENCH_FULL_r\\d+(-\\d+)?\\.json"))
+            .toSeq
+            .sortBy(p => -java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .find(p => !new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              .contains("\"contended\":true"))
+            .map(p => s""","quiet_record":"${p.getFileName}"""")
+            .getOrElse("")
+        } finally ls.close()
       } catch { case _: Throwable => "" })
     val partialTag =
       (if (contended) ""","contended":true""" + quietRecordTag else "") +

@@ -127,7 +127,7 @@ object Pixetl {
           // as separable taps, aggregates as footprint-box folds
           val kernel = spec.resampling match {
             case r @ ("nearest" | "bilinear" | "cubic" | "cubic_spline" |
-                      "lanczos" | "average" | "sum" | "min" | "max" |
+                      "lanczos" | "gauss" | "average" | "sum" | "min" | "max" |
                       "mode" | "med" | "q1" | "q3" | "rms") => r
             case _ => "nearest"
           }

@@ -56,6 +56,7 @@ object SparkEntry {
     "r4_resample_med"     -> (Q.r4_resample_med(_, _)),
     "r5_pyramid"          -> (Q.r5_pyramid(_, _)),
     "r17_resample_bilinear" -> (Q.r17_resample_bilinear(_, _)),
+    "r19_resample_gauss" -> (Q.r19_resample_gauss(_, _)),
     "r18_resample_seam"   -> (Q.r18_resample_seam(_, _)),
     "r6_focal_mean"       -> (Q.r6_focal_mean(_, _)),
     "r7_convolve"         -> (Q.r7_convolve(_, _)),
@@ -848,7 +849,7 @@ object SparkEntry {
 
     /** §2.9 SEAM-EXACT interpolating decimation (VERDICT r16 #5): a 16×16
       * raster split into four 8×8 blocks on a 2×2 lattice decimates ×2
-      * under cubic and lanczos with a REAL cross-block halo
+      * under cubic, lanczos and gauss with a REAL cross-block halo
       * ([[graft.operators.Resample.downsampleSeamExact]]), and the oracle
       * computes the WHOLE-raster convolution — the two agree
       * pixel-for-pixel including the band within kernel radius of every
@@ -874,7 +875,36 @@ object SparkEntry {
             (col("block_x") * 4 + col("pos") % 4).cast("int").as("ox"),
             (col("block_y") * 4 + (col("pos") / 4).cast("int")).cast("int").as("oy"),
             round(col("col") + lit(5e-7), 4).as("val"))
-      leg("cubic").unionAll(leg("lanczos")).orderBy("kernel", "oy", "ox")
+      leg("cubic").unionAll(leg("lanczos")).unionAll(leg("gauss"))
+        .orderBy("kernel", "oy", "ox")
+    }
+
+    /** §2.9 `gauss` resampling — the last rasterio `Resampling` member
+      * (`gfw_pixetl/resampling.py:9-15`) to land: truncated 2^(−t²)
+      * separable taps, radius 2, which reproduce GDAL's binomial (1,2,1)
+      * gauss overview matrix exactly on the integer lattice (see
+      * [[graft.functions.ResampleTaps]]). Two block-local decimation legs
+      * (k = 2 and k = 4, both half-phase — per-axis tap vectors exactly
+      * (1,4,4,1)/10) over deterministic masked 8×8 blocks; the oracle
+      * replays the SAME tap doubles (shortest-repr literals round-trip
+      * exactly) under the identical drop-and-renormalize rule. Gauss taps
+      * are non-negative, so the negative-lobe nearest-fallback never
+      * triggers (and the mask formula leaves ≥ 3 valid taps per window
+      * row anyway: adjacent values differ by 5 mod 19). */
+    def r19_resample_gauss(s: SparkSession, d: String): DataFrame = {
+      val blocks = Tables.part(s, d).filter(col("p_partkey") <= 4)
+        .select(col("p_partkey").cast("long").as("asset_id"))
+        .withColumn("values", transform(sequence(lit(0), lit(63)),
+          i => ((lit(3) * col("asset_id") + lit(5) * (i % lit(8)) +
+            lit(7) * (i / lit(8)).cast("int")) % 19).cast("double")))
+      def leg(k: Int, outW: Int): DataFrame =
+        blocks.select(col("asset_id"), posexplode(
+            graft.operators.Resample.downsample(col("values"), 8, 8, k, "gauss",
+              noData = Some(0.0))))
+          .select(col("asset_id"), lit(k).as("k"),
+            (col("pos") % outW).as("ox"), (col("pos") / outW).cast("int").as("oy"),
+            round(col("col") + lit(5e-7), 4).as("val"))
+      leg(2, 4).unionAll(leg(4, 2)).orderBy("asset_id", "k", "oy", "ox")
     }
 
     /** §2.9 overview pyramid: 3 factor-2 SUM reductions of the count
@@ -3181,7 +3211,12 @@ object SparkEntry {
       * (band, bucket)-keyed filter: every signed doc gets the smallest-id
       * EARLIER doc (doc_id = arrival order) sharing an LSH bucket and
       * agreeing on ≥3 of 4 minhash components, NULL = kept. In-order
-      * streaming converges to this exact relation (StreamingSpec). */
+      * streaming converges to this exact relation ON BUCKETS UNDER BOTH
+      * CAPS (StreamingSpec, fuses disarmed); the degenerate-bucket fuses
+      * themselves differ by design — this twin's `maxBucketSize` drops an
+      * over-cap bucket wholesale, the streaming op's `maxReps` keeps the
+      * newest 256 reps, because an online operator cannot know a bucket's
+      * final size (ADVICE r17). */
     def st7_stream_neardup(s: SparkSession, d: String): DataFrame =
       graft.operators.Dedup.nearDupVerdicts(Tables.documents(s, d),
           k = 4, rowsPerBand = 2, minMatch = 3, maxBucketSize = lshCap)
@@ -3357,10 +3392,14 @@ object SparkEntry {
       // exec for 10× data at sf1). bits now scales with corpus size so
       // expected occupancy stays ≤ E6TargetBucket (pairs ~ n·target,
       // linear), and maxBucketSize drops degenerate hash-skew buckets
-      // exactly like d3/d6 do. The sizing count() is parquet-metadata
-      // cheap; at 100 TB it is one footer sweep.
+      // exactly like d3/d6 do. The sizing integer comes from the cached
+      // driver-side footer sweep (Tables.rowCount) — ZERO extra Spark
+      // jobs, where the earlier count() scheduled one per invocation
+      // (VERDICT r17 #6); with a real catalog, table statistics play
+      // this role.
       val emb = Tables.embeddings(s, d)
-      val bits = Similarity.adaptiveBits(emb.count(), E6TargetBucket, E6MinBits, E6MaxBits)
+      val bits = Similarity.adaptiveBits(Tables.rowCount(s, d, "embeddings"),
+        E6TargetBucket, E6MinBits, E6MaxBits)
       Similarity.semanticDup(emb, dim = 64, bits = bits, tau = 0.3,
           maxBucketSize = E6BucketCap)
         .orderBy("vec_id")
@@ -6047,7 +6086,7 @@ object SparkEntry {
         // round-trip exactly), k = 2 ⇒ phase 0.5, offsets d = 1-R..R
         // relative to 2·ox. Out-of-raster taps drop out of the join and
         // the sum renormalizes — the identical raster-edge rule.
-        val tapRows = Seq("cubic", "lanczos").flatMap { m =>
+        val tapRows = Seq("cubic", "lanczos", "gauss").flatMap { m =>
           val r = graft.functions.ResampleTaps.radius(m)
           val wf = graft.functions.ResampleTaps.weight(m)
           (0 until 2 * r).map { i =>
@@ -6076,6 +6115,42 @@ object SparkEntry {
            |SELECT kernel, CAST(ox AS INTEGER) AS ox, CAST(oy AS INTEGER) AS oy,
            |  round(acc / wsum + 5e-7, 4) AS val
            |FROM t ORDER BY kernel, oy, ox""".stripMargin
+      },
+
+      "r19_resample_gauss" -> {
+        // same programmatic tap replay as r18: weights come from the SAME
+        // ResampleTaps.gauss the kernel runs (shortest-repr double
+        // literals round-trip exactly); both legs are even factors, so
+        // the phase is 0.5 and the per-axis offsets d = -1..2 sit at
+        // k*ox + tapBase + d (tapBase = (k-1)>>1). Out-of-block and
+        // masked (v = 0) taps drop out of the join; sum(w) renormalizes.
+        val wf = graft.functions.ResampleTaps.weight("gauss")
+        val tapRows = (0 until 4).map { i =>
+          val d0 = -1 + i
+          s"($d0, ${wf(d0 - 0.5)})"
+        }.mkString(", ")
+        s"""WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS asset_id FROM part
+           |  WHERE p_partkey <= 4),
+           |px AS (SELECT asset_id, xs.x, ys.y,
+           |    CAST((3*asset_id + 5*xs.x + 7*ys.y) % 19 AS DOUBLE) AS v
+           |  FROM a, (SELECT unnest(range(0, 8)) AS x) xs,
+           |       (SELECT unnest(range(0, 8)) AS y) ys),
+           |valid AS (SELECT * FROM px WHERE v <> 0),
+           |ks AS (SELECT * FROM (VALUES (2, 0, 4), (4, 1, 2)) t(k, tb, outw)),
+           |o AS (SELECT a.asset_id, ks.k, ks.tb, i.i AS ox, j.j AS oy
+           |  FROM a, ks, (SELECT unnest(range(0, 4)) AS i) i,
+           |       (SELECT unnest(range(0, 4)) AS j) j
+           |  WHERE i.i < ks.outw AND j.j < ks.outw),
+           |w AS (SELECT * FROM (VALUES $tapRows) t(d, w)),
+           |t AS (SELECT o.asset_id, o.k, o.ox, o.oy,
+           |    sum(wx.w * wy.w * v.v) AS acc, sum(wx.w * wy.w) AS wsum
+           |  FROM o CROSS JOIN w wx CROSS JOIN w wy
+           |  JOIN valid v ON v.asset_id = o.asset_id
+           |    AND v.x = o.k*o.ox + o.tb + wx.d AND v.y = o.k*o.oy + o.tb + wy.d
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT asset_id, CAST(k AS INTEGER) AS k, CAST(ox AS INTEGER) AS ox,
+           |  CAST(oy AS INTEGER) AS oy, round(acc / wsum + 5e-7, 4) AS val
+           |FROM t ORDER BY asset_id, k, oy, ox""".stripMargin
       },
 
       "r5_pyramid" ->

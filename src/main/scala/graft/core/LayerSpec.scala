@@ -74,8 +74,8 @@ final case class LayerSpec(
   }
   order.foreach(o => require(o == "asc" || o == "desc", s"Unknown order: $o"))
   resampling match {
-    case "nearest" | "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "average" |
-         "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
+    case "nearest" | "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "gauss" |
+         "average" | "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
     case other => throw new IllegalArgumentException(s"Unknown resampling method: $other")
   }
 
@@ -85,8 +85,8 @@ final case class LayerSpec(
   require(overviews.isEmpty || !autoOverviews,
     "give explicit overview factors OR auto_overviews, not both")
   overviewResampling match {
-    case "nearest" | "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "average" |
-         "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
+    case "nearest" | "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "gauss" |
+         "average" | "mode" | "max" | "min" | "med" | "q1" | "q3" | "sum" | "rms" => ()
     case other => throw new IllegalArgumentException(s"Unknown overview resampling method: $other")
   }
   require(overviewLayout == "internal" || overviewLayout == "external",

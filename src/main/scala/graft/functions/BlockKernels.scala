@@ -39,16 +39,53 @@ object BlockKernels {
   @inline private[functions] def cmp(x: Double, y: Double): Int =
     if (x == y) 0 else java.lang.Double.compare(x, y)
 
+  /** Canonical enumeration of the `s`-thick output frame of a (ow×oh)
+    * block: top s rows (row-major), bottom s rows, then each middle row's
+    * left s and right s columns. One definition shared by the frame-only
+    * tap pass ([[BlockDownsample]] with `frame` set) and the positional
+    * merge ([[MergeFrame]]) so the packed frame array needs no per-cell
+    * addressing. */
+  private[functions] def frameCoords(ow: Int, oh: Int, s: Int): (Array[Int], Array[Int]) = {
+    require(s > 0 && ow >= 2 * s && oh >= 2 * s,
+      s"frame $s too thick for $ow x $oh output")
+    val n = 2 * s * ow + (oh - 2 * s) * 2 * s
+    val xs = new Array[Int](n); val ys = new Array[Int](n)
+    var i = 0
+    def row(oy: Int, x0: Int, x1: Int): Unit = {
+      var ox = x0
+      while (ox < x1) { xs(i) = ox; ys(i) = oy; i += 1; ox += 1 }
+    }
+    for (oy <- 0 until s) row(oy, 0, ow)
+    for (oy <- oh - s until oh) row(oy, 0, ow)
+    for (oy <- s until oh - s) { row(oy, 0, s); row(oy, ow - s, ow) }
+    (xs, ys)
+  }
+
   def downsampleColumn(values: Column, width: Int, height: Int, k: Int,
-      method: String, noData: Option[Double], pad: Int = 0): Column =
+      method: String, noData: Option[Double], pad: Int = 0, frame: Int = 0): Column =
     ColumnBridge.column(BlockDownsample(
-      ColumnBridge.expression(values), width, height, k, method, noData, pad))
+      ColumnBridge.expression(values), width, height, k, method, noData, pad, frame))
+
+  def mergeFrame(local: Column, frameVals: Column, ow: Int, oh: Int, s: Int): Column =
+    ColumnBridge.column(MergeFrame(
+      ColumnBridge.expression(local), ColumnBridge.expression(frameVals), ow, oh, s))
 
   def assembleQuarters(q00: Column, q01: Column, q10: Column, q11: Column,
       size: Int): Column =
     ColumnBridge.column(AssembleQuarters(
       ColumnBridge.expression(q00), ColumnBridge.expression(q01),
       ColumnBridge.expression(q10), ColumnBridge.expression(q11), size))
+
+  def gatherCells(bands: Seq[Column], r0: Int, r1: Int, c0: Int, c1: Int,
+      blockW: Int): Column =
+    ColumnBridge.column(GatherCells(
+      bands.map(ColumnBridge.expression), r0, r1, c0, c1, blockW))
+
+  def assembleSeamPlane(entries: Column, bandIdx: Int, bandCount: Int,
+      blockW: Int, blockH: Int, pad: Int, ring: Int): Column =
+    ColumnBridge.column(AssembleSeamPlane(
+      ColumnBridge.expression(entries), bandIdx, bandCount,
+      blockW, blockH, pad, ring))
 
   def fillNulls(values: Column, fill: Double): Column =
     ColumnBridge.column(FillNulls(ColumnBridge.expression(values), fill))
@@ -207,10 +244,19 @@ case class FillNulls(child: Expression, fill: Double)
   * separate interpreted `transform` over every base pixel. A window with
   * no valid pixel yields null. */
 case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
-    k: Int, method: String, noData: Option[Double], pad: Int = 0)
+    k: Int, method: String, noData: Option[Double], pad: Int = 0,
+    frame: Int = 0)
   extends UnaryExpression with ImplicitDoubleArrayInputs with CodegenFallback {
   require(blockW % k == 0 && blockH % k == 0,
     s"block $blockW x $blockH not divisible by $k")
+  // frame > 0 = FRAME-ONLY mode: compute just the `frame`-thick ring of
+  // output rows/cols (the seam band of [[graft.operators.Resample
+  // .downsampleSeamExact]]'s patch pass) and return them PACKED in
+  // [[BlockKernels.frameCoords]] order — 2s(ow+oh−2s) elements, O(perimeter)
+  // — so the corrected seam values ride the patch join as perimeter bytes,
+  // never a mostly-null full plane. Tap math per output cell is identical
+  // to full mode (same enumeration, same IEEE accumulation).
+  require(frame >= 0, s"frame $frame must be >= 0")
   // pad > 0 = SEAM-EXACT mode (VERDICT r16 #5): the input array is the
   // (blockW+2·pad)×(blockH+2·pad) halo-padded plane assembled by
   // [[graft.operators.Resample.downsampleSeamExact]], so interpolating
@@ -263,15 +309,27 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
   private val nearOff = tapBase + (if (k % 2 == 0) 1 else 0)
   // input-plane stride; with pad = 0 this is exactly blockW
   private val inW = blockW + 2 * pad
+  // output-cell enumeration: full row-major grid, or the packed frame ring
+  // (frame mode). One per-instance precompute; full-mode order is exactly
+  // the old oy/ox double loop, so accumulation order (and every oracle
+  // hash) is unchanged.
+  private lazy val (coordX, coordY) =
+    if (frame == 0) {
+      val xs = new Array[Int](ow * oh); val ys = new Array[Int](ow * oh)
+      var i = 0
+      while (i < ow * oh) { xs(i) = i % ow; ys(i) = i / ow; i += 1 }
+      (xs, ys)
+    } else BlockKernels.frameCoords(ow, oh, frame)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     @inline def masked(idx: Int): Boolean =
       a.isNullAt(idx) || (hasNd && cmp(a.getDouble(idx), nd) == 0)
-    val out = new Array[Double](ow * oh)
+    val nOut = coordX.length
+    val out = new Array[Double](nOut)
     var nulls: Array[Boolean] = null
     @inline def setNull(o: Int): Unit = {
-      if (nulls == null) nulls = new Array[Boolean](ow * oh)
+      if (nulls == null) nulls = new Array[Boolean](nOut)
       nulls(o) = true
     }
     val q = method match {
@@ -280,16 +338,16 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
       case "q3" => 0.75
       case _ => 0.0
     }
-    var oy = 0
-    while (oy < oh) {
-      var ox = 0
-      while (ox < ow) {
-        val o = oy * ow + ox
+    var o = 0
+    while (o < nOut) {
+      {
+        val ox = coordX(o)
+        val oy = coordY(o)
         val base = (oy * k + pad) * inW + ox * k + pad
         method match {
           case "nearest" =>
             if (masked(base)) setNull(o) else out(o) = a.getDouble(base)
-          case "bilinear" | "cubic" | "cubic_spline" | "lanczos" =>
+          case "bilinear" | "cubic" | "cubic_spline" | "lanczos" | "gauss" =>
             val x0 = ox * k + tapBase
             val y0 = oy * k + tapBase
             var acc = 0.0; var wsum = 0.0
@@ -447,9 +505,8 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
           case other =>
             throw new IllegalArgumentException(s"Unknown resampling method: $other")
         }
-        ox += 1
       }
-      oy += 1
+      o += 1
     }
     if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
     else {
@@ -467,6 +524,156 @@ case class BlockDownsample(child: Expression, blockW: Int, blockH: Int,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Scatter side of the seam-exact patch exchange: pack the pixels of ONE
+  * [[SeamGeometry]] region, all bands band-blocked (band 0's cells
+  * row-major, then band 1's, ...), as a plain double array — 8 bytes per
+  * cell per band on the wire instead of the 48+-byte per-cell structs this
+  * replaces. A null band array fills its section with nulls (the missing-
+  * plane convention); null elements pass through. */
+case class GatherCells(bands: Seq[Expression], r0: Int, r1: Int,
+    c0: Int, c1: Int, blockW: Int)
+  extends Expression with CodegenFallback {
+  require(bands.nonEmpty && r1 >= r0 && c1 >= c0 && c1 < blockW,
+    s"bad gather region ($r0..$r1, $c0..$c1) for width $blockW")
+
+  override def prettyName: String = "gather_cells"
+  override def children: Seq[Expression] = bands
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  private val rows = r1 - r0 + 1
+  private val cols = c1 - c0 + 1
+  private val cells = rows * cols
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = cells * bands.length
+    val out = new Array[Double](n)
+    var nulls: Array[Boolean] = null
+    @inline def nullPlane(): Array[Boolean] = {
+      if (nulls == null) nulls = new Array[Boolean](n)
+      nulls
+    }
+    var b = 0
+    while (b < bands.length) {
+      val v = bands(b).eval(input)
+      val base = b * cells
+      if (v == null) java.util.Arrays.fill(nullPlane(), base, base + cells, true)
+      else {
+        val a = v.asInstanceOf[ArrayData]
+        var r = 0
+        while (r < rows) {
+          val srcBase = (r0 + r) * blockW + c0
+          val dstBase = base + r * cols
+          var c = 0
+          while (c < cols) {
+            if (a.isNullAt(srcBase + c)) nullPlane()(dstBase + c) = true
+            else out(dstBase + c) = a.getDouble(srcBase + c)
+            c += 1
+          }
+          r += 1
+        }
+      }
+      b += 1
+    }
+    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
+    else {
+      val bb = new UnsafeArrayBuilders.Doubles(n)
+      var i = 0
+      while (i < n) {
+        if (nulls(i)) bb.setNull(i) else bb.set(i, out(i))
+        i += 1
+      }
+      bb.build()
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(bands = newChildren)
+}
+
+/** Gather side of the seam-exact patch exchange (VERDICT r17 #1): rebuild
+  * one band's sparse (blockW+2·pad)×(blockH+2·pad) padded plane from the
+  * collected `array<struct<kind:int, vals:array<double>>>` region packs —
+  * `kind` indexes [[SeamGeometry.regions]](blockW, blockH, pad, ring), and
+  * `vals` is that region's [[GatherCells]] pack (this band's section at
+  * `bandIdx`·cells). Cells no region covers stay null: the interior beyond
+  * the own ring (which the frame-only tap pass never reads) and ring cells
+  * with no emitting neighbor (the raster edge — the drop-and-renormalize
+  * convention). Primitive region-copy loops replace the interpreted
+  * per-element `transform(sequence(0, pw·ph−1), …)` plane rebuild, which
+  * paid O(area) HOF dispatch per band per block on the production pyramid
+  * path whenever `overview_seam_exact` was set. */
+case class AssembleSeamPlane(entries: Expression, bandIdx: Int,
+    bandCount: Int, blockW: Int, blockH: Int, pad: Int, ring: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(bandIdx >= 0 && bandIdx < bandCount,
+    s"bandIdx $bandIdx outside 0..${bandCount - 1}")
+
+  override def child: Expression = entries
+  override def prettyName: String = "assemble_seam_plane"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  private lazy val regions = SeamGeometry.regions(blockW, blockH, pad, ring)
+  private val pw = blockW + 2 * pad
+  private val ph = blockH + 2 * pad
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = pw * ph
+    val out = new Array[Double](n)
+    val nulls = new Array[Boolean](n)
+    java.util.Arrays.fill(nulls, true)
+    val e = entries.eval(input)
+    if (e != null) {
+      val es = e.asInstanceOf[ArrayData]
+      val ne = es.numElements()
+      var i = 0
+      while (i < ne) {
+        val row = es.getStruct(i, 2)
+        val kind = row.getInt(0)
+        require(kind >= 0 && kind < regions.length,
+          s"region kind $kind outside 0..${regions.length - 1}")
+        val rg = regions(kind)
+        val vals = row.getArray(1)
+        require(vals.numElements() == rg.cells * bandCount,
+          s"region $kind pack has ${vals.numElements()} values, " +
+            s"expected ${rg.cells * bandCount}")
+        val base = bandIdx * rg.cells
+        var r = 0
+        while (r < rg.rows) {
+          val dstBase = (rg.oy + r) * pw + rg.ox
+          val srcBase = base + r * rg.cols
+          var c = 0
+          while (c < rg.cols) {
+            if (vals.isNullAt(srcBase + c)) {
+              out(dstBase + c) = 0.0; nulls(dstBase + c) = true
+            } else {
+              out(dstBase + c) = vals.getDouble(srcBase + c)
+              nulls(dstBase + c) = false
+            }
+            c += 1
+          }
+          r += 1
+        }
+        i += 1
+      }
+    }
+    val b = new UnsafeArrayBuilders.Doubles(n)
+    var i = 0
+    while (i < n) {
+      if (nulls(i)) b.setNull(i) else b.set(i, out(i))
+      i += 1
+    }
+    b.build()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(entries = newChild)
 }
 
 /** Assemble four (half×half) quarter blocks into one (size×size) block —
@@ -550,4 +757,75 @@ case class AssembleQuarters(q00: Expression, q01: Expression,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(q00 = newChildren(0), q01 = newChildren(1),
       q10 = newChildren(2), q11 = newChildren(3))
+}
+
+/** Overwrite the `s`-thick frame of a block-local downsample output with
+  * the seam-corrected values of the patch pass — the merge step of
+  * [[graft.operators.Resample.downsampleSeamExact]]. `local` is the
+  * (ow×oh) block-local output plane (a NULL plane = a missing band: the
+  * interior stays all-null, only the frame carries values — the masked-
+  * plane convention); `frameVals` is the packed frame array in
+  * [[BlockKernels.frameCoords]] order, possibly null when the block had no
+  * patch row (left-join miss — keep the local output untouched). Every
+  * frame cell was COMPUTED by the patch pass, so a null frame element
+  * means corrected-to-masked, never "no correction". */
+case class MergeFrame(local: Expression, frameVals: Expression,
+    ow: Int, oh: Int, s: Int)
+  extends Expression with ImplicitDoubleArrayInputs with CodegenFallback {
+
+  override def prettyName: String = "merge_frame"
+  override def children: Seq[Expression] = Seq(local, frameVals)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  private lazy val (coordX, coordY) = BlockKernels.frameCoords(ow, oh, s)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = ow * oh
+    val out = new Array[Double](n)
+    val nulls = new Array[Boolean](n)
+    val l = local.eval(input)
+    if (l == null) java.util.Arrays.fill(nulls, true)
+    else {
+      val a = l.asInstanceOf[ArrayData]
+      require(a.numElements() == n,
+        s"local plane has ${a.numElements()} elements, expected $n")
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) nulls(i) = true else out(i) = a.getDouble(i)
+        i += 1
+      }
+    }
+    val f = frameVals.eval(input)
+    if (f != null) {
+      val fa = f.asInstanceOf[ArrayData]
+      require(fa.numElements() == coordX.length,
+        s"frame has ${fa.numElements()} elements, expected ${coordX.length}")
+      var i = 0
+      while (i < coordX.length) {
+        val at = coordY(i) * ow + coordX(i)
+        if (fa.isNullAt(i)) { nulls(at) = true; out(at) = 0.0 }
+        else { out(at) = fa.getDouble(i); nulls(at) = false }
+        i += 1
+      }
+    }
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = nulls(i); i += 1 }
+    if (!hasNull) UnsafeArrayData.fromPrimitiveArray(out)
+    else {
+      val b = new UnsafeArrayBuilders.Doubles(n)
+      i = 0
+      while (i < n) {
+        if (nulls(i)) b.setNull(i) else b.set(i, out(i))
+        i += 1
+      }
+      b.build()
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(local = newChildren(0), frameVals = newChildren(1))
 }

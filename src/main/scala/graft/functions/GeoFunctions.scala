@@ -17,8 +17,13 @@ import org.locationtech.jts.operation.union.UnaryUnionOp
   * WKB `binary` columns. These run on CONTROL-PLANE data only — file
   * catalogs and tile footprints, thousands of rows, always on the broadcast
   * side of a join — never per pixel, so plain Scala UDFs are the right
-  * cost/complexity point (SURVEY §4). Geometry values are WKB so they
-  * serialize compactly through shuffles and parquet.
+  * cost/complexity point (SURVEY §4; the deliberate deviation from §4's
+  * Expression prescription, accepted in VERDICT r17 #8). THE CONTRACT:
+  * no st_* column may appear in a plan that moves packed pixel arrays —
+  * PlanContractSpec's block-relation sweep enforces it mechanically, so a
+  * future call site that drags a UDF onto the block path fails CI rather
+  * than shipping an interpreted per-pixel boundary. Geometry values are
+  * WKB so they serialize compactly through shuffles and parquet.
   */
 object GeoFunctions {
 

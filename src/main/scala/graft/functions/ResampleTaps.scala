@@ -19,7 +19,8 @@ object ResampleTaps {
 
   /** Tap radius per interpolating kernel (taps run 1-r .. r). */
   val radius: Map[String, Int] =
-    Map("bilinear" -> 1, "cubic" -> 2, "cubic_spline" -> 2, "lanczos" -> 3)
+    Map("bilinear" -> 1, "cubic" -> 2, "cubic_spline" -> 2, "lanczos" -> 3,
+      "gauss" -> 2)
 
   /** GDAL cubic-convolution kernel weight (a = -0.5, the `cubic` default). */
   private def cubicW(tIn: Double): Double = {
@@ -41,6 +42,23 @@ object ResampleTaps {
     else 0.0
   }
 
+  /** Gaussian weight (rasterio/GDAL expose `gauss` as an overview method —
+    * the last member of the reference's dynamically-built enum,
+    * `gfw_pixetl/resampling.py:9-15`). GDAL's overview gauss applies the
+    * discrete binomial matrices (1,2,1)/4 (factor 2) and (1,4,6,4,1)/16
+    * per axis; 2^(−t²) reproduces the 3-tap binomial EXACTLY on the
+    * integer lattice (2^(−1) = 1/2 per edge tap), which is where our
+    * odd-factor phase-0 taps land. Truncating at |t| ≥ 2 keeps those
+    * odd-factor taps symmetric (the 2r-tap lattice would otherwise pick
+    * up a lone 2^(−4) tail on one side). Even factors sample at
+    * half-phase, giving the exact per-axis vector (1,4,4,1)/10
+    * (2^(−2.25)/2^(−0.25) = 1/4). Non-negative everywhere, so the
+    * negative-lobe nearest-fallback never triggers for gauss. */
+  private def gaussW(tIn: Double): Double = {
+    val t = math.abs(tIn)
+    if (t >= 2.0) 0.0 else math.pow(2.0, -t * t)
+  }
+
   /** Lanczos windowed-sinc weight (GDAL `lanczos`, 3 lobes, radius 3). */
   private def lanczosW(tIn: Double): Double = {
     val t = math.abs(tIn)
@@ -56,5 +74,34 @@ object ResampleTaps {
     case "cubic"        => cubicW
     case "cubic_spline" => bsplineW
     case "lanczos"      => lanczosW
+    case "gauss"        => gaussW
+  }
+
+  /** Seam geometry of a factor-`k` decimation with `kernel`'s taps:
+    * `s` = how many output rows/cols per block edge have a NONZERO tap
+    * crossing the block boundary (the only outputs where block-local
+    * drop-and-renormalize can differ from the whole-raster convolution —
+    * s = 0 means block-local IS seam-exact, e.g. bilinear at k = 2, cubic
+    * at k = 4), and `q` = how many of the block's OWN edge source
+    * rows/cols those s seam outputs read (the own-pixel strip a
+    * perimeter-only seam correction must ship alongside the radius-deep
+    * neighbor halo). Derived from the same precomputed tap vector as
+    * [[graft.functions.BlockDownsample]]: output ox reads source columns
+    * ox·k + tapBase + d for nonzero-weight offsets d ∈ [minD, maxD]. */
+  def frameSpec(kernel: String, k: Int): (Int, Int) = {
+    val r = radius.getOrElse(kernel,
+      throw new IllegalArgumentException(s"$kernel is not an interpolating kernel"))
+    val wf = weight(kernel)
+    val frac = if (k % 2 == 0) 0.5 else 0.0
+    val ds = (0 until 2 * r).map(1 - r + _).filter(d => wf(d - frac) != 0.0)
+    val tapBase = (k - 1) >> 1
+    val minD = ds.min; val maxD = ds.max
+    val sLo = math.ceil(math.max(0, -(tapBase + minD)) / k.toDouble).toInt
+    val sHi = math.ceil(math.max(0, tapBase + maxD - (k - 1)) / k.toDouble).toInt
+    val s = math.max(sLo, sHi)
+    val q =
+      if (s == 0) 0
+      else math.max((s - 1) * k + tapBase + maxD + 1, s * k - tapBase - minD)
+    (s, q)
   }
 }

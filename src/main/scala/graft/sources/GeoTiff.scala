@@ -750,7 +750,10 @@ object GeoTiff {
     prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     prm.setCompressionQuality(quality)
     val bos = new ByteArrayOutputStream(raw.length / 2 + 1024)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // explicit memory-cached stream: ImageIO.createImageOutputStream routes
+    // through the JVM-global useCache default (a temp-FILE round-trip per
+    // tile once nothing force-disables it — ADVICE r17)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       w.setOutput(ios)
       w.write(null, new javax.imageio.IIOImage(img, null, null), prm)
@@ -784,7 +787,10 @@ object GeoTiff {
     prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     prm.setCompressionQuality(quality)
     val bos = new ByteArrayOutputStream(raw.length / 2 + 1024)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // explicit memory-cached stream: ImageIO.createImageOutputStream routes
+    // through the JVM-global useCache default (a temp-FILE round-trip per
+    // tile once nothing force-disables it — ADVICE r17)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       w.setOutput(ios)
       w.write(null, new javax.imageio.IIOImage(img, null, null), prm)
@@ -792,12 +798,26 @@ object GeoTiff {
     bos.toByteArray
   }
 
+  /** ImageIO.read over an explicit memory-cached stream — the
+    * InputStream overload consults the JVM-global useCache default, which
+    * is a temp-file round-trip per tile decode (ADVICE r17; Multimodal
+    * uses the same pattern). ImageIO.read(ImageInputStream) closes the
+    * stream itself on the found-a-reader path, so the cleanup close must
+    * swallow the already-closed IOException rather than mask a good
+    * decode. */
+  private def jpegRead(data: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try javax.imageio.ImageIO.read(iis)
+    finally { try iis.close() catch { case _: java.io.IOException => () } }
+  }
+
   /** Decode a color JFIF tile back to the chunky R,G,B interleaved byte
     * stream (the inverse of [[jpegEncodeRgb]]); the JDK decoder performs
     * the YCbCr→RGB conversion and any chroma upsampling the stream
     * declares, so subsampled foreign files decode too. */
   private def jpegDecodeRgb(data: Array[Byte], width: Int, rows: Int): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    val img = jpegRead(data)
     require(img != null && img.getWidth == width && img.getHeight == rows,
       s"JPEG tile decoded to ${if (img == null) "nothing"
         else s"${img.getWidth}x${img.getHeight}"}, expected ${width}x$rows")
@@ -879,7 +899,7 @@ object GeoTiff {
   }
 
   private def jpegDecode(data: Array[Byte], width: Int, rows: Int): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    val img = jpegRead(data)
     require(img != null && img.getWidth == width && img.getHeight == rows,
       s"JPEG tile decoded to ${if (img == null) "nothing"
         else s"${img.getWidth}x${img.getHeight}"}, expected ${width}x$rows")

@@ -56,7 +56,8 @@ object WarpReader {
     *
     * `resampling`: `nearest` (default); interpolating `bilinear` (2×2
     * taps), `cubic` (4×4 cubic convolution, a=-0.5), `cubic_spline` (4×4
-    * cubic B-spline, smoothing), `lanczos` (6×6 3-lobe windowed sinc); or
+    * cubic B-spline, smoothing), `lanczos` (6×6 3-lobe windowed sinc),
+    * `gauss` (truncated 2^(−t²) — GDAL's binomial overview kernel); or
     * box aggregates `average`/`sum`/`min`/`max`/`mode`/`med`/`q1`/`q3`/
     * `rms` over every source pixel whose center falls inside the target
     * pixel's footprint — the GDAL warp aggregates, valid at ANY ratio
@@ -73,8 +74,8 @@ object WarpReader {
       require(resampling == "nearest" || boxKernels.contains(resampling) ||
           kernelRadius.contains(resampling),
         s"WarpReader supports nearest, interpolating (bilinear/cubic/" +
-          s"cubic_spline/lanczos) and box (average/sum/min/max/mode/med/" +
-          s"q1/q3/rms) kernels, got $resampling")
+          s"cubic_spline/lanczos/gauss) and box (average/sum/min/max/mode/" +
+          s"med/q1/q3/rms) kernels, got $resampling")
       val spark = blockWork.sparkSession
       import spark.implicits._
       val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)

@@ -132,8 +132,20 @@ object StreamJob {
     * Determinism: within a micro-batch the bucket's slice replays in
     * (event-time, doc_id) order, so a replayed batch emits identical
     * verdicts, and in-order arrival reproduces the batch twin
-    * [[graft.operators.Dedup.nearDupVerdicts]] exactly (StreamingSpec
-    * asserts it). `docs` needs (doc_id, text, ts). */
+    * [[graft.operators.Dedup.nearDupVerdicts]] exactly ON BUCKETS UNDER
+    * BOTH CAPS (StreamingSpec asserts it with the fuses disarmed). The
+    * degenerate-bucket fuses differ BY DESIGN: the batch twin's
+    * `maxBucketSize` drops an over-cap bucket wholesale (no verdicts from
+    * it), while this op's `maxReps` keeps matching arrivals against the
+    * newest 256 reps — an online operator cannot know a bucket's final
+    * size, and dropping verdicts only once the cap trips would un-emit
+    * nothing (Append mode). Out-of-order arrival within the watermark
+    * keeps every verdict inside the batch relation (`rid < id`), but a
+    * doc may match a larger smallest-id than the batch twin when its
+    * true earliest dup arrives after it; late-past-watermark arrivals
+    * are dropped EXPLICITLY inside the operator and emit no verdict —
+    * Spark's FMGWS applies the watermark to state timeout only, not to
+    * late input rows (StreamingSpec pins both). `docs` needs (doc_id, text, ts). */
   def streamingNearDup(docs: DataFrame, k: Int = 4, rowsPerBand: Int = 2,
                        minMatch: Int = 3, horizonSec: Long = 3600L,
                        maxReps: Int = 256): Dataset[BandVerdict] = {
@@ -160,13 +172,22 @@ object StreamJob {
             val wm = state.getCurrentWatermarkMs()
             var reps = state.getOption.map(_.reps).getOrElse(Nil)
               .filter(_._1 >= wm - horizonSec * 1000) // expired reps evict
-            val out = it.toIndexedSeq
+            // EXPLICIT late-row drop: Spark applies the watermark to FMGWS
+            // state timeout only, NOT to late input rows — without this
+            // filter a past-watermark straggler would emit a verdict into
+            // an append stream whose consumers assume watermark-complete
+            // prefixes (StreamingSpec pins the drop)
+            val out = it.filter(_._2.getTime >= wm).toIndexedSeq
               .sortBy { case (id, ts, _, _, _) => (ts.getTime, id) }
               .map { case (id, ts, band, _, sig) =>
                 var dup = Long.MaxValue
                 val horizonFloor = ts.getTime - horizonSec * 1000
+                // rid < id (not just != id): under out-of-order arrival a
+                // later-id doc can already sit in the reps, and a dup_of
+                // pointing at a LARGER doc_id would leave the batch twin's
+                // documented smallest-id-EARLIER-doc relation (ADVICE r17)
                 reps.foreach { case (rts, rid, rsig) =>
-                  if (rts >= horizonFloor && rid < dup && rid != id &&
+                  if (rts >= horizonFloor && rid < dup && rid < id &&
                     simCount(rsig, sig) >= minMatch) dup = rid
                 }
                 reps = ((ts.getTime, id, sig) :: reps).take(maxReps)

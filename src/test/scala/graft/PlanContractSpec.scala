@@ -230,6 +230,41 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("partial_first"), p.take(1500))
   }
 
+  test("seam-exact downsample: planes never shuffle, primitive patch pipeline") {
+    import org.apache.spark.sql.functions._
+    // the seam-exact overview contract (VERDICT r17 #1, patch
+    // architecture): the pixel planes stay map-side — only the
+    // O(perimeter) region packs shuffle (gather_cells → one keyed
+    // exchange → assemble_seam_plane → frame-only block_downsample), and
+    // the seam band merges back positionally (merge_frame). Neither the
+    // interpreted map_from_entries + per-element transform rebuild nor a
+    // whole-plane exchange may reappear.
+    val blocks = spark.range(16).select(
+      lit("t").as("tile_id"),
+      (col("id") / 4).cast("int").as("block_x"),
+      (col("id") % 4).cast("int").as("block_y"),
+      transform(sequence(lit(1), lit(64)), _.cast("double")).as("values"))
+    val out = graft.operators.Resample.downsampleSeamExact(
+      blocks, 8, 8, 2, "cubic", keyCols = Seq("tile_id"))
+    val p = out.queryExecution.executedPlan.toString
+    // kernel presence reads the optimized LOGICAL plan: the physical
+    // string hides the patch projection inside ObjectHashAggregate's
+    // unprinted resultExpressions
+    val lp = out.queryExecution.optimizedPlan.toString
+    for (k <- Seq("gather_cells", "assemble_seam_plane", "block_downsample",
+        "merge_frame"))
+      assert(lp.contains(k), s"missing $k: ${lp.take(2000)}")
+    assert(!lp.contains("map_from_entries"), lp.take(2000))
+    // two exchanges max: the perimeter-pack gather, and the patch join's
+    // co-partitioning of the LOCAL side (absent when the input is already
+    // partitioned on the key, or when AQE broadcasts the patch side)
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+    // the plane-bearing local leg computes BELOW its exchange: block-local
+    // block_downsample appears under the join's local side, so only
+    // quarter-size output planes ever move even when unpartitioned
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("g13: per-hop aggregate combines map-side; no cartesian message join") {
     val p = plan("g13_neigh_agg")
     assert(!p.contains("CartesianProduct"), p.take(1500))
@@ -320,6 +355,39 @@ class PlanContractSpec extends SparkSpec {
     // a live ledger query
     val stale = auditedGlobalWindows.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist entries for dead queries: $stale")
+  }
+
+  test("block-relation plans carry ZERO ScalaUDFs (st_* stays control-plane)") {
+    // GeoFunctions' st_* surface is plain UDFs BY DOCUMENTED CONTRACT
+    // (GeoFunctions header + VERDICT r17 #8): file catalogs and tile
+    // footprints only — thousands of rows, broadcast side — never per
+    // pixel. This sweep pins the boundary mechanically: every ledger query
+    // whose plan moves packed pixel arrays must be UDF-free END TO END,
+    // walked through AQE wrappers, cached relations, subqueries, and
+    // aggregate resultExpressions (where plan STRINGS hide expressions).
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def hasUdf(p: SparkPlan): Boolean = {
+      val self = p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => hasUdf(a.inputPlan)
+        case s: InMemoryTableScanExec => hasUdf(s.relation.cachedPlan)
+        case _ => false
+      }
+      self || nested || p.children.exists(hasUdf) || p.subqueries.exists(hasUdf)
+    }
+    val blockQueries = SparkEntry.queries.keys.filter(n =>
+      n.matches("r\\d+_.*|a(1[0-4]|[1-5])_.*|j[34]_.*|p[12]_.*|k[56]_.*|s5_.*")).toSeq.sorted
+    assert(blockQueries.size >= 35, s"sweep lost its targets: $blockQueries")
+    val offenders = blockQueries.filter { q =>
+      val bad = hasUdf(SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan)
+      graft.core.Caching.release(spark)
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"ScalaUDF on a block-relation plan (st_* is control-plane-only): $offenders")
   }
 
   test("signature builders run the primitive kernels, not interpreted HOF folds") {

@@ -510,4 +510,81 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L).isEmpty, "identical doc past the horizon must be novel again")
     assert(got(3L).contains(2L), "in-horizon twin dups against the FRESH rep")
   }
+
+  /** One parquet file per micro-batch (maxFilesPerTrigger=1 reads them in
+    * name order) — the arrival-order harness for the out-of-order legs. */
+  private def stageBatches(dir: java.io.File,
+      batches: Seq[Seq[(Long, String, java.sql.Timestamp)]]): Unit = {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(dir); dir.mkdirs()
+    batches.zipWithIndex.foreach { case (ds, i) =>
+      val stage = new java.io.File(dir, s".stage$i")
+      ds.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, f"batch$i%03d.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    }
+  }
+
+  test("st7 out-of-order: verdicts stay inside the batch relation (rid < id); " +
+      "late-past-watermark arrivals drop") {
+    import spark.implicits._
+    import StreamJob.BandVerdict
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val text = "alpha beta gamma delta epsilon"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+
+    // leg 1: four identical docs, event times in id order, ARRIVAL order
+    // 3, 1, 2, 4 (one micro-batch each, all inside watermark + horizon).
+    // The batch twin says 1→None, 2→1, 3→1, 4→1. Under reordering the
+    // contract is: every emitted dup_of is an EARLIER id (rid < id — the
+    // ADVICE-r17 guard: doc 1 must NOT dup against the already-arrived 3),
+    // and a doc may miss its true smallest-id dup when that dup arrives
+    // after it (doc 3 → None here), but never leave the batch relation.
+    val dir = new java.io.File("target/tmp/stream_neardup_ooo")
+    stageBatches(dir, Seq(
+      Seq((3L, text, t(3000))), Seq((1L, text, t(1000))),
+      Seq((2L, text, t(2000))), Seq((4L, text, t(4000)))))
+    val q = StreamJob.streamingNearDup(spark.readStream
+        .schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir.getAbsolutePath))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_neardup_ooo").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st_neardup_ooo").as[BandVerdict].collect()
+      .groupBy(_.doc_id).view.mapValues(_.flatMap(_.dup_of).minOption).toMap
+    assert(got == Map(3L -> None, 1L -> None, 2L -> Some(1L), 4L -> Some(1L)),
+      s"got $got")
+
+    // leg 2: a doc whose event time sits behind the advanced watermark
+    // emits NO verdict rows (the documented drop semantics). The drop is
+    // the OPERATOR's own filter: Spark's flatMapGroupsWithState applies
+    // the watermark to state timeout only — late input rows flow through
+    // to the user function (this leg caught exactly that). batch 0 pushes
+    // the watermark to t(3h) − horizon(1h) = t(2h); batch 1's doc 3 at
+    // t(1h) is late.
+    val dir2 = new java.io.File("target/tmp/stream_neardup_late")
+    stageBatches(dir2, Seq(
+      Seq((1L, text, t(0)), (2L, text, t(3 * 3600 * 1000L))),
+      Seq((3L, text, t(1 * 3600 * 1000L)))))
+    val q2 = StreamJob.streamingNearDup(spark.readStream
+        .schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir2.getAbsolutePath))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_neardup_late").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("st_neardup_late").as[BandVerdict].collect()
+      .groupBy(_.doc_id).view.mapValues(_.flatMap(_.dup_of).minOption).toMap
+    assert(!got2.contains(3L), s"late arrival must emit nothing: $got2")
+    assert(got2(1L).isEmpty && got2(2L).isEmpty,
+      s"docs 1 and 2 sit a horizon apart: $got2")
+  }
 }
