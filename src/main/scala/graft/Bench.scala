@@ -135,6 +135,33 @@ object Bench {
     loadStart > maxLoad || stealPct > maxSteal ||
       (calibStartMs > 0 && calibEndMs / calibStartMs > maxCalibDrift)
 
+  /** Per-query task-metric accumulator (VERDICT r17 #5): shuffle bytes +
+    * spill between reset() and snapshot(), so a decade ratio like q21's
+    * 11.45x carries the evidence to distinguish "~linear, host variance"
+    * from "a sort started spilling". Listener events post asynchronously;
+    * snapshot() after a short drain pause is MB-accurate, which is the
+    * reporting granularity. */
+  final class TaskMetricsAgg extends org.apache.spark.scheduler.SparkListener {
+    private var read = 0L; private var write = 0L
+    private var memSpill = 0L; private var diskSpill = 0L
+    def reset(): Unit = synchronized { read = 0; write = 0; memSpill = 0; diskSpill = 0 }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) synchronized {
+        read += m.shuffleReadMetrics.totalBytesRead
+        write += m.shuffleWriteMetrics.bytesWritten
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+      }
+    }
+    /** (shuffle_read, shuffle_write, mem_spill, disk_spill) bytes. */
+    def snapshot(): (Long, Long, Long, Long) = {
+      Thread.sleep(150) // drain the async listener bus
+      synchronized { (read, write, memSpill, diskSpill) }
+    }
+  }
+
   /** Force FULL evaluation of a query's output: write to the `noop` sink.
     *
     * `df.count()` lets Catalyst prune every column that doesn't affect
@@ -174,7 +201,8 @@ object Bench {
         Thread.sleep(15000); waited += 15
       }
     }
-    val known = SparkEntry.queries.keySet + "layer_pipeline_199mpx"
+    val known = SparkEntry.queries.keySet +
+      "layer_pipeline_199mpx" + "layer_pipeline_2gpx"
     val unknown = only -- known
     if (unknown.nonEmpty) {
       System.err.println(s"[bench] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -213,26 +241,33 @@ object Bench {
     // warm the session: JIT the parquet reader + codegen paths once
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // per-query shuffle/spill evidence for the scaling sections (r17 #5)
+    val taskMetrics = new TaskMetricsAgg
+    spark.sparkContext.addSparkListener(taskMetrics)
+    val qMetrics = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (Long, Long, Long, Long)]
+
     // Pipeline throughput: the full LayerJob (seed → spatial join → block
     // read → mosaic → calc → cast/fill → stats) over 2 tiles of the
     // 90/9984 grid with the synthetic reader — ~199 Mpx end to end, the
     // shape the reference's 648-tile envelope is quoted against. Counts
     // blocks AND folds stats so every stage executes.
-    def layerPipeline(): (Double, Double, Double) = {
+    def layerPipeline(grid: String = "90/9984",
+        subset: Seq[String] = Seq("90N_180W", "90N_090W")): (Double, Double, Double) = {
       val spec = LayerSpec(dataset = "bench", version = "v1", sourceType = "raster",
         pixelMeaning = "x", dataType = "uint16", calc = Some("A * 2 + 1"),
-        grid = "90/9984", sourceUri = Some(Seq("mem")), noData = Some(Seq(0.0)))
+        grid = grid, sourceUri = Some(Seq("mem")), noData = Some(Seq(0.0)))
       val catalog = {
         import spark.implicits._
         Seq(("mem://bench.tif", 1,
           graft.functions.GeoFunctions.write(
-            graft.functions.GeoFunctions.envelope(-180, -90, 0, 90))))
+            graft.functions.GeoFunctions.envelope(-180, -90, 180, 90))))
           .toDF("uri", "band", "footprint")
       }
       val reader: LayerJob.BlockReader = b => Raster.synthesizeBand(b.drop("band"), band = 1)
       val t0 = System.nanoTime()
       val r = LayerJob.run(spark, spec, catalog, reader,
-        subset = Some(Seq("90N_180W", "90N_090W")))
+        subset = Some(subset))
       val tb = System.nanoTime()
       r.blocks.queryExecution.executedPlan // plan = analysis + optimization
       val t1 = System.nanoTime()
@@ -358,15 +393,21 @@ object Bench {
     /** One timed (build, plan, exec) run of a ledger query against `dir`,
       * cache-released afterwards; None on failure (shared by the sf1 and
       * sf10 sections — a failed query never masquerades as a timing). */
-    def timedOne(dir: String, name: String): Option[(Double, Double, Double)] =
+    def timedOne(dir: String, name: String, section: String = ""): Option[(Double, Double, Double)] =
       try {
+        taskMetrics.reset()
         val q0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)
         val qb = System.nanoTime()
         df.queryExecution.executedPlan
         val q1 = System.nanoTime()
         forceAll(df)
-        Some(((qb - q0) / 1e9, (q1 - qb) / 1e9, (System.nanoTime() - q1) / 1e9))
+        val t = ((qb - q0) / 1e9, (q1 - qb) / 1e9, (System.nanoTime() - q1) / 1e9)
+        // shuffle/spill snapshot per (section, query) — for min-of-2
+        // entries the LAST run's bytes land in the record (the byte
+        // volumes of two same-query runs agree; only the timings swing)
+        if (section.nonEmpty) qMetrics((section, name)) = taskMetrics.snapshot()
+        Some(t)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $dir $name FAILED: $e"); None
       } finally graft.core.Caching.release(spark)
@@ -388,7 +429,7 @@ object Bench {
         def withinBudget = (System.nanoTime() - t0) / 1e9 <= sf1Budget
         names.foreach { name =>
           if (!withinBudget) skipped += name
-          else timedOne(sf1Dir, name) match {
+          else timedOne(sf1Dir, name, "sf1") match {
             // a failed query must not masquerade as a timing (ADVICE r14
             // medium: it corrupted the scaling evidence) — record it in
             // its own list, excluded from sf1_queries/sf1_total/sf1_n
@@ -397,7 +438,7 @@ object Bench {
               // min-of-2 for the high-variance fixpoint family (VERDICT
               // r16 #3): record the better run and the max/min spread
               val best =
-                if (sf1MinOf2(name) && withinBudget) timedOne(sf1Dir, name) match {
+                if (sf1MinOf2(name) && withinBudget) timedOne(sf1Dir, name, "sf1") match {
                   case Some(t2) =>
                     sf1Spread(name) = math.max(tot3(t1), tot3(t2)) /
                       math.max(1e-9, math.min(tot3(t1), tot3(t2)))
@@ -442,7 +483,7 @@ object Bench {
         val failed = scala.collection.mutable.ArrayBuffer.empty[String]
         names.foreach { name =>
           if ((System.nanoTime() - t0) / 1e9 > sf10Budget) skipped += name
-          else timedOne(sf10Dir, name) match {
+          else timedOne(sf10Dir, name, "sf10") match {
             case Some(t) => done += name -> t
             case None => failed += name
           }
@@ -456,6 +497,17 @@ object Bench {
       if (sf10Jiffies1 > sf10Jiffies0)
         100.0 * (sf10Steal1 - sf10Steal0) / (sf10Jiffies1 - sf10Jiffies0)
       else 0.0
+
+    // 2-Gpx pipeline decade leg (VERDICT r17 #7): the baseline-parity
+    // claim rests on the 199-Mpx forced pipeline; this opt-in leg
+    // (SPARK_GRAFT_PIPE2G=on, or name it explicitly in a partial run)
+    // runs the SAME pipeline at ~11x the pixels — 3 tiles of the 90/27008
+    // grid = 2,188 Mpx — so the Mpx/s/core figure gets its own scale
+    // curve (flat within ~1.3x = the map phase really is linear).
+    val pipe2gEnabled = only("layer_pipeline_2gpx") ||
+      (only.isEmpty && sys.env.get("SPARK_GRAFT_PIPE2G").contains("on"))
+    val pipe2g = if (!pipe2gEnabled) None else Some(measure(() =>
+      layerPipeline("90/27008", Seq("90N_180W", "90N_090W", "00N_180W"))))
 
     val sf1Total = sf1Results.map { case (_, (b, p, e)) => b + p + e }.sum
     def sf1Render(f: ((Double, Double, Double)) => Double): String =
@@ -478,10 +530,24 @@ object Bench {
       val r = sf1ByName.get(k).map(s => tot3(t) / math.max(1e-9, tot3(s)))
       "\"" + k + "\":" + f"${r.getOrElse(-1.0)}%.2f"
     }.mkString("{", ",", "}")
+    def metricsJson(section: String, names: Seq[String]): String =
+      names.flatMap(n => qMetrics.get((section, n)).map { case (r, w, ms, ds) =>
+        "\"" + n + "\":" +
+          f"""{"shuffle_read_mb":${r / 1e6}%.1f,"shuffle_write_mb":${w / 1e6}%.1f,"mem_spill_mb":${ms / 1e6}%.1f,"disk_spill_mb":${ds / 1e6}%.1f}"""
+      }).mkString("{", ",", "}")
+    val nCores = cpus.toInt
+    val pipe2gTag = pipe2g.map { case (tot, _, _, b, pl, ex) =>
+      val mpx2g = 3.0 * 27008L * 27008L / 1e6
+      val mpx199 = 2.0 * 9984L * 9984L / 1e6
+      val p199 = results.toMap.get("layer_pipeline_199mpx")
+      f""","pipe2g_total":$tot%.3f,"pipe2g_build":$b%.3f,"pipe2g_plan":$pl%.3f,"pipe2g_exec":$ex%.3f,"pipe2g_mpx":$mpx2g%.1f,"pipe2g_mpx_per_core_exec":${mpx2g / ex / nCores}%.2f""" +
+        p199.map(t => f""","pipe199_mpx_per_core_exec":${mpx199 / t._6 / nCores}%.2f""").getOrElse("")
+    }.getOrElse("")
     val sf10Tag = if (!sf10Enabled) "" else
       f""","sf10_total":$sf10Total%.3f,"sf10_n":${sf10Results.size},"sf10_skipped":${sf1List(sf10Skipped)},"sf10_failed":${sf1List(sf10Failed)},"sf10_loadavg_start":$sf10LoadStart%.2f,"sf10_loadavg_end":$sf10LoadEnd%.2f,"sf10_steal_pct":$sf10StealPct%.2f"""
+    val sf10Names = sf10Results.map(_._1)
     val sf10Full = if (!sf10Enabled) "" else
-      s"""$sf10Tag,"sf10_queries":${sf10Render(tot3)},"sf10_queries_build":${sf10Render(_._1)},"sf10_queries_plan":${sf10Render(_._2)},"sf10_queries_exec":${sf10Render(_._3)},"sf10_ratio_vs_sf1":$sf10RatioJson"""
+      s"""$sf10Tag,"sf10_queries":${sf10Render(tot3)},"sf10_queries_build":${sf10Render(_._1)},"sf10_queries_plan":${sf10Render(_._2)},"sf10_queries_exec":${sf10Render(_._3)},"sf10_ratio_vs_sf1":$sf10RatioJson,"sf10_shuffle":${metricsJson("sf10", sf10Names)},"sf1_shuffle":${metricsJson("sf1", sf10Names)}"""
     // Filtered (partial) runs are a different artifact class: they go to
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
@@ -517,14 +583,14 @@ object Bench {
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full$sf10Full,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full$sf10Full$pipe2gTag,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
     // COMPACT medians-only line to stdout — ~1.5 KB, which survives the tail
     // cap together with sbt's trailing [success] line.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag$sf1Tag$sf10Tag,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag$sf1Tag$sf10Tag$pipe2gTag,"queries":$qs,"sf":"$sfDir"}"""
     // a contended full run must NOT become the canonical baseline: r12's
     // contended record overwrote BENCH_LATEST and poisoned a round of
     // regression detection (ADVICE r12 medium)

@@ -45,7 +45,12 @@ object Raster {
   def synthesizeBand(blocks: DataFrame, band: Int, nodataEvery: Int = 0): DataFrame = {
     import graft.functions.BlockEval
     import org.apache.spark.sql.types.{BooleanType, LongType}
-    val seed = xxhash64(col("tile_id"), col("block_row"), col("block_col"), lit(band))
+    // seed bounded to 2^40 so the per-pixel linear form s + i·2654435761
+    // (i < 2^18) stays far from Long range: a full-width xxhash64 seed
+    // overflowed under ANSI arithmetic once enough blocks ran (first hit
+    // at the 133k-block 2-Gpx bench leg — ~2e-6 odds per block)
+    val seed = pmod(xxhash64(col("tile_id"), col("block_row"), col("block_col"),
+      lit(band)), lit(1L << 40))
     val n = (col("width") * col("height")).cast("int")
     // index-generator form of the compiled block kernel: the seed is a
     // per-BLOCK scalar slot, the pixel index drives the formula — the

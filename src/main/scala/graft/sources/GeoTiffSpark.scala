@@ -82,6 +82,23 @@ object GeoTiffSpark {
     }
   }
 
+  /** [[graft.functions.PackBand]] mode for a pixel type: the sink
+    * shuffle's wire width. Integer names pack at their storage width with
+    * the writer's clamp rule; float16/float32 pack as float bits; float64
+    * stays raw. Sub-byte NBITS types still pack at their full-width class
+    * — the pack clamp range contains the encoder's, and the clamp is
+    * idempotent, so the final file bytes are unchanged. */
+  private def packMode(pt: graft.core.PixelType): String = pt.name match {
+    case "uint8"  => "u8"
+    case "int8"   => "i8"
+    case "uint16" => "u16"
+    case "int16"  => "i16"
+    case "uint32" => "u32"
+    case "int32"  => "i32"
+    case "float16" | "float32" => "f32"
+    case _ => "f64"
+  }
+
   /** Write one plane at a WRITER level (0 = base IFD, k = k-th declared
     * overview of that writer). */
   private def writeAt(writer: GeoTiff.Writer, wl: Int, b: Int,
@@ -173,16 +190,24 @@ object GeoTiffSpark {
     // stream tile runs through the writer with one decode per row. */
     val ndFill = noData.getOrElse(0.0)
     val bandCols0 = (1 to bandCount).map(i => s"band_$i")
+    // dtype-width pack BEFORE the exchange (PackBand): the shuffle then
+    // moves ~file bytes, not 8 B/px doubles — 4× less wire+spill volume
+    // for uint16 layers, 8× for uint8. Found the hard way: a 10-Gpx
+    // incompressible soak spilled ~80 GB of shuffled doubles for what is
+    // a 20 GB uint16 file. Bit-parity is the kernel's contract (the
+    // writer re-applies the same idempotent clamp).
+    val mode = packMode(pt)
     val packed = leveled
       .select((Seq(col("tile_id"), col("left"), col("top"),
         col("block_row"), col("block_col"), col("level")) ++
-        bandCols0.map(b => graft.functions.BlockKernels.fillNulls(col(b), ndFill).as(b))): _*)
+        bandCols0.map(b => graft.functions.BlockKernels.packBand(
+          graft.functions.BlockKernels.fillNulls(col(b), ndFill), mode).as(b))): _*)
       .repartition(col("tile_id"))
       .sortWithinPartitions("tile_id")
       .select(col("tile_id"), col("left"), col("top"), col("block_row"),
         col("block_col"), col("level"),
         array(bandCols0.map(col): _*).as("bands"))
-      .as[(String, Double, Double, Int, Int, Int, Seq[Array[Double]])]
+      .as[(String, Double, Double, Int, Int, Int, Seq[Array[Byte]])]
     packed
       .mapPartitions { it0 =>
         HadoopConfs.install(confBytes)
@@ -210,7 +235,8 @@ object GeoTiffSpark {
                   overviewFactors = overviewFactors, cogLayout = cogLayout)
               }
               for (b <- 1 to bandCount) {
-                writeAt(writer, lvl, b, br, bc, bands(b - 1))
+                writeAt(writer, lvl, b, br, bc,
+                  graft.functions.BlockKernels.unpackBand(bands(b - 1), mode))
                 written += ((lvl, b, br, bc))
               }
               if (lvl == 0) n += 1
@@ -312,16 +338,18 @@ object GeoTiffSpark {
     // pure UnsafeRow repartition on tile_id, in-partition key sort,
     // streamed tile runs
     val ndFill = noData.getOrElse(0.0)
+    val mode = packMode(pt) // dtype-width wire format, same as writeTiles
     val packed = leveled
       .select((Seq(col("tile_id"), col("left"), col("top"),
         col("block_row"), col("block_col"), col("level")) ++
-        bandCols.map(b => graft.functions.BlockKernels.fillNulls(col(b), ndFill).as(b))): _*)
+        bandCols.map(b => graft.functions.BlockKernels.packBand(
+          graft.functions.BlockKernels.fillNulls(col(b), ndFill), mode).as(b))): _*)
       .repartition(col("tile_id"))
       .sortWithinPartitions("tile_id")
       .select(col("tile_id"), col("left"), col("top"), col("block_row"),
         col("block_col"), col("level"),
         array(bandCols.map(col): _*).as("bands"))
-      .as[(String, Double, Double, Int, Int, Int, Seq[Array[Double]])]
+      .as[(String, Double, Double, Int, Int, Int, Seq[Array[Byte]])]
     packed
       .mapPartitions { it0 =>
         HadoopConfs.install(confBytes)
@@ -360,7 +388,8 @@ object GeoTiffSpark {
               // writer's level 0 IS the first reduced level
               val wl = rowLvl - 1
               for (b <- 1 to bandCount) {
-                writeAt(writer, wl, b, br, bc, bands(b - 1))
+                writeAt(writer, wl, b, br, bc,
+                  graft.functions.BlockKernels.unpackBand(bands(b - 1), mode))
                 written += ((wl, b, br, bc))
               }
             }

@@ -18,20 +18,45 @@ object GpxSoakMain {
   def v(br: Long, bc: Long, colInBlock: Long): Double =
     ((br * 131 + bc * 17 + colInBlock) % 250 + 1).toDouble
 
+  /** Deterministic INCOMPRESSIBLE pattern (VERDICT r17 #2): a splitmix64
+    * finalizer per global pixel, full uint16 range — deflate gains ~0%,
+    * so the 10-Gpx noise leg moves the real ~20 GB through the sink and
+    * the read-back instead of the 0.19 GB the synthetic pattern deflates
+    * to. Still pointwise spot-checkable at every pyramid level. */
+  def vNoise(br: Long, bc: Long, idx: Long): Double = {
+    var z = (br * 100003L + bc) * 160001L + idx + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z & 0x7FFFFFFFL) % 65535L + 1L).toDouble
+  }
+
   /** args: [outDir] [mode] — mode "10gpx" runs the reference's LARGEST
     * declared grid, 10/100000 (`grid_factory.py:19`): one 100000² px tile
     * = 10 Gpx, 62,500 blocks of 400² (the grid's own block rule), factor-2
     * internal overview (50000 is 400-divisible; a factor-4 level would
     * need partial edge blocks, out of this leg's scope), same 3.5 GB cap —
     * the VERDICT r16 #4 end-to-end proof at the reference's extreme.
+    * Mode "noise" is the 2.62-Gpx 10/51200 grid filled with [[vNoise]] —
+    * the I/O-volume proof (VERDICT r17 #2): file_gb ≈ the 5.2 GB raw
+    * uint16 size, ~27× the bytes the synthetic pattern deflates to. (The
+    * 10-Gpx grid with noise needs ~80 GB of incompressible double spill
+    * through the tile-assembly shuffle plus ~40 GB of file+reorder temp —
+    * past this host's free disk; the byte-volume claim needs real bytes,
+    * not the largest tile, and the 10-Gpx memory bound has its own leg.)
     * Default mode is the 2.62-Gpx 10/51200 leg. */
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_soak").toString)
-    val tenGpx = args.drop(1).headOption.contains("10gpx")
+    val mode = args.drop(1).headOption.getOrElse("default")
+    val noise = mode == "noise"
     val (gridName, tileId, b, n, factors) =
-      if (tenGpx) ("10/100000", "10N_010E", 400, 250, Seq(2))
+      if (mode == "10gpx") ("10/100000", "10N_010E", 400, 250, Seq(2))
       else ("10/51200", "10N_010E", B, N, Seq(2, 4))
+    // value at block (br, bc), in-block index idx — the column-constant
+    // codec-friendly pattern, or full-entropy noise for the I/O leg
+    val vf: (Long, Long, Long) => Double =
+      if (noise) vNoise else (br, bc, idx) => v(br, bc, idx % b)
     val spark = SparkSession.builder()
       // 16 workers, not the bench's 32: the claim under test is per-TASK
       // memory (one block each, any tile size), and 3.5 GB / 32 ways left
@@ -76,7 +101,7 @@ object GpxSoakMain {
           pmod(col("id"), lit(n)).cast("int").as("bc"))
         .as[(Int, Int)]
         .map { case (br, bc) => (tileId, 10.0, 10.0, br, bc,
-          Array.tabulate(b * b)(i => v(br, bc, i % b))) }
+          Array.tabulate(b * b)(i => vf(br, bc, i))) }
         .toDF("tile_id", "left", "top", "block_row", "block_col", "band_1")
 
       val t0 = System.nanoTime()
@@ -100,7 +125,7 @@ object GpxSoakMain {
            idx <- Seq(0, b - 1, b * b - 1)) {
         val gx = (tc.toLong * b + idx % b) * f
         val gy = (tr.toLong * b + idx / b) * f
-        require(lvl.readTile(1, tr, tc)(idx) == v(gy / b, gx / b, gx % b),
+        require(lvl.readTile(1, tr, tc)(idx) == vf(gy / b, gx / b, (gy % b) * b + gx % b),
           s"level f=$f block ($tr,$tc) idx $idx")
       }
       // COG invariants survived the multi-GB reorder pass: IFDs head-first,
@@ -131,22 +156,38 @@ object GpxSoakMain {
         })
         .reduce(_ + _)
       val readSecs = (System.nanoTime() - tR) / 1e9
-      var want = 0.0
-      var br = 0
-      while (br < n) {
-        var bc = 0
-        while (bc < n) {
-          var cc = 0
-          while (cc < b) { want += b * v(br, bc, cc); cc += 1 }
-          bc += 1
+      // expected sum from the generating FORMULA, never from written data.
+      // Values are integers <= 65535 and the global total stays under 2^53,
+      // so the double sum is exact in any accumulation order. The
+      // column-constant pattern folds to a driver loop; noise needs all
+      // 10^10 hash evaluations, so it runs as its own distributed job.
+      val want =
+        if (noise)
+          spark.range(n.toLong * n).as[Long].mapPartitions(_.map { id =>
+            val br = id / n; val bc = id % n
+            var s = 0.0; var i = 0
+            while (i < b * b) { s += vNoise(br, bc, i); i += 1 }
+            s
+          }).reduce(_ + _)
+        else {
+          var w = 0.0
+          var br = 0
+          while (br < n) {
+            var bc = 0
+            while (bc < n) {
+              var cc = 0
+              while (cc < b) { w += b * v(br, bc, cc); cc += 1 }
+              bc += 1
+            }
+            br += 1
+          }
+          w
         }
-        br += 1
-      }
       require(readSum == want, s"distributed read checksum $readSum != $want")
       val sizeGb = java.nio.file.Files.size(java.nio.file.Paths.get(path)) / 1e9
       val xmxGb = Runtime.getRuntime.maxMemory / 1e9
       val gpx = n.toLong * n * b * b / 1e9
-      println(f"SOAK_OK gpx=$gpx%.2f secs=$secs%.1f read_secs=$readSecs%.1f file_gb=$sizeGb%.2f xmx_gb=$xmxGb%.2f")
+      println(f"SOAK_OK mode=$mode gpx=$gpx%.2f secs=$secs%.1f read_secs=$readSecs%.1f file_gb=$sizeGb%.2f xmx_gb=$xmxGb%.2f")
     } finally spark.stop()
   }
 }
@@ -225,5 +266,20 @@ class GpxSoakSpec extends AnyFunSuite {
     assume(sys.env.get("GRAFT_SOAK10").contains("1"),
       "10-Gpx soak is opt-in: set GRAFT_SOAK10=1 (~10-20 min; figures in COVERAGE.md)")
     runForked(Seq("10gpx"))
+  }
+
+  test("2.62-Gpx INCOMPRESSIBLE tile moves ~5 GB of real bytes under the same 3.5 GB heap") {
+    // VERDICT r17 #2: the synthetic soak patterns deflate ~100x (the green
+    // 10-Gpx leg wrote a 0.19 GB file), proving the memory bound but not
+    // the I/O path at real byte volume. This leg fills the 51200-px grid
+    // with full-entropy uint16 noise — file_gb ~ the 5.2 GB raw size, and
+    // every byte of it incompressible — so writeTiles, the COG reorder,
+    // and the distributed read-back all move real bytes under the
+    // unchanged cap. (10 Gpx of noise needs ~120 GB of transient disk —
+    // spill + file + reorder temp — past this host; see GpxSoakMain.)
+    assume(sys.env.get("GRAFT_SOAK_NOISE").contains("1"),
+      "incompressible soak is opt-in: set GRAFT_SOAK_NOISE=1 " +
+        "(~25 GB transient disk; figures in COVERAGE.md)")
+    runForked(Seq("noise"))
   }
 }
