@@ -93,6 +93,9 @@ object BlockKernels {
   def packBand(values: Column, mode: String): Column =
     ColumnBridge.column(PackBand(ColumnBridge.expression(values), mode))
 
+  def unpackBandColumn(bytes: Column, mode: String): Column =
+    ColumnBridge.column(UnpackBand(ColumnBridge.expression(bytes), mode))
+
   /** Writer-side inverse of [[PackBand]]: packed little-endian samples →
     * the double plane the tile writer consumes. Plain Scala (runs inside
     * the sink's mapPartitions, once per block). */
@@ -613,6 +616,24 @@ case class PackBand(child: Expression, mode: String)
       case other => throw new IllegalArgumentException(s"unknown pack mode $other")
     }
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst twin of [[BlockKernels.unpackBand]] for plans that consume a
+  * packed band mid-dataflow (the overview build's regroup exchange):
+  * packed little-endian samples → the non-nullable double plane the tile
+  * kernels consume. */
+case class UnpackBand(child: Expression, mode: String)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "unpack_band"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      BlockKernels.unpackBand(input.asInstanceOf[Array[Byte]], mode))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

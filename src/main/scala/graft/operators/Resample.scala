@@ -202,7 +202,8 @@ object Resample {
     * map-side combined) + one per-block [[graft.functions
     * .AssembleQuarters]] primitive copy. */
   def regroup2x(halfBlocks: DataFrame, blockSize: Int,
-                bandCols: Seq[String], keyCols: Seq[String]): DataFrame = {
+                bandCols: Seq[String], keyCols: Seq[String],
+                packed: Option[String] = None): DataFrame = {
     require(blockSize % 2 == 0, s"blockSize $blockSize must be even")
     def q(b: String, r: Int, c: Int) = s"__${b}_q$r$c"
     val tagged = halfBlocks
@@ -216,12 +217,20 @@ object Resample {
         (col("block_row") / 2).cast("int").as("block_row") :+
         (col("block_col") / 2).cast("int").as("block_col")): _*)
       .agg(quadAggs.head, quadAggs.tail: _*)
+    // `packed`: the quarters arrive as dtype-width PackBand binaries (the
+    // overview sink's wire discipline — the exchange just moved ~file
+    // bytes, not 8 B/px doubles) and unpack per quadrant right here, so
+    // the assembly below still runs on double planes
+    val quarter = (b: String, r: Int, c: Int) => packed match {
+      case Some(m) => graft.functions.BlockKernels.unpackBandColumn(col(q(b, r, c)), m)
+      case None => col(q(b, r, c))
+    }
     val assembled = bandCols.map { b =>
       // a missing (null) quarter fills its quadrant with nulls = masked;
       // primitive per-quadrant row copies (see AssembleQuarters) replace
       // the interpreted per-element transform + 4-way CaseWhen
       graft.functions.BlockKernels.assembleQuarters(
-        col(q(b, 0, 0)), col(q(b, 0, 1)), col(q(b, 1, 0)), col(q(b, 1, 1)),
+        quarter(b, 0, 0), quarter(b, 0, 1), quarter(b, 1, 0), quarter(b, 1, 1),
         blockSize).as(b)
     }
     grouped.select((keyCols.map(col) :+ col("block_row") :+ col("block_col"))

@@ -50,7 +50,8 @@ object GeoTiffSpark {
   private def overviewLevels(blocks: DataFrame, block: Int,
       bandCols: Seq[String], keyCols: Seq[String], noData: Option[Double],
       factors: Seq[Int], method: String,
-      seamExact: Boolean = false): Seq[DataFrame] = {
+      seamExact: Boolean = false,
+      regroupPack: Option[String] = None): Seq[DataFrame] = {
     import graft.operators.Resample
     var cur = blocks
     var curFactor = 1
@@ -75,10 +76,48 @@ object GeoTiffSpark {
             bandCols.foldLeft(cur)((d, b) => d.withColumn(b,
               Resample.downsample(col(b), block, block, 2, method, noData)))
           }
-        cur = Resample.regroup2x(m, block, bandCols, keyCols)
+        cur = regroupPack match {
+          // dtype-width regroup exchange (same PackBand wire discipline as
+          // the sink shuffle): masked nulls fill with nodata, quarters ship
+          // packed, and the NEXT halving's downsample re-masks the fill
+          // through its fused noData rule — requires a nodata that
+          // round-trips the dtype exactly (the caller checks). Intermediate
+          // levels clamp to the dtype range, which is precisely GDAL's
+          // behavior (overviews are STORED in the band dtype level by
+          // level); the unpacked path kept full double precision between
+          // levels — more than GDAL, and 4× the exchange bytes at uint16.
+          case Some(mode) =>
+            val nd = noData.get
+            val packedIn = m.select((keyCols.map(col) ++
+              Seq(col("block_row"), col("block_col"))) ++
+              bandCols.map(b => graft.functions.BlockKernels.packBand(
+                graft.functions.BlockKernels.fillNulls(col(b), nd), mode).as(b)): _*)
+            Resample.regroup2x(packedIn, block, bandCols, keyCols,
+              packed = Some(mode))
+          case None => Resample.regroup2x(m, block, bandCols, keyCols)
+        }
         curFactor *= 2
       }
       cur.withColumn("level", lit(li + 1))
+    }
+  }
+
+  /** True when `nd` survives a `mode` pack→unpack round trip exactly —
+    * the precondition for the packed regroup exchange: the next halving's
+    * downsample re-masks the nodata FILL, so a nodata the dtype cannot
+    * represent (it would clamp or narrow) must keep the unpacked path. */
+  private def packSafeNoData(mode: String, nd: Double): Boolean = {
+    def cl(lo: Long, hi: Long): Boolean =
+      !nd.isNaN && math.max(lo, math.min(hi, math.rint(nd).toLong)).toDouble == nd
+    mode match {
+      case "u8"  => cl(0, 255)
+      case "i8"  => cl(-128, 127)
+      case "u16" => cl(0, 65535)
+      case "i16" => cl(-32768, 32767)
+      case "u32" => cl(0, 4294967295L)
+      case "i32" => cl(Int.MinValue, Int.MaxValue)
+      case "f32" => nd.isNaN || nd.toFloat.toDouble == nd
+      case _     => true
     }
   }
 
@@ -169,11 +208,13 @@ object GeoTiffSpark {
     val bandCols = (1 to bandCount).map(i => s"band_$i")
     val keyCols = Seq("tile_id", "left", "top")
     val base = blocks.select(cols0.map(col): _*).withColumn("level", lit(0))
+    val sinkMode = packMode(pt)
+    val regroupPack = noData.filter(packSafeNoData(sinkMode, _)).map(_ => sinkMode)
     val leveled =
       if (overviewFactors.isEmpty) base
       else (base +: overviewLevels(blocks.select(cols0.map(col): _*), block,
         bandCols, keyCols, noData, overviewFactors, overviewMethod,
-        overviewSeamExact))
+        overviewSeamExact, regroupPack))
         .reduce(_ unionByName _)
     val confBytes = HadoopConfs.capture(spark.sparkContext.hadoopConfiguration)
     // Sink shuffle WITHOUT per-pixel boxing: the old Row-typed
@@ -196,7 +237,7 @@ object GeoTiffSpark {
     // incompressible soak spilled ~80 GB of shuffled doubles for what is
     // a 20 GB uint16 file. Bit-parity is the kernel's contract (the
     // writer re-applies the same idempotent clamp).
-    val mode = packMode(pt)
+    val mode = sinkMode
     val packed = leveled
       .select((Seq(col("tile_id"), col("left"), col("top"),
         col("block_row"), col("block_col"), col("level")) ++
@@ -327,8 +368,10 @@ object GeoTiffSpark {
     val blocks = bandCols.zipWithIndex.foldLeft(blocks0) { case (df, (b, i)) =>
       df.withColumn(b, element_at(col("__bands"), i + 1))
     }.drop("__bands")
+    val ovrMode = packMode(pt)
     val leveled = overviewLevels(blocks, block, bandCols,
-      Seq("tile_id", "left", "top"), noData, factors, method, seamExact)
+      Seq("tile_id", "left", "top"), noData, factors, method, seamExact,
+      noData.filter(packSafeNoData(ovrMode, _)).map(_ => ovrMode))
       .reduce(_ unionByName _)
     val f1 = factors.head
     val relFactors = factors.tail.map(_ / f1)
