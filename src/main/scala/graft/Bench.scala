@@ -133,7 +133,16 @@ object Bench {
       calibStartMs: Double, calibEndMs: Double,
       maxLoad: Double, maxSteal: Double, maxCalibDrift: Double): Boolean =
     loadStart > maxLoad || stealPct > maxSteal ||
-      (calibStartMs > 0 && calibEndMs / calibStartMs > maxCalibDrift)
+      // SYMMETRIC drift (round 18): a START spin slower than the END spin
+      // means the run BEGAN on a busy machine that went quiet mid-run —
+      // the r18 case (calib 393→301 ms with loadavg_start 1.45 just under
+      // the gate: the sf0.1 section and the early-query timings ran
+      // contended while every gate input read green). END-slower catches
+      // mid-run arrivals; START-slower catches warm starts. Either
+      // direction past maxCalibDrift quarantines the record.
+      (calibStartMs > 0 && calibEndMs > 0 &&
+        math.max(calibEndMs / calibStartMs,
+          calibStartMs / calibEndMs) > maxCalibDrift)
 
   /** Per-query task-metric accumulator (VERDICT r17 #5): shuffle bytes +
     * spill between reset() and snapshot(), so a decade ratio like q21's
@@ -232,6 +241,17 @@ object Bench {
       // while toy-SF relations still collapse to one task. A cluster
       // deployment re-sizes this to its executor memory budget.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // start every shuffle WIDE and let AQE coalesce down to the 8 MB
+      // advisory: with shuffle.partitions pinned to the core count, a
+      // third-decade aggregation state no longer fits one task's
+      // execution-memory share — the r18 metrics listener caught q21
+      // spilling 15.8 GB mem / 2.3 GB disk at sf10 (zero at sf1). 256
+      // initial partitions give big shuffles room — q21's sf10 3-run
+      // median dropped 17.3 → 9.2 s — while small queries coalesce to the
+      // same few partitions as before. This is the production AQE
+      // discipline: initialPartitionNum scales with the largest expected
+      // shuffle, advisory size right-sizes everything at runtime.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -47,5 +47,15 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("degenerate zero start-calibration never divides by zero or trips") {
     assert(!gate(start = 0.50, steal = 0.1, c0 = 0.0, c1 = 135.0))
+    assert(!gate(start = 0.50, steal = 0.1, c0 = 100.0, c1 = 0.0))
+  }
+
+  test("warm START that goes quiet mid-run: contended (the r18 blind spot)") {
+    // the exact r18 record: loadavg_start 1.45 (just under the gate),
+    // steal 1.37, calib 393.5 -> 301.3 — the machine was BUSY during the
+    // start calibration and the early queries, then went quiet, so the
+    // one-directional drift ratio (0.77) sailed under a gate meant to
+    // catch the opposite case. Symmetric drift quarantines it.
+    assert(gate(start = 1.45, steal = 1.37, c0 = 393.5, c1 = 301.3))
   }
 }
