@@ -143,6 +143,15 @@ object Resample {
       BlockKernels.downsampleColumn(col(b), w, h, k, method, noData).as(b)): _*)
     val (s, q) = graft.functions.ResampleTaps.frameSpec(method, k)
     if (s == 0) return local // block-local IS seam-exact for these taps
+    // `blocks` deliberately feeds TWO consumers (the map-only local taps
+    // and the perimeter strip scatter) WITHOUT a cache pin: Spark
+    // recomputes the upstream per consumer, but on the pyramid path the
+    // upstream is the previous halving's regroup AGGREGATE whose exchange
+    // files are REUSED — the recompute is a re-aggregation from local
+    // shuffle data, never a re-shuffle. A pin was tried and reverted: it
+    // retains a whole level in the block manager, which violates the tile
+    // sink's one-block-per-task memory contract (OOM'd the 2.62-Gpx soak
+    // under its 3.5 GB cap) — at 100 TB a level does not fit anything.
     require(w >= q && h >= q, s"seam ring $q exceeds block $w x $h")
     // scatter: 8 receiver-addressed halo strips (the emitter at (bx, by)
     // ships region r to block (bx − r.dx, by − r.dy)) plus the emitter's

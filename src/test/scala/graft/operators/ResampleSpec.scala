@@ -437,7 +437,10 @@ class ResampleSpec extends SparkSpec {
     assume(sys.env.get("GRAFT_SEAM_BENCH").contains("1"),
       "seam-cost measure is opt-in: set GRAFT_SEAM_BENCH=1")
     val bs = 512
-    val grid = 8 // 8x8 blocks x 512^2 = 16.8 Mpx
+    // 8x8 blocks x 512^2 = 16.8 Mpx by default; GRAFT_SEAM_GRID widens the
+    // lattice (e.g. 16 -> 67 Mpx) so the fixed multi-stage scheduling
+    // constants amortize and the ratio approaches its asymptote
+    val grid = sys.env.get("GRAFT_SEAM_GRID").map(_.toInt).getOrElse(8)
     val blocks = spark.range(grid * grid).select(
       (col("id") / grid).cast("int").as("block_x"),
       (col("id") % grid).cast("int").as("block_y"),

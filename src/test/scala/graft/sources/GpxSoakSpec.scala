@@ -50,6 +50,12 @@ object GpxSoakMain {
       java.nio.file.Files.createTempDirectory("graft_soak").toString)
     val mode = args.drop(1).headOption.getOrElse("default")
     val noise = mode == "noise"
+    // "cubic" / "cubicseam": the SAME 2.62-Gpx write with an interpolating
+    // overview kernel, block-local vs seam-exact — the production-path A/B
+    // for the seam patch dataflow's marginal cost (everything else equal:
+    // same data, same codec, same reorder)
+    val seamExact = mode == "cubicseam"
+    val cubic = seamExact || mode == "cubic"
     val (gridName, tileId, b, n, factors) =
       if (mode == "10gpx") ("10/100000", "10N_010E", 400, 250, Seq(2))
       else ("10/51200", "10N_010E", B, N, Seq(2, 4))
@@ -106,7 +112,9 @@ object GpxSoakMain {
 
       val t0 = System.nanoTime()
       val res = GeoTiffSpark.writeTiles(blocks, spec, outDir,
-        overviewFactors = factors, overviewMethod = "nearest",
+        overviewFactors = factors,
+        overviewMethod = if (cubic) "cubic" else "nearest",
+        overviewSeamExact = seamExact,
         cogLayout = true).collect()
       val secs = (System.nanoTime() - t0) / 1e9
       require(res.length == 1 && res(0).getInt(2) == n * n,
@@ -121,7 +129,12 @@ object GpxSoakMain {
       // (f·X, f·Y) under the nearest kernel's top-left pick
       // probe blocks must exist at EVERY level: the deepest grid is
       // (n / max-factor)² blocks, comfortably past (17, 23) in both legs
-      for ((lvl, f) <- levels.zip(1 +: factors); (tr, tc) <- Seq((0, 0), (17, 23));
+      // pointwise per-level decode check: nearest picks base (f·X, f·Y);
+      // the cubic modes' overview values are convolutions (covered by the
+      // r18/r19 oracles at unit scale), so they check the base level only
+      for ((lvl, f) <- levels.zip(1 +: factors)
+             if f == 1 || !cubic;
+           (tr, tc) <- Seq((0, 0), (17, 23));
            idx <- Seq(0, b - 1, b * b - 1)) {
         val gx = (tc.toLong * b + idx % b) * f
         val gy = (tr.toLong * b + idx / b) * f
