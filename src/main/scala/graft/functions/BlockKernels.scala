@@ -117,6 +117,15 @@ object BlockKernels {
 
   def mosaicFold(layers: Column): Column =
     ColumnBridge.column(MosaicFold(ColumnBridge.expression(layers)))
+
+  def assembleFocalPlane(center: Column, entries: Column,
+      width: Column, height: Column, pad: Int): Column =
+    ColumnBridge.column(AssembleFocalPlane(
+      ColumnBridge.expression(center), ColumnBridge.expression(entries),
+      ColumnBridge.expression(width), ColumnBridge.expression(height), pad))
+
+  def notNullMask(values: Column): Column =
+    ColumnBridge.column(NotNullMask(ColumnBridge.expression(values)))
 }
 
 /** J3 mosaic overlay fold over the priority-sorted layer list of one block
@@ -634,6 +643,106 @@ case class UnpackBand(child: Expression, mode: String)
   override def nullSafeEval(input: Any): Any =
     UnsafeArrayData.fromPrimitiveArray(
       BlockKernels.unpackBand(input.asInstanceOf[Array[Byte]], mode))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Assemble the focal halo exchange's padded (w+2·pad)×(h+2·pad) plane —
+  * the primitive twin of the interpreted `map_from_entries` +
+  * `transform(sequence(0, pw·ph−1), …)` rebuild it replaces, which paid
+  * per-element HOF dispatch over the PADDED plane for every block of
+  * every focal/terrain operator (the same O(area) pattern VERDICT r17 #1
+  * flagged on the seam path — here it sat on ten operators). `center` is
+  * the block's own masked plane (null elements = invalid — validity is
+  * pre-fused into nulls); `entries` are the neighbors' O(perimeter) strip
+  * cells, already addressed to padded indices. Ring cells with no
+  * emitting neighbor stay null — the GIS focal edge convention. Width and
+  * height are per-ROW expressions (the focal lattice guard allows mixed
+  * declarations to be caught at runtime), so the geometry derives per
+  * eval, not per plan. */
+case class AssembleFocalPlane(center: Expression, entries: Expression,
+    blockW: Expression, blockH: Expression, pad: Int)
+  extends Expression with CodegenFallback {
+  require(pad >= 1, s"pad $pad must be >= 1")
+
+  override def prettyName: String = "assemble_focal_plane"
+  override def children: Seq[Expression] = Seq(center, entries, blockW, blockH)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = center.nullable
+  override def foldable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = center.eval(input)
+    if (c == null) return null
+    val w = blockW.eval(input).asInstanceOf[Number].intValue()
+    val h = blockH.eval(input).asInstanceOf[Number].intValue()
+    val pw = w + 2 * pad
+    val n = pw * (h + 2 * pad)
+    val a = c.asInstanceOf[ArrayData]
+    require(a.numElements() == w * h,
+      s"center plane has ${a.numElements()} elements, expected ${w * h}")
+    val out = new Array[Double](n)
+    val nulls = new Array[Boolean](n)
+    java.util.Arrays.fill(nulls, true)
+    var r = 0
+    while (r < h) {
+      val dstBase = (r + pad) * pw + pad
+      val srcBase = r * w
+      var x = 0
+      while (x < w) {
+        if (!a.isNullAt(srcBase + x)) {
+          out(dstBase + x) = a.getDouble(srcBase + x)
+          nulls(dstBase + x) = false
+        }
+        x += 1
+      }
+      r += 1
+    }
+    val e = entries.eval(input)
+    if (e != null) {
+      val es = e.asInstanceOf[ArrayData]
+      val ne = es.numElements()
+      var i = 0
+      while (i < ne) {
+        val row = es.getStruct(i, 2)
+        val at = row.getInt(0)
+        require(at >= 0 && at < n, s"halo entry index $at outside padded plane")
+        if (!row.isNullAt(1)) { out(at) = row.getDouble(1); nulls(at) = false }
+        i += 1
+      }
+    }
+    val b = new UnsafeArrayBuilders.Doubles(n)
+    var i = 0
+    while (i < n) {
+      if (nulls(i)) b.setNull(i) else b.set(i, out(i))
+      i += 1
+    }
+    b.build()
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(center = newChildren(0), entries = newChildren(1),
+      blockW = newChildren(2), blockH = newChildren(3))
+}
+
+/** Element-wise non-null mask of any array — one primitive pass (the
+  * validity leg of the focal output: a cell is valid iff its computed
+  * value is non-null). */
+case class NotNullMask(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "not_null_mask"
+  override def dataType: DataType = ArrayType(BooleanType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val b = new UnsafeArrayBuilders.Booleans(n)
+    var i = 0
+    while (i < n) { b.set(i, !a.isNullAt(i)); i += 1 }
+    b.build()
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

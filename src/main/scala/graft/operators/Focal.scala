@@ -284,16 +284,57 @@ object Focal {
       .drop("tile_idx", "block_x", "block_y")
   }
 
-  /** Shared scatter → gather → unrolled-window skeleton. `mk` receives one
+  /** Shared scatter → gather → compiled-window skeleton. `mk` receives one
     * ((maybe-valid value, valid-as-int, wx, wy)) per window cell and
     * returns (value, validity count n); output cells are valid iff n > 0
-    * and the value is not null. */
+    * and the value is not null.
+    *
+    * Evaluation (round 18): every O(area) stage is COMPILED —
+    *   1. validity pre-fuses into nulls (one [[graft.functions.BlockEval]]
+    *      pass: invalid pixels null out, so the dataflow carries ONE
+    *      nullable plane instead of a (values, valid) pair);
+    *   2. the scatter ships the center plane untouched plus 8
+    *      O(perimeter) pre-addressed strips (interpreted HOF is fine at
+    *      perimeter size);
+    *   3. the padded window assembles through the primitive
+    *      [[graft.functions.AssembleFocalPlane]] (interior row copies +
+    *      strip scatter) — the interpreted `map_from_entries` +
+    *      per-element `transform` rebuild this replaces paid HOF dispatch
+    *      over every PADDED cell of every block, the r17-#1 pattern on
+    *      ten operators at once;
+    *   4. the (2r+1)² window kernel runs through ONE compiled BlockEval
+    *      projection per block (the padded plane rides as a per-block
+    *      array slot; each output pixel's taps are codegen'd element_at
+    *      reads) — the former two chained `transform`s evaluated the
+    *      whole window tree interpreted per pixel, ~100-200 ns/element ×
+    *      (2r+1)² × pixels;
+    *   5. output validity is one [[graft.functions.NotNullMask]] pass
+    *      (the kernel's `when(n > 0, value)` is null exactly where the
+    *      old (v, ok) struct was invalid — same relation, fewer bytes).
+    * Semantics are bit-identical: the SAME resolved Catalyst tree
+    * evaluates through the compiled projection (oracles r6–r15 pin it). */
   private def convolveWith(blocks: DataFrame, radius: Int)(
       mk: Seq[(Column, Column, Int, Int)] => (Column, Column)): DataFrame = {
+    import graft.functions.{BlockEval, BlockKernels}
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, LongType}
     require(radius >= 1, "radius must be >= 1")
     val r = radius
     val w = col("width"); val h = col("height")
     val pw = w + 2 * r // padded width (needed by both scatter and gather)
+
+    // --- 0. fuse validity into nulls (compiled, one pass) -----------------
+    // `valid` rides as a per-block ARRAY SLOT (not a zip input) so a null
+    // mask ARRAY degrades to an all-invalid plane — the exact behavior of
+    // the old element_at(cok, …) + coalesce(…, false) gather — while a
+    // null VALUES array still nulls the whole plane (block drops, as
+    // before).
+    val masked = blocks.withColumn("values",
+      BlockEval.zip(Seq(col("values") -> DoubleType),
+        scalars = Seq(col("valid").cast(ArrayType(BooleanType)) ->
+          ArrayType(BooleanType))) {
+        case Seq(v, okArr, idx) =>
+          when(element_at(okArr, (idx + 1).cast("int")), v)
+      })
 
     // --- 1. scatter: center payload + 8 halo strips -----------------------
     // A fragment's offset (dx, dy) ∈ {-1,0,1}² is receiver-relative: the
@@ -313,16 +354,16 @@ object Focal {
       case 1  => (lit(0), lit(r - 1), h + lit(r))  // receiver above → my top rows
       case _  => (lit(0), h - 1, lit(r))
     }
-    // The CENTER fragment ships its raw value/valid arrays untouched — its
-    // placement in the padded window is fixed, so per-cell addressing would
-    // only triple its shuffle bytes (an (at, v, ok) struct per cell), and
-    // the center is ~99% of the exchanged volume at 512-px blocks. Only
-    // the 8 strips (O(perimeter)) carry addressed entries.
+    // The CENTER fragment ships its masked plane untouched — its placement
+    // in the padded window is fixed, so per-cell addressing would only
+    // multiply its shuffle bytes, and the center is ~99% of the exchanged
+    // volume at 512-px blocks. Only the 8 strips (O(perimeter)) carry
+    // (padded-index, value) entries; validity is already fused into nulls.
     val offsets = for { dy <- -1 to 1; dx <- -1 to 1 if (dx, dy) != ((0, 0)) } yield (dx, dy)
-    val noCells = array().cast("array<struct<at:int,v:double,ok:boolean>>")
+    val noCells = array().cast("array<struct<at:int,v:double>>")
     val fragments = struct(
       col("block_x").as("to_x"), col("block_y").as("to_y"),
-      col("values").as("cv"), col("valid").as("cok"), noCells.as("entries")) +:
+      col("values").as("cv"), noCells.as("entries")) +:
       offsets.map { case (dx, dy) =>
         val (c0, c1, ox) = stripCols(dx)
         val (r0, r1, oy) = stripRows(dy)
@@ -331,28 +372,22 @@ object Focal {
         val entries = flatten(transform(sequence(r0, r1), row =>
           transform(sequence(c0, c1), c => struct(
             ((oy + row - r0) * pw + ox + c - c0).cast("int").as("at"),
-            element_at(col("values"), (row * w + c + 1).cast("int")).as("v"),
-            element_at(col("valid"), (row * w + c + 1).cast("int")).as("ok")))))
+            element_at(col("values"), (row * w + c + 1).cast("int")).as("v")))))
         struct(
           (col("block_x") - dx).as("to_x"), (col("block_y") - dy).as("to_y"),
-          lit(null).cast("array<double>").as("cv"),
-          lit(null).cast("array<boolean>").as("cok"), entries.as("entries"))
+          lit(null).cast("array<double>").as("cv"), entries.as("entries"))
       }
-    val scattered = blocks
+    val scattered = masked
       .select(col("width"), col("height"), explode(array(fragments: _*)).as("f"))
       .select(col("f.to_x").as("block_x"), col("f.to_y").as("block_y"),
-        col("width"), col("height"), col("f.cv").as("cv"), col("f.cok").as("cok"),
+        col("width"), col("height"), col("f.cv").as("cv"),
         col("f.entries").as("entries"))
 
     // --- 2. gather: assemble the padded window ----------------------------
     // Strip entries tile the padded ring disjointly (each halo cell comes
-    // from the one neighbor that owns it), so map_from_entries never sees a
-    // duplicate key; interior cells read straight from the center arrays.
-    // Blocks off the lattice edge receive halos but no center — dropped.
-    val isInterior = (i: Column) =>
-      i % pw >= r && i % pw < w + r && i / pw >= r && i / pw < h + r
-    val centerIdx = (i: Column) => // padded index → row-major center index
-      ((i / pw).cast("int") - r) * w + (i % pw) - r + 1 // 1-based element_at
+    // from the one neighbor that owns it); interior cells copy from the
+    // center plane. Blocks off the lattice edge receive halos but no
+    // center — dropped.
     // Key on block coords ONLY and validate width/height agreement inside
     // the group: a mixed-size lattice previously split a cell's fragments
     // across separate (w, h) groups and mis-assembled halos silently — now
@@ -363,7 +398,6 @@ object Focal {
       .agg(min(col("width")).as("__minw"), max(col("width")).as("width"),
         min(col("height")).as("__minh"), max(col("height")).as("height"),
         first(col("cv"), ignoreNulls = true).as("cv"),
-        first(col("cok"), ignoreNulls = true).as("cok"),
         flatten(collect_list(col("entries"))).as("entries"))
       .withColumn("width",
         when(col("__minw") === col("width") && col("__minh") === col("height"),
@@ -376,55 +410,35 @@ object Focal {
           .cast("int"))
       .drop("__minw", "__minh")
       .filter(col("cv").isNotNull)
-      .withColumn("cells", map_from_entries(transform(col("entries"),
-        e => struct(e("at"), struct(e("v").as("v"), e("ok").as("ok"))))))
-      // Bind the padded planes as their OWN attributes before convolving:
-      // element_at over an attribute array is O(1); over a computed alias
-      // the whole array would re-evaluate per lookup.
-      .withColumn("pv", transform(sequence(lit(0), pw * (h + 2 * r) - 1),
-        i => when(isInterior(i), element_at(col("cv"), centerIdx(i).cast("int")))
-          .otherwise(element_at(col("cells"), i.cast("int"))("v"))))
-      .withColumn("pok", transform(sequence(lit(0), pw * (h + 2 * r) - 1),
-        i => coalesce(
-          when(isInterior(i), element_at(col("cok"), centerIdx(i).cast("int")))
-            .otherwise(element_at(col("cells"), i.cast("int"))("ok")),
-          lit(false))))
+      .withColumn("plane", graft.functions.BlockKernels.assembleFocalPlane(
+        col("cv"), col("entries"), col("width"), col("height"), r))
 
-    // --- 3. convolve: plan-time-unrolled (2r+1)² window -------------------
-    // TWO chained transforms over the w·h centers, not one: stage 3a
-    // materializes each center's (2r+1)² window cells as a small
-    // array<struct<v, ok>>, stage 3b runs the kernel over element_at
-    // references INTO that array. A single-stage unroll put the full
-    // padded-index subtree (~15 nodes) at every window-cell REFERENCE —
-    // kernels that read a cell k times (majority's 9×9 equality fold, the
-    // D8 argmax's 8 z₀ reads) multiplied it into thousands of plan nodes,
-    // and the whole family paid a multi-second PLAN-CONSTANT analysis +
-    // eval cost at any SF (PLANS.md r16 note). Splitting caps every
-    // reference at 3 nodes; each center's big subtrees evaluate exactly
-    // once. Window-cell addressing: center i sits at padded (i%w + r,
-    // i÷w + r); cell (wx, wy) ∈ [0, 2r]² is offset (wx−r, wy−r) from it,
-    // so its padded index is (i÷w + wy)·pw + i%w + wx — the r's cancel.
+    // --- 3. convolve: ONE compiled window pass per block -------------------
+    // The padded plane rides as a per-block array slot; each output pixel's
+    // (2r+1)² taps are element_at reads compiled into the projection.
+    // Window-cell addressing: center i sits at padded (i%w + r, i÷w + r);
+    // cell (wx, wy) ∈ [0, 2r]² is offset (wx−r, wy−r) from it, so its
+    // padded index is (i÷w + wy)·pw + i%w + wx — the r's cancel.
     val win = for { wy <- 0 to 2 * r; wx <- 0 to 2 * r } yield (wx, wy)
     val convolved = gathered
-      .withColumn("win",
-        transform(sequence(lit(0), w * h - 1), i => array(win.map { case (wx, wy) =>
-          val at = ((i % w + wx) + (floor(i / w) + wy) * pw + 1).cast("int")
-          val v = element_at(col("pv"), at)
-          struct(v.as("v"), (element_at(col("pok"), at) && v.isNotNull).as("ok"))
-        }: _*)))
-      .withColumn("out",
-        transform(col("win"), wc => {
-          val cells = win.zipWithIndex.map { case ((wx, wy), k) =>
-            val c = element_at(wc, k + 1)
-            (when(c("ok"), c("v")), when(c("ok"), 1).otherwise(0), wx, wy)
+      .withColumn("values",
+        BlockEval.zip(Nil,
+          scalars = Seq(
+            col("plane") -> ArrayType(DoubleType, containsNull = true),
+            col("width").cast("long") -> LongType),
+          length = Some(w * h)) { case Seq(pv, wS, idx) =>
+          val pwS = wS + 2 * r
+          val cells = win.map { case (wx, wy) =>
+            val at = ((idx % wS + wx) + (floor(idx / wS) + wy) * pwS + 1).cast("int")
+            val v = element_at(pv, at)
+            (v, when(v.isNotNull, 1).otherwise(0), wx, wy)
           }
           val (value, n) = mk(cells)
-          struct(when(n > 0, value).as("v"),
-            (n > 0 && value.isNotNull).as("ok"))
-        }))
+          when(n > 0, value)
+        })
+      .withColumn("valid", BlockKernels.notNullMask(col("values")))
 
-    convolved.select(col("block_x"), col("block_y"), col("width"), col("height"),
-      transform(col("out"), o => o("v")).as("values"),
-      transform(col("out"), o => o("ok")).as("valid"))
+    convolved.select(col("block_x"), col("block_y"), col("width"),
+      col("height"), col("values"), col("valid"))
   }
 }
