@@ -74,7 +74,12 @@ object Bench {
   val sf1MinOf2: Set[String] = Set(
     "d5_jaccard_pairs", "d6_dedup_groups", "r16_watershed", "g9_hits",
     "g7_label_prop", "g8_kcore", "g10_ppr", "g12_modularity",
-    "g4_pagerank", "g13_neigh_agg", "e12_kmeans_exact", "e13_pq_train")
+    "g4_pagerank", "g13_neigh_agg", "e12_kmeans_exact", "e13_pq_train",
+    // round 19 (VERDICT r18 #1): a10 swung 4.49 → 7.21 s between r18's own
+    // quiet runs — the widest observed fixpoint swinger was not in the
+    // spread set; q21 is not a fixpoint but its 256-partition third-decade
+    // shuffle showed the same single-draw sensitivity.
+    "a10_region_label", "q21_waiting_supplier")
 
   /** 1-minute load average from /proc/loadavg — recorded at start and end
     * so a contention-polluted run identifies itself in the record (the
@@ -153,7 +158,9 @@ object Bench {
   final class TaskMetricsAgg extends org.apache.spark.scheduler.SparkListener {
     private var read = 0L; private var write = 0L
     private var memSpill = 0L; private var diskSpill = 0L
-    def reset(): Unit = synchronized { read = 0; write = 0; memSpill = 0; diskSpill = 0 }
+    private var tasks = 0L
+    def reset(): Unit = synchronized {
+      read = 0; write = 0; memSpill = 0; diskSpill = 0; tasks = 0 }
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
@@ -162,12 +169,26 @@ object Bench {
         write += m.shuffleWriteMetrics.bytesWritten
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
+        tasks += 1
       }
     }
-    /** (shuffle_read, shuffle_write, mem_spill, disk_spill) bytes. */
-    def snapshot(): (Long, Long, Long, Long) = {
-      Thread.sleep(150) // drain the async listener bus
-      synchronized { (read, write, memSpill, diskSpill) }
+    /** (shuffle_read, shuffle_write, mem_spill, disk_spill, tasks).
+      * Attribution is BEST-EFFORT per query (ADVICE r18): listener events
+      * post asynchronously, so instead of one fixed sleep this polls until
+      * two consecutive reads agree — a still-draining bus (straggler
+      * onTaskEnd from the previous query's teardown absorbed by reset(),
+      * or this query's own tail) shows up as movement between polls. Byte
+      * fields are reported at MB granularity, well inside the residual. */
+    def snapshot(): (Long, Long, Long, Long, Long) = {
+      var prev = synchronized { (read, write, memSpill, diskSpill, tasks) }
+      var tries = 0
+      while (tries < 20) { // ≤ 1 s worst case; typically one round
+        Thread.sleep(50)
+        val cur = synchronized { (read, write, memSpill, diskSpill, tasks) }
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
     }
   }
 
@@ -215,7 +236,7 @@ object Bench {
     val unknown = only -- known
     if (unknown.nonEmpty) {
       System.err.println(s"[bench] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
-      System.err.println(s"[bench] valid names: any SparkEntry.queries key or layer_pipeline_199mpx")
+      System.err.println(s"[bench] valid names: any SparkEntry.queries key, layer_pipeline_199mpx, or layer_pipeline_2gpx")
       sys.exit(2)
     }
     // explicit names may reach ANY ledger query (local iteration on a
@@ -251,7 +272,10 @@ object Bench {
       // same few partitions as before. This is the production AQE
       // discipline: initialPartitionNum scales with the largest expected
       // shuffle, advisory size right-sizes everything at runtime.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // env-overridable so the AQE audit can A/B the pre-r18 width (32)
+      // against the canonical 256 on one binary (VERDICT r18 #7)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -265,7 +289,7 @@ object Bench {
     val taskMetrics = new TaskMetricsAgg
     spark.sparkContext.addSparkListener(taskMetrics)
     val qMetrics = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), (Long, Long, Long, Long)]
+      .empty[(String, String), (Long, Long, Long, Long, Long)]
 
     // Pipeline throughput: the full LayerJob (seed → spatial join → block
     // read → mosaic → calc → cast/fill → stats) over 2 tiles of the
@@ -338,11 +362,16 @@ object Bench {
     }
     val loadStart = loadavg()
     val (steal0, jiffies0) = cpuJiffies()
-    // calibration BEFORE the timed queries (JIT-warmed by a throwaway run)
-    val calibMs = { calibSpinMs(); calibSpinMs() }
+    // calibration BEFORE the timed queries (JIT-warmed by a throwaway run).
+    // min-of-two, SAME estimator as calibEndMs (ADVICE r18): the symmetric
+    // drift gate compares start/end, and a single-spin start vs min-of-two
+    // end is biased > 1 on a quiet host — enough to spuriously quarantine
+    // a clean run at the 1.2 threshold in the start-slower direction.
+    val calibMs = { calibSpinMs(); math.min(calibSpinMs(), calibSpinMs()) }
     val results = toRun.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         name -> measure { () =>
+          taskMetrics.reset()
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
@@ -351,6 +380,12 @@ object Bench {
             val t1 = System.nanoTime()
             forceAll(df)
             val t2 = System.nanoTime()
+            // sf0.1 task-count/shuffle evidence (VERDICT r18 #7): the AQE
+            // audit needs per-query task counts at toy SF to verify small
+            // queries coalesce under the 256-wide initial partitioning.
+            // Last of the 3 runs wins (byte/task volumes agree across runs
+            // of the same query; only the timings swing).
+            qMetrics(("sf01", name)) = taskMetrics.snapshot()
             ((tb - t0) / 1e9, (t1 - tb) / 1e9, (t2 - t1) / 1e9)
           } catch { case e: Throwable =>
             // record REAL elapsed-to-failure: a sentinel like -1 would
@@ -519,13 +554,16 @@ object Bench {
       else 0.0
 
     // 2-Gpx pipeline decade leg (VERDICT r17 #7): the baseline-parity
-    // claim rests on the 199-Mpx forced pipeline; this opt-in leg
-    // (SPARK_GRAFT_PIPE2G=on, or name it explicitly in a partial run)
-    // runs the SAME pipeline at ~11x the pixels — 3 tiles of the 90/27008
-    // grid = 2,188 Mpx — so the Mpx/s/core figure gets its own scale
-    // curve (flat within ~1.3x = the map phase really is linear).
+    // claim rests on the 199-Mpx forced pipeline; this leg runs the SAME
+    // pipeline at ~11x the pixels — 3 tiles of the 90/27008 grid =
+    // 2,188 Mpx — so the Mpx/s/core figure gets its own scale curve (flat
+    // within ~1.3x = the map phase really is linear). CANONICAL since
+    // round 19 (VERDICT r18 #5): every full run records it — the decade
+    // curve (3.04 → 4.79 Mpx/s/core in r18) is the repo's strongest
+    // baseline evidence and must not live behind an opt-in flag. Costs
+    // ~45 s per full run; SPARK_GRAFT_PIPE2G=off opts out.
     val pipe2gEnabled = only("layer_pipeline_2gpx") ||
-      (only.isEmpty && sys.env.get("SPARK_GRAFT_PIPE2G").contains("on"))
+      (only.isEmpty && !sys.env.get("SPARK_GRAFT_PIPE2G").contains("off"))
     val pipe2g = if (!pipe2gEnabled) None else Some(measure(() =>
       layerPipeline("90/27008", Seq("90N_180W", "90N_090W", "00N_180W"))))
 
@@ -551,9 +589,9 @@ object Bench {
       "\"" + k + "\":" + f"${r.getOrElse(-1.0)}%.2f"
     }.mkString("{", ",", "}")
     def metricsJson(section: String, names: Seq[String]): String =
-      names.flatMap(n => qMetrics.get((section, n)).map { case (r, w, ms, ds) =>
+      names.flatMap(n => qMetrics.get((section, n)).map { case (r, w, ms, ds, tk) =>
         "\"" + n + "\":" +
-          f"""{"shuffle_read_mb":${r / 1e6}%.1f,"shuffle_write_mb":${w / 1e6}%.1f,"mem_spill_mb":${ms / 1e6}%.1f,"disk_spill_mb":${ds / 1e6}%.1f}"""
+          f"""{"shuffle_read_mb":${r / 1e6}%.1f,"shuffle_write_mb":${w / 1e6}%.1f,"mem_spill_mb":${ms / 1e6}%.1f,"disk_spill_mb":${ds / 1e6}%.1f,"tasks":$tk%d}"""
       }).mkString("{", ",", "}")
     val nCores = cpus.toInt
     val pipe2gTag = pipe2g.map { case (tot, _, _, b, pl, ex) =>
@@ -568,6 +606,12 @@ object Bench {
     val sf10Names = sf10Results.map(_._1)
     val sf10Full = if (!sf10Enabled) "" else
       s"""$sf10Tag,"sf10_queries":${sf10Render(tot3)},"sf10_queries_build":${sf10Render(_._1)},"sf10_queries_plan":${sf10Render(_._2)},"sf10_queries_exec":${sf10Render(_._3)},"sf10_ratio_vs_sf1":$sf10RatioJson,"sf10_shuffle":${metricsJson("sf10", sf10Names)},"sf1_shuffle":${metricsJson("sf1", sf10Names)}"""
+    // sf0.1 per-query task counts + shuffle bytes, full record only (the
+    // AQE audit evidence — VERDICT r18 #7): whether small queries coalesce
+    // to few tasks under the 256-wide initial partitioning is now readable
+    // off every round's BENCH_FULL, not a one-off claim.
+    val sf01Shuffle =
+      s""","sf01_shuffle":${metricsJson("sf01", results.map(_._1))}"""
     // Filtered (partial) runs are a different artifact class: they go to
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
@@ -603,7 +647,7 @@ object Bench {
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf1Full$sf10Full$pipe2gTag,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf01Shuffle$sf1Full$sf10Full$pipe2gTag,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
@@ -638,11 +682,17 @@ object Bench {
     if (only.isEmpty) {
       val round = try {
         import scala.jdk.CollectionConverters._
-        val rs = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.matches("CORRECTNESS_r\\d+\\.json") =>
-            s.stripPrefix("CORRECTNESS_r").stripSuffix(".json").toInt }
-          .toSeq
+        // same try/finally as the quietRecordTag site above — Files.list
+        // holds a directory fd until closed (ADVICE r17; this second site
+        // was the half of the fix VERDICT r18 flagged)
+        val rls = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        val rs = try {
+          rls.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.matches("CORRECTNESS_r\\d+\\.json") =>
+              s.stripPrefix("CORRECTNESS_r").stripSuffix(".json").toInt }
+            .toSeq
+        } finally rls.close()
         if (rs.isEmpty) 1 else {
           val latest = java.nio.file.Paths.get(f"CORRECTNESS_r${rs.max}%d.json")
           val ageMin = (System.currentTimeMillis() -

@@ -53,23 +53,29 @@ object Tables {
   /** Exact table row count from parquet FOOTER metadata, driver-side —
     * ZERO Spark jobs (VERDICT r17 #6: a count() over parquet is "cheap"
     * but still schedules a job over every footer per invocation; sizing
-    * inputs like e6's adaptive LSH bit ladder only need the integer). One
-    * footer sweep per (dir, table) per JVM, cached; goes through the
-    * session Hadoop conf, so the same call works against object stores.
-    * At 100 TB with a real catalog, table statistics replace this — the
-    * footer sweep is the no-catalog equivalent. */
+    * inputs like e6's adaptive LSH bit ladder only need the integer). The
+    * cache key folds in each file's (name, mtime, length) signature
+    * (VERDICT r18 #8): a regenerated dataset under the same path within
+    * one JVM session re-sweeps instead of serving a stale count — the
+    * listing is re-checked every call, only the footer opens are cached.
+    * Goes through the session Hadoop conf, so the same call works against
+    * object stores. At 100 TB with a real catalog, table statistics
+    * replace this — the footer sweep is the no-catalog equivalent. */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
-    val key = s"$sfDir/$name.parquet"
-    val cached = rowCountCache.get(key)
-    if (cached != null) return cached
+    val path = s"$sfDir/$name.parquet"
     val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(key)
+    val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val files =
       if (fs.getFileStatus(root).isDirectory)
         fs.listStatus(root).filter(f =>
           f.isFile && f.getPath.getName.endsWith(".parquet"))
       else Array(fs.getFileStatus(root))
+    val key = files.map(f =>
+        s"${f.getPath.getName}:${f.getModificationTime}:${f.getLen}")
+      .sorted.mkString(s"$path|", ",", "")
+    val cached = rowCountCache.get(key)
+    if (cached != null) return cached
     val n = files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -77,9 +77,9 @@ object BlockKernels {
       ColumnBridge.expression(q10), ColumnBridge.expression(q11), size))
 
   def gatherCells(bands: Seq[Column], r0: Int, r1: Int, c0: Int, c1: Int,
-      blockW: Int): Column =
+      blockW: Int, blockH: Int): Column =
     ColumnBridge.column(GatherCells(
-      bands.map(ColumnBridge.expression), r0, r1, c0, c1, blockW))
+      bands.map(ColumnBridge.expression), r0, r1, c0, c1, blockW, blockH))
 
   def assembleSeamPlane(entries: Column, bandIdx: Int, bandCount: Int,
       blockW: Int, blockH: Int, pad: Int, ring: Int): Column =
@@ -755,10 +755,15 @@ case class NotNullMask(child: Expression)
   * replaces. A null band array fills its section with nulls (the missing-
   * plane convention); null elements pass through. */
 case class GatherCells(bands: Seq[Expression], r0: Int, r1: Int,
-    c0: Int, c1: Int, blockW: Int)
+    c0: Int, c1: Int, blockW: Int, blockH: Int)
   extends Expression with CodegenFallback {
-  require(bands.nonEmpty && r1 >= r0 && c1 >= c0 && c1 < blockW,
-    s"bad gather region ($r0..$r1, $c0..$c1) for width $blockW")
+  // rows must be validated against blockH too (ADVICE r18): a region past
+  // the last row reads out-of-range UnsafeArrayData offsets, which are NOT
+  // bounds-checked — a bad SeamGeometry would return garbage silently
+  // instead of failing loudly here at construction time.
+  require(bands.nonEmpty && r1 >= r0 && c1 >= c0 && c1 < blockW &&
+    r0 >= 0 && c0 >= 0 && r1 < blockH,
+    s"bad gather region ($r0..$r1, $c0..$c1) for block $blockW x $blockH")
 
   override def prettyName: String = "gather_cells"
   override def children: Seq[Expression] = bands

@@ -306,9 +306,31 @@ object Dedup {
     var labels = edges.reduceByKey(p, math.min(_: Long, _: Long)) // narrow: pre-partitioned
       .mapPartitions(_.map { case (v, nbr) => (v, math.min(v, nbr)) },
         preservesPartitioning = true)
+    // Per-round diagnostic (VERDICT r18 #2): SPARK_GRAFT_FIXPOINT_TRACE=1
+    // logs each round's wall, whether it probed (non-probe rounds only
+    // extend lineage — their shuffles materialize inside the NEXT probe's
+    // job), and an approximate task count from a throwaway listener, so a
+    // decade-ratio drift decomposes into "which rounds got wider/slower"
+    // instead of one opaque build number. Zero cost when unset.
+    val trace = sys.env.get("SPARK_GRAFT_FIXPOINT_TRACE").contains("1")
+    val traceTasks = new java.util.concurrent.atomic.AtomicLong
+    val traceListener = if (!trace) None else {
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          traceTasks.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    }
+    if (trace) System.err.println(
+      s"[fixpoint] components: |parts|=${p.numPartitions}")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      val roundT0 = System.nanoTime()
+      val tasks0 = traceTasks.get()
       // propagate the best label across one hop (map-side-combined min),
       // carrying a per-vertex "did propagation improve this" flag
       val prop = edges.join(labels, p) // narrow both sides
@@ -342,11 +364,17 @@ object Dedup {
       // are not lost — the next probe's job materializes them and every
       // later round reuses the completed stages.
       iter += 1
-      if (iter <= 2 || (iter & 1) == 1 || iter >= maxIters)
+      val probed = iter <= 2 || (iter & 1) == 1 || iter >= maxIters
+      if (probed)
         converged = jumped.filter(_._2._2).isEmpty()
       labels = jumped.mapPartitions(_.map { case (v, (l, _)) => (v, l) },
         preservesPartitioning = true)
+      if (trace) {
+        Thread.sleep(100) // listener bus is async; drain before the delta
+        System.err.println(f"[fixpoint] round $iter%d wall=${(System.nanoTime() - roundT0) / 1e6}%.0f ms probed=$probed%b converged=$converged%b tasks≈${traceTasks.get() - tasks0}%d")
+      }
     }
+    traceListener.foreach(spark.sparkContext.removeSparkListener)
     require(converged, s"components did not converge in $maxIters rounds")
     labels.toDF("doc_id", "group_id")
   }

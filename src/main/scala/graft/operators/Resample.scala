@@ -165,7 +165,7 @@ object Resample {
     val frags = regions.zipWithIndex.map { case (rg, kind) =>
       struct((col(xCol) - rg.dx).as("to_x"), (col(yCol) - rg.dy).as("to_y"),
         lit(kind).as("kind"),
-        BlockKernels.gatherCells(bandArrs, rg.r0, rg.r1, rg.c0, rg.c1, w)
+        BlockKernels.gatherCells(bandArrs, rg.r0, rg.r1, rg.c0, rg.c1, w, h)
           .as("vals"))
     }
     val scattered = blocks

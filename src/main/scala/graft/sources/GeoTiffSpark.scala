@@ -105,7 +105,19 @@ object GeoTiffSpark {
   /** True when `nd` survives a `mode` pack→unpack round trip exactly —
     * the precondition for the packed regroup exchange: the next halving's
     * downsample re-masks the nodata FILL, so a nodata the dtype cannot
-    * represent (it would clamp or narrow) must keep the unpacked path. */
+    * represent (it would clamp or narrow) must keep the unpacked path.
+    *
+    * Nodata-collision caveat (ADVICE r18, documented on purpose): the
+    * packed regroup quantizes overview inputs to the band dtype at EVERY
+    * pyramid level, so a valid pixel whose clamped/rounded value lands ON
+    * the nodata sentinel becomes masked in deeper levels (pre-r18 it
+    * contributed its full-precision double). This matches GDAL, whose
+    * overviews are built from the stored-dtype level below — a file-based
+    * pyramid has no full-precision plane to read — so the quantized path
+    * is the reference-faithful one; the pre-r18 behavior was the
+    * deviation. If exact pre-r18 parity were ever needed, exclude nodata
+    * values reachable by clamping in-range data (e.g. interior sentinels
+    * for float bands) from the pack-safe set here. */
   private def packSafeNoData(mode: String, nd: Double): Boolean = {
     def cl(lo: Long, hi: Long): Boolean =
       !nd.isNaN && math.max(lo, math.min(hi, math.rint(nd).toLong)).toDouble == nd

@@ -466,4 +466,24 @@ class ResampleSpec extends SparkSpec {
     assert(ts <= tl * 2.0 + 0.5,
       f"seam-exact $ts%.2f s vs block-local $tl%.2f s — halo path regressed")
   }
+
+  test("gatherCells rejects regions outside the block, rows included") {
+    // ADVICE r18: rows were never validated against blockH — a region past
+    // the last row reads out-of-range UnsafeArrayData offsets, which are
+    // NOT bounds-checked, so a bad SeamGeometry returned garbage silently.
+    import org.apache.spark.sql.functions.lit
+    import graft.functions.BlockKernels
+    val band = lit(Array.fill(16)(1.0))
+    // in-bounds 4x4 region constructs fine
+    BlockKernels.gatherCells(Seq(band), 0, 3, 0, 3, 4, 4)
+    for ((r0, r1, c0, c1) <- Seq(
+        (0, 4, 0, 3),   // r1 past blockH
+        (0, 3, 0, 4),   // c1 past blockW
+        (-1, 3, 0, 3),  // negative row start
+        (0, 3, -1, 3),  // negative col start
+        (2, 1, 0, 3)))  // inverted rows
+      intercept[IllegalArgumentException] {
+        BlockKernels.gatherCells(Seq(band), r0, r1, c0, c1, 4, 4)
+      }
+  }
 }

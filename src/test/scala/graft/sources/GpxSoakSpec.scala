@@ -31,6 +31,18 @@ object GpxSoakMain {
     ((z & 0x7FFFFFFFL) % 65535L + 1L).toDouble
   }
 
+  /** uint8 variant of [[vNoise]] (VERDICT r18 #3): full-entropy bytes in
+    * [1, 255], so the 10-Gpx grid's raw size is ~10 GB — incompressible
+    * byte volume AND the largest-grid memory bound in ONE run, inside this
+    * host's transient-disk budget (the uint16 variant needs ~90 GB). */
+  def vNoise8(br: Long, bc: Long, idx: Long): Double = {
+    var z = (br * 100003L + bc) * 160001L + idx + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z & 0x7FFFFFFFL) % 255L + 1L).toDouble
+  }
+
   /** args: [outDir] [mode] — mode "10gpx" runs the reference's LARGEST
     * declared grid, 10/100000 (`grid_factory.py:19`): one 100000² px tile
     * = 10 Gpx, 62,500 blocks of 400² (the grid's own block rule), factor-2
@@ -49,7 +61,11 @@ object GpxSoakMain {
     val outDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_soak").toString)
     val mode = args.drop(1).headOption.getOrElse("default")
-    val noise = mode == "noise"
+    // "noise8": 10-Gpx (grid 10/100000) full-entropy uint8 — byte volume
+    // at the reference's largest grid (VERDICT r18 #3); ~10 GB file,
+    // ~30 GB transient under the packed (dtype-width) sink shuffle
+    val noise8 = mode == "noise8"
+    val noise = mode == "noise" || noise8
     // "cubic" / "cubicseam": the SAME 2.62-Gpx write with an interpolating
     // overview kernel, block-local vs seam-exact — the production-path A/B
     // for the seam patch dataflow's marginal cost (everything else equal:
@@ -57,12 +73,15 @@ object GpxSoakMain {
     val seamExact = mode == "cubicseam"
     val cubic = seamExact || mode == "cubic"
     val (gridName, tileId, b, n, factors) =
-      if (mode == "10gpx") ("10/100000", "10N_010E", 400, 250, Seq(2))
+      if (mode == "10gpx" || noise8) ("10/100000", "10N_010E", 400, 250, Seq(2))
       else ("10/51200", "10N_010E", B, N, Seq(2, 4))
     // value at block (br, bc), in-block index idx — the column-constant
-    // codec-friendly pattern, or full-entropy noise for the I/O leg
+    // codec-friendly pattern, or full-entropy noise for the I/O legs
     val vf: (Long, Long, Long) => Double =
-      if (noise) vNoise else (br, bc, idx) => v(br, bc, idx % b)
+      if (noise8) vNoise8
+      else if (noise) vNoise
+      else (br, bc, idx) => v(br, bc, idx % b)
+    val dtype = if (noise8) "uint8" else "uint16"
     val spark = SparkSession.builder()
       // 16 workers, not the bench's 32: the claim under test is per-TASK
       // memory (one block each, any tile size), and 3.5 GB / 32 ways left
@@ -94,7 +113,7 @@ object GpxSoakMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val spec = LayerSpec(dataset = "soak", version = "v1",
-        sourceType = "raster", pixelMeaning = "x", dataType = "uint16",
+        sourceType = "raster", pixelMeaning = "x", dataType = dtype,
         grid = gridName, noData = Some(Seq(0.0)),
         sourceUri = Some(Seq("mem://soak")))
       // generation is TEST scaffolding — a typed map with a primitive
@@ -124,7 +143,7 @@ object GpxSoakMain {
       val levels = GeoTiff.openAll(path)
       require(levels.map(_.profile.width) == (1 +: factors).map(n * b / _),
         s"pyramid widths ${levels.map(_.profile.width)}")
-      require(levels.head.profile.dataType == "uint16")
+      require(levels.head.profile.dataType == dtype)
       // exact decode at every pyramid level: level-f pixel (X,Y) = base
       // (f·X, f·Y) under the nearest kernel's top-left pick
       // probe blocks must exist at EVERY level: the deepest grid is
@@ -178,8 +197,10 @@ object GpxSoakMain {
         if (noise)
           spark.range(n.toLong * n).as[Long].mapPartitions(_.map { id =>
             val br = id / n; val bc = id % n
+            val nf: (Long, Long, Long) => Double =
+              if (noise8) vNoise8 else vNoise
             var s = 0.0; var i = 0
-            while (i < b * b) { s += vNoise(br, bc, i); i += 1 }
+            while (i < b * b) { s += nf(br, bc, i); i += 1 }
             s
           }).reduce(_ + _)
         else {
@@ -279,6 +300,19 @@ class GpxSoakSpec extends AnyFunSuite {
     assume(sys.env.get("GRAFT_SOAK10").contains("1"),
       "10-Gpx soak is opt-in: set GRAFT_SOAK10=1 (~10-20 min; figures in COVERAGE.md)")
     runForked(Seq("10gpx"))
+  }
+
+  test("10-Gpx INCOMPRESSIBLE uint8 tile (reference's largest grid) moves ~10 GB of real bytes under the same 3.5 GB heap") {
+    // VERDICT r18 #3: the 2.62-Gpx noise leg proves byte volume and the
+    // 10-Gpx compressible leg proves the memory bound at the largest grid;
+    // this leg proves BOTH in one run — full-entropy uint8 keeps the raw
+    // size at ~10 GB and the packed (1 B/px) sink shuffle keeps transient
+    // disk ~30 GB, inside this host's budget where the uint16 variant's
+    // ~90 GB was not.
+    assume(sys.env.get("GRAFT_SOAK_NOISE8").contains("1"),
+      "10-Gpx uint8 incompressible soak is opt-in: set GRAFT_SOAK_NOISE8=1 " +
+        "(~30 GB transient disk, tens of minutes; figures in COVERAGE.md)")
+    runForked(Seq("noise8"))
   }
 
   test("2.62-Gpx INCOMPRESSIBLE tile moves ~5 GB of real bytes under the same 3.5 GB heap") {

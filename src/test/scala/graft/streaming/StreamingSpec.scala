@@ -587,4 +587,66 @@ class StreamingSpec extends SparkSpec {
     assert(got2(1L).isEmpty && got2(2L).isEmpty,
       s"docs 1 and 2 sit a horizon apart: $got2")
   }
+
+  test("st7 over-cap bucket: streaming keeps the NEWEST maxReps, batch drops " +
+      "the bucket wholesale — the documented cap divergence, exercised") {
+    // VERDICT r18 #6: the maxReps-vs-maxBucketSize divergence was resolved
+    // by documentation in r18; this leg RUNS one degenerate bucket through
+    // both paths past both caps so a future refactor cannot silently
+    // change either side. Five identical docs land in the same LSH bucket
+    // on every band.
+    import spark.implicits._
+    import StreamJob.BandVerdict
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val text = "alpha beta gamma delta epsilon"
+    val docs = (1L to 5L).map(i => (i, text, t(i * 1000)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val dir = new java.io.File("target/tmp/stream_neardup_cap")
+    stageBatches(dir, docs.map(Seq(_)))
+    // STREAMING at maxReps=2: the state ring keeps the newest two reps, so
+    // verdicts keep flowing past the cap but the smallest-id rep ages out —
+    // doc 4 dups against 2 (rep 1 evicted), doc 5 against 3.
+    val q = StreamJob.streamingNearDup(spark.readStream
+        .schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir.getAbsolutePath), maxReps = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_neardup_cap").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st_neardup_cap").as[BandVerdict].collect()
+      .groupBy(_.doc_id).view.mapValues(_.flatMap(_.dup_of).minOption).toMap
+    assert(streamed == Map(1L -> None, 2L -> Some(1L), 3L -> Some(1L),
+      4L -> Some(2L), 5L -> Some(3L)), s"streaming got $streamed")
+    // BATCH at maxBucketSize=2: the size-5 bucket is dropped WHOLESALE —
+    // every doc reads novel (no verdicts from a degenerate bucket).
+    val batch = graft.operators.Dedup.nearDupVerdicts(
+        docs.toDF("doc_id", "text", "ts").drop("ts"),
+        k = 4, rowsPerBand = 2, minMatch = 3, maxBucketSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(batch == (1L to 5L).map(_ -> None).toMap, s"batch got $batch")
+    // caps disarmed, the two paths agree exactly (the documented contract)
+    val q2 = StreamJob.streamingNearDup(spark.readStream
+        .schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir.getAbsolutePath), maxReps = 100000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_neardup_cap2").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val streamed2 = spark.table("st_neardup_cap2").as[BandVerdict].collect()
+      .groupBy(_.doc_id).view.mapValues(_.flatMap(_.dup_of).minOption).toMap
+    val batch2 = graft.operators.Dedup.nearDupVerdicts(
+        docs.toDF("doc_id", "text", "ts").drop("ts"),
+        k = 4, rowsPerBand = 2, minMatch = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(streamed2 == batch2 &&
+      streamed2 == Map(1L -> None, 2L -> Some(1L), 3L -> Some(1L),
+        4L -> Some(1L), 5L -> Some(1L)),
+      s"disarmed paths diverge: $streamed2 vs $batch2")
+  }
 }
