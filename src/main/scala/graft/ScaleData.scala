@@ -121,7 +121,7 @@ object ScaleData {
     // scaling for the pure-map entries (d2 measured 12.7× for 10× data
     // with a 1-task kernel phase). Round-robin repartition before write:
     // content-identical (multiset), deterministic, 32-way parallel reads.
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.core.Partitions.sessionParallelism(spark)
     def write(df: DataFrame, t: String): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$to/$t.parquet")
     def writeVerbatim(df: DataFrame, t: String): Unit =

@@ -64,7 +64,11 @@ object Fixpoint {
     * +2 s on d6's LSH plan). */
   def partitioner(rel: Dataset[_], replication: Int = 1): HashPartitioner = {
     val spark = rel.sparkSession
-    val default = spark.sessionState.conf.numShufflePartitions
+    // STATIC conf, not SQLConf.numShufflePartitions: under AQE coalescing
+    // the latter returns initialPartitionNum — the oversized ceiling AQE
+    // starts SQL shuffles at — and RDD rounds have no AQE to trim them
+    // back (the r18→r19 fixpoint regression; see graft.core.Partitions)
+    val default = Partitions.sessionParallelism(spark)
     val plan = rel.queryExecution.optimizedPlan
     // Joins multiply selectivity guesses; Generate (explode) multiplies by
     // a fixed fudge; an InMemoryRelation that has not materialized yet

@@ -169,7 +169,10 @@ object Dedup {
   }
 
   def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 0): DataFrame = {
-    val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
+    // static session intent — a numeric repartition() disables AQE
+    // coalescing for that exchange, so the AQE initial ceiling must not
+    // leak in here (graft.core.Partitions scaladoc)
+    val parts = graft.core.Partitions.sessionParallelism(buckets.sparkSession)
     // the bucket relation is consumed up to three times below (cap count +
     // both self-join sides), and each scan would otherwise re-run the whole
     // minhash signature pipeline. Persist it: rows are (band, bucket-longs,

@@ -108,7 +108,7 @@ object Rasterize {
         Iterator.range(py0, math.max(py1, py0 + 1), rowBand)
           .map(b => (wkb, value, b, math.min(b + rowBand, py1)))
       }
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .repartition(graft.core.Partitions.sessionParallelism(spark))
       .flatMap { case (wkb, value, b0, b1) =>
         pixelCoverIterator(wkb, originX, originY, xres, yres, rowLo = b0, rowHi = b1)
           .map { case (px, py) => (px, py, value) }

@@ -116,7 +116,7 @@ object LayerJob {
       work.select("tile_id", "left", "bottom", "right", "top", "uri", "band",
           "file_band", "priority")
         .dropDuplicates("tile_id", "uri", "band"), grid)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .repartition(graft.core.Partitions.sessionParallelism(spark))
     val readBlocks = reader(blockWork)
 
     // J3: mosaic overlap — per pixel, the first layer in priority order

@@ -49,4 +49,30 @@ class FixpointSpec extends SparkSpec {
     assert(Fixpoint.partitioner(joined, replication = 2).numPartitions ==
       spark.sessionState.conf.numShufflePartitions)
   }
+
+  test("partitioner: AQE's initialPartitionNum ceiling must NOT leak into " +
+      "RDD rounds (the r18->r19 fixpoint regression)") {
+    // Under AQE coalescing, SQLConf.numShufflePartitions returns
+    // initialPartitionNum — the deliberately-oversized ceiling AQE starts
+    // SQL shuffles at. RDD fixpoint rounds have no AQE to trim them, so
+    // the fallback must read the STATIC spark.sql.shuffle.partitions
+    // (measured same-host at sf1: g4 7.66 -> 4.36 s, a10 6052 -> 901
+    // tasks when the readback was fixed).
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+    try {
+      // the trap is real on this session: the dynamic readback IS 256
+      assert(spark.sessionState.conf.numShufflePartitions == 256)
+      // ... and both the helper and the partitioner ignore it
+      assert(Partitions.sessionParallelism(spark) ==
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      val a = Seq.tabulate(64)(i => (i.toLong, (i % 8).toLong)).toDF("src", "dst")
+      val joined = a.as("l").join(a.as("r"), "dst")
+        .select(org.apache.spark.sql.functions.col("l.src").as("doc1"),
+          org.apache.spark.sql.functions.col("r.src").as("doc2"))
+      assert(Fixpoint.partitioner(joined).numPartitions ==
+        Partitions.sessionParallelism(spark))
+    } finally spark.conf.unset(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+  }
 }
