@@ -616,9 +616,20 @@ object Bench {
     // BENCH_PARTIAL.json, carry "partial":true + the filter list, and NEVER
     // overwrite the headline record — a 3-query iteration run must not read
     // as a 93% total drop across rounds (ADVICE r10).
+    // Per-SECTION steal also gates the canonical-record update (round 19):
+    // the run-wide gate samples the sf0.1 window only, and the r19 host's
+    // INTERMITTENT steal bursts produced a run whose sf0.1 passed at 1.17%
+    // while its sf1/sf10 sections ran at ~11% — that record overwrote
+    // BENCH_LATEST and would have poisoned the next round's regression
+    // diff exactly the way ADVICE r12 described for the run-wide case.
+    // The stamps already exist; now they bite.
+    val contendedSections = Seq(
+      "sf1" -> (sf1Enabled, sf1StealPct),
+      "sf10" -> (sf10Enabled, sf10StealPct)).collect {
+        case (n, (true, s)) if s > maxSteal => n }
     val contended = only.isEmpty &&
-      contendedGate(loadStart, stealPct, calibMs, calibEndMs,
-        maxLoad, maxSteal, maxCalibDrift)
+      (contendedGate(loadStart, stealPct, calibMs, calibEndMs,
+        maxLoad, maxSteal, maxCalibDrift) || contendedSections.nonEmpty)
     // Contended-record redirect (VERDICT r16 #8): the driver archives
     // whatever this run produces as BENCH_rN, so a contended canonical
     // record is a standing trap for round-over-round tooling (r16's
@@ -643,7 +654,10 @@ object Bench {
         } finally ls.close()
       } catch { case _: Throwable => "" })
     val partialTag =
-      (if (contended) ""","contended":true""" + quietRecordTag else "") +
+      (if (contended) ""","contended":true""" + quietRecordTag +
+        (if (contendedSections.nonEmpty)
+          s""","contended_sections":${sf1List(contendedSections)}""" else "")
+       else "") +
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
@@ -661,7 +675,7 @@ object Bench {
     val outFile =
       if (!only.isEmpty) "BENCH_PARTIAL.json"
       else if (contended) { System.err.println(
-        f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f or steal $stealPct%.1f%% > $maxSteal%.1f%% or calib drift ${calibEndMs / math.max(calibMs, 1e-9)}%.2f > $maxCalibDrift%.2f: contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
+        f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f or steal $stealPct%.1f%% > $maxSteal%.1f%% or calib drift ${calibEndMs / math.max(calibMs, 1e-9)}%.2f > $maxCalibDrift%.2f or section steal (${contendedSections.mkString(",")}): contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
         "BENCH_CONTENDED.json" }
       else "BENCH_LATEST.json"
     def writeLine(path: String): Unit =
