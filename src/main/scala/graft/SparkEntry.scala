@@ -4041,24 +4041,33 @@ object SparkEntry {
       // wins iff the supplier is late on the order, the order has ≥2
       // distinct suppliers, and exactly ONE distinct supplier is late —
       // and with nlate = 1 the winning supplier is recoverable from the
-      // same aggregate as max(late supplier). Shape: fact ⋈ orders (the
-      // join the late set always needed) → distinct (order, supplier,
-      // any-line-late) pairs [the one full-fact exchange] → per-order
-      // counts [pairs only] → broadcast supplier dim. Row-for-row
-      // identical to the correlated form; the oracle is unchanged.
-      val pairs = li(s, d)
+      // same aggregate as max(late supplier).
+      //
+      // Round 19 collapsed the two aggregate levels (distinct (order,
+      // supplier, late) pairs, then per-order counts) into ONE per-order
+      // hash aggregate: over totally-ordered supplier keys, "≥2 distinct
+      // suppliers" is min(skey) != max(skey) and "exactly one distinct
+      // late supplier" is min(late skey) == max(late skey) (non-null ==
+      // is null-rejecting, so zero-late orders drop exactly as nlate=1
+      // did), with the winner = max(late skey) unchanged. A line is late
+      // iff l_shipdate > o_orderdate + 60d, so the per-line when() feeds
+      // the same supplier set the pair-level any-line-late flag induced.
+      // One less exchange at broadcast-join SFs, one less aggregate level
+      // everywhere, map-side partial state one row per order instead of
+      // one per (order, supplier) (guide §2.3/§2.4). Row-for-row identical
+      // to the correlated form; the oracle is unchanged.
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val perOrder = li(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .as("is_late"))
-      val perOrder = pairs.groupBy("l_orderkey").agg(
-        count(lit(1)).as("nsupp"),
-        count(when(col("is_late"), lit(1))).as("nlate"),
-        max(when(col("is_late"), col("l_suppkey"))).as("late_sk"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_suppkey")).as("__smin"),
+          max(col("l_suppkey")).as("__smax"),
+          min(when(late, col("l_suppkey"))).as("__lmin"),
+          max(when(late, col("l_suppkey"))).as("late_sk"))
       perOrder
-        .filter(col("nsupp") > 1 && col("nlate") === 1)
+        .filter(col("__smin") =!= col("__smax") && col("__lmin") === col("late_sk"))
         .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("late_sk"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)

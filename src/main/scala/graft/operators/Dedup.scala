@@ -452,12 +452,18 @@ object Dedup {
       .select(col("doc_id"),
         explode(TextOps.chunkTexts(col("toks"), window, window)).as("span"))
       .select(col("doc_id"), hash32(col("span")).as("h"))
+    // "appears in >1 distinct doc" needs no count_distinct: doc_id ids are
+    // totally ordered, so the span is cross-doc duplicated iff
+    // min(doc_id) != max(doc_id). count_distinct plans TWO exchanges (a
+    // distinct (h, doc_id) pair shuffle, then the per-h count); min/max is
+    // one ordinary map-side-combined aggregate — one exchange of one row
+    // per distinct h per map task (round 19, guide §2.3/§2.4).
     val freq = spans.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("__dup"))
     spans.join(freq, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_frac",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
@@ -493,18 +499,26 @@ object Dedup {
         concat_ws(" ", col("col")).as("span"),
         size(col("col")).cast("long").as("span_len"))
       .withColumn("dig", md5(col("span"))))
+    // a span is KEPT iff its digest lives in exactly one distinct doc —
+    // which over totally-ordered doc_ids is min(doc_id) == max(doc_id).
+    // The count_distinct form planned an extra full exchange of distinct
+    // (dig, doc_id) pairs (32-hex-char keys) ahead of the per-dig count;
+    // min/max is one ordinary map-side-combined aggregate, halving the
+    // digest-side shuffle stages (round 19, guide §2.3/§2.4). Same result:
+    // a span repeated WITHIN one doc still has min==max, exactly as
+    // count_distinct(doc_id)==1 classified it.
     val freq = spans.groupBy("dig")
-      .agg(count_distinct(col("doc_id")).as("nd"))
+      .agg((min(col("doc_id")) === max(col("doc_id"))).as("__uniq"))
     spans.join(freq, "dig")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("nd") === 1, col("span_len")).otherwise(0L)).as("n_tokens_kept"),
+        sum(when(col("__uniq"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__uniq"), col("span_len")).otherwise(0L)).as("n_tokens_kept"),
         // kept spans, original order: collect_list skips the nulls the
         // when() leaves for dropped spans; struct sort orders by pos
         md5(concat_ws(" ", transform(
           array_sort(collect_list(
-            when(col("nd") === 1, struct(col("pos"), col("span"))))),
+            when(col("__uniq"), struct(col("pos"), col("span"))))),
           x => x("span")))).as("scrubbed_md5"))
   }
 
@@ -712,14 +726,19 @@ object Dedup {
           md5(array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("tok")))),
             x => x("tok")), " ")).as("digest")))
+    // cross-doc duplication over totally-ordered doc_ids is
+    // min(doc_id) != max(doc_id) — one map-side-combined aggregate where
+    // count_distinct planned an extra distinct-pair exchange over the
+    // 32-hex-char digests (round 19, guide §2.3/§2.4; same rewrite as
+    // spanDupStats / scrubDupSpans)
     val census = chunks.groupBy("digest")
-      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("__dup"))
     chunks.join(census, "digest")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(when(col("__nd") > 1, col("n_tokens")).otherwise(0L))
+        sum(when(col("__dup"), col("n_tokens")).otherwise(0L))
           .as("n_dup_tokens"))
   }
 

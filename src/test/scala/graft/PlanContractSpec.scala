@@ -77,6 +77,30 @@ class PlanContractSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("t25/d8/d16: dup census aggregates min/max, never a distinct-pair " +
+      "double exchange") {
+    // round 19: "appears in >1 distinct doc" is min(doc_id)!=max(doc_id) —
+    // one map-side-combined aggregate. count_distinct planned an EXTRA
+    // full exchange of distinct (digest, doc_id) pairs ahead of the
+    // per-digest count; this pin keeps the cheaper shape from rotting.
+    Seq("t25_span_scrub", "d8_span_dedup", "d16_cdc_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("count(distinct"), s"$q: ${p.take(1500)}")
+      assert(p.contains("partial_min(doc_id") || p.contains("partial_min("),
+        s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("q21: ONE per-order aggregate level — the pair-level aggregate is gone") {
+    // round 19: nsupp>1 is min(skey)!=max(skey), nlate==1 is
+    // min(late skey)==max(late skey) — the distinct (order, supplier,
+    // late) pair aggregate (and its exchange at broadcast-join SFs)
+    // collapsed into the per-order min/max aggregate.
+    val p = plan("q21_waiting_supplier")
+    assert(!p.contains("is_late"), p.take(2000))
+    assert(p.contains("partial_min"), p.take(2000))
+  }
+
   test("x20: grid quantiles scan the data exactly twice (bounds + binning)") {
     val p = plan("x20_approx_quantile")
     // one scan feeds the bounds aggregate, one the binning pass — the
