@@ -276,6 +276,18 @@ object Bench {
       // against the canonical 256 on one binary (VERDICT r18 #7)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
+      // let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+      // EVERY post-shuffle build-side partition is under the threshold
+      // (guide §3.1: SHJ skips both sides' sorts; the AQE form is the
+      // memory-safe one — it converts from MEASURED partition sizes, not
+      // planner estimates, and 64 MB per build partition is ordinary task
+      // memory at any scale). Round-19 interleaved A/B, min of 2, same
+      // host: sf1 q21 3.54→1.95 s, t22 5.54→2.47, e6 1.82→1.15; sf10
+      // q7 11.45→7.92, q21 7.67→6.09, g9 7.54→5.81 (t22 sf10 +0.7 s, the
+      // one small loss — section-wide strongly net-negative wall).
+      // env-overridable for A/B re-runs; "0" disables (Spark's default).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -26,6 +26,14 @@ object GraftSession {
       // 8 MB advisory: keep coalesced cached intermediates parallel on a
       // 32-core local profile (see Bench.scala); clusters re-size this
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // AQE sort-merge → shuffled-hash rewrite when every build-side
+      // partition is measured under 64 MB (guide §3.1): skips both sides'
+      // sorts with runtime-bounded memory — unlike preferSortMergeJoin=
+      // false this never trusts planner ESTIMATES. Round-19 A/B on the
+      // bench profile: sf1 q21 3.54→1.95 s / t22 5.54→2.47; sf10
+      // q7 11.45→7.92 / g9 7.54→5.81. Physical-only (same results).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // test tables carry TIMESTAMP(NANOS) columns (events.ts)
