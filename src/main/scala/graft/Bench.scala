@@ -286,8 +286,9 @@ object Bench {
       // q7 11.45→7.92, q21 7.67→6.09, g9 7.54→5.81 (t22 sf10 +0.7 s, the
       // one small loss — section-wide strongly net-negative wall).
       // env-overridable for A/B re-runs; "0" disables (Spark's default).
+      // One shared constant with the production builder (ADVICE r19).
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+        graft.core.GraftSession.shjThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

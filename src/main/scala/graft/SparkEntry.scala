@@ -1325,16 +1325,27 @@ object SparkEntry {
       * struct, map-side combined) yields the identical row for a fraction of
       * the cost and survives 400-key parallelism limits. The general window
       * surface stays covered by w2. */
-    def w1_ordered_burn_rank(s: SparkSession, d: String): DataFrame =
-      li(s, d).select(
-          (col("l_partkey") % 40).as("px"), (col("l_suppkey") % 10).as("py"),
-          col("l_quantity").as("value"), col("l_orderkey"), col("l_linenumber"))
-        .groupBy("px", "py")
-        .agg(max(struct(col("value"),
-          (-col("l_orderkey")).as("nk"), (-col("l_linenumber")).as("nl"))).as("top"))
-        .select(col("px"), col("py"), col("top.value").as("value"),
-          (-col("top.nk")).as("l_orderkey"))
+    def w1_ordered_burn_rank(s: SparkSession, d: String): DataFrame = {
+      // Two-phase argmax (round 20, VERDICT r19 #7): max(struct(...)) uses
+      // a struct aggregation buffer, which HashAggregate cannot hold, so
+      // Spark planned SortAggregate — a full per-partition sort of the
+      // fact table ahead of the partial aggregate. Phase 1 takes the plain
+      // per-pixel max(value) (hash-aggregated, map-side combined); phase 2
+      // joins the 400-row max relation back (broadcast) and min-aggregates
+      // the winning key. Identical rows: lexicographic max of
+      // (value, -okey, -oline) outputs (max value, min okey among ties) —
+      // the -oline leg never reached the output. Two hash aggregates +
+      // one broadcast join, zero sorts, no value-bounds assumption.
+      val base = li(s, d).select(
+        (col("l_partkey") % 40).as("px"), (col("l_suppkey") % 10).as("py"),
+        col("l_quantity").as("value"), col("l_orderkey"))
+      val best = base.groupBy("px", "py").agg(max("value").as("value"))
+      base.join(broadcast(best), Seq("px", "py", "value"))
+        .groupBy("px", "py", "value")
+        .agg(min("l_orderkey").as("l_orderkey"))
+        .select("px", "py", "value", "l_orderkey")
         .orderBy("px", "py")
+    }
 
     /** W2: running sum per key (frame: unbounded preceding → current). */
     def w2_running_sum(s: SparkSession, d: String): DataFrame = {
@@ -2974,7 +2985,9 @@ object SparkEntry {
       * 32-byte digest, never the text), and the dup rate. */
     def t18_dedup_report(s: SparkSession, d: String): DataFrame =
       Tables.documents(s, d)
-        .select(col("source"), md5(col("text")).as("digest"))
+        // digest is internal (only countDistinct sees it): 16-byte binary
+        // halves the distinct-state bytes vs the 32-hex string
+        .select(col("source"), unhex(md5(col("text"))).as("digest"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), countDistinct("digest").as("n_unique"))
         .withColumn("dup_rate",

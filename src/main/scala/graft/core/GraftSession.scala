@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** AQE sort-merge→shuffled-hash rewrite threshold, shared by this builder
+    * AND Bench's session so the two cannot silently drift and A/B runs
+    * always compare the same effective conf (ADVICE r19). "0" restores
+    * Spark's default (rewrite off); env-overridable for A/B re-runs. */
+  def shjThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m")
+
   def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
     SparkSession
       .builder()
@@ -33,7 +40,7 @@ object GraftSession {
       // bench profile: sf1 q21 3.54→1.95 s / t22 5.54→2.47; sf10
       // q7 11.45→7.92 / g9 7.54→5.81. Physical-only (same results).
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+        shjThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // test tables carry TIMESTAMP(NANOS) columns (events.ts)

@@ -498,7 +498,12 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("col")).as("span"),
         size(col("col")).cast("long").as("span_len"))
-      .withColumn("dig", md5(col("span"))))
+      // the census key is INTERNAL (never output): shuffle it as the
+      // 16-byte binary digest, not the 32-hex-char string — unhex is
+      // injective on md5 output, so grouping/joining is unchanged while
+      // the census exchange, pinned cache and broadcast carry half the
+      // key bytes (round 20, guide §2.3 "narrower types")
+      .withColumn("dig", unhex(md5(col("span")))))
     // a span is KEPT iff its digest lives in exactly one distinct doc —
     // which over totally-ordered doc_ids is min(doc_id) == max(doc_id).
     // The count_distinct form planned an extra full exchange of distinct
@@ -723,9 +728,13 @@ object Dedup {
     val chunks = graft.core.Caching.shared(
       chunked.groupBy("doc_id", "chunk")
         .agg(count(lit(1)).as("n_tokens"),
-          md5(array_join(transform(
+          // internal-only census key: 16-byte binary digest, not the
+          // 32-hex string — unhex is injective on md5 output, so the
+          // census grouping/join is unchanged at half the key bytes
+          // (round 20, guide §2.3 "narrower types")
+          unhex(md5(array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x("tok")), " ")).as("digest")))
+            x => x("tok")), " "))).as("digest")))
     // cross-doc duplication over totally-ordered doc_ids is
     // min(doc_id) != max(doc_id) — one map-side-combined aggregate where
     // count_distinct planned an extra distinct-pair exchange over the

@@ -553,7 +553,9 @@ object TextOps {
     val scored = withQuality(docs).select(col(domainCol).as("domain"),
       col("quality").cast("decimal(18,4)").as("q"),
       tokenCount(col("text")).cast("long").as("nt"),
-      md5(col("text")).as("digest"))
+      // internal-only copy-census key: 16-byte binary, not 32-hex chars
+      // (unhex injective on md5 — round 20, guide §2.3 narrower types)
+      unhex(md5(col("text"))).as("digest"))
     val copies = scored.groupBy("digest").agg(count(lit(1)).as("nc"))
     scored.join(copies, "digest")
       .groupBy("domain")

@@ -86,9 +86,32 @@ class PlanContractSpec extends SparkSpec {
     Seq("t25_span_scrub", "d8_span_dedup", "d16_cdc_chunks").foreach { q =>
       val p = plan(q)
       assert(!p.contains("count(distinct"), s"$q: ${p.take(1500)}")
-      assert(p.contains("partial_min(doc_id") || p.contains("partial_min("),
-        s"$q: ${p.take(1500)}")
+      // doc_id-specific: the census min/max must be over doc_id itself
+      // (ADVICE r19: a bare partial_min( fallback made this a tautology)
+      assert(p.contains("partial_min(doc_id"), s"$q: ${p.take(1500)}")
     }
+  }
+
+  test("t25/d16: census keys shuffle as 16-byte binary digests, not hex strings") {
+    // round 20 (guide §2.3 narrower types): the internal-only census key is
+    // unhex(md5(...)) — a plan that re-grows the 32-hex-char string key
+    // doubles the census exchange bytes. Checked on the ANALYZED plan: the
+    // physical toString truncates the cached-relation subtree that builds
+    // the digest.
+    Seq("t25_span_scrub", "d16_cdc_chunks").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf()).queryExecution.analyzed.toString
+      assert(p.contains("unhex(md5("), s"$q census key must be binary")
+    }
+  }
+
+  test("w1: two-phase argmax stays hash-aggregated — no SortAggregate, no window") {
+    // round 20 (VERDICT r19 #7): the struct-buffer argmax planned a
+    // SortAggregate pair = a full per-partition sort of the fact table;
+    // the two-phase form is two hash aggregates + a broadcast join-back
+    val p = plan("w1_ordered_burn_rank")
+    assert(!p.contains("SortAggregate"), p.take(2000))
+    assert(p.contains("HashAggregate") && p.contains("BroadcastHashJoin"),
+      p.take(2000))
   }
 
   test("q21: ONE per-order aggregate level — the pair-level aggregate is gone") {
