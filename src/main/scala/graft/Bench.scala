@@ -674,7 +674,7 @@ object Bench {
       (if (only.isEmpty) ""
        else s""","partial":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf01Shuffle$sf1Full$sf10Full$pipe2gTag,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$nCores%d,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"calib_spin_ms":$calibMs%.1f,"calib_spin_end_ms":$calibEndMs%.1f$partialTag,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_build":$qsBuild,"queries_plan":$qsPlan,"queries_exec":$qsExec$sf01Shuffle$sf1Full$sf10Full$pipe2gTag,"sf":"$sfDir"}"""
     // The driver tails stdout with a ~3 KB byte cap; rounds 7 AND 8 lost the
     // head of the full (min/max-bearing) line to that cap even with the
     // file fallback. Keep the full record in BENCH_LATEST.json, but print a
@@ -690,6 +690,14 @@ object Bench {
       else if (contended) { System.err.println(
         f"[bench] loadavg_start $loadStart%.2f > $maxLoad%.1f or steal $stealPct%.1f%% > $maxSteal%.1f%% or calib drift ${calibEndMs / math.max(calibMs, 1e-9)}%.2f > $maxCalibDrift%.2f or section steal (${contendedSections.mkString(",")}): contended record goes to BENCH_CONTENDED.json, BENCH_LATEST.json untouched")
         "BENCH_CONTENDED.json" }
+      // the canonical record is the 32-core profile: a QUIET low-core
+      // scaling arm must not become the regression baseline (round 20: an
+      // 8-core quiet run silently overwrote BENCH_LATEST; its per-query
+      // numbers read as phantom regressions at the default profile).
+      // "cpus" is now in every record so readers can tell the arms apart.
+      else if (nCores != 32) { System.err.println(
+        s"[bench] cpus=$nCores != 32: quiet scaling-arm record goes to BENCH_SCALING.json, BENCH_LATEST.json untouched")
+        "BENCH_SCALING.json" }
       else "BENCH_LATEST.json"
     def writeLine(path: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
